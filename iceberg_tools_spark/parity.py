@@ -1,0 +1,135 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Stricter than the driver: requires canonical value equality
+(bit-exact for doubles, numeric-exact for decimals) so that any
+downstream hashing scheme also matches. Used by
+``tests/test_oracle_parity.py`` and ad-hoc from the repl.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal as _decimal
+import math
+import os
+from dataclasses import dataclass, field
+
+import duckdb
+import pyarrow as pa
+
+from .sources.readers import TABLES
+
+# ---------------------------------------------------------------- schema
+
+
+def _canon_type(t: pa.DataType) -> str:
+    """Normalize arrow types from both engines to one vocabulary."""
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_integer(t):
+        # engines disagree on narrow int widths for literals; all
+        # integral outputs are compared as one family
+        return "bigint"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"array<{_canon_type(t.value_type)}>"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    return str(t)
+
+
+def _canon_value(v):
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, bool):
+        return f"b:{int(v)}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        return f"f:{v!r}"
+    if isinstance(v, _decimal.Decimal):
+        return f"d:{v.normalize()}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, _dt.datetime):
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, _dt.date):
+        return f"dt:{v.isoformat()}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_value(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return f"x:{v.hex()}"
+    return f"s:{v}"
+
+
+@dataclass
+class ParityResult:
+    name: str
+    row_count_match: bool
+    schema_match: bool
+    values_match: bool
+    spark_rows: int
+    oracle_rows: int
+    detail: list[str] = field(default_factory=list)
+
+    @property
+    def ok(self) -> bool:
+        return self.row_count_match and self.schema_match and self.values_match
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _rows_canon(tbl: pa.Table) -> list[tuple[str, ...]]:
+    cols = sorted(tbl.column_names)
+    data = [tbl.column(c).to_pylist() for c in cols]
+    return sorted(tuple(_canon_value(col[i]) for col in data) for i in range(tbl.num_rows))
+
+
+def compare(name: str, spark_df, sql: str, sf_dir: str, con=None) -> ParityResult:
+    own = con is None
+    con = con or duck_connection(sf_dir)
+    try:
+        oracle: pa.Table = con.execute(sql).fetch_arrow_table()
+    finally:
+        if own:
+            con.close()
+    spark_tbl: pa.Table = spark_df.toArrow()
+
+    detail: list[str] = []
+    s_schema = {n: _canon_type(spark_tbl.schema.field(n).type) for n in spark_tbl.column_names}
+    o_schema = {n: _canon_type(oracle.schema.field(n).type) for n in oracle.column_names}
+    schema_match = s_schema == o_schema
+    if not schema_match:
+        detail.append(f"schema spark={s_schema} oracle={o_schema}")
+
+    rc = spark_tbl.num_rows == oracle.num_rows
+    if not rc:
+        detail.append(f"rows spark={spark_tbl.num_rows} oracle={oracle.num_rows}")
+
+    values_match = False
+    if rc and set(spark_tbl.column_names) == set(oracle.column_names):
+        s_rows, o_rows = _rows_canon(spark_tbl), _rows_canon(oracle)
+        values_match = s_rows == o_rows
+        if not values_match:
+            diffs = [(a, b) for a, b in zip(s_rows, o_rows) if a != b][:3]
+            for a, b in diffs:
+                detail.append(f"spark row {a}\noracle row {b}")
+    return ParityResult(name, rc, schema_match, values_match, spark_tbl.num_rows, oracle.num_rows, detail)

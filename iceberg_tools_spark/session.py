@@ -1,0 +1,54 @@
+"""SparkSession factory.
+
+Single place for engine configuration so local tests and a real
+cluster share the same posture: AQE on (runtime coalesce + skew
+join), Arrow transfers on, UTC session time, shuffle parallelism
+sized to the machine instead of the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "iceberg_tools_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the tuned local session.
+
+    On a real cluster the same configs apply except master/memory,
+    which come from the submitter; everything here is
+    cluster-neutral.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # parallelism: match cores locally; AQE coalesces the rest
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        # adaptive execution: runtime re-plan, partition coalescing,
+        # skew-join splitting — the 100 TB safety nets
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # deterministic oracle comparisons
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for any pandas interchange (multimodal mapInPandas)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # local mode: driver is the only JVM
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
