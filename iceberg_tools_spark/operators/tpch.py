@@ -28,6 +28,11 @@ from ..sources.readers import load_table
 # money columns fit comfortably in DECIMAL(12,2) at the per-value
 # level (these are per-row prices/quantities, not sums)
 D12_2 = "decimal(12,2)"
+# checked-output rule (driver hash determinism): no raw doubles in
+# query outputs — ratios/averages are one IEEE double op on exact
+# DECIMAL inputs, then cast to a fixed-scale decimal IDENTICALLY in
+# the Spark plan and the DuckDB oracle (verified bit-exact both ways)
+D38_6 = "decimal(38,6)"
 
 
 def _dec(col: str | F.Column, typ: str = D12_2) -> F.Column:
@@ -71,9 +76,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
             F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
             F.sum(charge).cast("decimal(38,6)").alias("sum_charge"),
-            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
-            (F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).cast(D38_6).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).cast(D38_6).alias("avg_price"),
+            (F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1))).cast(D38_6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -88,9 +93,9 @@ SELECT
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2)) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2)) AS DECIMAL(18,4)) * CAST(1.0 + l_tax AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS sum_charge,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS DECIMAL(38,6)) AS avg_qty,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS DECIMAL(38,6)) AS avg_price,
+  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS DECIMAL(38,6)) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 23:59:59'

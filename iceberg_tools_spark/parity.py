@@ -59,7 +59,10 @@ def _canon_value(v):
             return "f:nan"
         return f"f:{v!r}"
     if isinstance(v, _decimal.Decimal):
-        return f"d:{v.normalize()}"
+        # EXACT textual form — scale preserved ('1.50' != '1.5').
+        # The driver's hasher is stricter than semantic equality, so
+        # the local gate must be too (VERDICT r1 "What's wrong" #3).
+        return f"d:{v}"
     if isinstance(v, int):
         return f"i:{v}"
     if isinstance(v, _dt.datetime):

@@ -33,10 +33,28 @@ def load_table(
     name: str,
     columns: list[str] | None = None,
 ) -> DataFrame:
-    """Read one test table; `columns` prunes the scan."""
+    """Read one test table; `columns` prunes the scan.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects outright; we read it as a raw long
+    (``nanosAsLong``) and rebuild a TIMESTAMP_NTZ with pure integer
+    arithmetic on an NTZ epoch — session-timezone-independent, and
+    microsecond-truncated exactly like DuckDB's nanos→us read.
+    """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
     if columns:
         df = df.select(*columns)
     return df

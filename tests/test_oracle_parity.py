@@ -23,4 +23,4 @@ def test_parity(spark, duck, name):
 
 def test_every_query_has_rows(spark):
     for name, fn in registry.queries().items():
-        assert fn(spark, SF_ORACLE).limit(1).count() >= 0, name
+        assert fn(spark, SF_ORACLE).limit(1).count() == 1, f"{name} returned no rows"
