@@ -1,0 +1,91 @@
+"""Headline-query benchmark — the driver's perf feedback loop.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+exactly ONE JSON line:
+
+    {"metric": "headline_total", "value": <sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": <sec>, ...}, "sf": 0.1, ...}
+
+Each query is materialized through the ``noop`` sink so every output
+column is computed and nothing is shipped to the driver — the number
+is engine time, not collect time. One warm session for the whole run
+(session startup is reported separately, not folded into queries).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.removeprefix("sf"))
+    except ValueError:
+        return -1.0
+
+
+# headline set: one representative per operator family; grows as
+# batteries land. Every name must exist in registry.queries().
+HEADLINE = [
+    # relational core
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q9_product_type_profit",
+    "q13_customer_distribution",
+    "q18_large_volume_customers",
+    "top_k_per_group",
+    # events
+    "sessionize_events",
+    "asof_join_events_orders",
+    "retention_day_n",
+    # LLM pipeline
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "embedding_near_dup",
+    "ann_topk_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from iceberg_tools_spark import registry
+    from iceberg_tools_spark.session import get_spark
+
+    t0 = time.perf_counter()
+    spark = get_spark("bench", cpus=cpus)
+    startup = time.perf_counter() - t0
+
+    available = registry.queries()
+    names = [n for n in HEADLINE if n in available]
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = available[name]
+        t = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t, 3)
+
+    out = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+        "cpus": cpus,
+        "n_queries": len(timings),
+        "session_startup_sec": round(startup, 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,7 +43,7 @@ def get_spark(
         # Arrow for any pandas interchange (multimodal mapInPandas)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # local mode: driver is the only JVM
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     )
