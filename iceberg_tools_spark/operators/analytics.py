@@ -1,0 +1,251 @@
+"""Window / rollup / pivot / percentile analytics over the test
+tables — the generic-analytics half of SURVEY.md §2.2.
+
+Determinism rules are the same as ``tpch.py``: DECIMAL-exact money,
+ratios as a single double division cast to DECIMAL(38,6), every
+int-producing engine function (row_number, ntile, grouping, year,
+rank) cast to BIGINT on both sides, and every window that feeds a
+row filter carries a unique-key tiebreak so Spark and DuckDB agree
+on ties.
+
+Scale notes: each operator is a single hash-shuffle on its natural
+partition key followed by in-partition window evaluation — the same
+plan shape survives a 1000-executor scale-up. No collects, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+D12_2 = "decimal(12,2)"
+D38_6 = "decimal(38,6)"
+
+
+def _dec(col: str | F.Column, typ: str = D12_2) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(typ)
+
+
+def top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (row_number windowing).
+
+    One shuffle on o_custkey; the rank filter is evaluated
+    in-partition, so at scale this is shuffle + streaming window.
+    """
+    o = load_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    w = Window.partitionBy("o_custkey").orderBy(
+        _dec("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            _dec("o_totalprice").alias("o_totalprice"),
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+        .orderBy("o_custkey", "rk")
+    )
+
+
+TOP_K_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk
+FROM (
+  SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                 ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey) AS BIGINT) AS rk
+  FROM orders) t
+WHERE rk <= 3
+ORDER BY o_custkey, rk
+"""
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(region, nation) order revenue with explicit grouping
+    flags (NULL keys coalesced to 'ALL' so both engines emit
+    identical group labels)."""
+    r = load_table(spark, sf_dir, "region", ["r_regionkey", "r_name"])
+    n = load_table(spark, sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    c = load_table(spark, sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    o = load_table(spark, sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("decimal(38,2)").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping("r_name").cast("bigint").alias("g_region"),
+            F.grouping("n_name").cast("bigint").alias("g_nation"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "revenue",
+            "n_orders",
+            "g_region",
+            "g_nation",
+        )
+        .orderBy("region", "nation")
+    )
+
+
+ROLLUP_SQL = """
+SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS revenue,
+       COUNT(*) AS n_orders,
+       CAST(GROUPING(r_name) AS BIGINT) AS g_region,
+       CAST(GROUPING(n_name) AS BIGINT) AS g_nation
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY region, nation
+"""
+
+
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts, priority rows × status columns (Spark
+    ``pivot`` API with a pinned value list — no extra distinct scan)."""
+    o = load_table(spark, sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("cnt_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("cnt_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("cnt_p"),
+    ).orderBy("o_orderpriority")
+
+
+PIVOT_SQL = """
+SELECT o_orderpriority,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS cnt_f,
+       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS cnt_o,
+       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS cnt_p
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (p50/p90/p99) of order value per
+    priority — percentile_disc semantics spelled out with
+    row_number/ceil so both engines follow the identical definition
+    (built-in percentile functions interpolate differently)."""
+    o = load_table(spark, sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    v = _dec("o_totalprice")
+    w = Window.partitionBy("o_orderpriority").orderBy(v, F.col("o_orderkey"))
+    wp = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        v.alias("v"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n"),
+    )
+
+    def pick(p: float, name: str) -> F.Column:
+        return F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("bigint"), F.col("v"))
+        ).alias(name)
+
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99"))
+        .orderBy("o_orderpriority")
+    )
+
+
+PERCENTILES_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(12,2)) AS v,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY CAST(o_totalprice AS DECIMAL(12,2)), o_orderkey) AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+  FROM orders)
+SELECT o_orderpriority,
+       MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN v END) AS p50,
+       MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT) THEN v END) AS p90,
+       MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN v END) AS p99
+FROM ranked
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def decile_value_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value deciles: ntile(10) over total spend
+    (unique-key tiebreak), then per-decile aggregates."""
+    o = load_table(spark, sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    ltv = o.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).cast("decimal(38,2)").alias("ltv")
+    )
+    w = Window.orderBy(F.col("ltv").desc(), F.col("o_custkey"))
+    tiled = ltv.select(
+        "o_custkey", "ltv", F.ntile(10).over(w).cast("bigint").alias("decile")
+    )
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("ltv").cast("decimal(38,2)").alias("sum_ltv"),
+            (F.sum("ltv").cast("double") / F.count(F.lit(1))).cast(D38_6).alias("avg_ltv"),
+        )
+        .orderBy("decile")
+    )
+
+
+DECILE_SQL = """
+WITH ltv AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS ltv
+  FROM orders GROUP BY o_custkey),
+tiled AS (
+  SELECT o_custkey, ltv, CAST(NTILE(10) OVER (ORDER BY ltv DESC, o_custkey) AS BIGINT) AS decile
+  FROM ltv)
+SELECT decile, COUNT(*) AS n_customers,
+       CAST(SUM(ltv) AS DECIMAL(38,2)) AS sum_ltv,
+       CAST(CAST(SUM(ltv) AS DOUBLE) / COUNT(*) AS DECIMAL(38,6)) AS avg_ltv
+FROM tiled
+GROUP BY decile
+ORDER BY decile
+"""
+
+
+def orders_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist of order totals within priority.
+
+    Both functions are pure integer-ratio doubles (identical IEEE
+    ops in every engine) cast to DECIMAL(38,6).
+    """
+    o = load_table(spark, sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    w = Window.partitionBy("o_orderpriority").orderBy(_dec("o_totalprice"))
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        _dec("o_totalprice").alias("o_totalprice"),
+        F.percent_rank().over(w).cast(D38_6).alias("pct_rank"),
+        F.cume_dist().over(w).cast(D38_6).alias("cume"),
+    ).orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+
+
+CUME_DIST_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+       CAST(PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS pct_rank,
+       CAST(CUME_DIST() OVER (PARTITION BY o_orderpriority
+                              ORDER BY CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS cume
+FROM orders
+ORDER BY o_orderpriority, o_totalprice, o_orderkey
+"""

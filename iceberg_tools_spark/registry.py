@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import probes, tpch
+from .operators import analytics, probes, tpch
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -28,6 +28,27 @@ def register(name: str, fn: QueryFn, sql: str | None) -> None:
 
 # ---------------------------------------------------------- §2.2 TPC-H
 register("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL)
+register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_SQL)
+register("q4_order_priority", tpch.q4_order_priority, tpch.Q4_SQL)
+register("q5_local_supplier_volume", tpch.q5_local_supplier_volume, tpch.Q5_SQL)
+register("q6_revenue_change", tpch.q6_revenue_change, tpch.Q6_SQL)
+register("q7_volume_shipping", tpch.q7_volume_shipping, tpch.Q7_SQL)
+register("q9_product_type_profit", tpch.q9_product_type_profit, tpch.Q9_SQL)
+register("q10_returned_items", tpch.q10_returned_items, tpch.Q10_SQL)
+register("q12_priority_shipping", tpch.q12_priority_shipping, tpch.Q12_SQL)
+register("q13_customer_distribution", tpch.q13_customer_distribution, tpch.Q13_SQL)
+register("q14_promo_effect", tpch.q14_promo_effect, tpch.Q14_SQL)
+register("q18_large_volume_customers", tpch.q18_large_volume_customers, tpch.Q18_SQL)
+register("q19_discounted_revenue", tpch.q19_discounted_revenue, tpch.Q19_SQL)
+register("q22_global_sales_opportunity", tpch.q22_global_sales_opportunity, tpch.Q22_SQL)
+
+# ----------------------------------------------- §2.2 window/analytics
+register("top_k_per_group", analytics.top_k_per_group, analytics.TOP_K_SQL)
+register("rollup_revenue", analytics.rollup_revenue, analytics.ROLLUP_SQL)
+register("pivot_status_by_priority", analytics.pivot_status_by_priority, analytics.PIVOT_SQL)
+register("percentiles_order_value", analytics.percentiles_order_value, analytics.PERCENTILES_SQL)
+register("decile_value_customers", analytics.decile_value_customers, analytics.DECILE_SQL)
+register("orders_cume_dist", analytics.orders_cume_dist, analytics.CUME_DIST_SQL)
 
 # --------------------------------------- hash-canonicalization probes
 # (diagnostics for the driver's correctness gate — see probes.py)
