@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import analytics, probes, tpch
+from .operators import analytics, events, probes, tpch
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -49,6 +49,14 @@ register("pivot_status_by_priority", analytics.pivot_status_by_priority, analyti
 register("percentiles_order_value", analytics.percentiles_order_value, analytics.PERCENTILES_SQL)
 register("decile_value_customers", analytics.decile_value_customers, analytics.DECILE_SQL)
 register("orders_cume_dist", analytics.orders_cume_dist, analytics.CUME_DIST_SQL)
+
+# ----------------------------------------------------- §2.3 events
+register("sessionize_events", events.sessionize_events, events.SESSIONIZE_SQL)
+register("session_window_agg", events.session_window_agg, events.SESSION_WINDOW_SQL)
+register("asof_join_events_orders", events.asof_join_events_orders, events.ASOF_SQL)
+register("funnel_view_click_purchase", events.funnel_view_click_purchase, events.FUNNEL_SQL)
+register("retention_day_n", events.retention_day_n, events.RETENTION_SQL)
+register("events_dedup_exact", events.events_dedup_exact, events.EVENTS_DEDUP_SQL)
 
 # --------------------------------------- hash-canonicalization probes
 # (diagnostics for the driver's correctness gate — see probes.py)
