@@ -1,0 +1,357 @@
+"""Document deduplication battery (SURVEY.md §2.4): exact,
+n-gram-Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the part that matters at 100 TB):
+
+* **No all-pairs joins anywhere.** Candidate pairs come from
+  inverted-index / LSH-bucket equi-joins whose keys are md5-derived
+  (uniform by construction → no shuffle skew).
+* **Exact dedup** is one hash-groupBy on md5(normalized text).
+* **n-gram Jaccard** joins docs only through shared shingles, with a
+  document-frequency cap (`DF_CAP`) that drops degenerate
+  stop-shingles before the join — the standard guard that keeps the
+  inverted index near-linear as the corpus grows.
+* **MinHash**: k=64 slots; slot value = min md5(f"{slot}|{word}") —
+  hex-string min is numeric min (fixed-width hex), so signatures are
+  DuckDB-reproducible with no 64-bit integer arithmetic. LSH = 8
+  bands × 8 rows (s-curve threshold ≈ 0.77); verification compares
+  signatures (≥ 56/64 equal slots ≈ Jaccard 0.875), never documents.
+* **SimHash**: 64-bit sign-sum over md5 bits of the word set,
+  4 bands × 16 bits (Hamming ≤ 3 ⇒ ≥ 1 band equal, the pigeonhole
+  guarantee), verified with exact Hamming distance.
+
+Everything is built-in column expressions — the md5 arithmetic runs
+in the JVM and is reproduced 1:1 in the DuckDB oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import norm_text, word_ngrams, word_set
+from ..sources.readers import load_table
+
+D38_6 = "decimal(38,6)"
+
+# n-gram Jaccard knobs
+NGRAM_N = 3
+DF_CAP = 1000  # drop shingles present in more docs than this
+TOP_PAIRS = 100
+
+# MinHash knobs
+MINHASH_K = 64
+LSH_BANDS = 8
+LSH_ROWS = 8
+MIN_EQ_SLOTS = 56  # verify: >= 56/64 equal slots (est. Jaccard 0.875)
+
+# SimHash knobs
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4
+HAMMING_MAX = 3
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on md5(normalized text): one survivor (min doc_id)
+    per content hash. Single hash-shuffle on an md5 key."""
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    return (
+        d.select("doc_id", F.md5(norm_text("text")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("survivor_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("survivor_doc_id")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+       MIN(doc_id) AS survivor_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+ORDER BY survivor_doc_id
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by word-3-gram Jaccard, top-100.
+
+    Inverted-index plan: explode distinct shingles → df-cap filter →
+    self-equi-join on the shingle → count common per pair →
+    |A∩B| / (|A|+|B|−|A∩B|). The only joins are key-equi on shingle
+    strings and doc ids.
+    """
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    toks = d.select("doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")).filter(
+        F.size("w") >= NGRAM_N
+    )
+    sh = toks.select("doc_id", F.explode(word_ngrams("w", NGRAM_N)).alias("s"))
+    # stop-shingle guard: df cap keeps the inverted index near-linear
+    df_ok = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= DF_CAP)
+    sh = sh.join(df_ok.select("s"), "s")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("da"), "s")
+    b = sh.select(F.col("doc_id").alias("db"), "s")
+    common = (
+        a.join(b, "s")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("da"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("db"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(na, "da")
+        .join(nb, "db")
+        .select(
+            "da",
+            "db",
+            "common",
+            (
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common")).cast("double")
+            )
+            .cast(D38_6)
+            .alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "da", "db")
+        .limit(TOP_PAIRS)
+    )
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents
+  WHERE len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= {NGRAM_N}),
+sh0 AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(w) - {NGRAM_N - 1} + 1),
+           i -> array_to_string(w[i:i+{NGRAM_N - 1}], ' ')))) AS s
+  FROM toks),
+df_ok AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= {DF_CAP}),
+sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN df_ok ON sh0.s = df_ok.s),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT da, db, common,
+       CAST(CAST(common AS DOUBLE)
+          / CAST(na.n_sh + nb.n_sh - common AS DOUBLE) AS DECIMAL(38,6)) AS jaccard
+FROM common
+JOIN sizes na ON common.da = na.doc_id
+JOIN sizes nb ON common.db = nb.doc_id
+ORDER BY jaccard DESC, da, db
+LIMIT {TOP_PAIRS}
+"""
+
+
+def _minhash_signatures(d: DataFrame) -> DataFrame:
+    """doc_id → 64-element MinHash signature (array of md5 hex
+    strings ordered by slot)."""
+    words = d.select("doc_id", F.explode(word_set("text")).alias("w"))
+    slots = words.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))).alias("i"),
+    )
+    mins = slots.groupBy("doc_id", "i").agg(
+        F.min(F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("w")))).alias("h")
+    )
+    return mins.groupBy("doc_id").agg(
+        F.expr("transform(array_sort(collect_list(struct(i, h))), x -> x.h)").alias("sig")
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs over word sets.
+
+    Bucket keys are md5 of 8 consecutive signature slots → uniform
+    shuffle keys; candidates only ever meet inside a bucket; the
+    verify step compares the two 64-slot signatures (no document
+    text is ever re-read or re-joined).
+    """
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    sig = _minhash_signatures(d)
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("b"),
+        "sig",
+    ).select(
+        "doc_id",
+        "b",
+        F.md5(F.concat_ws("|", F.expr(f"slice(sig, b * {LSH_ROWS} + 1, {LSH_ROWS})"))).alias(
+            "bucket"
+        ),
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("da"), F.col("sig").alias("sa"))
+    sb = sig.select(F.col("doc_id").alias("db"), F.col("sig").alias("sb"))
+    eq = F.expr("aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+    return (
+        cand.join(sa, "da")
+        .join(sb, "db")
+        .select("da", "db", eq.cast("bigint").alias("eq_slots"))
+        .filter(F.col("eq_slots") >= MIN_EQ_SLOTS)
+        .select(
+            "da",
+            "db",
+            "eq_slots",
+            (F.col("eq_slots").cast("double") / F.lit(float(MINHASH_K)))
+            .cast(D38_6)
+            .alias("est_jaccard"),
+        )
+        .orderBy("da", "db")
+    )
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH words AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS w
+  FROM documents),
+slots AS (
+  SELECT doc_id, i, MIN(md5(i::VARCHAR || '|' || w)) AS h
+  FROM words, (SELECT unnest(range({MINHASH_K})) AS i) s
+  GROUP BY doc_id, i),
+sig AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM slots GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b,
+         md5(array_to_string(sig[b * {LSH_ROWS} + 1 : b * {LSH_ROWS} + {LSH_ROWS}], '|')) AS bucket
+  FROM sig, (SELECT unnest(range({LSH_BANDS})) AS b) bb),
+cand AS (
+  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+  FROM bands x JOIN bands y
+    ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+ver AS (
+  SELECT da, db,
+         CAST(len(list_filter(range({MINHASH_K}), i -> sa.sig[i + 1] = sb.sig[i + 1])) AS BIGINT) AS eq_slots
+  FROM cand JOIN sig sa ON cand.da = sa.doc_id JOIN sig sb ON cand.db = sb.doc_id)
+SELECT da, db, eq_slots,
+       CAST(CAST(eq_slots AS DOUBLE) / {float(MINHASH_K)} AS DECIMAL(38,6)) AS est_jaccard
+FROM ver
+WHERE eq_slots >= {MIN_EQ_SLOTS}
+ORDER BY da, db
+"""
+
+
+def _simhash_bit(j: int) -> str:
+    """Spark SQL for bit j of md5(w): hex char j//4 (1-based), bit
+    j%4 of its nibble value."""
+    return (
+        f"((locate(substring(mh, {j // 4 + 1}, 1), '0123456789abcdef') - 1)"
+        f" >> {j % 4}) & 1"
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs: per-bit ±1 sums over the word
+    set's md5 bits, 4 bands × 16 bits for candidates (Hamming ≤ 3 ⇒
+    at least one band equal), exact Hamming verify."""
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    words = d.select("doc_id", F.explode(word_set("text")).alias("w")).withColumn(
+        "mh", F.md5("w")
+    )
+    sums = words.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"2 * ({_simhash_bit(j)}) - 1")).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    bit_chars = [
+        F.when(F.col(f"s{j}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for j in range(SIMHASH_BITS)
+    ]
+    per_band = SIMHASH_BITS // SIMHASH_BANDS
+    sim = sums.select(
+        "doc_id",
+        F.concat(*bit_chars).alias("bits"),
+    )
+    bands = sim.select(
+        "doc_id",
+        "bits",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("b"),
+    ).select(
+        "doc_id",
+        "bits",
+        "b",
+        F.expr(f"substring(bits, b * {per_band} + 1, {per_band})").alias("band_bits"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.band_bits") == F.col("y.band_bits"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("da"),
+            F.col("y.doc_id").alias("db"),
+            F.col("x.bits").alias("fa"),
+            F.col("y.bits").alias("fb"),
+        )
+        .distinct()
+    )
+    hamming = F.expr(
+        f"aggregate(sequence(1, {SIMHASH_BITS}), 0,"
+        " (acc, i) -> acc + IF(substring(fa, i, 1) = substring(fb, i, 1), 0, 1))"
+    )
+    return (
+        cand.select("da", "db", hamming.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .orderBy("da", "db")
+    )
+
+
+def _simhash_bit_duck(j: int) -> str:
+    return (
+        f"((strpos('0123456789abcdef', substring(mh, {j // 4 + 1}, 1)) - 1)"
+        f" >> {j % 4}) & 1"
+    )
+
+
+_SIMHASH_SUMS_DUCK = ",\n         ".join(
+    f"SUM(2 * ({_simhash_bit_duck(j)}) - 1) AS s{j}" for j in range(SIMHASH_BITS)
+)
+_SIMHASH_BITSTR_DUCK = " || ".join(
+    f"CASE WHEN s{j} >= 0 THEN '1' ELSE '0' END" for j in range(SIMHASH_BITS)
+)
+_PER_BAND = SIMHASH_BITS // SIMHASH_BANDS
+
+DEDUP_SIMHASH_SQL = f"""
+WITH words AS (
+  SELECT doc_id, md5(unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')))) AS mh
+  FROM documents),
+sums AS (
+  SELECT doc_id,
+         {_SIMHASH_SUMS_DUCK}
+  FROM words GROUP BY doc_id),
+sim AS (SELECT doc_id, {_SIMHASH_BITSTR_DUCK} AS bits FROM sums),
+bands AS (
+  SELECT doc_id, bits, b, substring(bits, b * {_PER_BAND} + 1, {_PER_BAND}) AS band_bits
+  FROM sim, (SELECT unnest(range({SIMHASH_BANDS})) AS b) bb),
+cand AS (
+  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db, x.bits AS fa, y.bits AS fb
+  FROM bands x JOIN bands y
+    ON x.b = y.b AND x.band_bits = y.band_bits AND x.doc_id < y.doc_id)
+SELECT da, db,
+       CAST(list_sum(list_transform(range(1, {SIMHASH_BITS} + 1),
+              i -> CASE WHEN substring(fa, i, 1) = substring(fb, i, 1) THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+FROM cand
+WHERE list_sum(list_transform(range(1, {SIMHASH_BITS} + 1),
+        i -> CASE WHEN substring(fa, i, 1) = substring(fb, i, 1) THEN 0 ELSE 1 END)) <= {HAMMING_MAX}
+ORDER BY da, db
+"""

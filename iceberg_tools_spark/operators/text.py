@@ -1,0 +1,216 @@
+"""Text-analysis battery over `documents` (SURVEY.md §2.4, text half).
+
+All four operators are single-pass column expressions on a pruned
+(doc_id, text) scan — no shuffle at all except the final ORDER BY
+(which only exists for presentation; at scale you'd drop it). No
+Python UDFs: tokenization, ratio math, language profiles and
+fingerprints are built-in-function trees, so they run inside
+whole-stage codegen and scale linearly with input splits.
+
+Determinism: ratios are single double divisions of exact ints cast
+to DECIMAL(38,6) with identical op order in the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    char_ngram_hashes,
+    count_matches,
+    norm_text,
+    stopword_hits,
+    tokens,
+)
+from ..sources.readers import load_table
+
+D38_6 = "decimal(38,6)"
+
+STOPWORDS_EN = ("the", "a", "and", "of", "to", "is", "in", "for", "on", "it")
+STOPWORDS_DE = ("der", "die", "das", "und", "ist", "nicht", "mit", "ein")
+STOPWORDS_FR = ("le", "les", "et", "est", "un", "une", "pour", "dans")
+STOPWORDS_ES = ("el", "los", "las", "es", "y", "una", "para", "como")
+
+
+def _ratio(num: F.Column, den: F.Column) -> F.Column:
+    return (num.cast("double") / den.cast("double")).cast(D38_6)
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char statistics (token count, char count,
+    punct/digit/space ratios, stopword ratio, avg token length)."""
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    toks = tokens("text")
+    n_tokens = F.size(toks).cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    tok_len_sum = F.expr(
+        "aggregate(transform(split(trim(text), '\\\\s+'), t -> length(t)), 0, (acc, x) -> acc + x)"
+    )
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        _ratio(tok_len_sum, n_tokens).alias("avg_token_len"),
+        _ratio(count_matches("text", "[0-9]"), n_chars).alias("digit_ratio"),
+        _ratio(count_matches("text", "[.,;:!?]"), n_chars).alias("punct_ratio"),
+        _ratio(count_matches("text", " "), n_chars).alias("space_ratio"),
+        _ratio(stopword_hits("split(trim(text), '\\\\s+')", STOPWORDS_EN), n_tokens).alias(
+            "stopword_ratio"
+        ),
+    ).orderBy("doc_id")
+
+
+_SW_EN = ",".join(f"'{w}'" for w in STOPWORDS_EN)
+
+TEXT_STATS_SQL = f"""
+WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+     / CAST(len(toks) AS DOUBLE) AS DECIMAL(38,6)) AS avg_token_len,
+  CAST(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+     / CAST(length(text) AS DOUBLE) AS DECIMAL(38,6)) AS digit_ratio,
+  CAST(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+     / CAST(length(text) AS DOUBLE) AS DECIMAL(38,6)) AS punct_ratio,
+  CAST(CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+     / CAST(length(text) AS DOUBLE) AS DECIMAL(38,6)) AS space_ratio,
+  CAST(CAST(len(list_filter(toks, t -> t IN ({_SW_EN}))) AS DOUBLE)
+     / CAST(len(toks) AS DOUBLE) AS DECIMAL(38,6)) AS stopword_ratio
+FROM t
+ORDER BY doc_id
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate: four integer rule checks averaged
+    into a score, keep = score ≥ 0.75 (emitted as BIGINT 0/1)."""
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    tok_len_sum = F.expr(
+        "aggregate(transform(split(trim(text), '\\\\s+'), t -> length(t)), 0, (acc, x) -> acc + x)"
+    )
+    alpha = n_chars - count_matches("text", "[a-zA-Z]")  # non-alpha count
+    rule_tokens = F.when(n_tokens.between(5, 5000), 1).otherwise(0)
+    # avg token length in [2,15]: compare via cross-multiplication to
+    # stay in exact integer math (no float boundary)
+    rule_avg_len = F.when(
+        (tok_len_sum >= 2 * n_tokens) & (tok_len_sum <= 15 * n_tokens), 1
+    ).otherwise(0)
+    # non-alpha (excluding single spaces between tokens) below 40%
+    rule_alpha = F.when(10 * (alpha - (n_tokens - 1)) <= 4 * n_chars, 1).otherwise(0)
+    rule_len = F.when(n_chars.between(20, 100000), 1).otherwise(0)
+    score_num = rule_tokens + rule_avg_len + rule_alpha + rule_len
+    return d.select(
+        "doc_id",
+        (score_num.cast("double") / F.lit(4).cast("double")).cast(D38_6).alias("quality_score"),
+        F.when(score_num >= 3, 1).otherwise(0).cast("bigint").alias("keep"),
+    ).orderBy("doc_id")
+
+
+TEXT_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 5 AND 5000 THEN 1 ELSE 0 END
+    + CASE WHEN list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> length(x)))
+                BETWEEN 2 * len(regexp_split_to_array(trim(text), '\\s+'))
+                    AND 15 * len(regexp_split_to_array(trim(text), '\\s+')) THEN 1 ELSE 0 END
+    + CASE WHEN 10 * (length(regexp_replace(text, '[a-zA-Z]', '', 'g'))
+                      - (len(regexp_split_to_array(trim(text), '\\s+')) - 1))
+                <= 4 * length(text) THEN 1 ELSE 0 END
+    + CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS score_num
+  FROM documents)
+SELECT doc_id,
+  CAST(CAST(score_num AS DOUBLE) / CAST(4 AS DOUBLE) AS DECIMAL(38,6)) AS quality_score,
+  CAST(CASE WHEN score_num >= 3 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM t
+ORDER BY doc_id
+"""
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language guess (en/de/fr/es/unknown) with a
+    fixed priority tie-break — a deterministic n-gram-heuristic
+    language ID that is pure column arithmetic."""
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    toks_sql = "split(trim(text), '\\\\s+')"
+    c_en = stopword_hits(toks_sql, STOPWORDS_EN)
+    c_de = stopword_hits(toks_sql, STOPWORDS_DE)
+    c_fr = stopword_hits(toks_sql, STOPWORDS_FR)
+    c_es = stopword_hits(toks_sql, STOPWORDS_ES)
+    d = d.select(
+        "doc_id",
+        c_en.alias("c_en"),
+        c_de.alias("c_de"),
+        c_fr.alias("c_fr"),
+        c_es.alias("c_es"),
+    )
+    lang = (
+        F.when((F.col("c_en") >= F.greatest("c_de", "c_fr", "c_es")) & (F.col("c_en") > 0), "en")
+        .when((F.col("c_de") >= F.greatest("c_fr", "c_es")) & (F.col("c_de") > 0), "de")
+        .when((F.col("c_fr") >= F.col("c_es")) & (F.col("c_fr") > 0), "fr")
+        .when(F.col("c_es") > 0, "es")
+        .otherwise("unknown")
+    )
+    return d.select(
+        "doc_id",
+        lang.alias("lang_guess"),
+        (F.col("c_en") + F.col("c_de") + F.col("c_fr") + F.col("c_es"))
+        .cast("bigint")
+        .alias("n_profile_hits"),
+    ).orderBy("doc_id")
+
+
+def _sw_sql(words: tuple[str, ...]) -> str:
+    lst = ",".join(f"'{w}'" for w in words)
+    return f"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t IN ({lst})))"
+
+
+TEXT_LANGID_SQL = f"""
+WITH c AS (
+  SELECT doc_id,
+    {_sw_sql(STOPWORDS_EN)} AS c_en,
+    {_sw_sql(STOPWORDS_DE)} AS c_de,
+    {_sw_sql(STOPWORDS_FR)} AS c_fr,
+    {_sw_sql(STOPWORDS_ES)} AS c_es
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN c_en >= greatest(c_de, c_fr, c_es) AND c_en > 0 THEN 'en'
+       WHEN c_de >= greatest(c_fr, c_es) AND c_de > 0 THEN 'de'
+       WHEN c_fr >= c_es AND c_fr > 0 THEN 'fr'
+       WHEN c_es > 0 THEN 'es'
+       ELSE 'unknown' END AS lang_guess,
+  CAST(c_en + c_de + c_fr + c_es AS BIGINT) AS n_profile_hits
+FROM c
+ORDER BY doc_id
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-4 sketch fingerprint: md5 over every char-8-gram of the
+    normalized text (capped at 1000 chars), keep the 4 smallest
+    distinct hashes — an order-invariant document fingerprint (the
+    set-sketch form of a rolling-hash/winnowing fingerprint)."""
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    d = d.withColumn("nt", norm_text("text"))
+    fp = F.concat_ws(
+        "", F.slice(F.array_sort(F.array_distinct(char_ngram_hashes("nt"))), 1, 4)
+    )
+    return d.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+TEXT_FINGERPRINT_SQL = """
+WITH t AS (SELECT doc_id,
+             substring(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 1000) AS nt
+           FROM documents)
+SELECT doc_id,
+  array_to_string(
+    list_sort(list_distinct(
+      list_transform(range(1, greatest(length(nt) - 7, 1) + 1),
+                     i -> md5(substring(nt, i, 8)))))[1:4], '') AS fingerprint
+FROM t
+ORDER BY doc_id
+"""

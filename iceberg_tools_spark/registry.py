@@ -12,7 +12,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import analytics, events, probes, tpch
+from .operators import analytics, dedup, events, probes, tpch
+from .operators import text as text_ops
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -57,6 +58,18 @@ register("asof_join_events_orders", events.asof_join_events_orders, events.ASOF_
 register("funnel_view_click_purchase", events.funnel_view_click_purchase, events.FUNNEL_SQL)
 register("retention_day_n", events.retention_day_n, events.RETENTION_SQL)
 register("events_dedup_exact", events.events_dedup_exact, events.EVENTS_DEDUP_SQL)
+
+# ------------------------------------------------ §2.4 text analysis
+register("text_stats", text_ops.text_stats, text_ops.TEXT_STATS_SQL)
+register("text_quality", text_ops.text_quality, text_ops.TEXT_QUALITY_SQL)
+register("text_langid", text_ops.text_langid, text_ops.TEXT_LANGID_SQL)
+register("text_fingerprint", text_ops.text_fingerprint, text_ops.TEXT_FINGERPRINT_SQL)
+
+# ------------------------------------------------------ §2.4 dedup
+register("dedup_exact", dedup.dedup_exact, dedup.DEDUP_EXACT_SQL)
+register("dedup_ngram_jaccard", dedup.dedup_ngram_jaccard, dedup.DEDUP_NGRAM_SQL)
+register("dedup_minhash_lsh", dedup.dedup_minhash_lsh, dedup.DEDUP_MINHASH_SQL)
+register("dedup_simhash", dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL)
 
 # --------------------------------------- hash-canonicalization probes
 # (diagnostics for the driver's correctness gate — see probes.py)

@@ -1,0 +1,89 @@
+"""Planted-duplicate recall tests for the dedup family.
+
+The driver's synthetic corpus has no true duplicates, so the oracle
+parity check alone can't demonstrate recall. Here we plant known
+exact and near duplicates in a temporary `documents.parquet` and run
+the SAME registered query functions against that directory.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from iceberg_tools_spark.operators import dedup
+
+VOCAB = [f"w{i}" for i in range(200)]
+
+
+def _doc(rng: random.Random, n: int = 40) -> str:
+    return " ".join(rng.choice(VOCAB) for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    rng = random.Random(7)
+    docs: list[tuple[int, str]] = []
+    # 10 unrelated background docs
+    for i in range(10):
+        docs.append((i, _doc(rng)))
+    # exact-dup group: 100/101 identical up to case/whitespace
+    base = _doc(rng)
+    docs.append((100, base))
+    docs.append((101, "  " + base.upper() + "  "))
+    # near-dup pair: 200/201 differ by dropping two words
+    words = _doc(rng, 40).split()
+    docs.append((200, " ".join(words)))
+    docs.append((201, " ".join(words[:-2])))
+    # near-dup pair: 300/301 differ by one substitution
+    words2 = _doc(rng, 40).split()
+    mutated = list(words2)
+    mutated[5] = "zzz"
+    docs.append((300, " ".join(words2)))
+    docs.append((301, " ".join(mutated)))
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs)),
+            "source": pa.array(["planted"] * len(docs)),
+            "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+        }
+    )
+    d = tmp_path_factory.mktemp("planted")
+    pq.write_table(tbl, d / "documents.parquet")
+    return str(d)
+
+
+def test_exact_dedup_catches_normalized_copy(spark, planted_dir):
+    rows = dedup.dedup_exact(spark, planted_dir).collect()
+    groups = {r.survivor_doc_id: r.n_copies for r in rows}
+    assert groups[100] == 2  # 101 collapsed into 100
+    # all other docs are singletons
+    assert all(v == 1 for k, v in groups.items() if k != 100)
+
+
+def test_minhash_lsh_recalls_planted_near_dups(spark, planted_dir):
+    pairs = {(r.da, r.db) for r in dedup.dedup_minhash_lsh(spark, planted_dir).collect()}
+    assert (100, 101) in pairs  # identical word set
+    assert (200, 201) in pairs  # 2 dropped words
+    assert (300, 301) in pairs  # 1 substitution
+    # background docs must not pair with each other
+    assert not any(da < 100 and db < 100 for da, db in pairs)
+
+
+def test_simhash_recalls_planted_near_dups(spark, planted_dir):
+    pairs = {(r.da, r.db): r.hamming for r in dedup.dedup_simhash(spark, planted_dir).collect()}
+    assert pairs.get((100, 101)) == 0  # same word set → same simhash
+    assert (300, 301) in pairs
+    assert all(h <= dedup.HAMMING_MAX for h in pairs.values())
+
+
+def test_ngram_jaccard_ranks_planted_pairs_first(spark, planted_dir):
+    rows = dedup.dedup_ngram_jaccard(spark, planted_dir).collect()
+    top = {(r.da, r.db) for r in rows[:3]}
+    assert (100, 101) in top or (200, 201) in top or (300, 301) in top
