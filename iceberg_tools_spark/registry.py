@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import analytics, dedup, events, probes, tpch
+from .operators import analytics, dedup, events, probes, similarity, tpch
 from .operators import text as text_ops
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -70,6 +70,14 @@ register("dedup_exact", dedup.dedup_exact, dedup.DEDUP_EXACT_SQL)
 register("dedup_ngram_jaccard", dedup.dedup_ngram_jaccard, dedup.DEDUP_NGRAM_SQL)
 register("dedup_minhash_lsh", dedup.dedup_minhash_lsh, dedup.DEDUP_MINHASH_SQL)
 register("dedup_simhash", dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL)
+
+# ------------------------------------------------ §2.4 embeddings
+register("embedding_norm_stats", similarity.embedding_norm_stats, similarity.NORM_STATS_SQL)
+register("ann_topk_bruteforce", similarity.ann_topk_bruteforce, similarity.ANN_BRUTE_SQL)
+register("embedding_near_dup", similarity.embedding_near_dup, similarity.NEAR_DUP_SQL)
+# iterative argmin/Lloyd logic — not concisely SQL-expressible:
+# rows-only driver check + recall-vs-bruteforce pytest
+register("ann_ivf_topk", similarity.ann_ivf_topk, None)
 
 # --------------------------------------- hash-canonicalization probes
 # (diagnostics for the driver's correctness gate — see probes.py)
