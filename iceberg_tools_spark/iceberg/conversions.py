@@ -1,0 +1,135 @@
+"""Iceberg single-value binary (de)serialization.
+
+Implements the "Binary single-value serialization" table of the
+Iceberg spec: little-endian numerics, UTF-8 strings, big-endian
+unscaled decimals, 16-byte big-endian UUID. Behavior parity with the
+reference's bound decoding (`IcebergDatumWriter.java:194-202`, which
+delegates to the Iceberg library's `Conversions.fromByteBuffer`) —
+including its `"value:<v>;type:<t>"` rendering, where `<t>` is the
+canonical Iceberg type string (`Types.fromPrimitiveString(x)
+.toString()` normalization: lowercase, `decimal(p, s)` with a space).
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+import uuid as _uuid
+from decimal import Decimal
+from typing import Any
+
+_DECIMAL_RE = re.compile(r"^decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)$")
+_FIXED_RE = re.compile(r"^fixed\[\s*(\d+)\s*\]$")
+
+PRIMITIVE_TYPES = frozenset(
+    (
+        "boolean",
+        "int",
+        "long",
+        "float",
+        "double",
+        "date",
+        "time",
+        "timestamp",
+        "timestamptz",
+        "timestamp_ns",
+        "timestamptz_ns",
+        "string",
+        "uuid",
+        "binary",
+    )
+)
+
+
+def canonical_type(type_str: str) -> str:
+    """Normalize a metadata type string to Iceberg's toString form."""
+    t = type_str.strip().lower()
+    m = _DECIMAL_RE.match(t)
+    if m:
+        return f"decimal({int(m.group(1))}, {int(m.group(2))})"
+    m = _FIXED_RE.match(t)
+    if m:
+        return f"fixed[{int(m.group(1))}]"
+    if t not in PRIMITIVE_TYPES:
+        raise ValueError(f"unknown primitive type string {type_str!r}")
+    return t
+
+
+def from_bytes(type_str: str, data: bytes) -> Any:
+    """Deserialize one Iceberg single-value."""
+    t = canonical_type(type_str)
+    if t == "boolean":
+        return data[0] != 0
+    if t in ("int", "date"):
+        return struct.unpack("<i", data)[0]
+    if t in ("long", "time", "timestamp", "timestamptz", "timestamp_ns", "timestamptz_ns"):
+        return struct.unpack("<q", data)[0]
+    if t == "float":
+        return struct.unpack("<f", data)[0]
+    if t == "double":
+        return struct.unpack("<d", data)[0]
+    if t == "string":
+        return data.decode("utf-8")
+    if t == "uuid":
+        return _uuid.UUID(bytes=data)
+    if t.startswith("decimal"):
+        m = _DECIMAL_RE.match(t)
+        assert m is not None
+        scale = int(m.group(2))
+        unscaled = int.from_bytes(data, "big", signed=True)
+        return Decimal(unscaled).scaleb(-scale)
+    # binary / fixed[n]
+    return data
+
+
+def _java_float_str(v: float, single: bool) -> str:
+    """Approximate Java Float/Double.toString: decimal notation in
+    [1e-3, 1e7), otherwise scientific with 'E'."""
+    if v != v:
+        return "NaN"
+    if v == float("inf"):
+        return "Infinity"
+    if v == float("-inf"):
+        return "-Infinity"
+    if single:
+        # shortest repr that round-trips through float32
+        s = repr(struct.unpack("<f", struct.pack("<f", v))[0])
+    else:
+        s = repr(v)
+    a = abs(v)
+    if v == 0 or 1e-3 <= a < 1e7:
+        if "e" in s or "E" in s:
+            s = f"{v:.10f}".rstrip("0")
+            if s.endswith("."):
+                s += "0"
+        elif "." not in s:
+            s += ".0"
+        return s
+    mant, _, exp = s.partition("e")
+    if not exp:
+        return s
+    if "." not in mant:
+        mant += ".0"
+    return f"{mant}E{int(exp)}"
+
+
+def value_to_string(type_str: str, value: Any) -> str:
+    """Render a deserialized value the way Java `toString` would
+    (the reference feeds `metricValue.toString()` into the output)."""
+    t = canonical_type(type_str)
+    if t == "boolean":
+        return "true" if value else "false"
+    if t == "float":
+        return _java_float_str(value, single=True)
+    if t == "double":
+        return _java_float_str(value, single=False)
+    if isinstance(value, bytes):
+        return "0x" + value.hex()
+    return str(value)
+
+
+def decode_bound(type_str: str, data: bytes) -> str:
+    """The reference's bound rendering: ``value:<v>;type:<t>``
+    (`IcebergDatumWriter.java:200`)."""
+    t = canonical_type(type_str)
+    return f"value:{value_to_string(t, from_bytes(t, data))};type:{t}"
