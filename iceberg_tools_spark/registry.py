@@ -79,6 +79,18 @@ register("embedding_near_dup", similarity.embedding_near_dup, similarity.NEAR_DU
 # rows-only driver check + recall-vs-bruteforce pytest
 register("ann_ivf_topk", similarity.ann_ivf_topk, None)
 
+# --------------------------------------------- §2.1 metadata tables
+# rows-only: these introspect the reference's Iceberg fixture (the
+# only Iceberg table in the environment) — not expressible over the
+# DuckDB testdata views
+from .iceberg import tables as meta_tables  # noqa: E402  (after operator imports)
+
+register("meta_manifest_entries", meta_tables.meta_manifest_entries, None)
+register("meta_files", meta_tables.meta_files, None)
+register("meta_partitions", meta_tables.meta_partitions, None)
+register("meta_snapshots", meta_tables.meta_snapshots, None)
+register("meta_history", meta_tables.meta_history, None)
+
 # --------------------------------------- hash-canonicalization probes
 # (diagnostics for the driver's correctness gate — see probes.py)
 register("probe_bigint", probes.probe_bigint, probes.PROBE_BIGINT_SQL)
