@@ -1,0 +1,76 @@
+"""Streaming smoke tests (file source → memory sink) and multimodal
+mapInPandas plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_tools_spark.operators import multimodal as mm
+from iceberg_tools_spark.streaming import jobs
+
+from .conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------- streaming
+
+
+def test_streaming_windowed_counts(spark):
+    s = jobs.events_stream(spark, SF_SMOKE)
+    out = jobs.run_to_memory(jobs.windowed_counts(s), "t_win", mode="complete")
+    rows = out.collect()
+    assert len(rows) > 0
+    assert {r.event_type for r in rows} <= {"view", "click", "purchase", "signup", "error"}
+    assert all(r.window_end > r.window_start for r in rows)
+
+
+def test_streaming_session_aggregates(spark):
+    s = jobs.events_stream(spark, SF_SMOKE)
+    out = jobs.run_to_memory(jobs.session_aggregates(s), "t_sess", mode="complete")
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r.n_events >= 1 and r.session_end > r.session_start for r in rows)
+
+
+def test_streaming_dedup_passthrough(spark):
+    s = jobs.events_stream(spark, SF_SMOKE)
+    out = jobs.run_to_memory(jobs.dedup_stream(s), "t_dedup", mode="append")
+    n_stream = out.count()
+    n_batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert n_stream == n_batch  # no duplicates in the synthetic feed
+
+
+# --------------------------------------------------------- multimodal
+
+
+def test_media_schema_and_features(spark):
+    media = mm.make_synthetic_media(spark, 30)
+    assert media.schema == mm.MEDIA_SCHEMA
+    feats = mm.extract_features(media).collect()
+    assert len(feats) == 30
+    assert all(len(r.feature) == mm.FEATURE_DIM for r in feats)
+    assert all(0.0 <= v < 1.0 for r in feats for v in r.feature)
+    # deterministic: same payload → same feature
+    feats2 = mm.extract_features(media).collect()
+    assert {r.item_id: r.feature for r in feats} == {r.item_id: r.feature for r in feats2}
+
+
+def test_resize_updates_metadata_keeps_schema(spark):
+    media = mm.make_synthetic_media(spark, 30)
+    out = mm.resize_images(media, 32, 24)
+    assert out.schema == mm.MEDIA_SCHEMA
+    rows = out.collect()
+    assert len(rows) == 10  # every 3rd item is an image
+    assert all(r.width == 32 and r.height == 24 for r in rows)
+    assert all(len(r.payload) >= 8 for r in rows)
+
+
+def test_frame_sampling(spark):
+    media = mm.make_synthetic_media(spark, 30)
+    rows = mm.sample_frames(media, every_n=10).collect()
+    assert len(rows) == 10  # every 3rd item is a video
+    assert all(r.n_frames == 3 for r in rows)  # 30 frames / 10
+
+
+def test_real_decode_is_explicitly_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(b"...", "image")
