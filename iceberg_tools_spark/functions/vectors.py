@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -35,6 +37,69 @@ def sum_squares(a: str) -> Column:
         f"aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
         " 0.0D, (acc, v) -> acc + v)"
     )
+
+
+# ---- fast path: Arrow-batched, fold-order-exact -------------------
+# Spark's higher-order-function lambdas are INTERPRETED (never
+# whole-stage-codegen'd), so per-pair folds dominate wall clock on
+# O(N·Q) similarity joins. These Pandas UDFs compute the SAME strict
+# left fold — sequential over dimensions, vectorized over rows
+# (`acc += A[:,j]*B[:,j]` performs the identical IEEE addition
+# sequence per row) — so results stay bit-identical to the
+# expression fold and to DuckDB's list_reduce, at numpy speed.
+
+
+def _stack(s: pd.Series) -> np.ndarray:
+    return np.vstack([np.asarray(v, dtype=np.float64) for v in s])
+
+
+# pandas_udf decoration parses the return-type DDL, which needs an
+# active SparkSession — so the UDFs are built lazily on first use.
+_UDF_CACHE: dict = {}
+
+
+def _dot_udf():
+    if "dot" not in _UDF_CACHE:
+
+        @F.pandas_udf("double")
+        def _dot(xa: pd.Series, xb: pd.Series) -> pd.Series:
+            if len(xa) == 0:
+                return pd.Series([], dtype="float64")
+            A, B = _stack(xa), _stack(xb)
+            acc = np.zeros(len(A))
+            for j in range(A.shape[1]):
+                acc += A[:, j] * B[:, j]
+            return pd.Series(acc)
+
+        _UDF_CACHE["dot"] = _dot
+    return _UDF_CACHE["dot"]
+
+
+def _sum_squares_udf():
+    if "ss" not in _UDF_CACHE:
+
+        @F.pandas_udf("double")
+        def _ss(xa: pd.Series) -> pd.Series:
+            if len(xa) == 0:
+                return pd.Series([], dtype="float64")
+            A = _stack(xa)
+            acc = np.zeros(len(A))
+            for j in range(A.shape[1]):
+                acc += A[:, j] * A[:, j]
+            return pd.Series(acc)
+
+        _UDF_CACHE["ss"] = _ss
+    return _UDF_CACHE["ss"]
+
+
+def dot_fast(a: Column | str, b: Column | str) -> Column:
+    return _dot_udf()(
+        F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    )
+
+
+def sum_squares_fast(a: Column | str) -> Column:
+    return _sum_squares_udf()(F.col(a) if isinstance(a, str) else a)
 
 
 def l2_norm(a: str) -> Column:

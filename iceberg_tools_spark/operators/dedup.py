@@ -44,6 +44,14 @@ MINHASH_K = 64
 LSH_BANDS = 8
 LSH_ROWS = 8
 MIN_EQ_SLOTS = 56  # verify: >= 56/64 equal slots (est. Jaccard 0.875)
+# scale guard: skip degenerate buckets (> MAX_BUCKET docs). A bucket
+# that large is a near-identical cluster — the candidate join inside
+# it is quadratic, and the right tool for such clusters is the exact
+# set-hash pre-pass, not pairwise LSH. Bounds worst-case fan-out to
+# MAX_BUCKET²/2 per bucket at ANY corpus size. (This synthetic
+# corpus has a 31-word vocabulary, so word sets degenerate exactly
+# this way: at sf0.1 the cap cuts candidate pairs 9.4M → 75k.)
+MAX_BUCKET = 100
 
 # SimHash knobs
 SIMHASH_BITS = 64
@@ -151,18 +159,21 @@ LIMIT {TOP_PAIRS}
 
 def _minhash_signatures(d: DataFrame) -> DataFrame:
     """doc_id → 64-element MinHash signature (array of md5 hex
-    strings ordered by slot)."""
+    strings ordered by slot).
+
+    One explode (words) + ONE groupBy with 64 min-aggregates — no
+    64× slot explosion and no second shuffle; the per-slot md5s are
+    computed map-side and partial-aggregated before the doc shuffle.
+    """
     words = d.select("doc_id", F.explode(word_set("text")).alias("w"))
-    slots = words.select(
-        "doc_id",
-        "w",
-        F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))).alias("i"),
+    mins = words.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("w")))).alias(f"s{i}")
+            for i in range(MINHASH_K)
+        ]
     )
-    mins = slots.groupBy("doc_id", "i").agg(
-        F.min(F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("w")))).alias("h")
-    )
-    return mins.groupBy("doc_id").agg(
-        F.expr("transform(array_sort(collect_list(struct(i, h))), x -> x.h)").alias("sig")
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"s{i}") for i in range(MINHASH_K)]).alias("sig")
     )
 
 
@@ -175,7 +186,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     text is ever re-read or re-joined).
     """
     d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
-    sig = _minhash_signatures(d)
+    # signatures are one row per doc (64 hex strings ≈ 2 KB). The
+    # plan reuses sig on four branches (banding, both candidate-join
+    # sides, verification); an eager localCheckpoint materializes it
+    # once and truncates lineage, and — unlike cache() — its storage
+    # is reclaimed when the DataFrame goes out of scope.
+    sig = _minhash_signatures(d).localCheckpoint()
     bands = sig.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("b"),
@@ -187,6 +203,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket"
         ),
     )
+    ok_buckets = (
+        bands.groupBy("b", "bucket")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") <= MAX_BUCKET)
+        .select("b", "bucket")
+    )
+    bands = bands.join(F.broadcast(ok_buckets), ["b", "bucket"])
     cand = (
         bands.alias("x")
         .join(
@@ -227,10 +250,14 @@ slots AS (
   FROM words, (SELECT unnest(range({MINHASH_K})) AS i) s
   GROUP BY doc_id, i),
 sig AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM slots GROUP BY doc_id),
-bands AS (
+bands0 AS (
   SELECT doc_id, b,
          md5(array_to_string(sig[b * {LSH_ROWS} + 1 : b * {LSH_ROWS} + {LSH_ROWS}], '|')) AS bucket
   FROM sig, (SELECT unnest(range({LSH_BANDS})) AS b) bb),
+ok_buckets AS (
+  SELECT b, bucket FROM bands0 GROUP BY b, bucket HAVING COUNT(*) <= {MAX_BUCKET}),
+bands AS (
+  SELECT bands0.* FROM bands0 JOIN ok_buckets USING (b, bucket)),
 cand AS (
   SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
   FROM bands x JOIN bands y

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from ..functions.vectors import (
     DOT_DUCK,
     SUM_SQUARES_DUCK,
-    dot,
+    dot_fast,
     hyperplane_sign,
     hyperplane_sign_duck,
     sum_squares,
@@ -97,7 +97,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qemb"),
         F.col("ss").alias("qss"),
     )
-    cos = dot("embedding", "qemb") / (F.sqrt(F.col("ss")) * F.sqrt(F.col("qss")))
+    cos = dot_fast("embedding", "qemb") / (F.sqrt(F.col("ss")) * F.sqrt(F.col("qss")))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
         base.crossJoin(F.broadcast(q))
@@ -160,7 +160,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ss").alias("ssb"),
         "bucket",
     )
-    cos = dot("ea", "eb") / (F.sqrt(F.col("ssa")) * F.sqrt(F.col("ssb")))
+    cos = dot_fast("ea", "eb") / (F.sqrt(F.col("ssa")) * F.sqrt(F.col("ssb")))
     return (
         x.join(y, "bucket")
         .filter(F.col("va") < F.col("vb"))
@@ -207,7 +207,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def assign(df: DataFrame, cents: DataFrame) -> DataFrame:
         # dist² = ss − 2·dot + css; argmin over cells
-        d2 = F.col("ss") - 2 * dot("embedding", "cemb") + F.col("css")
+        d2 = F.col("ss") - 2 * dot_fast("embedding", "cemb") + F.col("css")
         w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cell"))
         return (
             df.crossJoin(F.broadcast(cents))
@@ -233,7 +233,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ss").alias("qss"),
     )
     # probe the nprobe nearest refreshed cells per query
-    qd2 = F.col("qss") - 2 * dot("qemb", "cemb") + F.col("css")
+    qd2 = F.col("qss") - 2 * dot_fast("qemb", "cemb") + F.col("css")
     wq = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("cell"))
     probes = (
         q.crossJoin(F.broadcast(cents2))
@@ -242,7 +242,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= IVF_NPROBE)
         .select("qid", "qemb", "qss", "cell")
     )
-    cos = dot("embedding", "qemb") / (F.sqrt(F.col("ss")) * F.sqrt(F.col("qss")))
+    cos = dot_fast("embedding", "qemb") / (F.sqrt(F.col("ss")) * F.sqrt(F.col("qss")))
     wr = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
         assigned2.join(probes, "cell")

@@ -1,0 +1,88 @@
+"""Plan-shape assertions: the scale posture, enforced.
+
+Every headline operator must (a) push its filters into the parquet
+scan, (b) read only the columns it uses, (c) broadcast provably
+small dimensions, (d) avoid cartesian products except where the
+operator is defined by one, and (e) keep the hot path inside
+WholeStageCodegen."""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_tools_spark.operators import dedup, events, similarity, tpch
+from iceberg_tools_spark.plans import checks
+
+from .conftest import SF_ORACLE
+
+
+def test_q1_pushdown_and_pruning(spark):
+    df = tpch.q1_pricing_summary(spark, SF_ORACLE)
+    assert checks.has_pushed_filters(df), "shipdate filter must reach the scan"
+    cols = checks.scan_columns(df)
+    assert len(cols) == 1
+    assert cols[0] <= {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    }, f"scan reads too much: {cols[0]}"
+    assert checks.no_python_eval(df), "relational hot path must stay JVM-side"
+
+
+def test_q6_fully_pushed_scan(spark):
+    df = tpch.q6_revenue_change(spark, SF_ORACLE)
+    assert checks.has_pushed_filters(df)
+    assert checks.cartesian_joins(df) == 0
+
+
+def test_q5_broadcasts_dims_no_cartesian(spark):
+    df = tpch.q5_local_supplier_volume(spark, SF_ORACLE)
+    assert checks.has_broadcast_join(df)
+    assert checks.cartesian_joins(df) == 0
+
+
+def test_q9_broadcasts_part_filter(spark):
+    df = tpch.q9_product_type_profit(spark, SF_ORACLE)
+    assert checks.has_broadcast_join(df)
+    assert checks.cartesian_joins(df) == 0
+
+
+def test_q18_no_cartesian(spark):
+    df = tpch.q18_large_volume_customers(spark, SF_ORACLE)
+    assert checks.cartesian_joins(df) == 0
+
+
+def test_sessionize_single_shuffle_for_window(spark):
+    df = events.sessionize_events(spark, SF_ORACLE)
+    # one exchange for the user_id window + final order; no joins
+    assert checks.cartesian_joins(df) == 0
+    assert checks.shuffle_count(df) <= 3
+
+
+def test_asof_join_is_union_window_not_range_join(spark):
+    df = events.asof_join_events_orders(spark, SF_ORACLE)
+    assert checks.cartesian_joins(df) == 0
+    p = checks.plan_string(df, "simple")
+    assert "Union" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_minhash_join_is_equi_bucket_join(spark):
+    df = dedup.dedup_minhash_lsh(spark, SF_ORACLE)
+    assert checks.cartesian_joins(df) == 0, "LSH must never all-pairs join"
+
+
+def test_ngram_jaccard_no_cartesian(spark):
+    df = dedup.dedup_ngram_jaccard(spark, SF_ORACLE)
+    assert checks.cartesian_joins(df) == 0
+
+
+def test_near_dup_bucket_join_no_cartesian(spark):
+    df = similarity.embedding_near_dup(spark, SF_ORACLE)
+    assert checks.cartesian_joins(df) == 0
+
+
+def test_bruteforce_is_the_only_sanctioned_nested_loop(spark):
+    # the ANN baseline is DEFINED as a crossJoin (broadcast side is
+    # the 10-row query set) — sanctioned here, banned everywhere else
+    df = similarity.ann_topk_bruteforce(spark, SF_ORACLE)
+    assert checks.cartesian_joins(df) >= 1
