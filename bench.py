@@ -65,6 +65,16 @@ def main() -> None:
     spark = get_spark("bench", cpus=cpus)
     startup = time.perf_counter() - t0
 
+    # warm-up: touch every input table once so the first timed query
+    # measures engine time, not one-time JVM/codegen/parquet-footer
+    # warm-up (reported separately in warmup_sec).
+    t0 = time.perf_counter()
+    from iceberg_tools_spark.sources.readers import TABLES, load_table
+
+    for tbl in TABLES:
+        load_table(spark, sf_dir, tbl).write.format("noop").mode("overwrite").save()
+    warmup = time.perf_counter() - t0
+
     available = registry.queries()
     names = [n for n in HEADLINE if n in available]
     timings: dict[str, float] = {}
@@ -83,6 +93,7 @@ def main() -> None:
         "cpus": cpus,
         "n_queries": len(timings),
         "session_startup_sec": round(startup, 3),
+        "warmup_sec": round(warmup, 3),
     }
     print(json.dumps(out))
 

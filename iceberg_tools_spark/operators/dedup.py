@@ -11,9 +11,10 @@ Scale design (the part that matters at 100 TB):
   document-frequency cap (`DF_CAP`) that drops degenerate
   stop-shingles before the join — the standard guard that keeps the
   inverted index near-linear as the corpus grows.
-* **MinHash**: k=64 slots; slot value = min md5(f"{slot}|{word}") —
-  hex-string min is numeric min (fixed-width hex), so signatures are
-  DuckDB-reproducible with no 64-bit integer arithmetic. LSH = 8
+* **MinHash**: k=64 slots from an affine (universal) hash family
+  over ONE md5 per word — slotᵢ(w) = (aᵢ·h(w)+bᵢ) mod 2³¹−1 with
+  h(w) = 28-bit md5 prefix; products stay < 2⁵⁹ so the arithmetic
+  is exact BIGINT in Spark (ANSI-safe) and DuckDB alike. LSH = 8
   bands × 8 rows (s-curve threshold ≈ 0.77); verification compares
   signatures (≥ 56/64 equal slots ≈ Jaccard 0.875), never documents.
 * **SimHash**: 64-bit sign-sum over md5 bits of the word set,
@@ -157,19 +158,46 @@ LIMIT {TOP_PAIRS}
 """
 
 
+# Affine (universal) hash family over ONE md5 per word:
+#   h(w)      = first 7 hex digits of md5(w) as int   (< 2^28)
+#   slot_i(w) = (a_i * h(w) + b_i) mod P,  P = 2^31 − 1 (prime)
+# a_i < P, h < 2^28 → products < 2^59: exact in BIGINT in both
+# engines (no overflow under Spark ANSI). One md5 per word instead
+# of 64 — the signature stage is pure codegen arithmetic after it.
+MINHASH_P = 2_147_483_647
+_H_DIGITS = 7
+
+
+def _affine_coeffs() -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for i in range(MINHASH_K):
+        a = int(hashlib.md5(f"a|{i}".encode()).hexdigest()[:15], 16) % (MINHASH_P - 1) + 1
+        b = int(hashlib.md5(f"b|{i}".encode()).hexdigest()[:15], 16) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+MINHASH_COEFFS = _affine_coeffs()
+
+
 def _minhash_signatures(d: DataFrame) -> DataFrame:
-    """doc_id → 64-element MinHash signature (array of md5 hex
-    strings ordered by slot).
+    """doc_id → 64-element MinHash signature (array<bigint> ordered
+    by slot).
 
     One explode (words) + ONE groupBy with 64 min-aggregates — no
-    64× slot explosion and no second shuffle; the per-slot md5s are
-    computed map-side and partial-aggregated before the doc shuffle.
+    64× slot explosion and no second shuffle; slot values are
+    computed map-side (single md5 + affine arithmetic, all codegen)
+    and partial-aggregated before the doc shuffle.
     """
     words = d.select("doc_id", F.explode(word_set("text")).alias("w"))
+    h = F.conv(F.substring(F.md5("w"), 1, _H_DIGITS), 16, 10).cast("bigint")
+    words = words.select("doc_id", h.alias("h"))
     mins = words.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("w")))).alias(f"s{i}")
-            for i in range(MINHASH_K)
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"s{i}")
+            for i, (a, b) in enumerate(MINHASH_COEFFS)
         ]
     )
     return mins.select(
@@ -199,9 +227,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         "b",
-        F.md5(F.concat_ws("|", F.expr(f"slice(sig, b * {LSH_ROWS} + 1, {LSH_ROWS})"))).alias(
-            "bucket"
-        ),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.expr(
+                    f"transform(slice(sig, b * {LSH_ROWS} + 1, {LSH_ROWS}),"
+                    " x -> cast(x AS string))"
+                ),
+            )
+        ).alias("bucket"),
     )
     ok_buckets = (
         bands.groupBy("b", "bucket")
@@ -241,18 +275,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COEFF_ROWS = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_COEFFS))
+
 DEDUP_MINHASH_SQL = f"""
 WITH words AS (
   SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS w
   FROM documents),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(w), 1, {_H_DIGITS}))::UBIGINT AS BIGINT) AS h
+  FROM words),
+coeffs(i, a, b) AS (VALUES {_COEFF_ROWS}),
 slots AS (
-  SELECT doc_id, i, MIN(md5(i::VARCHAR || '|' || w)) AS h
-  FROM words, (SELECT unnest(range({MINHASH_K})) AS i) s
+  SELECT doc_id, i, MIN((a * h + b) % {MINHASH_P}) AS mh
+  FROM hashed, coeffs
   GROUP BY doc_id, i),
-sig AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM slots GROUP BY doc_id),
+sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM slots GROUP BY doc_id),
 bands0 AS (
   SELECT doc_id, b,
-         md5(array_to_string(sig[b * {LSH_ROWS} + 1 : b * {LSH_ROWS} + {LSH_ROWS}], '|')) AS bucket
+         md5(array_to_string(list_transform(sig[b * {LSH_ROWS} + 1 : b * {LSH_ROWS} + {LSH_ROWS}],
+                                            x -> x::VARCHAR), '|')) AS bucket
   FROM sig, (SELECT unnest(range({LSH_BANDS})) AS b) bb),
 ok_buckets AS (
   SELECT b, bucket FROM bands0 GROUP BY b, bucket HAVING COUNT(*) <= {MAX_BUCKET}),
