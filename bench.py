@@ -37,8 +37,10 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q9_product_type_profit",
+    "q8_market_share",
     "q13_customer_distribution",
     "q18_large_volume_customers",
+    "q21_sole_fault_supplier",
     "top_k_per_group",
     # events
     "sessionize_events",

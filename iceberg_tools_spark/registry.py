@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import analytics, dedup, events, probes, similarity, tpch
+from .operators import analytics, dedup, events, probes, similarity, tpch, tpch_ext
 from .operators import text as text_ops
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -42,6 +42,14 @@ register("q14_promo_effect", tpch.q14_promo_effect, tpch.Q14_SQL)
 register("q18_large_volume_customers", tpch.q18_large_volume_customers, tpch.Q18_SQL)
 register("q19_discounted_revenue", tpch.q19_discounted_revenue, tpch.Q19_SQL)
 register("q22_global_sales_opportunity", tpch.q22_global_sales_opportunity, tpch.Q22_SQL)
+register("q2_min_cost_supplier", tpch_ext.q2_min_cost_supplier, tpch_ext.Q2_SQL)
+register("q8_market_share", tpch_ext.q8_market_share, tpch_ext.Q8_SQL)
+register("q11_important_part_value", tpch_ext.q11_important_part_value, tpch_ext.Q11_SQL)
+register("q15_top_supplier", tpch_ext.q15_top_supplier, tpch_ext.Q15_SQL)
+register("q16_supplier_part_variety", tpch_ext.q16_supplier_part_variety, tpch_ext.Q16_SQL)
+register("q17_small_quantity_revenue", tpch_ext.q17_small_quantity_revenue, tpch_ext.Q17_SQL)
+register("q20_promo_part_shippers", tpch_ext.q20_promo_part_shippers, tpch_ext.Q20_SQL)
+register("q21_sole_fault_supplier", tpch_ext.q21_sole_fault_supplier, tpch_ext.Q21_SQL)
 
 # ----------------------------------------------- §2.2 window/analytics
 register("top_k_per_group", analytics.top_k_per_group, analytics.TOP_K_SQL)

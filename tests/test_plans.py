@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import pytest
 
-from iceberg_tools_spark.operators import dedup, events, similarity, tpch
+from iceberg_tools_spark.operators import dedup, events, similarity, tpch, tpch_ext
 from iceberg_tools_spark.plans import checks
 
 from .conftest import SF_ORACLE
@@ -49,6 +49,28 @@ def test_q9_broadcasts_part_filter(spark):
 def test_q18_no_cartesian(spark):
     df = tpch.q18_large_volume_customers(spark, SF_ORACLE)
     assert checks.cartesian_joins(df) == 0
+
+
+def test_q8_broadcasts_dims_no_cartesian(spark):
+    df = tpch_ext.q8_market_share(spark, SF_ORACLE)
+    assert checks.has_broadcast_join(df)
+    assert checks.cartesian_joins(df) == 0
+    assert checks.no_python_eval(df)
+
+
+def test_q2_pushes_part_filter(spark):
+    df = tpch_ext.q2_min_cost_supplier(spark, SF_ORACLE)
+    assert checks.has_pushed_filters(df)
+    assert checks.has_broadcast_join(df)
+    assert checks.cartesian_joins(df) == 0
+
+
+def test_q11_scalar_total_is_broadcast(spark):
+    # the one-row national total joins back via broadcast, not a
+    # shuffled cartesian
+    df = tpch_ext.q11_important_part_value(spark, SF_ORACLE)
+    p = checks.plan_string(df, "simple")
+    assert "CartesianProduct" not in p
 
 
 def test_sessionize_single_shuffle_for_window(spark):
