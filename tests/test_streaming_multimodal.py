@@ -74,3 +74,30 @@ def test_frame_sampling(spark):
 def test_real_decode_is_explicitly_stubbed():
     with pytest.raises(NotImplementedError):
         mm.decode_media(b"...", "image")
+
+
+def test_stateful_user_stats(spark):
+    from iceberg_tools_spark.streaming import stateful
+
+    s = jobs.events_stream(spark, SF_SMOKE)
+    out = jobs.run_to_memory(stateful.user_stats_stateful(s), "t_state", mode="update")
+    rows = out.collect()
+    assert len(rows) > 0
+    batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    import pyspark.sql.functions as F
+
+    exp = {
+        r.user_id: (r.n, float(r.v))
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    # last snapshot per user must equal the batch totals
+    got = {}
+    for r in rows:
+        got[r.user_id] = (r.n_events, r.sum_value)
+    assert set(got) == set(exp)
+    for uid, (n, v) in exp.items():
+        gn, gv = got[uid]
+        assert gn == n, uid
+        assert abs(gv - v) < 1e-6, uid
