@@ -39,11 +39,16 @@ def word_ngrams(tokens_col: str, n: int) -> Column:
     )
 
 
-def char_ngram_hashes(norm_col: str, n: int = 8, cap: int = 1000) -> Column:
-    """md5 of each char n-gram of the (capped) normalized text —
-    the raw material for bottom-k fingerprints."""
+def char_ngram_hashes(
+    norm_col: str, n: int = 8, cap: int = 1000, stride: int = 4
+) -> Column:
+    """md5 of char n-grams of the (capped) normalized text, sampled
+    every `stride` positions — the raw material for bottom-k
+    fingerprints. Striding keeps one hash per `stride` chars
+    (winnowing-style density) at 1/stride the hash cost; bottom-k
+    over the sampled set is equally order-invariant."""
     return F.expr(
-        f"transform(sequence(1, greatest(length(substring({norm_col}, 1, {cap})) - {n - 1}, 1)),"
+        f"transform(sequence(1, greatest(length(substring({norm_col}, 1, {cap})) - {n - 1}, 1), {stride}),"
         f" i -> md5(substring(substring({norm_col}, 1, {cap}), i, {n})))"
     )
 

@@ -339,44 +339,63 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(SIMHASH_BITS)
         ]
     )
-    bit_chars = [
-        F.when(F.col(f"s{j}") >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for j in range(SIMHASH_BITS)
-    ]
     per_band = SIMHASH_BITS // SIMHASH_BANDS
+    # pack each band's 16 sign bits into ONE BIGINT: the band value
+    # doubles as the LSH bucket key, and Hamming distance becomes
+    # bit_count(xor) per band — all codegen, no per-bit string walk
+    band_int = [
+        F.expr(
+            " + ".join(
+                f"IF(s{b * per_band + k} >= 0, {1 << k}, 0)" for k in range(per_band)
+            )
+        ).cast("bigint")
+        for b in range(SIMHASH_BANDS)
+    ]
     sim = sums.select(
-        "doc_id",
-        F.concat(*bit_chars).alias("bits"),
+        "doc_id", *[band_int[b].alias(f"i{b}") for b in range(SIMHASH_BANDS)]
     )
     bands = sim.select(
         "doc_id",
-        "bits",
         F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("b"),
+        *[f"i{b}" for b in range(SIMHASH_BANDS)],
     ).select(
         "doc_id",
-        "bits",
         "b",
-        F.expr(f"substring(bits, b * {per_band} + 1, {per_band})").alias("band_bits"),
+        F.expr(
+            "CASE b " + " ".join(f"WHEN {b} THEN i{b}" for b in range(SIMHASH_BANDS)) + " END"
+        ).alias("band_val"),
+        *[f"i{b}" for b in range(SIMHASH_BANDS)],
     )
+    # same degenerate-bucket guard as MinHash: a band bucket bigger
+    # than MAX_BUCKET is a near-identical cluster (this corpus's
+    # 31-word vocabulary collapses band bits hard — 1.9M candidate
+    # pairs at sf0.1 without the cap); exact dedup is the right tool
+    # for those clusters, pairwise LSH is not.
+    ok_buckets = (
+        bands.groupBy("b", "band_val")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") <= MAX_BUCKET)
+        .select("b", "band_val")
+    )
+    bands = bands.join(F.broadcast(ok_buckets), ["b", "band_val"])
     cand = (
         bands.alias("x")
         .join(
             bands.alias("y"),
             (F.col("x.b") == F.col("y.b"))
-            & (F.col("x.band_bits") == F.col("y.band_bits"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .select(
             F.col("x.doc_id").alias("da"),
             F.col("y.doc_id").alias("db"),
-            F.col("x.bits").alias("fa"),
-            F.col("y.bits").alias("fb"),
+            *[F.col(f"x.i{b}").alias(f"a{b}") for b in range(SIMHASH_BANDS)],
+            *[F.col(f"y.i{b}").alias(f"b{b}") for b in range(SIMHASH_BANDS)],
         )
         .distinct()
     )
     hamming = F.expr(
-        f"aggregate(sequence(1, {SIMHASH_BITS}), 0,"
-        " (acc, i) -> acc + IF(substring(fa, i, 1) = substring(fb, i, 1), 0, 1))"
+        " + ".join(f"bit_count(a{b} ^ b{b})" for b in range(SIMHASH_BANDS))
     )
     return (
         cand.select("da", "db", hamming.cast("bigint").alias("hamming"))
@@ -395,10 +414,24 @@ def _simhash_bit_duck(j: int) -> str:
 _SIMHASH_SUMS_DUCK = ",\n         ".join(
     f"SUM(2 * ({_simhash_bit_duck(j)}) - 1) AS s{j}" for j in range(SIMHASH_BITS)
 )
-_SIMHASH_BITSTR_DUCK = " || ".join(
-    f"CASE WHEN s{j} >= 0 THEN '1' ELSE '0' END" for j in range(SIMHASH_BITS)
-)
 _PER_BAND = SIMHASH_BITS // SIMHASH_BANDS
+_SIMHASH_BAND_INTS_DUCK = ",\n        ".join(
+    "CAST("
+    + " + ".join(
+        f"CASE WHEN s{b * _PER_BAND + k} >= 0 THEN {1 << k} ELSE 0 END"
+        for k in range(_PER_BAND)
+    )
+    + f" AS BIGINT) AS i{b}"
+    for b in range(SIMHASH_BANDS)
+)
+_BAND_VAL_DUCK = (
+    "CASE b " + " ".join(f"WHEN {b} THEN i{b}" for b in range(SIMHASH_BANDS)) + " END"
+)
+_HAMMING_DUCK = " + ".join(f"bit_count(xor(a{b}, b{b}))" for b in range(SIMHASH_BANDS))
+_CAND_COLS_DUCK = ", ".join(
+    [f"x.i{b} AS a{b}" for b in range(SIMHASH_BANDS)]
+    + [f"y.i{b} AS b{b}" for b in range(SIMHASH_BANDS)]
+)
 
 DEDUP_SIMHASH_SQL = f"""
 WITH words AS (
@@ -408,19 +441,23 @@ sums AS (
   SELECT doc_id,
          {_SIMHASH_SUMS_DUCK}
   FROM words GROUP BY doc_id),
-sim AS (SELECT doc_id, {_SIMHASH_BITSTR_DUCK} AS bits FROM sums),
-bands AS (
-  SELECT doc_id, bits, b, substring(bits, b * {_PER_BAND} + 1, {_PER_BAND}) AS band_bits
+sim AS (
+  SELECT doc_id,
+        {_SIMHASH_BAND_INTS_DUCK}
+  FROM sums),
+bands0 AS (
+  SELECT doc_id, i0, i1, i2, i3, b, {_BAND_VAL_DUCK} AS band_val
   FROM sim, (SELECT unnest(range({SIMHASH_BANDS})) AS b) bb),
+ok_buckets AS (
+  SELECT b, band_val FROM bands0 GROUP BY b, band_val HAVING COUNT(*) <= {MAX_BUCKET}),
+bands AS (
+  SELECT bands0.* FROM bands0 JOIN ok_buckets USING (b, band_val)),
 cand AS (
-  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db, x.bits AS fa, y.bits AS fb
+  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db, {_CAND_COLS_DUCK}
   FROM bands x JOIN bands y
-    ON x.b = y.b AND x.band_bits = y.band_bits AND x.doc_id < y.doc_id)
-SELECT da, db,
-       CAST(list_sum(list_transform(range(1, {SIMHASH_BITS} + 1),
-              i -> CASE WHEN substring(fa, i, 1) = substring(fb, i, 1) THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+    ON x.b = y.b AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
+SELECT da, db, CAST({_HAMMING_DUCK} AS BIGINT) AS hamming
 FROM cand
-WHERE list_sum(list_transform(range(1, {SIMHASH_BITS} + 1),
-        i -> CASE WHEN substring(fa, i, 1) = substring(fb, i, 1) THEN 0 ELSE 1 END)) <= {HAMMING_MAX}
+WHERE {_HAMMING_DUCK} <= {HAMMING_MAX}
 ORDER BY da, db
 """

@@ -190,10 +190,11 @@ ORDER BY doc_id
 
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bottom-4 sketch fingerprint: md5 over every char-8-gram of the
-    normalized text (capped at 1000 chars), keep the 4 smallest
-    distinct hashes — an order-invariant document fingerprint (the
-    set-sketch form of a rolling-hash/winnowing fingerprint)."""
+    """Bottom-4 sketch fingerprint: md5 over char-8-grams of the
+    normalized text (capped at 1000 chars, sampled every 4th
+    position), keep the 4 smallest distinct hashes — an
+    order-invariant document fingerprint (the set-sketch form of a
+    rolling-hash/winnowing fingerprint)."""
     d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
     d = d.withColumn("nt", norm_text("text"))
     fp = F.concat_ws(
@@ -209,7 +210,7 @@ WITH t AS (SELECT doc_id,
 SELECT doc_id,
   array_to_string(
     list_sort(list_distinct(
-      list_transform(range(1, greatest(length(nt) - 7, 1) + 1),
+      list_transform(range(1, greatest(length(nt) - 7, 1) + 1, 4),
                      i -> md5(substring(nt, i, 8)))))[1:4], '') AS fingerprint
 FROM t
 ORDER BY doc_id
