@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import analytics, dedup, events, probes, similarity, tpch, tpch_ext
+from .operators import analytics, dedup, events, probes, sampling, similarity, tpch, tpch_ext
 from .operators import text as text_ops
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -72,6 +72,9 @@ register("text_stats", text_ops.text_stats, text_ops.TEXT_STATS_SQL)
 register("text_quality", text_ops.text_quality, text_ops.TEXT_QUALITY_SQL)
 register("text_langid", text_ops.text_langid, text_ops.TEXT_LANGID_SQL)
 register("text_fingerprint", text_ops.text_fingerprint, text_ops.TEXT_FINGERPRINT_SQL)
+register("dataset_split", sampling.dataset_split, sampling.DATASET_SPLIT_SQL)
+register("stratified_sample", sampling.stratified_sample, sampling.STRATIFIED_SAMPLE_SQL)
+register("token_count_histogram", sampling.token_count_histogram, sampling.TOKEN_HISTOGRAM_SQL)
 
 # ------------------------------------------------------ §2.4 dedup
 register("dedup_exact", dedup.dedup_exact, dedup.DEDUP_EXACT_SQL)

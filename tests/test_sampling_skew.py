@@ -1,0 +1,69 @@
+"""Tests for deterministic sampling/splitting and the salted join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iceberg_tools_spark.operators import sampling
+from iceberg_tools_spark.operators.skew import salted_join
+
+from .conftest import SF_ORACLE
+
+
+def test_dataset_split_fractions(spark):
+    rows = sampling.dataset_split(spark, SF_ORACLE).collect()
+    by = {r.split: r for r in rows}
+    assert set(by) == {"train", "val", "test"}
+    total = sum(r.n_docs for r in rows)
+    assert abs(by["train"].n_docs / total - 0.90) < 0.05
+    assert abs(float(by["train"].fraction) - by["train"].n_docs / total) < 1e-6
+
+
+def test_dataset_split_is_deterministic(spark):
+    a = {(r.split, r.n_docs) for r in sampling.dataset_split(spark, SF_ORACLE).collect()}
+    b = {(r.split, r.n_docs) for r in sampling.dataset_split(spark, SF_ORACLE).collect()}
+    assert a == b
+
+
+def test_stratified_sample_rates(spark):
+    rows = sampling.stratified_sample(spark, SF_ORACLE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_total
+    # pooled rate near the 20% target
+    pooled = sum(r.n_kept for r in rows) / sum(r.n_total for r in rows)
+    assert abs(pooled - 0.20) < 0.05
+
+
+def test_token_histogram_covers_corpus(spark):
+    rows = sampling.token_count_histogram(spark, SF_ORACLE).collect()
+    from iceberg_tools_spark.sources.readers import load_table
+
+    n_docs = load_table(spark, SF_ORACLE, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert 2**r.log2_bucket <= r.min_tokens <= r.max_tokens < 2 ** (r.log2_bucket + 1)
+
+
+def test_salted_join_matches_plain_join(spark):
+    # one pathologically hot key (80% of rows) + a long tail
+    left = spark.createDataFrame(
+        [(i, "hot" if i % 5 != 0 else f"k{i}") for i in range(1000)], "row_id bigint, k string"
+    )
+    right = spark.createDataFrame(
+        [("hot", 1.0)] + [(f"k{i}", float(i)) for i in range(0, 1000, 5)], "k string, v double"
+    )
+    plain = left.join(right, "k").select("row_id", "k", "v")
+    salted = salted_join(left, right, ["k"], salt_by="row_id", n_salts=8).select(
+        "row_id", "k", "v"
+    )
+    assert sorted(plain.collect()) == sorted(salted.collect())
+    assert plain.count() == 1000
+
+
+def test_salted_join_left_outer(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "zzz")], "row_id bigint, k string")
+    right = spark.createDataFrame([("a", 10.0), ("b", 20.0)], "k string, v double")
+    out = salted_join(left, right, ["k"], salt_by="row_id", n_salts=4, how="left").collect()
+    got = {r.row_id: r.v for r in out}
+    assert got == {1: 10.0, 2: 20.0, 3: None}
