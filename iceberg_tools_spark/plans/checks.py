@@ -75,6 +75,8 @@ def no_python_eval(df: DataFrame) -> bool:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Number of exchange operators in the physical plan (AQE may
-    still coalesce them at runtime)."""
-    return plan_string(df, "simple").count("Exchange")
+    """Number of SHUFFLE exchanges in the physical plan (AQE may
+    still coalesce them at runtime). Broadcast exchanges don't
+    count — they move one small table, not the data."""
+    p = plan_string(df, "simple")
+    return p.count("Exchange") - p.count("BroadcastExchange")

@@ -67,3 +67,34 @@ def test_salted_join_left_outer(spark):
     out = salted_join(left, right, ["k"], salt_by="row_id", n_salts=4, how="left").collect()
     got = {r.row_id: r.v for r in out}
     assert got == {1: 10.0, 2: 20.0, 3: None}
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    from iceberg_tools_spark.plans import checks
+    from iceberg_tools_spark.sources.bucketing import read_bucketed, write_bucketed
+
+    import shutil
+
+    for t in ("bkt_a", "bkt_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(f"{loc}/{t}", ignore_errors=True)
+    a = spark.range(0, 10000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 10000).selectExpr("id AS k", "id * 3 AS vb")
+    write_bucketed(a, "bkt_a", ["k"], n_buckets=8)
+    write_bucketed(b, "bkt_b", ["k"], n_buckets=8)
+    # disable broadcast so the planner must consider the co-located
+    # sort-merge path (at real scale neither side broadcasts anyway)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = read_bucketed(spark, "bkt_a").join(read_bucketed(spark, "bkt_b"), "k")
+        assert checks.shuffle_count(j) == 0, checks.plan_string(j, "simple")
+        assert j.count() == 10000
+        # the same join on unbucketed frames shuffles both sides
+        plain = a.join(b, "k")
+        assert checks.shuffle_count(plain) >= 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
