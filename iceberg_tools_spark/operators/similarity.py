@@ -224,7 +224,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents2 = means.groupBy("cell").agg(
         F.expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)").alias("cemb")
     )
-    cents2 = cents2.select("cell", "cemb", sum_squares("cemb").alias("css"))
+    # 16 rows, but their lineage is the full Lloyd round — three
+    # downstream branches (re-assignment, query probing via
+    # broadcast) would each recompute it; materialize once
+    cents2 = cents2.select("cell", "cemb", sum_squares("cemb").alias("css")).localCheckpoint()
     assigned2 = assign(base, cents2)
 
     q = base.filter(F.col("vec_id") < N_QUERIES).select(
