@@ -1,0 +1,73 @@
+"""End-to-end training-data pipeline composition: the library's
+operators chained the way a corpus pipeline actually runs —
+
+    quality filter → exact dedup → near-dup (MinHash) removal →
+    deterministic split → length profile
+
+— asserting the invariants that matter between stages (monotone
+shrinkage, survivor uniqueness, split stability). This is the
+integration test for operators COMPOSING, not just passing their
+individual oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iceberg_tools_spark.functions.hashing import md5_i64
+from iceberg_tools_spark.functions.text import norm_text
+from iceberg_tools_spark.operators import dedup
+from iceberg_tools_spark.operators.text import text_quality
+from iceberg_tools_spark.sources.readers import load_table
+
+from .conftest import SF_ORACLE
+
+
+def test_corpus_pipeline_end_to_end(spark):
+    docs = load_table(spark, SF_ORACLE, "documents", ["doc_id", "text"])
+    n0 = docs.count()
+
+    # 1. quality gate: keep docs the quality scorer marks keep=true
+    quality = text_quality(spark, SF_ORACLE).select("doc_id", "keep")
+    kept = docs.join(quality.filter(F.col("keep") == 1), "doc_id").select("doc_id", "text")
+    n1 = kept.count()
+    assert 0 < n1 <= n0
+
+    # 2. exact dedup: one survivor per normalized-content hash
+    survivors = (
+        kept.select("doc_id", F.md5(norm_text("text")).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    n2 = survivors.count()
+    assert 0 < n2 <= n1
+    # survivor doc_ids unique
+    assert survivors.select("doc_id").distinct().count() == n2
+
+    # 3. near-dup removal: drop the higher doc_id of each MinHash pair
+    pairs = dedup.dedup_minhash_lsh(spark, SF_ORACLE).select("da", "db")
+    to_drop = pairs.join(
+        survivors.select(F.col("doc_id").alias("da")), "da"
+    ).select(F.col("db").alias("doc_id")).distinct()
+    final = survivors.join(to_drop, "doc_id", "left_anti")
+    n3 = final.count()
+    assert 0 < n3 <= n2
+
+    # 4. deterministic split of the final corpus
+    bucket = md5_i64(F.col("doc_id").cast("string"), "split-v1") % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    split_counts = dict(
+        final.select(split.alias("s")).groupBy("s").count().collect()
+    )
+    assert sum(split_counts.values()) == n3
+    # re-running yields the identical assignment (no RNG anywhere)
+    split_counts2 = dict(
+        final.select(split.alias("s")).groupBy("s").count().collect()
+    )
+    assert split_counts == split_counts2
+
+    # 5. the whole chain is one lazy plan — no Python eval snuck in
+    from iceberg_tools_spark.plans import checks
+
+    assert checks.no_python_eval(final)
