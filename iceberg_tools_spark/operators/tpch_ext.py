@@ -61,7 +61,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             _dec("s_acctbal").alias("s_acctbal"),
             "n_name",
-            F.col("unit_price").cast(D38_6).alias("min_unit_price"),
+            # NOT cast(double AS DECIMAL): 2dp/2dp quotients often
+            # terminate exactly on a half-ulp at scale 7 (e.g.
+            # 3799.41/32 = 118.73156250) and Spark (shortest-string
+            # HALF_UP) and DuckDB (binary-value) round those ties
+            # differently. floor(x*1e6) is the same IEEE product +
+            # floor in both engines — exact BIGINT micros.
+            F.floor(F.col("unit_price") * 1e6).cast("bigint").alias("min_unit_price_micros"),
         )
         .orderBy("p_partkey")
     )
@@ -80,7 +86,7 @@ WITH per AS (
   WHERE p_type = 'LARGE' AND p_size >= 45 AND r_name = 'EUROPE'
   GROUP BY p_partkey, s_suppkey, s_name, s_acctbal, n_name)
 SELECT p_partkey, s_name, CAST(s_acctbal AS DECIMAL(12,2)) AS s_acctbal, n_name,
-       CAST(unit_price AS DECIMAL(38,6)) AS min_unit_price
+       CAST(floor(unit_price * 1e6) AS BIGINT) AS min_unit_price_micros
 FROM (SELECT per.*, ROW_NUMBER() OVER (PARTITION BY p_partkey
                                        ORDER BY unit_price, s_suppkey) AS rk
       FROM per) t
