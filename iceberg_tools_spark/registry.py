@@ -12,7 +12,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import analytics, dedup, events, probes, sampling, similarity, tpch, tpch_ext
+from .operators import (
+    analytics,
+    dedup,
+    events,
+    packing,
+    probes,
+    sampling,
+    similarity,
+    tpch,
+    tpch_ext,
+)
 from .operators import text as text_ops
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -75,6 +85,9 @@ register("text_fingerprint", text_ops.text_fingerprint, text_ops.TEXT_FINGERPRIN
 register("dataset_split", sampling.dataset_split, sampling.DATASET_SPLIT_SQL)
 register("stratified_sample", sampling.stratified_sample, sampling.STRATIFIED_SAMPLE_SQL)
 register("token_count_histogram", sampling.token_count_histogram, sampling.TOKEN_HISTOGRAM_SQL)
+# rows-only: greedy per-shard bin packing is not SQL-expressible;
+# invariants are pytest-checked (tests/test_packing.py)
+register("pack_sequences", packing.pack_sequences, None)
 
 # ------------------------------------------------------ §2.4 dedup
 register("dedup_exact", dedup.dedup_exact, dedup.DEDUP_EXACT_SQL)
