@@ -249,3 +249,46 @@ SELECT o_orderkey, o_orderpriority,
 FROM orders
 ORDER BY o_orderpriority, o_totalprice, o_orderkey
 """
+
+
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(orderstatus, orderpriority): all four grouping-set
+    combinations of order counts/revenue with grouping flags
+    (ROLLUP's sibling; NULL keys coalesced to 'ALL').
+
+    Scale: Spark expands the cube map-side (one row per grouping
+    set) then runs ONE partial-agg shuffle — same cost class as a
+    plain groupBy with 4x the grouping keys.
+    """
+    o = load_table(spark, sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("decimal(38,2)").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+            F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "revenue",
+            "n_orders",
+            "g_status",
+            "g_priority",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+CUBE_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS revenue,
+       COUNT(*) AS n_orders,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""

@@ -313,3 +313,45 @@ FROM (
 WHERE rn = 1
 ORDER BY event_id
 """
+
+
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 15 minutes × event type — the
+    batch twin of the streaming sliding windowed aggregate.
+
+    Composition: each event belongs to exactly 4 overlapping
+    windows; explode the 4 window starts map-side (integer
+    arithmetic on the NTZ epoch, timezone-independent), then ONE
+    partial-agg shuffle on (window_start, event_type).
+    """
+    e = load_table(spark, sf_dir, "events", ["ts", "event_type", "value"])
+    # window starts: the 4 quarter-hour marks in (ts - 1h, ts]
+    starts = F.expr(
+        "transform(sequence(0, 3), k -> timestampadd(MINUTE,"
+        " (timestampdiff(MINUTE, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 15 - k) * 15,"
+        " TIMESTAMP_NTZ '1970-01-01 00:00:00'))"
+    )
+    return (
+        e.select(F.explode(starts).alias("window_start"), "event_type", _dec("value").alias("v"))
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").cast("decimal(38,2)").alias("sum_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+SLIDING_WINDOW_SQL = """
+WITH ex AS (
+  SELECT date_trunc('hour', ts)
+           + to_minutes((CAST(extract(minute FROM ts) AS BIGINT) // 15) * 15)
+           - to_minutes(k * 15) AS window_start,
+         event_type, CAST(value AS DECIMAL(12,2)) AS v
+  FROM events, (SELECT unnest(range(4)) AS k) ks)
+SELECT window_start, event_type, COUNT(*) AS n_events,
+       CAST(SUM(v) AS DECIMAL(38,2)) AS sum_value
+FROM ex
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""

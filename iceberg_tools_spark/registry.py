@@ -64,6 +64,7 @@ register("q21_sole_fault_supplier", tpch_ext.q21_sole_fault_supplier, tpch_ext.Q
 # ----------------------------------------------- §2.2 window/analytics
 register("top_k_per_group", analytics.top_k_per_group, analytics.TOP_K_SQL)
 register("rollup_revenue", analytics.rollup_revenue, analytics.ROLLUP_SQL)
+register("cube_status_priority", analytics.cube_status_priority, analytics.CUBE_SQL)
 register("pivot_status_by_priority", analytics.pivot_status_by_priority, analytics.PIVOT_SQL)
 register("percentiles_order_value", analytics.percentiles_order_value, analytics.PERCENTILES_SQL)
 register("decile_value_customers", analytics.decile_value_customers, analytics.DECILE_SQL)
@@ -72,6 +73,7 @@ register("orders_cume_dist", analytics.orders_cume_dist, analytics.CUME_DIST_SQL
 # ----------------------------------------------------- §2.3 events
 register("sessionize_events", events.sessionize_events, events.SESSIONIZE_SQL)
 register("session_window_agg", events.session_window_agg, events.SESSION_WINDOW_SQL)
+register("sliding_window_agg", events.sliding_window_agg, events.SLIDING_WINDOW_SQL)
 register("asof_join_events_orders", events.asof_join_events_orders, events.ASOF_SQL)
 register("funnel_view_click_purchase", events.funnel_view_click_purchase, events.FUNNEL_SQL)
 register("retention_day_n", events.retention_day_n, events.RETENTION_SQL)
