@@ -292,3 +292,24 @@ FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY status, priority
 """
+
+
+def approx_percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for percentiles_order_value: Spark's
+    GK-sketch `percentile_approx` — ONE partial-aggregable pass, no
+    per-partition global sort, mergeable across executors.
+
+    rows-only (the sketch is engine-specific); closeness to the
+    exact operator is pytest-asserted (tests/test_analytics_scale.py).
+    """
+    o = load_table(spark, sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    v = _dec("o_totalprice")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx(v, 0.5, 10000).alias("p50"),
+            F.percentile_approx(v, 0.9, 10000).alias("p90"),
+            F.percentile_approx(v, 0.99, 10000).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )

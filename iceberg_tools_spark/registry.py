@@ -65,6 +65,9 @@ register("q21_sole_fault_supplier", tpch_ext.q21_sole_fault_supplier, tpch_ext.Q
 register("top_k_per_group", analytics.top_k_per_group, analytics.TOP_K_SQL)
 register("rollup_revenue", analytics.rollup_revenue, analytics.ROLLUP_SQL)
 register("cube_status_priority", analytics.cube_status_priority, analytics.CUBE_SQL)
+# rows-only: GK sketch is engine-specific; closeness to the exact
+# percentiles is pytest-asserted (tests/test_analytics_scale.py)
+register("approx_percentiles_order_value", analytics.approx_percentiles_order_value, None)
 register("pivot_status_by_priority", analytics.pivot_status_by_priority, analytics.PIVOT_SQL)
 register("percentiles_order_value", analytics.percentiles_order_value, analytics.PERCENTILES_SQL)
 register("decile_value_customers", analytics.decile_value_customers, analytics.DECILE_SQL)

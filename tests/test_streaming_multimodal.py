@@ -101,3 +101,33 @@ def test_stateful_user_stats(spark):
         gn, gv = got[uid]
         assert gn == n, uid
         assert abs(gv - v) < 1e-6, uid
+
+
+def test_multimodal_features_feed_ann(spark):
+    """Integration: extracted media features are a valid embedding
+    column — brute-force cosine top-k runs on them end-to-end."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from iceberg_tools_spark.functions.vectors import dot_fast, sum_squares
+
+    media = mm.make_synthetic_media(spark, 40)
+    feats = mm.extract_features(media).select(
+        F.col("item_id").alias("vec_id"), F.col("feature").alias("embedding")
+    )
+    base = feats.select("vec_id", "embedding", sum_squares("embedding").alias("ss"))
+    q = base.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"), F.col("ss").alias("qss")
+    )
+    cos = dot_fast("embedding", "qemb") / (F.sqrt(F.col("ss")) * F.sqrt(F.col("qss")))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    top = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .collect()
+    )
+    assert len(top) == 9  # 3 queries x top-3
+    assert all(-1.0001 <= r.cos <= 1.0001 for r in top)
