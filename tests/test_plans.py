@@ -75,9 +75,10 @@ def test_q11_scalar_total_is_broadcast(spark):
 
 def test_sessionize_single_shuffle_for_window(spark):
     df = events.sessionize_events(spark, SF_ORACLE)
-    # one exchange for the user_id window + final order; no joins
+    # one exchange for the user_id window + the final presentation
+    # sort; no joins
     assert checks.cartesian_joins(df) == 0
-    assert checks.shuffle_count(df) <= 3
+    assert checks.shuffle_count(df) <= 2
 
 
 def test_asof_join_is_union_window_not_range_join(spark):
@@ -86,6 +87,19 @@ def test_asof_join_is_union_window_not_range_join(spark):
     p = checks.plan_string(df, "simple")
     assert "Union" in p
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    # order dedup agg + uid window + presentation sort — NOT a
+    # pair-explosion range join (which would add joins/exchanges
+    # proportional to overlap)
+    assert checks.shuffle_count(df) <= 3
+
+
+def test_q1_two_shuffles(spark):
+    # partial-agg shuffle + presentation sort, nothing else
+    assert checks.shuffle_count(tpch.q1_pricing_summary(spark, SF_ORACLE)) <= 2
+
+
+def test_q6_single_pass(spark):
+    assert checks.shuffle_count(tpch.q6_revenue_change(spark, SF_ORACLE)) <= 1
 
 
 def test_minhash_join_is_equi_bucket_join(spark):
