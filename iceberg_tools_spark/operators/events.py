@@ -355,3 +355,43 @@ FROM ex
 GROUP BY window_start, event_type
 ORDER BY window_start, event_type
 """
+
+
+def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: parse the JSON `props`
+    payload (`{"k": N}`) and aggregate the extracted field per
+    event type.
+
+    Scale: `get_json_object` is a map-side JVM expression (no UDF,
+    no schema inference pass); one partial-agg shuffle on the
+    5-value type key.
+    """
+    e = load_table(spark, sf_dir, "events", ["event_type", "props"])
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            (F.sum("k").cast("double") / F.count("k"))
+            .cast("decimal(38,6)")
+            .alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_PROPS_SQL = """
+WITH x AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_type, COUNT(*) AS n_events, COUNT(k) AS n_with_k,
+       MIN(k) AS min_k, MAX(k) AS max_k,
+       CAST(CAST(SUM(k) AS DOUBLE) / COUNT(k) AS DECIMAL(38,6)) AS avg_k
+FROM x
+GROUP BY event_type
+ORDER BY event_type
+"""
