@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .operators import (
     analytics,
+    components,
     dedup,
     events,
     packing,
@@ -94,6 +95,9 @@ register("token_count_histogram", sampling.token_count_histogram, sampling.TOKEN
 # rows-only: greedy per-shard bin packing is not SQL-expressible;
 # invariants are pytest-checked (tests/test_packing.py)
 register("pack_sequences", packing.pack_sequences, None)
+# rows-only: iterative label propagation; planted-cluster invariants
+# pytest-checked (tests/test_components.py)
+register("dedup_clusters", components.dedup_clusters, None)
 
 # ------------------------------------------------------ §2.4 dedup
 register("dedup_exact", dedup.dedup_exact, dedup.DEDUP_EXACT_SQL)
