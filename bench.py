@@ -42,16 +42,21 @@ HEADLINE = [
     "q18_large_volume_customers",
     "q21_sole_fault_supplier",
     "top_k_per_group",
+    "cube_status_priority",
     # events
     "sessionize_events",
     "asof_join_events_orders",
     "retention_day_n",
+    "sliding_window_agg",
+    "events_props_stats",
     # LLM pipeline
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "text_quality",
     "embedding_near_dup",
     "ann_topk_bruteforce",
+    "pack_sequences",
 ]
 
 
