@@ -43,9 +43,17 @@ def get_spark(
         # Arrow for any pandas interchange (multimodal mapInPandas)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # local mode: driver is the only JVM
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        # split size: scan tasks target this many bytes per
+        # partition; at cluster SF size it (with executor memory) so
+        # a partition's working set fits — 128m default is the
+        # right starting point, override per deployment
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
