@@ -395,3 +395,115 @@ FROM x
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel: first view → first click within 7 days
+    of the view → first purchase within 7 days of that click; user
+    counts per stage plus the view→purchase conversion ratio.
+
+    Same per-user singleton join shape as the unbounded funnel (one
+    shuffle key throughout); the window bound is a residual range
+    predicate on the key-unique join — no pair explosion.
+    """
+    e = load_table(spark, sf_dir, "events", ["user_id", "ts", "event_type"])
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("vt"))
+            & (F.col("ts") <= F.col("vt") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("ct"))
+            & (F.col("ts") <= F.col("ct") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_7d")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_7d")))
+        .select(
+            "n_view",
+            "n_click_7d",
+            "n_purchase_7d",
+            (F.col("n_purchase_7d").cast("double") / F.col("n_view").cast("double"))
+            .cast("decimal(38,6)")
+            .alias("conversion"),
+        )
+    )
+
+
+FUNNEL_WINDOWED_SQL = """
+WITH v AS (SELECT user_id, MIN(ts) AS vt FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS ct
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.vt AND e.ts <= v.vt + INTERVAL 7 DAY
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS pt
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.ct AND e.ts <= c.ct + INTERVAL 7 DAY
+      GROUP BY e.user_id)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_click_7d,
+       (SELECT COUNT(*) FROM p) AS n_purchase_7d,
+       CAST(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+            / CAST((SELECT COUNT(*) FROM v) AS DOUBLE) AS DECIMAL(38,6)) AS conversion
+"""
+
+
+def retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: cohort week (of first
+    activity) × week offset 0..4 → distinct active users. The
+    classic triangle chart, computed with two user-keyed shuffles.
+    """
+    e = load_table(spark, sf_dir, "events", ["user_id", "ts"])
+    # Monday-start week via integer day arithmetic on the NTZ epoch
+    # (1970-01-01 was a Thursday: shift by 3 days) — identical in
+    # both engines, no locale-dependent date_trunc('week')
+    week = F.expr(
+        "date_add(DATE '1970-01-05', "
+        "CAST(floor((datediff(CAST(ts AS DATE), DATE '1970-01-05')) / 7) * 7 AS INT))"
+    )
+    activity = e.select("user_id", week.alias("w")).distinct()
+    firsts = activity.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    return (
+        activity.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff("w", "cohort_week") / 7).cast("bigint").alias("week_offset"),
+        )
+        .filter(F.col("week_offset") <= 4)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+RETENTION_MATRIX_SQL = """
+WITH activity AS (
+  SELECT DISTINCT user_id,
+         DATE '1970-01-05' + CAST(floor((CAST(ts AS DATE) - DATE '1970-01-05') / 7) * 7 AS INT) AS w
+  FROM events),
+firsts AS (SELECT user_id, MIN(w) AS cohort_week FROM activity GROUP BY user_id)
+SELECT f.cohort_week, CAST((a.w - f.cohort_week) / 7 AS BIGINT) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM activity a JOIN firsts f ON a.user_id = f.user_id
+WHERE (a.w - f.cohort_week) / 7 <= 4
+GROUP BY f.cohort_week, CAST((a.w - f.cohort_week) / 7 AS BIGINT)
+ORDER BY cohort_week, week_offset
+"""

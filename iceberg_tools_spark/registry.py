@@ -79,6 +79,8 @@ register("sessionize_events", events.sessionize_events, events.SESSIONIZE_SQL)
 register("session_window_agg", events.session_window_agg, events.SESSION_WINDOW_SQL)
 register("sliding_window_agg", events.sliding_window_agg, events.SLIDING_WINDOW_SQL)
 register("events_props_stats", events.events_props_stats, events.EVENTS_PROPS_SQL)
+register("funnel_windowed", events.funnel_windowed, events.FUNNEL_WINDOWED_SQL)
+register("retention_matrix", events.retention_matrix, events.RETENTION_MATRIX_SQL)
 register("asof_join_events_orders", events.asof_join_events_orders, events.ASOF_SQL)
 register("funnel_view_click_purchase", events.funnel_view_click_purchase, events.FUNNEL_SQL)
 register("retention_day_n", events.retention_day_n, events.RETENTION_SQL)
