@@ -313,3 +313,90 @@ def approx_percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("o_orderpriority")
     )
+
+
+def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer over order dates (ROWS frame,
+    unique-key ordering) — top-5 customers by lifetime value, their
+    order-by-order cumulative spend.
+
+    One shuffle on custkey; the cumulative sum is evaluated
+    streaming within the partition.
+    """
+    o = load_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    v = _dec("o_totalprice")
+    ltv = o.groupBy("o_custkey").agg(F.sum(v).cast("decimal(38,2)").alias("ltv"))
+    wtop = Window.orderBy(F.col("ltv").desc(), F.col("o_custkey"))
+    top5 = ltv.withColumn("rk", F.row_number().over(wtop)).filter(F.col("rk") <= 5).select("o_custkey")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        o.join(F.broadcast(top5), "o_custkey")
+        .select(
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderkey",
+            v.alias("o_totalprice"),
+            F.sum(v).over(w).cast("decimal(38,2)").alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+RUNNING_TOTAL_SQL = """
+WITH ltv AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS ltv
+  FROM orders GROUP BY o_custkey),
+top5 AS (
+  SELECT o_custkey FROM (
+    SELECT o_custkey, ROW_NUMBER() OVER (ORDER BY ltv DESC, o_custkey) AS rk FROM ltv) t
+  WHERE rk <= 5)
+SELECT o.o_custkey, CAST(o.o_orderdate AS DATE) AS o_orderdate, o.o_orderkey,
+       CAST(o.o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2)))
+              OVER (PARTITION BY o.o_custkey ORDER BY o.o_orderdate, o.o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_total
+FROM orders o JOIN top5 USING (o_custkey)
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+def monthly_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue: per-month totals with lag delta and
+    growth ratio (lag window over the 80-row month sequence)."""
+    o = load_table(spark, sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    month = F.trunc(F.col("o_orderdate").cast("date"), "MM")
+    monthly = (
+        o.groupBy(month.alias("month"))
+        .agg(F.sum(_dec("o_totalprice")).cast("decimal(38,2)").alias("revenue"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return (
+        monthly.select(
+            "month",
+            "revenue",
+            (F.col("revenue") - F.coalesce(prev, F.col("revenue"))).cast("decimal(38,2)").alias("delta"),
+            F.when(prev.isNotNull(),
+                   (F.col("revenue").cast("double") / prev.cast("double")).cast(D38_6)
+                   ).alias("growth"),
+        )
+        .orderBy("month")
+    )
+
+
+MONTHLY_DELTA_SQL = """
+WITH monthly AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS revenue
+  FROM orders GROUP BY 1)
+SELECT month, revenue,
+       CAST(revenue - COALESCE(LAG(revenue) OVER (ORDER BY month), revenue) AS DECIMAL(38,2)) AS delta,
+       CASE WHEN LAG(revenue) OVER (ORDER BY month) IS NOT NULL
+            THEN CAST(CAST(revenue AS DOUBLE)
+                      / CAST(LAG(revenue) OVER (ORDER BY month) AS DOUBLE) AS DECIMAL(38,6))
+       END AS growth
+FROM monthly
+ORDER BY month
+"""

@@ -69,6 +69,8 @@ register("cube_status_priority", analytics.cube_status_priority, analytics.CUBE_
 # rows-only: GK sketch is engine-specific; closeness to the exact
 # percentiles is pytest-asserted (tests/test_analytics_scale.py)
 register("approx_percentiles_order_value", analytics.approx_percentiles_order_value, None)
+register("customer_running_total", analytics.customer_running_total, analytics.RUNNING_TOTAL_SQL)
+register("monthly_revenue_delta", analytics.monthly_revenue_delta, analytics.MONTHLY_DELTA_SQL)
 register("pivot_status_by_priority", analytics.pivot_status_by_priority, analytics.PIVOT_SQL)
 register("percentiles_order_value", analytics.percentiles_order_value, analytics.PERCENTILES_SQL)
 register("decile_value_customers", analytics.decile_value_customers, analytics.DECILE_SQL)
