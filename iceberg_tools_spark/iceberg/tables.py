@@ -73,7 +73,8 @@ ENTRIES_SCHEMA = T.StructType(
 def _ts(ms: int | None) -> _dt.datetime | None:
     if ms is None:
         return None
-    return _dt.datetime.fromtimestamp(ms / 1000.0, tz=_dt.timezone.utc).replace(tzinfo=None)
+    # exact integer epoch-ms → naive-UTC (float seconds would round)
+    return _dt.datetime(1970, 1, 1) + _dt.timedelta(milliseconds=ms)
 
 
 def snapshots_df(spark: SparkSession, meta: TableMetadata) -> DataFrame:
@@ -188,9 +189,22 @@ def partitions_df(
 
 
 # ---------------------------------------------------------------------
-# driver-contract entries (rows-only): the reference fixture is the
-# only Iceberg table available in the test environment, so these
-# queries ignore sf_dir and introspect that fixture.
+# driver-contract entries: the reference fixture is the only Iceberg
+# table available in the test environment, so these queries ignore
+# sf_dir and introspect that fixture. The checked projections are
+# SCALAR-ONLY (maps → sorted-key JSON strings, arrays → CSV) so the
+# driver's value-hash sees only its canonical types.
+#
+# Oracles (VERDICT r2 #3):
+# * meta_snapshots / meta_history — DuckDB reads the fixture's
+#   metadata.json directly (read_text + json_extract): a genuinely
+#   independent second engine.
+# * meta_manifest_entries / meta_files / meta_partitions — the
+#   manifest is Avro, which DuckDB cannot read; their oracle is a
+#   GOLDEN literal pinned to the reference fixture (generated once
+#   from the reader that tests/test_manifest2json.py verifies
+#   against the reference tool's own behavior). A golden-file test
+#   surfaced through the driver gate, not a second engine.
 # ---------------------------------------------------------------------
 
 FIXTURE_MANIFEST = (
@@ -198,39 +212,199 @@ FIXTURE_MANIFEST = (
 )
 FIXTURE_METADATA = "/root/reference/src/test/resources/v1.metadata.json"
 
+ENTRIES_SCALAR_SCHEMA = T.StructType(
+    [
+        T.StructField("status", T.LongType()),
+        T.StructField("status_name", T.StringType()),
+        T.StructField("snapshot_id", T.LongType()),
+        T.StructField("file_path", T.StringType()),
+        T.StructField("file_format", T.StringType()),
+        T.StructField("partition_json", T.StringType()),
+        T.StructField("record_count", T.LongType()),
+        T.StructField("file_size_in_bytes", T.LongType()),
+        T.StructField("column_sizes_json", T.StringType()),
+        T.StructField("value_counts_json", T.StringType()),
+        T.StructField("null_value_counts_json", T.StringType()),
+        T.StructField("nan_value_counts_json", T.StringType()),
+        T.StructField("lower_bounds_json", T.StringType()),
+        T.StructField("upper_bounds_json", T.StringType()),
+        T.StructField("split_offsets_csv", T.StringType()),
+        T.StructField("sort_order_id", T.LongType()),
+    ]
+)
+
+
+def _jmap(d: dict | None) -> str | None:
+    import json as _json
+
+    if d is None:
+        return None
+    return _json.dumps({str(k): v for k, v in d.items()}, sort_keys=True)
+
+
+def _scalar_entry_rows(manifest_paths: list[str], meta_raw: dict[str, Any]) -> list[tuple]:
+    rows = []
+    for r in manifest_entries_rows(manifest_paths, meta_raw):
+        (
+            status, status_name, snap, path, fmt, part_json, rc, fsz,
+            csz, vc, nvc, nanc, lb, ub, splits, soid,
+        ) = r
+        rows.append(
+            (
+                status, status_name, snap, path, fmt, part_json, rc, fsz,
+                _jmap(csz), _jmap(vc), _jmap(nvc), _jmap(nanc), _jmap(lb), _jmap(ub),
+                ",".join(str(x) for x in splits) if splits is not None else None,
+                soid,
+            )
+        )
+    return rows
+
 
 def meta_manifest_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = parse_metadata(FIXTURE_METADATA)
-    return manifest_entries_df(spark, [FIXTURE_MANIFEST], meta.raw).orderBy("file_path")
+    rows = _scalar_entry_rows([FIXTURE_MANIFEST], meta.raw)
+    return spark.createDataFrame(rows, ENTRIES_SCALAR_SCHEMA).orderBy("file_path")
 
 
 def meta_files(spark: SparkSession, sf_dir: str) -> DataFrame:
-    meta = parse_metadata(FIXTURE_METADATA)
     return (
-        files_df(spark, [FIXTURE_MANIFEST], meta.raw)
+        meta_manifest_entries(spark, sf_dir)
+        .filter(F.col("status") != 2)
         .select(
             "file_path",
             "file_format",
             "partition_json",
             "record_count",
             "file_size_in_bytes",
-            "lower_bounds",
-            "upper_bounds",
+            "lower_bounds_json",
+            "upper_bounds_json",
         )
         .orderBy("file_path")
     )
 
 
 def meta_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    meta = parse_metadata(FIXTURE_METADATA)
-    return partitions_df(spark, [FIXTURE_MANIFEST], meta.raw)
+    return (
+        meta_manifest_entries(spark, sf_dir)
+        .filter(F.col("status") != 2)
+        .groupBy("partition_json")
+        .agg(
+            F.count(F.lit(1)).alias("file_count"),
+            F.sum("record_count").alias("record_count"),
+            F.sum("file_size_in_bytes").alias("total_size_in_bytes"),
+            F.min("file_size_in_bytes").alias("min_file_size"),
+            F.max("file_size_in_bytes").alias("max_file_size"),
+        )
+        .orderBy("partition_json")
+    )
 
 
 def meta_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = parse_metadata(FIXTURE_METADATA)
-    return snapshots_df(spark, meta).orderBy("committed_at")
+    return (
+        snapshots_df(spark, meta)
+        .select("committed_at", "snapshot_id", "parent_id", "operation", "manifest_list")
+        .orderBy("committed_at")
+    )
 
 
 def meta_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = parse_metadata(FIXTURE_METADATA)
     return history_df(spark, meta).orderBy("made_current_at")
+
+
+# -------------------------------------------------- DuckDB oracles
+
+_ENTRY_COLS = (
+    "status, status_name, snapshot_id, file_path, file_format, partition_json, "
+    "record_count, file_size_in_bytes, column_sizes_json, value_counts_json, "
+    "null_value_counts_json, nan_value_counts_json, lower_bounds_json, "
+    "upper_bounds_json, split_offsets_csv, sort_order_id"
+)
+
+# GOLDEN rows pinned to the reference fixture (provenance: reference
+# repo test resources; regenerate with
+# scripts/gen_meta_golden.py if the fixture ever changes)
+_GOLDEN_ENTRY_VALUES = """
+  (1, 'ADDED', 8115727803695877401,
+   'file:/tmp/warehouse1148694098868367750.tmp/default/table_2/data/data=a/00000-0-998a7e88-6dd4-459a-aa7a-d7a1f7d2c1cf-00001.parquet',
+   'PARQUET', '{"data": "a"}', 1, 658,
+   '{"1": 52, "2": 52}', '{"1": 1, "2": 1}', '{"1": 0, "2": 0}', '{}',
+   '{"1": "value:1;type:long", "2": "value:a;type:string"}',
+   '{"1": "value:1;type:long", "2": "value:a;type:string"}',
+   '4', 0),
+  (1, 'ADDED', 8115727803695877401,
+   'file:/tmp/warehouse1148694098868367750.tmp/default/table_2/data/data=b/00001-1-2da6bf06-c914-4a29-ae60-958f47686b04-00001.parquet',
+   'PARQUET', '{"data": "b"}', 1, 657,
+   '{"1": 51, "2": 52}', '{"1": 1, "2": 1}', '{"1": 0, "2": 0}', '{}',
+   '{"1": "value:2;type:long", "2": "value:b;type:string"}',
+   '{"1": "value:2;type:long", "2": "value:b;type:string"}',
+   '4', 0)
+"""
+
+META_MANIFEST_ENTRIES_SQL = f"""
+SELECT CAST(status AS BIGINT) AS status, status_name,
+       CAST(snapshot_id AS BIGINT) AS snapshot_id, file_path, file_format,
+       partition_json, CAST(record_count AS BIGINT) AS record_count,
+       CAST(file_size_in_bytes AS BIGINT) AS file_size_in_bytes,
+       column_sizes_json, value_counts_json, null_value_counts_json,
+       nan_value_counts_json, lower_bounds_json, upper_bounds_json,
+       split_offsets_csv, CAST(sort_order_id AS BIGINT) AS sort_order_id
+FROM (VALUES {_GOLDEN_ENTRY_VALUES}) t({_ENTRY_COLS})
+ORDER BY file_path
+"""
+
+META_FILES_SQL = f"""
+SELECT file_path, file_format, partition_json,
+       CAST(record_count AS BIGINT) AS record_count,
+       CAST(file_size_in_bytes AS BIGINT) AS file_size_in_bytes,
+       lower_bounds_json, upper_bounds_json
+FROM (VALUES {_GOLDEN_ENTRY_VALUES}) t({_ENTRY_COLS})
+WHERE status <> 2
+ORDER BY file_path
+"""
+
+META_PARTITIONS_SQL = f"""
+SELECT partition_json, COUNT(*) AS file_count,
+       CAST(SUM(record_count) AS BIGINT) AS record_count,
+       CAST(SUM(file_size_in_bytes) AS BIGINT) AS total_size_in_bytes,
+       CAST(MIN(file_size_in_bytes) AS BIGINT) AS min_file_size,
+       CAST(MAX(file_size_in_bytes) AS BIGINT) AS max_file_size
+FROM (VALUES {_GOLDEN_ENTRY_VALUES}) t({_ENTRY_COLS})
+WHERE status <> 2
+GROUP BY partition_json
+ORDER BY partition_json
+"""
+
+META_SNAPSHOTS_SQL = f"""
+WITH j AS (SELECT json(content) AS doc FROM read_text('{FIXTURE_METADATA}')),
+snaps AS (SELECT unnest(CAST(json_extract(doc, '$.snapshots') AS JSON[])) AS s FROM j)
+SELECT make_timestamp(CAST(json_extract(s, '$."timestamp-ms"') AS BIGINT) * 1000) AS committed_at,
+       CAST(json_extract(s, '$."snapshot-id"') AS BIGINT) AS snapshot_id,
+       CAST(json_extract(s, '$."parent-snapshot-id"') AS BIGINT) AS parent_id,
+       json_extract_string(s, '$.summary.operation') AS operation,
+       json_extract_string(s, '$."manifest-list"') AS manifest_list
+FROM snaps
+ORDER BY committed_at
+"""
+
+META_HISTORY_SQL = f"""
+WITH RECURSIVE j AS (SELECT json(content) AS doc FROM read_text('{FIXTURE_METADATA}')),
+snaps AS (
+  SELECT CAST(json_extract(s, '$."snapshot-id"') AS BIGINT) AS sid,
+         CAST(json_extract(s, '$."parent-snapshot-id"') AS BIGINT) AS parent
+  FROM (SELECT unnest(CAST(json_extract(doc, '$.snapshots') AS JSON[])) AS s FROM j) u),
+anc(sid) AS (
+  SELECT CAST(json_extract(doc, '$."current-snapshot-id"') AS BIGINT) FROM j
+  UNION
+  SELECT p.sid
+  FROM anc JOIN snaps s ON s.sid = anc.sid JOIN snaps p ON p.sid = s.parent),
+log AS (
+  SELECT make_timestamp(CAST(json_extract(e, '$."timestamp-ms"') AS BIGINT) * 1000) AS made_current_at,
+         CAST(json_extract(e, '$."snapshot-id"') AS BIGINT) AS snapshot_id
+  FROM (SELECT unnest(CAST(json_extract(doc, '$."snapshot-log"') AS JSON[])) AS e FROM j) u)
+SELECT made_current_at, snapshot_id,
+       snapshot_id IN (SELECT sid FROM anc) AS is_current_ancestor
+FROM log
+ORDER BY made_current_at
+"""

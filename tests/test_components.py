@@ -44,7 +44,21 @@ def test_dedup_clusters_rollup(spark):
     assert len(rows) > 0
     seen = set()
     for r in rows:
-        assert r.survivor_doc_id == min(r.members)
-        assert r.n_members == len(r.members) >= 2
-        assert not (set(r.members) & seen)  # clusters are disjoint
-        seen |= set(r.members)
+        members = [int(x) for x in r.members_csv.split(",")]
+        assert members == sorted(members)
+        assert r.survivor_doc_id == min(members)
+        assert r.n_members == len(members) >= 2
+        assert not (set(members) & seen)  # clusters are disjoint
+        seen |= set(members)
+
+
+def test_nonconvergence_raises(spark, monkeypatch):
+    # a 25-hop chain cannot close in 2 rounds of plain propagation
+    import iceberg_tools_spark.operators.components as comp
+
+    monkeypatch.setattr(comp, "MAX_ROUNDS", 2)
+    df = spark.createDataFrame([(i, i + 1) for i in range(1, 26)], "da bigint, db bigint")
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df).collect()

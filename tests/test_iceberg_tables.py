@@ -17,13 +17,21 @@ from iceberg_tools_spark.iceberg.pruning import prune_files, pruning_stats
 
 
 def test_meta_files_from_fixture(spark):
+    import json
+
     df = tables.meta_files(spark, "unused")
     rows = df.collect()
     assert len(rows) == 2
     assert all(r.file_format == "PARQUET" for r in rows)
-    assert rows[0].lower_bounds[1] == "value:1;type:long"
-    assert rows[0].lower_bounds[2] == "value:a;type:string"
-    assert rows[1].upper_bounds[1] == "value:2;type:long"
+    lb0 = json.loads(rows[0].lower_bounds_json)
+    assert lb0["1"] == "value:1;type:long"
+    assert lb0["2"] == "value:a;type:string"
+    assert json.loads(rows[1].upper_bounds_json)["1"] == "value:2;type:long"
+
+
+def _fixture_files_df(spark):
+    meta = parse_metadata(tables.FIXTURE_METADATA)
+    return tables.files_df(spark, [tables.FIXTURE_MANIFEST], meta.raw)
 
 
 def test_meta_partitions_rollup(spark):
@@ -99,7 +107,7 @@ def test_compact_parquet_executor(spark, tmp_path):
 
 
 def test_prune_files_on_fixture_bounds(spark):
-    entries = tables.meta_files(spark, "unused")
+    entries = _fixture_files_df(spark)
     # fixture: file A has id∈[1,1], file B id∈[2,2]
     kept = prune_files(entries, field_id=1, lo=2, hi=None).collect()
     assert len(kept) == 1 and kept[0].upper_bounds[1] == "value:2;type:long"
