@@ -82,6 +82,19 @@ def from_bytes(type_str: str, data: bytes) -> Any:
     return data
 
 
+def _shortest_float32_str(v: float) -> str:
+    """Shortest decimal string that round-trips through float32,
+    matching Java `Float.toString` digit selection (e.g. the float
+    bound 0.1f renders `0.1`, not the widened-double repr
+    `0.10000000149011612`)."""
+    bits = struct.pack("<f", v)
+    for p in range(1, 10):
+        s = f"{v:.{p}g}"
+        if struct.pack("<f", float(s)) == bits:
+            return s
+    return repr(struct.unpack("<f", bits)[0])
+
+
 def _java_float_str(v: float, single: bool) -> str:
     """Approximate Java Float/Double.toString: decimal notation in
     [1e-3, 1e7), otherwise scientific with 'E'."""
@@ -92,8 +105,7 @@ def _java_float_str(v: float, single: bool) -> str:
     if v == float("-inf"):
         return "-Infinity"
     if single:
-        # shortest repr that round-trips through float32
-        s = repr(struct.unpack("<f", struct.pack("<f", v))[0])
+        s = _shortest_float32_str(v)
     else:
         s = repr(v)
     a = abs(v)

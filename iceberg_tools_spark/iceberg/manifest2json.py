@@ -11,7 +11,12 @@ Behavior parity (reference: `ManifestFileReadTool.java`):
 * ``--pretty`` — Jackson-style pretty printing: 2-space indented
   objects with ``"k" : v``, single-line arrays (`IcebergEncoder.java:69-87`)
 * ``--head[=N]`` — first N records, default 10, negative rejected
-  (`:52-76`)
+  (`:52-76`). INTENTIONAL deviation: when ``--head`` truncates
+  mid-stream the reference emits a dangling ``,`` after the last
+  record (`ManifestFileReadTool.java:151` prints the separator
+  whenever the stream ``hasNext``), producing invalid JSON; this
+  implementation look-aheads and omits it, so ``--head`` output is
+  always parseable. Untruncated output is byte-identical.
 * ``-`` as the manifest argument reads stdin (`Util.fileOrStdin`)
 * ``--reader-schema`` / ``--reader-schema-file`` projection
 * non-null union values are label-wrapped ``{"type": value}`` and

@@ -22,9 +22,11 @@ Semantics match ``pandas.merge_asof`` / DuckDB ``ASOF JOIN``:
 ``right_time >= left_time``. ``tolerance`` (a SQL INTERVAL string,
 e.g. ``"30 MINUTES"``) bounds the match distance.
 
-If several right rows share the same (keys, time), the one with the
-greatest ``order_tiebreak`` column value wins (deterministic); pass
-a pre-deduped right side when you need uniqueness semantics.
+If several right rows share the same (keys, time), pass
+``right_tiebreak`` — the row with the greatest tiebreak value wins
+(deterministic). Without it, which duplicate wins is partition-order
+dependent; pass a pre-deduped right side when you need uniqueness
+semantics.
 """
 
 from __future__ import annotations
@@ -34,6 +36,7 @@ from pyspark.sql import functions as F
 
 _TAG = "__asof_tag"
 _T = "__asof_t"
+_TB = "__asof_tb"
 
 
 def asof_join(
@@ -46,11 +49,14 @@ def asof_join(
     direction: str = "backward",
     tolerance: str | None = None,
     suffix: str = "_asof",
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """All ``left`` columns plus ``{v}{suffix}`` for each right value
     column (and ``{right_time}{suffix}``), matched as-of.
 
     Left rows with no match keep NULLs (left-outer semantics).
+    ``right_tiebreak`` names a right column that breaks ties among
+    right rows sharing (keys, time): the greatest value wins.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -59,10 +65,20 @@ def asof_join(
     left_cols = list(left.columns)
     non_key_left = [c for c in left_cols if c not in on]
 
+    if right_tiebreak is not None:
+        tb_r = [F.col(right_tiebreak).alias(_TB)]
+        tb_l = [F.lit(None).cast(right.schema[right_tiebreak].dataType).alias(_TB)]
+        # greatest tiebreak sorts last among tag-0 rows at equal time,
+        # so last(ignorenulls) carries its values
+        tb_order = [F.col(_TB).asc_nulls_first()]
+    else:
+        tb_r, tb_l, tb_order = [], [], []
+
     r = right.select(
         *on,
         F.col(right_time).alias(_T),
         F.lit(0).alias(_TAG),
+        *tb_r,
         *[F.col(v).alias(f"{v}{suffix}") for v in carried],
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in non_key_left],
     )
@@ -70,6 +86,7 @@ def asof_join(
         *on,
         F.col(left_time).alias(_T),
         F.lit(1).alias(_TAG),
+        *tb_l,
         *[F.lit(None).cast(right.schema[v].dataType).alias(f"{v}{suffix}") for v in carried],
         *[F.col(c) for c in non_key_left],
     )
@@ -79,13 +96,13 @@ def asof_join(
         # right rows sort before left at equal times → "<=" matches
         w = (
             Window.partitionBy(*on)
-            .orderBy(F.col(_T).asc(), F.col(_TAG).asc())
+            .orderBy(F.col(_T).asc(), F.col(_TAG).asc(), *tb_order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     else:
         w = (
             Window.partitionBy(*on)
-            .orderBy(F.col(_T).desc(), F.col(_TAG).asc())
+            .orderBy(F.col(_T).desc(), F.col(_TAG).asc(), *tb_order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
 

@@ -24,6 +24,17 @@ from ..functions.hashing import md5_i64
 
 _SALT = "__salt"
 
+# joins where exploding `other` n_salts× stays row-equivalent: every
+# `other` row only ever *matches* (or probes) — it is never *emitted*
+# unmatched. right/full-outer would emit each unmatched `other` row
+# once per salt.
+_SAFE_HOW = {
+    "inner",
+    "left", "leftouter", "left_outer",
+    "semi", "leftsemi", "left_semi",
+    "anti", "leftanti", "left_anti",
+}
+
 
 def salted_join(
     skewed: DataFrame,
@@ -36,6 +47,11 @@ def salted_join(
     """Equi-join ``skewed ⋈ other`` on ``on``, salted ``n_salts``
     ways. ``salt_by`` is a row-unique column of the skewed side
     (its hash spreads rows uniformly across salts)."""
+    if how.lower() not in _SAFE_HOW:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}: "
+            "right/full-outer would duplicate unmatched rows of `other` per salt"
+        )
     s = skewed.withColumn(
         _SALT, (md5_i64(F.col(salt_by).cast("string"), "salt") % n_salts).cast("int")
     )

@@ -87,6 +87,27 @@ def test_asof_tolerance(spark, trades_quotes):
     assert got[("B", "2024-01-01T10:00:05")] is None
 
 
+def test_asof_right_tiebreak(spark):
+    # two quotes at the identical (sym, time): greatest tiebreak wins
+    trades = spark.createDataFrame(
+        [("A", _ts("2024-01-01 10:00:05"), 1.0)], "sym string, t timestamp, price double"
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:05"), 10.0, 1),
+            ("A", _ts("2024-01-01 10:00:05"), 20.0, 2),
+            ("A", _ts("2024-01-01 10:00:05"), 15.0, 3),
+        ],
+        "sym string, qt timestamp, bid double, seq int",
+    ).repartition(3)
+    for direction in ("backward", "forward"):
+        out = asof_join(
+            trades, quotes, on=["sym"], left_time="t", right_time="qt",
+            right_values=["bid"], direction=direction, right_tiebreak="seq",
+        )
+        assert [r.bid_asof for r in out.collect()] == [15.0]
+
+
 def test_asof_matches_duckdb_asof_join(spark, trades_quotes):
     trades, quotes = trades_quotes
     out = asof_join(

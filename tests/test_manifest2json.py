@@ -102,6 +102,30 @@ def test_single_value_conversions():
     )
 
 
+def test_float_bounds_shortest_round_trip():
+    # Java Float.toString picks the shortest decimal that round-trips
+    # through float32: 0.1f is "0.1", not the widened-double repr.
+    import struct as _s
+
+    def fbytes(x):
+        return _s.pack("<f", x)
+
+    assert decode_bound("float", fbytes(0.1)) == "value:0.1;type:float"
+    assert decode_bound("float", fbytes(1.5)) == "value:1.5;type:float"
+    assert decode_bound("float", fbytes(0.0)) == "value:0.0;type:float"
+    assert decode_bound("float", fbytes(-2.25)) == "value:-2.25;type:float"
+    assert decode_bound("float", fbytes(3.4e38)) == "value:3.4E38;type:float"
+    assert decode_bound("float", fbytes(1e-5)) == "value:1.0E-5;type:float"
+    assert decode_bound("float", fbytes(float("nan"))) == "value:NaN;type:float"
+    assert decode_bound("float", fbytes(float("inf"))) == "value:Infinity;type:float"
+    # shortest-repr property: every emitted string reparses to the same bits
+    for v in (0.1, 1.0 / 3.0, 123456.78, 9.999999e6, 1.0000001):
+        s = decode_bound("float", fbytes(v)).split(";")[0].removeprefix("value:")
+        assert _s.pack("<f", float(s)) == fbytes(v)
+    # double path unchanged: full repr precision
+    assert decode_bound("double", _s.pack("<d", 0.1)) == "value:0.1;type:double"
+
+
 # ------------------------------------------------ manifest2json CLI
 
 

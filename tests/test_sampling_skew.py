@@ -69,6 +69,16 @@ def test_salted_join_left_outer(spark):
     assert got == {1: 10.0, 2: 20.0, 3: None}
 
 
+def test_salted_join_rejects_right_outer(spark):
+    import pytest as _pt
+
+    left = spark.createDataFrame([(1, "a")], "row_id bigint, k string")
+    right = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with _pt.raises(ValueError, match="salted_join supports"):
+            salted_join(left, right, ["k"], salt_by="row_id", how=how)
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     from iceberg_tools_spark.plans import checks
     from iceberg_tools_spark.sources.bucketing import read_bucketed, write_bucketed
