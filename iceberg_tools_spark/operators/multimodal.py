@@ -7,19 +7,29 @@ feature extraction, resize, frame sampling) runs as Arrow-batched
 media libraries: one Python worker call per Arrow batch, columnar
 transfer both ways, schema declared up front.
 
-The media libraries themselves are NOT available in this
-environment, so the decode kernels are DELIBERATE STUBS:
-``decode_media`` raises NotImplementedError on the real path and
-the pipeline uses a clearly-marked deterministic fake (md5-driven)
-instead. Everything around the kernel — schemas, batching, UDF
-signatures, partitioning — is real and tested.
+Decode support is tiered by what a jarless/codec-less sandbox can
+genuinely do:
+
+* REAL pure-Python decoders (``decode_media``) for the container
+  formats decodable with stdlib+numpy alone — BMP (24-bit
+  uncompressed), PPM (binary ``P6``), WAV (PCM 8/16-bit via the
+  stdlib ``wave`` module) — plus matching encoders for building
+  fixtures. ``extract_features`` sniffs magic bytes and computes
+  real 16-dim statistical features from decoded pixels/samples.
+* A clearly-marked deterministic fake (md5-driven,
+  ``fake_feature``) for payloads in compressed formats (JPEG/MP3/
+  MP4…) whose codecs are not in this container.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,13 +60,128 @@ FEATURES_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 
-def decode_media(payload: bytes, modality: str):  # pragma: no cover - stub
-    """REAL decode path — requires image/audio codecs not present in
-    this container. Kept as the extension point."""
-    raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "use the deterministic fake kernels (fake_feature) instead"
+# ----------------------------- real decoders (stdlib + numpy) ------
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed (BI_RGB) BMP → (H, W, 3) uint8 RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_off,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    top_down = height < 0
+    height = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=pix_off
+    ).reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[..., ::-1].copy()  # BGR → RGB
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (`P6`) → (H, W, 3) uint8 RGB. maxval ≤ 255."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header: P6 <w> <h> <maxval> with whitespace/comments between tokens
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    return (
+        np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+        .reshape(h, w, 3)
+        .copy()
     )
+
+
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV → ((n_samples, n_channels) float32 in [-1, 1], rate)."""
+    with wave.open(io.BytesIO(payload)) as wf:
+        n_ch, sampwidth, rate = wf.getnchannels(), wf.getsampwidth(), wf.getframerate()
+        raw = wf.readframes(wf.getnframes())
+    if sampwidth == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sampwidth == 1:  # 8-bit WAV is unsigned
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sampwidth}")
+    return samples.reshape(-1, n_ch), rate
+
+
+def decode_media(payload: bytes, modality: str):
+    """REAL decode for sandbox-decodable containers.
+
+    Returns ``(H, W, 3) uint8`` for images (BMP / P6 PPM) and
+    ``((n_samples, n_channels) float32, sample_rate)`` for audio
+    (PCM WAV). Compressed codecs (JPEG/MP3/MP4…) are not available
+    in this container — those payloads raise ValueError and the
+    pipeline falls back to the deterministic fake kernel.
+    """
+    if modality == "image":
+        if payload[:2] == b"BM":
+            return _decode_bmp(payload)
+        if payload[:2] == b"P6":
+            return _decode_ppm(payload)
+        raise ValueError("undecodable image format (only BMP/PPM in-sandbox)")
+    if modality == "audio":
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return _decode_wav(payload)
+        raise ValueError("undecodable audio format (only PCM WAV in-sandbox)")
+    raise ValueError(f"no in-sandbox decoder for modality {modality!r}")
+
+
+# ----------------------------- encoders (fixture builders) ----------
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → 24-bit BI_RGB BMP bytes."""
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    pix = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    return header + dib + pix
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → binary P6 PPM bytes."""
+    h, w, _ = arr.shape
+    return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n_samples,) or (n_samples, n_ch) float32 in [-1, 1] → 16-bit
+    PCM WAV bytes."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    pcm = np.clip(samples * 32767.0, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(samples.shape[1])
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
 
 
 def fake_feature(payload: bytes) -> list[float]:
