@@ -184,6 +184,66 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     return buf.getvalue()
 
 
+def _image_feature(arr: np.ndarray) -> list[float]:
+    """16-dim statistical feature from decoded (H, W, 3) uint8 RGB:
+    per-channel mean/std, global mean/std, horizontal/vertical
+    gradient energy, 4-bin luminance histogram, aspect ratio,
+    log-scaled pixel count."""
+    a = arr.astype(np.float32) / 255.0
+    h, w = arr.shape[:2]
+    ch_mean = a.mean(axis=(0, 1))
+    ch_std = a.std(axis=(0, 1))
+    lum = a.mean(axis=2)
+    gx = float(np.abs(np.diff(lum, axis=1)).mean()) if w > 1 else 0.0
+    gy = float(np.abs(np.diff(lum, axis=0)).mean()) if h > 1 else 0.0
+    hist = np.histogram(lum, bins=4, range=(0.0, 1.0))[0] / lum.size
+    return [
+        *ch_mean.tolist(),
+        *ch_std.tolist(),
+        float(a.mean()),
+        float(a.std()),
+        gx,
+        gy,
+        *hist.tolist(),
+        w / max(h, 1),
+        float(np.log1p(h * w) / 20.0),
+    ]
+
+
+def _audio_feature(samples: np.ndarray, rate: int) -> list[float]:
+    """16-dim statistical feature from decoded float32 PCM:
+    mean/std/min/max, RMS, zero-crossing rate, channel count,
+    normalized rate, 8-bin amplitude histogram."""
+    mono = samples.mean(axis=1)
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(mono))))) if mono.size > 1 else 0.0
+    hist = np.histogram(mono, bins=8, range=(-1.0, 1.0))[0] / max(mono.size, 1)
+    return [
+        float(mono.mean()),
+        float(mono.std()),
+        float(mono.min()) if mono.size else 0.0,
+        float(mono.max()) if mono.size else 0.0,
+        float(np.sqrt(np.mean(mono**2))) if mono.size else 0.0,
+        zcr,
+        float(samples.shape[1]),
+        rate / 48000.0,
+        *hist.tolist(),
+    ]
+
+
+def real_or_fake_feature(payload: bytes, modality: str) -> list[float]:
+    """REAL statistical feature for in-sandbox-decodable payloads
+    (BMP/PPM images, PCM WAV audio); deterministic ``fake_feature``
+    fallback for everything else (compressed codecs, video)."""
+    try:
+        decoded = decode_media(bytes(payload), modality)
+    except ValueError:
+        return fake_feature(payload)
+    if modality == "image":
+        return _image_feature(decoded)
+    samples, rate = decoded
+    return _audio_feature(samples, rate)
+
+
 def fake_feature(payload: bytes) -> list[float]:
     """Deterministic FAKE 'decode+embed': md5-expanded bytes mapped
     to FEATURE_DIM floats in [0, 1). Stands in for a real
@@ -216,7 +276,11 @@ def make_synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
 
 
 def extract_features(df: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over the payload column."""
+    """Arrow-batched feature extraction over the payload column.
+
+    Payloads in sandbox-decodable containers (BMP/PPM/PCM-WAV) get
+    REAL statistical features from the decoded pixels/samples; all
+    others fall back to the deterministic fake kernel."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -225,7 +289,10 @@ def extract_features(df: DataFrame) -> DataFrame:
                     "item_id": pdf["item_id"],
                     "modality": pdf["modality"],
                     "n_bytes": pdf["payload"].map(len).astype("int64"),
-                    "feature": pdf["payload"].map(fake_feature),
+                    "feature": [
+                        real_or_fake_feature(p, m)
+                        for p, m in zip(pdf["payload"], pdf["modality"])
+                    ],
                 }
             )
 

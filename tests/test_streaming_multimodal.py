@@ -71,9 +71,120 @@ def test_frame_sampling(spark):
     assert all(r.n_frames == 3 for r in rows)  # 30 frames / 10
 
 
-def test_real_decode_is_explicitly_stubbed():
-    with pytest.raises(NotImplementedError):
+def test_undecodable_payload_raises_value_error():
+    with pytest.raises(ValueError):
         mm.decode_media(b"...", "image")
+    with pytest.raises(ValueError):
+        mm.decode_media(b"\xff\xd8\xff\xe0 not-really-jpeg", "image")
+    with pytest.raises(ValueError):
+        mm.decode_media(b"ID3 not-really-mp3", "audio")
+    with pytest.raises(ValueError):
+        mm.decode_media(b"anything", "video")
+
+
+def _test_image(h: int = 5, w: int = 7) -> "np.ndarray":
+    import numpy as np
+
+    return (np.arange(h * w * 3, dtype=np.int64) * 37 % 256).astype(np.uint8).reshape(h, w, 3)
+
+
+def test_bmp_encode_decode_roundtrip():
+    import numpy as np
+
+    arr = _test_image()
+    out = mm.decode_media(mm.encode_bmp(arr), "image")
+    np.testing.assert_array_equal(out, arr)
+    # non-multiple-of-4 stride width exercises row padding
+    arr2 = _test_image(3, 5)
+    np.testing.assert_array_equal(mm.decode_media(mm.encode_bmp(arr2), "image"), arr2)
+
+
+def test_ppm_encode_decode_roundtrip():
+    import numpy as np
+
+    arr = _test_image(4, 6)
+    np.testing.assert_array_equal(mm.decode_media(mm.encode_ppm(arr), "image"), arr)
+    # comment lines in the header are skipped
+    with_comment = b"P6\n# a comment\n6 4\n255\n" + arr.tobytes()
+    np.testing.assert_array_equal(mm.decode_media(with_comment, "image"), arr)
+
+
+def test_wav_encode_decode_roundtrip():
+    import numpy as np
+
+    t = np.arange(800, dtype=np.float32) / 16000.0
+    mono = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    samples, rate = mm.decode_media(mm.encode_wav(mono, 16000), "audio")
+    assert rate == 16000 and samples.shape == (800, 1)
+    np.testing.assert_allclose(samples[:, 0], mono, atol=1.5 / 32767)
+    # stereo round-trip
+    stereo = np.stack([mono, -mono], axis=1)
+    s2, _ = mm.decode_media(mm.encode_wav(stereo, 16000), "audio")
+    np.testing.assert_allclose(s2, stereo, atol=1.5 / 32767)
+
+
+def test_wav_8bit_decode():
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    pcm8 = (np.array([0, 64, 128, 192, 255], dtype=np.uint8)).tobytes()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)
+        wf.setframerate(8000)
+        wf.writeframes(pcm8)
+    samples, rate = mm.decode_media(buf.getvalue(), "audio")
+    assert rate == 8000
+    np.testing.assert_allclose(
+        samples[:, 0], (np.array([0, 64, 128, 192, 255]) - 128.0) / 128.0, atol=1e-6
+    )
+
+
+def test_extract_features_uses_real_decoder_for_bmp(spark):
+    """A solid-red BMP must yield REAL statistics (red mean 1.0,
+    green/blue 0.0, zero std), not the md5 fake."""
+    import numpy as np
+
+    red = np.zeros((8, 8, 3), dtype=np.uint8)
+    red[..., 0] = 255
+    payload = mm.encode_bmp(red)
+    df = spark.createDataFrame(
+        [(0, "image", payload, 8, 8, None, None)], mm.MEDIA_SCHEMA
+    )
+    (row,) = mm.extract_features(df).collect()
+    feat = row.feature
+    assert len(feat) == mm.FEATURE_DIM
+    assert feat != mm.fake_feature(payload)
+    assert abs(feat[0] - 1.0) < 1e-6  # R mean
+    assert abs(feat[1]) < 1e-6 and abs(feat[2]) < 1e-6  # G/B mean
+    assert all(abs(v) < 1e-6 for v in feat[3:6])  # per-channel std
+    # collected values are float32 (FEATURES_SCHEMA), python-side float64
+    assert feat == pytest.approx(mm.real_or_fake_feature(payload, "image"), rel=1e-6)
+
+
+def test_extract_features_real_audio_and_fake_fallback(spark):
+    import numpy as np
+
+    t = np.arange(1600, dtype=np.float32) / 16000.0
+    tone = (0.25 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    wav = mm.encode_wav(tone, 16000)
+    fake_payload = b"\x00compressed-ish"
+    df = spark.createDataFrame(
+        [
+            (0, "audio", wav, None, None, 16000, None),
+            (1, "audio", fake_payload, None, None, 44100, None),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = {r.item_id: r.feature for r in mm.extract_features(df).collect()}
+    # real path: RMS of 0.25 sine ≈ 0.1768, rate slot = 1/3
+    assert abs(rows[0][4] - 0.25 / np.sqrt(2)) < 1e-3
+    assert abs(rows[0][7] - 16000 / 48000.0) < 1e-6
+    # fake path: fake_feature output (float32-truncated by the schema)
+    assert rows[1] == pytest.approx(mm.fake_feature(fake_payload), rel=1e-6)
 
 
 def test_stateful_user_stats(spark):
