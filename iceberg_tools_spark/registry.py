@@ -110,112 +110,29 @@ def _decimal_cols(name: str) -> tuple[str, ...]:
 
 # REGISTRATION ORDER IS LOAD-BEARING (VERDICT r2 #2): the driver
 # adjudicates only the FIRST 50 registry entries per round, so the
-# order below spends that window deliberately:
-#   1-3   probes confirming the decimal-hash mechanism (probe_decimal
-#         is EXPECTED red — controlled confirmation of the law);
-#   4-17  the 14 dedup/similarity/meta_* entries the driver has never
-#         checked (registry positions 51+ in round 2);
-#   18-44 the 27 round-2 hash-FAILs, now double-canonicalized;
-#   45-50 remaining probes + the two formerly-no_oracle entries.
-# Round-2-green queries sit past position 50 and keep their r2 row
-# (rotation documented in SURVEY.md §2).
+# order below spends that window deliberately. Round-4 plan
+# (VERDICT r3 "Next round" #2-3):
+#   1-2   green canary probes (double/string) — detect a driver
+#         canonicalization change;
+#   3-23  the 21 operators with no driver row under the decimal fix
+#         (rotated past 50 by the round-3 reorder): q4-q7, q12-q17,
+#         q19, q21, q22, pivot, retention*, asof, funnel, langid,
+#         fingerprint, token_count_histogram;
+#   24-26 r3-green canaries (q1 / minhash / ivf) — detect a
+#         hash-safety regression in the wrapped path;
+#   27-50 NEW round-4 operators (first driver certification).
+# Everything r3-green sits past position 50 with its green r3 row;
+# probe_decimal (the EXPECTED-red witness of the driver's decimal
+# rendering law, proven in r2/r3) is retired past the window so it
+# stops burning a correctness slot (VERDICT r3 "What's wrong" #3).
 
-# ---------------------------------- hash-canonicalization probes (1/2)
-# (diagnostics for the driver's correctness gate — see probes.py;
-# raw=True: each probe measures how the driver canonicalizes ONE raw
-# type, so the hash-safety wrapper must not rewrite them.
-# probe_decimal is EXPECTED to hash-fail under the driver — that red
-# row is the controlled confirmation of the decimal-rendering law
-# from VERDICT r2; probe_double green alongside it confirms the fix
-# mechanism used for every other query.)
-register("probe_decimal", probes.probe_decimal, probes.PROBE_DECIMAL_SQL, raw=True)
+from .iceberg import tables as meta_tables  # noqa: E402  (after operator imports)
+
+# ------------------------------------------- canary probes (window)
 register("probe_double", probes.probe_double, probes.PROBE_DOUBLE_SQL, raw=True)
 register("probe_string", probes.probe_string, probes.PROBE_STRING_SQL, raw=True)
 
-# ------------------------------------------------------ §2.4 dedup
-register("dedup_exact", dedup.dedup_exact, dedup.DEDUP_EXACT_SQL)
-register("dedup_ngram_jaccard", dedup.dedup_ngram_jaccard, dedup.DEDUP_NGRAM_SQL)
-register("dedup_minhash_lsh", dedup.dedup_minhash_lsh, dedup.DEDUP_MINHASH_SQL)
-register("dedup_simhash", dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL)
-register("dedup_clusters", components.dedup_clusters, components.DEDUP_CLUSTERS_SQL)
-
-# ------------------------------------------------ §2.4 embeddings
-register("embedding_norm_stats", similarity.embedding_norm_stats, similarity.NORM_STATS_SQL)
-register("ann_topk_bruteforce", similarity.ann_topk_bruteforce, similarity.ANN_BRUTE_SQL)
-register("embedding_near_dup", similarity.embedding_near_dup, similarity.NEAR_DUP_SQL)
-register("ann_ivf_topk", similarity.ann_ivf_topk, similarity.ANN_IVF_SQL)
-
-# --------------------------------------------- §2.1 metadata tables
-# meta_snapshots / meta_history: oracle reads the reference fixture's
-# metadata.json directly via DuckDB read_json (independent engine).
-# meta_manifest_entries / meta_files / meta_partitions introspect the
-# fixture's Avro manifest, which DuckDB cannot read natively: their
-# oracle is golden VALUES derived from the reference's own expected
-# test output (see iceberg/tables.py) — a fixture-pinned golden, not
-# a second engine.
-from .iceberg import tables as meta_tables  # noqa: E402  (after operator imports)
-
-register("meta_manifest_entries", meta_tables.meta_manifest_entries, meta_tables.META_MANIFEST_ENTRIES_SQL)
-register("meta_files", meta_tables.meta_files, meta_tables.META_FILES_SQL)
-register("meta_partitions", meta_tables.meta_partitions, meta_tables.META_PARTITIONS_SQL)
-register("meta_snapshots", meta_tables.meta_snapshots, meta_tables.META_SNAPSHOTS_SQL)
-register("meta_history", meta_tables.meta_history, meta_tables.META_HISTORY_SQL)
-
-# ------------------------- §2.2 TPC-H (round-2 hash-FAIL set first)
-register("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL)
-register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_SQL)
-register("q9_product_type_profit", tpch.q9_product_type_profit, tpch.Q9_SQL)
-register("q10_returned_items", tpch.q10_returned_items, tpch.Q10_SQL)
-register("q18_large_volume_customers", tpch.q18_large_volume_customers, tpch.Q18_SQL)
-register("q2_min_cost_supplier", tpch_ext.q2_min_cost_supplier, tpch_ext.Q2_SQL)
-register("q8_market_share", tpch_ext.q8_market_share, tpch_ext.Q8_SQL)
-register("q11_important_part_value", tpch_ext.q11_important_part_value, tpch_ext.Q11_SQL)
-register("q20_promo_part_shippers", tpch_ext.q20_promo_part_shippers, tpch_ext.Q20_SQL)
-
-# ----------------------------------------------- §2.2 window/analytics
-register("top_k_per_group", analytics.top_k_per_group, analytics.TOP_K_SQL)
-register("rollup_revenue", analytics.rollup_revenue, analytics.ROLLUP_SQL)
-register("cube_status_priority", analytics.cube_status_priority, analytics.CUBE_SQL)
-register("percentiles_order_value", analytics.percentiles_order_value, analytics.PERCENTILES_SQL)
-register("customer_running_total", analytics.customer_running_total, analytics.RUNNING_TOTAL_SQL)
-register("monthly_revenue_delta", analytics.monthly_revenue_delta, analytics.MONTHLY_DELTA_SQL)
-register("decile_value_customers", analytics.decile_value_customers, analytics.DECILE_SQL)
-register("orders_cume_dist", analytics.orders_cume_dist, analytics.CUME_DIST_SQL)
-
-# ----------------------------------------------------- §2.3 events
-register("sessionize_events", events.sessionize_events, events.SESSIONIZE_SQL)
-register("session_window_agg", events.session_window_agg, events.SESSION_WINDOW_SQL)
-register("sliding_window_agg", events.sliding_window_agg, events.SLIDING_WINDOW_SQL)
-register("events_props_stats", events.events_props_stats, events.EVENTS_PROPS_SQL)
-register("funnel_windowed", events.funnel_windowed, events.FUNNEL_WINDOWED_SQL)
-register("events_dedup_exact", events.events_dedup_exact, events.EVENTS_DEDUP_SQL)
-
-# ------------------------------------------------ §2.4 text analysis
-register("text_stats", text_ops.text_stats, text_ops.TEXT_STATS_SQL)
-register("text_quality", text_ops.text_quality, text_ops.TEXT_QUALITY_SQL)
-register("dataset_split", sampling.dataset_split, sampling.DATASET_SPLIT_SQL)
-register("stratified_sample", sampling.stratified_sample, sampling.STRATIFIED_SAMPLE_SQL)
-
-# ---------------------------------- hash-canonicalization probes (2/2)
-register("probe_bigint", probes.probe_bigint, probes.PROBE_BIGINT_SQL, raw=True)
-register("probe_date", probes.probe_date, probes.PROBE_DATE_SQL, raw=True)
-register("probe_timestamp", probes.probe_timestamp, probes.PROBE_TIMESTAMP_SQL, raw=True)
-register("probe_boolean", probes.probe_boolean, probes.PROBE_BOOLEAN_SQL, raw=True)
-
-# ------------------------------- formerly rows-only, now SQL-checked
-# (reshaped to invariant-check queries — VERDICT r2 #3: the sketch /
-# greedy fold stay engine-specific, but their exact anchors and
-# guarantee booleans are SQL-checkable; the raw operators keep their
-# rows-only entries past the window)
-register(
-    "approx_percentiles_check",
-    analytics.approx_percentiles_check,
-    analytics.APPROX_CHECK_SQL,
-)
-register("pack_sequences_check", packing.pack_sequences_check, packing.PACK_CHECK_SQL)
-
-# --------------------- round-2 green set (positions 51+; the driver
-# checked these in round 2 — rotation noted in SURVEY.md §2)
+# ------------------- round-4 certification set: 21 rotated-in queries
 register("q4_order_priority", tpch.q4_order_priority, tpch.Q4_SQL)
 register("q5_local_supplier_volume", tpch.q5_local_supplier_volume, tpch.Q5_SQL)
 register("q6_revenue_change", tpch.q6_revenue_change, tpch.Q6_SQL)
@@ -237,10 +154,101 @@ register("retention_day_n", events.retention_day_n, events.RETENTION_SQL)
 register("text_langid", text_ops.text_langid, text_ops.TEXT_LANGID_SQL)
 register("text_fingerprint", text_ops.text_fingerprint, text_ops.TEXT_FINGERPRINT_SQL)
 register("token_count_histogram", sampling.token_count_histogram, sampling.TOKEN_HISTOGRAM_SQL)
-# raw rows-only forms of the *_check entries above (library surface;
-# their invariants are adjudicated via the _check queries in-window)
-register("approx_percentiles_order_value", analytics.approx_percentiles_order_value, None)
-register("pack_sequences", packing.pack_sequences, None)
+
+# ------------------------- r3-green canaries (regression detectors)
+register("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL)
+register("dedup_minhash_lsh", dedup.dedup_minhash_lsh, dedup.DEDUP_MINHASH_SQL)
+register("ann_ivf_topk", similarity.ann_ivf_topk, similarity.ANN_IVF_SQL)
+
+# ------------------- NEW round-4 operators (slots 27-50, certified
+# for the first time this round; registered by their modules below)
+
+# === PAST-50 MARKER: everything below keeps its green r3 row ======
+# (rotation documented in SURVEY.md §2; local test_oracle_parity
+# still runs ALL entries bit-exactly at two SFs every pytest run)
+
+
+def _register_past_window() -> None:
+    """Registrations past the driver's 50-entry window (r3-green)."""
+    # §2.4 dedup
+    register("dedup_exact", dedup.dedup_exact, dedup.DEDUP_EXACT_SQL)
+    register("dedup_ngram_jaccard", dedup.dedup_ngram_jaccard, dedup.DEDUP_NGRAM_SQL)
+    register("dedup_simhash", dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL)
+    register("dedup_clusters", components.dedup_clusters, components.DEDUP_CLUSTERS_SQL)
+
+    # §2.4 embeddings
+    register("embedding_norm_stats", similarity.embedding_norm_stats, similarity.NORM_STATS_SQL)
+    register("ann_topk_bruteforce", similarity.ann_topk_bruteforce, similarity.ANN_BRUTE_SQL)
+    register("embedding_near_dup", similarity.embedding_near_dup, similarity.NEAR_DUP_SQL)
+
+    # §2.1 metadata tables
+    # meta_snapshots / meta_history: oracle reads the reference
+    # fixture's metadata.json directly via DuckDB read_json
+    # (independent engine). meta_manifest_entries / meta_files /
+    # meta_partitions introspect the fixture's Avro manifest, which
+    # DuckDB cannot read natively: their oracle is golden VALUES
+    # derived from the reference's own expected test output (see
+    # iceberg/tables.py) — fixture-pinned golden, not a second engine.
+    register("meta_manifest_entries", meta_tables.meta_manifest_entries, meta_tables.META_MANIFEST_ENTRIES_SQL)
+    register("meta_files", meta_tables.meta_files, meta_tables.META_FILES_SQL)
+    register("meta_partitions", meta_tables.meta_partitions, meta_tables.META_PARTITIONS_SQL)
+    register("meta_snapshots", meta_tables.meta_snapshots, meta_tables.META_SNAPSHOTS_SQL)
+    register("meta_history", meta_tables.meta_history, meta_tables.META_HISTORY_SQL)
+
+    # §2.2 TPC-H
+    register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_SQL)
+    register("q9_product_type_profit", tpch.q9_product_type_profit, tpch.Q9_SQL)
+    register("q10_returned_items", tpch.q10_returned_items, tpch.Q10_SQL)
+    register("q18_large_volume_customers", tpch.q18_large_volume_customers, tpch.Q18_SQL)
+    register("q2_min_cost_supplier", tpch_ext.q2_min_cost_supplier, tpch_ext.Q2_SQL)
+    register("q8_market_share", tpch_ext.q8_market_share, tpch_ext.Q8_SQL)
+    register("q11_important_part_value", tpch_ext.q11_important_part_value, tpch_ext.Q11_SQL)
+    register("q20_promo_part_shippers", tpch_ext.q20_promo_part_shippers, tpch_ext.Q20_SQL)
+
+    # §2.2 window/analytics
+    register("top_k_per_group", analytics.top_k_per_group, analytics.TOP_K_SQL)
+    register("rollup_revenue", analytics.rollup_revenue, analytics.ROLLUP_SQL)
+    register("cube_status_priority", analytics.cube_status_priority, analytics.CUBE_SQL)
+    register("percentiles_order_value", analytics.percentiles_order_value, analytics.PERCENTILES_SQL)
+    register("customer_running_total", analytics.customer_running_total, analytics.RUNNING_TOTAL_SQL)
+    register("monthly_revenue_delta", analytics.monthly_revenue_delta, analytics.MONTHLY_DELTA_SQL)
+    register("decile_value_customers", analytics.decile_value_customers, analytics.DECILE_SQL)
+    register("orders_cume_dist", analytics.orders_cume_dist, analytics.CUME_DIST_SQL)
+
+    # §2.3 events
+    register("sessionize_events", events.sessionize_events, events.SESSIONIZE_SQL)
+    register("session_window_agg", events.session_window_agg, events.SESSION_WINDOW_SQL)
+    register("sliding_window_agg", events.sliding_window_agg, events.SLIDING_WINDOW_SQL)
+    register("events_props_stats", events.events_props_stats, events.EVENTS_PROPS_SQL)
+    register("funnel_windowed", events.funnel_windowed, events.FUNNEL_WINDOWED_SQL)
+    register("events_dedup_exact", events.events_dedup_exact, events.EVENTS_DEDUP_SQL)
+
+    # §2.4 text analysis / sampling
+    register("text_stats", text_ops.text_stats, text_ops.TEXT_STATS_SQL)
+    register("text_quality", text_ops.text_quality, text_ops.TEXT_QUALITY_SQL)
+    register("dataset_split", sampling.dataset_split, sampling.DATASET_SPLIT_SQL)
+    register("stratified_sample", sampling.stratified_sample, sampling.STRATIFIED_SAMPLE_SQL)
+
+    # invariant-check queries (r3-green) + their raw rows-only forms
+    register(
+        "approx_percentiles_check",
+        analytics.approx_percentiles_check,
+        analytics.APPROX_CHECK_SQL,
+    )
+    register("pack_sequences_check", packing.pack_sequences_check, packing.PACK_CHECK_SQL)
+    register("approx_percentiles_order_value", analytics.approx_percentiles_order_value, None)
+    register("pack_sequences", packing.pack_sequences, None)
+
+    # hash-canonicalization probes, retired after proving the law in
+    # r2/r3 (probe_decimal stays EXPECTED-red by design — raw=True)
+    register("probe_decimal", probes.probe_decimal, probes.PROBE_DECIMAL_SQL, raw=True)
+    register("probe_bigint", probes.probe_bigint, probes.PROBE_BIGINT_SQL, raw=True)
+    register("probe_date", probes.probe_date, probes.PROBE_DATE_SQL, raw=True)
+    register("probe_timestamp", probes.probe_timestamp, probes.PROBE_TIMESTAMP_SQL, raw=True)
+    register("probe_boolean", probes.probe_boolean, probes.PROBE_BOOLEAN_SQL, raw=True)
+
+
+_register_past_window()
 
 
 def queries() -> dict[str, QueryFn]:
