@@ -57,6 +57,10 @@ HEADLINE = [
     "embedding_near_dup",
     "ann_topk_bruteforce",
     "pack_sequences",
+    # round-4 breadth (VERDICT r3 #8): newest operator families
+    "ann_ivf_topk",
+    "dedup_clusters",
+    "meta_manifest_entries",
 ]
 
 

@@ -115,6 +115,7 @@ def pack_sequences_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_pack = packs.groupBy("shard", "pack_id").agg(
         F.count(F.lit(1)).alias("m"),
         F.max("pack_fill").alias("fill"),
+        F.min("pack_fill").alias("fill_min"),
         F.sum("n_tokens").alias("tok"),
     )
     docs = packs.agg(
@@ -127,7 +128,11 @@ def pack_sequences_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.every((F.col("fill") <= TOKEN_BUDGET) | (F.col("m") == 1)).alias(
             "packs_within_budget"
         ),
-        F.every(F.col("fill") == F.col("tok")).alias("fill_consistent"),
+        # min==max conjunct (ADVICE r3): a pack whose member rows
+        # disagree on pack_fill must fail even if max == token sum
+        F.every(
+            (F.col("fill") == F.col("tok")) & (F.col("fill_min") == F.col("fill"))
+        ).alias("fill_consistent"),
     )
     return docs.crossJoin(agg).select(
         F.col("n_rows").alias("n_docs"),

@@ -48,6 +48,12 @@ D38_6 = "decimal(38,6)"
 
 N_QUERIES = 10
 TOP_K = 5
+# Default hyperplane count for embedding_near_dup. 2^N_PLANES
+# buckets; E[candidate pairs] ≈ N²/2^(N_PLANES+1) on random data, so
+# each extra plane halves the pair count at some recall cost. 8 is
+# right for the sf testdata (~2-6k vectors); a 100× corpus should
+# pass n_planes=12-16 through the keyword instead of editing code
+# (VERDICT r3 next-round #6).
 N_PLANES = 8
 NEAR_DUP_TOP = 50
 IVF_NPROBE = 4
@@ -142,21 +148,28 @@ ORDER BY qid, rk
 """
 
 
-def _with_bucket(e: DataFrame) -> DataFrame:
-    bits = F.concat(*[hyperplane_sign("embedding", p) for p in range(N_PLANES)])
+def _with_bucket(e: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    bits = F.concat(*[hyperplane_sign("embedding", p) for p in range(n_planes)])
     return e.select(
         "vec_id", "embedding", sum_squares("embedding").alias("ss"), bits.alias("bucket")
     )
 
 
-def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_near_dup(
+    spark: SparkSession, sf_dir: str, *, n_planes: int = N_PLANES
+) -> DataFrame:
     """Most-similar vector pairs via random-hyperplane LSH: pairs
-    are only compared inside an 8-bit sign bucket; top-50 by exact
-    cosine. (The synthetic corpus has no true near-dups — max
-    pairwise cosine ≈ 0.51 — so this emits the top of the bucketed
-    similarity ranking rather than thresholded survivors.)"""
+    are only compared inside an ``n_planes``-bit sign bucket; top-50
+    by exact cosine. (The synthetic corpus has no true near-dups —
+    max pairwise cosine ≈ 0.51 — so this emits the top of the
+    bucketed similarity ranking rather than thresholded survivors.)
+
+    ``n_planes`` is the pairs-vs-recall knob: 2^n_planes buckets,
+    each extra plane roughly halves candidate pairs and slightly
+    lowers recall. The registry/oracle pin the default; scale
+    deployments raise it without code edits."""
     e = load_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
-    b = _with_bucket(e)
+    b = _with_bucket(e, n_planes)
     x = b.select(
         F.col("vec_id").alias("va"),
         F.col("embedding").alias("ea"),

@@ -69,23 +69,33 @@ def register(name: str, fn: QueryFn, sql: str | None, *, raw: bool = False) -> N
     _REGISTRY[name] = (fn, sql, raw)
 
 
-def _hash_safe_df(df: DataFrame) -> DataFrame:
-    """Cast every top-level DECIMAL output column to double."""
-    if not any(isinstance(f.dataType, T.DecimalType) for f in df.schema.fields):
+def _hash_safe_df(df: DataFrame, forced: tuple[str, ...] = ()) -> DataFrame:
+    """Cast every top-level DECIMAL output column to double — plus
+    any column the generated DuckDB-side map lists (``forced``), so
+    an oracle HUGEINT paired with a Spark LONG renders ``123.0`` on
+    BOTH engines rather than only one (ADVICE r3: latent long-vs-
+    double mismatch)."""
+    needs = {
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.DecimalType)
+        or (f.name in forced and not isinstance(f.dataType, T.DoubleType))
+    }
+    if not needs:
         return df
     return df.select(
         *[
             F.col(f.name).cast("double").alias(f.name)
-            if isinstance(f.dataType, T.DecimalType)
+            if f.name in needs
             else F.col(f.name)
             for f in df.schema.fields
         ]
     )
 
 
-def _wrap_fn(fn: QueryFn) -> QueryFn:
+def _wrap_fn(name: str, fn: QueryFn) -> QueryFn:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return _hash_safe_df(fn(spark, sf_dir))
+        return _hash_safe_df(fn(spark, sf_dir), _decimal_cols(name))
 
     wrapped.__name__ = getattr(fn, "__name__", "query")
     wrapped.__doc__ = fn.__doc__
@@ -252,7 +262,7 @@ _register_past_window()
 
 
 def queries() -> dict[str, QueryFn]:
-    return {k: (fn if raw else _wrap_fn(fn)) for k, (fn, _, raw) in _REGISTRY.items()}
+    return {k: (fn if raw else _wrap_fn(k, fn)) for k, (fn, _, raw) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:

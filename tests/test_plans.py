@@ -122,3 +122,30 @@ def test_bruteforce_is_the_only_sanctioned_nested_loop(spark):
     # the 10-row query set) — sanctioned here, banned everywhere else
     df = similarity.ann_topk_bruteforce(spark, SF_ORACLE)
     assert checks.cartesian_joins(df) >= 1
+
+
+def test_minhash_plan_contract(spark):
+    """LSH hot-path contract: no pair explosion (bucket-cap filter
+    compiled into the plan), no Python eval, no cartesian."""
+    df = dedup.dedup_minhash_lsh(spark, SF_ORACLE)
+    assert checks.cartesian_joins(df) == 0
+    assert checks.no_python_eval(df)
+    p = checks.plan_string(df, "simple")
+    # the MAX_BUCKET guard must survive into the physical plan as a
+    # filter on the bucket-size aggregate
+    assert f"<= {dedup.MAX_BUCKET}" in p, "bucket-cap filter missing from plan"
+
+
+def test_ivf_plan_contract(spark):
+    """IVF hot-path contract: centroid assignment is a BROADCAST
+    nested loop (centroids are k×dims, tiny by construction), never
+    a shuffled CartesianProduct; the probe→corpus meet is an
+    equi-join on cell; nothing leaves the JVM."""
+    df = similarity.ann_ivf_topk(spark, SF_ORACLE)
+    p = checks.plan_string(df, "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # centroids broadcast
+    # vector dots are the sanctioned Arrow fast path — Arrow-batched
+    # eval allowed, row-at-a-time Python banned
+    assert "BatchEvalPython" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p

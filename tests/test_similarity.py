@@ -43,3 +43,14 @@ def test_near_dup_pairs_are_bucket_mates_and_sorted(spark):
     cosines = [float(r.cosine) for r in rows]
     assert cosines == sorted(cosines, reverse=True)
     assert all(r.va < r.vb for r in rows)
+
+
+def test_near_dup_plane_knob_monotone(spark):
+    """n_planes is the pairs-vs-recall knob: an n-plane bucket is a
+    strict prefix-coarsening of an (n+k)-plane bucket, so fewer
+    planes admit a superset of candidate pairs and the top-50 floor
+    cosine can only rise."""
+    fine = similarity.embedding_near_dup(spark, SF_ORACLE).collect()
+    coarse = similarity.embedding_near_dup(spark, SF_ORACLE, n_planes=4).collect()
+    assert len(fine) == len(coarse) == similarity.NEAR_DUP_TOP
+    assert min(float(r.cosine) for r in coarse) >= min(float(r.cosine) for r in fine)
