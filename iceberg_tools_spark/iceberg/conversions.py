@@ -16,6 +16,7 @@ import re
 import struct
 import uuid as _uuid
 from decimal import Decimal
+from decimal import localcontext as _dec_localcontext
 from typing import Any
 
 _DECIMAL_RE = re.compile(r"^decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)$")
@@ -77,9 +78,49 @@ def from_bytes(type_str: str, data: bytes) -> Any:
         assert m is not None
         scale = int(m.group(2))
         unscaled = int.from_bytes(data, "big", signed=True)
-        return Decimal(unscaled).scaleb(-scale)
+        # widen past the default 28-digit context so decimal(38, s)
+        # values stay exact
+        with _dec_localcontext() as ctx:
+            ctx.prec = 80
+            return Decimal(unscaled).scaleb(-scale)
     # binary / fixed[n]
     return data
+
+
+def to_bytes(type_str: str, value: Any) -> bytes:
+    """Serialize one Iceberg single-value (inverse of
+    :func:`from_bytes`; the spec's binary single-value table:
+    little-endian numerics, UTF-8 strings, minimal big-endian
+    unscaled decimals, 16-byte UUID)."""
+    t = canonical_type(type_str)
+    if t == "boolean":
+        return b"\x01" if value else b"\x00"
+    if t in ("int", "date"):
+        return struct.pack("<i", int(value))
+    if t in ("long", "time", "timestamp", "timestamptz", "timestamp_ns", "timestamptz_ns"):
+        return struct.pack("<q", int(value))
+    if t == "float":
+        return struct.pack("<f", float(value))
+    if t == "double":
+        return struct.pack("<d", float(value))
+    if t == "string":
+        return str(value).encode("utf-8")
+    if t == "uuid":
+        return value.bytes if isinstance(value, _uuid.UUID) else _uuid.UUID(str(value)).bytes
+    if t.startswith("decimal"):
+        m = _DECIMAL_RE.match(t)
+        assert m is not None
+        scale = int(m.group(2))
+        # default decimal context (28 digits) would round a
+        # decimal(38, s) — widen for the scaleb
+        with _dec_localcontext() as ctx:
+            ctx.prec = 80
+            unscaled = int(Decimal(value).scaleb(scale).to_integral_exact())
+        # minimal two's-complement length (Java BigDecimal semantics)
+        n = max(1, (unscaled.bit_length() + 8) // 8)
+        return unscaled.to_bytes(n, "big", signed=True)
+    # binary / fixed[n]
+    return bytes(value)
 
 
 def _shortest_float32_str(v: float) -> str:
@@ -90,8 +131,13 @@ def _shortest_float32_str(v: float) -> str:
     bits = struct.pack("<f", v)
     for p in range(1, 10):
         s = f"{v:.{p}g}"
-        if struct.pack("<f", float(s)) == bits:
-            return s
+        try:
+            if struct.pack("<f", float(s)) == bits:
+                return s
+        except OverflowError:
+            # candidate rounded above float32 max (e.g. 3.403e38 for
+            # 3.4028235e38) — not a round-trip, try more digits
+            continue
     return repr(struct.unpack("<f", bits)[0])
 
 

@@ -299,6 +299,44 @@ def meta_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+import os as _os
+
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+TYPED_BOUNDS_MANIFEST = _os.path.join(
+    _REPO_ROOT, "tests", "fixtures", "typed_bounds", "typed-bounds-m0.avro"
+)
+TYPED_BOUNDS_METADATA = _os.path.join(
+    _REPO_ROOT, "tests", "fixtures", "typed_bounds", "v2.metadata.json"
+)
+
+
+def meta_typed_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest entries of the synthetic typed-bounds fixture
+    (scripts/gen_typed_bounds_fixture.py): float / double / decimal /
+    date / timestamp / boolean / string / long / binary bounds pushed
+    end-to-end through single-value serialization → Avro manifest →
+    container reader → ``decode_bound`` rendering. Exercises exactly
+    the reference's `IcebergDatumWriter.bound2Byte` rendering for
+    the types the reference fixture lacks (it only has long/string
+    bounds): float32 shortest-round-trip (`0.1`, `3.4028235E38`),
+    Java scientific-notation cutoffs (`1.5E7`, `1.0E-8`, `2.5E300`),
+    scale-preserving decimals (`-12.50`), negative dates/timestamps.
+    """
+    meta = parse_metadata(TYPED_BOUNDS_METADATA)
+    rows = _scalar_entry_rows([TYPED_BOUNDS_MANIFEST], meta.raw)
+    return (
+        spark.createDataFrame(rows, ENTRIES_SCALAR_SCHEMA)
+        .select(
+            "file_path",
+            "partition_json",
+            "record_count",
+            "lower_bounds_json",
+            "upper_bounds_json",
+        )
+        .orderBy("file_path")
+    )
+
+
 def meta_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = parse_metadata(FIXTURE_METADATA)
     return (
@@ -374,6 +412,30 @@ FROM (VALUES {_GOLDEN_ENTRY_VALUES}) t({_ENTRY_COLS})
 WHERE status <> 2
 GROUP BY partition_json
 ORDER BY partition_json
+"""
+
+# GOLDEN rows for the typed-bounds fixture: the rendered strings are
+# HAND-PINNED expectations of the reference's bound2Byte rendering
+# (Java Float/Double.toString, BigDecimal.toString, raw int
+# date/timestamp) — the pipeline (to_bytes → Avro writer → container
+# reader → decode_bound) must reproduce them byte-for-byte.
+_TYPED_BOUNDS_VALUES = """
+  ('file:///tmp/typed_bounds/data/part=a/00000-0-typed.parquet',
+   '{"part": "a"}', 2,
+   '{"1": "value:0.1;type:float", "2": "value:1.0E-8;type:double", "3": "value:-12.50;type:decimal(9, 2)", "4": "value:7000;type:date", "5": "value:1500000000000000;type:timestamp", "6": "value:false;type:boolean", "7": "value:aardvark;type:string", "8": "value:-5;type:long", "9": "value:0x0001;type:binary"}',
+   '{"1": "value:1.5E7;type:float", "2": "value:123456.789;type:double", "3": "value:99999.99;type:decimal(9, 2)", "4": "value:19000;type:date", "5": "value:1700000000123456;type:timestamp", "6": "value:true;type:boolean", "7": "value:zebra;type:string", "8": "value:99;type:long", "9": "value:0xfffe;type:binary"}'),
+  ('file:///tmp/typed_bounds/data/part=b/00000-0-typed.parquet',
+   '{"part": "b"}', 2,
+   '{"1": "value:2.5;type:float", "2": "value:-0.001;type:double", "3": "value:0.01;type:decimal(9, 2)", "4": "value:-3650;type:date", "5": "value:-1;type:timestamp", "6": "value:true;type:boolean", "7": "value:mango;type:string", "8": "value:0;type:long", "9": "value:0x00;type:binary"}',
+   '{"1": "value:3.4028235E38;type:float", "2": "value:2.5E300;type:double", "3": "value:1234567.89;type:decimal(9, 2)", "4": "value:0;type:date", "5": "value:0;type:timestamp", "6": "value:true;type:boolean", "7": "value:papaya;type:string", "8": "value:9223372036854775807;type:long", "9": "value:0x7f80;type:binary"}')
+"""
+
+META_TYPED_BOUNDS_SQL = f"""
+SELECT file_path, partition_json, CAST(record_count AS BIGINT) AS record_count,
+       lower_bounds_json, upper_bounds_json
+FROM (VALUES {_TYPED_BOUNDS_VALUES})
+  t(file_path, partition_json, record_count, lower_bounds_json, upper_bounds_json)
+ORDER BY file_path
 """
 
 META_SNAPSHOTS_SQL = f"""

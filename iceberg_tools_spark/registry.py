@@ -171,7 +171,11 @@ register("dedup_minhash_lsh", dedup.dedup_minhash_lsh, dedup.DEDUP_MINHASH_SQL)
 register("ann_ivf_topk", similarity.ann_ivf_topk, similarity.ANN_IVF_SQL)
 
 # ------------------- NEW round-4 operators (slots 27-50, certified
-# for the first time this round; registered by their modules below)
+# for the first time this round)
+# typed-bounds fixture: float/double/decimal/date bound rendering
+# end-to-end through the manifest pipeline (VERDICT r3 #4); golden
+# VALUES oracle hand-pinned to the reference's bound2Byte rendering
+register("meta_typed_bounds", meta_tables.meta_typed_bounds, meta_tables.META_TYPED_BOUNDS_SQL)
 
 # === PAST-50 MARKER: everything below keeps its green r3 row ======
 # (rotation documented in SURVEY.md §2; local test_oracle_parity

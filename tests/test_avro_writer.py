@@ -1,0 +1,146 @@
+"""Avro writer round-trips + typed-bounds fixture end-to-end.
+
+The writer is spec-implemented (Avro 1.11 binary encoding), so its
+contract test is: everything it writes, the spec-implemented reader
+must read back identically — across all type shapes the manifest
+schema uses plus the ones it doesn't (enum, fixed, map, deflate).
+"""
+
+from __future__ import annotations
+
+import struct
+from decimal import Decimal
+
+import pytest
+
+from iceberg_tools_spark.avro.reader import AvroContainerFile
+from iceberg_tools_spark.avro.writer import write_container
+from iceberg_tools_spark.iceberg import conversions as C
+
+SCHEMA = {
+    "type": "record",
+    "name": "t",
+    "fields": [
+        {"name": "b", "type": "boolean"},
+        {"name": "i", "type": "int"},
+        {"name": "l", "type": "long"},
+        {"name": "f", "type": "float"},
+        {"name": "d", "type": "double"},
+        {"name": "s", "type": "string"},
+        {"name": "by", "type": "bytes"},
+        {"name": "u", "type": ["null", "long"], "default": None},
+        {"name": "arr", "type": {"type": "array", "items": "int"}},
+        {"name": "m", "type": {"type": "map", "values": "string"}},
+        {"name": "e", "type": {"type": "enum", "name": "col", "symbols": ["R", "G", "B"]}},
+        {"name": "fx", "type": {"type": "fixed", "name": "f4", "size": 4}},
+        {
+            "name": "nested",
+            "type": {
+                "type": "record",
+                "name": "inner",
+                "fields": [{"name": "x", "type": "long"}],
+            },
+        },
+    ],
+}
+
+ROWS = [
+    {
+        "b": True, "i": -42, "l": 2**62, "f": 0.5, "d": 1e-300,
+        "s": "héllo", "by": b"\x00\xff", "u": None, "arr": [1, 2, 3],
+        "m": {"k1": "v1", "k2": "v2"}, "e": "G", "fx": b"abcd",
+        "nested": {"x": 7},
+    },
+    {
+        "b": False, "i": 0, "l": -(2**62), "f": -1.5, "d": 0.0,
+        "s": "", "by": b"", "u": 99, "arr": [], "m": {}, "e": "B",
+        "fx": b"\x00\x01\x02\x03", "nested": {"x": -1},
+    },
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_writer_reader_roundtrip(codec):
+    blob = write_container(SCHEMA, ROWS, codec=codec)
+    got = list(AvroContainerFile(blob))
+    # float is stored at 32-bit precision; compare via packed bits
+    for g, w in zip(got, ROWS, strict=True):
+        gf, wf = g.pop("f"), w.copy().pop("f")
+        assert struct.pack("<f", gf) == struct.pack("<f", wf)
+        w = {k: v for k, v in w.items() if k != "f"}
+        assert g == w
+
+
+def test_writer_deterministic():
+    assert write_container(SCHEMA, ROWS) == write_container(SCHEMA, ROWS)
+
+
+def test_empty_container_roundtrip():
+    blob = write_container(SCHEMA, [])
+    assert list(AvroContainerFile(blob)) == []
+
+
+@pytest.mark.parametrize(
+    "typ,val",
+    [
+        ("boolean", True),
+        ("boolean", False),
+        ("int", -2**31),
+        ("long", 2**62),
+        ("date", -3650),
+        ("float", 0.1),
+        ("double", 2.5e300),
+        ("timestamp", 1700000000123456),
+        ("string", "müsli"),
+        ("binary", b"\x00\x7f\xff"),
+        ("decimal(9, 2)", Decimal("-12.50")),
+        ("decimal(38, 6)", Decimal("99999999999999999999999999999999.999999")),
+        ("uuid", __import__("uuid").UUID("11111111-2222-3333-4444-555555555555")),
+    ],
+)
+def test_single_value_serialization_roundtrip(typ, val):
+    data = C.to_bytes(typ, val)
+    back = C.from_bytes(typ, data)
+    if typ == "float":
+        assert struct.pack("<f", back) == struct.pack("<f", val)
+    else:
+        assert back == val
+
+
+def test_decimal_minimal_bytes():
+    # Java BigDecimal.unscaledValue().toByteArray() is minimal-length
+    # two's complement; -1250 fits in 2 bytes, 127 in 1
+    assert C.to_bytes("decimal(9, 2)", Decimal("-12.50")) == (-1250).to_bytes(2, "big", signed=True)
+    assert C.to_bytes("decimal(4, 2)", Decimal("1.27")) == b"\x7f"
+
+
+def test_typed_bounds_fixture_rendering(spark):
+    """The flagship assertion for VERDICT r3 #4: float32 shortest-
+    round-trip, Java sci-notation cutoffs, scale-preserved decimals —
+    all rendered through the REAL manifest pipeline."""
+    from iceberg_tools_spark.iceberg import tables as mt
+
+    rows = mt.meta_typed_bounds(spark, "").collect()
+    assert len(rows) == 2
+    a, b = rows
+    assert '"1": "value:0.1;type:float"' in a.lower_bounds_json
+    assert '"1": "value:1.5E7;type:float"' in a.upper_bounds_json
+    assert '"2": "value:1.0E-8;type:double"' in a.lower_bounds_json
+    assert '"3": "value:-12.50;type:decimal(9, 2)"' in a.lower_bounds_json
+    assert '"4": "value:7000;type:date"' in a.lower_bounds_json
+    assert '"1": "value:3.4028235E38;type:float"' in b.upper_bounds_json
+    assert '"2": "value:2.5E300;type:double"' in b.upper_bounds_json
+    assert '"8": "value:9223372036854775807;type:long"' in b.upper_bounds_json
+
+
+def test_fixture_regeneration_is_stable():
+    """Committed fixture == regenerated fixture (deterministic
+    generator; fails if either drifts)."""
+    import importlib
+
+    gen = importlib.import_module("scripts.gen_typed_bounds_fixture")
+    blob = __import__("iceberg_tools_spark.avro.writer", fromlist=["write_container"]).write_container(
+        gen.MANIFEST_SCHEMA, [gen._entry("part=a", 1234), gen._entry("part=b", 2345)]
+    )
+    with open(gen.OUT_DIR + "/typed-bounds-m0.avro", "rb") as f:
+        assert f.read() == blob
