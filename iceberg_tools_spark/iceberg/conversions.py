@@ -116,8 +116,12 @@ def to_bytes(type_str: str, value: Any) -> bytes:
         with _dec_localcontext() as ctx:
             ctx.prec = 80
             unscaled = int(Decimal(value).scaleb(scale).to_integral_exact())
-        # minimal two's-complement length (Java BigDecimal semantics)
-        n = max(1, (unscaled.bit_length() + 8) // 8)
+        # minimal two's-complement length, Java BigInteger.bitLength
+        # semantics: for negatives, bitLength counts the bits of
+        # ~unscaled, so magnitude-exactly-2^(8k-1) values (e.g.
+        # unscaled -128) take k bytes, not k+1 (ADVICE r4)
+        bl = unscaled.bit_length() if unscaled >= 0 else (~unscaled).bit_length()
+        n = bl // 8 + 1
         return unscaled.to_bytes(n, "big", signed=True)
     # binary / fixed[n]
     return bytes(value)

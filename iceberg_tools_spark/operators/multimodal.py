@@ -218,8 +218,8 @@ def _audio_feature(samples: np.ndarray, rate: int) -> list[float]:
     zcr = float(np.mean(np.abs(np.diff(np.signbit(mono))))) if mono.size > 1 else 0.0
     hist = np.histogram(mono, bins=8, range=(-1.0, 1.0))[0] / max(mono.size, 1)
     return [
-        float(mono.mean()),
-        float(mono.std()),
+        float(mono.mean()) if mono.size else 0.0,
+        float(mono.std()) if mono.size else 0.0,
         float(mono.min()) if mono.size else 0.0,
         float(mono.max()) if mono.size else 0.0,
         float(np.sqrt(np.mean(mono**2))) if mono.size else 0.0,
@@ -233,10 +233,19 @@ def _audio_feature(samples: np.ndarray, rate: int) -> list[float]:
 def real_or_fake_feature(payload: bytes, modality: str) -> list[float]:
     """REAL statistical feature for in-sandbox-decodable payloads
     (BMP/PPM images, PCM WAV audio); deterministic ``fake_feature``
-    fallback for everything else (compressed codecs, video)."""
+    fallback for everything else (compressed codecs, video).
+
+    The fallback must absorb *malformed* real-format payloads too: a
+    truncated BMP raises ``struct.error`` from ``unpack_from``, a
+    RIFF header over a garbage body raises ``wave.Error``, and a
+    garbage chunk length raises bare ``RuntimeError`` from the
+    stdlib wave seek — the malformed-blob exception surface is
+    open-ended, so the decode attempt is fully fenced: any failure
+    means "not sandbox-decodable", never a failed Arrow batch
+    (ADVICE r4)."""
     try:
         decoded = decode_media(bytes(payload), modality)
-    except ValueError:
+    except Exception:
         return fake_feature(payload)
     if modality == "image":
         return _image_feature(decoded)

@@ -35,11 +35,15 @@ def load_table(
 ) -> DataFrame:
     """Read one test table; `columns` prunes the scan.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects outright; we read it as a raw long
-    (``nanosAsLong``) and rebuild a TIMESTAMP_NTZ with pure integer
-    arithmetic on an NTZ epoch — session-timezone-independent, and
-    microsecond-truncated exactly like DuckDB's nanos→us read.
+    ``events.ts`` has shipped in two physical forms across driver
+    testdata generations: parquet TIMESTAMP(NANOS) — which Spark's
+    vectorized reader rejects outright, so it is read as a raw long
+    (``nanosAsLong``) and rebuilt with integer arithmetic on an NTZ
+    epoch, microsecond-truncated exactly like DuckDB's nanos→us
+    read — and plain TIMESTAMP(MICROS), which Spark reads natively.
+    The loader inspects the read dtype and normalizes both to
+    TIMESTAMP_NTZ so every downstream operator sees one
+    session-timezone-independent type.
     """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -48,13 +52,26 @@ def load_table(
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        df = df.withColumn(
-            "ts",
-            F.expr(
-                "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-            ),
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):  # TIMESTAMP(NANOS) via nanosAsLong
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        elif not isinstance(ts_type, T.TimestampNTZType):
+            # TIMESTAMP(MICROS) read as session-zoned TIMESTAMP —
+            # rebuild NTZ from UTC epoch micros (session-tz-free),
+            # matching DuckDB's naive-UTC read of the same file
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, unix_micros(ts), TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
     if columns:
         df = df.select(*columns)
     return df

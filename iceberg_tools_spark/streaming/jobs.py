@@ -38,10 +38,25 @@ EVENTS_RAW_SCHEMA = T.StructType(
 
 def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
     """File-source stream over the events parquet with the same NTZ
-    timestamp reconstruction as the batch path."""
+    timestamp reconstruction as the batch path.
+
+    Driver testdata has shipped ``ts`` as both TIMESTAMP(NANOS)
+    (readable only as raw long via ``nanosAsLong``) and plain
+    TIMESTAMP(MICROS); a cheap footer probe via the batch reader
+    picks the matching declared stream schema."""
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    ts_is_long = isinstance(probe["ts"].dataType, T.LongType)
+    schema = EVENTS_RAW_SCHEMA if ts_is_long else T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", probe["ts"].dataType)
+            for f in EVENTS_RAW_SCHEMA.fields
+        ]
+    )
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         # directory source + filename filter (a bare file path breaks
         # the source's basePath handling)
@@ -49,9 +64,11 @@ def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int =
         .parquet(sf_dir)
     )
     # watermarks require TIMESTAMP (with-local-tz), not NTZ — build
-    # LTZ from the epoch micros; under the session's UTC default the
-    # wall-clock values match the batch NTZ path
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # LTZ from the epoch micros (or cast NTZ wall-clock under the
+    # session's UTC default; same instants either way)
+    if ts_is_long:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_counts(

@@ -112,6 +112,12 @@ def test_decimal_minimal_bytes():
     # two's complement; -1250 fits in 2 bytes, 127 in 1
     assert C.to_bytes("decimal(9, 2)", Decimal("-12.50")) == (-1250).to_bytes(2, "big", signed=True)
     assert C.to_bytes("decimal(4, 2)", Decimal("1.27")) == b"\x7f"
+    # ADVICE r4: negative magnitudes exactly 2^(8k-1) are the
+    # boundary where (bit_length+8)//8 over-allocates vs Java
+    # BigInteger.toByteArray — -128 is one byte (0x80), not ff80
+    assert C.to_bytes("decimal(4, 2)", Decimal("-1.28")) == b"\x80"
+    assert C.to_bytes("decimal(9, 2)", Decimal("-327.68")) == b"\x80\x00"
+    assert C.from_bytes("decimal(4, 2)", b"\x80") == Decimal("-1.28")
 
 
 def test_typed_bounds_fixture_rendering(spark):

@@ -82,6 +82,35 @@ def test_undecodable_payload_raises_value_error():
         mm.decode_media(b"anything", "video")
 
 
+def test_malformed_real_format_payloads_fall_back():
+    """ADVICE r4: magic-matching but corrupt payloads raise
+    non-ValueError exceptions (struct.error from a truncated BMP,
+    wave.Error / RuntimeError from a garbage RIFF body) —
+    real_or_fake_feature must absorb ALL of them into the fake
+    fallback instead of failing the Arrow batch."""
+    truncated_bmp = b"BM\x00\x01"
+    garbage_riff = b"RIFF\x24\x00\x00\x00WAVEgarbagegarbage"
+    riff_no_body = b"RIFF\x04\x00\x00\x00WAVE"
+    for payload, modality in [
+        (truncated_bmp, "image"),
+        (garbage_riff, "audio"),
+        (riff_no_body, "audio"),
+        (b"P6\n10 10\n255\n", "image"),  # PPM header, truncated pixels
+    ]:
+        assert mm.real_or_fake_feature(payload, modality) == mm.fake_feature(payload)
+
+
+def test_zero_frame_wav_has_no_nan_features():
+    """ADVICE r4: a valid zero-frame PCM WAV decodes fine; features
+    must be finite (mean/std of an empty array are NaN otherwise)."""
+    import numpy as np
+
+    empty = mm.encode_wav(np.zeros((0, 1), dtype=np.float32), 16000)
+    feat = mm.real_or_fake_feature(empty, "audio")
+    assert len(feat) == mm.FEATURE_DIM
+    assert all(np.isfinite(feat))
+
+
 def _test_image(h: int = 5, w: int = 7) -> "np.ndarray":
     import numpy as np
 
