@@ -139,7 +139,8 @@ def _decimal_cols(name: str) -> tuple[str, ...]:
 # probe_decimal (EXPECTED-red witness of the driver's decimal
 # rendering law, proven in r2/r3) stays retired past the window.
 
-from .iceberg import tables as meta_tables  # noqa: E402  (after operator imports)
+from .iceberg import snapshots as meta_snap  # noqa: E402  (after operator imports)
+from .iceberg import tables as meta_tables  # noqa: E402
 
 # ------------------------------------------- canary probes (window)
 register("probe_double", probes.probe_double, probes.PROBE_DOUBLE_SQL, raw=True)
@@ -177,7 +178,21 @@ register("ann_ivf_topk", similarity.ann_ivf_topk, similarity.ANN_IVF_SQL)
 
 # ------------------- NEW round-5 operators (first certification) —
 # registered here, before the r4 re-certs, so new work always lands
-# in-window. (Filled in as round-5 features land.)
+# in-window. Multi-snapshot metadata surface (VERDICT r4 #3-5):
+# snapshots/history on a 4-snapshot delete-bearing fixture (DuckDB
+# read_json oracle — independent engine), $manifests via real
+# manifest-list Avro, EXISTING/DELETED status distribution, time
+# travel (files_at per snapshot), incremental scan (files added
+# between snapshots), and the rewrite-manifests executor round-trip
+# (golden oracles — Avro is unreadable to DuckDB; values pinned to
+# the generator's declared fixture contents).
+register("meta_snapshots_multi", meta_snap.meta_snapshots_multi, meta_snap.META_SNAPSHOTS_MULTI_SQL)
+register("meta_history_multi", meta_snap.meta_history_multi, meta_snap.META_HISTORY_MULTI_SQL)
+register("meta_manifests", meta_snap.meta_manifests, meta_snap.META_MANIFESTS_SQL)
+register("meta_entry_status_dist", meta_snap.meta_entry_status_dist, meta_snap.META_ENTRY_STATUS_DIST_SQL)
+register("files_at_snapshot", meta_snap.files_at_snapshot, meta_snap.FILES_AT_SNAPSHOT_SQL)
+register("files_added_between", meta_snap.files_added_between_q, meta_snap.FILES_ADDED_BETWEEN_SQL)
+register("meta_rewritten_files", meta_snap.meta_rewritten_files, meta_snap.META_REWRITTEN_FILES_SQL)
 
 # ------------------- r4-certified re-certs (fresh rows; any sliding
 # past position 50 keep their green r4 row)
