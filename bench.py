@@ -61,6 +61,9 @@ HEADLINE = [
     "ann_ivf_topk",
     "dedup_clusters",
     "meta_manifest_entries",
+    # round-5 breadth: snapshot-level planning + manifest rewrite
+    "files_at_snapshot",
+    "meta_rewritten_files",
 ]
 
 
@@ -86,6 +89,16 @@ def main() -> None:
         load_table(spark, sf_dir, tbl).write.format("noop").mode("overwrite").save()
     warmup = time.perf_counter() - t0
 
+    # machine-speed calibration: a fixed pure-CPU job (range sum, no
+    # IO, no data dependence). Round-over-round query comparisons
+    # divide by this to separate code regressions from host-speed
+    # drift (the sandbox VM lands on hosts of varying speed).
+    t0 = time.perf_counter()
+    spark.range(200_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    calibration = time.perf_counter() - t0
+
     available = registry.queries()
     names = [n for n in HEADLINE if n in available]
     timings: dict[str, float] = {}
@@ -94,6 +107,36 @@ def main() -> None:
         t = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t, 3)
+
+    # knob sweeps (VERDICT r4 #7): measured pairs-vs-knob numbers for
+    # the two LSH fan-out knobs. Sweep time is reported inside each
+    # row and NOT folded into the headline total (the headline set is
+    # the round-over-round comparable).
+    from iceberg_tools_spark.operators.dedup import lsh_candidate_pairs
+    from iceberg_tools_spark.operators.similarity import near_dup_candidate_pairs
+
+    sweep: dict[str, list] = {"near_dup_n_planes": [], "lsh_max_bucket": []}
+    for n_planes in (8, 12, 16):
+        t = time.perf_counter()
+        row = near_dup_candidate_pairs(spark, sf_dir, n_planes=n_planes).first()
+        sweep["near_dup_n_planes"].append(
+            {
+                "n_planes": n_planes,
+                "n_buckets": row.n_buckets,
+                "candidate_pairs": row.candidate_pairs,
+                "sec": round(time.perf_counter() - t, 3),
+            }
+        )
+    for max_bucket in (20, 100, 500):
+        t = time.perf_counter()
+        n = lsh_candidate_pairs(spark, sf_dir, max_bucket=max_bucket).count()
+        sweep["lsh_max_bucket"].append(
+            {
+                "max_bucket": max_bucket,
+                "candidate_pairs": n,
+                "sec": round(time.perf_counter() - t, 3),
+            }
+        )
 
     out = {
         "metric": "headline_total",
@@ -105,6 +148,8 @@ def main() -> None:
         "n_queries": len(timings),
         "session_startup_sec": round(startup, 3),
         "warmup_sec": round(warmup, 3),
+        "calibration_sec": round(calibration, 3),
+        "knob_sweep": sweep,
     }
     print(json.dumps(out))
 

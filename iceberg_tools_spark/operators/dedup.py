@@ -205,15 +205,12 @@ def _minhash_signatures(d: DataFrame) -> DataFrame:
     )
 
 
-def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + banded LSH near-dup pairs over word sets
-    (unordered; distinct on (da, db), da < db).
-
-    Bucket keys are md5 of 8 consecutive signature slots → uniform
-    shuffle keys; candidates only ever meet inside a bucket; the
-    verify step compares the two 64-slot signatures (no document
-    text is ever re-read or re-joined).
-    """
+def _sig_and_candidates(
+    spark: SparkSession, sf_dir: str, max_bucket: int
+) -> tuple[DataFrame, DataFrame]:
+    """(signatures, distinct candidate pairs) — the shared front
+    half of MinHash LSH; split out so the bench knob sweep can count
+    candidates under different bucket caps without the verify leg."""
     d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
     # signatures are one row per doc (64 hex strings ≈ 2 KB). The
     # plan reuses sig on four branches (banding, both candidate-join
@@ -241,7 +238,7 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok_buckets = (
         bands.groupBy("b", "bucket")
         .agg(F.count(F.lit(1)).alias("bsz"))
-        .filter(F.col("bsz") <= MAX_BUCKET)
+        .filter(F.col("bsz") <= max_bucket)
         .select("b", "bucket")
     )
     bands = bands.join(F.broadcast(ok_buckets), ["b", "bucket"])
@@ -256,6 +253,33 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
         .distinct()
     )
+    return sig, cand
+
+
+def lsh_candidate_pairs(
+    spark: SparkSession, sf_dir: str, *, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
+    """Distinct LSH candidate pairs BEFORE signature verification —
+    the observable the MAX_BUCKET bench sweep counts."""
+    return _sig_and_candidates(spark, sf_dir, max_bucket)[1]
+
+
+def minhash_pairs(
+    spark: SparkSession, sf_dir: str, *, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs over word sets
+    (unordered; distinct on (da, db), da < db).
+
+    ``max_bucket`` is the worst-case fan-out knob (pairs-per-bucket
+    ≤ max_bucket²/2 at any corpus size); the registry/oracle pin the
+    default, bench sweeps it for the measured pairs-vs-cap story.
+
+    Bucket keys are md5 of 8 consecutive signature slots → uniform
+    shuffle keys; candidates only ever meet inside a bucket; the
+    verify step compares the two 64-slot signatures (no document
+    text is ever re-read or re-joined).
+    """
+    sig, cand = _sig_and_candidates(spark, sf_dir, max_bucket)
     sa = sig.select(F.col("doc_id").alias("da"), F.col("sig").alias("sa"))
     sb = sig.select(F.col("doc_id").alias("db"), F.col("sig").alias("sb"))
     eq = F.expr("aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")

@@ -242,6 +242,26 @@ def _lloyd_means(assigned: DataFrame) -> DataFrame:
     )
 
 
+def near_dup_candidate_pairs(
+    spark: SparkSession, sf_dir: str, *, n_planes: int = N_PLANES
+) -> DataFrame:
+    """1-row (n_buckets, candidate_pairs) summary for a hyperplane
+    count — Σ c·(c−1)/2 over sign buckets, the pair volume the
+    bucketed join would compare. The bench sweeps this across
+    ``n_planes`` so the pairs-vs-recall trade has measured numbers
+    (VERDICT r4 "Next round" #7)."""
+    e = load_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    return (
+        _with_bucket(e, n_planes)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("bigint").alias("candidate_pairs"),
+        )
+    )
+
+
 def corpus_size(spark: SparkSession, sf_dir: str, table: str = "embeddings") -> int:
     """Exact row count, cached per (sf_dir, table) for the process
     lifetime. The count itself is a zero-column parquet scan (the
