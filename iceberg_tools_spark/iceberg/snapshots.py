@@ -216,27 +216,39 @@ def meta_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _snapshot_entry_rows(meta: TableMetadata, base_dir: str) -> list[tuple]:
+    """(snapshot_id, *scalar-entry) rows across EVERY snapshot, each
+    manifest Avro parsed exactly once however many snapshot lists
+    reference it (m1 appears in 3 of the fixture's 4 lists; the
+    naive per-snapshot loop parsed it 3× and built one DataFrame per
+    snapshot — this is one parse per manifest, ONE createDataFrame
+    for the caller)."""
+    cache: dict[str, list[tuple]] = {}
+    rows = []
+    for s in meta.snapshots:
+        sid = s["snapshot-id"]
+        for p in manifest_paths_at(meta, sid, base_dir):
+            if p not in cache:
+                cache[p] = _scalar_entry_rows([p], meta.raw)
+            rows.extend((sid, *r) for r in cache[p])
+    return rows
+
+
+_SNAP_ENTRIES_SCHEMA = T.StructType(
+    [T.StructField("view_snapshot_id", T.LongType()), *ENTRIES_SCALAR_SCHEMA.fields]
+)
+
+
 def meta_entry_status_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-snapshot manifest-entry status distribution — the
     EXISTING/DELETED coverage VERDICT r4 asked for (previously only
     ADDED ever appeared in a fixture)."""
     meta = parse_metadata(MS_METADATA)
-    frames = []
-    for s in meta.snapshots:
-        sid = s["snapshot-id"]
-        rows = _scalar_entry_rows(manifest_paths_at(meta, sid, MS_DIR), meta.raw)
-        frames.append(
-            spark.createDataFrame(rows, ENTRIES_SCALAR_SCHEMA).select(
-                F.lit(sid).cast("bigint").alias("snapshot_id"),
-                "status_name",
-                "record_count",
-            )
-        )
-    out = frames[0]
-    for df in frames[1:]:
-        out = out.unionByName(df)
+    rows = _snapshot_entry_rows(meta, MS_DIR)
     return (
-        out.groupBy("snapshot_id", "status_name")
+        spark.createDataFrame(rows, _SNAP_ENTRIES_SCHEMA)
+        .select(F.col("view_snapshot_id").alias("snapshot_id"), "status_name", "record_count")
+        .groupBy("snapshot_id", "status_name")
         .agg(
             F.count(F.lit(1)).alias("n_entries"),
             F.sum("record_count").alias("n_rows"),
@@ -250,19 +262,18 @@ def files_at_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     file set AT each of the 4 snapshots (B visible until the 1003
     rewrite deletes it; E only on the abandoned 1004 branch)."""
     meta = parse_metadata(MS_METADATA)
-    frames = [
-        files_at(spark, MS_METADATA, s["snapshot-id"], MS_DIR).select(
-            F.lit(s["snapshot-id"]).cast("bigint").alias("snapshot_id"),
+    rows = _snapshot_entry_rows(meta, MS_DIR)
+    return (
+        spark.createDataFrame(rows, _SNAP_ENTRIES_SCHEMA)
+        .filter(F.col("status") != 2)
+        .select(
+            F.col("view_snapshot_id").alias("snapshot_id"),
             "file_path",
             "partition_json",
             "record_count",
         )
-        for s in meta.snapshots
-    ]
-    out = frames[0]
-    for df in frames[1:]:
-        out = out.unionByName(df)
-    return out.orderBy("snapshot_id", "file_path")
+        .orderBy("snapshot_id", "file_path")
+    )
 
 
 def files_added_between_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,6 +283,181 @@ def files_added_between_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return files_added_between(spark, MS_METADATA, 1001, 1003, MS_DIR).select(
         "file_path", "snapshot_id", "partition_json", "record_count"
     ).orderBy("file_path")
+
+
+# ------------------------------------------------ scan planning
+
+
+def partition_spec_fields(meta: TableMetadata) -> list[tuple[str, str]]:
+    """Default partition spec as (field_name, iceberg_type) pairs —
+    identity transforms resolved through the schema (the only
+    transform the fixtures use)."""
+    raw = meta.raw
+    spec_id = raw.get("default-spec-id", 0)
+    spec = next(s for s in raw.get("partition-specs", []) if s.get("spec-id") == spec_id)
+    schema = next(
+        s for s in raw.get("schemas", [raw.get("schema", {})])
+        if s.get("schema-id", 0) == raw.get("current-schema-id", 0)
+    )
+    by_id = {f["id"]: f for f in schema.get("fields", [])}
+    return [
+        (f["name"], by_id[f["source-id"]]["type"]) for f in spec.get("fields", [])
+    ]
+
+
+def _manifest_partition_pruned(
+    mrow: dict[str, Any],
+    spec: list[tuple[str, str]],
+    partition_pred: dict[str, Any],
+) -> bool:
+    """True when the manifest's field summaries prove no entry can
+    match the (identity-equality) partition predicate. Conservative:
+    a missing summary keeps the manifest."""
+    from .conversions import from_bytes
+
+    summaries = mrow.get("partitions")
+    if not summaries:
+        return False
+    for (fname, ftype), summary in zip(spec, summaries):
+        if fname not in partition_pred:
+            continue
+        want = partition_pred[fname]
+        if want is None:
+            if not summary["contains_null"]:
+                return True
+            continue
+        lo_b, hi_b = summary.get("lower_bound"), summary.get("upper_bound")
+        if lo_b is not None and want < from_bytes(ftype, lo_b):
+            return True
+        if hi_b is not None and want > from_bytes(ftype, hi_b):
+            return True
+    return False
+
+
+SCAN_PLAN_SCHEMA = T.StructType(
+    [
+        T.StructField("manifest_name", T.StringType()),
+        T.StructField("file_path", T.StringType()),
+        T.StructField("partition_json", T.StringType()),
+        T.StructField("record_count", T.LongType()),
+        T.StructField("manifest_pruned", T.BooleanType()),
+        T.StructField("file_pruned", T.BooleanType()),
+        T.StructField("selected", T.BooleanType()),
+    ]
+)
+
+
+def plan_scan(
+    spark: SparkSession,
+    metadata_path: str,
+    snapshot_id: int,
+    *,
+    partition_pred: dict[str, Any] | None = None,
+    field_id: int | None = None,
+    lo: Any = None,
+    hi: Any = None,
+    cast_to: str = "bigint",
+    base_dir: str | None = None,
+    debug: bool = False,
+) -> DataFrame:
+    """Two-level scan planning at a snapshot — the full chain the
+    reference's decoded bounds exist to serve:
+
+    1. **manifest level** — the manifest list's partition field
+       summaries prune whole manifests whose partition-value range
+       cannot contain the (identity-equality) predicate; a pruned
+       manifest's Avro is never even opened (unless ``debug``);
+    2. **file level** — surviving manifests' live entries are pruned
+       by exact identity-partition match and by the decoded
+       column-bound interval (``pruning.prune_files`` semantics).
+
+    Returns the plan decision table (``SCAN_PLAN_SCHEMA``); the
+    production file set is ``.filter("selected")``. With ``debug``
+    pruned manifests ARE read so the table shows every file's
+    decision — the metadata analogue of ``EXPLAIN``.
+
+    At 100 TB: manifest lists are KB per thousand manifests; level 1
+    drops whole MB-scale manifests before any parse, level 2 is a
+    driver-side filter over the entries of what remains — the same
+    shape Spark's own Iceberg source uses for scan planning.
+    """
+    from .pruning import bound_value
+
+    base_dir = base_dir or os.path.dirname(metadata_path)
+    meta = parse_metadata(metadata_path)
+    snap = snapshot_by_id(meta, snapshot_id)
+    spec = partition_spec_fields(meta)
+    pred = partition_pred or {}
+
+    frames = []
+    for mrow in read_manifest_list(_local(snap["manifest-list"], base_dir)):
+        mname = os.path.basename(mrow["manifest_path"])
+        m_pruned = _manifest_partition_pruned(mrow, spec, pred)
+        if m_pruned and not debug:
+            continue
+        from .tables import manifest_entries_df
+
+        entries = manifest_entries_df(
+            spark, [_local(mrow["manifest_path"], base_dir)], meta.raw
+        ).filter(F.col("status") != 2)
+
+        part_match = F.lit(True)
+        for fname, _ftype in spec:
+            if fname in pred:
+                want = pred[fname]
+                got = F.get_json_object("partition_json", f"$.{fname}")
+                part_match = part_match & (
+                    got.isNull() if want is None else (got == F.lit(str(want)))
+                )
+        bounds_overlap = F.lit(True)
+        if field_id is not None:
+            lower = bound_value(
+                F.element_at("lower_bounds", F.lit(field_id)), cast_to
+            )
+            upper = bound_value(
+                F.element_at("upper_bounds", F.lit(field_id)), cast_to
+            )
+            if hi is not None:
+                bounds_overlap = bounds_overlap & (lower.isNull() | (lower <= F.lit(hi)))
+            if lo is not None:
+                bounds_overlap = bounds_overlap & (upper.isNull() | (upper >= F.lit(lo)))
+        file_pruned = ~(part_match & bounds_overlap)
+        frames.append(
+            entries.select(
+                F.lit(mname).alias("manifest_name"),
+                "file_path",
+                "partition_json",
+                "record_count",
+                F.lit(m_pruned).alias("manifest_pruned"),
+                file_pruned.alias("file_pruned"),
+                (~F.lit(m_pruned) & ~file_pruned).alias("selected"),
+            )
+        )
+    if not frames:
+        return spark.createDataFrame([], SCAN_PLAN_SCHEMA)
+    out = frames[0]
+    for df in frames[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("manifest_name", "file_path")
+
+
+def scan_plan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate decision table: snapshot 1004 (3 manifests),
+    predicate ``category = 'z' AND id ∈ [260, 400]``. The manifest
+    level prunes m1 (x..y) and m4 (y..y) outright; m2's summary
+    range x..z straddles 'z' so it survives (conservative), its C
+    falls to the partition match and only D is selected."""
+    return plan_scan(
+        spark,
+        MS_METADATA,
+        1004,
+        partition_pred={"category": "z"},
+        field_id=1,
+        lo=260,
+        hi=400,
+        base_dir=MS_DIR,
+        debug=True,
+    )
 
 
 def meta_rewritten_files(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,4 +629,19 @@ FROM (VALUES
 ) t(file_path, status_name, snapshot_id, partition_json, record_count,
     lower_bounds_json, upper_bounds_json)
 ORDER BY file_path
+"""
+
+SCAN_PLAN_PRUNED_SQL = f"""
+SELECT manifest_name, file_path, partition_json,
+       CAST(record_count AS BIGINT) AS record_count,
+       manifest_pruned, file_pruned, selected
+FROM (VALUES
+  ('m1.avro', '{_P}/category=x/A.parquet', '{{"category": "x"}}', 100, true,  true,  false),
+  ('m1.avro', '{_P}/category=y/B.parquet', '{{"category": "y"}}', 50,  true,  true,  false),
+  ('m2.avro', '{_P}/category=x/C.parquet', '{{"category": "x"}}', 100, false, true,  false),
+  ('m2.avro', '{_P}/category=z/D.parquet', '{{"category": "z"}}', 50,  false, false, true),
+  ('m4.avro', '{_P}/category=y/E.parquet', '{{"category": "y"}}', 20,  true,  true,  false)
+) t(manifest_name, file_path, partition_json, record_count,
+    manifest_pruned, file_pruned, selected)
+ORDER BY manifest_name, file_path
 """

@@ -122,7 +122,10 @@ MANIFEST_SCHEMA = {
 }
 
 # Iceberg v2 manifest-list `manifest_file` record (spec subset: the
-# fields scan planning needs; field ids per the public spec)
+# fields scan planning needs; field ids per the public spec).
+# `partitions` carries one field_summary per partition field —
+# the manifest-level pruning input (skip a whole manifest when the
+# predicate cannot intersect its partition-value range).
 MANIFEST_LIST_SCHEMA = {
     "type": "record",
     "name": "manifest_file",
@@ -140,6 +143,25 @@ MANIFEST_LIST_SCHEMA = {
         {"name": "added_rows_count", "type": "long"},
         {"name": "existing_rows_count", "type": "long"},
         {"name": "deleted_rows_count", "type": "long"},
+        {
+            "name": "partitions",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "r508",
+                        "fields": [
+                            {"name": "contains_null", "type": "boolean"},
+                            {"name": "lower_bound", "type": ["null", "bytes"], "default": None},
+                            {"name": "upper_bound", "type": ["null", "bytes"], "default": None},
+                        ],
+                    },
+                },
+            ],
+            "default": None,
+        },
     ],
 }
 
@@ -205,6 +227,22 @@ def _manifest_counts(name: str) -> dict:
     return out
 
 
+def _partition_summaries(name: str) -> list[dict]:
+    """field_summary rows for the one partition field (category):
+    value range over ALL the manifest's entries (incl. tombstones —
+    summaries are conservative per the spec)."""
+    cats = sorted(
+        e["data_file"]["partition"]["category"] for e in MANIFESTS[name]
+    )
+    return [
+        {
+            "contains_null": False,
+            "lower_bound": to_bytes("string", cats[0]),
+            "upper_bound": to_bytes("string", cats[-1]),
+        }
+    ]
+
+
 def _manifest_list(names: list[str], lengths: dict[str, int]) -> list[dict]:
     rows = []
     for n in names:
@@ -219,6 +257,7 @@ def _manifest_list(names: list[str], lengths: dict[str, int]) -> list[dict]:
                 "min_sequence_number": MANIFEST_SEQ[n],
                 "added_snapshot_id": added_snap,
                 **_manifest_counts(n),
+                "partitions": _partition_summaries(n),
             }
         )
     return rows

@@ -105,6 +105,61 @@ def test_status_distribution_covers_existing_and_deleted(spark):
     assert by_key[(1004, "ADDED")] == (5, 320)
 
 
+# ------------------------------------------------ scan planning
+
+
+def test_scan_plan_manifest_level_pruning(spark):
+    """category='z' at snapshot 1004: summaries prove m1 (x..y) and
+    m4 (y..y) irrelevant; production mode never opens them."""
+    from iceberg_tools_spark.iceberg.snapshots import plan_scan
+
+    df = plan_scan(
+        spark, S.MS_METADATA, 1004,
+        partition_pred={"category": "z"}, field_id=1, lo=260, hi=400,
+        base_dir=S.MS_DIR,
+    )
+    rows = df.collect()
+    # only m2's entries appear at all (pruned manifests unread)
+    assert {r.manifest_name for r in rows} == {"m2.avro"}
+    sel = [os.path.basename(r.file_path) for r in rows if r.selected]
+    assert sel == ["D.parquet"]
+
+
+def test_scan_plan_summary_is_conservative(spark):
+    """'y' sits inside m2's x..z summary range even though m2 holds
+    no y-partition file — the manifest survives level 1 (ranges are
+    conservative) and its files fall to the exact match at level 2."""
+    from iceberg_tools_spark.iceberg.snapshots import plan_scan
+
+    df = plan_scan(
+        spark, S.MS_METADATA, 1004,
+        partition_pred={"category": "y"}, base_dir=S.MS_DIR, debug=True,
+    )
+    by_m = {}
+    for r in df.collect():
+        by_m.setdefault(r.manifest_name, set()).add(
+            (os.path.basename(r.file_path), r.manifest_pruned, r.selected)
+        )
+    assert all(not p for (_, p, _) in by_m["m2.avro"])  # survived level 1
+    assert all(not s for (_, _, s) in by_m["m2.avro"])  # but nothing selected
+    selected = {f for rows in by_m.values() for (f, _, s) in rows if s}
+    assert selected == {"B.parquet", "E.parquet"}
+
+
+def test_scan_plan_bounds_only(spark):
+    """No partition predicate: manifest level passes everything,
+    the id-bound interval alone selects files (live set at 1003)."""
+    from iceberg_tools_spark.iceberg.snapshots import plan_scan
+
+    df = plan_scan(
+        spark, S.MS_METADATA, 1003, field_id=1, lo=1, hi=160, base_dir=S.MS_DIR,
+    )
+    sel = sorted(os.path.basename(r.file_path) for r in df.collect() if r.selected)
+    # A (1-100) and C (151-250) overlap [1,160]; D (251-300) pruned;
+    # B is DELETED at 1003 so it never enters the plan
+    assert sel == ["A.parquet", "C.parquet"]
+
+
 # ------------------------------------------------ rewrite executor
 
 
