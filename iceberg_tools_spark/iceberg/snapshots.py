@@ -491,6 +491,53 @@ def meta_rewritten_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EXPIRE_PLAN_SCHEMA = T.StructType(
+    [
+        T.StructField("snapshot_id", T.LongType()),
+        T.StructField("timestamp_ms", T.LongType()),
+        T.StructField("action", T.StringType()),
+        T.StructField("reason", T.StringType()),
+    ]
+)
+
+
+def expire_snapshots_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``plan_expire_snapshots`` surfaced through the driver gate on
+    the 4-snapshot fixture (keep_last=2): the two oldest appends age
+    out, the rewrite (current) and the newest-by-timestamp survive —
+    certifying the planner beyond its unit tests."""
+    from .maintenance import plan_expire_snapshots
+
+    meta = parse_metadata(MS_METADATA)
+    rows = [
+        (p["snapshot_id"], p["timestamp_ms"], p["action"], p["reason"])
+        for p in plan_expire_snapshots(meta, keep_last=2)
+    ]
+    return spark.createDataFrame(rows, EXPIRE_PLAN_SCHEMA).orderBy("timestamp_ms")
+
+
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``plan_compaction`` over the live files AT snapshot 1002
+    (target 1000 bytes): partition x splits into two groups (C=1100
+    alone overflows the target; A starts the next), y and z each
+    pack into one — certifying the bin-packer's split behavior
+    through the driver gate."""
+    from .maintenance import plan_compaction
+
+    files = files_at(spark, MS_METADATA, 1002, MS_DIR)
+    return (
+        plan_compaction(files, target_size_bytes=1000)
+        .select(
+            "partition_json",
+            F.col("group_id").cast("bigint").alias("group_id"),
+            F.col("n_files").cast("bigint").alias("n_files"),
+            F.col("group_bytes").cast("bigint").alias("group_bytes"),
+            F.array_join(F.array_sort("files"), ",").alias("files_csv"),
+        )
+        .orderBy("partition_json", "group_id")
+    )
+
+
 # -------------------------------------------------- DuckDB oracles
 
 META_SNAPSHOTS_MULTI_SQL = f"""
@@ -629,6 +676,31 @@ FROM (VALUES
 ) t(file_path, status_name, snapshot_id, partition_json, record_count,
     lower_bounds_json, upper_bounds_json)
 ORDER BY file_path
+"""
+
+EXPIRE_SNAPSHOTS_PLAN_SQL = """
+SELECT CAST(snapshot_id AS BIGINT) AS snapshot_id,
+       CAST(timestamp_ms AS BIGINT) AS timestamp_ms, action, reason
+FROM (VALUES
+  (1001, 1700000001000, 'expire', 'aged-out'),
+  (1002, 1700000002000, 'expire', 'aged-out'),
+  (1004, 1700000003000, 'keep', 'current-or-recent'),
+  (1003, 1700000004000, 'keep', 'current-or-recent')
+) t(snapshot_id, timestamp_ms, action, reason)
+ORDER BY timestamp_ms
+"""
+
+COMPACTION_PLAN_SQL = f"""
+SELECT partition_json, CAST(group_id AS BIGINT) AS group_id,
+       CAST(n_files AS BIGINT) AS n_files,
+       CAST(group_bytes AS BIGINT) AS group_bytes, files_csv
+FROM (VALUES
+  ('{{"category": "x"}}', 0, 1, 1100, '{_P}/category=x/C.parquet'),
+  ('{{"category": "x"}}', 1, 1, 1000, '{_P}/category=x/A.parquet'),
+  ('{{"category": "y"}}', 0, 1, 600, '{_P}/category=y/B.parquet'),
+  ('{{"category": "z"}}', 0, 1, 700, '{_P}/category=z/D.parquet')
+) t(partition_json, group_id, n_files, group_bytes, files_csv)
+ORDER BY partition_json, group_id
 """
 
 SCAN_PLAN_PRUNED_SQL = f"""

@@ -194,6 +194,8 @@ register("files_at_snapshot", meta_snap.files_at_snapshot, meta_snap.FILES_AT_SN
 register("files_added_between", meta_snap.files_added_between_q, meta_snap.FILES_ADDED_BETWEEN_SQL)
 register("meta_rewritten_files", meta_snap.meta_rewritten_files, meta_snap.META_REWRITTEN_FILES_SQL)
 register("scan_plan_pruned", meta_snap.scan_plan_pruned, meta_snap.SCAN_PLAN_PRUNED_SQL)
+register("expire_snapshots_plan", meta_snap.expire_snapshots_plan, meta_snap.EXPIRE_SNAPSHOTS_PLAN_SQL)
+register("compaction_plan", meta_snap.compaction_plan, meta_snap.COMPACTION_PLAN_SQL)
 
 # ------------------- r4-certified re-certs (fresh rows; any sliding
 # past position 50 keep their green r4 row)
