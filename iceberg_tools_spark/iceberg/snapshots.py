@@ -538,6 +538,31 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orphan_files_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``find_orphan_files`` surfaced through the driver gate: a
+    synthetic filesystem listing of every data file the fixture ever
+    wrote (plus a stray temp file) anti-joined against the CURRENT
+    snapshot's live set — B (deleted at 1003), E (only on the
+    abandoned branch), and the stray are orphans; A/C/D are not."""
+    from .maintenance import find_orphan_files
+
+    listing = spark.createDataFrame(
+        [
+            (f"{_P}/category=x/A.parquet",),
+            (f"{_P}/category=y/B.parquet",),
+            (f"{_P}/category=x/C.parquet",),
+            (f"{_P}/category=z/D.parquet",),
+            (f"{_P}/category=y/E.parquet",),
+            (f"{_P}/.stray-upload.parquet.tmp",),
+        ],
+        T.StructType([T.StructField("file_path", T.StringType())]),
+    )
+    meta = parse_metadata(MS_METADATA)
+    live = files_at(spark, MS_METADATA, meta.current_snapshot_id, MS_DIR)
+    return find_orphan_files(listing, live).orderBy("file_path")
+
+
+
 # -------------------------------------------------- DuckDB oracles
 
 META_SNAPSHOTS_MULTI_SQL = f"""
@@ -666,6 +691,16 @@ _REWRITE_ROWS = ",\n  ".join(
         ("D", "z", 1002, 50, _bounds(251, 300, "z")),
     ]
 )
+
+ORPHAN_FILES_SQL = f"""
+SELECT file_path
+FROM (VALUES
+  ('{_P}/.stray-upload.parquet.tmp'),
+  ('{_P}/category=y/B.parquet'),
+  ('{_P}/category=y/E.parquet')
+) t(file_path)
+ORDER BY file_path
+"""
 
 META_REWRITTEN_FILES_SQL = f"""
 SELECT file_path, status_name, CAST(snapshot_id AS BIGINT) AS snapshot_id,
