@@ -100,7 +100,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = toks.select("doc_id", F.explode(word_ngrams("w", NGRAM_N)).alias("s"))
     # stop-shingle guard: df cap keeps the inverted index near-linear
     df_ok = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= DF_CAP)
-    sh = sh.join(df_ok.select("s"), "s")
+    # the capped index feeds THREE consumers (sizes, both join
+    # sides); materialize it once instead of re-exploding and
+    # re-joining per branch (sf0.1: 4.6 s → 3.5 s)
+    sh = sh.join(df_ok.select("s"), "s").localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("da"), "s")
     b = sh.select(F.col("doc_id").alias("db"), "s")
