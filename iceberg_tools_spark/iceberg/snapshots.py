@@ -136,19 +136,18 @@ def files_added_between(
             "incremental scan undefined across branches"
         )
     wanted = set(chain[: chain.index(from_id)])  # (from_id, to_id]
-    frames = []
+    rows = []
     for sid in sorted(wanted):
-        rows = _scalar_entry_rows(manifest_paths_at(meta, sid, base_dir), meta.raw)
-        df = (
-            spark.createDataFrame(rows, ENTRIES_SCALAR_SCHEMA)
-            .filter((F.col("status") == 1) & (F.col("snapshot_id") == sid))
-            .drop("status", "status_name")
+        rows.extend(
+            r
+            for r in _scalar_entry_rows(manifest_paths_at(meta, sid, base_dir), meta.raw)
+            if r[0] == 1 and r[2] == sid  # ADDED by exactly this snapshot
         )
-        frames.append(df)
-    out = frames[0]
-    for df in frames[1:]:
-        out = out.unionByName(df)
-    return out
+    # empty increment (from_id == to_id) yields an empty, correctly-
+    # typed frame rather than an error
+    return spark.createDataFrame(rows, ENTRIES_SCALAR_SCHEMA).drop(
+        "status", "status_name"
+    )
 
 
 # ------------------------------------------------ driver-gate queries
@@ -473,9 +472,11 @@ def meta_rewritten_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = parse_metadata(MS_METADATA)
     paths = manifest_paths_at(meta, 1002, MS_DIR)
     groups = plan_manifest_groups(paths, target_bytes=1 << 20)
-    out_dir = tempfile.mkdtemp(prefix="rewrite_manifests_")
-    stats = rewrite_manifests(groups, out_dir)
-    rows = _scalar_entry_rows([s["out_path"] for s in stats], meta.raw)
+    # rows are parsed driver-side before Spark sees them, so the
+    # rewritten Avro can live in a self-cleaning temp dir
+    with tempfile.TemporaryDirectory(prefix="rewrite_manifests_") as out_dir:
+        stats = rewrite_manifests(groups, out_dir)
+        rows = _scalar_entry_rows([s["out_path"] for s in stats], meta.raw)
     return (
         spark.createDataFrame(rows, ENTRIES_SCALAR_SCHEMA)
         .select(

@@ -90,6 +90,13 @@ def test_incremental_scan_is_exactly_the_appends(spark):
     assert sorted(os.path.basename(r.file_path) for r in rows) == ["C.parquet", "D.parquet"]
 
 
+def test_incremental_scan_empty_range(spark):
+    """from == to is a legal empty increment, not an error."""
+    df = S.files_added_between(spark, S.MS_METADATA, 1003, 1003, S.MS_DIR)
+    assert df.count() == 0
+    assert "file_path" in df.columns
+
+
 def test_history_marks_abandoned_branch_not_ancestor(spark):
     rows = {r.snapshot_id: r.is_current_ancestor
             for r in S.meta_history_multi(spark, SF).collect()}
