@@ -98,3 +98,62 @@ def test_assign_sessions_matches_python_fold(spark, rows, gap_s):
             exp[(u, BASE + dt.timedelta(seconds=s))] = idx
             prev = s
     assert got == exp
+
+
+# ---------------------------------------- planner-twin equivalence
+
+_file_sizes = st.lists(st.integers(1, 5000), min_size=1, max_size=14)
+_targets = st.integers(100, 6000)
+
+
+@given(sizes=_file_sizes, target=_targets)
+@_prop_settings
+def test_plan_manifest_groups_equals_plan_compaction(spark, sizes, target, tmp_path_factory):
+    """The pure-Python first-fit (iceberg/rewrite.py) and the Spark
+    window-based bin-packer (maintenance.plan_compaction) are twins:
+    identical groups for ANY file-size multiset and target."""
+    import os
+
+    from iceberg_tools_spark.iceberg.maintenance import plan_compaction
+    from iceberg_tools_spark.iceberg.rewrite import plan_manifest_groups
+
+    td = tmp_path_factory.mktemp("plan_prop")
+    paths = []
+    for i, size in enumerate(sizes):
+        p = os.path.join(str(td), f"f{i:03d}.bin")
+        with open(p, "wb") as f:
+            f.write(b"\0" * size)
+        paths.append(p)
+
+    listing = spark.createDataFrame(
+        [("", p, os.path.getsize(p)) for p in paths],
+        "partition_json string, file_path string, file_size_in_bytes long",
+    )
+    spark_groups = [
+        sorted(r.files)
+        for r in plan_compaction(listing, target).orderBy("group_id").collect()
+    ]
+    local_groups = [sorted(g) for g in plan_manifest_groups(paths, target)]
+    assert spark_groups == local_groups
+
+
+# --------------------------------- decimal serialization round-trip
+
+_decimals = st.decimals(
+    min_value="-9999999.99", max_value="9999999.99", places=2, allow_nan=False
+)
+
+
+@given(value=_decimals)
+@settings(max_examples=200, deadline=None)
+def test_decimal_bytes_roundtrip_and_minimality(value):
+    """to_bytes/from_bytes round-trip for decimal(9,2), and the
+    byte length is Java-BigInteger-minimal (bitLength//8 + 1) —
+    covers the 2^(8k-1) negative boundary (ADVICE r4)."""
+    from iceberg_tools_spark.iceberg import conversions as C
+
+    data = C.to_bytes("decimal(9, 2)", value)
+    assert C.from_bytes("decimal(9, 2)", data) == value
+    unscaled = int(value.scaleb(2))
+    bl = unscaled.bit_length() if unscaled >= 0 else (~unscaled).bit_length()
+    assert len(data) == bl // 8 + 1
