@@ -82,8 +82,14 @@ def windowed_counts(
     win = (
         F.window("ts", window) if slide is None else F.window("ts", window, slide)
     )
+    # watermark only applies to streaming frames; gating on
+    # isStreaming lets the IDENTICAL job run in batch, which is how
+    # the equivalence tests prove the streaming result correct
+    # (stream == batch on the same data), not merely non-empty
+    if stream.isStreaming:
+        stream = stream.withWatermark("ts", watermark)
     return (
-        stream.withWatermark("ts", watermark)
+        stream
         .groupBy(win.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -104,8 +110,10 @@ def session_aggregates(
 ) -> DataFrame:
     """Gap-based sessionization with ``session_window`` — the native
     streaming form of the batch lag/cumsum sessionizer."""
+    if stream.isStreaming:
+        stream = stream.withWatermark("ts", watermark)
     return (
-        stream.withWatermark("ts", watermark)
+        stream
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -271,3 +271,62 @@ def test_multimodal_features_feed_ann(spark):
     )
     assert len(top) == 9  # 3 queries x top-3
     assert all(-1.0001 <= r.cos <= 1.0001 for r in top)
+
+
+# ------------------------------------- stream == batch equivalence
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_streaming_windowed_counts_equals_batch(spark):
+    """Complete-mode streaming aggregation over the file source must
+    equal the SAME job run as a batch query — upgrades the streaming
+    check from 'produces rows' to 'produces the right rows'."""
+    from iceberg_tools_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    s = jobs.events_stream(spark, SF_SMOKE)
+    got = _sorted_rows(
+        jobs.run_to_memory(jobs.windowed_counts(s), "t_win_eq", mode="complete")
+    )
+    batch = load_table(spark, SF_SMOKE, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    want = _sorted_rows(jobs.windowed_counts(batch))
+    assert got == want
+
+
+def test_streaming_sliding_counts_equals_batch(spark):
+    from iceberg_tools_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    s = jobs.events_stream(spark, SF_SMOKE)
+    got = _sorted_rows(
+        jobs.run_to_memory(
+            jobs.windowed_counts(s, window="2 hours", slide="1 hour"),
+            "t_slide_eq",
+            mode="complete",
+        )
+    )
+    batch = load_table(spark, SF_SMOKE, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    want = _sorted_rows(jobs.windowed_counts(batch, window="2 hours", slide="1 hour"))
+    assert got == want
+
+
+def test_streaming_sessions_equal_batch(spark):
+    from iceberg_tools_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    s = jobs.events_stream(spark, SF_SMOKE)
+    got = _sorted_rows(
+        jobs.run_to_memory(jobs.session_aggregates(s), "t_sess_eq", mode="complete")
+    )
+    batch = load_table(spark, SF_SMOKE, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    want = _sorted_rows(jobs.session_aggregates(batch))
+    assert got == want
