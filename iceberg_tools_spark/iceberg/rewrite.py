@@ -20,9 +20,10 @@ the resulting groups here. :func:`plan_manifest_groups` provides
 the same deterministic first-fit for the driver-side path (manifest
 metadata is KB-scale; collecting a plan of it to drive IO is what
 every engine's commit path does) and is pinned to the Spark planner
-by ``tests/test_rewrite.py``.
+by ``tests/test_snapshots.py`` plus a hypothesis property over
+random size multisets in ``tests/test_property.py``.
 
-Round-trip proof (``tests/test_rewrite.py``): reading the rewritten
+Round-trip proof (``tests/test_snapshots.py``): reading the rewritten
 manifests back through ``manifest2json`` yields the same live-file
 set as the originals, and ``files``-level rows are identical.
 """
@@ -44,8 +45,9 @@ def plan_manifest_groups(
 ) -> list[list[str]]:
     """Deterministic first-fit manifest grouping — the driver-side
     twin of ``plan_compaction`` (largest-first, path tiebreak,
-    group = floor(exclusive-cumulative-size / target)); the pytest
-    contract asserts both planners emit identical groups."""
+    group = floor(exclusive-cumulative-size / target)); pinned to
+    plan_compaction by tests/test_snapshots.py and a hypothesis
+    property over random size multisets in tests/test_property.py."""
     sized = sorted(
         ((os.path.getsize(p), p) for p in manifest_paths),
         key=lambda t: (-t[0], t[1]),

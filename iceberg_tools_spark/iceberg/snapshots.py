@@ -78,10 +78,16 @@ def snapshot_by_id(meta: TableMetadata, snapshot_id: int) -> dict[str, Any]:
 
 
 def ancestor_chain(meta: TableMetadata, snapshot_id: int) -> list[int]:
-    """snapshot_id and its ancestors, newest first."""
-    chain, cur = [], snapshot_id
+    """snapshot_id and its ancestors, newest first. Raises on a
+    parent-id cycle (corrupt metadata) instead of hanging."""
+    chain, cur, seen = [], snapshot_id, set()
     by_id = {s.get("snapshot-id"): s for s in meta.snapshots}
     while cur is not None and cur in by_id:
+        if cur in seen:
+            raise ValueError(
+                f"parent-snapshot-id cycle at {cur} in table metadata"
+            )
+        seen.add(cur)
         chain.append(cur)
         cur = by_id[cur].get("parent-snapshot-id")
     return chain
@@ -381,63 +387,78 @@ def plan_scan(
     shape Spark's own Iceberg source uses for scan planning.
     """
     from .pruning import bound_value
+    from .tables import ENTRIES_SCHEMA, manifest_entries_rows
 
     base_dir = base_dir or os.path.dirname(metadata_path)
     meta = parse_metadata(metadata_path)
     snap = snapshot_by_id(meta, snapshot_id)
     spec = partition_spec_fields(meta)
     pred = partition_pred or {}
+    unknown = set(pred) - {fname for fname, _ in spec}
+    if unknown:
+        raise ValueError(
+            f"partition_pred names {sorted(unknown)} which are not partition "
+            f"fields of the table (spec: {[f for f, _ in spec]}); a silently "
+            "ignored predicate would return an over-selected plan"
+        )
 
-    frames = []
+    # ONE createDataFrame over driver-tagged rows (manifest name +
+    # level-1 decision prepended to each entry) — no per-manifest
+    # frame, no N-deep union chain; at thousands of manifests the
+    # plan stays a single scan
+    tagged_schema = T.StructType(
+        [
+            T.StructField("manifest_name", T.StringType()),
+            T.StructField("manifest_pruned", T.BooleanType()),
+            *ENTRIES_SCHEMA.fields,
+        ]
+    )
+    rows: list[tuple] = []
     for mrow in read_manifest_list(_local(snap["manifest-list"], base_dir)):
         mname = os.path.basename(mrow["manifest_path"])
         m_pruned = _manifest_partition_pruned(mrow, spec, pred)
         if m_pruned and not debug:
             continue
-        from .tables import manifest_entries_df
-
-        entries = manifest_entries_df(
-            spark, [_local(mrow["manifest_path"], base_dir)], meta.raw
-        ).filter(F.col("status") != 2)
-
-        part_match = F.lit(True)
-        for fname, _ftype in spec:
-            if fname in pred:
-                want = pred[fname]
-                got = F.get_json_object("partition_json", f"$.{fname}")
-                part_match = part_match & (
-                    got.isNull() if want is None else (got == F.lit(str(want)))
-                )
-        bounds_overlap = F.lit(True)
-        if field_id is not None:
-            lower = bound_value(
-                F.element_at("lower_bounds", F.lit(field_id)), cast_to
+        rows.extend(
+            (mname, m_pruned, *r)
+            for r in manifest_entries_rows(
+                [_local(mrow["manifest_path"], base_dir)], meta.raw
             )
-            upper = bound_value(
-                F.element_at("upper_bounds", F.lit(field_id)), cast_to
-            )
-            if hi is not None:
-                bounds_overlap = bounds_overlap & (lower.isNull() | (lower <= F.lit(hi)))
-            if lo is not None:
-                bounds_overlap = bounds_overlap & (upper.isNull() | (upper >= F.lit(lo)))
-        file_pruned = ~(part_match & bounds_overlap)
-        frames.append(
-            entries.select(
-                F.lit(mname).alias("manifest_name"),
-                "file_path",
-                "partition_json",
-                "record_count",
-                F.lit(m_pruned).alias("manifest_pruned"),
-                file_pruned.alias("file_pruned"),
-                (~F.lit(m_pruned) & ~file_pruned).alias("selected"),
-            )
+            if r[0] != 2  # live entries only
         )
-    if not frames:
+    if not rows:
         return spark.createDataFrame([], SCAN_PLAN_SCHEMA)
-    out = frames[0]
-    for df in frames[1:]:
-        out = out.unionByName(df)
-    return out.orderBy("manifest_name", "file_path")
+    entries = spark.createDataFrame(rows, tagged_schema)
+
+    part_match = F.lit(True)
+    for fname, _ftype in spec:
+        if fname in pred:
+            want = pred[fname]
+            got = F.get_json_object("partition_json", f"$.{fname}")
+            part_match = part_match & (
+                got.isNull() if want is None else (got == F.lit(str(want)))
+            )
+    bounds_overlap = F.lit(True)
+    if field_id is not None:
+        lower = bound_value(F.element_at("lower_bounds", F.lit(field_id)), cast_to)
+        upper = bound_value(F.element_at("upper_bounds", F.lit(field_id)), cast_to)
+        if hi is not None:
+            bounds_overlap = bounds_overlap & (lower.isNull() | (lower <= F.lit(hi)))
+        if lo is not None:
+            bounds_overlap = bounds_overlap & (upper.isNull() | (upper >= F.lit(lo)))
+    file_pruned = ~(part_match & bounds_overlap)
+    return (
+        entries.select(
+            "manifest_name",
+            "file_path",
+            "partition_json",
+            "record_count",
+            "manifest_pruned",
+            file_pruned.alias("file_pruned"),
+            (~F.col("manifest_pruned") & ~file_pruned).alias("selected"),
+        )
+        .orderBy("manifest_name", "file_path")
+    )
 
 
 def scan_plan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -269,11 +269,22 @@ def corpus_size(spark: SparkSession, sf_dir: str, table: str = "embeddings") -> 
     100 TB even that is a full job over every file — so it runs at
     most ONCE per corpus; every later caller (re-invocations,
     parity tests, bench warm runs) reuses the prior count
-    (VERDICT r4 "What's wrong" #1)."""
+    (VERDICT r4 "What's wrong" #1).
+
+    The cache has NO invalidation: if a long-lived process rewrites
+    the corpus under the same path, call :func:`clear_count_cache`
+    (or pass ``k`` explicitly) — a stale N yields a stale default k
+    while the oracle recounts fresh."""
     key = (sf_dir.rstrip("/"), table)
     if key not in _COUNT_CACHE:
         _COUNT_CACHE[key] = load_table(spark, sf_dir, table, ["vec_id"]).count()
     return _COUNT_CACHE[key]
+
+
+def clear_count_cache() -> None:
+    """Drop all cached corpus counts (call after rewriting a corpus
+    in-place within one process)."""
+    _COUNT_CACHE.clear()
 
 
 _COUNT_CACHE: dict[tuple[str, str], int] = {}

@@ -153,6 +153,30 @@ def test_scan_plan_summary_is_conservative(spark):
     assert selected == {"B.parquet", "E.parquet"}
 
 
+def test_scan_plan_rejects_unknown_partition_field(spark):
+    """A typo'd predicate key must raise, not silently over-select."""
+    from iceberg_tools_spark.iceberg.snapshots import plan_scan
+
+    with pytest.raises(ValueError, match="not partition fields"):
+        plan_scan(
+            spark, S.MS_METADATA, 1003,
+            partition_pred={"catgory": "z"}, base_dir=S.MS_DIR,
+        )
+
+
+def test_ancestor_chain_raises_on_cycle():
+    """Corrupt metadata with a parent cycle fails fast instead of
+    hanging the driver."""
+    meta = parse_metadata(S.MS_METADATA)
+    by_id = {s["snapshot-id"]: s for s in meta.snapshots}
+    by_id[1001]["parent-snapshot-id"] = 1002  # 1001 <-> 1002 cycle
+    try:
+        with pytest.raises(ValueError, match="cycle"):
+            S.ancestor_chain(meta, 1003)
+    finally:
+        by_id[1001].pop("parent-snapshot-id", None)
+
+
 def test_scan_plan_bounds_only(spark):
     """No partition predicate: manifest level passes everything,
     the id-bound interval alone selects files (live set at 1003)."""
