@@ -503,3 +503,62 @@ FROM cand
 WHERE {_HAMMING_DUCK} <= {HAMMING_MAX}
 ORDER BY da, db
 """
+
+
+# ------------------------------------------- benchmark decontamination
+
+EVAL_MOD = 97  # deterministic eval split: doc_id % EVAL_MOD == 0
+MIN_SHARED = 2  # flag a train doc sharing >= this many shingles
+
+
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs sharing ≥MIN_SHARED
+    word-3-gram shingles with any eval doc (the train/test-overlap
+    sweep every LLM data pipeline runs before training).
+
+    The eval set here is the deterministic ``doc_id % 97 == 0``
+    slice standing in for a benchmark table; in production the eval
+    side is the real benchmark corpus. Plan shape: the eval side is
+    tiny relative to the corpus, so its shingle set broadcasts and
+    the sweep is ONE broadcast-equi-join over the train shingles —
+    no shuffle of the corpus, linear in train shingle count at any
+    scale.
+    """
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
+    ).filter(F.size("w") >= NGRAM_N)
+    sh = toks.select("doc_id", F.explode(word_ngrams("w", NGRAM_N)).alias("s"))
+    ev = (
+        sh.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.col("doc_id").alias("eval_doc_id"), "s")
+    )
+    tr = sh.filter(F.col("doc_id") % EVAL_MOD != 0).select(
+        F.col("doc_id").alias("train_doc_id"), "s"
+    )
+    return (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= MIN_SHARED)
+        .orderBy("train_doc_id", "eval_doc_id")
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents
+  WHERE len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= {NGRAM_N}),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(w) - {NGRAM_N - 1} + 1),
+           i -> array_to_string(w[i:i+{NGRAM_N - 1}], ' ')))) AS s
+  FROM toks),
+ev AS (SELECT doc_id AS eval_doc_id, s FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+tr AS (SELECT doc_id AS train_doc_id, s FROM sh WHERE doc_id % {EVAL_MOD} <> 0)
+SELECT train_doc_id, eval_doc_id, COUNT(*) AS n_shared
+FROM tr JOIN ev USING (s)
+GROUP BY train_doc_id, eval_doc_id
+HAVING COUNT(*) >= {MIN_SHARED}
+ORDER BY train_doc_id, eval_doc_id
+"""

@@ -215,3 +215,40 @@ SELECT doc_id,
 FROM t
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------- PII scrubbing
+
+# patterns chosen to parse and match identically under Java regex
+# (Spark) and RE2 (DuckDB): no backrefs, no lookaround
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://\S+"
+
+
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass over the corpus: per-doc email/URL match
+    counts plus the md5 of the scrubbed text (emails → <EMAIL>,
+    URLs → <URL>) — the redaction sweep a training pipeline runs
+    before tokenization, as pure JVM column expressions (one
+    map-side pass, no shuffle until the final sort)."""
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), F.lit(0))).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(URL_RE), F.lit(0))).cast("bigint").alias("n_urls"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    ).orderBy("doc_id")
+
+
+PII_SCRUB_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, 'https?://\\S+')) AS n_urls,
+       md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          'https?://\\S+', '<URL>', 'g')) AS scrubbed_md5
+FROM documents
+ORDER BY doc_id
+"""

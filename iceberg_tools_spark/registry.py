@@ -197,6 +197,8 @@ register("scan_plan_pruned", meta_snap.scan_plan_pruned, meta_snap.SCAN_PLAN_PRU
 register("expire_snapshots_plan", meta_snap.expire_snapshots_plan, meta_snap.EXPIRE_SNAPSHOTS_PLAN_SQL)
 register("compaction_plan", meta_snap.compaction_plan, meta_snap.COMPACTION_PLAN_SQL)
 register("orphan_files_current", meta_snap.orphan_files_current, meta_snap.ORPHAN_FILES_SQL)
+register("decontaminate_ngram", dedup.decontaminate_ngram, dedup.DECONTAMINATE_SQL)
+register("pii_scrub_stats", text_ops.pii_scrub_stats, text_ops.PII_SCRUB_SQL)
 
 # ------------------- r4-certified re-certs (fresh rows; any sliding
 # past position 50 keep their green r4 row)

@@ -18,6 +18,8 @@ from iceberg_tools_spark.operators import dedup
 
 VOCAB = [f"w{i}" for i in range(200)]
 
+SF = "/root/testdata/sf0.01"
+
 
 def _doc(rng: random.Random, n: int = 40) -> str:
     return " ".join(rng.choice(VOCAB) for _ in range(n))
@@ -87,3 +89,46 @@ def test_ngram_jaccard_ranks_planted_pairs_first(spark, planted_dir):
     rows = dedup.dedup_ngram_jaccard(spark, planted_dir).collect()
     top = {(r.da, r.db) for r in rows[:3]}
     assert (100, 101) in top or (200, 201) in top or (300, 301) in top
+
+
+def test_decontaminate_split_semantics(spark):
+    """Contamination rows pair a non-eval train doc with an eval doc
+    (doc_id % 97 == 0) at >= MIN_SHARED shared shingles."""
+    from iceberg_tools_spark.operators.dedup import EVAL_MOD, MIN_SHARED, decontaminate_ngram
+
+    rows = decontaminate_ngram(spark, SF).collect()
+    assert len(rows) > 0  # planted near-dups cross the split at sf0.01
+    assert all(r.train_doc_id % EVAL_MOD != 0 for r in rows)
+    assert all(r.eval_doc_id % EVAL_MOD == 0 for r in rows)
+    assert all(r.n_shared >= MIN_SHARED for r in rows)
+
+
+def test_pii_patterns_match_python_re(spark):
+    """The Spark-side regexes count exactly what Python re counts on
+    a crafted text (2 emails, 1 URL), and scrubbing changes the
+    hash only when something matched."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from iceberg_tools_spark.operators.text import EMAIL_RE, URL_RE
+
+    txt = "mail a@b.co and c.d+x@e-f.org see https://x.y/z?q=1 end"
+    clean = "no pii here at all"
+    df = spark.createDataFrame([(1, txt), (2, clean)], "doc_id long, text string")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+    )
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), F.lit(0))).alias("e"),
+            F.size(F.regexp_extract_all("text", F.lit(URL_RE), F.lit(0))).alias("u"),
+            (F.md5(scrubbed) == F.md5("text")).alias("unchanged"),
+        ).collect()
+    }
+    assert out[1].e == len(re.findall(EMAIL_RE, txt)) == 2
+    assert out[1].u == len(re.findall(URL_RE, txt)) == 1
+    assert not out[1].unchanged
+    assert out[2].e == 0 and out[2].u == 0 and out[2].unchanged
