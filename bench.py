@@ -61,9 +61,12 @@ HEADLINE = [
     "ann_ivf_topk",
     "dedup_clusters",
     "meta_manifest_entries",
-    # round-5 breadth: snapshot-level planning + manifest rewrite
+    # round-5 breadth: snapshot-level planning + manifest rewrite +
+    # training-pipeline decontamination/PII sweeps
     "files_at_snapshot",
     "meta_rewritten_files",
+    "decontaminate_ngram",
+    "pii_scrub_stats",
 ]
 
 
