@@ -1,0 +1,468 @@
+"""Iceberg v2 delete files — merge-on-read scan planning and reads
+(VERDICT r5 "Next round" #1).
+
+The v2 spec adds a ``content`` discriminator to ``manifest_file``
+(0=data, 1=deletes) and ``data_file`` (0=DATA, 1=POSITION_DELETES,
+2=EQUALITY_DELETES) — fields the reference's Avro schema path
+already carries (ManifestFileReadTool.java:170-197). A
+merge-on-read reader must:
+
+* list data files and delete files separately per snapshot;
+* apply **positional** delete files (rows of ``(file_path, pos)``)
+  to data files with ``data_seq <= delete_seq``;
+* apply **equality** delete files (rows of the ``equality_ids``
+  columns) to data files with ``data_seq < delete_seq`` whose
+  partition can match the delete file's partition;
+* resolve entry-level ``sequence_number`` with v2 inheritance
+  (null on an ADDED entry inherits its manifest's sequence number).
+
+Spark-first shape: planning (KB-scale Avro) stays driver-side like
+all of `snapshots.py`; the ROW-level work — the part that is TB-
+scale in production — is pure DataFrame ops: one parquet scan of
+the data files with ``_metadata.row_index``, an anti-join against
+the positional deletes, and one anti-join per equality delete file.
+No delete-side broadcast hints: delete sets can be arbitrarily
+large at 100 TB, so AQE picks the join strategy.
+
+Fixture: ``tests/fixtures/mor`` (scripts/gen_mor_fixture.py) — real
+parquet data + delete files, so the DuckDB oracles independently
+re-implement MoR semantics over the same physical files
+(``file_row_number`` vs Spark's ``_metadata.row_index``).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from functools import reduce
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..avro.reader import AvroContainerFile
+from .metadata import TableMetadata, parse_metadata
+from .snapshots import _REPO_ROOT, _local, manifest_files_at
+
+MOR_DIR = os.path.join(_REPO_ROOT, "tests", "fixtures", "mor")
+MOR_METADATA = os.path.join(MOR_DIR, "v2.metadata.json")
+
+DATA, POSITION_DELETES, EQUALITY_DELETES = 0, 1, 2
+CONTENT_NAME = {0: "DATA", 1: "POSITION_DELETES", 2: "EQUALITY_DELETES"}
+
+# both engines key row-level joins on the table-relative path, so
+# physical location differences (fixture dir vs canonical URI)
+# cancel out
+_REL_RE = r"data/.*$"
+
+
+def _rel(path: str) -> str:
+    m = re.search(_REL_RE, path)
+    if not m:
+        raise ValueError(f"path {path!r} has no 'data/...' suffix")
+    return m.group(0)
+
+
+def _schema_field_names(meta: TableMetadata) -> dict[int, str]:
+    raw = meta.raw
+    schema = next(
+        s for s in raw.get("schemas", [raw.get("schema", {})])
+        if s.get("schema-id", 0) == raw.get("current-schema-id", 0)
+    )
+    return {f["id"]: f["name"] for f in schema.get("fields", [])}
+
+
+def _identity_sources(meta: TableMetadata, spec_id: int) -> dict[str, str]:
+    """partition field name → source COLUMN name, identity
+    transforms only; a non-identity field raises when equality-
+    delete partition gating would need it (wrongly gating would
+    delete rows that should survive)."""
+    by_id = _schema_field_names(meta)
+    spec = next(
+        s for s in meta.raw.get("partition-specs", [])
+        if s.get("spec-id", 0) == spec_id
+    )
+    out = {}
+    for f in spec.get("fields", []):
+        if f.get("transform", "identity") == "identity":
+            out[f["name"]] = by_id[f["source-id"]]
+    return out
+
+
+def mor_entries_at(
+    meta: TableMetadata, snapshot_id: int, base_dir: str
+) -> tuple[list[dict[str, Any]], list[dict[str, Any]]]:
+    """Live (data_entries, delete_entries) at a snapshot, with v2
+    sequence-number inheritance resolved."""
+    loc = meta.raw.get("location")
+    data, dels = [], []
+    for mrow in manifest_files_at(meta, snapshot_id, base_dir):
+        mseq = mrow.get("sequence_number", 0)
+        spec_id = mrow.get("partition_spec_id", 0)
+        with open(mrow["local_path"], "rb") as f:
+            records = list(AvroContainerFile(f.read()))
+        for rec in records:
+            if rec["status"] == 2:  # DELETED tombstone: not live
+                continue
+            df_ = rec["data_file"]
+            seq = rec.get("sequence_number")
+            if seq is None:
+                if rec["status"] == 1:  # ADDED inherits (v2 rule)
+                    seq = mseq
+                else:
+                    raise ValueError(
+                        f"EXISTING entry {df_['file_path']!r} carries no "
+                        "sequence_number; v2 inheritance only covers ADDED"
+                    )
+            entry = {
+                "content": df_.get("content", 0),
+                "file_path": df_["file_path"],
+                "local_path": _local(df_["file_path"], base_dir, loc),
+                "rel": _rel(df_["file_path"]),
+                "partition": df_.get("partition") or {},
+                "record_count": df_["record_count"],
+                "sequence_number": seq,
+                "equality_ids": df_.get("equality_ids"),
+                "spec_id": spec_id,
+            }
+            (data if entry["content"] == DATA else dels).append(entry)
+    return data, dels
+
+
+def read_mor(
+    spark: SparkSession,
+    metadata_path: str,
+    snapshot_id: int,
+    base_dir: str | None = None,
+) -> DataFrame:
+    """Merge-on-read table scan at a snapshot: data-file rows minus
+    applied positional and equality deletes.
+
+    Plan shape (the 100 TB story): ONE parquet scan over exactly the
+    planned data files, tagged with ``_metadata.row_index`` /
+    ``file_path`` (computed by the scan itself — free), a broadcast
+    join attaching each file's data sequence number (one row per
+    FILE — always tiny), then anti-joins for the deletes. Everything
+    after planning is executor-side; no collect, no Python row work.
+    """
+    base_dir = base_dir or os.path.dirname(metadata_path)
+    meta = parse_metadata(metadata_path)
+    data, dels = mor_entries_at(meta, snapshot_id, base_dir)
+    if not data:
+        raise ValueError(f"snapshot {snapshot_id} has no live data files")
+
+    df = (
+        spark.read.parquet(*sorted(e["local_path"] for e in data))
+        .withColumn("_rel", F.regexp_extract(F.col("_metadata.file_path"), _REL_RE, 0))
+        .withColumn("_pos", F.col("_metadata.row_index"))
+    )
+    out_cols = [c for c in df.columns if c not in ("_rel", "_pos")]
+    seq_df = spark.createDataFrame(
+        [(e["rel"], e["sequence_number"]) for e in data],
+        T.StructType([
+            T.StructField("seq_rel", T.StringType()),
+            T.StructField("_seq", T.LongType()),
+        ]),
+    )
+    df = (
+        df.join(F.broadcast(seq_df), df["_rel"] == seq_df["seq_rel"], "left")
+        .drop("seq_rel")
+    )
+
+    pos_dels = [e for e in dels if e["content"] == POSITION_DELETES]
+    if pos_dels:
+        frames = [
+            spark.read.parquet(e["local_path"]).select(
+                F.regexp_extract("file_path", _REL_RE, 0).alias("pd_rel"),
+                F.col("pos").alias("pd_pos"),
+                F.lit(e["sequence_number"]).alias("pd_seq"),
+            )
+            for e in pos_dels
+        ]
+        pd_all = reduce(DataFrame.unionByName, frames)
+        df = df.join(
+            pd_all,
+            (df["_rel"] == pd_all["pd_rel"])
+            & (df["_pos"] == pd_all["pd_pos"])
+            & (df["_seq"] <= pd_all["pd_seq"]),
+            "left_anti",
+        )
+
+    field_names = _schema_field_names(meta)
+    for e in (e for e in dels if e["content"] == EQUALITY_DELETES):
+        eq_cols = [field_names[fid] for fid in (e["equality_ids"] or [])]
+        if not eq_cols:
+            raise ValueError(
+                f"equality delete {e['file_path']!r} lists no equality_ids"
+            )
+        d, ed = df.alias("d"), (
+            spark.read.parquet(e["local_path"]).select(*eq_cols).alias("ed")
+        )
+        # equality on the delete columns (null-safe per spec) ...
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(f"d.{c}").eqNullSafe(F.col(f"ed.{c}")) for c in eq_cols],
+        )
+        # ... gated on sequence order (strict: deletes don't apply
+        # to rows written at or after the delete) ...
+        cond = cond & (F.col("d._seq") < F.lit(e["sequence_number"]))
+        # ... and on the delete file's partition (identity fields
+        # gate on their source columns; a partition field that is
+        # not identity cannot be gated from column values, and the
+        # spec scopes partitioned deletes to their own spec)
+        ident = _identity_sources(meta, e["spec_id"])
+        for pname, pval in e["partition"].items():
+            if pname in ident and pval is not None:
+                cond = cond & (F.col(f"d.{ident[pname]}") == F.lit(pval))
+        df = d.join(ed, cond, "left_anti")
+
+    return df.select(*out_cols)
+
+
+# ------------------------------------------------ driver-gate queries
+
+DELETE_FILES_SCHEMA = T.StructType([
+    T.StructField("file_path", T.StringType()),
+    T.StructField("content_name", T.StringType()),
+    T.StructField("partition_json", T.StringType()),
+    T.StructField("record_count", T.LongType()),
+    T.StructField("sequence_number", T.LongType()),
+    T.StructField("equality_ids_csv", T.StringType()),
+])
+
+
+def meta_delete_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$delete_files of the MoR fixture at snapshot 2003: one
+    positional and one equality delete file with their v2 content
+    codes, partitions, and inherited sequence numbers."""
+    import json as _json
+
+    meta = parse_metadata(MOR_METADATA)
+    _, dels = mor_entries_at(meta, 2003, MOR_DIR)
+    rows = [
+        (
+            e["file_path"],
+            CONTENT_NAME[e["content"]],
+            _json.dumps(e["partition"], sort_keys=True),
+            e["record_count"],
+            e["sequence_number"],
+            ",".join(str(i) for i in e["equality_ids"]) if e["equality_ids"] else None,
+        )
+        for e in dels
+    ]
+    return spark.createDataFrame(rows, DELETE_FILES_SCHEMA).orderBy("file_path")
+
+
+FILES_MOR_SCHEMA = T.StructType([
+    T.StructField("file_path", T.StringType()),
+    T.StructField("partition_json", T.StringType()),
+    T.StructField("record_count", T.LongType()),
+    T.StructField("data_seq", T.LongType()),
+    T.StructField("eq_delete_files", T.LongType()),
+])
+
+
+def files_at_snapshot_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel WITH delete application at snapshot 2003: per
+    live data file, the positional-delete row count (read from the
+    actual delete parquet — distributed, since positional delete
+    files are data-scale at 100 TB), the count of equality delete
+    files that apply, and the resulting live-row upper bound
+    (equality matches resolve only at read time; `mor_live_rows` is
+    the exact row-level answer)."""
+    import json as _json
+
+    meta = parse_metadata(MOR_METADATA)
+    data, dels = mor_entries_at(meta, 2003, MOR_DIR)
+
+    def _eq_applies(d: dict, e: dict) -> bool:
+        if d["sequence_number"] >= e["sequence_number"]:
+            return False
+        shared = set(d["partition"]) & set(e["partition"])
+        return all(d["partition"][k] == e["partition"][k] for k in shared)
+
+    eq_dels = [e for e in dels if e["content"] == EQUALITY_DELETES]
+    rows = [
+        (
+            d["file_path"],
+            _json.dumps(d["partition"], sort_keys=True),
+            d["record_count"],
+            d["sequence_number"],
+            sum(1 for e in eq_dels if _eq_applies(d, e)),
+        )
+        for d in data
+    ]
+    files = spark.createDataFrame(rows, FILES_MOR_SCHEMA)
+
+    pos_dels = [e for e in dels if e["content"] == POSITION_DELETES]
+    frames = [
+        spark.read.parquet(e["local_path"]).select(
+            "file_path", F.lit(e["sequence_number"]).alias("pd_seq")
+        )
+        for e in pos_dels
+    ]
+    pd_counts = (
+        reduce(DataFrame.unionByName, frames)
+        .groupBy("file_path", "pd_seq")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    joined = files.join(
+        pd_counts,
+        (files["file_path"] == pd_counts["file_path"])
+        & (files["data_seq"] <= pd_counts["pd_seq"]),
+        "left",
+    )
+    return (
+        joined.groupBy(
+            files["file_path"], "partition_json", "record_count", "data_seq",
+            "eq_delete_files",
+        )
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("pos_deleted"))
+        .select(
+            files["file_path"], "partition_json", "record_count", "data_seq",
+            "pos_deleted",
+            "eq_delete_files",
+            (F.col("record_count") - F.col("pos_deleted")).alias("live_rows_ub"),
+        )
+        .orderBy("file_path")
+    )
+
+
+def mor_live_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship MoR read: every surviving row of the fixture
+    table at current snapshot 2004 — positional deletes knock out
+    ids 1-10 and 151-155, the equality delete knocks out 260 and
+    270 (category z, data seq 2 < delete seq 3), and F's rows
+    (seq 4, written after the deletes) all survive → 323 rows."""
+    return read_mor(spark, MOR_METADATA, 2004, MOR_DIR).orderBy("id")
+
+
+def scan_plan_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan planning across a partition-spec evolution (VERDICT r5
+    #2): snapshot 2004 carries spec-0 manifests (identity(category))
+    and a spec-1 manifest (+ truncate[100](id)); the predicate
+    ``category = 'w' AND id_trunc = 300`` prunes m1/m2 at the
+    manifest level via their OWN spec's summaries, applies the
+    id_trunc clause only to spec-1 files (spec-0 files are
+    unconstrained by a field their spec lacks), and selects exactly
+    F. The delete manifest m5 never appears: it is not a data
+    listing."""
+    from .snapshots import plan_scan
+
+    return plan_scan(
+        spark,
+        MOR_METADATA,
+        2004,
+        partition_pred={"category": "w", "id_trunc": 300},
+        base_dir=MOR_DIR,
+        debug=True,
+    )
+
+
+# -------------------------------------------------- DuckDB oracles
+
+_LOC = "file:///tmp/mor_table"
+
+META_DELETE_FILES_SQL = f"""
+SELECT file_path, content_name, partition_json,
+       CAST(record_count AS BIGINT) AS record_count,
+       CAST(sequence_number AS BIGINT) AS sequence_number,
+       equality_ids_csv
+FROM (VALUES
+  ('{_LOC}/data/deletes/ed1.parquet', 'EQUALITY_DELETES',
+   '{{"category": "z"}}', 2, 3, '1'),
+  ('{_LOC}/data/deletes/pd1.parquet', 'POSITION_DELETES',
+   '{{"category": "x"}}', 15, 3, NULL)
+) t(file_path, content_name, partition_json, record_count,
+    sequence_number, equality_ids_csv)
+ORDER BY file_path
+"""
+
+# The positional-delete counts come from DuckDB reading the SAME
+# physical delete parquet Spark reads — an independent engine over
+# shared ground truth, not a golden literal.
+FILES_AT_SNAPSHOT_MOR_SQL = f"""
+WITH files(file_path, partition_json, record_count, data_seq) AS (VALUES
+  ('{_LOC}/data/category=x/A.parquet', '{{"category": "x"}}', 100, 1),
+  ('{_LOC}/data/category=y/B.parquet', '{{"category": "y"}}', 50, 1),
+  ('{_LOC}/data/category=x/C.parquet', '{{"category": "x"}}', 100, 2),
+  ('{_LOC}/data/category=z/D.parquet', '{{"category": "z"}}', 50, 2)
+),
+eqdel(partition_json, seq) AS (VALUES ('{{"category": "z"}}', 3)),
+pd AS (
+  SELECT file_path, COUNT(*) AS n
+  FROM read_parquet('{MOR_DIR}/data/deletes/pd1.parquet')
+  GROUP BY file_path
+)
+SELECT f.file_path, f.partition_json,
+       CAST(f.record_count AS BIGINT) AS record_count,
+       CAST(f.data_seq AS BIGINT) AS data_seq,
+       CAST(COALESCE(pd.n, 0) AS BIGINT) AS pos_deleted,
+       CAST((SELECT COUNT(*) FROM eqdel e
+             WHERE f.data_seq < e.seq
+               AND f.partition_json = e.partition_json) AS BIGINT)
+         AS eq_delete_files,
+       CAST(f.record_count - COALESCE(pd.n, 0) AS BIGINT) AS live_rows_ub
+FROM files f LEFT JOIN pd ON f.file_path = pd.file_path
+ORDER BY f.file_path
+"""
+
+_MOR_DATA_FILES = ", ".join(
+    f"'{MOR_DIR}/{rel}'"
+    for rel in [
+        "data/category=x/A.parquet",
+        "data/category=y/B.parquet",
+        "data/category=x/C.parquet",
+        "data/category=z/D.parquet",
+        "data/category=w/id_trunc=300/F.parquet",
+    ]
+)
+
+# Independent MoR re-implementation: DuckDB's file_row_number plays
+# Spark's _metadata.row_index; sequence rules and partition gating
+# are re-derived in SQL over the same physical files.
+MOR_LIVE_ROWS_SQL = f"""
+WITH d AS (
+  SELECT id, category,
+         regexp_extract(filename, 'data/.*$') AS rel,
+         file_row_number AS pos
+  FROM read_parquet([{_MOR_DATA_FILES}], filename=true, file_row_number=true)
+),
+seqs(rel, seq) AS (VALUES
+  ('data/category=x/A.parquet', 1),
+  ('data/category=y/B.parquet', 1),
+  ('data/category=x/C.parquet', 2),
+  ('data/category=z/D.parquet', 2),
+  ('data/category=w/id_trunc=300/F.parquet', 4)
+),
+pd AS (
+  SELECT regexp_extract(file_path, 'data/.*$') AS rel, pos
+  FROM read_parquet('{MOR_DIR}/data/deletes/pd1.parquet')
+),
+ed AS (SELECT id FROM read_parquet('{MOR_DIR}/data/deletes/ed1.parquet'))
+SELECT d.id, d.category
+FROM d JOIN seqs ON d.rel = seqs.rel
+WHERE NOT EXISTS (
+        SELECT 1 FROM pd
+        WHERE pd.rel = d.rel AND pd.pos = d.pos AND seqs.seq <= 3)
+  AND NOT (seqs.seq < 3 AND d.category = 'z'
+           AND d.id IN (SELECT id FROM ed))
+ORDER BY d.id
+"""
+
+SCAN_PLAN_EVOLVED_SQL = f"""
+SELECT manifest_name, file_path, partition_json,
+       CAST(record_count AS BIGINT) AS record_count,
+       manifest_pruned, file_pruned, selected
+FROM (VALUES
+  ('m1.avro', '{_LOC}/data/category=x/A.parquet', '{{"category": "x"}}', 100, true, true, false),
+  ('m1.avro', '{_LOC}/data/category=y/B.parquet', '{{"category": "y"}}', 50, true, true, false),
+  ('m2.avro', '{_LOC}/data/category=x/C.parquet', '{{"category": "x"}}', 100, true, true, false),
+  ('m2.avro', '{_LOC}/data/category=z/D.parquet', '{{"category": "z"}}', 50, true, true, false),
+  ('m6.avro', '{_LOC}/data/category=w/id_trunc=300/F.parquet',
+   '{{"category": "w", "id_trunc": 300}}', 40, false, false, true)
+) t(manifest_name, file_path, partition_json, record_count,
+    manifest_pruned, file_pruned, selected)
+ORDER BY manifest_name, file_path
+"""

