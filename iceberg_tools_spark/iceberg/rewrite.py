@@ -84,6 +84,17 @@ def rewrite_manifest_group(group: list[str], out_path: str) -> dict[str, Any]:
             if rec["status"] == DELETED:
                 n_dropped += 1
                 continue
+            if rec.get("snapshot_id") is None:
+                # an ADDED entry may inherit its snapshot id from the
+                # manifest LIST, which this group-level rewrite does
+                # not see; silently re-statusing it EXISTING with a
+                # null id would lose attribution that real Iceberg
+                # RewriteManifests materializes (ADVICE r5)
+                raise ValueError(
+                    f"manifest {path} entry for "
+                    f"{rec['data_file']['file_path']!r} has an inherited "
+                    "(null) snapshot_id; materialize ids before rewrite"
+                )
             entries.append({**rec, "status": EXISTING})
     blob = write_container(schema, entries)
     with open(out_path, "wb") as f:

@@ -235,18 +235,26 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     scrubbed = F.regexp_replace(
         F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
     )
+    # coalesce: F.size yields -1/NULL for NULL text where DuckDB's
+    # len() yields NULL — a parity break if documents.text ever
+    # ships nullable (ADVICE r5); both engines count NULL as 0
+    def _n(col: str, pat: str):
+        return F.coalesce(
+            F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0))), F.lit(0)
+        ).cast("bigint")
+
     return d.select(
         "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), F.lit(0))).cast("bigint").alias("n_emails"),
-        F.size(F.regexp_extract_all("text", F.lit(URL_RE), F.lit(0))).cast("bigint").alias("n_urls"),
+        _n("text", EMAIL_RE).alias("n_emails"),
+        _n("text", URL_RE).alias("n_urls"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     ).orderBy("doc_id")
 
 
 PII_SCRUB_SQL = f"""
 SELECT doc_id,
-       len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
-       len(regexp_extract_all(text, 'https?://\\S+')) AS n_urls,
+       COALESCE(len(regexp_extract_all(text, '{EMAIL_RE}')), 0) AS n_emails,
+       COALESCE(len(regexp_extract_all(text, 'https?://\\S+')), 0) AS n_urls,
        md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
                           'https?://\\S+', '<URL>', 'g')) AS scrubbed_md5
 FROM documents

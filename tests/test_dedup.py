@@ -132,3 +132,30 @@ def test_pii_patterns_match_python_re(spark):
     assert out[1].u == len(re.findall(URL_RE, txt)) == 1
     assert not out[1].unchanged
     assert out[2].e == 0 and out[2].u == 0 and out[2].unchanged
+
+
+def test_decontaminate_shuffle_fallback_matches_broadcast(spark):
+    """VERDICT r5 #7: above the eval-row threshold the broadcast
+    hint is dropped; both join strategies must return identical
+    rows (threshold=0 forces the shuffle path)."""
+    from iceberg_tools_spark.operators.dedup import decontaminate_ngram
+
+    from .conftest import SF_ORACLE
+
+    fast = decontaminate_ngram(spark, SF_ORACLE).collect()
+    slow = decontaminate_ngram(
+        spark, SF_ORACLE, broadcast_max_eval_rows=0
+    ).collect()
+    assert fast == slow
+    assert len(fast) > 0
+
+
+def test_decontaminate_broadcast_hint_present_only_below_threshold(spark):
+    from iceberg_tools_spark.operators.dedup import decontaminate_ngram
+
+    from .conftest import SF_ORACLE
+
+    fast = decontaminate_ngram(spark, SF_ORACLE)
+    slow = decontaminate_ngram(spark, SF_ORACLE, broadcast_max_eval_rows=0)
+    assert "ResolvedHint" in fast._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in slow._jdf.queryExecution().analyzed().toString()

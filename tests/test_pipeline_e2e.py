@@ -71,3 +71,35 @@ def test_corpus_pipeline_end_to_end(spark):
     from iceberg_tools_spark.plans import checks
 
     assert checks.no_python_eval(final)
+
+
+def test_pii_scrub_null_text_counts_zero(spark, tmp_path):
+    """NULL text must count 0 emails/urls on BOTH engines (ADVICE
+    r5: F.size yields -1/NULL while DuckDB len() yields NULL)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_tools_spark.operators.text import PII_SCRUB_SQL, pii_scrub_stats
+
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["mail me a@b.co", None], pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+            "source": pa.array(["s", "s"], pa.string()),
+            "n_chars": pa.array([14, 0], pa.int64()),
+        }),
+        tmp_path / "documents.parquet",
+    )
+    rows = {r.doc_id: r for r in pii_scrub_stats(spark, str(tmp_path)).collect()}
+    assert rows[1].n_emails == 1
+    assert rows[2].n_emails == 0 and rows[2].n_urls == 0
+    assert rows[2].scrubbed_md5 is None
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    duck = {r[0]: r for r in con.execute(PII_SCRUB_SQL).fetchall()}
+    assert duck[2][1] == 0 and duck[2][2] == 0

@@ -293,3 +293,37 @@ def test_plan_groups_split_respects_target():
     groups = plan_manifest_groups(paths, target_bytes=2000)
     assert len(groups) > 1
     assert sorted(p for g in groups for p in g) == paths
+
+
+def test_rewrite_rejects_inherited_snapshot_id(tmp_path):
+    """An ADDED entry with a null (manifest-list-inherited)
+    snapshot_id must raise: re-statusing it EXISTING with a null id
+    would silently lose attribution (ADVICE r5)."""
+    import pytest as _pytest
+
+    from iceberg_tools_spark.avro.writer import write_container
+    from iceberg_tools_spark.iceberg.rewrite import rewrite_manifest_group
+    from scripts.gen_mor_fixture import SPEC0_FIELDS, manifest_schema
+
+    schema = manifest_schema(SPEC0_FIELDS, "s0")
+    entry = {
+        "status": 1,  # ADDED
+        "snapshot_id": None,  # inherited
+        "sequence_number": None,
+        "data_file": {
+            "content": 0,
+            "file_path": "file:///t/data/category=x/X.parquet",
+            "file_format": "PARQUET",
+            "partition": {"category": "x"},
+            "record_count": 1,
+            "file_size_in_bytes": 10,
+            "lower_bounds": None,
+            "upper_bounds": None,
+            "equality_ids": None,
+            "sort_order_id": None,
+        },
+    }
+    src = tmp_path / "null-snap.avro"
+    src.write_bytes(write_container(schema, [entry]))
+    with _pytest.raises(ValueError, match="inherited"):
+        rewrite_manifest_group([str(src)], str(tmp_path / "out.avro"))
