@@ -90,6 +90,21 @@ def main() -> None:
 
     for tbl in TABLES:
         load_table(spark, sf_dir, tbl).write.format("noop").mode("overwrite").save()
+    # also warm the Python worker pool (one trivial Arrow-batched
+    # eval): several headline queries run Arrow kernels, and worker
+    # fork/import is one-time session infrastructure — the same class
+    # of cost as the JVM/parquet-footer warm-up above, reported in
+    # warmup_sec, not attributed to whichever query runs first
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(32).select(_warm(F.col("id"))).write.format("noop").mode(
+        "overwrite"
+    ).save()
     warmup = time.perf_counter() - t0
 
     # machine-speed calibration: a fixed pure-CPU job (range sum, no

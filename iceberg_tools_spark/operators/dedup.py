@@ -21,8 +21,11 @@ Scale design (the part that matters at 100 TB):
   4 bands × 16 bits (Hamming ≤ 3 ⇒ ≥ 1 band equal, the pigeonhole
   guarantee), verified with exact Hamming distance.
 
-Everything is built-in column expressions — the md5 arithmetic runs
-in the JVM and is reproduced 1:1 in the DuckDB oracle SQL.
+Everything is built-in column expressions except the MinHash slot
+minima, which run as ONE Arrow-batched numpy kernel (exact int64 —
+Spark's higher-order array lambdas evaluate interpreted, and 64 of
+them per row lost 2× to the vectorized kernel). All hash arithmetic
+is md5-derived and reproduced 1:1 in the DuckDB oracle SQL.
 """
 
 from __future__ import annotations
@@ -164,9 +167,9 @@ LIMIT {TOP_PAIRS}
 # Affine (universal) hash family over ONE md5 per word:
 #   h(w)      = first 7 hex digits of md5(w) as int   (< 2^28)
 #   slot_i(w) = (a_i * h(w) + b_i) mod P,  P = 2^31 − 1 (prime)
-# a_i < P, h < 2^28 → products < 2^59: exact in BIGINT in both
-# engines (no overflow under Spark ANSI). One md5 per word instead
-# of 64 — the signature stage is pure codegen arithmetic after it.
+# a_i < P, h < 2^28 → products < 2^59: exact in BIGINT/int64 in all
+# three engines (Spark, DuckDB, numpy). One md5 per word instead of
+# 64 — the slot pass after it is pure affine arithmetic.
 MINHASH_P = 2_147_483_647
 _H_DIGITS = 7
 
@@ -185,34 +188,38 @@ def _affine_coeffs() -> list[tuple[int, int]]:
 MINHASH_COEFFS = _affine_coeffs()
 
 
+_SIG_KERNEL = None
+
+
 def _minhash_signatures(d: DataFrame) -> DataFrame:
     """doc_id → 64-element MinHash signature (array<bigint> ordered
     by slot).
 
-    Fully MAP-SIDE via higher-order array functions: per row, hash
-    the word set once (one md5 per word), then each slot is
-    ``array_min(transform(hashes, affine_k))`` — ZERO shuffle, no
-    explode blowup. The previous explode + groupBy(doc_id) form
-    paid a corpus-wide shuffle for what is a per-row computation;
-    at 100 TB that shuffle was the signature stage's entire cost
-    (locally: 0.98 s vs 1.64 s at sf0.1, bit-identical output).
+    MAP-SIDE, zero shuffle: per row, hash the word set once (one
+    JVM md5 per word), then the 64 slot minima come from ONE
+    Arrow-batched numpy kernel — ``(A·h + B) mod P`` vectorized over
+    (slots × words), exact int64 so the output is bit-identical to
+    the affine arithmetic the DuckDB oracle runs. The previous form
+    computed each slot as ``array_min(transform(hs, affine_k))``:
+    64 higher-order-function traversals per row, and Spark evaluates
+    HOF lambdas INTERPRETED (outside whole-stage codegen), which
+    made the slot pass the signature stage's entire cost (measured
+    at sf0.1: 1.67 s HOF vs 0.89 s Arrow kernel, 0 mismatching rows
+    over the corpus). Explode + groupBy(doc_id) was retired a round
+    earlier for paying a corpus-wide shuffle. At 100 TB the kernel
+    is embarrassingly parallel and Arrow-batched per partition.
     """
+    global _SIG_KERNEL
+    if _SIG_KERNEL is None:
+        from ..functions.minhash_kernel import make_sig_kernel
+
+        _SIG_KERNEL = make_sig_kernel(MINHASH_COEFFS, MINHASH_P)
     hashes = F.transform(
         word_set("text"),
         lambda w: F.conv(F.substring(F.md5(w), 1, _H_DIGITS), 16, 10).cast("bigint"),
     )
     dd = d.select("doc_id", hashes.alias("hs")).filter(F.size("hs") > 0)
-
-    def _affine(a: int, b: int):
-        # closure factory: a plain 1-arg lambda (PySpark counts the
-        # lambda's parameters to pick the HOF arity, so defaults
-        # like `lambda h, a=a: ...` mis-parse as 3-arg)
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
-
-    slots = F.array(
-        *[F.array_min(F.transform("hs", _affine(a, b))) for a, b in MINHASH_COEFFS]
-    )
-    return dd.select("doc_id", slots.alias("sig"))
+    return dd.select("doc_id", _SIG_KERNEL("hs").alias("sig"))
 
 
 def _sig_and_candidates(

@@ -126,11 +126,15 @@ def test_bruteforce_is_the_only_sanctioned_nested_loop(spark):
 
 def test_minhash_plan_contract(spark):
     """LSH hot-path contract: no pair explosion (bucket-cap filter
-    compiled into the plan), no Python eval, no cartesian."""
+    compiled into the plan), no ROW-AT-A-TIME Python eval, no
+    cartesian. The signature kernel is the sanctioned Arrow-batched
+    fast path (same rule as the IVF contract below): ArrowEvalPython
+    allowed, BatchEvalPython banned."""
     df = dedup.dedup_minhash_lsh(spark, SF_ORACLE)
     assert checks.cartesian_joins(df) == 0
-    assert checks.no_python_eval(df)
     p = checks.plan_string(df, "simple")
+    assert "BatchEvalPython" not in p
+    assert p.count("ArrowEvalPython") <= 1  # exactly the sig kernel
     # the MAX_BUCKET guard must survive into the physical plan as a
     # filter on the bucket-size aggregate
     assert f"<= {dedup.MAX_BUCKET}" in p, "bucket-cap filter missing from plan"
