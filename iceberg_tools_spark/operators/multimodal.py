@@ -27,6 +27,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -112,6 +113,84 @@ def _decode_ppm(payload: bytes) -> np.ndarray:
     )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG per-scanline filtering (spec §9: None/Sub/Up/Average/
+    Paeth). Returns (h, stride) uint8 of reconstructed bytes."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    raw = raw.reshape(h, stride + 1)
+    for y in range(h):
+        ftype, line = raw[y, 0], raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, dtype=np.int32)
+        if ftype == 0:  # None
+            rec = line
+        elif ftype == 1:  # Sub: cumulative per byte-lane mod 256
+            rec = line.reshape(-1, bpp).cumsum(axis=0).reshape(-1)
+        elif ftype == 2:  # Up
+            rec = line + prev
+        elif ftype in (3, 4):  # Average / Paeth: sequential in x
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                # predictors read RECONSTRUCTED (mod-256) neighbors,
+                # so each byte is masked as it is produced
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 3:
+                    rec[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = rec & 0xFF
+    return out
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """PNG → (H, W, 3) uint8 RGB, pure stdlib-zlib + numpy (public
+    spec, RFC 2083 / W3C PNG). Supports 8-bit depth, color types 0
+    (gray, expanded), 2 (RGB) and 6 (RGBA, alpha dropped),
+    non-interlaced — the shapes an encode→decode fixture pipeline
+    and typical ML corpora produce. Interlaced/16-bit/palette raise
+    and fall back to the fake kernel like any other undecodable
+    blob."""
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, b"", None
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack_from(">I", payload, pos), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
+            meta = (w, h, depth, color, comp, filt, interlace)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = meta
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(f"unsupported PNG: depth={depth} interlace={interlace}")
+    channels = {0: 1, 2: 3, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color}")
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    rec = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(rec, 3, axis=2)
+    return rec[..., :3].copy()
+
+
 def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """PCM WAV → ((n_samples, n_channels) float32 in [-1, 1], rate)."""
     with wave.open(io.BytesIO(payload)) as wf:
@@ -129,18 +208,21 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 def decode_media(payload: bytes, modality: str):
     """REAL decode for sandbox-decodable containers.
 
-    Returns ``(H, W, 3) uint8`` for images (BMP / P6 PPM) and
-    ``((n_samples, n_channels) float32, sample_rate)`` for audio
-    (PCM WAV). Compressed codecs (JPEG/MP3/MP4…) are not available
-    in this container — those payloads raise ValueError and the
-    pipeline falls back to the deterministic fake kernel.
+    Returns ``(H, W, 3) uint8`` for images (BMP / P6 PPM / PNG via
+    stdlib zlib) and ``((n_samples, n_channels) float32,
+    sample_rate)`` for audio (PCM WAV). Codecs needing third-party
+    libs (JPEG/MP3/MP4…) are not available in this container — those
+    payloads raise ValueError and the pipeline falls back to the
+    deterministic fake kernel.
     """
     if modality == "image":
         if payload[:2] == b"BM":
             return _decode_bmp(payload)
         if payload[:2] == b"P6":
             return _decode_ppm(payload)
-        raise ValueError("undecodable image format (only BMP/PPM in-sandbox)")
+        if payload[:8] == _PNG_MAGIC:
+            return _decode_png(payload)
+        raise ValueError("undecodable image format (only BMP/PPM/PNG in-sandbox)")
     if modality == "audio":
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return _decode_wav(payload)
@@ -167,6 +249,53 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     """(H, W, 3) uint8 RGB → binary P6 PPM bytes."""
     h, w, _ = arr.shape
     return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def encode_png(arr: np.ndarray, *, filter_type: int = 0) -> bytes:
+    """(H, W, 3) uint8 RGB → PNG bytes (8-bit, color type 2,
+    non-interlaced, one IDAT). ``filter_type`` applies one filter to
+    every scanline — 0 (None) for the plain fixture, 1/2/4
+    (Sub/Up/Paeth) to exercise the decoder's unfilter paths."""
+    h, w, _ = arr.shape
+    a = arr.astype(np.int32)
+    lines = []
+    for y in range(h):
+        row = a[y].reshape(-1)
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:  # Sub
+            left = np.concatenate([np.zeros(3, dtype=np.int32), row[:-3]])
+            filt = row - left
+        elif filter_type == 2:  # Up
+            filt = row - (a[y - 1].reshape(-1) if y else np.zeros(w * 3, dtype=np.int32))
+        elif filter_type == 4:  # Paeth
+            left = np.concatenate([np.zeros(3, dtype=np.int32), row[:-3]])
+            up = a[y - 1].reshape(-1) if y else np.zeros(w * 3, dtype=np.int32)
+            ul = np.concatenate([np.zeros(3, dtype=np.int32), up[:-3]])
+            p = left + up - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
+            filt = row - pred
+        else:
+            raise ValueError(f"unsupported encode filter {filter_type}")
+        lines.append(bytes([filter_type]) + (filt & 0xFF).astype(np.uint8).tobytes())
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:

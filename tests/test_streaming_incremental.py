@@ -1,0 +1,112 @@
+"""Incremental scan × streaming composition: streamed consumption of
+a snapshot range's added files equals the batch time-travel diff
+``files_at(to) − files_at(from)`` (VERDICT r5 "Next round" #5), on
+the physical MoR fixture.
+
+Fixture chain (scripts/gen_mor_fixture.py): 2001 adds A,B → 2002
+adds C,D → 2003 is a DELETE snapshot (adds delete files, no data) →
+2004 adds F.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_tools_spark.iceberg.deletes import MOR_METADATA
+from iceberg_tools_spark.iceberg.snapshots import files_at
+from iceberg_tools_spark.streaming.incremental import (
+    added_data_file_paths,
+    incremental_scan_stream,
+)
+from iceberg_tools_spark.streaming.jobs import run_to_memory
+
+
+def _ids(df):
+    return sorted(r.id for r in df.select("id").collect())
+
+
+def _batch_ids_at(spark, snapshot_id):
+    import os
+
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+    from iceberg_tools_spark.iceberg.snapshots import _local
+
+    base_dir = os.path.dirname(MOR_METADATA)
+    loc = parse_metadata(MOR_METADATA).raw.get("location")
+    paths = [
+        _local(r.file_path, base_dir, loc)
+        for r in files_at(spark, MOR_METADATA, snapshot_id).collect()
+    ]
+    return sorted(_ids(spark.read.parquet(*paths)))
+
+
+def test_planned_paths_match_chain_attribution():
+    # 2001→2002 added C and D; 2002→2004 added only F (2003 is the
+    # delete snapshot: no data files)
+    p12 = added_data_file_paths(MOR_METADATA, 2001, 2002)
+    assert sorted(p.rsplit("/", 1)[-1] for p in p12) == ["C.parquet", "D.parquet"]
+    p24 = added_data_file_paths(MOR_METADATA, 2002, 2004)
+    assert [p.rsplit("/", 1)[-1] for p in p24] == ["F.parquet"]
+
+
+def test_stream_equals_time_travel_diff(spark, tmp_path):
+    stream = incremental_scan_stream(
+        spark, MOR_METADATA, 2001, 2002, str(tmp_path / "stage")
+    )
+    assert stream.isStreaming
+    got = run_to_memory(stream, "inc_2001_2002")
+    to_ids = _batch_ids_at(spark, 2002)
+    from_ids = _batch_ids_at(spark, 2001)
+    assert _ids(got) == sorted(set(to_ids) - set(from_ids))
+
+
+def test_stream_across_delete_snapshot(spark, tmp_path):
+    # (2002, 2004] spans the delete snapshot 2003: the data increment
+    # is exactly F's rows — delete files are planning input for the
+    # MoR reader, never rows in the append stream
+    stream = incremental_scan_stream(
+        spark, MOR_METADATA, 2002, 2004, str(tmp_path / "stage")
+    )
+    got = run_to_memory(stream, "inc_2002_2004")
+    assert _ids(got) == list(range(301, 341))  # F holds ids 301..340
+
+
+def test_micro_batch_rate_limit(spark, tmp_path):
+    # maxFilesPerTrigger=1 over a 2-file increment → ≥2 micro-batches
+    stream = incremental_scan_stream(
+        spark, MOR_METADATA, 2001, 2002, str(tmp_path / "stage"), max_files_per_trigger=1
+    )
+    batches = []
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, epoch: batches.append(df.count())
+        ).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(batches) >= 2
+    assert sum(batches) == 150  # C (100 raw rows) + D (50 raw rows)
+
+
+def test_empty_increment_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="added no data files"):
+        incremental_scan_stream(
+            spark, MOR_METADATA, 2004, 2004, str(tmp_path / "stage")
+        )
+
+
+def test_same_basename_staging(tmp_path):
+    # two files with identical basenames in different dirs must both
+    # survive staging (the ordinal prefix)
+    import os
+
+    from iceberg_tools_spark.streaming.incremental import stage_increment
+
+    d1, d2 = tmp_path / "a", tmp_path / "b"
+    d1.mkdir(), d2.mkdir()
+    (d1 / "f.parquet").write_bytes(b"one")
+    (d2 / "f.parquet").write_bytes(b"two")
+    out = stage_increment([str(d1 / "f.parquet"), str(d2 / "f.parquet")], str(tmp_path / "s"))
+    assert len(os.listdir(out)) == 2

@@ -138,6 +138,97 @@ def test_ppm_encode_decode_roundtrip():
     np.testing.assert_array_equal(mm.decode_media(with_comment, "image"), arr)
 
 
+def test_png_encode_decode_roundtrip_all_filters():
+    import numpy as np
+
+    arr = _test_image(6, 9)
+    for ftype in (0, 1, 2, 4):  # None / Sub / Up / Paeth scanlines
+        got = mm.decode_media(mm.encode_png(arr, filter_type=ftype), "image")
+        np.testing.assert_array_equal(got, arr, err_msg=f"filter {ftype}")
+    # 1×1 edge and a wide single row (no previous scanline)
+    for shape in ((1, 1), (1, 16)):
+        a = _test_image(*shape)
+        np.testing.assert_array_equal(
+            mm.decode_media(mm.encode_png(a, filter_type=4), "image"), a
+        )
+
+
+def test_png_gray_and_rgba_decode():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    # hand-built grayscale (color type 0): 2×3 ramp expands to RGB
+    w, h = 3, 2
+    gray = np.arange(w * h, dtype=np.uint8).reshape(h, w) * 40
+
+    def chunk(ctype, data):
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(
+            ">I", zlib.crc32(ctype + data)
+        )
+
+    raw = b"".join(b"\x00" + gray[y].tobytes() for y in range(h))
+    png = (
+        mm._PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    got = mm.decode_media(png, "image")
+    np.testing.assert_array_equal(got, np.repeat(gray[..., None], 3, axis=2))
+
+    # RGBA (color type 6): alpha dropped
+    rgb = _test_image(2, 2)
+    rgba = np.concatenate([rgb, np.full((2, 2, 1), 200, np.uint8)], axis=2)
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(2))
+    png = (
+        mm._PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(mm.decode_media(png, "image"), rgb)
+
+
+def test_png_unsupported_shapes_fall_back():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    # 16-bit depth raises → real_or_fake_feature falls back to fake
+    def chunk(ctype, data):
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(
+            ">I", zlib.crc32(ctype + data)
+        )
+
+    png16 = (
+        mm._PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + chunk(b"IEND", b"")
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        mm.decode_media(png16, "image")
+    assert mm.real_or_fake_feature(png16, "image") == mm.fake_feature(png16)
+    # truncated PNG (magic only) also lands in the fake path
+    assert mm.real_or_fake_feature(mm._PNG_MAGIC, "image") == mm.fake_feature(
+        mm._PNG_MAGIC
+    )
+
+
+def test_png_feature_is_real():
+    import numpy as np
+
+    arr = _test_image(8, 8)
+    feat = mm.real_or_fake_feature(mm.encode_png(arr), "image")
+    assert feat == mm._image_feature(arr)
+    assert len(feat) == mm.FEATURE_DIM and all(np.isfinite(feat))
+
+
 def test_wav_encode_decode_roundtrip():
     import numpy as np
 
