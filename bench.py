@@ -110,6 +110,10 @@ HEADLINE = [
     "meta_rewritten_files",
     "decontaminate_ngram",
     "pii_scrub_stats",
+    # round-6 breadth: MoR reader, repetition filter, source triage
+    "mor_live_rows",
+    "doc_repetition_stats",
+    "source_dup_stats",
 ]
 
 

@@ -260,3 +260,128 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """
+
+
+# ------------------------------------------------ repetition filter
+
+REP_N = 5  # word n-gram size for the repetition signal
+
+
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition filter: the fraction of DUPLICATED
+    word 5-grams per document — the standard signal LLM pipelines
+    use to drop boilerplate, keyword-stuffed spam and degenerate
+    generations (high ratio ⇒ the text keeps repeating itself).
+
+    Entirely MAP-SIDE: total 5-grams is arithmetic on the token
+    count, distinct 5-grams is ``size(array_distinct(transform))``
+    per row — zero shuffle before the presentation sort, linear at
+    any corpus size."""
+    from ..functions.text import word_ngrams
+
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    n_tok = F.size(toks).cast("bigint")
+    total = F.greatest(n_tok - F.lit(REP_N - 1), F.lit(0).cast("bigint"))
+    dd = d.select("doc_id", n_tok.alias("n_tokens"), total.alias("n_grams"), toks.alias("w"))
+    distinct = F.when(
+        F.col("n_grams") > 0, F.size(word_ngrams("w", REP_N)).cast("bigint")
+    ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        dd.select(
+            "doc_id",
+            "n_tokens",
+            "n_grams",
+            (F.col("n_grams") - distinct).alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_grams",
+            "n_dup_grams",
+            F.when(F.col("n_grams") > 0, _ratio(F.col("n_dup_grams"), F.col("n_grams")))
+            .otherwise(F.lit(0).cast(D38_6))
+            .alias("rep_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_REPETITION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         len(w) AS n_tokens,
+         greatest(len(w) - {REP_N - 1}, 0) AS n_grams,
+         CASE WHEN len(w) >= {REP_N}
+              THEN len(list_distinct(list_transform(
+                     range(1, len(w) - {REP_N - 1} + 1),
+                     i -> array_to_string(w[i:i+{REP_N - 1}], ' '))))
+              ELSE 0 END AS n_distinct
+  FROM toks)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_grams - n_distinct AS BIGINT) AS n_dup_grams,
+       CASE WHEN n_grams > 0
+            THEN CAST(CAST(n_grams - n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE) AS DECIMAL(38,6))
+            ELSE CAST(0 AS DECIMAL(38,6)) END AS rep_ratio
+FROM g
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------- source duplication mix
+
+def source_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication profile: how much of each source's
+    volume is exact-duplicate text (normalized md5 seen more than
+    once ANYWHERE in the corpus). The triage view a pipeline runs
+    before deciding which feeds to de-prioritize — a source whose
+    dup_ratio is high is mostly re-crawl.
+
+    Shape: one hash-groupBy over md5(norm_text) for corpus-wide
+    multiplicity, broadcast back onto the (source, hash) pairs (the
+    dup-hash side is small: only hashes with count > 1), then a
+    per-source aggregate. No driver-side loop, no skew (md5 keys)."""
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "source", "text"])
+    hashed = d.select("source", F.md5(norm_text("text")).alias("h"))
+    dup_hashes = (
+        hashed.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("h")
+    )
+    flagged = hashed.join(F.broadcast(dup_hashes).withColumn("is_dup", F.lit(1)), "h", "left")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("is_dup"), F.lit(0)).cast("bigint").alias("n_dup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            _ratio(F.col("n_dup_docs"), F.col("n_docs")).alias("dup_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_DUP_SQL = """
+WITH hashed AS (
+  SELECT source, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+  FROM documents),
+dup_hashes AS (
+  SELECT h FROM hashed GROUP BY h HAVING COUNT(*) > 1)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(dup_hashes.h) AS BIGINT) AS n_dup_docs,
+       CAST(CAST(COUNT(dup_hashes.h) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(38,6)) AS dup_ratio
+FROM hashed LEFT JOIN dup_hashes ON hashed.h = dup_hashes.h
+GROUP BY source
+ORDER BY source
+"""

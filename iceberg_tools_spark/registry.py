@@ -123,9 +123,10 @@ def _decimal_cols(name: str) -> tuple[str, ...]:
 # order below spends that window deliberately. Round-6 window:
 #   1-2   green canary probes (double/string) — detect a driver
 #         canonicalization change;
-#   3-6   NEW round-6 operators (first certification): the v2
+#   3-7   NEW round-6 operators (first certification): the v2
 #         merge-on-read delete-file surface + partition-spec
-#         evolution (VERDICT r5 "Next round" #1-2);
+#         evolution (VERDICT r5 "Next round" #1-2), and the
+#         incremental-scan-as-a-stream composition (#5);
 #   7-..  queries whose IMPLEMENTATION changed this round, so their
 #         prior rows are stale evidence: dedup_clusters (large-star
 #         rework, #3), decontaminate_ngram (broadcast guard, #7),
@@ -158,6 +159,24 @@ register("meta_delete_files", meta_del.meta_delete_files, meta_del.META_DELETE_F
 register("files_at_snapshot_mor", meta_del.files_at_snapshot_mor, meta_del.FILES_AT_SNAPSHOT_MOR_SQL)
 register("mor_live_rows", meta_del.mor_live_rows, meta_del.MOR_LIVE_ROWS_SQL)
 register("scan_plan_evolved", meta_del.scan_plan_evolved, meta_del.SCAN_PLAN_EVOLVED_SQL)
+
+# incremental scan × Structured Streaming (VERDICT r5 #5): the rows
+# a snapshot range appended, consumed THROUGH the staged file stream;
+# oracle reads the same physical parquet files directly — an
+# independent check that streamed consumption loses/dups nothing
+from .streaming import incremental as stream_inc  # noqa: E402
+
+register(
+    "incremental_stream_rows",
+    stream_inc.incremental_stream_rows,
+    stream_inc.INCREMENTAL_STREAM_SQL,
+)
+
+# round-6 training-pipeline breadth: intra-document repetition
+# filter (duplicated 5-gram fraction, map-side only) and per-source
+# exact-duplication profile (which feeds are mostly re-crawl)
+register("doc_repetition_stats", text_ops.doc_repetition_stats, text_ops.DOC_REPETITION_SQL)
+register("source_dup_stats", text_ops.source_dup_stats, text_ops.SOURCE_DUP_SQL)
 
 # ------------------- changed-this-round re-certifications (stale
 # prior evidence: implementation or shared call path modified)

@@ -30,7 +30,6 @@ from __future__ import annotations
 
 import os
 import shutil
-from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -44,6 +43,10 @@ from ..iceberg.snapshots import (
 
 # _scalar_entry_rows tuple layout (ENTRIES_SCALAR_SCHEMA):
 _STATUS, _SNAPSHOT_ID, _FILE_PATH = 0, 2, 3
+
+import itertools
+
+_GATE_SEQ = itertools.count()
 
 
 def added_data_file_paths(
@@ -129,3 +132,43 @@ def incremental_scan_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(staging_dir)
     )
+
+
+# ------------------------------------------------ driver-gate query
+
+def incremental_stream_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate form of the composition: the rows snapshots
+    (2001, 2002] of the MoR fixture appended, CONSUMED THROUGH THE
+    STREAM (staged file source, availableNow-style drain into a
+    memory sink), returned sorted. The DuckDB oracle reads the same
+    two physical parquet files directly — certifying that streamed
+    incremental consumption loses/dups nothing vs a raw read of the
+    planned files. (``sf_dir`` unused: metadata queries run on the
+    repo fixture, like every other meta_* entry.)"""
+    import tempfile
+
+    from ..iceberg.deletes import MOR_METADATA
+    from .jobs import run_to_memory
+
+    seq = next(_GATE_SEQ)  # unique sink name + staging dir per call
+    staging = tempfile.mkdtemp(prefix=f"inc_stream_gate_{seq}_")
+    try:
+        stream = incremental_scan_stream(spark, MOR_METADATA, 2001, 2002, staging)
+        got = run_to_memory(stream, f"inc_stream_gate_rows_{seq}")
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return got.orderBy("id").select("id", "category")
+
+
+def _mor_added_files_sql() -> str:
+    from ..iceberg.deletes import MOR_DIR
+
+    c = os.path.join(MOR_DIR, "data", "category=x", "C.parquet")
+    d = os.path.join(MOR_DIR, "data", "category=z", "D.parquet")
+    return (
+        "SELECT id, category "
+        f"FROM read_parquet(['{c}', '{d}']) ORDER BY id"
+    )
+
+
+INCREMENTAL_STREAM_SQL = _mor_added_files_sql()

@@ -103,3 +103,64 @@ def test_pii_scrub_null_text_counts_zero(spark, tmp_path):
     )
     duck = {r[0]: r for r in con.execute(PII_SCRUB_SQL).fetchall()}
     assert duck[2][1] == 0 and duck[2][2] == 0
+
+
+def _write_docs(tmp_path, texts, sources=None):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(texts)
+    sources = sources or ["s"] * n
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(list(range(1, n + 1)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array([len(t or "") for t in texts], pa.int64()),
+        }),
+        tmp_path / "documents.parquet",
+    )
+
+
+def test_doc_repetition_planted(spark, tmp_path):
+    """Planted repetition: a doc that is one 5-gram repeated, a doc
+    with all-unique 5-grams, and a doc shorter than 5 tokens."""
+    from iceberg_tools_spark.operators.text import doc_repetition_stats
+
+    loop = "a b c d e " * 10  # 50 tokens, every 5-gram drawn from 5 rotations
+    uniq = " ".join(f"w{i}" for i in range(50))
+    _write_docs(tmp_path, [loop.strip(), uniq, "too short"])
+    rows = {r.doc_id: r for r in doc_repetition_stats(spark, str(tmp_path)).collect()}
+    assert rows[1].n_grams == 46 and rows[1].n_dup_grams == 41  # 5 distinct rotations
+    assert float(rows[1].rep_ratio) > 0.85
+    assert rows[2].n_grams == 46 and rows[2].n_dup_grams == 0
+    assert float(rows[2].rep_ratio) == 0.0
+    assert rows[3].n_grams == 0 and rows[3].n_dup_grams == 0
+    assert float(rows[3].rep_ratio) == 0.0
+
+
+def test_doc_repetition_is_map_side(spark):
+    from iceberg_tools_spark.operators.text import doc_repetition_stats
+    from iceberg_tools_spark.plans import checks
+
+    from .conftest import SF_ORACLE
+
+    # one shuffle budget: the presentation sort, nothing else
+    assert checks.shuffle_count(doc_repetition_stats(spark, SF_ORACLE)) <= 1
+
+
+def test_source_dup_planted(spark, tmp_path):
+    """Duplicates across sources count in EVERY source holding a
+    copy (corpus-wide multiplicity, not per-source)."""
+    from iceberg_tools_spark.operators.text import source_dup_stats
+
+    _write_docs(
+        tmp_path,
+        ["same text", "same  TEXT ", "unique one", "unique two"],
+        sources=["crawlA", "crawlB", "crawlA", "crawlB"],
+    )
+    rows = {r.source: r for r in source_dup_stats(spark, str(tmp_path)).collect()}
+    assert rows["crawlA"].n_docs == 2 and rows["crawlA"].n_dup_docs == 1
+    assert rows["crawlB"].n_docs == 2 and rows["crawlB"].n_dup_docs == 1
+    assert abs(float(rows["crawlA"].dup_ratio) - 0.5) < 1e-9
