@@ -194,28 +194,31 @@ def main() -> None:
     from iceberg_tools_spark.operators.dedup import lsh_candidate_pairs
     from iceberg_tools_spark.operators.similarity import near_dup_candidate_pairs
 
-    sweep: dict[str, list] = {"near_dup_n_planes": [], "lsh_max_bucket": []}
-    for n_planes in (8, 12, 16):
-        t = time.perf_counter()
-        row = near_dup_candidate_pairs(spark, sf_dir, n_planes=n_planes).first()
-        sweep["near_dup_n_planes"].append(
-            {
-                "n_planes": n_planes,
-                "n_buckets": row.n_buckets,
-                "candidate_pairs": row.candidate_pairs,
-                "sec": round(time.perf_counter() - t, 3),
-            }
-        )
-    for max_bucket in (20, 100, 500):
-        t = time.perf_counter()
-        n = lsh_candidate_pairs(spark, sf_dir, max_bucket=max_bucket).count()
-        sweep["lsh_max_bucket"].append(
-            {
-                "max_bucket": max_bucket,
-                "candidate_pairs": n,
-                "sec": round(time.perf_counter() - t, 3),
-            }
-        )
+    sweep: dict[str, object] = {"near_dup_n_planes": [], "lsh_max_bucket": []}
+    try:
+        for n_planes in (8, 12, 16):
+            t = time.perf_counter()
+            row = near_dup_candidate_pairs(spark, sf_dir, n_planes=n_planes).first()
+            sweep["near_dup_n_planes"].append(
+                {
+                    "n_planes": n_planes,
+                    "n_buckets": row.n_buckets,
+                    "candidate_pairs": row.candidate_pairs,
+                    "sec": round(time.perf_counter() - t, 3),
+                }
+            )
+        for max_bucket in (20, 100, 500):
+            t = time.perf_counter()
+            n = lsh_candidate_pairs(spark, sf_dir, max_bucket=max_bucket).count()
+            sweep["lsh_max_bucket"].append(
+                {
+                    "max_bucket": max_bucket,
+                    "candidate_pairs": n,
+                    "sec": round(time.perf_counter() - t, 3),
+                }
+            )
+    except Exception as exc:  # pragma: no cover - defensive
+        sweep["error"] = f"{type(exc).__name__}: {exc}"
 
     # drift-normalized reporting (VERDICT r5 #6): this run in
     # calibration units + per-query ratio vs the pinned r5 baseline
@@ -233,44 +236,49 @@ def main() -> None:
     # from it (scripts/gen_scale_corpus.py) — with output/pair
     # counts, demonstrating the near-linear growth the DF/bucket
     # caps promise. Opt out with SPARK_GRAFT_SKIP_SCALE=1.
+    # fenced: a failure in the evidence extras must never cost the
+    # round its headline BENCH line
     scale_evidence = None
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALE"):
-        sys.path.insert(
-            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
-        )
-        from gen_scale_corpus import REPLICAS, ensure_scale_dir
+        try:
+            sys.path.insert(
+                0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
+            )
+            from gen_scale_corpus import REPLICAS, ensure_scale_dir
 
-        scale_root = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), ".scale"
-        )
-        t0 = time.perf_counter()
-        big_dir = ensure_scale_dir(spark, sf_dir, scale_root)
-        gen_sec = round(time.perf_counter() - t0, 3)
-        from iceberg_tools_spark.operators.components import dedup_clusters
-        from iceberg_tools_spark.operators.dedup import (
-            dedup_exact,
-            dedup_simhash,
-            minhash_pairs,
-        )
+            scale_root = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), ".scale"
+            )
+            t0 = time.perf_counter()
+            big_dir = ensure_scale_dir(spark, sf_dir, scale_root)
+            gen_sec = round(time.perf_counter() - t0, 3)
+            from iceberg_tools_spark.operators.components import dedup_clusters
+            from iceberg_tools_spark.operators.dedup import (
+                dedup_exact,
+                dedup_simhash,
+                minhash_pairs,
+            )
 
-        scale_ops = {
-            "dedup_exact": lambda sp, d: dedup_exact(sp, d),
-            "dedup_minhash_pairs": lambda sp, d: minhash_pairs(sp, d),
-            "dedup_simhash": lambda sp, d: dedup_simhash(sp, d),
-            "dedup_clusters": lambda sp, d: dedup_clusters(sp, d),
-        }
-        scale_evidence = {
-            "replicas": REPLICAS,
-            "gen_sec": gen_sec,
-            "rows": {},
-        }
-        for label, d in (("sf0.1", sf_dir), (f"sf0.1x{REPLICAS}", big_dir)):
-            row = {}
-            for op, fn in scale_ops.items():
-                t0 = time.perf_counter()
-                n = fn(spark, d).count()
-                row[op] = {"rows": n, "sec": round(time.perf_counter() - t0, 3)}
-            scale_evidence["rows"][label] = row
+            scale_ops = {
+                "dedup_exact": lambda sp, d: dedup_exact(sp, d),
+                "dedup_minhash_pairs": lambda sp, d: minhash_pairs(sp, d),
+                "dedup_simhash": lambda sp, d: dedup_simhash(sp, d),
+                "dedup_clusters": lambda sp, d: dedup_clusters(sp, d),
+            }
+            scale_evidence = {
+                "replicas": REPLICAS,
+                "gen_sec": gen_sec,
+                "rows": {},
+            }
+            for label, d in (("sf0.1", sf_dir), (f"sf0.1x{REPLICAS}", big_dir)):
+                row = {}
+                for op, fn in scale_ops.items():
+                    t0 = time.perf_counter()
+                    n = fn(spark, d).count()
+                    row[op] = {"rows": n, "sec": round(time.perf_counter() - t0, 3)}
+                scale_evidence["rows"][label] = row
+        except Exception as exc:  # pragma: no cover - defensive
+            scale_evidence = {"error": f"{type(exc).__name__}: {exc}"}
 
     out = {
         "metric": "headline_total",

@@ -1,0 +1,603 @@
+"""Append-snapshot commits: the metadata WRITE path.
+
+Everything else in `iceberg/` reads, plans over, or maintains a
+table's metadata; this module closes the loop by COMMITTING — given
+physical data files, it writes a new manifest (v2 ``manifest_entry``
+Avro, entry sequence numbers left null so readers exercise real v2
+inheritance), a new manifest list (parent's manifests carried
+forward verbatim + the new one with partition summaries), and a new
+``metadata.json`` (snapshot, snapshot-log, metadata-log, sequence
+number and current-snapshot bumps) — the same layered commit an
+Iceberg ``AppendFiles`` operation produces
+(reference schema lineage: ManifestFileReadTool.java:170-197 reads
+exactly the record shapes written here).
+
+Deterministic by construction: no wall clock (timestamp defaults to
+parent's + 1 s), no randomness (Avro sync markers are md5 of the
+schema), so identical inputs produce byte-identical metadata —
+pinned by a determinism test.
+
+Scale note: a commit is KB-scale metadata work regardless of table
+size — the data files were already written by executors; this is
+the driver-side transaction tip. Parquet footers supply record
+counts when the caller doesn't (one footer read per appended file).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any
+
+from ..avro.writer import write_container
+from .conversions import to_bytes
+from .metadata import TableMetadata, parse_metadata
+from .snapshots import _local, read_manifest_list
+
+ADDED = 1
+
+# Iceberg type → (avro primitive for partition values)
+_AVRO_OF_TYPE = {"long": "long", "int": "int", "string": "string"}
+
+
+def _kv(n: str, vtype: str) -> dict:
+    return {
+        "type": "record",
+        "name": n,
+        "fields": [
+            {"name": "key", "type": "int", "field-id": 0},
+            {"name": "value", "type": vtype, "field-id": 0},
+        ],
+    }
+
+
+def manifest_entry_schema(partition_fields: list[tuple[str, str]], suffix: str) -> dict:
+    """v2 ``manifest_entry`` record (the shape `mor_entries_at` and
+    the reference's manifest reader consume)."""
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+            {"name": "sequence_number", "type": ["null", "long"], "default": None},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": f"r2_{suffix}",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {
+                            "name": "partition",
+                            "type": {
+                                "type": "record",
+                                "name": f"r102_{suffix}",
+                                "fields": [
+                                    {"name": fn, "type": ["null", ft]}
+                                    for fn, ft in partition_fields
+                                ],
+                            },
+                        },
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                        {
+                            "name": "lower_bounds",
+                            "type": ["null", {"type": "array", "items": _kv(f"k126_{suffix}", "bytes")}],
+                            "default": None,
+                        },
+                        {
+                            "name": "upper_bounds",
+                            "type": ["null", {"type": "array", "items": _kv(f"k129_{suffix}", "bytes")}],
+                            "default": None,
+                        },
+                        {
+                            "name": "equality_ids",
+                            "type": ["null", {"type": "array", "items": "int"}],
+                            "default": None,
+                        },
+                        {"name": "sort_order_id", "type": ["null", "int"], "default": None},
+                    ],
+                },
+            },
+        ],
+    }
+
+
+MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "min_sequence_number", "type": "long"},
+        {"name": "added_snapshot_id", "type": "long"},
+        {"name": "added_files_count", "type": "int"},
+        {"name": "existing_files_count", "type": "int"},
+        {"name": "deleted_files_count", "type": "int"},
+        {"name": "added_rows_count", "type": "long"},
+        {"name": "existing_rows_count", "type": "long"},
+        {"name": "deleted_rows_count", "type": "long"},
+        {
+            "name": "partitions",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "r508",
+                        "fields": [
+                            {"name": "contains_null", "type": "boolean"},
+                            {"name": "lower_bound", "type": ["null", "bytes"], "default": None},
+                            {"name": "upper_bound", "type": ["null", "bytes"], "default": None},
+                        ],
+                    },
+                },
+            ],
+            "default": None,
+        },
+    ],
+}
+
+
+def _spec_partition_fields(meta: TableMetadata, spec_id: int) -> list[tuple[str, str]]:
+    """(partition field name, avro type) for a spec, derived from
+    the transform's result type over the source column."""
+    raw = meta.raw
+    schema = next(
+        s for s in raw.get("schemas", [raw.get("schema", {})])
+        if s.get("schema-id", 0) == raw.get("current-schema-id", 0)
+    )
+    col_type = {f["id"]: f["type"] for f in schema.get("fields", [])}
+    spec = next(
+        s for s in raw.get("partition-specs", []) if s.get("spec-id", 0) == spec_id
+    )
+    out = []
+    for f in spec.get("fields", []):
+        transform = f.get("transform", "identity")
+        src = col_type[f["source-id"]]
+        if transform == "identity" or transform.startswith("truncate["):
+            result = src
+        elif transform.startswith("bucket["):
+            result = "int"
+        else:
+            raise ValueError(f"unsupported partition transform {transform!r}")
+        if result not in _AVRO_OF_TYPE:
+            raise ValueError(f"unsupported partition value type {result!r}")
+        out.append((f["name"], _AVRO_OF_TYPE[result]))
+    return out
+
+
+def _next_metadata_path(metadata_path: str, snapshot_id: int) -> str:
+    d, base = os.path.dirname(metadata_path), os.path.basename(metadata_path)
+    m = re.fullmatch(r"v(\d+)\.metadata\.json", base)
+    if m:
+        return os.path.join(d, f"v{int(m.group(1)) + 1}.metadata.json")
+    stem = base.removesuffix(".metadata.json").removesuffix(".json")
+    return os.path.join(d, f"{stem}.commit-{snapshot_id}.metadata.json")
+
+
+def append_snapshot(
+    metadata_path: str,
+    data_files: list[dict[str, Any]],
+    *,
+    base_dir: str | None = None,
+    snapshot_id: int | None = None,
+    timestamp_ms: int | None = None,
+    spec_id: int | None = None,
+) -> dict[str, Any]:
+    """Commit an append snapshot; returns the new commit's paths/ids.
+
+    ``data_files``: one dict per physical file —
+    ``{"path": <local path under base_dir>, "partition": {field:
+    value}, "record_count"?: int, "file_size_in_bytes"?: int}``;
+    counts/sizes are read from the parquet footer when omitted.
+
+    The new manifest's entries carry ``sequence_number: null`` — the
+    v2 inheritance rule (ADDED inherits the manifest's sequence
+    number) is exercised by every subsequent read, not worked
+    around.
+    """
+    return _commit_files(
+        metadata_path,
+        data_files,
+        content=0,
+        operation="append",
+        base_dir=base_dir,
+        snapshot_id=snapshot_id,
+        timestamp_ms=timestamp_ms,
+        spec_id=spec_id,
+    )
+
+
+def commit_delete_snapshot(
+    metadata_path: str,
+    delete_files: list[dict[str, Any]],
+    *,
+    base_dir: str | None = None,
+    snapshot_id: int | None = None,
+    timestamp_ms: int | None = None,
+    spec_id: int | None = None,
+) -> dict[str, Any]:
+    """Commit a DELETE snapshot carrying v2 delete files (the MoR
+    write half): a content=1 manifest whose entries reference
+    positional (``content: 1``) or equality (``content: 2``, with
+    ``equality_ids``) delete parquet files. The new snapshot's
+    sequence number is what gates application on read: positional
+    deletes hit data files with ``data_seq <= seq``, equality
+    deletes with ``data_seq < seq`` — so the committed deletes
+    affect everything at or before this commit and nothing after,
+    with zero data-file rewrites (that folding is
+    ``delete_compaction_plan``'s job, later).
+
+    ``delete_files``: ``{"path": ..., "partition": {...},
+    "content": 1|2, "equality_ids"?: [field ids], "record_count"?,
+    "file_size_in_bytes"?}``.
+    """
+    for df in delete_files:
+        if df.get("content") not in (1, 2):
+            raise ValueError("delete_files entries need content 1 (positional) or 2 (equality)")
+        if df["content"] == 2 and not df.get("equality_ids"):
+            raise ValueError("equality delete files must carry equality_ids")
+    return _commit_files(
+        metadata_path,
+        delete_files,
+        content=1,  # manifest-level: delete manifest
+        operation="delete",
+        base_dir=base_dir,
+        snapshot_id=snapshot_id,
+        timestamp_ms=timestamp_ms,
+        spec_id=spec_id,
+    )
+
+
+def _commit_files(
+    metadata_path: str,
+    data_files: list[dict[str, Any]],
+    *,
+    content: int,
+    operation: str,
+    base_dir: str | None = None,
+    snapshot_id: int | None = None,
+    timestamp_ms: int | None = None,
+    spec_id: int | None = None,
+) -> dict[str, Any]:
+    if not data_files:
+        raise ValueError(f"{operation} commit with no data files (empty commits carry no manifest)")
+    base_dir = base_dir or os.path.dirname(metadata_path)
+    meta = parse_metadata(metadata_path)
+    raw = json.loads(json.dumps(meta.raw))  # deep copy
+    loc = raw.get("location") or f"file://{os.path.dirname(base_dir)}"
+    table_root = base_dir if os.path.isdir(os.path.join(base_dir, "metadata")) else os.path.dirname(base_dir)
+    meta_dir = os.path.join(table_root, "metadata")
+
+    snaps = raw.get("snapshots", [])
+    parent_id = raw.get("current-snapshot-id")
+    if snapshot_id is None:
+        snapshot_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
+    seq = raw.get("last-sequence-number", 0) + 1
+    if timestamp_ms is None:
+        timestamp_ms = raw.get("last-updated-ms", 0) + 1000
+    if spec_id is None:
+        spec_id = raw.get("default-spec-id", 0)
+    part_fields = _spec_partition_fields(meta, spec_id)
+    want_fields = {fn for fn, _ in part_fields}
+
+    entries, added_rows = [], 0
+    for df in data_files:
+        part = dict(df["partition"])
+        if set(part) != want_fields:
+            raise ValueError(
+                f"partition {sorted(part)} does not match spec {spec_id} "
+                f"fields {sorted(want_fields)}"
+            )
+        local = df["path"] if os.path.isabs(df["path"]) else os.path.join(table_root, df["path"])
+        rel = os.path.relpath(local, table_root).replace(os.sep, "/")
+        record_count = df.get("record_count")
+        file_size = df.get("file_size_in_bytes")
+        if record_count is None or file_size is None:
+            import pyarrow.parquet as pq
+
+            record_count = record_count or pq.read_metadata(local).num_rows
+            file_size = file_size or os.path.getsize(local)
+        added_rows += record_count
+        entries.append(
+            {
+                "status": ADDED,
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,  # v2 inheritance
+                "data_file": {
+                    "content": df.get("content", 0) if content else 0,
+                    "file_path": f"{loc}/{rel}",
+                    "file_format": "PARQUET",
+                    "partition": part,
+                    "record_count": record_count,
+                    "file_size_in_bytes": file_size,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                    "equality_ids": df.get("equality_ids"),
+                    "sort_order_id": None,
+                },
+            }
+        )
+
+    # ---- new manifest
+    man_name = f"manifest-{snapshot_id}.avro"
+    man_blob = write_container(
+        manifest_entry_schema(part_fields, f"c{snapshot_id}"), entries
+    )
+    with open(os.path.join(meta_dir, man_name), "wb") as f:
+        f.write(man_blob)
+
+    # ---- new manifest list: parent rows carried forward + new row
+    avro_of = dict(part_fields)
+    summaries = [
+        {
+            "contains_null": any(e["data_file"]["partition"][fn] is None for e in entries),
+            "lower_bound": to_bytes(
+                avro_of[fn],
+                min(e["data_file"]["partition"][fn] for e in entries),
+            ),
+            "upper_bound": to_bytes(
+                avro_of[fn],
+                max(e["data_file"]["partition"][fn] for e in entries),
+            ),
+        }
+        for fn, _ in part_fields
+    ]
+    rows: list[dict] = []
+    if parent_id is not None:
+        parent = next(s for s in snaps if s["snapshot-id"] == parent_id)
+        rows.extend(read_manifest_list(_local(parent["manifest-list"], base_dir, loc)))
+    rows.append(
+        {
+            "manifest_path": f"{loc}/metadata/{man_name}",
+            "manifest_length": len(man_blob),
+            "partition_spec_id": spec_id,
+            "content": content,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": added_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": summaries,
+        }
+    )
+    list_name = f"snap-{snapshot_id}.avro"
+    with open(os.path.join(meta_dir, list_name), "wb") as f:
+        f.write(write_container(MANIFEST_LIST_SCHEMA, rows))
+
+    # ---- new metadata.json
+    raw["last-sequence-number"] = seq
+    raw["last-updated-ms"] = timestamp_ms
+    raw["current-snapshot-id"] = snapshot_id
+    raw.setdefault("snapshots", []).append(
+        {
+            "sequence-number": seq,
+            "snapshot-id": snapshot_id,
+            **({"parent-snapshot-id": parent_id} if parent_id is not None else {}),
+            "timestamp-ms": timestamp_ms,
+            "summary": {
+                "operation": operation,
+                ("added-delete-files" if content else "added-data-files"): str(len(entries)),
+                "added-records": str(added_rows),
+            },
+            "manifest-list": f"{loc}/metadata/{list_name}",
+            "schema-id": raw.get("current-schema-id", 0),
+        }
+    )
+    raw.setdefault("snapshot-log", []).append(
+        {"timestamp-ms": timestamp_ms, "snapshot-id": snapshot_id}
+    )
+    raw.setdefault("metadata-log", []).append(
+        {"timestamp-ms": timestamp_ms, "metadata-file": f"{loc}/metadata/{os.path.basename(metadata_path)}"}
+    )
+    new_path = _next_metadata_path(metadata_path, snapshot_id)
+    with open(new_path, "w") as f:
+        json.dump(raw, f, indent=2)
+
+    return {
+        "metadata_path": new_path,
+        "snapshot_id": snapshot_id,
+        "sequence_number": seq,
+        "manifest_path": os.path.join(meta_dir, man_name),
+        "manifest_list_path": os.path.join(meta_dir, list_name),
+    }
+
+
+# ------------------------------------------------ driver-gate query
+
+def commit_append_files(spark, sf_dir):
+    """Driver-gate round-trip for the WRITE path: copy the physical
+    MoR fixture to a scratch table, write a deterministic new data
+    file, COMMIT it with :func:`append_snapshot`, and return the
+    new snapshot's file listing through the ordinary time-travel
+    reader. The oracle is the expected listing as golden VALUES —
+    deterministic because file paths are canonical table URIs and
+    the appended parquet's stats are fixed. (``sf_dir`` unused:
+    metadata queries run on repo fixtures.)"""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from .deletes import MOR_DIR
+    from .snapshots import files_at
+
+    root = os.path.join(tempfile.mkdtemp(prefix="commit_gate_"), "mor")
+    try:
+        shutil.copytree(MOR_DIR, root)
+        rel = "data/category=w/id_trunc=400/G.parquet"
+        path = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        ids = list(range(400, 407))
+        pq.write_table(
+            pa.table({
+                "id": pa.array(ids, pa.int64()),
+                "category": pa.array(["w"] * len(ids), pa.string()),
+            }),
+            path,
+        )
+        res = append_snapshot(
+            os.path.join(root, "v2.metadata.json"),
+            [{"path": rel, "partition": {"category": "w", "id_trunc": 400},
+              "record_count": 7, "file_size_in_bytes": 1}],
+        )
+        out = (
+            files_at(spark, res["metadata_path"], res["snapshot_id"])
+            .select("file_path", "file_format", "record_count", "partition_json")
+            .orderBy("file_path")
+        )
+        # materialize before the scratch dir disappears (KB-scale
+        # metadata rows, already driver-resident by construction)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+_CLOC = "file:///tmp/mor_table"
+
+COMMIT_APPEND_SQL = f"""
+SELECT file_path, file_format, CAST(record_count AS BIGINT) AS record_count,
+       partition_json
+FROM (VALUES
+  ('{_CLOC}/data/category=w/id_trunc=300/F.parquet', 'PARQUET', 40, '{{"category": "w", "id_trunc": 300}}'),
+  ('{_CLOC}/data/category=w/id_trunc=400/G.parquet', 'PARQUET', 7, '{{"category": "w", "id_trunc": 400}}'),
+  ('{_CLOC}/data/category=x/A.parquet', 'PARQUET', 100, '{{"category": "x"}}'),
+  ('{_CLOC}/data/category=x/C.parquet', 'PARQUET', 100, '{{"category": "x"}}'),
+  ('{_CLOC}/data/category=y/B.parquet', 'PARQUET', 50, '{{"category": "y"}}'),
+  ('{_CLOC}/data/category=z/D.parquet', 'PARQUET', 50, '{{"category": "z"}}')
+) t(file_path, file_format, record_count, partition_json)
+ORDER BY file_path
+"""
+
+
+def write_position_deletes(
+    table_root: str,
+    rel_out: str,
+    deletes: list[tuple[str, int]],
+) -> str:
+    """Write a v2 positional-delete parquet: rows of
+    ``(file_path, pos)``, file paths given TABLE-RELATIVE and stored
+    canonical (resolved against the table's location by readers).
+    Returns the relative path for :func:`commit_delete_snapshot`."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    meta_candidates = [
+        f for f in os.listdir(table_root) if f.endswith(".metadata.json")
+    ]
+    loc = None
+    for c in sorted(meta_candidates):
+        loc = json.load(open(os.path.join(table_root, c))).get("location")
+        if loc:
+            break
+    if loc is None:
+        raise ValueError(f"no *.metadata.json with a location under {table_root}")
+    path = os.path.join(table_root, rel_out)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "file_path": pa.array([f"{loc}/{rel}" for rel, _ in deletes], pa.string()),
+            "pos": pa.array([p for _, p in deletes], pa.int64()),
+        }),
+        path,
+    )
+    return rel_out
+
+
+def expire_snapshots(
+    metadata_path: str,
+    *,
+    keep_last: int = 1,
+    older_than_ms: int | None = None,
+    base_dir: str | None = None,
+    timestamp_ms: int | None = None,
+    delete_files: bool = False,
+) -> dict[str, Any]:
+    """EXECUTE snapshot expiry (the metadata half of the maintenance
+    pair whose planner is ``maintenance.plan_expire_snapshots``):
+    write a new metadata.json without the expired snapshots (their
+    snapshot-log entries trimmed too), and report the metadata files
+    — manifest lists, and manifests referenced by NO surviving
+    snapshot — that just became unreferenced.
+
+    Physical deletion is opt-in (``delete_files=True``) and only
+    touches the reported unreferenced METADATA files; data files are
+    orphan-collection's job (``maintenance.find_orphan_files``) —
+    the same split real table maintenance uses, because a data file
+    may be shared by surviving snapshots via carried-forward
+    manifests.
+    """
+    base_dir = base_dir or os.path.dirname(metadata_path)
+    meta = parse_metadata(metadata_path)
+    raw = json.loads(json.dumps(meta.raw))
+    loc = raw.get("location")
+    from .maintenance import plan_expire_snapshots
+
+    plan = plan_expire_snapshots(meta, keep_last=keep_last, older_than_ms=older_than_ms)
+    expired = {p["snapshot_id"] for p in plan if p["action"] == "expire"}
+    if not expired:
+        return {"metadata_path": metadata_path, "expired": [], "removable": []}
+
+    kept_snaps = [s for s in raw.get("snapshots", []) if s["snapshot-id"] not in expired]
+    expired_snaps = [s for s in raw.get("snapshots", []) if s["snapshot-id"] in expired]
+
+    def _manifests_of(snap: dict) -> set[str]:
+        return {
+            m["manifest_path"]
+            for m in read_manifest_list(_local(snap["manifest-list"], base_dir, loc))
+        }
+
+    kept_manifests: set[str] = set()
+    for s in kept_snaps:
+        kept_manifests |= _manifests_of(s)
+    removable: list[str] = []
+    for s in expired_snaps:
+        removable.append(_local(s["manifest-list"], base_dir, loc))
+        for m in _manifests_of(s) - kept_manifests:
+            p = _local(m, base_dir, loc)
+            if p not in removable:
+                removable.append(p)
+
+    if timestamp_ms is None:
+        timestamp_ms = raw.get("last-updated-ms", 0) + 1000
+    raw["snapshots"] = kept_snaps
+    raw["snapshot-log"] = [
+        e for e in raw.get("snapshot-log", []) if e["snapshot-id"] not in expired
+    ]
+    raw["last-updated-ms"] = timestamp_ms
+    raw.setdefault("metadata-log", []).append(
+        {
+            "timestamp-ms": timestamp_ms,
+            "metadata-file": f"{loc}/metadata/{os.path.basename(metadata_path)}",
+        }
+    )
+    new_path = _next_metadata_path(metadata_path, 0)
+    with open(new_path, "w") as f:
+        json.dump(raw, f, indent=2)
+
+    if delete_files:
+        for p in removable:
+            if os.path.exists(p):
+                os.remove(p)
+
+    return {
+        "metadata_path": new_path,
+        "expired": sorted(expired),
+        "removable": removable,
+    }

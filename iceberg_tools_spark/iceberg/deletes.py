@@ -360,6 +360,88 @@ def scan_plan_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SCAN_TASKS_SCHEMA = T.StructType([
+    T.StructField("data_file", T.StringType()),
+    T.StructField("data_seq", T.LongType()),
+    T.StructField("delete_file", T.StringType()),
+    T.StructField("delete_content", T.StringType()),
+    T.StructField("delete_seq", T.LongType()),
+    T.StructField("apply_rule", T.StringType()),
+])
+
+
+def plan_scan_tasks(
+    meta: TableMetadata, snapshot_id: int, base_dir: str
+) -> list[tuple]:
+    """FileScanTask-style planning: for every live data file at the
+    snapshot, the delete files a MoR reader must apply to it — the
+    association Iceberg's planner ships to each task so executors
+    never see irrelevant deletes.
+
+    Application rules (Iceberg v2 spec, the same gates
+    :func:`read_mor` enforces row-level):
+
+    * positional delete → ``data_seq <= delete_seq`` (a position
+      delete CAN target rows added in its own commit);
+    * equality delete → ``data_seq < delete_seq`` (strictly older
+      rows only);
+    * partition gate: the delete's partition tuple must agree with
+      the data file's on every shared field (a delete scoped to
+      ``category=x`` never attaches to a ``category=y`` file;
+      cross-spec attachment falls back to the shared-field
+      comparison, conservative for fields one side lacks).
+
+    Data files with no applicable deletes appear once with NULL
+    delete columns and rule 'none' — the plan enumerates every task,
+    not just the delete-bearing ones.
+    """
+    data, dels = mor_entries_at(meta, snapshot_id, base_dir)
+    rows: list[tuple] = []
+    for d in sorted(data, key=lambda e: e["rel"]):
+        matched = False
+        for x in sorted(dels, key=lambda e: e["rel"]):
+            shared = set(d["partition"]) & set(x["partition"])
+            if any(d["partition"][k] != x["partition"][k] for k in shared):
+                continue
+            if x["content"] == POSITION_DELETES:
+                if d["sequence_number"] <= x["sequence_number"]:
+                    rule = "pos: data_seq <= delete_seq"
+                else:
+                    continue
+            else:
+                if d["sequence_number"] < x["sequence_number"]:
+                    rule = "eq: data_seq < delete_seq"
+                else:
+                    continue
+            matched = True
+            rows.append(
+                (
+                    d["file_path"],
+                    d["sequence_number"],
+                    x["file_path"],
+                    CONTENT_NAME[x["content"]],
+                    x["sequence_number"],
+                    rule,
+                )
+            )
+        if not matched:
+            rows.append((d["file_path"], d["sequence_number"], None, None, None, "none"))
+    return rows
+
+
+def scan_plan_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate view of :func:`plan_scan_tasks` at snapshot 2004:
+    pd1 (pos, x, seq 3) attaches to A (x, seq 1) and C (x, seq 2);
+    ed1 (eq, z, seq 3) attaches to D (z, seq 2); B (y) is partition-
+    gated out and F (seq 4) sequence-gated out."""
+    meta = parse_metadata(MOR_METADATA)
+    rows = plan_scan_tasks(meta, 2004, MOR_DIR)
+    return (
+        spark.createDataFrame(rows, SCAN_TASKS_SCHEMA)
+        .orderBy("data_file", "delete_file")
+    )
+
+
 # -------------------------------------------------- DuckDB oracles
 
 _LOC = "file:///tmp/mor_table"
@@ -465,4 +547,91 @@ FROM (VALUES
 ) t(manifest_name, file_path, partition_json, record_count,
     manifest_pruned, file_pruned, selected)
 ORDER BY manifest_name, file_path
+"""
+
+SCAN_PLAN_MOR_SQL = f"""
+SELECT data_file, CAST(data_seq AS BIGINT) AS data_seq,
+       delete_file, delete_content,
+       CAST(delete_seq AS BIGINT) AS delete_seq, apply_rule
+FROM (VALUES
+  ('{_LOC}/data/category=x/A.parquet', 1, '{_LOC}/data/deletes/pd1.parquet',
+   'POSITION_DELETES', 3, 'pos: data_seq <= delete_seq'),
+  ('{_LOC}/data/category=y/B.parquet', 1, NULL, NULL, NULL, 'none'),
+  ('{_LOC}/data/category=x/C.parquet', 2, '{_LOC}/data/deletes/pd1.parquet',
+   'POSITION_DELETES', 3, 'pos: data_seq <= delete_seq'),
+  ('{_LOC}/data/category=z/D.parquet', 2, '{_LOC}/data/deletes/ed1.parquet',
+   'EQUALITY_DELETES', 3, 'eq: data_seq < delete_seq'),
+  ('{_LOC}/data/category=w/id_trunc=300/F.parquet', 4, NULL, NULL, NULL, 'none')
+) t(data_file, data_seq, delete_file, delete_content, delete_seq, apply_rule)
+ORDER BY data_file, delete_file
+"""
+
+
+# ---------------------------------------- MoR maintenance planning
+
+REWRITE_DEAD_FRACTION = 0.10
+
+
+def delete_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rewrite-position-deletes planning (the MoR half of table
+    maintenance): per live data file at the current snapshot, the
+    fraction of rows killed by applicable positional deletes, and
+    the resulting action —
+
+    * ``rewrite``  — dead fraction ≥ 10 %: fold the deletes in by
+      rewriting the data file (each future read pays the anti-join
+      for rows that are permanently gone; past the threshold the
+      one-time rewrite is cheaper);
+    * ``keep`` — below threshold (or no deletes at all).
+
+    ``eq_delete_files`` rides along: equality-delete cost is not
+    countable from metadata (matches resolve at read time), so the
+    planner reports exposure without folding it into the fraction.
+
+    Same distributed shape as :func:`files_at_snapshot_mor`: the
+    positional delete parquet is read by executors (data-scale at
+    100 TB), counted per (file, seq-gate), joined to the KB-scale
+    planned file list."""
+    base = files_at_snapshot_mor(spark, sf_dir)  # snapshot 2003 listing
+    frac = (F.col("pos_deleted").cast("double") / F.col("record_count").cast("double")).cast(
+        "decimal(38,6)"
+    )
+    return (
+        base.select(
+            "file_path",
+            "record_count",
+            "pos_deleted",
+            "eq_delete_files",
+            frac.alias("dead_fraction"),
+            F.when(frac >= F.lit(REWRITE_DEAD_FRACTION), F.lit("rewrite"))
+            .otherwise(F.lit("keep"))
+            .alias("action"),
+        )
+        .orderBy("file_path")
+    )
+
+
+DELETE_COMPACTION_SQL = f"""
+WITH files(file_path, record_count, data_seq, eq_delete_files) AS (VALUES
+  ('{_LOC}/data/category=x/A.parquet', 100, 1, 0),
+  ('{_LOC}/data/category=y/B.parquet', 50, 1, 0),
+  ('{_LOC}/data/category=x/C.parquet', 100, 2, 0),
+  ('{_LOC}/data/category=z/D.parquet', 50, 2, 1)
+),
+pd AS (
+  SELECT file_path, COUNT(*) AS n
+  FROM read_parquet('{MOR_DIR}/data/deletes/pd1.parquet')
+  GROUP BY file_path
+)
+SELECT f.file_path,
+       CAST(f.record_count AS BIGINT) AS record_count,
+       CAST(COALESCE(pd.n, 0) AS BIGINT) AS pos_deleted,
+       CAST(f.eq_delete_files AS BIGINT) AS eq_delete_files,
+       CAST(CAST(COALESCE(pd.n, 0) AS DOUBLE) / CAST(f.record_count AS DOUBLE)
+            AS DECIMAL(38,6)) AS dead_fraction,
+       CASE WHEN CAST(COALESCE(pd.n, 0) AS DOUBLE) / CAST(f.record_count AS DOUBLE)
+                 >= {REWRITE_DEAD_FRACTION}
+            THEN 'rewrite' ELSE 'keep' END AS action
+FROM files f LEFT JOIN pd ON f.file_path = pd.file_path
+ORDER BY f.file_path
 """

@@ -123,19 +123,23 @@ def _decimal_cols(name: str) -> tuple[str, ...]:
 # order below spends that window deliberately. Round-6 window:
 #   1-2   green canary probes (double/string) — detect a driver
 #         canonicalization change;
-#   3-7   NEW round-6 operators (first certification): the v2
+#   3-12  NEW round-6 operators (first certification): the v2
 #         merge-on-read delete-file surface + partition-spec
-#         evolution (VERDICT r5 "Next round" #1-2), and the
-#         incremental-scan-as-a-stream composition (#5);
-#   7-..  queries whose IMPLEMENTATION changed this round, so their
-#         prior rows are stale evidence: dedup_clusters (large-star
-#         rework, #3), decontaminate_ngram (broadcast guard, #7),
+#         evolution (VERDICT r5 "Next round" #1-2), FileScanTask-
+#         parity MoR planning, rewrite-position-deletes planning,
+#         the append-snapshot COMMIT round-trip, the incremental-
+#         scan-as-a-stream composition (#5), and the repetition /
+#         source-duplication text operators;
+#   13-26 queries whose IMPLEMENTATION changed this round, so their
+#         prior rows are stale evidence: dedup_clusters (fused SV
+#         iterations + edge-DAG materialization, #3),
+#         decontaminate_ngram (broadcast guard, #7),
 #         pii_scrub_stats (null-coalesce, ADVICE), the whole
 #         metadata group (plan_scan spec-evolution rework + the
 #         location-relative URI resolver touched their call path);
-#   ..    double-certified canaries (q1 / minhash / ivf) — detect a
-#         hash-safety regression in the wrapped path;
-#   ..-50 re-certs of untouched r4/r5-green queries (fresh rows
+#   27-29 double-certified canaries (q1 / minhash / ivf) — minhash
+#         doubles as the re-cert for the Arrow signature kernel;
+#   30-50 re-certs of untouched r4/r5-green queries (fresh rows
 #         harmless; any that slide past 50 keep their green row).
 # probe_decimal (EXPECTED-red witness of the driver's decimal
 # rendering law, proven in r2/r3) stays retired past the window.
@@ -159,6 +163,26 @@ register("meta_delete_files", meta_del.meta_delete_files, meta_del.META_DELETE_F
 register("files_at_snapshot_mor", meta_del.files_at_snapshot_mor, meta_del.FILES_AT_SNAPSHOT_MOR_SQL)
 register("mor_live_rows", meta_del.mor_live_rows, meta_del.MOR_LIVE_ROWS_SQL)
 register("scan_plan_evolved", meta_del.scan_plan_evolved, meta_del.SCAN_PLAN_EVOLVED_SQL)
+# FileScanTask-parity planning: data file → applicable delete files
+# (pos ≤ / eq < sequence gates + shared-field partition gate)
+register("scan_plan_mor", meta_del.scan_plan_mor, meta_del.SCAN_PLAN_MOR_SQL)
+# MoR maintenance: rewrite-position-deletes planning (dead-fraction
+# threshold; oracle independently recounts the delete parquet)
+register(
+    "delete_compaction_plan",
+    meta_del.delete_compaction_plan,
+    meta_del.DELETE_COMPACTION_SQL,
+)
+
+# the metadata WRITE path: append-snapshot commit round-trip read
+# back through ordinary time travel (iceberg/commit.py)
+from .iceberg import commit as meta_commit  # noqa: E402
+
+register(
+    "commit_append_files",
+    meta_commit.commit_append_files,
+    meta_commit.COMMIT_APPEND_SQL,
+)
 
 # incremental scan × Structured Streaming (VERDICT r5 #5): the rows
 # a snapshot range appended, consumed THROUGH the staged file stream;

@@ -1,0 +1,261 @@
+"""Append-snapshot commit round-trips: the write path feeding every
+reader/planner this repo already certifies.
+
+Strategy: copy the physical MoR fixture to a tmp table, commit new
+data files with `append_snapshot`, and verify through the EXISTING
+surfaces — time travel, incremental scan, the MoR reader, the
+streamed increment, and manifest2json — rather than through the
+writer's own eyes."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from iceberg_tools_spark.iceberg.commit import append_snapshot
+from iceberg_tools_spark.iceberg.deletes import MOR_DIR, read_mor
+from iceberg_tools_spark.iceberg.snapshots import files_added_between, files_at
+
+
+@pytest.fixture()
+def table(tmp_path):
+    root = tmp_path / "mor"
+    shutil.copytree(MOR_DIR, root)
+    return str(root)
+
+
+def _write_g(root: str, n: int = 7, start: int = 400) -> str:
+    rel = "data/category=w/id_trunc=400/G.parquet"
+    path = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    ids = list(range(start, start + n))
+    pq.write_table(
+        pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "category": pa.array(["w"] * n, pa.string()),
+        }),
+        path,
+    )
+    return rel
+
+
+def _commit_g(root: str, **kw):
+    rel = _write_g(root)
+    return append_snapshot(
+        os.path.join(root, "v2.metadata.json"),
+        [{"path": rel, "partition": {"category": "w", "id_trunc": 400}}],
+        **kw,
+    )
+
+
+def test_commit_then_time_travel_and_increment(spark, table):
+    res = _commit_g(table)
+    meta_path, sid = res["metadata_path"], res["snapshot_id"]
+    assert sid == 2005 and res["sequence_number"] == 5
+
+    # time travel at the new snapshot sees all five old files + G
+    files = files_at(spark, meta_path, sid).collect()
+    names = sorted(r.file_path.rsplit("/", 1)[-1] for r in files)
+    assert names == ["A.parquet", "B.parquet", "C.parquet", "D.parquet",
+                     "F.parquet", "G.parquet"]
+    # footer-derived stats landed in the manifest
+    g = next(r for r in files if r.file_path.endswith("G.parquet"))
+    assert g.record_count == 7
+
+    # incremental scan attributes exactly G to (2004, 2005]
+    inc = files_added_between(spark, meta_path, 2004, sid).collect()
+    assert [r.file_path.rsplit("/", 1)[-1] for r in inc] == ["G.parquet"]
+
+
+def test_commit_mor_read_applies_old_deletes(spark, table):
+    res = _commit_g(table)
+    got = sorted(r.id for r in read_mor(spark, res["metadata_path"], res["snapshot_id"]).collect())
+    # 323 surviving fixture rows (deletes still applied) + 7 new
+    assert len(got) == 330
+    assert got[-7:] == list(range(400, 407))
+
+
+def test_commit_streams_as_increment(spark, table, tmp_path):
+    from iceberg_tools_spark.streaming.incremental import incremental_scan_stream
+    from iceberg_tools_spark.streaming.jobs import run_to_memory
+
+    res = _commit_g(table)
+    stream = incremental_scan_stream(
+        spark, res["metadata_path"], 2004, res["snapshot_id"], str(tmp_path / "stage")
+    )
+    got = run_to_memory(stream, "commit_increment")
+    assert sorted(r.id for r in got.collect()) == list(range(400, 407))
+
+
+def test_commit_manifest2json_readable(table):
+    import io
+    import json
+
+    from iceberg_tools_spark.iceberg.manifest2json import manifest2json
+
+    res = _commit_g(table)
+    buf = io.StringIO()
+    assert manifest2json(res["manifest_path"], res["metadata_path"], buf) == 0
+    recs = json.loads(buf.getvalue())
+    assert len(recs) == 1
+    assert recs[0]["data_file"]["file_path"].endswith("G.parquet")
+    assert recs[0]["status"] == 1  # ADDED
+    # union-labelled like the reference's encoder; null seq inherited
+    assert recs[0]["snapshot_id"] == {"long": 2005}
+    assert recs[0]["sequence_number"] is None
+
+
+def test_commit_chains(spark, table):
+    res1 = _commit_g(table)
+    rel2 = "data/category=v/id_trunc=500/H.parquet"
+    path2 = os.path.join(table, rel2)
+    os.makedirs(os.path.dirname(path2), exist_ok=True)
+    pq.write_table(
+        pa.table({"id": pa.array([500], pa.int64()),
+                  "category": pa.array(["v"], pa.string())}),
+        path2,
+    )
+    res2 = append_snapshot(
+        res1["metadata_path"],
+        [{"path": rel2, "partition": {"category": "v", "id_trunc": 500}}],
+    )
+    assert res2["snapshot_id"] == 2006 and res2["sequence_number"] == 6
+    inc = files_added_between(spark, res2["metadata_path"], 2004, 2006).collect()
+    assert sorted(r.file_path.rsplit("/", 1)[-1] for r in inc) == ["G.parquet", "H.parquet"]
+    # chain attribution: each file to its own snapshot
+    by_snap = {r.file_path.rsplit("/", 1)[-1]: r.snapshot_id for r in inc}
+    assert by_snap == {"G.parquet": 2005, "H.parquet": 2006}
+
+
+def test_commit_is_deterministic(tmp_path):
+    outs = []
+    for sub in ("a", "b"):
+        root = tmp_path / sub
+        shutil.copytree(MOR_DIR, root)
+        res = _commit_g(str(root))
+        outs.append(
+            (
+                open(res["manifest_path"], "rb").read(),
+                open(res["manifest_list_path"], "rb").read(),
+                open(res["metadata_path"]).read(),
+            )
+        )
+    assert outs[0] == outs[1]
+
+
+def test_commit_rejects_bad_partition_and_empty(table):
+    with pytest.raises(ValueError, match="does not match spec"):
+        rel = _write_g(table)
+        append_snapshot(
+            os.path.join(table, "v2.metadata.json"),
+            [{"path": rel, "partition": {"category": "w"}}],  # missing id_trunc
+        )
+    with pytest.raises(ValueError, match="no data files"):
+        append_snapshot(os.path.join(table, "v2.metadata.json"), [])
+
+
+def test_delete_commit_round_trip(spark, table):
+    """Write path for MoR deletes: commit a positional-delete
+    snapshot and watch the ordinary reader drop exactly those rows
+    — and NOT from files written after the delete."""
+    from iceberg_tools_spark.iceberg.commit import (
+        commit_delete_snapshot,
+        write_position_deletes,
+    )
+
+    res1 = _commit_g(table)  # snapshot 2005 adds G (ids 400..406)
+    rel = write_position_deletes(
+        table, "data/deletes/pd2.parquet",
+        [("data/category=w/id_trunc=400/G.parquet", 0),
+         ("data/category=w/id_trunc=400/G.parquet", 1)],
+    )
+    res2 = commit_delete_snapshot(
+        res1["metadata_path"],
+        [{"path": rel, "partition": {"category": "w", "id_trunc": 400},
+          "content": 1}],
+    )
+    assert res2["snapshot_id"] == 2006 and res2["sequence_number"] == 6
+    got = sorted(r.id for r in read_mor(spark, res2["metadata_path"], 2006).collect())
+    # 330 live at 2005 minus ids 400, 401
+    assert len(got) == 328 and 400 not in got and 401 not in got and 402 in got
+
+    # a file appended AFTER the delete snapshot is untouched by it
+    rel3 = "data/category=w/id_trunc=400/I.parquet"
+    path3 = os.path.join(table, rel3)
+    pq.write_table(
+        pa.table({"id": pa.array([450, 451], pa.int64()),
+                  "category": pa.array(["w", "w"], pa.string())}),
+        path3,
+    )
+    res3 = append_snapshot(
+        res2["metadata_path"],
+        [{"path": rel3, "partition": {"category": "w", "id_trunc": 400}}],
+    )
+    got3 = sorted(r.id for r in read_mor(spark, res3["metadata_path"], 2007).collect())
+    assert 450 in got3 and 451 in got3 and len(got3) == 330
+
+
+def test_delete_commit_validation(table):
+    from iceberg_tools_spark.iceberg.commit import commit_delete_snapshot
+
+    with pytest.raises(ValueError, match="content 1"):
+        commit_delete_snapshot(
+            os.path.join(table, "v2.metadata.json"),
+            [{"path": "x", "partition": {}, "content": 0}],
+        )
+    with pytest.raises(ValueError, match="equality_ids"):
+        commit_delete_snapshot(
+            os.path.join(table, "v2.metadata.json"),
+            [{"path": "x", "partition": {}, "content": 2}],
+        )
+
+
+def test_expire_snapshots_execution(spark, tmp_path):
+    """Executor for the expiry plan: expired snapshots leave the
+    metadata, their now-unreferenced manifest lists/manifests are
+    reported (and deleted on request), and every surviving read
+    surface still works."""
+    from iceberg_tools_spark.iceberg.commit import expire_snapshots
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+    from iceberg_tools_spark.iceberg.snapshots import MS_DIR
+
+    root = tmp_path / "ms"
+    shutil.copytree(MS_DIR, root)
+    mp = os.path.join(root, "v2.metadata.json")
+    before = parse_metadata(mp)
+    res = expire_snapshots(mp, keep_last=2, delete_files=True)
+    assert res["expired"] and set(res["expired"]).isdisjoint(
+        {s["snapshot-id"] for s in parse_metadata(res["metadata_path"]).snapshots}
+    )
+    after = parse_metadata(res["metadata_path"])
+    assert after.current_snapshot_id == before.current_snapshot_id
+    assert len(after.snapshots) == len(before.snapshots) - len(res["expired"])
+    # snapshot-log trimmed in lockstep
+    assert {e["snapshot-id"] for e in after.raw["snapshot-log"]} == {
+        s["snapshot-id"] for s in after.snapshots
+    }
+    # reported files were deleted; current snapshot still reads
+    assert res["removable"] and all(not os.path.exists(p) for p in res["removable"])
+    live = files_at(spark, res["metadata_path"], after.current_snapshot_id, str(root))
+    assert live.count() > 0
+
+    # idempotent second call: nothing left to expire at keep_last=2
+    res2 = expire_snapshots(res["metadata_path"], keep_last=2)
+    assert res2["expired"] == []
+
+
+def test_expire_never_drops_current(tmp_path):
+    from iceberg_tools_spark.iceberg.commit import expire_snapshots
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+    from iceberg_tools_spark.iceberg.snapshots import MS_DIR
+
+    root = tmp_path / "ms"
+    shutil.copytree(MS_DIR, root)
+    mp = os.path.join(root, "v2.metadata.json")
+    cur = parse_metadata(mp).current_snapshot_id
+    res = expire_snapshots(mp, keep_last=0)
+    assert cur not in res["expired"]

@@ -206,3 +206,44 @@ def test_manifest_files_at_exposes_content(meta):
     assert by_name["m5.avro"]["content"] == 1
     assert by_name["m6.avro"]["partition_spec_id"] == 1
     assert all(os.path.exists(r["local_path"]) for r in rows)
+
+
+def test_scan_plan_tasks_gating(meta):
+    """Delete-file attachment rules: pos ≤ seq, eq < seq, shared-
+    field partition gate; every data file appears (NULL row when no
+    delete applies)."""
+    from iceberg_tools_spark.iceberg.deletes import plan_scan_tasks
+
+    rows = plan_scan_tasks(meta, 2004, MOR_DIR)
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r[0].rsplit("/", 1)[-1], []).append(r)
+    # A (x, seq1) and C (x, seq2): pd1 attaches (pos rule, seq<=3)
+    for f in ("A.parquet", "C.parquet"):
+        (r,) = by_file[f]
+        assert r[3] == "POSITION_DELETES" and r[5].startswith("pos")
+    # D (z, seq2): ed1 attaches (eq rule, seq<3)
+    (rd,) = by_file["D.parquet"]
+    assert rd[3] == "EQUALITY_DELETES" and rd[5].startswith("eq")
+    # B (y): partition-gated out; F (seq4): sequence-gated out
+    for f in ("B.parquet", "F.parquet"):
+        (r,) = by_file[f]
+        assert r[2] is None and r[5] == "none"
+    # at snapshot 2002 (before the delete commit) nothing attaches
+    rows_2002 = plan_scan_tasks(meta, 2002, MOR_DIR)
+    assert all(r[5] == "none" for r in rows_2002)
+    assert len(rows_2002) == 4
+
+
+def test_delete_compaction_threshold(spark):
+    """A (10/100 dead = exactly the 10% threshold) plans 'rewrite';
+    C (5/100) / B (0) / D (eq-only) plan 'keep' with eq exposure
+    reported on D."""
+    from iceberg_tools_spark.iceberg.deletes import delete_compaction_plan
+
+    rows = {r.file_path.rsplit("/", 1)[-1]: r
+            for r in delete_compaction_plan(spark, "unused").collect()}
+    assert rows["A.parquet"].action == "rewrite"
+    assert rows["C.parquet"].action == "keep" and rows["C.parquet"].pos_deleted == 5
+    assert rows["B.parquet"].action == "keep" and rows["B.parquet"].pos_deleted == 0
+    assert rows["D.parquet"].action == "keep" and rows["D.parquet"].eq_delete_files == 1

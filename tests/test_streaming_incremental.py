@@ -110,3 +110,29 @@ def test_same_basename_staging(tmp_path):
     (d2 / "f.parquet").write_bytes(b"two")
     out = stage_increment([str(d1 / "f.parquet"), str(d2 / "f.parquet")], str(tmp_path / "s"))
     assert len(os.listdir(out)) == 2
+
+
+# ---------------------------------------- corpus intake stream twin
+
+def test_corpus_intake_stream_equals_batch(spark):
+    """Same job body over the documents table: streamed (file
+    source, complete mode) == batch, row for row — the
+    deterministic min-survivor aggregation makes the comparison
+    exact, unlike dropDuplicates' arbitrary-arrival keep."""
+    from iceberg_tools_spark.streaming.corpus import (
+        batch_documents,
+        corpus_intake_survivors,
+        documents_stream,
+    )
+    from .conftest import SF_ORACLE
+
+    batch = sorted(
+        corpus_intake_survivors(batch_documents(spark, SF_ORACLE)).collect()
+    )
+    stream_df = corpus_intake_survivors(documents_stream(spark, SF_ORACLE))
+    got = sorted(run_to_memory(stream_df, "corpus_intake", mode="complete").collect())
+    assert got == batch
+    assert len(batch) > 0
+    # survivors are distinct hashes and min ids
+    hashes = [r.content_hash for r in batch]
+    assert len(hashes) == len(set(hashes))
