@@ -601,3 +601,44 @@ def expire_snapshots(
         "expired": sorted(expired),
         "removable": removable,
     }
+
+
+def commit_delete_roundtrip(spark, sf_dir):
+    """Driver-gate round-trip for the DELETE write path: scratch-copy
+    the MoR fixture, commit a positional-delete snapshot killing the
+    first two rows of B (ids 101, 102), and return category-y's
+    surviving rows through the ordinary MoR reader. Golden oracle:
+    ids 103..150."""
+    import shutil
+    import tempfile
+
+    from .deletes import MOR_DIR, read_mor
+
+    scratch = tempfile.mkdtemp(prefix="delcommit_gate_")
+    root = os.path.join(scratch, "mor")
+    try:
+        shutil.copytree(MOR_DIR, root)
+        rel = write_position_deletes(
+            root, "data/deletes/pd_gate.parquet",
+            [("data/category=y/B.parquet", 0), ("data/category=y/B.parquet", 1)],
+        )
+        res = commit_delete_snapshot(
+            os.path.join(root, "v2.metadata.json"),
+            [{"path": rel, "partition": {"category": "y"}, "content": 1}],
+            spec_id=0,
+        )
+        out = (
+            read_mor(spark, res["metadata_path"], res["snapshot_id"])
+            .filter("category = 'y'")
+            .orderBy("id")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+COMMIT_DELETE_SQL = """
+SELECT CAST(range AS BIGINT) AS id, 'y' AS category
+FROM range(103, 151) ORDER BY id
+"""

@@ -1,0 +1,394 @@
+"""Rewrite-data-files execution: fold applied deletes into fresh
+parquet and commit the swap — the executable form of
+``delete_compaction_plan`` (which only plans).
+
+Semantics (Iceberg's RewriteDataFiles contract): the table's ROWS
+are unchanged — a rewritten file contains exactly its source file's
+surviving rows (positional and equality deletes applied), and the
+replace snapshot swaps the files atomically:
+
+* new manifest: ADDED entries for the rewritten files at the NEW
+  sequence number — so no older delete file applies to them again
+  (their dead rows are physically gone);
+* parent data manifests are REBUILT without the replaced files,
+  entries re-statused EXISTING with explicit sequence numbers and
+  original snapshot attribution (each manifest against its OWN
+  partition spec — spec evolution respected);
+* delete manifests carry forward verbatim: their rows may still gate
+  files that were NOT rewritten.
+
+The fold itself is executor work (a parquet scan + anti-joins, the
+same plan `read_mor` builds, restricted to one file); the commit is
+KB-scale driver metadata like every commit. The key invariant —
+``read_mor`` before == ``read_mor`` after — is pinned by pytest.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..avro.reader import AvroContainerFile
+from ..avro.writer import write_container
+from .commit import (
+    MANIFEST_LIST_SCHEMA,
+    _next_metadata_path,
+    _spec_partition_fields,
+    manifest_entry_schema,
+)
+from .deletes import (
+    EQUALITY_DELETES,
+    POSITION_DELETES,
+    _identity_sources,
+    _rel,
+    _schema_field_names,
+    mor_entries_at,
+)
+from .metadata import parse_metadata
+from .snapshots import _local, manifest_files_at, read_manifest_list
+
+ADDED, EXISTING, DELETED = 1, 0, 2
+
+
+def _fold_file(
+    spark: SparkSession,
+    meta,
+    entry: dict[str, Any],
+    dels: list[dict[str, Any]],
+) -> DataFrame:
+    """Surviving rows of ONE data file with its applicable deletes
+    folded in — the per-file restriction of `read_mor`'s plan."""
+    df = (
+        spark.read.parquet(entry["local_path"])
+        .withColumn("_pos", F.col("_metadata.row_index"))
+    )
+    out_cols = [c for c in df.columns if c != "_pos"]
+    rel = entry["rel"]
+
+    pos = [
+        d for d in dels
+        if d["content"] == POSITION_DELETES
+        and entry["sequence_number"] <= d["sequence_number"]
+    ]
+    for d in pos:
+        pd_ = (
+            spark.read.parquet(d["local_path"])
+            .filter(F.regexp_extract("file_path", r"data/.*$", 0) == rel)
+            .select(F.col("pos").alias("pd_pos"))
+        )
+        df = df.join(pd_, df["_pos"] == pd_["pd_pos"], "left_anti")
+
+    field_names = _schema_field_names(meta)
+    for d in dels:
+        if d["content"] != EQUALITY_DELETES:
+            continue
+        if entry["sequence_number"] >= d["sequence_number"]:
+            continue
+        ident = _identity_sources(meta, d["spec_id"])
+        gated_out = False
+        for pname, pval in d["partition"].items():
+            if pname in ident and pval is not None:
+                src = ident[pname]
+                if entry["partition"].get(pname) not in (None, pval):
+                    gated_out = True
+        if gated_out:
+            continue
+        eq_cols = [field_names[fid] for fid in (d["equality_ids"] or [])]
+        ed = spark.read.parquet(d["local_path"]).select(*eq_cols).alias("ed")
+        cond = None
+        for c in eq_cols:
+            clause = F.col(f"d.{c}").eqNullSafe(F.col(f"ed.{c}"))
+            cond = clause if cond is None else (cond & clause)
+        df = df.alias("d").join(ed, cond, "left_anti")
+    return df.select(*out_cols)
+
+
+def _write_single_parquet(df: DataFrame, out_path: str) -> None:
+    """Write `df` as exactly one parquet file at `out_path` (the
+    executor writes a one-part directory; the part file is moved
+    into place)."""
+    tmp = out_path + ".spark-tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+    os.replace(part, out_path)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def rewrite_data_files(
+    spark: SparkSession,
+    metadata_path: str,
+    target_rels: list[str] | None = None,
+    *,
+    base_dir: str | None = None,
+    snapshot_id: int | None = None,
+    timestamp_ms: int | None = None,
+) -> dict[str, Any]:
+    """Fold deletes into the targeted data files and commit the
+    replace snapshot. ``target_rels`` defaults to every data file
+    with at least one applicable positional delete (the files
+    ``delete_compaction_plan`` would flag at threshold 0)."""
+    import pyarrow.parquet as pq
+
+    base_dir = base_dir or os.path.dirname(metadata_path)
+    meta = parse_metadata(metadata_path)
+    raw = json.loads(json.dumps(meta.raw))
+    loc = raw.get("location")
+    table_root = base_dir if os.path.isdir(os.path.join(base_dir, "metadata")) else os.path.dirname(base_dir)
+    meta_dir = os.path.join(table_root, "metadata")
+
+    parent_id = raw.get("current-snapshot-id")
+    data, dels = mor_entries_at(meta, parent_id, base_dir)
+
+    if target_rels is None:
+        import duckdb  # count applicable pos-delete rows per file
+
+        target_rels = []
+        for e in data:
+            for d in dels:
+                if d["content"] != POSITION_DELETES:
+                    continue
+                if e["sequence_number"] > d["sequence_number"]:
+                    continue
+                n = duckdb.sql(
+                    f"SELECT COUNT(*) FROM read_parquet('{d['local_path']}') "
+                    f"WHERE regexp_extract(file_path, 'data/.*$') = '{e['rel']}'"
+                ).fetchone()[0]
+                if n:
+                    target_rels.append(e["rel"])
+                    break
+    if not target_rels:
+        raise ValueError("no files to rewrite (no applicable positional deletes)")
+    targets = {e["rel"]: e for e in data if e["rel"] in set(target_rels)}
+    missing = set(target_rels) - set(targets)
+    if missing:
+        raise ValueError(f"target files not live at snapshot {parent_id}: {sorted(missing)}")
+
+    if snapshot_id is None:
+        snapshot_id = max(s["snapshot-id"] for s in raw["snapshots"]) + 1
+    seq = raw.get("last-sequence-number", 0) + 1
+    if timestamp_ms is None:
+        timestamp_ms = raw.get("last-updated-ms", 0) + 1000
+
+    # ---- fold + write the replacement files (executor work)
+    new_entries = []
+    for rel, e in sorted(targets.items()):
+        folded = _fold_file(spark, meta, e, dels)
+        stem, ext = os.path.splitext(rel)
+        new_rel = f"{stem}-rw{snapshot_id}{ext}"
+        out_path = os.path.join(table_root, new_rel)
+        _write_single_parquet(folded, out_path)
+        spec_fields = _spec_partition_fields(meta, e["spec_id"])
+        new_entries.append(
+            {
+                "spec_id": e["spec_id"],
+                "spec_fields": spec_fields,
+                "entry": {
+                    "status": ADDED,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": None,  # inherit new seq
+                    "data_file": {
+                        "content": 0,
+                        "file_path": f"{loc}/{new_rel}",
+                        "file_format": "PARQUET",
+                        "partition": e["partition"],
+                        "record_count": pq.read_metadata(out_path).num_rows,
+                        "file_size_in_bytes": os.path.getsize(out_path),
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                        "equality_ids": None,
+                        "sort_order_id": None,
+                    },
+                },
+            }
+        )
+
+    # ---- rebuild parent data manifests without the replaced files
+    replaced_paths = {targets[r]["file_path"] for r in targets}
+    list_rows: list[dict] = []
+    for mrow in manifest_files_at(meta, parent_id, base_dir):
+        if mrow.get("content", 0) == 1:
+            # delete manifest: carry forward verbatim (re-read the
+            # parent's list row rather than re-serializing entries)
+            continue
+        with open(mrow["local_path"], "rb") as f:
+            records = list(AvroContainerFile(f.read()))
+        kept = []
+        for rec in records:
+            if rec["status"] == DELETED:
+                continue
+            if rec["data_file"]["file_path"] in replaced_paths:
+                continue
+            eseq = rec.get("sequence_number")
+            if eseq is None:
+                eseq = mrow.get("sequence_number", 0)
+            sid = rec.get("snapshot_id")
+            if sid is None:
+                sid = mrow.get("added_snapshot_id")
+            kept.append(
+                {
+                    "status": EXISTING,
+                    "snapshot_id": sid,
+                    "sequence_number": eseq,
+                    "data_file": rec["data_file"],
+                }
+            )
+        if not kept:
+            continue  # manifest fully replaced: drop it
+        spec_id = mrow.get("partition_spec_id", 0)
+        spec_fields = _spec_partition_fields(meta, spec_id)
+        name = os.path.basename(mrow["local_path"]).rsplit(".", 1)[0]
+        new_name = f"{name}-rw{snapshot_id}.avro"
+        blob = write_container(
+            manifest_entry_schema(spec_fields, f"rw{snapshot_id}_{name}"), kept
+        )
+        with open(os.path.join(meta_dir, new_name), "wb") as f:
+            f.write(blob)
+        list_rows.append(
+            {
+                "manifest_path": f"{loc}/metadata/{new_name}",
+                "manifest_length": len(blob),
+                "partition_spec_id": spec_id,
+                "content": 0,
+                "sequence_number": mrow.get("sequence_number", 0),
+                "min_sequence_number": min(e["sequence_number"] for e in kept),
+                "added_snapshot_id": mrow.get("added_snapshot_id", parent_id),
+                "added_files_count": 0,
+                "existing_files_count": len(kept),
+                "deleted_files_count": 0,
+                "added_rows_count": 0,
+                "existing_rows_count": sum(e["data_file"]["record_count"] for e in kept),
+                "deleted_rows_count": 0,
+                "partitions": None,  # conservative: no pruning summaries
+            }
+        )
+
+    # delete manifests carried forward verbatim from the parent list
+    parent = next(s for s in raw["snapshots"] if s["snapshot-id"] == parent_id)
+    for row in read_manifest_list(_local(parent["manifest-list"], base_dir, loc)):
+        if row.get("content", 0) == 1:
+            list_rows.append(row)
+
+    # ---- the new ADDED manifest(s): one per spec among rewritten files
+    by_spec: dict[int, list[dict]] = {}
+    for ne in new_entries:
+        by_spec.setdefault(ne["spec_id"], []).append(ne)
+    for spec_id, group in sorted(by_spec.items()):
+        name = f"manifest-rw{snapshot_id}-s{spec_id}.avro"
+        blob = write_container(
+            manifest_entry_schema(group[0]["spec_fields"], f"rwnew{snapshot_id}_{spec_id}"),
+            [g["entry"] for g in group],
+        )
+        with open(os.path.join(meta_dir, name), "wb") as f:
+            f.write(blob)
+        list_rows.append(
+            {
+                "manifest_path": f"{loc}/metadata/{name}",
+                "manifest_length": len(blob),
+                "partition_spec_id": spec_id,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(group),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(g["entry"]["data_file"]["record_count"] for g in group),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": None,
+            }
+        )
+
+    list_name = f"snap-{snapshot_id}.avro"
+    with open(os.path.join(meta_dir, list_name), "wb") as f:
+        f.write(write_container(MANIFEST_LIST_SCHEMA, list_rows))
+
+    # ---- metadata.json
+    raw["last-sequence-number"] = seq
+    raw["last-updated-ms"] = timestamp_ms
+    raw["current-snapshot-id"] = snapshot_id
+    raw["snapshots"].append(
+        {
+            "sequence-number": seq,
+            "snapshot-id": snapshot_id,
+            "parent-snapshot-id": parent_id,
+            "timestamp-ms": timestamp_ms,
+            "summary": {
+                "operation": "replace",
+                "rewritten-data-files": str(len(targets)),
+                "added-data-files": str(len(new_entries)),
+            },
+            "manifest-list": f"{loc}/metadata/{list_name}",
+            "schema-id": raw.get("current-schema-id", 0),
+        }
+    )
+    raw.setdefault("snapshot-log", []).append(
+        {"timestamp-ms": timestamp_ms, "snapshot-id": snapshot_id}
+    )
+    raw.setdefault("metadata-log", []).append(
+        {"timestamp-ms": timestamp_ms,
+         "metadata-file": f"{loc}/metadata/{os.path.basename(metadata_path)}"}
+    )
+    new_path = _next_metadata_path(metadata_path, snapshot_id)
+    with open(new_path, "w") as f:
+        json.dump(raw, f, indent=2)
+
+    return {
+        "metadata_path": new_path,
+        "snapshot_id": snapshot_id,
+        "sequence_number": seq,
+        "rewritten": sorted(targets),
+        "new_files": [ne["entry"]["data_file"]["file_path"] for ne in new_entries],
+    }
+
+
+# ------------------------------------------------ driver-gate query
+
+def rewrite_datafiles_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate round-trip for rewrite execution: scratch-copy the
+    MoR fixture, fold its positional deletes (A loses 10 rows, C
+    loses 5), and return the new snapshot's listing through ordinary
+    time travel. file_size is excluded (parquet byte size varies by
+    writer version); record_count and attribution are exact."""
+    import tempfile
+
+    from .snapshots import files_at
+
+    scratch = tempfile.mkdtemp(prefix="rwdata_gate_")
+    root = os.path.join(scratch, "mor")
+    try:
+        from .deletes import MOR_DIR
+
+        shutil.copytree(MOR_DIR, root)
+        res = rewrite_data_files(spark, os.path.join(root, "v2.metadata.json"))
+        out = (
+            files_at(spark, res["metadata_path"], res["snapshot_id"])
+            .select("file_path", "record_count", "partition_json", "snapshot_id")
+            .orderBy("file_path")
+        )
+        rows = out.collect()  # materialize before the scratch dir goes away
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+_RLOC = "file:///tmp/mor_table"
+
+REWRITE_DATAFILES_SQL = f"""
+SELECT file_path, CAST(record_count AS BIGINT) AS record_count,
+       partition_json, CAST(snapshot_id AS BIGINT) AS snapshot_id
+FROM (VALUES
+  ('{_RLOC}/data/category=w/id_trunc=300/F.parquet', 40, '{{"category": "w", "id_trunc": 300}}', 2004),
+  ('{_RLOC}/data/category=x/A-rw2005.parquet', 90, '{{"category": "x"}}', 2005),
+  ('{_RLOC}/data/category=x/C-rw2005.parquet', 95, '{{"category": "x"}}', 2005),
+  ('{_RLOC}/data/category=y/B.parquet', 50, '{{"category": "y"}}', 2001),
+  ('{_RLOC}/data/category=z/D.parquet', 50, '{{"category": "z"}}', 2002)
+) t(file_path, record_count, partition_json, snapshot_id)
+ORDER BY file_path
+"""

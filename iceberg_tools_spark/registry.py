@@ -123,23 +123,24 @@ def _decimal_cols(name: str) -> tuple[str, ...]:
 # order below spends that window deliberately. Round-6 window:
 #   1-2   green canary probes (double/string) — detect a driver
 #         canonicalization change;
-#   3-12  NEW round-6 operators (first certification): the v2
+#   3-14  NEW round-6 operators (first certification): the v2
 #         merge-on-read delete-file surface + partition-spec
 #         evolution (VERDICT r5 "Next round" #1-2), FileScanTask-
 #         parity MoR planning, rewrite-position-deletes planning,
-#         the append-snapshot COMMIT round-trip, the incremental-
-#         scan-as-a-stream composition (#5), and the repetition /
+#         the WRITE path (append-commit, delete-commit and
+#         rewrite-data-files round-trips), the incremental-scan-
+#         as-a-stream composition (#5), and the repetition /
 #         source-duplication text operators;
-#   13-26 queries whose IMPLEMENTATION changed this round, so their
+#   15-28 queries whose IMPLEMENTATION changed this round, so their
 #         prior rows are stale evidence: dedup_clusters (fused SV
 #         iterations + edge-DAG materialization, #3),
 #         decontaminate_ngram (broadcast guard, #7),
 #         pii_scrub_stats (null-coalesce, ADVICE), the whole
 #         metadata group (plan_scan spec-evolution rework + the
 #         location-relative URI resolver touched their call path);
-#   27-29 double-certified canaries (q1 / minhash / ivf) — minhash
+#   29-31 double-certified canaries (q1 / minhash / ivf) — minhash
 #         doubles as the re-cert for the Arrow signature kernel;
-#   30-50 re-certs of untouched r4/r5-green queries (fresh rows
+#   32-50 re-certs of untouched r4/r5-green queries (fresh rows
 #         harmless; any that slide past 50 keep their green row).
 # probe_decimal (EXPECTED-red witness of the driver's decimal
 # rendering law, proven in r2/r3) stays retired past the window.
@@ -182,6 +183,23 @@ register(
     "commit_append_files",
     meta_commit.commit_append_files,
     meta_commit.COMMIT_APPEND_SQL,
+)
+
+# rewrite-data-files EXECUTION (delete folding + replace snapshot),
+# read back via ordinary time travel (iceberg/rewrite_data.py)
+from .iceberg import rewrite_data as meta_rwdata  # noqa: E402
+
+register(
+    "rewrite_datafiles_roundtrip",
+    meta_rwdata.rewrite_datafiles_roundtrip,
+    meta_rwdata.REWRITE_DATAFILES_SQL,
+)
+# DELETE write path round-trip: committed positional deletes read
+# back through the MoR reader (golden id range)
+register(
+    "commit_delete_roundtrip",
+    meta_commit.commit_delete_roundtrip,
+    meta_commit.COMMIT_DELETE_SQL,
 )
 
 # incremental scan × Structured Streaming (VERDICT r5 #5): the rows

@@ -1,0 +1,77 @@
+"""Rewrite-data-files (delete folding) round-trips on a scratch copy
+of the physical MoR fixture. The headline invariant: the table's
+ROWS are identical before and after the rewrite."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from iceberg_tools_spark.iceberg.deletes import MOR_DIR, plan_scan_tasks, read_mor
+from iceberg_tools_spark.iceberg.metadata import parse_metadata
+from iceberg_tools_spark.iceberg.rewrite_data import rewrite_data_files
+from iceberg_tools_spark.iceberg.snapshots import files_at
+
+
+@pytest.fixture()
+def table(tmp_path):
+    root = tmp_path / "mor"
+    shutil.copytree(MOR_DIR, root)
+    return str(root)
+
+
+def _mp(root):
+    return os.path.join(root, "v2.metadata.json")
+
+
+def test_rewrite_preserves_rows(spark, table):
+    before = sorted(r.id for r in read_mor(spark, _mp(table), 2004).collect())
+    res = rewrite_data_files(spark, _mp(table))  # defaults: pos-deleted files
+    assert sorted(res["rewritten"]) == [
+        "data/category=x/A.parquet", "data/category=x/C.parquet",
+    ]
+    after = sorted(
+        r.id for r in read_mor(spark, res["metadata_path"], res["snapshot_id"]).collect()
+    )
+    assert after == before  # the whole point
+
+
+def test_rewrite_file_listing_and_stats(spark, table):
+    res = rewrite_data_files(spark, _mp(table))
+    files = {r.file_path.rsplit("/", 1)[-1]: r
+             for r in files_at(spark, res["metadata_path"], res["snapshot_id"]).collect()}
+    assert "A.parquet" not in files and "C.parquet" not in files
+    # folded counts: A lost 10 rows, C lost 5
+    assert files[f"A-rw{res['snapshot_id']}.parquet"].record_count == 90
+    assert files[f"C-rw{res['snapshot_id']}.parquet"].record_count == 95
+    # untouched files keep original snapshot attribution
+    assert files["B.parquet"].snapshot_id == 2001
+    assert files["F.parquet"].snapshot_id == 2004
+
+
+def test_rewrite_clears_delete_attachment(spark, table):
+    """At the new snapshot, no delete file attaches to the rewritten
+    files (their data seq > every existing delete seq), while the
+    un-rewritten z-partition file keeps its equality exposure."""
+    res = rewrite_data_files(spark, _mp(table))
+    meta = parse_metadata(res["metadata_path"])
+    tasks = plan_scan_tasks(meta, res["snapshot_id"], table)
+    by_file = {t[0].rsplit("/", 1)[-1]: t for t in tasks}
+    assert by_file[f"A-rw{res['snapshot_id']}.parquet"][5] == "none"
+    assert by_file[f"C-rw{res['snapshot_id']}.parquet"][5] == "none"
+    assert by_file["D.parquet"][3] == "EQUALITY_DELETES"
+
+
+def test_rewrite_explicit_targets_and_errors(spark, table):
+    res = rewrite_data_files(spark, _mp(table), ["data/category=x/A.parquet"])
+    assert res["rewritten"] == ["data/category=x/A.parquet"]
+    # second rewrite at the new snapshot: C still has applicable deletes
+    res2 = rewrite_data_files(spark, res["metadata_path"])
+    assert res2["rewritten"] == ["data/category=x/C.parquet"]
+    # a third has nothing left to fold
+    with pytest.raises(ValueError, match="no files to rewrite"):
+        rewrite_data_files(spark, res2["metadata_path"])
+    with pytest.raises(ValueError, match="not live"):
+        rewrite_data_files(spark, res2["metadata_path"], ["data/nope.parquet"])
