@@ -175,6 +175,15 @@ def _spec_partition_fields(meta: TableMetadata, spec_id: int) -> list[tuple[str,
     return out
 
 
+def _canonical_metadata_uri(metadata_path: str, table_root: str, loc: str | None) -> str:
+    """Canonical URI of a metadata file for the metadata-log: the
+    table location + the file's ACTUAL root-relative path (the
+    previous form hardcoded 'metadata/<basename>', which is wrong
+    for layouts keeping metadata.json at the table root)."""
+    rel = os.path.relpath(metadata_path, table_root).replace(os.sep, "/")
+    return f"{loc}/{rel}" if loc else metadata_path
+
+
 def _next_metadata_path(metadata_path: str, snapshot_id: int) -> str:
     d, base = os.path.dirname(metadata_path), os.path.basename(metadata_path)
     m = re.fullmatch(r"v(\d+)\.metadata\.json", base)
@@ -302,11 +311,12 @@ def _commit_files(
         rel = os.path.relpath(local, table_root).replace(os.sep, "/")
         record_count = df.get("record_count")
         file_size = df.get("file_size_in_bytes")
-        if record_count is None or file_size is None:
+        if record_count is None:
             import pyarrow.parquet as pq
 
-            record_count = record_count or pq.read_metadata(local).num_rows
-            file_size = file_size or os.path.getsize(local)
+            record_count = pq.read_metadata(local).num_rows
+        if file_size is None:
+            file_size = os.path.getsize(local)
         added_rows += record_count
         entries.append(
             {
@@ -338,20 +348,25 @@ def _commit_files(
 
     # ---- new manifest list: parent rows carried forward + new row
     avro_of = dict(part_fields)
-    summaries = [
-        {
-            "contains_null": any(e["data_file"]["partition"][fn] is None for e in entries),
-            "lower_bound": to_bytes(
-                avro_of[fn],
-                min(e["data_file"]["partition"][fn] for e in entries),
-            ),
-            "upper_bound": to_bytes(
-                avro_of[fn],
-                max(e["data_file"]["partition"][fn] for e in entries),
-            ),
-        }
-        for fn, _ in part_fields
-    ]
+    summaries = []
+    for fn, _ in part_fields:
+        vals = [
+            e["data_file"]["partition"][fn]
+            for e in entries
+            if e["data_file"]["partition"][fn] is not None
+        ]
+        # bounds over NON-NULL values only; an all-null field keeps
+        # null bounds (the summary schema allows it, and min/max over
+        # a null mix would otherwise TypeError)
+        summaries.append(
+            {
+                "contains_null": any(
+                    e["data_file"]["partition"][fn] is None for e in entries
+                ),
+                "lower_bound": to_bytes(avro_of[fn], min(vals)) if vals else None,
+                "upper_bound": to_bytes(avro_of[fn], max(vals)) if vals else None,
+            }
+        )
     rows: list[dict] = []
     if parent_id is not None:
         parent = next(s for s in snaps if s["snapshot-id"] == parent_id)
@@ -401,7 +416,8 @@ def _commit_files(
         {"timestamp-ms": timestamp_ms, "snapshot-id": snapshot_id}
     )
     raw.setdefault("metadata-log", []).append(
-        {"timestamp-ms": timestamp_ms, "metadata-file": f"{loc}/metadata/{os.path.basename(metadata_path)}"}
+        {"timestamp-ms": timestamp_ms,
+         "metadata-file": _canonical_metadata_uri(metadata_path, table_root, loc)}
     )
     new_path = _next_metadata_path(metadata_path, snapshot_id)
     with open(new_path, "w") as f:
@@ -584,7 +600,11 @@ def expire_snapshots(
     raw.setdefault("metadata-log", []).append(
         {
             "timestamp-ms": timestamp_ms,
-            "metadata-file": f"{loc}/metadata/{os.path.basename(metadata_path)}",
+            "metadata-file": _canonical_metadata_uri(
+                metadata_path,
+                base_dir if os.path.isdir(os.path.join(base_dir, "metadata")) else os.path.dirname(base_dir),
+                loc,
+            ),
         }
     )
     new_path = _next_metadata_path(metadata_path, 0)

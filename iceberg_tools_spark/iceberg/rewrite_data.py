@@ -10,12 +10,14 @@ replace snapshot swaps the files atomically:
 * new manifest: ADDED entries for the rewritten files at the NEW
   sequence number — so no older delete file applies to them again
   (their dead rows are physically gone);
-* parent data manifests are REBUILT without the replaced files,
-  entries re-statused EXISTING with explicit sequence numbers and
-  original snapshot attribution (each manifest against its OWN
-  partition spec — spec evolution respected);
-* delete manifests carry forward verbatim: their rows may still gate
-  files that were NOT rewritten.
+* parent data manifests CONTAINING a replaced file are rebuilt
+  without it, entries re-statused EXISTING with explicit sequence
+  numbers and original snapshot attribution (each manifest against
+  its OWN partition spec — spec evolution respected); untouched
+  manifests — data and delete alike — carry forward VERBATIM (their
+  parent list rows re-used, zero Avro churn);
+* delete manifests' rows may still gate files that were NOT
+  rewritten — that is why they stay.
 
 The fold itself is executor work (a parquet scan + anti-joins, the
 same plan `read_mor` builds, restricted to one file); the commit is
@@ -46,7 +48,6 @@ from .deletes import (
     EQUALITY_DELETES,
     POSITION_DELETES,
     _identity_sources,
-    _rel,
     _schema_field_names,
     mor_entries_at,
 )
@@ -90,21 +91,21 @@ def _fold_file(
             continue
         if entry["sequence_number"] >= d["sequence_number"]:
             continue
-        ident = _identity_sources(meta, d["spec_id"])
-        gated_out = False
-        for pname, pval in d["partition"].items():
-            if pname in ident and pval is not None:
-                src = ident[pname]
-                if entry["partition"].get(pname) not in (None, pval):
-                    gated_out = True
-        if gated_out:
-            continue
         eq_cols = [field_names[fid] for fid in (d["equality_ids"] or [])]
         ed = spark.read.parquet(d["local_path"]).select(*eq_cols).alias("ed")
         cond = None
         for c in eq_cols:
             clause = F.col(f"d.{c}").eqNullSafe(F.col(f"ed.{c}"))
             cond = clause if cond is None else (cond & clause)
+        # partition gate EXACTLY as read_mor applies it: identity
+        # fields gate ROW-level on their source columns (a spec-0
+        # data file whose partition lacks the delete's field still
+        # holds rows the source-column condition must filter —
+        # file-level gating alone would over-delete there)
+        ident = _identity_sources(meta, d["spec_id"])
+        for pname, pval in d["partition"].items():
+            if pname in ident and pval is not None:
+                cond = cond & (F.col(f"d.{ident[pname]}") == F.lit(pval))
         df = df.alias("d").join(ed, cond, "left_anti")
     return df.select(*out_cols)
 
@@ -208,16 +209,29 @@ def rewrite_data_files(
             }
         )
 
-    # ---- rebuild parent data manifests without the replaced files
+    # ---- parent manifests: carry untouched ones forward VERBATIM
+    # (their list rows re-used as-is — zero Avro churn, stable
+    # names); only manifests actually containing a replaced file
+    # are rebuilt without it
     replaced_paths = {targets[r]["file_path"] for r in targets}
+    parent = next(s for s in raw["snapshots"] if s["snapshot-id"] == parent_id)
+    parent_rows = {
+        r["manifest_path"]: r
+        for r in read_manifest_list(_local(parent["manifest-list"], base_dir, loc))
+    }
     list_rows: list[dict] = []
     for mrow in manifest_files_at(meta, parent_id, base_dir):
         if mrow.get("content", 0) == 1:
-            # delete manifest: carry forward verbatim (re-read the
-            # parent's list row rather than re-serializing entries)
+            # delete manifest: carry forward verbatim
+            list_rows.append(parent_rows[mrow["manifest_path"]])
             continue
         with open(mrow["local_path"], "rb") as f:
             records = list(AvroContainerFile(f.read()))
+        if not any(
+            rec["data_file"]["file_path"] in replaced_paths for rec in records
+        ):
+            list_rows.append(parent_rows[mrow["manifest_path"]])
+            continue
         kept = []
         for rec in records:
             if rec["status"] == DELETED:
@@ -267,12 +281,6 @@ def rewrite_data_files(
                 "partitions": None,  # conservative: no pruning summaries
             }
         )
-
-    # delete manifests carried forward verbatim from the parent list
-    parent = next(s for s in raw["snapshots"] if s["snapshot-id"] == parent_id)
-    for row in read_manifest_list(_local(parent["manifest-list"], base_dir, loc)):
-        if row.get("content", 0) == 1:
-            list_rows.append(row)
 
     # ---- the new ADDED manifest(s): one per spec among rewritten files
     by_spec: dict[int, list[dict]] = {}
@@ -331,9 +339,11 @@ def rewrite_data_files(
     raw.setdefault("snapshot-log", []).append(
         {"timestamp-ms": timestamp_ms, "snapshot-id": snapshot_id}
     )
+    from .commit import _canonical_metadata_uri
+
     raw.setdefault("metadata-log", []).append(
         {"timestamp-ms": timestamp_ms,
-         "metadata-file": f"{loc}/metadata/{os.path.basename(metadata_path)}"}
+         "metadata-file": _canonical_metadata_uri(metadata_path, table_root, loc)}
     )
     new_path = _next_metadata_path(metadata_path, snapshot_id)
     with open(new_path, "w") as f:

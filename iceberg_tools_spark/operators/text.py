@@ -343,9 +343,13 @@ def source_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_ratio is high is mostly re-crawl.
 
     Shape: one hash-groupBy over md5(norm_text) for corpus-wide
-    multiplicity, broadcast back onto the (source, hash) pairs (the
-    dup-hash side is small: only hashes with count > 1), then a
-    per-source aggregate. No driver-side loop, no skew (md5 keys)."""
+    multiplicity, joined back onto the (source, hash) pairs, then a
+    per-source aggregate. No driver-side loop, no skew (md5 keys).
+    The dup-hash side carries NO broadcast hint: it grows with the
+    corpus's duplication level — exactly the regime this triage view
+    targets — so AQE picks broadcast only when the measured size
+    allows (the same unguarded-broadcast fix ADVICE r5 applied to
+    decontaminate_ngram)."""
     d = load_table(spark, sf_dir, "documents", ["doc_id", "source", "text"])
     hashed = d.select("source", F.md5(norm_text("text")).alias("h"))
     dup_hashes = (
@@ -354,7 +358,7 @@ def source_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") > 1)
         .select("h")
     )
-    flagged = hashed.join(F.broadcast(dup_hashes).withColumn("is_dup", F.lit(1)), "h", "left")
+    flagged = hashed.join(dup_hashes.withColumn("is_dup", F.lit(1)), "h", "left")
     return (
         flagged.groupBy("source")
         .agg(

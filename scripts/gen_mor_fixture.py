@@ -61,6 +61,10 @@ import pyarrow.parquet as pq
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from iceberg_tools_spark.avro.writer import write_container
+from iceberg_tools_spark.iceberg.commit import (
+    MANIFEST_LIST_SCHEMA,
+    manifest_entry_schema as manifest_schema,
+)
 from iceberg_tools_spark.iceberg.conversions import to_bytes
 
 OUT_DIR = os.path.join(
@@ -90,102 +94,12 @@ PD1_ROWS = [("A", range(0, 10)), ("C", range(0, 5))]
 ED1_IDS = [260, 270]
 
 
-def _kv(n: str, vtype: str) -> dict:
-    return {
-        "type": "record",
-        "name": n,
-        "fields": [
-            {"name": "key", "type": "int", "field-id": 0},
-            {"name": "value", "type": vtype, "field-id": 0},
-        ],
-    }
-
-
-def manifest_schema(partition_fields: list[tuple[str, str]], name_suffix: str) -> dict:
-    """v2 `manifest_entry` schema: entry-level `sequence_number`
-    (null → inherited) and `data_file.content` / `equality_ids`
-    (the v2 delete-file fields)."""
-    return {
-        "type": "record",
-        "name": "manifest_entry",
-        "fields": [
-            {"name": "status", "type": "int"},
-            {"name": "snapshot_id", "type": ["null", "long"], "default": None},
-            {"name": "sequence_number", "type": ["null", "long"], "default": None},
-            {
-                "name": "data_file",
-                "type": {
-                    "type": "record",
-                    "name": f"r2_{name_suffix}",
-                    "fields": [
-                        {"name": "content", "type": "int"},
-                        {"name": "file_path", "type": "string"},
-                        {"name": "file_format", "type": "string"},
-                        {
-                            "name": "partition",
-                            "type": {
-                                "type": "record",
-                                "name": f"r102_{name_suffix}",
-                                "fields": [
-                                    {"name": fn, "type": ["null", ft]}
-                                    for fn, ft in partition_fields
-                                ],
-                            },
-                        },
-                        {"name": "record_count", "type": "long"},
-                        {"name": "file_size_in_bytes", "type": "long"},
-                        {"name": "lower_bounds", "type": ["null", {"type": "array", "items": _kv(f"k126_{name_suffix}", "bytes")}], "default": None},
-                        {"name": "upper_bounds", "type": ["null", {"type": "array", "items": _kv(f"k129_{name_suffix}", "bytes")}], "default": None},
-                        {"name": "equality_ids", "type": ["null", {"type": "array", "items": "int"}], "default": None},
-                        {"name": "sort_order_id", "type": ["null", "int"], "default": None},
-                    ],
-                },
-            },
-        ],
-    }
-
-
 SPEC0_FIELDS = [("category", "string")]
 SPEC1_FIELDS = [("category", "string"), ("id_trunc", "long")]
 
-MANIFEST_LIST_SCHEMA = {
-    "type": "record",
-    "name": "manifest_file",
-    "fields": [
-        {"name": "manifest_path", "type": "string"},
-        {"name": "manifest_length", "type": "long"},
-        {"name": "partition_spec_id", "type": "int"},
-        {"name": "content", "type": "int"},
-        {"name": "sequence_number", "type": "long"},
-        {"name": "min_sequence_number", "type": "long"},
-        {"name": "added_snapshot_id", "type": "long"},
-        {"name": "added_files_count", "type": "int"},
-        {"name": "existing_files_count", "type": "int"},
-        {"name": "deleted_files_count", "type": "int"},
-        {"name": "added_rows_count", "type": "long"},
-        {"name": "existing_rows_count", "type": "long"},
-        {"name": "deleted_rows_count", "type": "long"},
-        {
-            "name": "partitions",
-            "type": [
-                "null",
-                {
-                    "type": "array",
-                    "items": {
-                        "type": "record",
-                        "name": "r508",
-                        "fields": [
-                            {"name": "contains_null", "type": "boolean"},
-                            {"name": "lower_bound", "type": ["null", "bytes"], "default": None},
-                            {"name": "upper_bound", "type": ["null", "bytes"], "default": None},
-                        ],
-                    },
-                },
-            ],
-            "default": None,
-        },
-    ],
-}
+# MANIFEST_LIST_SCHEMA / manifest_schema now come from
+# iceberg_tools_spark.iceberg.commit (single source of truth for the
+# v2 record shapes; this generator was their origin).
 
 
 def _file_size(rel: str) -> int:

@@ -259,3 +259,54 @@ def test_expire_never_drops_current(tmp_path):
     cur = parse_metadata(mp).current_snapshot_id
     res = expire_snapshots(mp, keep_last=0)
     assert cur not in res["expired"]
+
+
+def test_commit_null_partition_value(spark, table):
+    """A commit mixing null and non-null partition values must not
+    TypeError in the summary min/max (bounds computed over non-null
+    values only, contains_null set)."""
+    rel = "data/category=x/N.parquet"
+    path = os.path.join(table, rel)
+    pq.write_table(
+        pa.table({"id": pa.array([900], pa.int64()),
+                  "category": pa.array([None], pa.string())}),
+        path,
+    )
+    res = append_snapshot(
+        os.path.join(table, "v2.metadata.json"),
+        [
+            {"path": rel, "partition": {"category": None, "id_trunc": 900}},
+            {"path": "data/category=y/B.parquet",
+             "partition": {"category": "y", "id_trunc": 100}},
+        ],
+    )
+    files = files_at(spark, res["metadata_path"], res["snapshot_id"]).collect()
+    assert any(r.file_path.endswith("N.parquet") for r in files)
+
+
+def test_commit_explicit_zero_record_count(table):
+    """An explicit record_count of 0 is honored, not silently
+    replaced by the parquet footer's count."""
+    rel = _write_g(table)  # actually holds 7 rows
+    res = append_snapshot(
+        os.path.join(table, "v2.metadata.json"),
+        [{"path": rel, "partition": {"category": "w", "id_trunc": 400},
+          "record_count": 0, "file_size_in_bytes": 1}],
+    )
+    import json as _json
+
+    meta = _json.load(open(res["metadata_path"]))
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == res["snapshot_id"])
+    assert snap["summary"]["added-records"] == "0"
+
+
+def test_commit_metadata_log_uri_is_root_relative(table):
+    """metadata-log records the file's ACTUAL root-relative URI (the
+    fixture keeps metadata.json at the table root, not metadata/)."""
+    import json as _json
+
+    res = _commit_g(table)
+    meta = _json.load(open(res["metadata_path"]))
+    assert meta["metadata-log"][-1]["metadata-file"] == (
+        "file:///tmp/mor_table/v2.metadata.json"
+    )

@@ -75,3 +75,38 @@ def test_rewrite_explicit_targets_and_errors(spark, table):
         rewrite_data_files(spark, res2["metadata_path"])
     with pytest.raises(ValueError, match="not live"):
         rewrite_data_files(spark, res2["metadata_path"], ["data/nope.parquet"])
+
+
+def test_rewrite_carries_untouched_manifests_verbatim(spark, table):
+    """Only manifests containing a replaced file are rebuilt; the
+    rest (m6 with F, the delete manifest m5) keep their original
+    paths in the new manifest list."""
+    from iceberg_tools_spark.iceberg.snapshots import manifest_files_at
+
+    res = rewrite_data_files(spark, _mp(table), ["data/category=x/A.parquet"])
+    meta = parse_metadata(res["metadata_path"])
+    names = sorted(
+        m["manifest_path"].rsplit("/", 1)[-1]
+        for m in manifest_files_at(meta, res["snapshot_id"], table)
+    )
+    # m1 (held A) rebuilt; m2/m5/m6 carried forward verbatim
+    assert "m2.avro" in names and "m5.avro" in names and "m6.avro" in names
+    assert "m1.avro" not in names
+    assert any(n.startswith("m1-rw") for n in names)
+
+
+def test_plan_execute_replan_coherence(spark, table):
+    """The maintenance loop closes: delete_compaction_plan flags the
+    threshold-crossing file, rewrite_data_files executes the fold,
+    and the FileScanTask planner confirms no positional delete
+    attaches to any file afterwards."""
+    from iceberg_tools_spark.iceberg.deletes import delete_compaction_plan
+
+    plan = {r.file_path.rsplit("/", 1)[-1]: r.action
+            for r in delete_compaction_plan(spark, "unused").collect()}
+    assert plan["A.parquet"] == "rewrite"
+
+    res = rewrite_data_files(spark, _mp(table))  # folds A and C
+    meta = parse_metadata(res["metadata_path"])
+    tasks = plan_scan_tasks(meta, res["snapshot_id"], table)
+    assert not any(t[3] == "POSITION_DELETES" for t in tasks)
