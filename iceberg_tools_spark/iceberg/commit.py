@@ -662,3 +662,165 @@ COMMIT_DELETE_SQL = """
 SELECT CAST(range AS BIGINT) AS id, 'y' AS category
 FROM range(103, 151) ORDER BY id
 """
+
+
+# ----------------------------------- schema evolution + named refs
+
+_ALLOWED_ADD_TYPES = {"long", "int", "string", "double", "float", "boolean", "date"}
+
+
+def commit_schema_update(
+    metadata_path: str,
+    add_columns: list[tuple[str, str]],
+    *,
+    base_dir: str | None = None,
+    timestamp_ms: int | None = None,
+) -> dict[str, Any]:
+    """Schema evolution: ADD optional columns (the only always-safe
+    evolution; drops/renames/promotions need reader-side projection
+    rules this engine doesn't claim yet). Writes a new schema with a
+    bumped ``schema-id`` and fresh field ids past ``last-column-id``,
+    points ``current-schema-id`` at it, and keeps every old schema
+    in ``schemas`` — existing data files stay readable because added
+    columns are optional (readers fill null), exactly Iceberg's
+    add-column contract.
+    """
+    if not add_columns:
+        raise ValueError("commit_schema_update with no columns to add")
+    base_dir = base_dir or os.path.dirname(metadata_path)
+    meta = parse_metadata(metadata_path)
+    raw = json.loads(json.dumps(meta.raw))
+    loc = raw.get("location")
+    table_root = base_dir if os.path.isdir(os.path.join(base_dir, "metadata")) else os.path.dirname(base_dir)
+
+    cur = next(
+        s for s in raw.get("schemas", [raw.get("schema", {})])
+        if s.get("schema-id", 0) == raw.get("current-schema-id", 0)
+    )
+    existing = {f["name"] for f in cur.get("fields", [])}
+    last_col = raw.get("last-column-id", max((f["id"] for f in cur["fields"]), default=0))
+    new_fields = list(cur["fields"])
+    for name, typ in add_columns:
+        if name in existing:
+            raise ValueError(f"column {name!r} already exists in the current schema")
+        if typ not in _ALLOWED_ADD_TYPES:
+            raise ValueError(f"unsupported added-column type {typ!r}")
+        last_col += 1
+        new_fields.append({"id": last_col, "name": name, "required": False, "type": typ})
+    new_schema_id = max(s.get("schema-id", 0) for s in raw.get("schemas", [cur])) + 1
+    raw.setdefault("schemas", [cur])
+    raw["schemas"].append(
+        {"schema-id": new_schema_id, "type": "struct", "fields": new_fields}
+    )
+    raw["current-schema-id"] = new_schema_id
+    raw["last-column-id"] = last_col
+    if timestamp_ms is None:
+        timestamp_ms = raw.get("last-updated-ms", 0) + 1000
+    raw["last-updated-ms"] = timestamp_ms
+    raw.setdefault("metadata-log", []).append(
+        {"timestamp-ms": timestamp_ms,
+         "metadata-file": _canonical_metadata_uri(metadata_path, table_root, loc)}
+    )
+    new_path = _next_metadata_path(metadata_path, 0)
+    with open(new_path, "w") as f:
+        json.dump(raw, f, indent=2)
+    return {
+        "metadata_path": new_path,
+        "schema_id": new_schema_id,
+        "last_column_id": last_col,
+    }
+
+
+def set_ref(
+    metadata_path: str,
+    name: str,
+    *,
+    snapshot_id: int | None = None,
+    ref_type: str = "tag",
+    timestamp_ms: int | None = None,
+) -> dict[str, Any]:
+    """Create/update a named ref (Iceberg's ``refs`` metadata map):
+    ``tag`` pins a snapshot forever; ``branch`` is a movable head.
+    Defaults to the current snapshot. Readers resolve refs with
+    :func:`resolve_ref`."""
+    if ref_type not in ("tag", "branch"):
+        raise ValueError(f"ref type must be 'tag' or 'branch', got {ref_type!r}")
+    meta = parse_metadata(metadata_path)
+    raw = json.loads(json.dumps(meta.raw))
+    if snapshot_id is None:
+        snapshot_id = raw.get("current-snapshot-id")
+    if not any(s["snapshot-id"] == snapshot_id for s in raw.get("snapshots", [])):
+        raise ValueError(f"snapshot {snapshot_id} not in table metadata")
+    existing = raw.setdefault("refs", {}).get(name)
+    if existing and existing.get("type") == "tag" and ref_type == "tag" and existing[
+        "snapshot-id"
+    ] != snapshot_id:
+        raise ValueError(f"tag {name!r} already pins snapshot {existing['snapshot-id']}; tags are immutable")
+    raw["refs"][name] = {"snapshot-id": snapshot_id, "type": ref_type}
+    if timestamp_ms is None:
+        timestamp_ms = raw.get("last-updated-ms", 0) + 1000
+    raw["last-updated-ms"] = timestamp_ms
+    new_path = _next_metadata_path(metadata_path, 0)
+    with open(new_path, "w") as f:
+        json.dump(raw, f, indent=2)
+    return {"metadata_path": new_path, "name": name, "snapshot_id": snapshot_id}
+
+
+def resolve_ref(metadata_path: str, name: str) -> int:
+    """Ref name (or 'main') → snapshot id, for ``files_at`` /
+    ``read_mor`` style readers."""
+    raw = parse_metadata(metadata_path).raw
+    if name == "main":
+        sid = raw.get("current-snapshot-id")
+        if sid is None:
+            raise ValueError("table has no current snapshot")
+        return sid
+    ref = raw.get("refs", {}).get(name)
+    if ref is None:
+        raise ValueError(f"unknown ref {name!r} (known: {sorted(raw.get('refs', {}))})")
+    return ref["snapshot-id"]
+
+
+def files_at_tag(spark, sf_dir):
+    """Driver-gate round-trip for named refs: scratch-copy the MoR
+    fixture, tag snapshot 2002 (pre-deletes), and list files through
+    ``resolve_ref`` + ordinary time travel. Golden oracle: the four
+    pre-delete data files."""
+    import shutil
+    import tempfile
+
+    from .deletes import MOR_DIR
+    from .snapshots import files_at
+
+    scratch = tempfile.mkdtemp(prefix="tag_gate_")
+    root = os.path.join(scratch, "mor")
+    try:
+        shutil.copytree(MOR_DIR, root)
+        res = set_ref(
+            os.path.join(root, "v2.metadata.json"),
+            "v-before-deletes",
+            snapshot_id=2002,
+            ref_type="tag",
+        )
+        sid = resolve_ref(res["metadata_path"], "v-before-deletes")
+        out = (
+            files_at(spark, res["metadata_path"], sid)
+            .select("file_path", "record_count", "partition_json")
+            .orderBy("file_path")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+FILES_AT_TAG_SQL = """
+SELECT file_path, CAST(record_count AS BIGINT) AS record_count, partition_json
+FROM (VALUES
+  ('file:///tmp/mor_table/data/category=x/A.parquet', 100, '{"category": "x"}'),
+  ('file:///tmp/mor_table/data/category=x/C.parquet', 100, '{"category": "x"}'),
+  ('file:///tmp/mor_table/data/category=y/B.parquet', 50, '{"category": "y"}'),
+  ('file:///tmp/mor_table/data/category=z/D.parquet', 50, '{"category": "z"}')
+) t(file_path, record_count, partition_json)
+ORDER BY file_path
+"""

@@ -201,6 +201,8 @@ register(
     meta_commit.commit_delete_roundtrip,
     meta_commit.COMMIT_DELETE_SQL,
 )
+# named refs: tag a snapshot, time-travel through resolve_ref
+register("files_at_tag", meta_commit.files_at_tag, meta_commit.FILES_AT_TAG_SQL)
 
 # incremental scan × Structured Streaming (VERDICT r5 #5): the rows
 # a snapshot range appended, consumed THROUGH the staged file stream;

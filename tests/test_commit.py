@@ -310,3 +310,54 @@ def test_commit_metadata_log_uri_is_root_relative(table):
     assert meta["metadata-log"][-1]["metadata-file"] == (
         "file:///tmp/mor_table/v2.metadata.json"
     )
+
+
+def test_schema_evolution_add_column(spark, table):
+    """Add-column evolution: new schema id, old schemas retained,
+    existing data still readable (schema-on-read: the added columns
+    simply don't constrain old parquet)."""
+    from iceberg_tools_spark.iceberg.commit import commit_schema_update
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+
+    mp = os.path.join(table, "v2.metadata.json")
+    res = commit_schema_update(mp, [("score", "double"), ("note", "string")])
+    meta = parse_metadata(res["metadata_path"])
+    names = [f["name"] for f in meta.current_schema["fields"]]
+    assert names == ["id", "category", "score", "note"]
+    assert len(meta.schemas) == 2  # old schema retained
+    ids = [f["id"] for f in meta.current_schema["fields"]]
+    assert ids == sorted(ids) == [1, 2, 3, 4]  # fresh ids past last-column-id
+    # old data still reads via the MoR reader (schema-on-read)
+    assert read_mor(spark, res["metadata_path"], 2004).count() == 323
+
+    with pytest.raises(ValueError, match="already exists"):
+        commit_schema_update(res["metadata_path"], [("id", "long")])
+    with pytest.raises(ValueError, match="no columns"):
+        commit_schema_update(res["metadata_path"], [])
+
+
+def test_refs_tag_and_branch(spark, table):
+    """Tags pin, branches move, readers resolve by name."""
+    from iceberg_tools_spark.iceberg.commit import resolve_ref, set_ref
+
+    mp = os.path.join(table, "v2.metadata.json")
+    r1 = set_ref(mp, "v-before-deletes", snapshot_id=2002, ref_type="tag")
+    r2 = set_ref(r1["metadata_path"], "nightly", ref_type="branch")
+    mp2 = r2["metadata_path"]
+    assert resolve_ref(mp2, "v-before-deletes") == 2002
+    assert resolve_ref(mp2, "nightly") == 2004
+    assert resolve_ref(mp2, "main") == 2004
+    # time travel THROUGH the tag
+    files = files_at(spark, mp2, resolve_ref(mp2, "v-before-deletes")).collect()
+    assert sorted(r.file_path.rsplit("/", 1)[-1] for r in files) == [
+        "A.parquet", "B.parquet", "C.parquet", "D.parquet"
+    ]
+    # tags are immutable; branches move
+    with pytest.raises(ValueError, match="immutable"):
+        set_ref(mp2, "v-before-deletes", snapshot_id=2003, ref_type="tag")
+    r3 = set_ref(mp2, "nightly", snapshot_id=2003, ref_type="branch")
+    assert resolve_ref(r3["metadata_path"], "nightly") == 2003
+    with pytest.raises(ValueError, match="unknown ref"):
+        resolve_ref(mp2, "nope")
+    with pytest.raises(ValueError, match="not in table"):
+        set_ref(mp2, "x", snapshot_id=999)
