@@ -123,24 +123,24 @@ def _decimal_cols(name: str) -> tuple[str, ...]:
 # order below spends that window deliberately. Round-6 window:
 #   1-2   green canary probes (double/string) — detect a driver
 #         canonicalization change;
-#   3-14  NEW round-6 operators (first certification): the v2
+#   3-15  NEW round-6 operators (first certification): the v2
 #         merge-on-read delete-file surface + partition-spec
 #         evolution (VERDICT r5 "Next round" #1-2), FileScanTask-
 #         parity MoR planning, rewrite-position-deletes planning,
-#         the WRITE path (append-commit, delete-commit and
-#         rewrite-data-files round-trips), the incremental-scan-
-#         as-a-stream composition (#5), and the repetition /
-#         source-duplication text operators;
-#   15-28 queries whose IMPLEMENTATION changed this round, so their
+#         the WRITE path (append-commit, delete-commit,
+#         rewrite-data-files and tag-ref round-trips), the
+#         incremental-scan-as-a-stream composition (#5), and the
+#         repetition / source-duplication text operators;
+#   16-29 queries whose IMPLEMENTATION changed this round, so their
 #         prior rows are stale evidence: dedup_clusters (fused SV
 #         iterations + edge-DAG materialization, #3),
 #         decontaminate_ngram (broadcast guard, #7),
 #         pii_scrub_stats (null-coalesce, ADVICE), the whole
 #         metadata group (plan_scan spec-evolution rework + the
 #         location-relative URI resolver touched their call path);
-#   29-31 double-certified canaries (q1 / minhash / ivf) — minhash
+#   30-32 double-certified canaries (q1 / minhash / ivf) — minhash
 #         doubles as the re-cert for the Arrow signature kernel;
-#   32-50 re-certs of untouched r4/r5-green queries (fresh rows
+#   33-50 re-certs of untouched r4/r5-green queries (fresh rows
 #         harmless; any that slide past 50 keep their green row).
 # probe_decimal (EXPECTED-red witness of the driver's decimal
 # rendering law, proven in r2/r3) stays retired past the window.
