@@ -824,3 +824,61 @@ FROM (VALUES
 ) t(file_path, record_count, partition_json)
 ORDER BY file_path
 """
+
+
+def expire_execute_roundtrip(spark, sf_dir):
+    """Driver-gate round-trip for expiry EXECUTION: scratch-copy the
+    multi-snapshot fixture, run ``expire_snapshots(keep_last=2,
+    delete_files=True)``, and return the surviving snapshots (read
+    back by the ordinary metadata parser) plus how many metadata
+    files were physically removed. Golden: the two oldest appends
+    (1001, 1002) age out; 1003 (current) and 1004 (newest by
+    timestamp) survive."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .snapshots import MS_DIR
+
+    scratch = tempfile.mkdtemp(prefix="expire_gate_")
+    root = os.path.join(scratch, "ms")
+    try:
+        shutil.copytree(MS_DIR, root)
+        res = expire_snapshots(
+            os.path.join(root, "v2.metadata.json"), keep_last=2, delete_files=True
+        )
+        removed = sum(1 for p in res["removable"] if not os.path.exists(p))
+        meta = parse_metadata(res["metadata_path"])
+        rows = [
+            (
+                s["snapshot-id"],
+                s["timestamp-ms"],
+                s["summary"]["operation"],
+                removed,
+            )
+            for s in sorted(meta.snapshots, key=lambda s: s["snapshot-id"])
+        ]
+        schema = T.StructType(
+            [
+                T.StructField("snapshot_id", T.LongType()),
+                T.StructField("timestamp_ms", T.LongType()),
+                T.StructField("operation", T.StringType()),
+                T.StructField("n_files_removed", T.LongType()),
+            ]
+        )
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+EXPIRE_EXECUTE_SQL = """
+SELECT CAST(snapshot_id AS BIGINT) AS snapshot_id,
+       CAST(timestamp_ms AS BIGINT) AS timestamp_ms,
+       operation, CAST(n_files_removed AS BIGINT) AS n_files_removed
+FROM (VALUES
+  (1003, 1700000004000, 'overwrite', 2),
+  (1004, 1700000003000, 'append', 2)
+) t(snapshot_id, timestamp_ms, operation, n_files_removed)
+ORDER BY snapshot_id
+"""

@@ -203,6 +203,13 @@ register(
 )
 # named refs: tag a snapshot, time-travel through resolve_ref
 register("files_at_tag", meta_commit.files_at_tag, meta_commit.FILES_AT_TAG_SQL)
+# expiry EXECUTION: surviving snapshots + physically-removed
+# metadata file count after expire_snapshots(keep_last=2)
+register(
+    "expire_execute_roundtrip",
+    meta_commit.expire_execute_roundtrip,
+    meta_commit.EXPIRE_EXECUTE_SQL,
+)
 
 # incremental scan × Structured Streaming (VERDICT r5 #5): the rows
 # a snapshot range appended, consumed THROUGH the staged file stream;
