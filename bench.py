@@ -110,10 +110,12 @@ HEADLINE = [
     "meta_rewritten_files",
     "decontaminate_ngram",
     "pii_scrub_stats",
-    # round-6 breadth: MoR reader, repetition filter, source triage
+    # round-6 breadth: MoR reader, repetition filter, source triage,
+    # fuzzy decontamination
     "mor_live_rows",
     "doc_repetition_stats",
     "source_dup_stats",
+    "decontaminate_minhash",
 ]
 
 

@@ -590,3 +590,121 @@ GROUP BY train_doc_id, eval_doc_id
 HAVING COUNT(*) >= {MIN_SHARED}
 ORDER BY train_doc_id, eval_doc_id
 """
+
+
+# ------------------------------- fuzzy (MinHash) decontamination
+
+DECON_MIN_EQ_SLOTS = 32  # est. Jaccard >= 0.5 — decontamination casts
+#                          a wider net than dedup's 56/64 (~0.875)
+
+
+def decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination: train docs whose MinHash
+    signature lands in the same LSH bucket as an eval doc's in any
+    band AND agrees on ≥32/64 slots (est. Jaccard ≥ 0.5). Catches
+    the paraphrased / lightly-edited contamination the exact
+    n-gram sweep (:func:`decontaminate_ngram`) misses — the
+    two-stage screen real pipelines run.
+
+    Plan: signatures once for the whole corpus (Arrow kernel,
+    map-side), bands once; the EVAL band set (benchmark-sized)
+    broadcasts, so the candidate meet is one broadcast-equi-join on
+    (band, bucket) over the train bands — zero corpus shuffle —
+    followed by the usual signature-only verification. Degenerate
+    train buckets are dropped at ``MAX_BUCKET`` like every LSH path;
+    at 100 TB the broadcast holds exactly when the eval side is a
+    real benchmark corpus (the same scoping note as the n-gram
+    sweep).
+    """
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    sig = _minhash_signatures(d).localCheckpoint()
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("b"),
+        "sig",
+    ).select(
+        "doc_id",
+        "b",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.expr(
+                    f"transform(slice(sig, b * {LSH_ROWS} + 1, {LSH_ROWS}),"
+                    " x -> cast(x AS string))"
+                ),
+            )
+        ).alias("bucket"),
+    )
+    tr_b = bands.filter(F.col("doc_id") % EVAL_MOD != 0)
+    ok = (
+        tr_b.groupBy("b", "bucket")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") <= MAX_BUCKET)
+        .select("b", "bucket")
+    )
+    ev_b = bands.filter(F.col("doc_id") % EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "b", "bucket"
+    )
+    cand = (
+        tr_b.join(F.broadcast(ok), ["b", "bucket"])
+        .join(F.broadcast(ev_b), ["b", "bucket"])
+        .select(F.col("doc_id").alias("train_doc_id"), "eval_doc_id")
+        .distinct()
+    )
+    st = sig.select(F.col("doc_id").alias("train_doc_id"), F.col("sig").alias("sa"))
+    se = sig.select(F.col("doc_id").alias("eval_doc_id"), F.col("sig").alias("sb"))
+    eq = F.expr("aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+    return (
+        cand.join(st, "train_doc_id")
+        .join(se, "eval_doc_id")
+        .select("train_doc_id", "eval_doc_id", eq.cast("bigint").alias("eq_slots"))
+        .filter(F.col("eq_slots") >= DECON_MIN_EQ_SLOTS)
+        .select(
+            "train_doc_id",
+            "eval_doc_id",
+            "eq_slots",
+            (F.col("eq_slots").cast("double") / F.lit(float(MINHASH_K)))
+            .cast(D38_6)
+            .alias("est_jaccard"),
+        )
+        .orderBy("train_doc_id", "eval_doc_id")
+    )
+
+
+DECONTAMINATE_MINHASH_SQL = f"""
+WITH words AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS w
+  FROM documents),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(w), 1, {_H_DIGITS}))::UBIGINT AS BIGINT) AS h
+  FROM words),
+coeffs(i, a, b) AS (VALUES {_COEFF_ROWS}),
+slots AS (
+  SELECT doc_id, i, MIN((a * h + b) % {MINHASH_P}) AS mh
+  FROM hashed, coeffs
+  GROUP BY doc_id, i),
+sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM slots GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b,
+         md5(array_to_string(list_transform(sig[b * {LSH_ROWS} + 1 : b * {LSH_ROWS} + {LSH_ROWS}],
+                                            x -> x::VARCHAR), '|')) AS bucket
+  FROM sig, (SELECT unnest(range({LSH_BANDS})) AS b) bb),
+tr_b AS (SELECT * FROM bands WHERE doc_id % {EVAL_MOD} <> 0),
+ok AS (
+  SELECT b, bucket FROM tr_b GROUP BY b, bucket HAVING COUNT(*) <= {MAX_BUCKET}),
+ev_b AS (SELECT doc_id AS eval_doc_id, b, bucket FROM bands WHERE doc_id % {EVAL_MOD} = 0),
+cand AS (
+  SELECT DISTINCT tr_b.doc_id AS train_doc_id, ev_b.eval_doc_id
+  FROM tr_b JOIN ok USING (b, bucket) JOIN ev_b USING (b, bucket)),
+ver AS (
+  SELECT train_doc_id, eval_doc_id,
+         CAST(len(list_filter(range({MINHASH_K}), i -> sa.sig[i + 1] = sb.sig[i + 1])) AS BIGINT) AS eq_slots
+  FROM cand JOIN sig sa ON cand.train_doc_id = sa.doc_id
+            JOIN sig sb ON cand.eval_doc_id = sb.doc_id)
+SELECT train_doc_id, eval_doc_id, eq_slots,
+       CAST(CAST(eq_slots AS DOUBLE) / {float(MINHASH_K)} AS DECIMAL(38,6)) AS est_jaccard
+FROM ver
+WHERE eq_slots >= {DECON_MIN_EQ_SLOTS}
+ORDER BY train_doc_id, eval_doc_id
+"""

@@ -389,3 +389,114 @@ FROM hashed LEFT JOIN dup_hashes ON hashed.h = dup_hashes.h
 GROUP BY source
 ORDER BY source
 """
+
+
+# ------------------------------------------- cleaning-funnel summary
+
+FUNNEL_MIN_TOKENS = 5
+FUNNEL_MAX_TOKENS = 100_000
+FUNNEL_MAX_PUNCT = 0.30
+
+
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning-pipeline FUNNEL: how many documents survive each
+    successive intake gate — the one-row-per-stage summary every
+    corpus build reports before training.
+
+        0 total → 1 non-empty → 2 token-count band →
+        3 punctuation cap → 4 exact-dedup survivor
+
+    Stages nest (each row counts docs passing ITS gate and every
+    gate before it), so the counts are monotone non-increasing.
+    One corpus pass computes all gate flags map-side; the dedup
+    stage adds the usual md5 hash-groupBy. Fractions are exact-int
+    divisions cast to DECIMAL(38,6) like every ratio here."""
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    n_tok = F.size(tokens("text")).cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    g1 = F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    g2 = g1 & n_tok.between(FUNNEL_MIN_TOKENS, FUNNEL_MAX_TOKENS)
+    punct_ok = (
+        count_matches("text", "[.,;:!?]").cast("double")
+        <= F.lit(FUNNEL_MAX_PUNCT) * n_chars.cast("double")
+    )
+    g3 = g2 & punct_ok
+    flagged = d.select(
+        "doc_id",
+        F.md5(norm_text("text")).alias("h"),
+        g1.alias("g1"), g2.alias("g2"), g3.alias("g3"),
+    ).localCheckpoint()  # one corpus pass feeds both 1-row aggregates
+    gates = flagged.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.col("g1").cast("bigint")).alias("n1"),
+        F.sum(F.col("g2").cast("bigint")).alias("n2"),
+        F.sum(F.col("g3").cast("bigint")).alias("n3"),
+    )
+    survivors = (
+        flagged.filter("g3")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n4"))
+    )
+    # two 1-row frames → broadcast cross (the sanctioned scalar
+    # pattern) → explode into the 5 funnel stages; fully lazy, no
+    # driver-side action inside the operator
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("bigint").alias("stage"),
+                F.lit(nm).alias("stage_name"),
+                F.col(col).alias("n_docs"),
+            )
+            for i, (nm, col) in enumerate(
+                [
+                    ("total", "n0"),
+                    ("non_empty", "n1"),
+                    ("token_band", "n2"),
+                    ("punct_cap", "n3"),
+                    ("dedup_survivor", "n4"),
+                ]
+            )
+        ]
+    )
+    return (
+        gates.crossJoin(F.broadcast(survivors))
+        .select(F.col("n0"), F.explode(stages).alias("x"))
+        .select(
+            F.col("x.stage").alias("stage"),
+            F.col("x.stage_name").alias("stage_name"),
+            F.col("x.n_docs").alias("n_docs"),
+            _ratio(F.col("x.n_docs"), F.col("n0")).alias("frac_of_total"),
+        )
+        .orderBy("stage")
+    )
+
+
+CORPUS_FUNNEL_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h,
+         (text IS NOT NULL AND length(trim(text)) > 0) AS g1,
+         (text IS NOT NULL AND length(trim(text)) > 0
+          AND len(regexp_split_to_array(trim(text), '\\s+'))
+              BETWEEN {FUNNEL_MIN_TOKENS} AND {FUNNEL_MAX_TOKENS}) AS g2,
+         (text IS NOT NULL AND length(trim(text)) > 0
+          AND len(regexp_split_to_array(trim(text), '\\s+'))
+              BETWEEN {FUNNEL_MIN_TOKENS} AND {FUNNEL_MAX_TOKENS}
+          AND CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+              <= {FUNNEL_MAX_PUNCT} * CAST(length(text) AS DOUBLE)) AS g3
+  FROM documents),
+stages(stage, stage_name, n_docs) AS (
+  SELECT 0, 'total', COUNT(*) FROM f
+  UNION ALL SELECT 1, 'non_empty', COUNT(*) FILTER (WHERE g1) FROM f
+  UNION ALL SELECT 2, 'token_band', COUNT(*) FILTER (WHERE g2) FROM f
+  UNION ALL SELECT 3, 'punct_cap', COUNT(*) FILTER (WHERE g3) FROM f
+  UNION ALL SELECT 4, 'dedup_survivor',
+    (SELECT COUNT(*) FROM (SELECT h FROM f WHERE g3 GROUP BY h) s))
+SELECT CAST(stage AS BIGINT) AS stage, stage_name,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(CAST(n_docs AS DOUBLE)
+          / CAST((SELECT COUNT(*) FROM f) AS DOUBLE) AS DECIMAL(38,6)) AS frac_of_total
+FROM stages
+ORDER BY stage
+"""

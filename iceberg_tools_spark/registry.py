@@ -228,6 +228,8 @@ register(
 # exact-duplication profile (which feeds are mostly re-crawl)
 register("doc_repetition_stats", text_ops.doc_repetition_stats, text_ops.DOC_REPETITION_SQL)
 register("source_dup_stats", text_ops.source_dup_stats, text_ops.SOURCE_DUP_SQL)
+register("decontaminate_minhash", dedup.decontaminate_minhash, dedup.DECONTAMINATE_MINHASH_SQL)
+register("corpus_filter_funnel", text_ops.corpus_filter_funnel, text_ops.CORPUS_FUNNEL_SQL)
 
 # ------------------- changed-this-round re-certifications (stale
 # prior evidence: implementation or shared call path modified)

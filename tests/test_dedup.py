@@ -159,3 +159,35 @@ def test_decontaminate_broadcast_hint_present_only_below_threshold(spark):
     slow = decontaminate_ngram(spark, SF_ORACLE, broadcast_max_eval_rows=0)
     assert "ResolvedHint" in fast._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in slow._jdf.queryExecution().analyzed().toString()
+
+
+def test_decontaminate_minhash_catches_paraphrase(spark, tmp_path):
+    """A train doc sharing the eval doc's WORD SET but in scrambled
+    order (no 3-gram survives) is invisible to the exact n-gram
+    sweep yet flagged by the fuzzy MinHash sweep — the gap the
+    two-stage screen exists for."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    words = [f"tok{i}" for i in range(40)]
+    eval_text = " ".join(words)                      # doc_id 97 → eval slice
+    shuffled = " ".join(words[1::2] + words[0::2])   # same set, new order
+    unrelated = " ".join(f"other{i}" for i in range(40))
+    rows = [(97, eval_text), (5, shuffled), (6, unrelated)]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["s"] * 3, pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }),
+        tmp_path / "documents.parquet",
+    )
+    fuzzy = {(r.train_doc_id, r.eval_doc_id)
+             for r in dedup.decontaminate_minhash(spark, str(tmp_path)).collect()}
+    assert (5, 97) in fuzzy          # word-set identical → sig identical
+    assert (6, 97) not in fuzzy      # unrelated text stays clean
+    exact = {(r.train_doc_id, r.eval_doc_id)
+             for r in dedup.decontaminate_ngram(spark, str(tmp_path)).collect()}
+    assert (5, 97) not in exact      # scrambled order kills every 3-gram

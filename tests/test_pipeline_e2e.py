@@ -164,3 +164,30 @@ def test_source_dup_planted(spark, tmp_path):
     assert rows["crawlA"].n_docs == 2 and rows["crawlA"].n_dup_docs == 1
     assert rows["crawlB"].n_docs == 2 and rows["crawlB"].n_dup_docs == 1
     assert abs(float(rows["crawlA"].dup_ratio) - 0.5) < 1e-9
+
+
+def test_corpus_filter_funnel_planted(spark, tmp_path):
+    """One doc per failure mode: empty, too short, punctuation soup,
+    an exact duplicate pair — the funnel loses exactly one doc per
+    stage and reports monotone counts."""
+    from iceberg_tools_spark.operators.text import corpus_filter_funnel
+
+    _write_docs(
+        tmp_path,
+        [
+            "   ",                                    # fails non_empty
+            "too short",                              # fails token_band (2 tokens)
+            "!!! ... ,,, ;;; ??? dots, dots. more!",  # fails punct_cap
+            "a perfectly fine document with enough tokens",
+            "a perfectly fine DOCUMENT with enough tokens",  # exact dup (normalized)
+            "another clean document with plenty of words here",
+        ],
+    )
+    rows = {r.stage_name: r.n_docs for r in corpus_filter_funnel(spark, str(tmp_path)).collect()}
+    assert rows == {
+        "total": 6,
+        "non_empty": 5,
+        "token_band": 4,
+        "punct_cap": 3,
+        "dedup_survivor": 2,
+    }
