@@ -432,7 +432,32 @@ def _commit_files(
     }
 
 
-# ------------------------------------------------ driver-gate query
+# ----------------------------------------------- driver-gate queries
+#
+# Each gate commits against a scratch COPY of a repo fixture and
+# returns the result through the ordinary readers. Scratch tables
+# live until process exit (atexit) so the returned frames stay fully
+# LAZY — no driver-side materialization anywhere in the package; the
+# driver/parity harness collects like for any other query.
+
+_SCRATCH_ROOTS: list[str] = []
+
+
+def _scratch_table(prefix: str, fixture_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _SCRATCH_ROOTS:
+        atexit.register(
+            lambda: [shutil.rmtree(d, ignore_errors=True) for d in _SCRATCH_ROOTS]
+        )
+    scratch = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH_ROOTS.append(scratch)
+    root = os.path.join(scratch, "t")
+    shutil.copytree(fixture_dir, root)
+    return root
+
 
 def commit_append_files(spark, sf_dir):
     """Driver-gate round-trip for the WRITE path: copy the physical
@@ -443,46 +468,34 @@ def commit_append_files(spark, sf_dir):
     deterministic because file paths are canonical table URIs and
     the appended parquet's stats are fixed. (``sf_dir`` unused:
     metadata queries run on repo fixtures.)"""
-    import shutil
-    import tempfile
-
     import pyarrow as pa
     import pyarrow.parquet as pq
-    from pyspark.sql import functions as F
 
     from .deletes import MOR_DIR
     from .snapshots import files_at
 
-    root = os.path.join(tempfile.mkdtemp(prefix="commit_gate_"), "mor")
-    try:
-        shutil.copytree(MOR_DIR, root)
-        rel = "data/category=w/id_trunc=400/G.parquet"
-        path = os.path.join(root, rel)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        ids = list(range(400, 407))
-        pq.write_table(
-            pa.table({
-                "id": pa.array(ids, pa.int64()),
-                "category": pa.array(["w"] * len(ids), pa.string()),
-            }),
-            path,
-        )
-        res = append_snapshot(
-            os.path.join(root, "v2.metadata.json"),
-            [{"path": rel, "partition": {"category": "w", "id_trunc": 400},
-              "record_count": 7, "file_size_in_bytes": 1}],
-        )
-        out = (
-            files_at(spark, res["metadata_path"], res["snapshot_id"])
-            .select("file_path", "file_format", "record_count", "partition_json")
-            .orderBy("file_path")
-        )
-        # materialize before the scratch dir disappears (KB-scale
-        # metadata rows, already driver-resident by construction)
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+    root = _scratch_table("commit_gate_", MOR_DIR)
+    rel = "data/category=w/id_trunc=400/G.parquet"
+    path = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    ids = list(range(400, 407))
+    pq.write_table(
+        pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "category": pa.array(["w"] * len(ids), pa.string()),
+        }),
+        path,
+    )
+    res = append_snapshot(
+        os.path.join(root, "v2.metadata.json"),
+        [{"path": rel, "partition": {"category": "w", "id_trunc": 400},
+          "record_count": 7, "file_size_in_bytes": 1}],
+    )
+    return (
+        files_at(spark, res["metadata_path"], res["snapshot_id"])
+        .select("file_path", "file_format", "record_count", "partition_json")
+        .orderBy("file_path")
+    )
 
 
 _CLOC = "file:///tmp/mor_table"
@@ -629,33 +642,23 @@ def commit_delete_roundtrip(spark, sf_dir):
     first two rows of B (ids 101, 102), and return category-y's
     surviving rows through the ordinary MoR reader. Golden oracle:
     ids 103..150."""
-    import shutil
-    import tempfile
-
     from .deletes import MOR_DIR, read_mor
 
-    scratch = tempfile.mkdtemp(prefix="delcommit_gate_")
-    root = os.path.join(scratch, "mor")
-    try:
-        shutil.copytree(MOR_DIR, root)
-        rel = write_position_deletes(
-            root, "data/deletes/pd_gate.parquet",
-            [("data/category=y/B.parquet", 0), ("data/category=y/B.parquet", 1)],
-        )
-        res = commit_delete_snapshot(
-            os.path.join(root, "v2.metadata.json"),
-            [{"path": rel, "partition": {"category": "y"}, "content": 1}],
-            spec_id=0,
-        )
-        out = (
-            read_mor(spark, res["metadata_path"], res["snapshot_id"])
-            .filter("category = 'y'")
-            .orderBy("id")
-        )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(scratch, ignore_errors=True)
+    root = _scratch_table("delcommit_gate_", MOR_DIR)
+    rel = write_position_deletes(
+        root, "data/deletes/pd_gate.parquet",
+        [("data/category=y/B.parquet", 0), ("data/category=y/B.parquet", 1)],
+    )
+    res = commit_delete_snapshot(
+        os.path.join(root, "v2.metadata.json"),
+        [{"path": rel, "partition": {"category": "y"}, "content": 1}],
+        spec_id=0,
+    )
+    return (
+        read_mor(spark, res["metadata_path"], res["snapshot_id"])
+        .filter("category = 'y'")
+        .orderBy("id")
+    )
 
 
 COMMIT_DELETE_SQL = """
@@ -786,32 +789,22 @@ def files_at_tag(spark, sf_dir):
     fixture, tag snapshot 2002 (pre-deletes), and list files through
     ``resolve_ref`` + ordinary time travel. Golden oracle: the four
     pre-delete data files."""
-    import shutil
-    import tempfile
-
     from .deletes import MOR_DIR
     from .snapshots import files_at
 
-    scratch = tempfile.mkdtemp(prefix="tag_gate_")
-    root = os.path.join(scratch, "mor")
-    try:
-        shutil.copytree(MOR_DIR, root)
-        res = set_ref(
-            os.path.join(root, "v2.metadata.json"),
-            "v-before-deletes",
-            snapshot_id=2002,
-            ref_type="tag",
-        )
-        sid = resolve_ref(res["metadata_path"], "v-before-deletes")
-        out = (
-            files_at(spark, res["metadata_path"], sid)
-            .select("file_path", "record_count", "partition_json")
-            .orderBy("file_path")
-        )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(scratch, ignore_errors=True)
+    root = _scratch_table("tag_gate_", MOR_DIR)
+    res = set_ref(
+        os.path.join(root, "v2.metadata.json"),
+        "v-before-deletes",
+        snapshot_id=2002,
+        ref_type="tag",
+    )
+    sid = resolve_ref(res["metadata_path"], "v-before-deletes")
+    return (
+        files_at(spark, res["metadata_path"], sid)
+        .select("file_path", "record_count", "partition_json")
+        .orderBy("file_path")
+    )
 
 
 FILES_AT_TAG_SQL = """
@@ -834,42 +827,34 @@ def expire_execute_roundtrip(spark, sf_dir):
     files were physically removed. Golden: the two oldest appends
     (1001, 1002) age out; 1003 (current) and 1004 (newest by
     timestamp) survive."""
-    import shutil
-    import tempfile
-
     from pyspark.sql import types as T
 
     from .snapshots import MS_DIR
 
-    scratch = tempfile.mkdtemp(prefix="expire_gate_")
-    root = os.path.join(scratch, "ms")
-    try:
-        shutil.copytree(MS_DIR, root)
-        res = expire_snapshots(
-            os.path.join(root, "v2.metadata.json"), keep_last=2, delete_files=True
+    root = _scratch_table("expire_gate_", MS_DIR)
+    res = expire_snapshots(
+        os.path.join(root, "v2.metadata.json"), keep_last=2, delete_files=True
+    )
+    removed = sum(1 for p in res["removable"] if not os.path.exists(p))
+    meta = parse_metadata(res["metadata_path"])
+    rows = [
+        (
+            s["snapshot-id"],
+            s["timestamp-ms"],
+            s["summary"]["operation"],
+            removed,
         )
-        removed = sum(1 for p in res["removable"] if not os.path.exists(p))
-        meta = parse_metadata(res["metadata_path"])
-        rows = [
-            (
-                s["snapshot-id"],
-                s["timestamp-ms"],
-                s["summary"]["operation"],
-                removed,
-            )
-            for s in sorted(meta.snapshots, key=lambda s: s["snapshot-id"])
+        for s in sorted(meta.snapshots, key=lambda s: s["snapshot-id"])
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("snapshot_id", T.LongType()),
+            T.StructField("timestamp_ms", T.LongType()),
+            T.StructField("operation", T.StringType()),
+            T.StructField("n_files_removed", T.LongType()),
         ]
-        schema = T.StructType(
-            [
-                T.StructField("snapshot_id", T.LongType()),
-                T.StructField("timestamp_ms", T.LongType()),
-                T.StructField("operation", T.StringType()),
-                T.StructField("n_files_removed", T.LongType()),
-            ]
-        )
-        return spark.createDataFrame(rows, schema)
-    finally:
-        shutil.rmtree(scratch, ignore_errors=True)
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 EXPIRE_EXECUTE_SQL = """

@@ -366,26 +366,17 @@ def rewrite_datafiles_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     loses 5), and return the new snapshot's listing through ordinary
     time travel. file_size is excluded (parquet byte size varies by
     writer version); record_count and attribution are exact."""
-    import tempfile
-
+    from .commit import _scratch_table
+    from .deletes import MOR_DIR
     from .snapshots import files_at
 
-    scratch = tempfile.mkdtemp(prefix="rwdata_gate_")
-    root = os.path.join(scratch, "mor")
-    try:
-        from .deletes import MOR_DIR
-
-        shutil.copytree(MOR_DIR, root)
-        res = rewrite_data_files(spark, os.path.join(root, "v2.metadata.json"))
-        out = (
-            files_at(spark, res["metadata_path"], res["snapshot_id"])
-            .select("file_path", "record_count", "partition_json", "snapshot_id")
-            .orderBy("file_path")
-        )
-        rows = out.collect()  # materialize before the scratch dir goes away
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(scratch, ignore_errors=True)
+    root = _scratch_table("rwdata_gate_", MOR_DIR)
+    res = rewrite_data_files(spark, os.path.join(root, "v2.metadata.json"))
+    return (
+        files_at(spark, res["metadata_path"], res["snapshot_id"])
+        .select("file_path", "record_count", "partition_json", "snapshot_id")
+        .orderBy("file_path")
+    )
 
 
 _RLOC = "file:///tmp/mor_table"
