@@ -153,3 +153,25 @@ def test_ivf_plan_contract(spark):
     # eval allowed, row-at-a-time Python banned
     assert "BatchEvalPython" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_decontaminate_minhash_plan_contract(spark):
+    """Fuzzy decontamination hot path: no cartesian, no row-at-a-
+    time Python (the Arrow signature kernel is the only Python),
+    bucket cap compiled into the plan."""
+    df = dedup.decontaminate_minhash(spark, SF_ORACLE)
+    assert checks.cartesian_joins(df) == 0
+    p = checks.plan_string(df, "simple")
+    assert "BatchEvalPython" not in p
+    assert f"<= {dedup.MAX_BUCKET}" in p
+
+
+def test_corpus_funnel_single_pass(spark):
+    """The funnel reads the corpus once (checkpointed flag frame
+    feeds both aggregates); the final 5-row join is broadcast."""
+    from iceberg_tools_spark.operators.text import corpus_filter_funnel
+
+    df = corpus_filter_funnel(spark, SF_ORACLE)
+    p = checks.plan_string(df, "simple")
+    assert "CartesianProduct" not in p  # scalar cross is broadcast-NL
+    assert checks.no_python_eval(df)
