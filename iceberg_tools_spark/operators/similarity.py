@@ -209,15 +209,27 @@ LIMIT {NEAR_DUP_TOP}
 
 def _ivf_assign(df: DataFrame, cents: DataFrame) -> DataFrame:
     """argmin_cell dist²(v, centroid) with dist² = ss − 2·dot + css;
-    ties broken by cell id. Centroids are always broadcast."""
+    ties broken by cell id. Centroids are always broadcast.
+
+    The argmin is an AGGREGATE — ``min(struct(d2, cell))`` — not a
+    row_number window: a window sorts all N·k expanded rows inside
+    each shuffle partition, while min-of-struct partial-aggregates
+    map-side, so only N rows (one per vector, already reduced) cross
+    the wire. Same result (struct comparison is lexicographic:
+    d2 then cell — exactly the old ORDER BY d2, cell tie-break);
+    embedding/ss are functionally dependent on vec_id so ``first``
+    is deterministic."""
     d2 = F.col("ss") - 2 * dot_fast("embedding", "cemb") + F.col("css")
-    w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cell"))
     return (
         df.crossJoin(F.broadcast(cents))
         .select("vec_id", "embedding", "ss", "cell", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "d2")
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d2", "cell")).alias("m"),
+            F.first("embedding").alias("embedding"),
+            F.first("ss").alias("ss"),
+        )
+        .select("vec_id", "embedding", "ss", F.col("m.cell").alias("cell"))
     )
 
 
@@ -236,9 +248,10 @@ def _lloyd_means(assigned: DataFrame) -> DataFrame:
         .groupBy("cell")
         .agg(F.expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)").alias("cemb"))
         .select("cell", "cemb", sum_squares("cemb").alias("css"))
-        # k rows, but the lineage is a full Lloyd round that several
-        # downstream branches would recompute; materialize once
-        .localCheckpoint()
+        # LAZY: each round's centroids feed exactly one consumer (the
+        # next round's broadcast); the caller materializes only the
+        # FINAL centroids, so the whole Lloyd loop runs as broadcast
+        # stages of ONE job instead of one blocking job per round
     )
 
 
@@ -290,11 +303,44 @@ def clear_count_cache() -> None:
 _COUNT_CACHE: dict[tuple[str, str], int] = {}
 
 
+def train_centroids(base: DataFrame, k: int) -> DataFrame:
+    """IVF centroid training: seeds + ``IVF_LLOYD_ROUNDS`` Lloyd
+    rounds over the md5-ranked 50·k sample, in ONE single-task Arrow
+    kernel (faiss-style: the sample is bounded regardless of corpus
+    size, so training is a single-node operation by design; see
+    functions/ivf_kernel.py for the bit-exactness contract). The
+    previous engine-side trainer is kept as
+    :func:`lloyd_round_distributed` — tests prove the kernel
+    bit-matches it — for training sets that outgrow one task."""
+    from ..functions.ivf_kernel import make_lloyd_kernel
+
+    mk = F.md5(F.col("vec_id").cast("string")).alias("mk")
+    sample = (
+        base.select(mk, "vec_id", "embedding", "ss")
+        .orderBy("mk", "vec_id")
+        .limit(IVF_TRAIN_FACTOR * k)
+        .coalesce(1)
+    )
+    kernel = make_lloyd_kernel(k, IVF_LLOYD_ROUNDS, _QSCALE)
+    return sample.mapInPandas(
+        kernel, schema="cell bigint, cemb array<double>, css double"
+    )
+
+
+def lloyd_round_distributed(train: DataFrame, cents: DataFrame) -> DataFrame:
+    """One engine-side Lloyd round (assign + quantized means) — the
+    distributed alternative for a training set too large for one
+    task. Bit-identical to one kernel round
+    (tests/test_similarity.py pins the equivalence)."""
+    return _lloyd_means(_ivf_assign(train, cents))
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str, k: int | None = None) -> DataFrame:
     """IVF ANN with trained centroids: k = ⌈√N⌉ cells, seeds and
     training sample chosen by deterministic md5(vec_id) rank, 3
-    Lloyd rounds, probe the 4 nearest cells per query, exact top-5
-    within the probed cells.
+    Lloyd rounds (single-task Arrow kernel — see
+    :func:`train_centroids`), probe the 4 nearest cells per query,
+    exact top-5 within the probed cells.
 
     Plan shape at scale: centroids are a broadcast array (k×dims);
     training touches only the md5-ranked sample (50·k vectors
@@ -315,41 +361,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str, k: int | None = None) -> Data
         import math
 
         k = int(math.ceil(math.sqrt(corpus_size(spark, sf_dir))))
-    mk = F.md5(F.col("vec_id").cast("string")).alias("mk")
-    ranked = base.select("vec_id", "embedding", "ss", mk)
-    train = (
-        ranked.orderBy("mk", "vec_id")
-        .limit(IVF_TRAIN_FACTOR * k)
-        .select("vec_id", "embedding", "ss")
-        .localCheckpoint()
-    )
-    # seed cell ids = md5 rank − 1, WITHOUT any window: the k
-    # limited seed rows are aggregated into one sorted array of
-    # (mk, vec_id, …) structs — unique (mk, vec_id) prefix makes the
-    # struct sort total — and posexplode emits the 0-based rank.
-    # Same k-rows-to-one-place movement a rank needs, but as an
-    # explicit aggregate: no WindowExec, no "No Partition Defined"
-    # warning (VERDICT r4 "What's wrong" #3 — a constant
-    # partitionBy key gets constant-folded away, so that variant
-    # still warned).
-    cents = (
-        ranked.orderBy("mk", "vec_id")
-        .limit(k)
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("mk", "vec_id", "embedding", "ss"))
-            ).alias("arr")
-        )
-        .select(F.posexplode("arr").alias("cell", "x"))
-        .select(
-            F.col("cell").cast("bigint").alias("cell"),
-            F.col("x.embedding").alias("cemb"),
-            F.col("x.ss").alias("css"),
-        )
-        .localCheckpoint()
-    )
-    for _ in range(IVF_LLOYD_ROUNDS):
-        cents = _lloyd_means(_ivf_assign(train, cents))
+    # ONE materialization for the whole training chain; the
+    # checkpoint exists because cents feeds TWO consumers below
+    # (corpus assignment and query probing)
+    cents = train_centroids(base, k).localCheckpoint()
 
     assigned = _ivf_assign(base, cents)
 

@@ -54,3 +54,56 @@ def test_near_dup_plane_knob_monotone(spark):
     coarse = similarity.embedding_near_dup(spark, SF_ORACLE, n_planes=4).collect()
     assert len(fine) == len(coarse) == similarity.NEAR_DUP_TOP
     assert min(float(r.cosine) for r in coarse) >= min(float(r.cosine) for r in fine)
+
+
+def test_kernel_lloyd_bitmatches_distributed(spark):
+    """The single-task Arrow trainer must produce BIT-IDENTICAL
+    centroids to the engine-side distributed Lloyd formulation it
+    replaced (functions/ivf_kernel.py's fold-order contract) — run
+    both for the full IVF_LLOYD_ROUNDS from the same seeds."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from iceberg_tools_spark.functions.vectors import sum_squares
+    from iceberg_tools_spark.sources.readers import load_table
+
+    e = load_table(spark, SF_ORACLE, "embeddings", ["vec_id", "embedding"])
+    base = e.select("vec_id", "embedding", sum_squares("embedding").alias("ss"))
+    k = int(math.ceil(math.sqrt(base.count())))
+
+    kernel_cents = {
+        r.cell: (tuple(r.cemb), r.css)
+        for r in similarity.train_centroids(base, k).collect()
+    }
+
+    mk = F.md5(F.col("vec_id").cast("string")).alias("mk")
+    ranked = base.select("vec_id", "embedding", "ss", mk)
+    train = (
+        ranked.orderBy("mk", "vec_id")
+        .limit(similarity.IVF_TRAIN_FACTOR * k)
+        .select("vec_id", "embedding", "ss")
+        .localCheckpoint()
+    )
+    cents = (
+        ranked.orderBy("mk", "vec_id")
+        .limit(k)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("mk", "vec_id", "embedding", "ss"))
+            ).alias("arr")
+        )
+        .select(F.posexplode("arr").alias("cell", "x"))
+        .select(
+            F.col("cell").cast("bigint").alias("cell"),
+            F.col("x.embedding").alias("cemb"),
+            F.col("x.ss").alias("css"),
+        )
+    )
+    for _ in range(similarity.IVF_LLOYD_ROUNDS):
+        cents = similarity.lloyd_round_distributed(train, cents).localCheckpoint()
+    dist_cents = {r.cell: (tuple(r.cemb), r.css) for r in cents.collect()}
+
+    assert kernel_cents.keys() == dist_cents.keys()
+    for cell in kernel_cents:
+        assert kernel_cents[cell] == dist_cents[cell], f"cell {cell} diverged"
