@@ -52,13 +52,21 @@ def test_dedup_clusters_rollup(spark):
         seen |= set(members)
 
 
-def test_nonconvergence_raises(spark, monkeypatch):
-    # a 25-hop chain cannot close in 2 rounds of plain propagation
-    import iceberg_tools_spark.operators.components as comp
+def test_long_chain_exact(spark):
+    # a 200-hop chain — pathological diameter for iterative schemes —
+    # is exact under spanning-forest reduction
+    got = _labels(spark, [(i, i + 1) for i in range(1, 201)])
+    assert set(got.values()) == {1}
+    assert len(got) == 201
 
-    monkeypatch.setattr(comp, "MAX_ROUNDS", 2)
-    df = spark.createDataFrame([(i, i + 1) for i in range(1, 26)], "da bigint, db bigint")
+
+def test_merge_guard_raises(spark):
+    # the single-task merge refuses unbounded input instead of OOMing
     import pytest
+    from pyspark.errors.exceptions.captured import PythonException
 
-    with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df).collect()
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 26)], "da bigint, db bigint"
+    )
+    with pytest.raises(PythonException, match="star edges"):
+        connected_components(df, max_merge_rows=3).collect()
