@@ -166,11 +166,20 @@ def main() -> None:
     ).save()
     calibration = time.perf_counter() - t0
 
+    # between queries: drop Python references eagerly so the JVM
+    # ContextCleaner can unpersist the previous query's
+    # localCheckpoint blocks — otherwise they accumulate across the
+    # whole run and later queries pay block-manager/GC pressure that
+    # has nothing to do with their own plan (collection happens
+    # OUTSIDE the timed window)
+    import gc
+
     available = registry.queries()
     names = [n for n in HEADLINE if n in available]
     timings: dict[str, float] = {}
     for name in names:
         fn = available[name]
+        gc.collect()
         t = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t, 3)
@@ -185,6 +194,7 @@ def main() -> None:
     best: dict[str, float] = {}
     for name in names:
         fn = available[name]
+        gc.collect()
         t = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best[name] = round(min(timings[name], time.perf_counter() - t), 3)

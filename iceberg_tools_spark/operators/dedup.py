@@ -400,9 +400,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint")
         for b in range(SIMHASH_BANDS)
     ]
+    # one row per doc (4 packed ints). Three consumers read it (the
+    # bucket-size census, both self-join sides); an eager
+    # localCheckpoint materializes the word-explode + 64-sum pipeline
+    # ONCE instead of letting each consumer re-execute it — same
+    # reasoning as the MinHash signature checkpoint above.
     sim = sums.select(
         "doc_id", *[band_int[b].alias(f"i{b}") for b in range(SIMHASH_BANDS)]
-    )
+    ).localCheckpoint()
     bands = sim.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("b"),
