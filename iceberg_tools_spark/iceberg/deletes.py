@@ -130,6 +130,125 @@ def mor_entries_at(
     return data, dels
 
 
+def mor_frame(spark: SparkSession, data: list[dict[str, Any]]) -> DataFrame:
+    """ONE parquet scan over the given data-file entries, tagged
+    with ``_rel`` (table-relative path), ``_pos``
+    (``_metadata.row_index`` — computed by the scan itself, free)
+    and ``_seq`` (the file's data sequence number, attached by a
+    broadcast of the one-row-per-FILE entry list)."""
+    df = (
+        spark.read.parquet(*sorted(e["local_path"] for e in data))
+        .withColumn("_rel", F.regexp_extract(F.col("_metadata.file_path"), _REL_RE, 0))
+        .withColumn("_pos", F.col("_metadata.row_index"))
+    )
+    seq_df = spark.createDataFrame(
+        [(e["rel"], e["sequence_number"]) for e in data],
+        T.StructType([
+            T.StructField("seq_rel", T.StringType()),
+            T.StructField("_seq", T.LongType()),
+        ]),
+    )
+    return (
+        df.join(F.broadcast(seq_df), df["_rel"] == seq_df["seq_rel"], "left")
+        .drop("seq_rel")
+    )
+
+
+def _pos_delete_frame(
+    spark: SparkSession, dels: list[dict[str, Any]]
+) -> DataFrame | None:
+    pos_dels = [e for e in dels if e["content"] == POSITION_DELETES]
+    if not pos_dels:
+        return None
+    frames = [
+        spark.read.parquet(e["local_path"]).select(
+            F.regexp_extract("file_path", _REL_RE, 0).alias("pd_rel"),
+            F.col("pos").alias("pd_pos"),
+            F.lit(e["sequence_number"]).alias("pd_seq"),
+        )
+        for e in pos_dels
+    ]
+    return reduce(DataFrame.unionByName, frames)
+
+
+def _eq_delete_join(
+    spark: SparkSession, meta: TableMetadata, df: DataFrame, e: dict[str, Any]
+):
+    """(aliased data frame, delete frame, join condition) for one
+    equality delete file — the v2 apply rule."""
+    field_names = _schema_field_names(meta)
+    eq_cols = [field_names[fid] for fid in (e["equality_ids"] or [])]
+    if not eq_cols:
+        raise ValueError(
+            f"equality delete {e['file_path']!r} lists no equality_ids"
+        )
+    d = df.alias("d")
+    ed = spark.read.parquet(e["local_path"]).select(*eq_cols).alias("ed")
+    # equality on the delete columns (null-safe per spec) ...
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"d.{c}").eqNullSafe(F.col(f"ed.{c}")) for c in eq_cols],
+    )
+    # ... gated on sequence order (strict: deletes don't apply
+    # to rows written at or after the delete) ...
+    cond = cond & (F.col("d._seq") < F.lit(e["sequence_number"]))
+    # ... and on the delete file's partition (identity fields
+    # gate on their source columns; a partition field that is
+    # not identity cannot be gated from column values, and the
+    # spec scopes partitioned deletes to their own spec)
+    ident = _identity_sources(meta, e["spec_id"])
+    for pname, pval in e["partition"].items():
+        if pname in ident and pval is not None:
+            cond = cond & (F.col(f"d.{ident[pname]}") == F.lit(pval))
+    return d, ed, cond
+
+
+def apply_deletes(
+    spark: SparkSession,
+    meta: TableMetadata,
+    df: DataFrame,
+    dels: list[dict[str, Any]],
+    *,
+    mode: str = "survivors",
+) -> DataFrame:
+    """Apply v2 delete files to a :func:`mor_frame`.
+
+    ``mode='survivors'`` — rows NOT hit by any delete (the MoR read:
+    sequential anti-joins). ``mode='victims'`` — rows hit by at
+    least one delete (the changelog's "what did this commit
+    remove"), deduplicated on row identity (_rel, _pos) because a
+    row may match several delete files. No delete-side broadcast
+    hints: delete sets can be arbitrarily large at 100 TB, so AQE
+    picks the join strategy.
+    """
+    if mode not in ("survivors", "victims"):
+        raise ValueError(f"unknown mode {mode!r}")
+    anti = mode == "survivors"
+    pd_all = _pos_delete_frame(spark, dels)
+    victims: list[DataFrame] = []
+    if pd_all is not None:
+        cond = (
+            (df["_rel"] == pd_all["pd_rel"])
+            & (df["_pos"] == pd_all["pd_pos"])
+            & (df["_seq"] <= pd_all["pd_seq"])
+        )
+        if anti:
+            df = df.join(pd_all, cond, "left_anti")
+        else:
+            victims.append(df.join(pd_all, cond, "left_semi"))
+    for e in (e for e in dels if e["content"] == EQUALITY_DELETES):
+        d, ed, cond = _eq_delete_join(spark, meta, df, e)
+        if anti:
+            df = d.join(ed, cond, "left_anti")
+        else:
+            victims.append(d.join(ed, cond, "left_semi"))
+    if anti:
+        return df
+    if not victims:
+        return df.filter(F.lit(False))
+    return reduce(DataFrame.unionByName, victims).dropDuplicates(["_rel", "_pos"])
+
+
 def read_mor(
     spark: SparkSession,
     metadata_path: str,
@@ -151,73 +270,9 @@ def read_mor(
     data, dels = mor_entries_at(meta, snapshot_id, base_dir)
     if not data:
         raise ValueError(f"snapshot {snapshot_id} has no live data files")
-
-    df = (
-        spark.read.parquet(*sorted(e["local_path"] for e in data))
-        .withColumn("_rel", F.regexp_extract(F.col("_metadata.file_path"), _REL_RE, 0))
-        .withColumn("_pos", F.col("_metadata.row_index"))
-    )
-    out_cols = [c for c in df.columns if c not in ("_rel", "_pos")]
-    seq_df = spark.createDataFrame(
-        [(e["rel"], e["sequence_number"]) for e in data],
-        T.StructType([
-            T.StructField("seq_rel", T.StringType()),
-            T.StructField("_seq", T.LongType()),
-        ]),
-    )
-    df = (
-        df.join(F.broadcast(seq_df), df["_rel"] == seq_df["seq_rel"], "left")
-        .drop("seq_rel")
-    )
-
-    pos_dels = [e for e in dels if e["content"] == POSITION_DELETES]
-    if pos_dels:
-        frames = [
-            spark.read.parquet(e["local_path"]).select(
-                F.regexp_extract("file_path", _REL_RE, 0).alias("pd_rel"),
-                F.col("pos").alias("pd_pos"),
-                F.lit(e["sequence_number"]).alias("pd_seq"),
-            )
-            for e in pos_dels
-        ]
-        pd_all = reduce(DataFrame.unionByName, frames)
-        df = df.join(
-            pd_all,
-            (df["_rel"] == pd_all["pd_rel"])
-            & (df["_pos"] == pd_all["pd_pos"])
-            & (df["_seq"] <= pd_all["pd_seq"]),
-            "left_anti",
-        )
-
-    field_names = _schema_field_names(meta)
-    for e in (e for e in dels if e["content"] == EQUALITY_DELETES):
-        eq_cols = [field_names[fid] for fid in (e["equality_ids"] or [])]
-        if not eq_cols:
-            raise ValueError(
-                f"equality delete {e['file_path']!r} lists no equality_ids"
-            )
-        d, ed = df.alias("d"), (
-            spark.read.parquet(e["local_path"]).select(*eq_cols).alias("ed")
-        )
-        # equality on the delete columns (null-safe per spec) ...
-        cond = reduce(
-            lambda a, b: a & b,
-            [F.col(f"d.{c}").eqNullSafe(F.col(f"ed.{c}")) for c in eq_cols],
-        )
-        # ... gated on sequence order (strict: deletes don't apply
-        # to rows written at or after the delete) ...
-        cond = cond & (F.col("d._seq") < F.lit(e["sequence_number"]))
-        # ... and on the delete file's partition (identity fields
-        # gate on their source columns; a partition field that is
-        # not identity cannot be gated from column values, and the
-        # spec scopes partitioned deletes to their own spec)
-        ident = _identity_sources(meta, e["spec_id"])
-        for pname, pval in e["partition"].items():
-            if pname in ident and pval is not None:
-                cond = cond & (F.col(f"d.{ident[pname]}") == F.lit(pval))
-        df = d.join(ed, cond, "left_anti")
-
-    return df.select(*out_cols)
+    df = mor_frame(spark, data)
+    out_cols = [c for c in df.columns if c not in ("_rel", "_pos", "_seq")]
+    return apply_deletes(spark, meta, df, dels, mode="survivors").select(*out_cols)
 
 
 # ------------------------------------------------ driver-gate queries

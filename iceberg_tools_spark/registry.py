@@ -138,8 +138,12 @@ def _decimal_cols(name: str) -> tuple[str, ...]:
 #         pii_scrub_stats (null-coalesce, ADVICE), the whole
 #         metadata group (plan_scan spec-evolution rework + the
 #         location-relative URI resolver touched their call path);
+#   +     changelog_rows (row-level CDC, added mid-round) joins the
+#         new block, and dedup_simhash joins the canaries (its impl
+#         changed) — the two tail re-certs they displace past 50
+#         (dataset_split / stratified_sample) keep their r5 rows;
 #   30-32 double-certified canaries (q1 / minhash / ivf) — minhash
-#         doubles as the re-cert for the Arrow signature kernel;
+#         and ivf double as re-certs for the round-6 kernel work;
 #   33-50 re-certs of untouched r4/r5-green queries (fresh rows
 #         harmless; any that slide past 50 keep their green row).
 # probe_decimal (EXPECTED-red witness of the driver's decimal
@@ -223,6 +227,16 @@ register(
     stream_inc.INCREMENTAL_STREAM_SQL,
 )
 
+# row-level CDC changelog (create_changelog_view parity): per-commit
+# net INSERT/DELETE rows derived from metadata increments; the
+# oracle independently diffs FULL MoR materializations of adjacent
+# snapshots (DuckDB EXCEPT ALL) — no shared code path
+from .iceberg import changelog as meta_changelog  # noqa: E402
+
+register(
+    "changelog_rows", meta_changelog.changelog_rows, meta_changelog.CHANGELOG_SQL
+)
+
 # round-6 training-pipeline breadth: intra-document repetition
 # filter (duplicated 5-gram fraction, map-side only) and per-source
 # exact-duplication profile (which feeds are mostly re-crawl)
@@ -249,9 +263,16 @@ register("compaction_plan", meta_snap.compaction_plan, meta_snap.COMPACTION_PLAN
 register("orphan_files_current", meta_snap.orphan_files_current, meta_snap.ORPHAN_FILES_SQL)
 
 # ------------------------- double-certified canaries (regression detectors)
+# ann_ivf_topk and dedup_minhash_lsh double as re-certs for the
+# round-6 kernel work (single-task Lloyd trainer, aggregate argmin);
+# dedup_simhash joins them in-window because its implementation
+# gained the per-doc signature checkpoint this round (prior r4 row
+# is stale evidence); dedup_clusters (tree-reduction union-find
+# rewrite) is re-certified at its round-6 window slot above.
 register("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL)
 register("dedup_minhash_lsh", dedup.dedup_minhash_lsh, dedup.DEDUP_MINHASH_SQL)
 register("ann_ivf_topk", similarity.ann_ivf_topk, similarity.ANN_IVF_SQL)
+register("dedup_simhash", dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL)
 
 # ------------------- re-certs of untouched r4/r5-green queries
 # (fresh rows harmless; any sliding past 50 keep their green row)
@@ -296,10 +317,10 @@ register("meta_typed_bounds", meta_tables.meta_typed_bounds, meta_tables.META_TY
 
 def _register_past_window() -> None:
     """Registrations past the driver's 50-entry window (r3/r4-green)."""
-    # §2.4 dedup
+    # §2.4 dedup (dedup_simhash moved IN-window this round — its
+    # implementation changed)
     register("dedup_exact", dedup.dedup_exact, dedup.DEDUP_EXACT_SQL)
     register("dedup_ngram_jaccard", dedup.dedup_ngram_jaccard, dedup.DEDUP_NGRAM_SQL)
-    register("dedup_simhash", dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL)
 
     # §2.4 embeddings
     register("embedding_norm_stats", similarity.embedding_norm_stats, similarity.NORM_STATS_SQL)
