@@ -111,11 +111,12 @@ HEADLINE = [
     "decontaminate_ngram",
     "pii_scrub_stats",
     # round-6 breadth: MoR reader, repetition filter, source triage,
-    # fuzzy decontamination
+    # fuzzy decontamination, row-level CDC changelog
     "mor_live_rows",
     "doc_repetition_stats",
     "source_dup_stats",
     "decontaminate_minhash",
+    "changelog_rows",
 ]
 
 

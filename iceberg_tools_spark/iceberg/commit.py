@@ -667,6 +667,67 @@ FROM range(103, 151) ORDER BY id
 """
 
 
+def write_equality_deletes(
+    table_root: str,
+    rel_out: str,
+    rows: list[dict[str, Any]],
+) -> str:
+    """Write a v2 equality-delete parquet: one row per deleted
+    value-tuple over the equality columns (the caller names the
+    matching field ids in ``commit_delete_snapshot``'s
+    ``equality_ids``). Returns the relative path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not rows:
+        raise ValueError("equality delete needs at least one row")
+    cols = list(rows[0])
+    path = os.path.join(table_root, rel_out)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(
+        pa.table({c: pa.array([r[c] for r in rows]) for c in cols}), path
+    )
+    return rel_out
+
+
+def commit_eq_delete_roundtrip(spark, sf_dir):
+    """Driver-gate round-trip for the EQUALITY-delete write path ×
+    CDC changelog: scratch-copy the MoR fixture, commit an equality
+    delete killing ids 105 and 110 (partition y, equality field
+    ``id``), and return the CHANGELOG of that single commit — the
+    new snapshot must report exactly those two rows as DELETEs
+    (data seq 1 < the commit's sequence; partition-gated to y).
+    Exercises the eq-delete writer, sequence gating on a COMMITTED
+    (non-fixture) snapshot, and changelog derivation from a fresh
+    delete manifest in one pass. Golden oracle: the two rows."""
+    from .changelog import changelog_between
+    from .deletes import MOR_DIR
+
+    root = _scratch_table("eqdel_gate_", MOR_DIR)
+    rel = write_equality_deletes(
+        root, "data/deletes/ed_gate.parquet", [{"id": 105}, {"id": 110}]
+    )
+    res = commit_delete_snapshot(
+        os.path.join(root, "v2.metadata.json"),
+        [{"path": rel, "partition": {"category": "y"}, "content": 2,
+          "equality_ids": [1]}],
+        spec_id=0,
+    )
+    return (
+        changelog_between(spark, res["metadata_path"], 2004, res["snapshot_id"])
+        .select("change_type", "id", "category")
+        .orderBy("id")
+    )
+
+
+COMMIT_EQ_DELETE_SQL = """
+SELECT change_type, CAST(id AS BIGINT) AS id, category
+FROM (VALUES ('DELETE', 105, 'y'), ('DELETE', 110, 'y'))
+  t(change_type, id, category)
+ORDER BY id
+"""
+
+
 # ----------------------------------- schema evolution + named refs
 
 _ALLOWED_ADD_TYPES = {"long", "int", "string", "double", "float", "boolean", "date"}

@@ -205,6 +205,13 @@ register(
     meta_commit.commit_delete_roundtrip,
     meta_commit.COMMIT_DELETE_SQL,
 )
+# EQUALITY-delete write path × changelog: a committed eq delete's
+# own commit reported as exactly its DELETE rows (golden)
+register(
+    "commit_eq_delete_roundtrip",
+    meta_commit.commit_eq_delete_roundtrip,
+    meta_commit.COMMIT_EQ_DELETE_SQL,
+)
 # named refs: tag a snapshot, time-travel through resolve_ref
 register("files_at_tag", meta_commit.files_at_tag, meta_commit.FILES_AT_TAG_SQL)
 # expiry EXECUTION: surviving snapshots + physically-removed

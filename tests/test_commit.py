@@ -361,3 +361,53 @@ def test_refs_tag_and_branch(spark, table):
         resolve_ref(mp2, "nope")
     with pytest.raises(ValueError, match="not in table"):
         set_ref(mp2, "x", snapshot_id=999)
+
+
+def test_eq_delete_commit_round_trip(spark, table):
+    """Equality-delete write path: committed eq delete applies on
+    MoR reads (seq-gated) and surfaces as that commit's changelog
+    DELETE rows."""
+    from iceberg_tools_spark.iceberg.changelog import changelog_between
+    from iceberg_tools_spark.iceberg.commit import (
+        commit_delete_snapshot,
+        write_equality_deletes,
+    )
+
+    rel = write_equality_deletes(
+        table, "data/deletes/ed_t.parquet", [{"id": 120}, {"id": 130}]
+    )
+    res = commit_delete_snapshot(
+        os.path.join(table, "v2.metadata.json"),
+        [{"path": rel, "partition": {"category": "y"}, "content": 2,
+          "equality_ids": [1]}],
+        spec_id=0,
+    )
+    y_ids = {
+        r.id
+        for r in read_mor(spark, res["metadata_path"], res["snapshot_id"])
+        .filter("category = 'y'")
+        .collect()
+    }
+    assert y_ids == set(range(101, 151)) - {120, 130}
+    ch = changelog_between(
+        spark, res["metadata_path"], 2004, res["snapshot_id"]
+    ).collect()
+    assert {(r.change_type, r.id) for r in ch} == {("DELETE", 120), ("DELETE", 130)}
+    # partition gate: an eq delete scoped to partition z cannot kill
+    # a category-y row even when the id matches
+    rel2 = write_equality_deletes(
+        table, "data/deletes/ed_t2.parquet", [{"id": 140}]
+    )
+    res2 = commit_delete_snapshot(
+        res["metadata_path"],
+        [{"path": rel2, "partition": {"category": "z"}, "content": 2,
+          "equality_ids": [1]}],
+        spec_id=0,
+    )
+    y2 = {
+        r.id
+        for r in read_mor(spark, res2["metadata_path"], res2["snapshot_id"])
+        .filter("category = 'y'")
+        .collect()
+    }
+    assert 140 in y2
