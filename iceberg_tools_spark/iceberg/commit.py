@@ -296,99 +296,122 @@ def _commit_files(
         timestamp_ms = raw.get("last-updated-ms", 0) + 1000
     if spec_id is None:
         spec_id = raw.get("default-spec-id", 0)
-    part_fields = _spec_partition_fields(meta, spec_id)
-    want_fields = {fn for fn, _ in part_fields}
 
-    entries, added_rows = [], 0
+    # group files by their (per-file) partition spec — a manifest
+    # carries exactly ONE spec, so a commit whose files span specs
+    # (e.g. DELETE WHERE victims in pre- and post-evolution files)
+    # writes one manifest per spec inside the SAME snapshot, exactly
+    # like a real multi-spec Iceberg commit
+    by_spec: dict[int, list[dict[str, Any]]] = {}
     for df in data_files:
-        part = dict(df["partition"])
-        if set(part) != want_fields:
-            raise ValueError(
-                f"partition {sorted(part)} does not match spec {spec_id} "
-                f"fields {sorted(want_fields)}"
+        by_spec.setdefault(int(df.get("spec_id", spec_id)), []).append(df)
+
+    def _build_entries(group: list[dict[str, Any]], gspec: int):
+        part_fields = _spec_partition_fields(meta, gspec)
+        want_fields = {fn for fn, _ in part_fields}
+        entries, rows_count = [], 0
+        for df in group:
+            part = dict(df["partition"])
+            if set(part) != want_fields:
+                raise ValueError(
+                    f"partition {sorted(part)} does not match spec {gspec} "
+                    f"fields {sorted(want_fields)}"
+                )
+            local = df["path"] if os.path.isabs(df["path"]) else os.path.join(table_root, df["path"])
+            rel = os.path.relpath(local, table_root).replace(os.sep, "/")
+            record_count = df.get("record_count")
+            file_size = df.get("file_size_in_bytes")
+            if record_count is None:
+                import pyarrow.parquet as pq
+
+                record_count = pq.read_metadata(local).num_rows
+            if file_size is None:
+                file_size = os.path.getsize(local)
+            rows_count += record_count
+            entries.append(
+                {
+                    "status": ADDED,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": None,  # v2 inheritance
+                    "data_file": {
+                        "content": df.get("content", 0) if content else 0,
+                        "file_path": f"{loc}/{rel}",
+                        "file_format": "PARQUET",
+                        "partition": part,
+                        "record_count": record_count,
+                        "file_size_in_bytes": file_size,
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                        "equality_ids": df.get("equality_ids"),
+                        "sort_order_id": None,
+                    },
+                }
             )
-        local = df["path"] if os.path.isabs(df["path"]) else os.path.join(table_root, df["path"])
-        rel = os.path.relpath(local, table_root).replace(os.sep, "/")
-        record_count = df.get("record_count")
-        file_size = df.get("file_size_in_bytes")
-        if record_count is None:
-            import pyarrow.parquet as pq
+        return part_fields, entries, rows_count
 
-            record_count = pq.read_metadata(local).num_rows
-        if file_size is None:
-            file_size = os.path.getsize(local)
-        added_rows += record_count
-        entries.append(
-            {
-                "status": ADDED,
-                "snapshot_id": snapshot_id,
-                "sequence_number": None,  # v2 inheritance
-                "data_file": {
-                    "content": df.get("content", 0) if content else 0,
-                    "file_path": f"{loc}/{rel}",
-                    "file_format": "PARQUET",
-                    "partition": part,
-                    "record_count": record_count,
-                    "file_size_in_bytes": file_size,
-                    "lower_bounds": None,
-                    "upper_bounds": None,
-                    "equality_ids": df.get("equality_ids"),
-                    "sort_order_id": None,
-                },
-            }
-        )
-
-    # ---- new manifest
-    man_name = f"manifest-{snapshot_id}.avro"
-    man_blob = write_container(
-        manifest_entry_schema(part_fields, f"c{snapshot_id}"), entries
-    )
-    with open(os.path.join(meta_dir, man_name), "wb") as f:
-        f.write(man_blob)
-
-    # ---- new manifest list: parent rows carried forward + new row
-    avro_of = dict(part_fields)
-    summaries = []
-    for fn, _ in part_fields:
-        vals = [
-            e["data_file"]["partition"][fn]
-            for e in entries
-            if e["data_file"]["partition"][fn] is not None
-        ]
-        # bounds over NON-NULL values only; an all-null field keeps
-        # null bounds (the summary schema allows it, and min/max over
-        # a null mix would otherwise TypeError)
-        summaries.append(
-            {
-                "contains_null": any(
-                    e["data_file"]["partition"][fn] is None for e in entries
-                ),
-                "lower_bound": to_bytes(avro_of[fn], min(vals)) if vals else None,
-                "upper_bound": to_bytes(avro_of[fn], max(vals)) if vals else None,
-            }
-        )
+    # ---- new manifest(s): parent manifest-list rows carried
+    # forward + one new row per spec group
     rows: list[dict] = []
     if parent_id is not None:
         parent = next(s for s in snaps if s["snapshot-id"] == parent_id)
         rows.extend(read_manifest_list(_local(parent["manifest-list"], base_dir, loc)))
-    rows.append(
-        {
-            "manifest_path": f"{loc}/metadata/{man_name}",
-            "manifest_length": len(man_blob),
-            "partition_spec_id": spec_id,
-            "content": content,
-            "sequence_number": seq,
-            "min_sequence_number": seq,
-            "added_snapshot_id": snapshot_id,
-            "added_files_count": len(entries),
-            "existing_files_count": 0,
-            "deleted_files_count": 0,
-            "added_rows_count": added_rows,
-            "existing_rows_count": 0,
-            "deleted_rows_count": 0,
-            "partitions": summaries,
-        }
-    )
+    man_paths: list[str] = []
+    added_rows = n_entries = 0
+    single = len(by_spec) == 1
+    for gspec in sorted(by_spec):
+        part_fields, entries, rows_count = _build_entries(by_spec[gspec], gspec)
+        added_rows += rows_count
+        n_entries += len(entries)
+        man_name = (
+            f"manifest-{snapshot_id}.avro"
+            if single
+            else f"manifest-{snapshot_id}-s{gspec}.avro"
+        )
+        man_blob = write_container(
+            manifest_entry_schema(part_fields, f"c{snapshot_id}s{gspec}"), entries
+        )
+        with open(os.path.join(meta_dir, man_name), "wb") as f:
+            f.write(man_blob)
+        man_paths.append(os.path.join(meta_dir, man_name))
+
+        avro_of = dict(part_fields)
+        summaries = []
+        for fn, _ in part_fields:
+            vals = [
+                e["data_file"]["partition"][fn]
+                for e in entries
+                if e["data_file"]["partition"][fn] is not None
+            ]
+            # bounds over NON-NULL values only; an all-null field
+            # keeps null bounds (the summary schema allows it, and
+            # min/max over a null mix would otherwise TypeError)
+            summaries.append(
+                {
+                    "contains_null": any(
+                        e["data_file"]["partition"][fn] is None for e in entries
+                    ),
+                    "lower_bound": to_bytes(avro_of[fn], min(vals)) if vals else None,
+                    "upper_bound": to_bytes(avro_of[fn], max(vals)) if vals else None,
+                }
+            )
+        rows.append(
+            {
+                "manifest_path": f"{loc}/metadata/{man_name}",
+                "manifest_length": len(man_blob),
+                "partition_spec_id": gspec,
+                "content": content,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": rows_count,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": summaries,
+            }
+        )
     list_name = f"snap-{snapshot_id}.avro"
     with open(os.path.join(meta_dir, list_name), "wb") as f:
         f.write(write_container(MANIFEST_LIST_SCHEMA, rows))
@@ -405,7 +428,7 @@ def _commit_files(
             "timestamp-ms": timestamp_ms,
             "summary": {
                 "operation": operation,
-                ("added-delete-files" if content else "added-data-files"): str(len(entries)),
+                ("added-delete-files" if content else "added-data-files"): str(n_entries),
                 "added-records": str(added_rows),
             },
             "manifest-list": f"{loc}/metadata/{list_name}",
@@ -427,7 +450,8 @@ def _commit_files(
         "metadata_path": new_path,
         "snapshot_id": snapshot_id,
         "sequence_number": seq,
-        "manifest_path": os.path.join(meta_dir, man_name),
+        "manifest_path": man_paths[0],
+        "manifest_paths": man_paths,
         "manifest_list_path": os.path.join(meta_dir, list_name),
     }
 

@@ -1,0 +1,164 @@
+"""Row-level DML on the MoR table: ``DELETE FROM t WHERE <pred>``
+as a merge-on-read write (the write-side counterpart of
+``deletes.read_mor``; Spark's own Iceberg DELETE takes the same
+position-delete route when the table's write mode is
+merge-on-read).
+
+Pipeline — only the PLANNING touches the driver; every row is
+handled executor-side:
+
+1. plan: live data + delete entries at the current snapshot
+   (driver-side KB-scale Avro, like all planning);
+2. find victims: ONE distributed MoR scan of the live rows,
+   filtered by the caller's predicate — emits ``(_rel, _pos)``;
+3. stage: victims join the (broadcast, one-row-per-file) entry list
+   to inherit each data file's partition, are hash-distributed by
+   partition, sorted by ``(file_path, pos)`` within files (the
+   spec's recommended delete-file ordering), and written as
+   position-delete parquet BY SPARK — the step that is data-scale
+   at 100 TB and therefore must not run on the driver;
+4. commit: one content=1 manifest referencing the staged files via
+   the ordinary ``commit_delete_snapshot`` write path.
+
+Zero data files are rewritten (that folding is
+``rewrite_data_files``' job, later); a predicate matching nothing
+raises rather than committing an empty snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .commit import commit_delete_snapshot
+from .deletes import apply_deletes, mor_entries_at, mor_frame
+from .metadata import parse_metadata
+
+
+def delete_where(
+    spark: SparkSession,
+    metadata_path: str,
+    predicate: str,
+    *,
+    base_dir: str | None = None,
+    snapshot_id: int | None = None,
+    timestamp_ms: int | None = None,
+    stage_rel_dir: str = "data/deletes",
+) -> dict[str, Any]:
+    """Commit position deletes for every live row matching
+    ``predicate`` (a Spark SQL boolean expression over the table's
+    columns). Returns ``commit_delete_snapshot``'s result dict plus
+    ``staged_files``/``n_partitions``."""
+    base_dir = base_dir or os.path.dirname(metadata_path)
+    meta = parse_metadata(metadata_path)
+    loc = meta.raw.get("location")
+    if not loc:
+        raise ValueError("table metadata carries no location; cannot stage deletes")
+    current = meta.current_snapshot_id
+    data, dels = mor_entries_at(meta, current, base_dir)
+    if not data:
+        raise ValueError("table has no live data files")
+
+    live = apply_deletes(spark, meta, mor_frame(spark, data), dels, mode="survivors")
+    victims = live.filter(predicate).select("_rel", "_pos")
+
+    # attach each victim's data-file partition AND spec id (one row
+    # per FILE — always broadcast-size): staged delete files stay
+    # partition-scoped like the data they delete, and victims in
+    # pre-/post-evolution files land in separate spec groups (the
+    # commit writes one delete manifest per spec)
+    part_rows = [
+        (e["rel"], int(e["spec_id"]), json.dumps(e["partition"], sort_keys=True))
+        for e in data
+    ]
+    parts = spark.createDataFrame(part_rows, "p_rel string, sid int, pjson string")
+    staged = (
+        victims.join(F.broadcast(parts), victims["_rel"] == parts["p_rel"])
+        .select(
+            F.concat(F.lit(loc.rstrip("/") + "/"), F.col("_rel")).alias("file_path"),
+            F.col("_pos").alias("pos"),
+            "sid",
+            "pjson",
+        )
+        .repartition("sid", "pjson")
+        .sortWithinPartitions("file_path", "pos")
+    )
+    # unique per parent snapshot: a later delete_where sees a new
+    # current snapshot and stages elsewhere, so committed delete
+    # files are never overwritten
+    stage_dir = os.path.join(
+        base_dir, *stage_rel_dir.split("/"), f"_staged-{current}"
+    )
+    staged.write.partitionBy("sid", "pjson").mode("overwrite").parquet(stage_dir)
+
+    from urllib.parse import unquote
+
+    delete_files: list[dict[str, Any]] = []
+    for sdir in sorted(os.listdir(stage_dir)):
+        if not sdir.startswith("sid="):
+            continue
+        sid = int(sdir[len("sid="):])
+        for dirname in sorted(os.listdir(os.path.join(stage_dir, sdir))):
+            if not dirname.startswith("pjson="):
+                continue
+            partition = json.loads(unquote(dirname[len("pjson="):]))
+            pdir = os.path.join(stage_dir, sdir, dirname)
+            for f in sorted(os.listdir(pdir)):
+                if not f.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(os.path.join(pdir, f), base_dir).replace(os.sep, "/")
+                delete_files.append(
+                    {"path": rel, "partition": partition, "content": 1, "spec_id": sid}
+                )
+    if not delete_files:
+        raise ValueError(f"predicate {predicate!r} matched no live rows")
+
+    res = commit_delete_snapshot(
+        metadata_path,
+        delete_files,
+        base_dir=base_dir,
+        snapshot_id=snapshot_id,
+        timestamp_ms=timestamp_ms,
+    )
+    res["staged_files"] = [d["path"] for d in delete_files]
+    res["n_partitions"] = len({d["path"].rsplit("/", 2)[1] for d in delete_files})
+    return res
+
+
+# ------------------------------------------------ driver-gate query
+
+
+def delete_where_roundtrip(spark, sf_dir):
+    """Driver-gate round-trip for row-level DML: on a scratch copy
+    of the MoR table, ``DELETE WHERE id IN (20, 160)`` (one live row
+    in A, one in C — both category x, positions found by the
+    distributed victim scan, both files already carrying older pd1
+    deletes), then return the commit's CDC changelog: exactly those
+    two rows as DELETEs. Golden oracle."""
+    from .commit import _scratch_table
+    from .changelog import changelog_between
+    from .deletes import MOR_DIR
+
+    root = _scratch_table("dml_gate_", MOR_DIR)
+    res = delete_where(
+        spark,
+        os.path.join(root, "v2.metadata.json"),
+        "id IN (20, 160)",
+    )
+    return (
+        changelog_between(spark, res["metadata_path"], 2004, res["snapshot_id"])
+        .select("change_type", "id", "category")
+        .orderBy("id")
+    )
+
+
+DELETE_WHERE_SQL = """
+SELECT change_type, CAST(id AS BIGINT) AS id, category
+FROM (VALUES ('DELETE', 20, 'x'), ('DELETE', 160, 'x'))
+  t(change_type, id, category)
+ORDER BY id
+"""

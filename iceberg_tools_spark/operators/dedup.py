@@ -252,6 +252,11 @@ def _sig_and_candidates(
             )
         ).alias("bucket"),
     )
+    # three consumers (the bucket census and both self-join sides)
+    # would each re-evaluate the per-band md5s from the signature
+    # checkpoint; materialize the banded keys once (8 small rows per
+    # doc)
+    bands = bands.localCheckpoint()
     ok_buckets = (
         bands.groupBy("b", "bucket")
         .agg(F.count(F.lit(1)).alias("bsz"))

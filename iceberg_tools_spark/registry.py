@@ -212,6 +212,14 @@ register(
     meta_commit.commit_eq_delete_roundtrip,
     meta_commit.COMMIT_EQ_DELETE_SQL,
 )
+# row-level DML: DELETE WHERE <pred> — distributed victim scan +
+# Spark-staged position-delete parquet + ordinary delete commit,
+# certified through the commit's own changelog (golden)
+from .iceberg import dml as meta_dml  # noqa: E402
+
+register(
+    "delete_where_roundtrip", meta_dml.delete_where_roundtrip, meta_dml.DELETE_WHERE_SQL
+)
 # named refs: tag a snapshot, time-travel through resolve_ref
 register("files_at_tag", meta_commit.files_at_tag, meta_commit.FILES_AT_TAG_SQL)
 # expiry EXECUTION: surviving snapshots + physically-removed

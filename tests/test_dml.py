@@ -1,0 +1,78 @@
+"""Row-level DML tests (iceberg/dml.py): DELETE WHERE round-trips
+through the MoR reader and changelog, chained deletes, partition
+scoping of staged files, and the no-match guard."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from iceberg_tools_spark.iceberg.changelog import changelog_between
+from iceberg_tools_spark.iceberg.commit import _scratch_table
+from iceberg_tools_spark.iceberg.deletes import MOR_DIR, mor_entries_at, read_mor
+from iceberg_tools_spark.iceberg.dml import delete_where
+from iceberg_tools_spark.iceberg.metadata import parse_metadata
+
+
+@pytest.fixture()
+def table():
+    return _scratch_table("dml_t_", MOR_DIR)
+
+
+def test_delete_where_round_trip(spark, table):
+    mp = os.path.join(table, "v2.metadata.json")
+    res = delete_where(spark, mp, "category = 'z' AND id >= 290")
+    ids = sorted(r.id for r in read_mor(spark, res["metadata_path"], res["snapshot_id"]).collect())
+    # 323 live at 2004 minus z-ids 290..300 (11 rows)
+    assert len(ids) == 312
+    assert all(not (290 <= i <= 300) for i in ids)
+    # pre-existing deletes still apply (pd1: 1-10/151-155, ed1: 260/270)
+    assert 260 not in ids and 1 not in ids and 151 not in ids
+
+
+def test_delete_where_changelog_is_exactly_the_victims(spark, table):
+    mp = os.path.join(table, "v2.metadata.json")
+    res = delete_where(spark, mp, "id IN (20, 160, 320)")
+    ch = changelog_between(spark, res["metadata_path"], 2004, res["snapshot_id"]).collect()
+    assert {(r.change_type, r.id, r.category) for r in ch} == {
+        ("DELETE", 20, "x"), ("DELETE", 160, "x"), ("DELETE", 320, "w"),
+    }
+
+
+def test_delete_where_stages_per_partition(spark, table):
+    mp = os.path.join(table, "v2.metadata.json")
+    res = delete_where(spark, mp, "id IN (20, 160, 320)")
+    # victims span x (A, C) and w (F): staged delete files are
+    # partition-scoped, and the committed entries carry matching
+    # partitions
+    assert res["n_partitions"] == 2
+    meta = parse_metadata(res["metadata_path"])
+    _, dels = mor_entries_at(meta, res["snapshot_id"], table)
+    new = [e for e in dels if "_staged-" in e["rel"]]
+    # victims span specs: x rows (A, C — spec 0) and the w row
+    # (F — spec 1, whose partition carries id_trunc); the commit
+    # wrote one delete manifest per spec with matching partitions
+    assert {tuple(sorted(e["partition"].items())) for e in new} == {
+        (("category", "x"),),
+        (("category", "w"), ("id_trunc", 300)),
+    }
+    assert {e["spec_id"] for e in new} == {0, 1}
+    for e in new:
+        assert e["content"] == 1  # POSITION_DELETES
+
+
+def test_delete_where_already_dead_rows_dont_match(spark, table):
+    mp = os.path.join(table, "v2.metadata.json")
+    # ids 1-10 are dead via pd1: the victim scan runs over LIVE rows
+    with pytest.raises(ValueError, match="matched no live rows"):
+        delete_where(spark, mp, "id = 5")
+
+
+def test_delete_where_chained(spark, table):
+    mp = os.path.join(table, "v2.metadata.json")
+    r1 = delete_where(spark, mp, "id = 50")
+    r2 = delete_where(spark, r1["metadata_path"], "id = 60")
+    ids = {r.id for r in read_mor(spark, r2["metadata_path"], r2["snapshot_id"]).collect()}
+    assert 50 not in ids and 60 not in ids
+    assert len(ids) == 321
