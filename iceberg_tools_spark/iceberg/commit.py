@@ -226,6 +226,46 @@ def append_snapshot(
     )
 
 
+def commit_row_delta(
+    metadata_path: str,
+    new_data_files: list[dict[str, Any]],
+    delete_files: list[dict[str, Any]],
+    *,
+    base_dir: str | None = None,
+    snapshot_id: int | None = None,
+    timestamp_ms: int | None = None,
+    spec_id: int | None = None,
+) -> dict[str, Any]:
+    """Commit a ROW DELTA — new data files and delete files in ONE
+    snapshot (Iceberg's ``RowDelta`` operation, the shape UPDATE /
+    MERGE writes): the deletes kill old row versions (they gate on
+    ``data_seq <= seq`` so the new files, written AT seq, are never
+    affected by position deletes targeting old paths), the data
+    files carry the new versions. One manifest per (content, spec)
+    group, everything at the same sequence number."""
+    if not new_data_files or not delete_files:
+        raise ValueError(
+            "row delta needs both new data files and delete files "
+            "(use append_snapshot / commit_delete_snapshot otherwise)"
+        )
+    for df in new_data_files:
+        if df.get("content", 0) != 0:
+            raise ValueError("new_data_files entries must have content 0")
+    for df in delete_files:
+        if df.get("content") not in (1, 2):
+            raise ValueError("delete_files entries need content 1 (positional) or 2 (equality)")
+    return _commit_files(
+        metadata_path,
+        [*new_data_files, *delete_files],
+        content=None,
+        operation="overwrite",
+        base_dir=base_dir,
+        snapshot_id=snapshot_id,
+        timestamp_ms=timestamp_ms,
+        spec_id=spec_id,
+    )
+
+
 def commit_delete_snapshot(
     metadata_path: str,
     delete_files: list[dict[str, Any]],
@@ -271,7 +311,7 @@ def _commit_files(
     metadata_path: str,
     data_files: list[dict[str, Any]],
     *,
-    content: int,
+    content: int | None,
     operation: str,
     base_dir: str | None = None,
     snapshot_id: int | None = None,
@@ -297,14 +337,23 @@ def _commit_files(
     if spec_id is None:
         spec_id = raw.get("default-spec-id", 0)
 
-    # group files by their (per-file) partition spec — a manifest
-    # carries exactly ONE spec, so a commit whose files span specs
-    # (e.g. DELETE WHERE victims in pre- and post-evolution files)
-    # writes one manifest per spec inside the SAME snapshot, exactly
-    # like a real multi-spec Iceberg commit
-    by_spec: dict[int, list[dict[str, Any]]] = {}
+    # group files by (manifest content, partition spec) — a manifest
+    # carries exactly ONE spec and ONE content kind, so a commit
+    # whose files span specs (DELETE WHERE victims across a spec
+    # evolution) or mix data + delete files (UPDATE WHERE row delta)
+    # writes one manifest per group inside the SAME snapshot,
+    # exactly like a real Iceberg commit. `content` pins the
+    # expected file kind (0=append, 1=delete commit); None allows a
+    # mixed row-delta commit.
+    by_group: dict[tuple[int, int], list[dict[str, Any]]] = {}
     for df in data_files:
-        by_spec.setdefault(int(df.get("spec_id", spec_id)), []).append(df)
+        fc = int(df.get("content", 0))
+        if content == 0 and fc != 0:
+            raise ValueError("append commit cannot carry delete files")
+        if content == 1 and fc not in (1, 2):
+            raise ValueError("delete commit files need content 1 or 2")
+        mc = 0 if fc == 0 else 1
+        by_group.setdefault((mc, int(df.get("spec_id", spec_id))), []).append(df)
 
     def _build_entries(group: list[dict[str, Any]], gspec: int):
         part_fields = _spec_partition_fields(meta, gspec)
@@ -334,7 +383,7 @@ def _commit_files(
                     "snapshot_id": snapshot_id,
                     "sequence_number": None,  # v2 inheritance
                     "data_file": {
-                        "content": df.get("content", 0) if content else 0,
+                        "content": int(df.get("content", 0)),
                         "file_path": f"{loc}/{rel}",
                         "file_format": "PARQUET",
                         "partition": part,
@@ -356,19 +405,23 @@ def _commit_files(
         parent = next(s for s in snaps if s["snapshot-id"] == parent_id)
         rows.extend(read_manifest_list(_local(parent["manifest-list"], base_dir, loc)))
     man_paths: list[str] = []
-    added_rows = n_entries = 0
-    single = len(by_spec) == 1
-    for gspec in sorted(by_spec):
-        part_fields, entries, rows_count = _build_entries(by_spec[gspec], gspec)
+    added_rows = 0
+    n_data_files = n_delete_files = 0
+    single = len(by_group) == 1
+    for (mc, gspec) in sorted(by_group):
+        part_fields, entries, rows_count = _build_entries(by_group[(mc, gspec)], gspec)
         added_rows += rows_count
-        n_entries += len(entries)
+        if mc == 0:
+            n_data_files += len(entries)
+        else:
+            n_delete_files += len(entries)
         man_name = (
             f"manifest-{snapshot_id}.avro"
             if single
-            else f"manifest-{snapshot_id}-s{gspec}.avro"
+            else f"manifest-{snapshot_id}-c{mc}s{gspec}.avro"
         )
         man_blob = write_container(
-            manifest_entry_schema(part_fields, f"c{snapshot_id}s{gspec}"), entries
+            manifest_entry_schema(part_fields, f"c{snapshot_id}m{mc}s{gspec}"), entries
         )
         with open(os.path.join(meta_dir, man_name), "wb") as f:
             f.write(man_blob)
@@ -399,7 +452,7 @@ def _commit_files(
                 "manifest_path": f"{loc}/metadata/{man_name}",
                 "manifest_length": len(man_blob),
                 "partition_spec_id": gspec,
-                "content": content,
+                "content": mc,
                 "sequence_number": seq,
                 "min_sequence_number": seq,
                 "added_snapshot_id": snapshot_id,
@@ -428,7 +481,8 @@ def _commit_files(
             "timestamp-ms": timestamp_ms,
             "summary": {
                 "operation": operation,
-                ("added-delete-files" if content else "added-data-files"): str(n_entries),
+                **({"added-data-files": str(n_data_files)} if n_data_files else {}),
+                **({"added-delete-files": str(n_delete_files)} if n_delete_files else {}),
                 "added-records": str(added_rows),
             },
             "manifest-list": f"{loc}/metadata/{list_name}",

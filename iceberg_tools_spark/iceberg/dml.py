@@ -95,25 +95,7 @@ def delete_where(
     )
     staged.write.partitionBy("sid", "pjson").mode("overwrite").parquet(stage_dir)
 
-    from urllib.parse import unquote
-
-    delete_files: list[dict[str, Any]] = []
-    for sdir in sorted(os.listdir(stage_dir)):
-        if not sdir.startswith("sid="):
-            continue
-        sid = int(sdir[len("sid="):])
-        for dirname in sorted(os.listdir(os.path.join(stage_dir, sdir))):
-            if not dirname.startswith("pjson="):
-                continue
-            partition = json.loads(unquote(dirname[len("pjson="):]))
-            pdir = os.path.join(stage_dir, sdir, dirname)
-            for f in sorted(os.listdir(pdir)):
-                if not f.endswith(".parquet"):
-                    continue
-                rel = os.path.relpath(os.path.join(pdir, f), base_dir).replace(os.sep, "/")
-                delete_files.append(
-                    {"path": rel, "partition": partition, "content": 1, "spec_id": sid}
-                )
+    delete_files = _walk_staged(stage_dir, base_dir, content=1)
     if not delete_files:
         raise ValueError(f"predicate {predicate!r} matched no live rows")
 
@@ -127,6 +109,162 @@ def delete_where(
     res["staged_files"] = [d["path"] for d in delete_files]
     res["n_partitions"] = len({d["path"].rsplit("/", 2)[1] for d in delete_files})
     return res
+
+
+def _spec_source_columns(meta, spec_id: int) -> set[str]:
+    """Source COLUMN names of a spec's partition fields (any
+    transform)."""
+    from .deletes import _schema_field_names
+
+    names = _schema_field_names(meta)
+    spec = next(
+        s for s in meta.raw.get("partition-specs", [])
+        if s.get("spec-id", 0) == spec_id
+    )
+    return {names[f["source-id"]] for f in spec.get("fields", [])}
+
+
+def update_where(
+    spark: SparkSession,
+    metadata_path: str,
+    predicate: str,
+    set_exprs: dict[str, str],
+    *,
+    base_dir: str | None = None,
+    snapshot_id: int | None = None,
+    timestamp_ms: int | None = None,
+    stage_rel_dir: str = "data",
+) -> dict[str, Any]:
+    """``UPDATE t SET col = expr, ... WHERE pred`` as a ROW DELTA
+    commit (Iceberg's UPDATE/MERGE write shape): position deletes
+    kill the old row versions, new data files carry the updated
+    versions, both in ONE snapshot at one sequence number.
+
+    Updated rows keep their original file's partition (staged per
+    (spec, partition) like the data they replace), so a SET column
+    that is a partition SOURCE of any spec holding victims raises —
+    the update would silently file rows under a stale partition.
+    The check runs after staging but BEFORE the commit, against the
+    specs that actually contain victims.
+
+    Victim rows are scanned twice (once per staged output: the
+    delete positions and the updated rows) — both passes are
+    distributed; a single-pass dual write is not expressible as one
+    Spark action.
+    """
+    from .commit import commit_row_delta
+    from .deletes import _schema_field_names
+
+    if not set_exprs:
+        raise ValueError("update_where needs at least one SET expression")
+    base_dir = base_dir or os.path.dirname(metadata_path)
+    meta = parse_metadata(metadata_path)
+    loc = meta.raw.get("location")
+    if not loc:
+        raise ValueError("table metadata carries no location; cannot stage files")
+    current = meta.current_snapshot_id
+    data, dels = mor_entries_at(meta, current, base_dir)
+    if not data:
+        raise ValueError("table has no live data files")
+    data_cols = list(_schema_field_names(meta).values())
+    bad_cols = set(set_exprs) - set(data_cols)
+    if bad_cols:
+        raise ValueError(f"SET columns {sorted(bad_cols)} not in table schema")
+
+    live = apply_deletes(spark, meta, mor_frame(spark, data), dels, mode="survivors")
+    part_rows = [
+        (e["rel"], int(e["spec_id"]), json.dumps(e["partition"], sort_keys=True))
+        for e in data
+    ]
+    parts = spark.createDataFrame(part_rows, "p_rel string, sid int, pjson string")
+    victims = live.filter(predicate)
+    vj = victims.join(F.broadcast(parts), victims["_rel"] == parts["p_rel"])
+
+    # stage 1: position deletes for the old row versions
+    del_stage = os.path.join(base_dir, "data", "deletes", f"_upd-del-{current}")
+    (
+        vj.select(
+            F.concat(F.lit(loc.rstrip("/") + "/"), F.col("_rel")).alias("file_path"),
+            F.col("_pos").alias("pos"),
+            "sid",
+            "pjson",
+        )
+        .repartition("sid", "pjson")
+        .sortWithinPartitions("file_path", "pos")
+        .write.partitionBy("sid", "pjson")
+        .mode("overwrite")
+        .parquet(del_stage)
+    )
+    # stage 2: the updated row versions, in their original partition
+    upd = vj
+    for c, expr in set_exprs.items():
+        upd = upd.withColumn(c, F.expr(expr))
+    upd_stage = os.path.join(base_dir, *stage_rel_dir.split("/"), f"_upd-{current}")
+    (
+        upd.select(*data_cols, "sid", "pjson")
+        .repartition("sid", "pjson")
+        .write.partitionBy("sid", "pjson")
+        .mode("overwrite")
+        .parquet(upd_stage)
+    )
+
+    delete_files = _walk_staged(del_stage, base_dir, content=1)
+    new_data_files = _walk_staged(upd_stage, base_dir, content=0)
+    if not delete_files:
+        raise ValueError(f"predicate {predicate!r} matched no live rows")
+
+    # partition-safety: every spec that holds victims must not have
+    # a SET column among its partition sources (checked before the
+    # commit — nothing is committed on raise)
+    for sid in {d["spec_id"] for d in delete_files}:
+        clash = set(set_exprs) & _spec_source_columns(meta, sid)
+        if clash:
+            raise ValueError(
+                f"SET columns {sorted(clash)} are partition sources of spec "
+                f"{sid}, which holds matching rows; updating them would file "
+                "rows under a stale partition"
+            )
+
+    res = commit_row_delta(
+        metadata_path,
+        new_data_files,
+        delete_files,
+        base_dir=base_dir,
+        snapshot_id=snapshot_id,
+        timestamp_ms=timestamp_ms,
+    )
+    res["staged_files"] = [d["path"] for d in (*new_data_files, *delete_files)]
+    return res
+
+
+def _walk_staged(stage_dir: str, base_dir: str, *, content: int) -> list[dict[str, Any]]:
+    """List Spark-staged parquet under ``sid=<n>/pjson=<json>/``
+    layout as commit-ready file dicts."""
+    from urllib.parse import unquote
+
+    out: list[dict[str, Any]] = []
+    if not os.path.isdir(stage_dir):
+        return out
+    for sdir in sorted(os.listdir(stage_dir)):
+        if not sdir.startswith("sid="):
+            continue
+        sid = int(sdir[len("sid="):])
+        for dirname in sorted(os.listdir(os.path.join(stage_dir, sdir))):
+            if not dirname.startswith("pjson="):
+                continue
+            partition = json.loads(unquote(dirname[len("pjson="):]))
+            pdir = os.path.join(stage_dir, sdir, dirname)
+            for f in sorted(os.listdir(pdir)):
+                if not f.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(os.path.join(pdir, f), base_dir).replace(os.sep, "/")
+                entry: dict[str, Any] = {
+                    "path": rel, "partition": partition, "spec_id": sid,
+                }
+                if content:
+                    entry["content"] = content
+                out.append(entry)
+    return out
 
 
 # ------------------------------------------------ driver-gate query
@@ -161,4 +299,39 @@ SELECT change_type, CAST(id AS BIGINT) AS id, category
 FROM (VALUES ('DELETE', 20, 'x'), ('DELETE', 160, 'x'))
   t(change_type, id, category)
 ORDER BY id
+"""
+
+
+def update_where_roundtrip(spark, sf_dir):
+    """Driver-gate round-trip for UPDATE: on a scratch copy of the
+    MoR table, ``UPDATE SET id = id + 1000 WHERE id IN (115, 125)``
+    (both live rows in B, category y, spec 0 — `id` is not a
+    partition source there), then return the row-delta commit's CDC
+    changelog: the two old versions as DELETEs and the two new
+    versions as INSERTs. Golden oracle."""
+    from .changelog import changelog_between
+    from .commit import _scratch_table
+    from .deletes import MOR_DIR
+
+    root = _scratch_table("upd_gate_", MOR_DIR)
+    res = update_where(
+        spark,
+        os.path.join(root, "v2.metadata.json"),
+        "id IN (115, 125)",
+        {"id": "id + 1000"},
+    )
+    return (
+        changelog_between(spark, res["metadata_path"], 2004, res["snapshot_id"])
+        .select("change_type", "id", "category")
+        .orderBy("id", "change_type")
+    )
+
+
+UPDATE_WHERE_SQL = """
+SELECT change_type, CAST(id AS BIGINT) AS id, category
+FROM (VALUES
+  ('DELETE', 115, 'y'), ('DELETE', 125, 'y'),
+  ('INSERT', 1115, 'y'), ('INSERT', 1125, 'y'))
+  t(change_type, id, category)
+ORDER BY id, change_type
 """

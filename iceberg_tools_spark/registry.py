@@ -220,6 +220,11 @@ from .iceberg import dml as meta_dml  # noqa: E402
 register(
     "delete_where_roundtrip", meta_dml.delete_where_roundtrip, meta_dml.DELETE_WHERE_SQL
 )
+# UPDATE WHERE — row-delta commit (position deletes + new data files
+# in ONE snapshot), certified through its changelog (golden)
+register(
+    "update_where_roundtrip", meta_dml.update_where_roundtrip, meta_dml.UPDATE_WHERE_SQL
+)
 # named refs: tag a snapshot, time-travel through resolve_ref
 register("files_at_tag", meta_commit.files_at_tag, meta_commit.FILES_AT_TAG_SQL)
 # expiry EXECUTION: surviving snapshots + physically-removed

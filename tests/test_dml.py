@@ -76,3 +76,53 @@ def test_delete_where_chained(spark, table):
     ids = {r.id for r in read_mor(spark, r2["metadata_path"], r2["snapshot_id"]).collect()}
     assert 50 not in ids and 60 not in ids
     assert len(ids) == 321
+
+
+def test_update_where_round_trip(spark, table):
+    from iceberg_tools_spark.iceberg.dml import update_where
+
+    mp = os.path.join(table, "v2.metadata.json")
+    res = update_where(spark, mp, "id IN (115, 125)", {"id": "id + 1000"})
+    ids = sorted(r.id for r in read_mor(spark, res["metadata_path"], res["snapshot_id"]).collect())
+    assert len(ids) == 323  # row count preserved
+    assert 115 not in ids and 125 not in ids
+    assert 1115 in ids and 1125 in ids
+    # both manifests (delete + data) landed in ONE snapshot
+    meta = parse_metadata(res["metadata_path"])
+    assert meta.current_snapshot_id == res["snapshot_id"]
+    data, dels = mor_entries_at(meta, res["snapshot_id"], table)
+    assert any("_upd-" in e["rel"] for e in data)
+    assert any("_upd-del-" in e["rel"] for e in dels)
+
+
+def test_update_where_changelog_delta(spark, table):
+    from iceberg_tools_spark.iceberg.dml import update_where
+
+    mp = os.path.join(table, "v2.metadata.json")
+    res = update_where(spark, mp, "id = 230", {"id": "id * 10"})
+    ch = changelog_between(spark, res["metadata_path"], 2004, res["snapshot_id"]).collect()
+    assert {(r.change_type, r.id) for r in ch} == {("DELETE", 230), ("INSERT", 2300)}
+
+
+def test_update_where_partition_source_guard(spark, table):
+    from iceberg_tools_spark.iceberg.dml import update_where
+
+    mp = os.path.join(table, "v2.metadata.json")
+    # category is a partition source of spec 0 (identity) — updating
+    # it would file rows under a stale partition
+    with pytest.raises(ValueError, match="partition sources"):
+        update_where(spark, mp, "id = 115", {"category": "'zz'"})
+    # id IS a partition source of spec 1 (truncate) — victims in F
+    # trip the guard, victims only in spec-0 files do not
+    with pytest.raises(ValueError, match="partition sources"):
+        update_where(spark, mp, "id = 320", {"id": "id + 1"})
+    res = update_where(spark, mp, "id = 115", {"id": "id + 1000"})
+    assert res["snapshot_id"] > 2004
+
+
+def test_update_where_rejects_unknown_column(spark, table):
+    from iceberg_tools_spark.iceberg.dml import update_where
+
+    mp = os.path.join(table, "v2.metadata.json")
+    with pytest.raises(ValueError, match="not in table schema"):
+        update_where(spark, mp, "id = 115", {"nope": "1"})
