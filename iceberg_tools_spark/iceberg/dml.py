@@ -237,6 +237,224 @@ def update_where(
     return res
 
 
+def merge_into(
+    spark: SparkSession,
+    metadata_path: str,
+    source: "DataFrame",
+    on: str,
+    *,
+    when_matched: tuple | None = None,
+    when_not_matched_insert: bool = False,
+    base_dir: str | None = None,
+    snapshot_id: int | None = None,
+    timestamp_ms: int | None = None,
+) -> dict[str, Any]:
+    """``MERGE INTO target t USING source s ON <cond>`` — the upsert
+    a CDC/incremental pipeline runs, compiled to one row-delta
+    commit:
+
+    * ``when_matched=("update", {col: expr})`` — matched target rows
+      are position-deleted and re-written with the SET expressions
+      (which may reference both ``t.<col>`` and ``s.<col>``);
+    * ``when_matched=("delete",)`` — matched target rows are
+      position-deleted;
+    * ``when_not_matched_insert=True`` — source rows matching no
+      target row are inserted (source must carry every table
+      column; partition is computed from the DEFAULT spec's
+      identity fields).
+
+    Cardinality rule (same as SQL MERGE): two source rows matching
+    ONE target row raise — enforced executor-side via a windowed
+    count + ``raise_error``, no driver materialization. All staged
+    outputs commit in ONE snapshot; matching nothing at all raises.
+    """
+    from .commit import append_snapshot, commit_row_delta
+    from .deletes import _schema_field_names
+
+    if when_matched is None and not when_not_matched_insert:
+        raise ValueError("merge_into without any clause is a no-op; refusing")
+    if when_matched is not None and when_matched[0] not in ("update", "delete"):
+        raise ValueError(f"unsupported when_matched {when_matched[0]!r}")
+
+    base_dir = base_dir or os.path.dirname(metadata_path)
+    meta = parse_metadata(metadata_path)
+    loc = meta.raw.get("location")
+    if not loc:
+        raise ValueError("table metadata carries no location; cannot stage files")
+    current = meta.current_snapshot_id
+    data, dels = mor_entries_at(meta, current, base_dir)
+    if not data:
+        raise ValueError("table has no live data files")
+    data_cols = list(_schema_field_names(meta).values())
+    missing = set(data_cols) - set(source.columns)
+    if when_not_matched_insert and missing:
+        raise ValueError(
+            f"source lacks table columns {sorted(missing)} needed for insert"
+        )
+
+    live = apply_deletes(
+        spark, meta, mor_frame(spark, data), dels, mode="survivors"
+    ).alias("t")
+    src = source.alias("s")
+    part_rows = [
+        (e["rel"], int(e["spec_id"]), json.dumps(e["partition"], sort_keys=True))
+        for e in data
+    ]
+    parts = spark.createDataFrame(part_rows, "p_rel string, sid int, pjson string")
+
+    new_data_files: list[dict[str, Any]] = []
+    delete_files: list[dict[str, Any]] = []
+
+    if when_matched is not None:
+        from pyspark.sql import Window
+
+        matched = live.join(src, F.expr(on), "inner")
+        # SQL MERGE cardinality rule, enforced in the executors: the
+        # CASE guard only evaluates raise_error on violating rows
+        w = Window.partitionBy(F.col("t._rel"), F.col("t._pos"))
+        matched = matched.withColumn("_n_src", F.count(F.lit(1)).over(w)).filter(
+            F.when(
+                F.col("_n_src") > 1,
+                F.raise_error(
+                    F.lit("MERGE cardinality violation: multiple source rows "
+                          "match one target row")
+                ).isNotNull(),
+            ).otherwise(F.lit(True))
+        )
+        mj = matched.join(F.broadcast(parts), F.col("t._rel") == parts["p_rel"])
+        del_stage = os.path.join(base_dir, "data", "deletes", f"_merge-del-{current}")
+        (
+            mj.select(
+                F.concat(F.lit(loc.rstrip("/") + "/"), F.col("t._rel")).alias("file_path"),
+                F.col("t._pos").alias("pos"),
+                "sid",
+                "pjson",
+            )
+            .repartition("sid", "pjson")
+            .sortWithinPartitions("file_path", "pos")
+            .write.partitionBy("sid", "pjson")
+            .mode("overwrite")
+            .parquet(del_stage)
+        )
+        delete_files = _walk_staged(del_stage, base_dir, content=1)
+        if when_matched[0] == "update" and delete_files:
+            set_exprs = when_matched[1]
+            for sid in {d["spec_id"] for d in delete_files}:
+                clash = set(set_exprs) & _spec_source_columns(meta, sid)
+                if clash:
+                    raise ValueError(
+                        f"SET columns {sorted(clash)} are partition sources of "
+                        f"spec {sid}, which holds matching rows"
+                    )
+            # project directly (withColumn would be ambiguous: the
+            # join carries both t.<col> and s.<col>); SET expressions
+            # reference t./s. qualifiers explicitly
+            upd_stage = os.path.join(base_dir, "data", f"_merge-upd-{current}")
+            (
+                mj.select(
+                    *[
+                        F.expr(set_exprs[c]).alias(c)
+                        if c in set_exprs
+                        else F.col(f"t.{c}").alias(c)
+                        for c in data_cols
+                    ],
+                    "sid", "pjson",
+                )
+                .repartition("sid", "pjson")
+                .write.partitionBy("sid", "pjson")
+                .mode("overwrite")
+                .parquet(upd_stage)
+            )
+            new_data_files.extend(_walk_staged(upd_stage, base_dir, content=0))
+
+    if when_not_matched_insert:
+        default_spec = meta.raw.get("default-spec-id", 0)
+        part_exprs = _insert_partition_exprs(meta, default_spec)
+        inserts = src.join(live, F.expr(on), "left_anti")
+        ins_stage = os.path.join(base_dir, "data", f"_merge-ins-{current}")
+        (
+            inserts.select(
+                *data_cols,
+                F.lit(default_spec).alias("sid"),
+                F.to_json(F.struct(*[
+                    e.alias(p) for p, e in sorted(part_exprs.items())
+                ])).alias("pjson"),
+            )
+            .repartition("sid", "pjson")
+            .write.partitionBy("sid", "pjson")
+            .mode("overwrite")
+            .parquet(ins_stage)
+        )
+        new_data_files.extend(_walk_staged(ins_stage, base_dir, content=0))
+
+    if not new_data_files and not delete_files:
+        raise ValueError("MERGE matched no rows and inserted none; refusing an empty commit")
+    if delete_files and new_data_files:
+        res = commit_row_delta(
+            metadata_path, new_data_files, delete_files,
+            base_dir=base_dir, snapshot_id=snapshot_id, timestamp_ms=timestamp_ms,
+        )
+    elif delete_files:
+        from .commit import commit_delete_snapshot
+
+        res = commit_delete_snapshot(
+            metadata_path, delete_files,
+            base_dir=base_dir, snapshot_id=snapshot_id, timestamp_ms=timestamp_ms,
+        )
+    else:
+        res = append_snapshot(
+            metadata_path, new_data_files,
+            base_dir=base_dir, snapshot_id=snapshot_id, timestamp_ms=timestamp_ms,
+        )
+    res["staged_files"] = [d["path"] for d in (*new_data_files, *delete_files)]
+    return res
+
+
+def _insert_partition_exprs(meta, spec_id: int) -> dict[str, "F.Column"]:
+    """partition field name → Column deriving its value from an
+    inserted row, per the public Iceberg transform definitions:
+    identity passes through; truncate[W] is ``v - (((v % W) + W) %
+    W)`` for integers (floors toward -∞) and a W-char prefix for
+    strings. Other transforms (bucket, temporal) raise — an
+    inserted row's partition cannot be derived without them."""
+    import re as _re
+
+    from .deletes import _schema_field_names
+
+    names = _schema_field_names(meta)
+    schema = next(
+        s for s in meta.raw.get("schemas", [meta.raw.get("schema", {})])
+        if s.get("schema-id", 0) == meta.raw.get("current-schema-id", 0)
+    )
+    col_type = {f["id"]: f["type"] for f in schema.get("fields", [])}
+    spec = next(
+        s for s in meta.raw.get("partition-specs", [])
+        if s.get("spec-id", 0) == spec_id
+    )
+    out: dict[str, F.Column] = {}
+    for f in spec.get("fields", []):
+        transform = f.get("transform", "identity")
+        col = F.col(names[f["source-id"]])
+        if transform == "identity":
+            out[f["name"]] = col
+        elif (m := _re.fullmatch(r"truncate\[(\d+)\]", transform)):
+            w = int(m.group(1))
+            if col_type[f["source-id"]] in ("int", "long"):
+                out[f["name"]] = col - (((col % w) + w) % w)
+            elif col_type[f["source-id"]] == "string":
+                out[f["name"]] = F.substring(col, 1, w)
+            else:
+                raise ValueError(
+                    f"truncate over {col_type[f['source-id']]!r} unsupported"
+                )
+        else:
+            raise ValueError(
+                f"cannot derive insert partition for transform {transform!r} "
+                f"of spec {spec_id}"
+            )
+    return out
+
+
 def _walk_staged(stage_dir: str, base_dir: str, *, content: int) -> list[dict[str, Any]]:
     """List Spark-staged parquet under ``sid=<n>/pjson=<json>/``
     layout as commit-ready file dicts."""
@@ -332,6 +550,45 @@ SELECT change_type, CAST(id AS BIGINT) AS id, category
 FROM (VALUES
   ('DELETE', 115, 'y'), ('DELETE', 125, 'y'),
   ('INSERT', 1115, 'y'), ('INSERT', 1125, 'y'))
+  t(change_type, id, category)
+ORDER BY id, change_type
+"""
+
+
+def merge_into_roundtrip(spark, sf_dir):
+    """Driver-gate round-trip for MERGE (upsert): source rows
+    (118, 'y') and (990, 'x') merged ON t.id = s.id — 118 matches a
+    live B row (updated to id+1000), 990 matches nothing (inserted
+    under its identity partition). The commit's changelog is the
+    exact upsert delta: DELETE 118 / INSERT 1118 / INSERT 990.
+    Golden oracle."""
+    from .changelog import changelog_between
+    from .commit import _scratch_table
+    from .deletes import MOR_DIR
+
+    root = _scratch_table("merge_gate_", MOR_DIR)
+    source = spark.createDataFrame(
+        [(118, "y"), (990, "x")], "id bigint, category string"
+    )
+    res = merge_into(
+        spark,
+        os.path.join(root, "v2.metadata.json"),
+        source,
+        "t.id = s.id",
+        when_matched=("update", {"id": "t.id + 1000"}),
+        when_not_matched_insert=True,
+    )
+    return (
+        changelog_between(spark, res["metadata_path"], 2004, res["snapshot_id"])
+        .select("change_type", "id", "category")
+        .orderBy("id", "change_type")
+    )
+
+
+MERGE_INTO_SQL = """
+SELECT change_type, CAST(id AS BIGINT) AS id, category
+FROM (VALUES
+  ('DELETE', 118, 'y'), ('INSERT', 990, 'x'), ('INSERT', 1118, 'y'))
   t(change_type, id, category)
 ORDER BY id, change_type
 """

@@ -225,6 +225,12 @@ register(
 register(
     "update_where_roundtrip", meta_dml.update_where_roundtrip, meta_dml.UPDATE_WHERE_SQL
 )
+# MERGE INTO — CDC upsert: matched rows updated via row delta,
+# unmatched source rows inserted under derived partitions; the
+# commit's changelog is the exact upsert delta (golden)
+register(
+    "merge_into_roundtrip", meta_dml.merge_into_roundtrip, meta_dml.MERGE_INTO_SQL
+)
 # named refs: tag a snapshot, time-travel through resolve_ref
 register("files_at_tag", meta_commit.files_at_tag, meta_commit.FILES_AT_TAG_SQL)
 # expiry EXECUTION: surviving snapshots + physically-removed

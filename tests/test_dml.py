@@ -126,3 +126,68 @@ def test_update_where_rejects_unknown_column(spark, table):
     mp = os.path.join(table, "v2.metadata.json")
     with pytest.raises(ValueError, match="not in table schema"):
         update_where(spark, mp, "id = 115", {"nope": "1"})
+
+
+def _merge(spark, mp, rows, **kw):
+    from iceberg_tools_spark.iceberg.dml import merge_into
+
+    source = spark.createDataFrame(rows, "id bigint, category string")
+    return merge_into(spark, mp, source, "t.id = s.id", **kw)
+
+
+def test_merge_upsert_round_trip(spark, table):
+    mp = os.path.join(table, "v2.metadata.json")
+    res = _merge(
+        spark, mp, [(118, "y"), (990, "x")],
+        when_matched=("update", {"id": "t.id + 1000"}),
+        when_not_matched_insert=True,
+    )
+    ids = {r.id for r in read_mor(spark, res["metadata_path"], res["snapshot_id"]).collect()}
+    assert 118 not in ids and 1118 in ids and 990 in ids
+    assert len(ids) == 324  # 323 + 1 inserted
+
+
+def test_merge_matched_delete(spark, table):
+    mp = os.path.join(table, "v2.metadata.json")
+    res = _merge(spark, mp, [(118, "ignored")], when_matched=("delete",))
+    ids = {r.id for r in read_mor(spark, res["metadata_path"], res["snapshot_id"]).collect()}
+    assert 118 not in ids and len(ids) == 322
+
+
+def test_merge_insert_only_is_append(spark, table):
+    mp = os.path.join(table, "v2.metadata.json")
+    res = _merge(spark, mp, [(991, "x"), (992, "z")], when_not_matched_insert=True)
+    meta = parse_metadata(res["metadata_path"])
+    snap = next(s for s in meta.raw["snapshots"] if s["snapshot-id"] == res["snapshot_id"])
+    assert snap["summary"]["operation"] == "append"
+    ids = {r.id for r in read_mor(spark, res["metadata_path"], res["snapshot_id"]).collect()}
+    assert {991, 992} <= ids
+    # inserts landed under their identity partitions
+    _, _ = mor_entries_at(meta, res["snapshot_id"], table)
+    data, _ = mor_entries_at(meta, res["snapshot_id"], table)
+    new = [e for e in data if "_merge-ins-" in e["rel"]]
+    # inserts land under the DEFAULT spec (1: identity(category) +
+    # truncate[100](id)) with derived partition values
+    assert {(e["partition"]["category"], e["partition"]["id_trunc"]) for e in new} == {
+        ("x", 900), ("z", 900),
+    }
+    assert all(e["spec_id"] == 1 for e in new)
+
+
+def test_merge_cardinality_violation_raises(spark, table):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    mp = os.path.join(table, "v2.metadata.json")
+    with pytest.raises(Exception, match="cardinality"):
+        _merge(
+            spark, mp, [(118, "a"), (118, "b")],
+            when_matched=("delete",),
+        )
+
+
+def test_merge_no_clause_and_no_effect(spark, table):
+    mp = os.path.join(table, "v2.metadata.json")
+    with pytest.raises(ValueError, match="no-op"):
+        _merge(spark, mp, [(1, "x")])
+    with pytest.raises(ValueError, match="empty commit"):
+        _merge(spark, mp, [(99999, "x")], when_matched=("delete",))
