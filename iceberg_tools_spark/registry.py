@@ -138,10 +138,13 @@ def _decimal_cols(name: str) -> tuple[str, ...]:
 #         pii_scrub_stats (null-coalesce, ADVICE), the whole
 #         metadata group (plan_scan spec-evolution rework + the
 #         location-relative URI resolver touched their call path);
-#   +     changelog_rows (row-level CDC, added mid-round) joins the
-#         new block, and dedup_simhash joins the canaries (its impl
-#         changed) — the two tail re-certs they displace past 50
-#         (dataset_split / stratified_sample) keep their r5 rows;
+#   +     changelog_rows (row-level CDC), schema_evolution_read +
+#         meta_schemas (full rename/drop/promote evolution with
+#         field-id projection) joined the new block mid-round, and
+#         dedup_simhash joins the canaries (its impl changed) — the
+#         tail re-certs they displace past 50 (dataset_split /
+#         stratified_sample / retention-era rows) keep their r4/r5
+#         rows;
 #   30-32 double-certified canaries (q1 / minhash / ivf) — minhash
 #         and ivf double as re-certs for the round-6 kernel work;
 #   33-50 re-certs of untouched r4/r5-green queries (fresh rows
@@ -262,6 +265,21 @@ from .iceberg import changelog as meta_changelog  # noqa: E402
 register(
     "changelog_rows", meta_changelog.changelog_rows, meta_changelog.CHANGELOG_SQL
 )
+
+# FULL schema evolution (rename/drop/promote/add) with field-id
+# column projection — Spark's native parquet field-id resolution
+# reads a chained-rename + promoted + dropped + added history in
+# ONE scan; the oracle re-implements per-file projection in DuckDB
+# over the same physical parquet (independent second engine), and
+# meta_schemas pins the schema-history audit trail (golden)
+from .iceberg import evolution as meta_evo  # noqa: E402
+
+register(
+    "schema_evolution_read",
+    meta_evo.schema_evolution_read,
+    meta_evo.SCHEMA_EVOLUTION_READ_SQL,
+)
+register("meta_schemas", meta_evo.meta_schemas, meta_evo.META_SCHEMAS_SQL)
 
 # round-6 training-pipeline breadth: intra-document repetition
 # filter (duplicated 5-gram fraction, map-side only) and per-source

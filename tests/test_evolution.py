@@ -1,0 +1,211 @@
+"""Schema evolution: evolve-commit validation, field-id projection
+reads, fixture determinism.
+
+The projection rules under test are the Iceberg spec's "Column
+Projection" section (resolve by field id; fill null for ids absent
+from a file; apply int→long / float→double widenings file-side),
+implemented via Spark's native parquet field-id machinery — see
+iceberg_tools_spark/iceberg/evolution.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from iceberg_tools_spark.iceberg import evolution as evo
+from iceberg_tools_spark.iceberg.metadata import parse_metadata
+
+EVO_DIR = os.path.join(os.path.dirname(__file__), "fixtures", "evolution")
+V5 = os.path.join(EVO_DIR, "v5.metadata.json")
+
+
+# ------------------------------------------------ evolve_schema commits
+
+
+def _scratch(tmp_path):
+    root = tmp_path / "t"
+    shutil.copytree(EVO_DIR, root)
+    return str(root)
+
+
+def test_field_ids_stable_across_chain():
+    raw = parse_metadata(V5).raw
+    schemas = {s["schema-id"]: {f["name"]: f for f in s["fields"]} for s in raw["schemas"]}
+    # renamed twice, id constant
+    assert schemas[0]["name"]["id"] == schemas[1]["title"]["id"] == schemas[2]["headline"]["id"] == 2
+    # promotion keeps id, widens type
+    assert schemas[0]["id"]["type"] == "int" and schemas[2]["id"]["type"] == "long"
+    assert schemas[0]["score"]["type"] == "float" and schemas[2]["score"]["type"] == "double"
+    # dropped id absent from later schemas; added id past last-column-id
+    assert "scrap" not in schemas[1] and all(f["id"] != 4 for f in schemas[1].values())
+    assert schemas[1]["extra"]["id"] == 5 and raw["last-column-id"] == 5
+    assert raw["current-schema-id"] == 2
+
+
+def test_illegal_promotions_raise(tmp_path):
+    root = _scratch(tmp_path)
+    v5 = os.path.join(root, "v5.metadata.json")
+    for target in ("int", "string", "float"):
+        with pytest.raises(ValueError, match="illegal promotion|no column"):
+            evo.evolve_schema(v5, promote={"score": target})
+    with pytest.raises(ValueError, match="illegal promotion"):
+        evo.evolve_schema(v5, promote={"headline": "long"})
+
+
+def test_decimal_promotion_rules():
+    assert evo._legal_promotion("decimal(9,2)", "decimal(18,2)")
+    assert evo._legal_promotion("decimal(9,2)", "decimal(9,2)")
+    assert not evo._legal_promotion("decimal(9,2)", "decimal(18,3)")  # scale change
+    assert not evo._legal_promotion("decimal(18,2)", "decimal(9,2)")  # narrowing
+
+
+def test_rename_collision_and_unknown_raise(tmp_path):
+    root = _scratch(tmp_path)
+    v5 = os.path.join(root, "v5.metadata.json")
+    with pytest.raises(ValueError, match="collides"):
+        evo.evolve_schema(v5, rename={"headline": "extra"})
+    with pytest.raises(ValueError, match="no column"):
+        evo.evolve_schema(v5, rename={"nope": "x"})
+    with pytest.raises(ValueError, match="already exists"):
+        evo.evolve_schema(v5, add=[("extra", "string")])
+    with pytest.raises(ValueError, match="no changes"):
+        evo.evolve_schema(v5)
+
+
+def test_drop_partition_source_raises(tmp_path):
+    # the MoR fixture partitions by identity(category, id 2) +
+    # truncate(id, id 1): both sources must refuse to drop
+    from iceberg_tools_spark.iceberg.deletes import MOR_DIR
+
+    root = tmp_path / "mor"
+    shutil.copytree(MOR_DIR, root)
+    v2 = str(root / "v2.metadata.json")
+    with pytest.raises(ValueError, match="partition source"):
+        evo.evolve_schema(v2, drop=["category"])
+    with pytest.raises(ValueError, match="partition source"):
+        evo.evolve_schema(v2, drop=["id"])
+
+
+def test_drop_plus_rename_same_column_raises(tmp_path):
+    root = _scratch(tmp_path)
+    v5 = os.path.join(root, "v5.metadata.json")
+    with pytest.raises(ValueError, match="both dropped"):
+        evo.evolve_schema(v5, drop=["extra"], rename={"extra": "y"})
+
+
+def test_old_schemas_retained_and_log_grows(tmp_path):
+    root = _scratch(tmp_path)
+    v5 = os.path.join(root, "v5.metadata.json")
+    res = evo.evolve_schema(v5, add=[("audit", "long")])
+    raw = parse_metadata(res["metadata_path"]).raw
+    assert [s["schema-id"] for s in raw["schemas"]] == [0, 1, 2, 3]
+    assert raw["last-column-id"] == 6
+    assert raw["metadata-log"][-1]["metadata-file"].endswith("v5.metadata.json")
+    assert os.path.basename(res["metadata_path"]) == "v6.metadata.json"
+
+
+# ------------------------------------------------ projection reads
+
+
+def test_projected_read_matches_expected(spark):
+    rows = [tuple(r) for r in evo.schema_evolution_read(spark, "").collect()]
+    assert rows == [
+        (1, "alpha", 1.5, None),
+        (2, "beta", 2.25, None),
+        (3, "gamma", 3.0, None),
+        (4, "delta", 4.75, None),
+        (5, "epsilon", 5.5, None),
+        (6, "zeta", 6.125, "x6"),
+        (7, "eta", 7.0, "x7"),
+        (8, "theta", 8.5, "x8"),
+    ]
+
+
+def test_projected_schema_is_current_schema(spark):
+    df = evo.schema_evolution_read(spark, "")
+    assert df.schema.simpleString() == (
+        "struct<id:bigint,headline:string,score:double,extra:string>"
+    )
+
+
+def test_time_travel_projects_old_data_through_new_schema(spark):
+    # snapshot 3001 predates the evolution; reading it through the
+    # CURRENT schema still binds by id (the spec's projection rule
+    # is snapshot-independent)
+    df = evo.read_table_projected(spark, V5, snapshot_id=3001).orderBy("id")
+    rows = [tuple(r) for r in df.collect()]
+    assert [r[0] for r in rows] == [1, 2, 3, 4, 5]
+    assert rows[0] == (1, "alpha", 1.5, None)
+
+
+def test_single_scan_no_per_file_union(spark):
+    # the 100 TB posture: ONE parquet scan node regardless of how
+    # many historical schemas the files span
+    plan = evo.schema_evolution_read(spark, "")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "InMemoryFileIndex(2 paths)" in plan  # both files, one scan
+
+
+def test_missing_field_ids_fail_loudly(spark, tmp_path):
+    # a file WITHOUT field ids must error (ignoreMissing stays
+    # false), not silently null out — honest until name-mapping
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = _scratch(tmp_path)
+    # overwrite fileB with an id-less parquet of the same shape
+    pq.write_table(
+        pa.table({"id": pa.array([9], pa.int64())}),
+        os.path.join(root, "data", "fileB.parquet"),
+    )
+    with pytest.raises(Exception, match="[Ff]ield [Ii]d|FIELD_ID"):
+        evo.read_table_projected(
+            spark, os.path.join(root, "v5.metadata.json")
+        ).collect()
+
+
+def test_oracle_parity_evolution(spark, duck):
+    got = [tuple(r) for r in evo.schema_evolution_read(spark, "").collect()]
+    want = duck.sql(evo.SCHEMA_EVOLUTION_READ_SQL).fetchall()
+    assert got == [tuple(w) for w in want]
+    got2 = [tuple(r) for r in evo.meta_schemas(spark, "").collect()]
+    want2 = duck.sql(evo.META_SCHEMAS_SQL).fetchall()
+    assert got2 == [tuple(w) for w in want2]
+
+
+# ------------------------------------------------ determinism
+
+
+def test_fixture_regeneration_is_deterministic(tmp_path):
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    before = {}
+    for dirpath, _, files in os.walk(EVO_DIR):
+        for fn in files:
+            p = os.path.join(dirpath, fn)
+            if not fn.endswith(".parquet"):  # parquet bytes pin pyarrow, not us
+                with open(p, "rb") as f:
+                    before[os.path.relpath(p, EVO_DIR)] = f.read()
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "gen_evolution_fixture.py")],
+        check=True,
+        capture_output=True,
+    )
+    for rel, blob in before.items():
+        with open(os.path.join(EVO_DIR, rel), "rb") as f:
+            assert f.read() == blob, f"non-deterministic fixture file {rel}"
+
+
+def test_evolution_metadata_is_valid_json_chain():
+    prev_schemas = 0
+    for v in range(1, 6):
+        with open(os.path.join(EVO_DIR, f"v{v}.metadata.json")) as f:
+            raw = json.load(f)
+        assert len(raw["schemas"]) >= prev_schemas
+        prev_schemas = len(raw["schemas"])
