@@ -159,16 +159,13 @@ def _spec_partition_fields(meta: TableMetadata, spec_id: int) -> list[tuple[str,
     spec = next(
         s for s in raw.get("partition-specs", []) if s.get("spec-id", 0) == spec_id
     )
+    from .transforms import transform_result_type
+
     out = []
     for f in spec.get("fields", []):
-        transform = f.get("transform", "identity")
-        src = col_type[f["source-id"]]
-        if transform == "identity" or transform.startswith("truncate["):
-            result = src
-        elif transform.startswith("bucket["):
-            result = "int"
-        else:
-            raise ValueError(f"unsupported partition transform {transform!r}")
+        result = transform_result_type(
+            f.get("transform", "identity"), col_type[f["source-id"]]
+        )
         if result not in _AVRO_OF_TYPE:
             raise ValueError(f"unsupported partition value type {result!r}")
         out.append((f["name"], _AVRO_OF_TYPE[result]))

@@ -260,8 +260,9 @@ def merge_into(
       position-deleted;
     * ``when_not_matched_insert=True`` — source rows matching no
       target row are inserted (source must carry every table
-      column; partition is computed from the DEFAULT spec's
-      identity fields).
+      column; partition values are DERIVED from the DEFAULT spec's
+      transforms — identity, truncate, bucket[N], temporal — see
+      ``iceberg/transforms.py``).
 
     Cardinality rule (same as SQL MERGE): two source rows matching
     ONE target row raise — enforced executor-side via a windowed
@@ -412,14 +413,13 @@ def merge_into(
 
 def _insert_partition_exprs(meta, spec_id: int) -> dict[str, "F.Column"]:
     """partition field name → Column deriving its value from an
-    inserted row, per the public Iceberg transform definitions:
-    identity passes through; truncate[W] is ``v - (((v % W) + W) %
-    W)`` for integers (floors toward -∞) and a W-char prefix for
-    strings. Other transforms (bucket, temporal) raise — an
-    inserted row's partition cannot be derived without them."""
-    import re as _re
-
+    inserted row, per the public Iceberg transform definitions
+    (identity, truncate[W], bucket[N] via the spec's murmur3,
+    year/month/day/hour epoch ordinals — see
+    ``iceberg/transforms.py``). Bucket evaluates as an
+    Arrow-batched vectorized kernel; everything else is pure JVM."""
     from .deletes import _schema_field_names
+    from .transforms import transform_column
 
     names = _schema_field_names(meta)
     schema = next(
@@ -431,28 +431,14 @@ def _insert_partition_exprs(meta, spec_id: int) -> dict[str, "F.Column"]:
         s for s in meta.raw.get("partition-specs", [])
         if s.get("spec-id", 0) == spec_id
     )
-    out: dict[str, F.Column] = {}
-    for f in spec.get("fields", []):
-        transform = f.get("transform", "identity")
-        col = F.col(names[f["source-id"]])
-        if transform == "identity":
-            out[f["name"]] = col
-        elif (m := _re.fullmatch(r"truncate\[(\d+)\]", transform)):
-            w = int(m.group(1))
-            if col_type[f["source-id"]] in ("int", "long"):
-                out[f["name"]] = col - (((col % w) + w) % w)
-            elif col_type[f["source-id"]] == "string":
-                out[f["name"]] = F.substring(col, 1, w)
-            else:
-                raise ValueError(
-                    f"truncate over {col_type[f['source-id']]!r} unsupported"
-                )
-        else:
-            raise ValueError(
-                f"cannot derive insert partition for transform {transform!r} "
-                f"of spec {spec_id}"
-            )
-    return out
+    return {
+        f["name"]: transform_column(
+            f.get("transform", "identity"),
+            F.col(names[f["source-id"]]),
+            col_type[f["source-id"]],
+        )
+        for f in spec.get("fields", [])
+    }
 
 
 def _walk_staged(stage_dir: str, base_dir: str, *, content: int) -> list[dict[str, Any]]:

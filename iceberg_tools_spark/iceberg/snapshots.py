@@ -329,12 +329,11 @@ def files_added_between_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _transform_result_type(transform: str, source_type: str) -> str:
     """Iceberg partition-transform result type (public spec table):
-    identity/truncate preserve the source type, bucket yields int."""
-    if transform == "identity" or transform.startswith("truncate"):
-        return source_type
-    if transform.startswith("bucket"):
-        return "int"
-    raise ValueError(f"unsupported partition transform {transform!r}")
+    identity/truncate preserve the source type; bucket and the
+    temporal ordinals (year/month/day/hour) are int."""
+    from .transforms import transform_result_type
+
+    return transform_result_type(transform, source_type)
 
 
 def partition_spec_fields(
@@ -410,12 +409,57 @@ SCAN_PLAN_SCHEMA = T.StructType(
 )
 
 
+def _project_source_pred(
+    meta: TableMetadata, source_pred: dict[str, Any]
+) -> dict[int, dict[str, Any]]:
+    """Project an equality predicate on SOURCE columns into
+    partition space, per spec, through each spec field's own
+    transform (``id = 260`` → ``id_bucket = bucket[4](260)`` under
+    a bucket spec, ``ts_day = day(...)`` under a temporal one) —
+    what real Iceberg planning does with `Projections.inclusive`.
+    Returns ``{spec_id: {partition_field: wanted_value}}``; a spec
+    with no field over a predicated column is simply unconstrained
+    there. Raises if a predicated column is a source of NO spec."""
+    from .transforms import apply_transform
+
+    schema = next(
+        s for s in meta.raw.get("schemas", [meta.raw.get("schema", {})])
+        if s.get("schema-id", 0) == meta.raw.get("current-schema-id", 0)
+    )
+    by_id = {f["id"]: f for f in schema.get("fields", [])}
+    out: dict[int, dict[str, Any]] = {}
+    matched: set[str] = set()
+    for sp in meta.raw.get("partition-specs", []):
+        sid = sp.get("spec-id", 0)
+        derived: dict[str, Any] = {}
+        for f in sp.get("fields", []):
+            src = by_id.get(f["source-id"])
+            if src is None or src["name"] not in source_pred:
+                continue
+            matched.add(src["name"])
+            derived[f["name"]] = apply_transform(
+                f.get("transform", "identity"),
+                source_pred[src["name"]],
+                src["type"],
+            )
+        if derived:
+            out[sid] = derived
+    unknown = set(source_pred) - matched
+    if unknown:
+        raise ValueError(
+            f"source_pred names {sorted(unknown)} which are partition sources "
+            "of no spec; a silently ignored predicate would over-select"
+        )
+    return out
+
+
 def plan_scan(
     spark: SparkSession,
     metadata_path: str,
     snapshot_id: int,
     *,
     partition_pred: dict[str, Any] | None = None,
+    source_pred: dict[str, Any] | None = None,
     field_id: int | None = None,
     lo: Any = None,
     hi: Any = None,
@@ -433,6 +477,13 @@ def plan_scan(
     2. **file level** — surviving manifests' live entries are pruned
        by exact identity-partition match and by the decoded
        column-bound interval (``pruning.prune_files`` semantics).
+
+    ``partition_pred`` constrains partition FIELDS by name (already
+    in partition space); ``source_pred`` constrains SOURCE columns
+    and is projected through each spec's own transforms — bucket,
+    year/month/day/hour, truncate, identity — so ``{"id": 260}``
+    prunes a ``bucket[4](id)``-partitioned table to one bucket per
+    spec (see :func:`_project_source_pred`).
 
     Returns the plan decision table (``SCAN_PLAN_SCHEMA``); the
     production file set is ``.filter("selected")``. With ``debug``
@@ -459,6 +510,7 @@ def plan_scan(
             f"fields of any spec of the table (fields: {sorted(all_fields)}); "
             "a silently ignored predicate would return an over-selected plan"
         )
+    derived = _project_source_pred(meta, source_pred) if source_pred else {}
 
     # ONE createDataFrame over driver-tagged rows (manifest name,
     # its spec id + level-1 decision prepended to each entry) — no
@@ -478,8 +530,11 @@ def plan_scan(
             continue  # delete manifests: deletes.py's input, not data
         mname = os.path.basename(mrow["manifest_path"])
         spec_id = mrow.get("partition_spec_id", 0)
-        # each manifest's summaries align with its OWN spec's fields
-        m_pruned = _manifest_partition_pruned(mrow, specs[spec_id], pred)
+        # each manifest's summaries align with its OWN spec's fields;
+        # source-derived predicates join the global ones per spec
+        m_pruned = _manifest_partition_pruned(
+            mrow, specs[spec_id], {**pred, **derived.get(spec_id, {})}
+        )
         if m_pruned and not debug:
             continue
         rows.extend(
@@ -511,6 +566,18 @@ def plan_scan(
                              if fname in {fn for fn, _ in sp}]
             part_match = part_match & F.when(
                 F.col("spec_id").isin(spec_ids_with), this_match
+            ).otherwise(F.lit(True))
+    # source-derived predicates: per-spec wanted values (the SAME
+    # source predicate projects to DIFFERENT partition values under
+    # different specs — bucket counts, temporal granularities)
+    for sid, dmap in derived.items():
+        for fname, want in sorted(dmap.items()):
+            got = F.get_json_object("partition_json", f"$.{fname}")
+            this_match = (
+                got.isNull() if want is None else (got == F.lit(_json_scalar(want)))
+            )
+            part_match = part_match & F.when(
+                F.col("spec_id") == sid, this_match
             ).otherwise(F.lit(True))
     bounds_overlap = F.lit(True)
     if field_id is not None:

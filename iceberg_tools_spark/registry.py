@@ -281,6 +281,24 @@ register(
 )
 register("meta_schemas", meta_evo.meta_schemas, meta_evo.META_SCHEMAS_SQL)
 
+# partition transforms: bucket[N] (spec Appendix-B murmur3, vector-
+# pinned) + temporal ordinals — source-predicate projection prunes a
+# bucket/day table at both planning levels (golden decision table),
+# and an insert-only MERGE derives bucket/day partitions data-side
+# through the Arrow-batched numpy kernel (golden per-partition counts)
+from .iceberg import transforms as meta_trans  # noqa: E402
+
+register(
+    "scan_plan_transforms",
+    meta_trans.scan_plan_transforms,
+    meta_trans.SCAN_PLAN_TRANSFORMS_SQL,
+)
+register(
+    "merge_transform_partitions",
+    meta_trans.merge_transform_partitions,
+    meta_trans.MERGE_TRANSFORM_PARTITIONS_SQL,
+)
+
 # round-6 training-pipeline breadth: intra-document repetition
 # filter (duplicated 5-gram fraction, map-side only) and per-source
 # exact-duplication profile (which feeds are mostly re-crawl)
