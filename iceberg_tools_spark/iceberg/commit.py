@@ -1003,3 +1003,87 @@ FROM (VALUES
 ) t(snapshot_id, timestamp_ms, operation, n_files_removed)
 ORDER BY snapshot_id
 """
+
+
+def rollback_to(
+    metadata_path: str,
+    snapshot_id: int,
+    *,
+    allow_non_ancestor: bool = False,
+    timestamp_ms: int | None = None,
+) -> dict[str, Any]:
+    """Roll the table back: point ``current-snapshot-id`` (and the
+    ``main`` branch ref, if present) at an OLDER snapshot. Iceberg's
+    ``rollback_to_snapshot`` requires the target to be an ancestor
+    of the current snapshot — passing ``allow_non_ancestor=True``
+    is the ``set_current_snapshot`` escape hatch that may jump to
+    any retained snapshot (e.g. onto an abandoned branch). Either
+    way the move is RECORDED: a new snapshot-log entry is appended
+    (this is exactly how `meta_history_multi`'s
+    ``is_current_ancestor=false`` rows arise), no snapshot is
+    deleted, and time travel to the rolled-past snapshots still
+    works until expiry."""
+    from .snapshots import ancestor_chain
+
+    meta = parse_metadata(metadata_path)
+    raw = json.loads(json.dumps(meta.raw))
+    if not any(s["snapshot-id"] == snapshot_id for s in raw.get("snapshots", [])):
+        raise ValueError(f"snapshot {snapshot_id} not in table metadata")
+    current = raw.get("current-snapshot-id")
+    if snapshot_id == current:
+        raise ValueError(f"snapshot {snapshot_id} is already current")
+    if not allow_non_ancestor and snapshot_id not in ancestor_chain(meta, current):
+        raise ValueError(
+            f"snapshot {snapshot_id} is not an ancestor of the current "
+            f"snapshot {current}; use allow_non_ancestor=True to jump branches"
+        )
+    raw["current-snapshot-id"] = snapshot_id
+    refs = raw.get("refs", {})
+    if "main" in refs and refs["main"].get("type") == "branch":
+        refs["main"]["snapshot-id"] = snapshot_id
+    if timestamp_ms is None:
+        timestamp_ms = raw.get("last-updated-ms", 0) + 1000
+    raw["last-updated-ms"] = timestamp_ms
+    raw.setdefault("snapshot-log", []).append(
+        {"timestamp-ms": timestamp_ms, "snapshot-id": snapshot_id}
+    )
+    new_path = _next_metadata_path(metadata_path, 0)
+    with open(new_path, "w") as f:
+        json.dump(raw, f, indent=2)
+    return {"metadata_path": new_path, "snapshot_id": snapshot_id}
+
+
+def rollback_roundtrip(spark, sf_dir):
+    """Driver gate for rollback: scratch-copy the MoR fixture, roll
+    back from 2004 to 2002 (pre-deletes, an ancestor), and read the
+    table through the NEW current snapshot with the ordinary MoR
+    reader — the delete files committed at 2003 must NOT apply.
+    Golden oracle: per-category row counts of the pre-delete table
+    plus the rolled-back current snapshot id. (``sf_dir``
+    unused.)"""
+    from pyspark.sql import functions as F
+
+    from .deletes import MOR_DIR, read_mor
+
+    root = _scratch_table("rollback_gate_", MOR_DIR)
+    res = rollback_to(os.path.join(root, "v2.metadata.json"), 2002)
+    meta = parse_metadata(res["metadata_path"])
+    return (
+        read_mor(spark, res["metadata_path"], meta.current_snapshot_id, base_dir=root)
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("current_snapshot", F.lit(meta.current_snapshot_id))
+        .orderBy("category")
+    )
+
+
+ROLLBACK_SQL = """
+SELECT category, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(current_snapshot AS BIGINT) AS current_snapshot
+FROM (VALUES
+  ('x', 200, 2002),
+  ('y', 50, 2002),
+  ('z', 50, 2002)
+) t(category, n_rows, current_snapshot)
+ORDER BY category
+"""

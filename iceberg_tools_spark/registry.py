@@ -299,6 +299,22 @@ register(
     meta_trans.MERGE_TRANSFORM_PARTITIONS_SQL,
 )
 
+# rewrite-position-deletes EXECUTION (MoR delete-file compaction:
+# dangling deletes dropped, sequence numbers preserved explicitly,
+# eq-deletes carried forward; golden before/after accounting + live
+# row count) and snapshot ROLLBACK (ancestor-gated, recorded in the
+# snapshot log; golden pre-delete read-back through the MoR reader)
+from .iceberg import rewrite_deletes as meta_rwdel  # noqa: E402
+
+register(
+    "rewrite_pos_deletes_roundtrip",
+    meta_rwdel.rewrite_pos_deletes_roundtrip,
+    meta_rwdel.REWRITE_POS_DELETES_SQL,
+)
+register(
+    "rollback_roundtrip", meta_commit.rollback_roundtrip, meta_commit.ROLLBACK_SQL
+)
+
 # round-6 training-pipeline breadth: intra-document repetition
 # filter (duplicated 5-gram fraction, map-side only) and per-source
 # exact-duplication profile (which feeds are mostly re-crawl)

@@ -411,3 +411,62 @@ def test_eq_delete_commit_round_trip(spark, table):
         .collect()
     }
     assert 140 in y2
+
+
+# ------------------------------------------------ rollback
+
+
+def test_rollback_requires_ancestor(spark, tmp_path):
+    import shutil
+
+    import pytest
+
+    from iceberg_tools_spark.iceberg.commit import rollback_to
+    from iceberg_tools_spark.iceberg.snapshots import MS_DIR
+
+    root = tmp_path / "ms"
+    shutil.copytree(MS_DIR, root)
+    mp = str(root / "v2.metadata.json")
+    # 1004 sits on the abandoned branch: not an ancestor of 1003
+    with pytest.raises(ValueError, match="not an ancestor"):
+        rollback_to(mp, 1004)
+    res = rollback_to(mp, 1004, allow_non_ancestor=True)
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+
+    assert parse_metadata(res["metadata_path"]).current_snapshot_id == 1004
+
+
+def test_rollback_records_log_and_keeps_snapshots(spark, tmp_path):
+    import shutil
+
+    from iceberg_tools_spark.iceberg.commit import rollback_to
+    from iceberg_tools_spark.iceberg.deletes import MOR_DIR
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+    from iceberg_tools_spark.iceberg.snapshots import files_at
+
+    root = tmp_path / "mor"
+    shutil.copytree(MOR_DIR, root)
+    res = rollback_to(str(root / "v2.metadata.json"), 2002)
+    raw = parse_metadata(res["metadata_path"]).raw
+    assert raw["current-snapshot-id"] == 2002
+    assert raw["snapshot-log"][-1]["snapshot-id"] == 2002
+    assert len(raw["snapshots"]) == 4  # nothing deleted
+    # rolled-past snapshots still time-travel
+    assert files_at(spark, res["metadata_path"], 2004).count() == 5
+
+
+def test_rollback_to_current_or_unknown_raises(tmp_path):
+    import shutil
+
+    import pytest
+
+    from iceberg_tools_spark.iceberg.commit import rollback_to
+    from iceberg_tools_spark.iceberg.deletes import MOR_DIR
+
+    root = tmp_path / "mor"
+    shutil.copytree(MOR_DIR, root)
+    mp = str(root / "v2.metadata.json")
+    with pytest.raises(ValueError, match="already current"):
+        rollback_to(mp, 2004)
+    with pytest.raises(ValueError, match="not in table metadata"):
+        rollback_to(mp, 9999)
