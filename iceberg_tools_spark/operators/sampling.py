@@ -158,3 +158,73 @@ FROM t
 GROUP BY log2_bucket
 ORDER BY log2_bucket
 """
+
+
+# temperature-weighted mixture: α = 1/2 (temperature 2) via integer
+# sqrt so every aggregate is exact integer arithmetic — identical on
+# both engines regardless of reduction order (a float sqrt SUM would
+# be order-sensitive in the last ulp)
+MIXTURE_BUDGET = 10_000_000  # training-token budget to allocate
+
+
+def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture planner: given per-source token counts and a
+    total token budget, allocate the budget by temperature-weighted
+    sampling (weight ∝ √tokens — the standard down-weighting of
+    huge crawl sources vs small curated ones) and report, per
+    source: docs, tokens, mixture weight, allocated tokens, and
+    epochs (allocated ÷ available — >1 means the source repeats,
+    the signal to watch for memorization).
+
+    Scale: one map-side token count + one shuffle on the handful of
+    source keys; the budget math is a broadcast of one total row.
+    All allocations are exact integer arithmetic (floor-sqrt
+    weights), so the plan is reproducible bit-for-bit anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents", ["source", "text"])
+    n_tok = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    per = (
+        d.select("source", n_tok.alias("n"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("n_tokens"))
+        .withColumn("s", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long"))
+    )
+    total = per.agg(F.sum("s").alias("s_total"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("s").cast("double") / F.col("s_total").cast("double")).alias("weight"),
+            ((F.lit(MIXTURE_BUDGET) * F.col("s")) / F.col("s_total"))
+            .cast("long")
+            .alias("target_tokens"),
+            (
+                ((F.lit(MIXTURE_BUDGET) * F.col("s")) / F.col("s_total")).cast("long")
+                .cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+MIXTURE_PLAN_SQL = f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT *, CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s FROM per
+),
+tot AS (SELECT CAST(SUM(s) AS BIGINT) AS s_total FROM w)
+SELECT source, n_docs, n_tokens,
+       CAST(s AS DOUBLE) / CAST(s_total AS DOUBLE) AS weight,
+       CAST({MIXTURE_BUDGET} * s // s_total AS BIGINT) AS target_tokens,
+       CAST(CAST({MIXTURE_BUDGET} * s // s_total AS BIGINT) AS DOUBLE)
+         / CAST(n_tokens AS DOUBLE) AS epochs
+FROM w, tot
+ORDER BY source
+"""

@@ -322,6 +322,9 @@ register("doc_repetition_stats", text_ops.doc_repetition_stats, text_ops.DOC_REP
 register("source_dup_stats", text_ops.source_dup_stats, text_ops.SOURCE_DUP_SQL)
 register("decontaminate_minhash", dedup.decontaminate_minhash, dedup.DECONTAMINATE_MINHASH_SQL)
 register("corpus_filter_funnel", text_ops.corpus_filter_funnel, text_ops.CORPUS_FUNNEL_SQL)
+# training-mixture planner: temperature-weighted (√tokens) budget
+# allocation per source — exact integer arithmetic both engines
+register("mixture_plan", sampling.mixture_plan, sampling.MIXTURE_PLAN_SQL)
 
 # ------------------- changed-this-round re-certifications (stale
 # prior evidence: implementation or shared call path modified)

@@ -108,3 +108,21 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_mixture_plan_invariants(spark):
+    from iceberg_tools_spark.operators.sampling import MIXTURE_BUDGET, mixture_plan
+
+    rows = mixture_plan(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "no sources"
+    wsum = sum(r["weight"] for r in rows)
+    assert abs(wsum - 1.0) < 1e-9
+    # integer floor-division allocation never overshoots the budget
+    assert sum(r["target_tokens"] for r in rows) <= MIXTURE_BUDGET
+    # each source's allocation tracks its weight to within a token
+    for r in rows:
+        assert abs(r["target_tokens"] - MIXTURE_BUDGET * r["weight"]) <= 1.0
+        assert r["epochs"] == r["target_tokens"] / r["n_tokens"]
+    # deterministic: same plan on re-run
+    again = mixture_plan(spark, "/root/testdata/sf0.001").collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
