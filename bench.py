@@ -117,6 +117,14 @@ HEADLINE = [
     "source_dup_stats",
     "decontaminate_minhash",
     "changelog_rows",
+    # round-6 (cont.): schema evolution read, transform-projected
+    # planning + bucket-derived MERGE, delete-file compaction,
+    # training-mixture planning
+    "schema_evolution_read",
+    "scan_plan_transforms",
+    "merge_transform_partitions",
+    "rewrite_pos_deletes_roundtrip",
+    "mixture_plan",
 ]
 
 

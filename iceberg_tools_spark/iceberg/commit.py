@@ -1087,3 +1087,46 @@ FROM (VALUES
 ) t(category, n_rows, current_snapshot)
 ORDER BY category
 """
+
+
+def meta_refs(spark, sf_dir):
+    """$refs metadata table: one row per named ref plus the implicit
+    ``main`` head — scratch-copy the MoR fixture, pin a tag at 2002
+    and a movable branch at 2003, and list. Golden oracle.
+    (``sf_dir`` unused.)"""
+    from pyspark.sql import types as T
+
+    from .deletes import MOR_DIR
+
+    root = _scratch_table("refs_gate_", MOR_DIR)
+    res = set_ref(
+        os.path.join(root, "v2.metadata.json"), "v1-release",
+        snapshot_id=2002, ref_type="tag",
+    )
+    res = set_ref(
+        res["metadata_path"], "audit", snapshot_id=2003, ref_type="branch"
+    )
+    raw = parse_metadata(res["metadata_path"]).raw
+    rows = [("main", "branch", raw["current-snapshot-id"])] + [
+        (name, r["type"], r["snapshot-id"])
+        for name, r in sorted(raw.get("refs", {}).items())
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("type", T.StringType()),
+            T.StructField("snapshot_id", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema).orderBy("name")
+
+
+META_REFS_SQL = """
+SELECT name, type, CAST(snapshot_id AS BIGINT) AS snapshot_id
+FROM (VALUES
+  ('audit', 'branch', 2003),
+  ('main', 'branch', 2004),
+  ('v1-release', 'tag', 2002)
+) t(name, type, snapshot_id)
+ORDER BY name
+"""

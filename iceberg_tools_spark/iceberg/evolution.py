@@ -25,10 +25,13 @@ parquet field-id machinery rather than per-file plans:
   loop, no union-of-schemas: the 100 TB path is identical to the
   5-row fixture path.
 
-Files *without* field ids fail the read loudly (the default
-``spark.sql.parquet.fieldId.read.ignoreMissing=false``) instead of
-silently nulling out — the honest behavior until a name-mapping
-fallback (`schema.name-mapping.default`) is implemented.
+Files *without* field ids fail the fast-path read loudly (the
+default ``spark.sql.parquet.fieldId.read.ignoreMissing=false``)
+instead of silently nulling out; the spec's name-mapping fallback
+(`schema.name-mapping.default`) is implemented separately in
+:func:`read_table_projected_with_mapping` — id-less files (Hive
+migrations, plain imports) bind by name through the mapping's
+alias lists while id-bearing files keep binding by id.
 
 The evolve-commit half (:func:`evolve_schema`) writes a new schema
 (bumped ``schema-id``; renamed/promoted fields KEEP their ids,
@@ -395,3 +398,162 @@ FROM (VALUES
 ) t(schema_id, is_current, field_id, field_name, field_type, required)
 ORDER BY schema_id, field_id
 """
+
+
+# ------------------------------------------------ name mapping
+#
+# Iceberg's `schema.name-mapping.default` (public spec, "Name
+# Mapping Serialization"): data files written WITHOUT parquet field
+# ids — Hive migrations, plain-Spark imports — bind columns by NAME
+# through a mapping of field-id → [name aliases]. Files WITH ids
+# keep binding by id; the mapping never overrides physical ids.
+
+
+def default_name_mapping(meta: TableMetadata | dict[str, Any]) -> list[dict[str, Any]]:
+    """The mapping real `TableMetadata.parseNameMapping` defaults
+    to, enriched with every historical name of each field id across
+    the schema chain (so files written under ANY schema generation
+    bind): ``[{"field-id": id, "names": [oldest..newest]}, ...]``."""
+    raw = meta.raw if isinstance(meta, TableMetadata) else meta
+    names_of: dict[int, list[str]] = {}
+    for s in sorted(raw.get("schemas", [raw.get("schema", {})]),
+                    key=lambda s: s.get("schema-id", 0)):
+        for f in s.get("fields", []):
+            seen = names_of.setdefault(int(f["id"]), [])
+            if f["name"] not in seen:
+                seen.append(f["name"])
+    return [
+        {"field-id": fid, "names": names} for fid, names in sorted(names_of.items())
+    ]
+
+
+def read_table_projected_with_mapping(
+    spark: SparkSession,
+    metadata_path: str,
+    snapshot_id: int | None = None,
+    *,
+    name_mapping: list[dict[str, Any]] | None = None,
+) -> DataFrame:
+    """:func:`read_table_projected` plus the name-mapping fallback:
+    live files are split into
+
+    * **id-bearing** files — ONE field-id-resolved scan (unchanged
+      fast path);
+    * **id-less** files — grouped by their resolved column→field-id
+      signature (one group per historical write schema, not per
+      file) and read with a per-group NAME-based schema, then
+      aliased/cast to the current schema.
+
+    The id-sniff reads each parquet FOOTER once (KB-scale; the same
+    footer pass Iceberg planning does for stats). A file whose
+    columns match no mapping alias for a field simply yields null
+    for it — exactly the spec's unmatched-column rule; a mapping
+    hit with an incompatible physical type fails the scan loudly.
+    """
+    import pyarrow.parquet as pq
+
+    from .deletes import mor_entries_at
+
+    meta = parse_metadata(metadata_path)
+    if snapshot_id is None:
+        snapshot_id = meta.current_snapshot_id
+    if snapshot_id is None:
+        raise ValueError("table has no current snapshot")
+    if name_mapping is None:
+        name_mapping = default_name_mapping(meta)
+    names_of = {m["field-id"]: m["names"] for m in name_mapping}
+
+    _enable_field_id_resolution(spark)
+    base_dir = os.path.dirname(metadata_path)
+    data_entries, _ = mor_entries_at(meta, snapshot_id, base_dir)
+    files = [e["local_path"] for e in data_entries if e["content"] == 0]
+    cur_schema = spark_read_schema(meta)
+    if not files:
+        return spark.createDataFrame([], cur_schema)
+
+    with_ids: list[str] = []
+    # signature (ordered (current-name, physical-name) pairs) → files
+    unmapped: dict[tuple, list[str]] = {}
+    for path in files:
+        pa_schema = pq.read_schema(path)
+        has_ids = all(
+            (f.metadata or {}).get(b"PARQUET:field_id") is not None
+            for f in pa_schema
+        )
+        if has_ids:
+            with_ids.append(path)
+            continue
+        cols = set(pa_schema.names)
+        sig = []
+        for f in cur_schema.fields:
+            fid = f.metadata["parquet.field.id"]
+            phys = next((n for n in names_of.get(fid, []) if n in cols), None)
+            sig.append((f.name, phys))
+        unmapped.setdefault(tuple(sig), []).append(path)
+
+    parts: list[DataFrame] = []
+    if with_ids:
+        parts.append(spark.read.schema(cur_schema).parquet(*with_ids))
+    for sig, group in sorted(unmapped.items()):
+        # name-based read schema: physical names, CURRENT (widened)
+        # types — Spark's parquet reader applies the upcast in place
+        read_fields = [
+            T.StructField(phys, f.dataType, True)
+            for (cname, phys), f in zip(sig, cur_schema.fields)
+            if phys is not None
+        ]
+        df = spark.read.schema(T.StructType(read_fields)).parquet(*group)
+        from pyspark.sql import functions as F
+
+        parts.append(
+            df.select(
+                *[
+                    F.col(phys).alias(cname)
+                    if phys is not None
+                    else F.lit(None).cast(f.dataType).alias(cname)
+                    for (cname, phys), f in zip(sig, cur_schema.fields)
+                ]
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def schema_evolution_name_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for the name-mapping fallback: scratch-copy the
+    evolution fixture and STRIP the parquet field ids from fileA (a
+    Hive-migration stand-in), then read through the current schema
+    with the default name mapping — fileA binds ``name`` →
+    field 2 → ``headline`` by NAME (through two renames), fileB
+    still binds by id. Result must equal the all-ids read; the
+    oracle re-implements both projections per file in DuckDB.
+    (``sf_dir`` unused: fixture paths are repo-canonical; the
+    scratch copy only exists to mutate fileA.)"""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from .commit import _SCRATCH_ROOTS
+
+    scratch = tempfile.mkdtemp(prefix="nm_gate_")
+    _SCRATCH_ROOTS.append(scratch)
+    root = os.path.join(scratch, "t")
+    shutil.copytree(_EVO_DIR, root)
+    fa = os.path.join(root, "data", "fileA.parquet")
+    t = pq.read_table(fa)
+    t = t.cast(
+        t.schema.remove_metadata()
+    )  # drop column-level PARQUET:field_id too
+    import pyarrow as pa
+
+    t = pa.table({n: t[n] for n in t.schema.names})
+    pq.write_table(t, fa)
+    return read_table_projected_with_mapping(
+        spark, os.path.join(root, "v5.metadata.json")
+    ).orderBy("id")
+
+
+SCHEMA_EVOLUTION_NAME_MAPPING_SQL = SCHEMA_EVOLUTION_READ_SQL

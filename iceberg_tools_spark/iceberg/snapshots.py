@@ -296,6 +296,47 @@ def meta_entry_status_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def meta_all_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$all_files: every data file referenced by ANY snapshot's
+    manifests (Iceberg's all-history file inventory, the input to
+    orphan-file reasoning), deduplicated by path, with how many
+    snapshots hold the file LIVE and its first/last such snapshot —
+    B stops at the 1003 delete, E exists only on the abandoned
+    1004 branch."""
+    meta = parse_metadata(MS_METADATA)
+    rows = _snapshot_entry_rows(meta, MS_DIR)
+    return (
+        spark.createDataFrame(rows, _SNAP_ENTRIES_SCHEMA)
+        .filter(F.col("status") != 2)
+        .groupBy("file_path", "partition_json", "record_count")
+        .agg(
+            F.countDistinct("view_snapshot_id").alias("n_live_snapshots"),
+            F.min("view_snapshot_id").alias("first_snapshot"),
+            F.max("view_snapshot_id").alias("last_snapshot"),
+        )
+        .orderBy("file_path")
+    )
+
+
+_MSLOC = "file:///tmp/multi_snapshot"
+
+META_ALL_FILES_SQL = f"""
+SELECT file_path, partition_json, CAST(record_count AS BIGINT) AS record_count,
+       CAST(n_live_snapshots AS BIGINT) AS n_live_snapshots,
+       CAST(first_snapshot AS BIGINT) AS first_snapshot,
+       CAST(last_snapshot AS BIGINT) AS last_snapshot
+FROM (VALUES
+  ('{_MSLOC}/data/category=x/A.parquet', '{{"category": "x"}}', 100, 4, 1001, 1004),
+  ('{_MSLOC}/data/category=x/C.parquet', '{{"category": "x"}}', 100, 3, 1002, 1004),
+  ('{_MSLOC}/data/category=y/B.parquet', '{{"category": "y"}}', 50, 3, 1001, 1004),
+  ('{_MSLOC}/data/category=y/E.parquet', '{{"category": "y"}}', 20, 1, 1004, 1004),
+  ('{_MSLOC}/data/category=z/D.parquet', '{{"category": "z"}}', 50, 3, 1002, 1004)
+) t(file_path, partition_json, record_count, n_live_snapshots,
+    first_snapshot, last_snapshot)
+ORDER BY file_path
+"""
+
+
 def files_at_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel across the fixture's whole history: the live
     file set AT each of the 4 snapshots (B visible until the 1003

@@ -280,6 +280,14 @@ register(
     meta_evo.SCHEMA_EVOLUTION_READ_SQL,
 )
 register("meta_schemas", meta_evo.meta_schemas, meta_evo.META_SCHEMAS_SQL)
+# name-mapping fallback (schema.name-mapping.default): fileA's ids
+# stripped (Hive-migration stand-in) → binds by historical-name
+# aliases; same independent per-file DuckDB re-projection oracle
+register(
+    "schema_evolution_name_mapping",
+    meta_evo.schema_evolution_name_mapping,
+    meta_evo.SCHEMA_EVOLUTION_NAME_MAPPING_SQL,
+)
 
 # partition transforms: bucket[N] (spec Appendix-B murmur3, vector-
 # pinned) + temporal ordinals — source-predicate projection prunes a
@@ -314,6 +322,10 @@ register(
 register(
     "rollback_roundtrip", meta_commit.rollback_roundtrip, meta_commit.ROLLBACK_SQL
 )
+# metadata-table completions: $all_files (every file any snapshot
+# references, with live-span) and $refs (tags/branches + main)
+register("meta_all_files", meta_snap.meta_all_files, meta_snap.META_ALL_FILES_SQL)
+register("meta_refs", meta_commit.meta_refs, meta_commit.META_REFS_SQL)
 
 # round-6 training-pipeline breadth: intra-document repetition
 # filter (duplicated 5-gram fraction, map-side only) and per-source

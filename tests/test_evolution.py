@@ -209,3 +209,90 @@ def test_evolution_metadata_is_valid_json_chain():
             raw = json.load(f)
         assert len(raw["schemas"]) >= prev_schemas
         prev_schemas = len(raw["schemas"])
+
+
+# ------------------------------------------------ name mapping
+
+
+def test_default_name_mapping_carries_historical_aliases():
+    from iceberg_tools_spark.iceberg.evolution import default_name_mapping
+
+    nm = default_name_mapping(parse_metadata(V5))
+    by_id = {m["field-id"]: m["names"] for m in nm}
+    assert by_id[2] == ["name", "title", "headline"]  # oldest → newest
+    assert by_id[4] == ["scrap"]  # dropped fields stay mappable
+    assert by_id[5] == ["extra"]
+
+
+def _strip_ids(path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    pq.write_table(pa.table({n: t[n] for n in t.schema.names}), path)
+
+
+def test_name_mapping_read_equals_id_read(spark, tmp_path):
+    from iceberg_tools_spark.iceberg.evolution import (
+        read_table_projected_with_mapping,
+        schema_evolution_read,
+    )
+
+    root = _scratch(tmp_path)
+    _strip_ids(os.path.join(root, "data", "fileA.parquet"))
+    got = [
+        tuple(r)
+        for r in read_table_projected_with_mapping(
+            spark, os.path.join(root, "v5.metadata.json")
+        )
+        .orderBy("id")
+        .collect()
+    ]
+    want = [tuple(r) for r in schema_evolution_read(spark, "").collect()]
+    assert got == want
+
+
+def test_name_mapping_unmatched_column_nulls(spark, tmp_path):
+    # an id-less file whose columns match NO alias for a field
+    # yields null there (the spec's unmatched rule), not an error
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_tools_spark.iceberg.evolution import read_table_projected_with_mapping
+
+    root = _scratch(tmp_path)
+    fa = os.path.join(root, "data", "fileA.parquet")
+    t = pq.read_table(fa)
+    pq.write_table(
+        pa.table({("wat" if n == "name" else n): t[n] for n in t.schema.names}), fa
+    )
+    rows = (
+        read_table_projected_with_mapping(spark, os.path.join(root, "v5.metadata.json"))
+        .orderBy("id")
+        .collect()
+    )
+    assert [r["headline"] for r in rows[:5]] == [None] * 5  # fileA: no alias hit
+    assert rows[5]["headline"] == "zeta"  # fileB unaffected
+
+
+def test_name_mapping_scan_count_is_per_signature_not_per_file(spark, tmp_path):
+    # two id-less files written under the SAME historical schema
+    # share one scan; the id-bearing file keeps its own
+    import shutil as _sh
+
+    from iceberg_tools_spark.iceberg.commit import append_snapshot
+    from iceberg_tools_spark.iceberg.evolution import read_table_projected_with_mapping
+
+    root = _scratch(tmp_path)
+    fa = os.path.join(root, "data", "fileA.parquet")
+    _strip_ids(fa)
+    fa2 = os.path.join(root, "data", "fileA2.parquet")
+    _sh.copyfile(fa, fa2)
+    res = append_snapshot(
+        os.path.join(root, "v5.metadata.json"),
+        [{"path": "data/fileA2.parquet", "partition": {}}],
+    )
+    df = read_table_projected_with_mapping(spark, res["metadata_path"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 2  # one per signature, not 3
+    assert df.count() == 13
