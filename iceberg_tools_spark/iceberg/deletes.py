@@ -183,7 +183,28 @@ def _eq_delete_join(
             f"equality delete {e['file_path']!r} lists no equality_ids"
         )
     d = df.alias("d")
-    ed = spark.read.parquet(e["local_path"]).select(*eq_cols).alias("ed")
+    ed_raw = spark.read.parquet(e["local_path"])
+    if all(c in ed_raw.columns for c in eq_cols):
+        ed = ed_raw.select(*eq_cols).alias("ed")
+    else:
+        # the delete file predates a rename: bind its physical
+        # columns to the CURRENT names via the historical-alias
+        # name mapping (same rule as data-file projection)
+        from .evolution import default_name_mapping
+
+        aliases = {m["field-id"]: m["names"] for m in default_name_mapping(meta)}
+        sel = []
+        for fid, cur in zip(e["equality_ids"] or [], eq_cols):
+            phys = next(
+                (n for n in aliases.get(fid, []) if n in ed_raw.columns), None
+            )
+            if phys is None:
+                raise ValueError(
+                    f"equality delete {e['file_path']!r}: no column of the "
+                    f"file matches any historical name of field id {fid}"
+                )
+            sel.append(F.col(phys).alias(cur))
+        ed = ed_raw.select(*sel).alias("ed")
     # equality on the delete columns (null-safe per spec) ...
     cond = reduce(
         lambda a, b: a & b,
@@ -689,4 +710,93 @@ SELECT f.file_path,
             THEN 'rewrite' ELSE 'keep' END AS action
 FROM files f LEFT JOIN pd ON f.file_path = pd.file_path
 ORDER BY f.file_path
+"""
+
+
+def read_mor_projected(
+    spark: SparkSession,
+    metadata_path: str,
+    snapshot_id: int | None = None,
+    base_dir: str | None = None,
+) -> DataFrame:
+    """:func:`read_mor` through the CURRENT (possibly evolved)
+    schema: the data scan projects every file via field ids (or the
+    name-mapping fallback for id-less files — one scan per
+    historical write schema), THEN v2 deletes apply exactly as in
+    the plain path. Renames/promotions/adds committed after data or
+    delete files were written all resolve; equality-delete files
+    written under old column names bind through the same alias
+    mapping.
+
+    This is the full composition a long-lived 100 TB table needs:
+    schema evolution and merge-on-read deletes are independent
+    axes, and every (data schema generation × delete kind) pair
+    reads correctly."""
+    from functools import reduce as _reduce
+
+    from .evolution import projected_scan_parts
+
+    base_dir = base_dir or os.path.dirname(metadata_path)
+    meta = parse_metadata(metadata_path)
+    if snapshot_id is None:
+        snapshot_id = meta.current_snapshot_id
+    data, dels = mor_entries_at(meta, snapshot_id, base_dir)
+    if not data:
+        raise ValueError(f"snapshot {snapshot_id} has no live data files")
+    parts = projected_scan_parts(
+        spark, meta, [e["local_path"] for e in data], tag=True
+    )
+    df = _reduce(DataFrame.unionByName, parts)
+    seq_df = spark.createDataFrame(
+        [(e["rel"], e["sequence_number"]) for e in data],
+        T.StructType([
+            T.StructField("seq_rel", T.StringType()),
+            T.StructField("_seq", T.LongType()),
+        ]),
+    )
+    df = df.join(F.broadcast(seq_df), df["_rel"] == seq_df["seq_rel"], "left").drop(
+        "seq_rel"
+    )
+    out_cols = [c for c in df.columns if c not in ("_rel", "_pos", "_seq")]
+    return apply_deletes(spark, meta, df, dels, mode="survivors").select(*out_cols)
+
+
+def mor_read_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for the evolution × MoR composition: scratch-copy
+    the MoR fixture (whose parquet carries NO field ids — the
+    name-mapping path), evolve ``category`` → ``cat`` and add a
+    ``note`` column, then read the current snapshot through the
+    evolved schema — positional AND equality deletes must still
+    apply across the rename. Golden oracle: per-``cat`` live-row
+    counts (the same 323 rows `mor_live_rows` certifies, now
+    grouped under the renamed column). (``sf_dir`` unused.)"""
+    from .commit import _scratch_table
+    from .evolution import evolve_schema
+
+    root = _scratch_table("morevo_gate_", MOR_DIR)
+    res = evolve_schema(
+        os.path.join(root, "v2.metadata.json"),
+        rename={"category": "cat"},
+        add=[("note", "string")],
+    )
+    return (
+        read_mor_projected(spark, res["metadata_path"], base_dir=root)
+        .groupBy("cat")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("note").alias("n_notes"),  # added column: all null
+        )
+        .orderBy("cat")
+    )
+
+
+MOR_READ_EVOLVED_SQL = """
+SELECT cat, CAST(n_rows AS BIGINT) AS n_rows, CAST(n_notes AS BIGINT) AS n_notes
+FROM (VALUES
+  ('w', 40, 0),
+  ('x', 185, 0),
+  ('y', 50, 0),
+  ('z', 48, 0)
+) t(cat, n_rows, n_notes)
+ORDER BY cat
 """

@@ -450,8 +450,6 @@ def read_table_projected_with_mapping(
     for it — exactly the spec's unmatched-column rule; a mapping
     hit with an incompatible physical type fails the scan loudly.
     """
-    import pyarrow.parquet as pq
-
     from .deletes import mor_entries_at
 
     meta = parse_metadata(metadata_path)
@@ -459,17 +457,48 @@ def read_table_projected_with_mapping(
         snapshot_id = meta.current_snapshot_id
     if snapshot_id is None:
         raise ValueError("table has no current snapshot")
-    if name_mapping is None:
-        name_mapping = default_name_mapping(meta)
-    names_of = {m["field-id"]: m["names"] for m in name_mapping}
-
-    _enable_field_id_resolution(spark)
     base_dir = os.path.dirname(metadata_path)
     data_entries, _ = mor_entries_at(meta, snapshot_id, base_dir)
     files = [e["local_path"] for e in data_entries if e["content"] == 0]
     cur_schema = spark_read_schema(meta)
     if not files:
         return spark.createDataFrame([], cur_schema)
+    parts = projected_scan_parts(
+        spark, meta, files, name_mapping=name_mapping, tag=False
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def projected_scan_parts(
+    spark: SparkSession,
+    meta: TableMetadata,
+    files: list[str],
+    *,
+    name_mapping: list[dict[str, Any]] | None = None,
+    tag: bool = False,
+) -> list[DataFrame]:
+    """The scan groups behind the projected readers: ONE id-resolved
+    scan for id-bearing files plus one name-mapped scan per
+    column→id signature among id-less files, every part already
+    projected to the CURRENT schema. With ``tag`` each part also
+    carries ``_rel`` / ``_pos`` from the scan's own ``_metadata``
+    (computed BEFORE the union — each file's row index comes from
+    its own scan), which is what the MoR delete-application path
+    consumes."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from .deletes import _REL_RE
+
+    if name_mapping is None:
+        name_mapping = default_name_mapping(meta)
+    names_of = {m["field-id"]: m["names"] for m in name_mapping}
+    _enable_field_id_resolution(spark)
+    cur_schema = spark_read_schema(meta)
 
     with_ids: list[str] = []
     # signature (ordered (current-name, physical-name) pairs) → files
@@ -491,9 +520,18 @@ def read_table_projected_with_mapping(
             sig.append((f.name, phys))
         unmapped.setdefault(tuple(sig), []).append(path)
 
+    tags = (
+        [
+            F.regexp_extract(F.col("_metadata.file_path"), _REL_RE, 0).alias("_rel"),
+            F.col("_metadata.row_index").alias("_pos"),
+        ]
+        if tag
+        else []
+    )
     parts: list[DataFrame] = []
     if with_ids:
-        parts.append(spark.read.schema(cur_schema).parquet(*with_ids))
+        df = spark.read.schema(cur_schema).parquet(*sorted(with_ids))
+        parts.append(df.select(*[F.col(f.name) for f in cur_schema.fields], *tags))
     for sig, group in sorted(unmapped.items()):
         # name-based read schema: physical names, CURRENT (widened)
         # types — Spark's parquet reader applies the upcast in place
@@ -502,9 +540,7 @@ def read_table_projected_with_mapping(
             for (cname, phys), f in zip(sig, cur_schema.fields)
             if phys is not None
         ]
-        df = spark.read.schema(T.StructType(read_fields)).parquet(*group)
-        from pyspark.sql import functions as F
-
+        df = spark.read.schema(T.StructType(read_fields)).parquet(*sorted(group))
         parts.append(
             df.select(
                 *[
@@ -512,13 +548,11 @@ def read_table_projected_with_mapping(
                     if phys is not None
                     else F.lit(None).cast(f.dataType).alias(cname)
                     for (cname, phys), f in zip(sig, cur_schema.fields)
-                ]
+                ],
+                *tags,
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return parts
 
 
 def schema_evolution_name_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:

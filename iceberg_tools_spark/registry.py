@@ -288,6 +288,10 @@ register(
     meta_evo.schema_evolution_name_mapping,
     meta_evo.SCHEMA_EVOLUTION_NAME_MAPPING_SQL,
 )
+# evolution × merge-on-read composition: rename + add over the MoR
+# fixture, positional AND equality deletes still applying through
+# the projected scan (golden per-renamed-column counts)
+register("mor_read_evolved", meta_del.mor_read_evolved, meta_del.MOR_READ_EVOLVED_SQL)
 
 # partition transforms: bucket[N] (spec Appendix-B murmur3, vector-
 # pinned) + temporal ordinals — source-predicate projection prunes a

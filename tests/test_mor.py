@@ -247,3 +247,64 @@ def test_delete_compaction_threshold(spark):
     assert rows["C.parquet"].action == "keep" and rows["C.parquet"].pos_deleted == 5
     assert rows["B.parquet"].action == "keep" and rows["B.parquet"].pos_deleted == 0
     assert rows["D.parquet"].action == "keep" and rows["D.parquet"].eq_delete_files == 1
+
+
+# ------------------------------ evolution × MoR composition
+
+
+def test_read_mor_projected_equals_plain_read_unevolved(spark):
+    from iceberg_tools_spark.iceberg.deletes import (
+        MOR_METADATA,
+        read_mor,
+        read_mor_projected,
+    )
+
+    plain = sorted(
+        tuple(r) for r in read_mor(spark, MOR_METADATA, 2004).select("id", "category").collect()
+    )
+    proj = sorted(
+        tuple(r)
+        for r in read_mor_projected(spark, MOR_METADATA, 2004)
+        .select("id", "category")
+        .collect()
+    )
+    assert plain == proj
+
+
+def test_eq_delete_applies_across_rename_of_its_own_column(spark, tmp_path):
+    # ed1 deletes by equality on field 1 ('id'); rename id -> ident:
+    # the delete FILE still has a physical 'id' column, which must
+    # bind to field 1 through the alias mapping
+    import shutil
+
+    from iceberg_tools_spark.iceberg.deletes import MOR_DIR, read_mor_projected
+    from iceberg_tools_spark.iceberg.evolution import evolve_schema
+
+    root = tmp_path / "t"
+    shutil.copytree(MOR_DIR, root)
+    res = evolve_schema(
+        str(root / "v2.metadata.json"), rename={"id": "ident"}
+    )
+    df = read_mor_projected(spark, res["metadata_path"], base_dir=str(root))
+    assert "ident" in df.columns and "id" not in df.columns
+    idents = {r[0] for r in df.select("ident").collect()}
+    assert 260 not in idents and 270 not in idents  # eq delete still applies
+    assert 1 not in idents  # positional delete still applies
+    assert df.count() == 323
+
+
+def test_read_mor_projected_time_travel_with_evolution(spark, tmp_path):
+    # evolution is snapshot-independent: reading a PRE-delete
+    # snapshot through the evolved schema projects but applies no
+    # deletes
+    import shutil
+
+    from iceberg_tools_spark.iceberg.deletes import MOR_DIR, read_mor_projected
+    from iceberg_tools_spark.iceberg.evolution import evolve_schema
+
+    root = tmp_path / "t"
+    shutil.copytree(MOR_DIR, root)
+    res = evolve_schema(str(root / "v2.metadata.json"), rename={"category": "cat"})
+    df = read_mor_projected(spark, res["metadata_path"], 2002, base_dir=str(root))
+    assert df.count() == 300  # A+B+C+D, nothing deleted yet
+    assert "cat" in df.columns
