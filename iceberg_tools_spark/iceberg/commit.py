@@ -386,10 +386,14 @@ def _commit_files(
                         "partition": part,
                         "record_count": record_count,
                         "file_size_in_bytes": file_size,
-                        "lower_bounds": None,
-                        "upper_bounds": None,
+                        # optional caller-supplied column stats:
+                        # [{"key": field_id, "value": bytes}] per the
+                        # v2 kv shape (sorted rewrites attach these
+                        # so plan_scan can prune by decoded bounds)
+                        "lower_bounds": df.get("lower_bounds"),
+                        "upper_bounds": df.get("upper_bounds"),
                         "equality_ids": df.get("equality_ids"),
-                        "sort_order_id": None,
+                        "sort_order_id": df.get("sort_order_id"),
                     },
                 }
             )

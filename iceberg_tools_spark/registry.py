@@ -326,6 +326,18 @@ register(
 register(
     "rollback_roundtrip", meta_commit.rollback_roundtrip, meta_commit.ROLLBACK_SQL
 )
+# sort orders + sorted rewrite: interleaved-range table rewritten
+# ORDER BY id into disjoint splits with REAL footer-derived bounds
+# committed — plan_scan's decoded-bound pruning then selects exactly
+# one file for an id interval (golden decision table)
+from .iceberg import sortorder as meta_sort  # noqa: E402
+
+register(
+    "sorted_rewrite_prunes",
+    meta_sort.sorted_rewrite_prunes,
+    meta_sort.SORTED_REWRITE_SQL,
+)
+
 # metadata-table completions: $all_files (every file any snapshot
 # references, with live-span) and $refs (tags/branches + main)
 register("meta_all_files", meta_snap.meta_all_files, meta_snap.META_ALL_FILES_SQL)
