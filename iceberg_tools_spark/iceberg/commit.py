@@ -198,6 +198,7 @@ def append_snapshot(
     snapshot_id: int | None = None,
     timestamp_ms: int | None = None,
     spec_id: int | None = None,
+    stage_ref: str | None = None,
 ) -> dict[str, Any]:
     """Commit an append snapshot; returns the new commit's paths/ids.
 
@@ -220,6 +221,7 @@ def append_snapshot(
         snapshot_id=snapshot_id,
         timestamp_ms=timestamp_ms,
         spec_id=spec_id,
+        stage_ref=stage_ref,
     )
 
 
@@ -314,6 +316,7 @@ def _commit_files(
     snapshot_id: int | None = None,
     timestamp_ms: int | None = None,
     spec_id: int | None = None,
+    stage_ref: str | None = None,
 ) -> dict[str, Any]:
     if not data_files:
         raise ValueError(f"{operation} commit with no data files (empty commits carry no manifest)")
@@ -473,7 +476,15 @@ def _commit_files(
     # ---- new metadata.json
     raw["last-sequence-number"] = seq
     raw["last-updated-ms"] = timestamp_ms
-    raw["current-snapshot-id"] = snapshot_id
+    if stage_ref is None:
+        raw["current-snapshot-id"] = snapshot_id
+    else:
+        # write-audit-publish staging: the snapshot exists (and is
+        # readable through its branch ref) but main does NOT move
+        # until publish_snapshot fast-forwards it
+        raw.setdefault("refs", {})[stage_ref] = {
+            "snapshot-id": snapshot_id, "type": "branch",
+        }
     raw.setdefault("snapshots", []).append(
         {
             "sequence-number": seq,
@@ -490,9 +501,10 @@ def _commit_files(
             "schema-id": raw.get("current-schema-id", 0),
         }
     )
-    raw.setdefault("snapshot-log", []).append(
-        {"timestamp-ms": timestamp_ms, "snapshot-id": snapshot_id}
-    )
+    if stage_ref is None:
+        raw.setdefault("snapshot-log", []).append(
+            {"timestamp-ms": timestamp_ms, "snapshot-id": snapshot_id}
+        )
     raw.setdefault("metadata-log", []).append(
         {"timestamp-ms": timestamp_ms,
          "metadata-file": _canonical_metadata_uri(metadata_path, table_root, loc)}
@@ -1133,4 +1145,114 @@ FROM (VALUES
   ('v1-release', 'tag', 2002)
 ) t(name, type, snapshot_id)
 ORDER BY name
+"""
+
+
+def publish_snapshot(
+    metadata_path: str,
+    ref: str,
+    *,
+    timestamp_ms: int | None = None,
+) -> dict[str, Any]:
+    """Write-audit-publish, the publish half: fast-forward ``main``
+    to a STAGED snapshot (one committed with ``stage_ref=...`` —
+    present in ``snapshots`` and readable through its branch ref,
+    but not yet current). Requires the staged snapshot's parent to
+    BE the current snapshot (a true fast-forward; anything else
+    needs a cherry-pick that re-parents, which this engine doesn't
+    claim). Records the move in the snapshot log and retires the
+    staging ref."""
+    meta = parse_metadata(metadata_path)
+    raw = json.loads(json.dumps(meta.raw))
+    staged = raw.get("refs", {}).get(ref)
+    if staged is None:
+        raise ValueError(f"no staged ref {ref!r}")
+    sid = staged["snapshot-id"]
+    snap = next(s for s in raw["snapshots"] if s["snapshot-id"] == sid)
+    current = raw.get("current-snapshot-id")
+    if snap.get("parent-snapshot-id") != current:
+        raise ValueError(
+            f"staged snapshot {sid} parents {snap.get('parent-snapshot-id')}, "
+            f"not the current snapshot {current}; fast-forward impossible"
+        )
+    raw["current-snapshot-id"] = sid
+    if "main" in raw.get("refs", {}):
+        raw["refs"]["main"]["snapshot-id"] = sid
+    del raw["refs"][ref]
+    if timestamp_ms is None:
+        timestamp_ms = raw.get("last-updated-ms", 0) + 1000
+    raw["last-updated-ms"] = timestamp_ms
+    raw.setdefault("snapshot-log", []).append(
+        {"timestamp-ms": timestamp_ms, "snapshot-id": sid}
+    )
+    new_path = _next_metadata_path(metadata_path, 0)
+    with open(new_path, "w") as f:
+        json.dump(raw, f, indent=2)
+    return {"metadata_path": new_path, "snapshot_id": sid}
+
+
+def wap_publish_roundtrip(spark, sf_dir):
+    """Driver gate for write-audit-publish: stage an append on the
+    MoR fixture (ref ``wap-1``) — main still reads 5 files while
+    the ref reads 6 (the audit step) — then publish and read 6
+    through main. Golden oracle: the three file counts + the
+    staged/published snapshot id. (``sf_dir`` unused.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import types as T
+
+    from .deletes import MOR_DIR
+    from .snapshots import files_at
+
+    root = _scratch_table("wap_gate_", MOR_DIR)
+    rel = "data/category=w/id_trunc=400/H.parquet"
+    path = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    ids = list(range(400, 410))
+    pq.write_table(
+        pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "category": pa.array(["w"] * len(ids), pa.string()),
+        }),
+        path,
+    )
+    staged = append_snapshot(
+        os.path.join(root, "v2.metadata.json"),
+        [{"path": rel, "partition": {"category": "w", "id_trunc": 400}}],
+        stage_ref="wap-1",
+    )
+    meta_staged = parse_metadata(staged["metadata_path"])
+    pre_main = files_at(
+        spark, staged["metadata_path"], meta_staged.current_snapshot_id
+    ).count()
+    via_ref = files_at(
+        spark, staged["metadata_path"], resolve_ref(staged["metadata_path"], "wap-1")
+    ).count()
+    pub = publish_snapshot(staged["metadata_path"], "wap-1")
+    post_main = files_at(
+        spark,
+        pub["metadata_path"],
+        parse_metadata(pub["metadata_path"]).current_snapshot_id,
+    ).count()
+    schema = T.StructType(
+        [
+            T.StructField("pre_main_files", T.LongType()),
+            T.StructField("staged_ref_files", T.LongType()),
+            T.StructField("post_main_files", T.LongType()),
+            T.StructField("published_snapshot", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(pre_main, via_ref, post_main, pub["snapshot_id"])], schema
+    )
+
+
+WAP_PUBLISH_SQL = """
+SELECT CAST(pre_main_files AS BIGINT) AS pre_main_files,
+       CAST(staged_ref_files AS BIGINT) AS staged_ref_files,
+       CAST(post_main_files AS BIGINT) AS post_main_files,
+       CAST(published_snapshot AS BIGINT) AS published_snapshot
+FROM (VALUES (5, 6, 6, 2005)) t(pre_main_files, staged_ref_files,
+                                post_main_files, published_snapshot)
 """

@@ -236,6 +236,13 @@ register(
 )
 # named refs: tag a snapshot, time-travel through resolve_ref
 register("files_at_tag", meta_commit.files_at_tag, meta_commit.FILES_AT_TAG_SQL)
+# write-audit-publish: staged append (main unchanged, ref readable)
+# then fast-forward publish — golden before/ref/after file counts
+register(
+    "wap_publish_roundtrip",
+    meta_commit.wap_publish_roundtrip,
+    meta_commit.WAP_PUBLISH_SQL,
+)
 # expiry EXECUTION: surviving snapshots + physically-removed
 # metadata file count after expire_snapshots(keep_last=2)
 register(
@@ -254,6 +261,17 @@ register(
     "incremental_stream_rows",
     stream_inc.incremental_stream_rows,
     stream_inc.INCREMENTAL_STREAM_SQL,
+)
+
+# CDC changelog × Structured Streaming: the full MoR history
+# consumed commit-per-micro-batch; oracle = the same independent
+# full-materialization diff the batch changelog gate uses
+from .streaming import cdc as stream_cdc  # noqa: E402
+
+register(
+    "changelog_stream_rows",
+    stream_cdc.changelog_stream_rows,
+    stream_cdc.CHANGELOG_STREAM_SQL,
 )
 
 # row-level CDC changelog (create_changelog_view parity): per-commit

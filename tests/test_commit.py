@@ -470,3 +470,73 @@ def test_rollback_to_current_or_unknown_raises(tmp_path):
         rollback_to(mp, 2004)
     with pytest.raises(ValueError, match="not in table metadata"):
         rollback_to(mp, 9999)
+
+
+# ------------------------------------------------ write-audit-publish
+
+
+def test_staged_commit_leaves_main_untouched(spark, tmp_path):
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_tools_spark.iceberg.commit import append_snapshot, resolve_ref
+    from iceberg_tools_spark.iceberg.deletes import MOR_DIR
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+
+    root = tmp_path / "t"
+    shutil.copytree(MOR_DIR, root)
+    rel = "data/category=w/id_trunc=400/H.parquet"
+    p = root / rel
+    p.parent.mkdir(parents=True, exist_ok=True)
+    pq.write_table(
+        pa.table({"id": pa.array([401], pa.int64()),
+                  "category": pa.array(["w"])}), p
+    )
+    res = append_snapshot(
+        str(root / "v2.metadata.json"),
+        [{"path": rel, "partition": {"category": "w", "id_trunc": 400}}],
+        stage_ref="wap-x",
+    )
+    raw = parse_metadata(res["metadata_path"]).raw
+    assert raw["current-snapshot-id"] == 2004  # main unmoved
+    assert resolve_ref(res["metadata_path"], "wap-x") == res["snapshot_id"]
+    assert raw["snapshot-log"][-1]["snapshot-id"] != res["snapshot_id"]  # no log entry yet
+
+
+def test_publish_requires_fast_forward(spark, tmp_path):
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from iceberg_tools_spark.iceberg.commit import (
+        append_snapshot,
+        publish_snapshot,
+        rollback_to,
+    )
+    from iceberg_tools_spark.iceberg.deletes import MOR_DIR
+
+    root = tmp_path / "t"
+    shutil.copytree(MOR_DIR, root)
+    rel = "data/category=w/id_trunc=400/H.parquet"
+    p = root / rel
+    p.parent.mkdir(parents=True, exist_ok=True)
+    pq.write_table(
+        pa.table({"id": pa.array([401], pa.int64()),
+                  "category": pa.array(["w"])}), p
+    )
+    res = append_snapshot(
+        str(root / "v2.metadata.json"),
+        [{"path": rel, "partition": {"category": "w", "id_trunc": 400}}],
+        stage_ref="wap-x",
+    )
+    # roll main back: the staged snapshot's parent is no longer
+    # current → publish must refuse the non-fast-forward
+    res2 = rollback_to(res["metadata_path"], 2002)
+    with pytest.raises(ValueError, match="fast-forward impossible"):
+        publish_snapshot(res2["metadata_path"], "wap-x")
+    with pytest.raises(ValueError, match="no staged ref"):
+        publish_snapshot(res2["metadata_path"], "nope")

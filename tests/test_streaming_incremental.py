@@ -136,3 +136,48 @@ def test_corpus_intake_stream_equals_batch(spark):
     # survivors are distinct hashes and min ids
     hashes = [r.content_hash for r in batch]
     assert len(hashes) == len(set(hashes))
+
+
+# ------------------------------ CDC changelog as a stream
+
+
+def test_changelog_stream_equals_batch(spark, tmp_path):
+    from iceberg_tools_spark.iceberg.changelog import changelog_between
+    from iceberg_tools_spark.iceberg.deletes import MOR_DIR, MOR_METADATA
+    from iceberg_tools_spark.streaming.cdc import changelog_stream
+    from iceberg_tools_spark.streaming.jobs import run_to_memory
+
+    staging = str(tmp_path / "cdc")
+    stream, n_commits = changelog_stream(spark, MOR_METADATA, 2001, 2004, staging)
+    assert n_commits == 3  # 2002, 2003, 2004: one micro-batch each
+    assert stream.isStreaming
+    import os
+
+    assert len([f for f in os.listdir(staging) if f.endswith(".parquet")]) == 3
+    got = run_to_memory(stream, "cdc_eq_test")
+    try:
+        streamed = sorted(
+            tuple(r)
+            for r in got.select("snapshot_id", "change_type", "id", "category").collect()
+        )
+        batch = sorted(
+            tuple(r)
+            for r in changelog_between(spark, MOR_METADATA, 2001, 2004, MOR_DIR)
+            .select("snapshot_id", "change_type", "id", "category")
+            .collect()
+        )
+        assert streamed == batch and len(streamed) == 207
+    finally:
+        spark.catalog.dropTempView("cdc_eq_test")
+
+
+def test_changelog_stream_empty_range_raises(spark, tmp_path):
+    import pytest
+
+    from iceberg_tools_spark.iceberg.deletes import MOR_METADATA
+    from iceberg_tools_spark.streaming.cdc import changelog_stream
+
+    with pytest.raises(ValueError, match="empty snapshot range"):
+        changelog_stream(spark, MOR_METADATA, 2004, 2004, str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="not an ancestor"):
+        changelog_stream(spark, MOR_METADATA, 9999, 2004, str(tmp_path / "y"))
