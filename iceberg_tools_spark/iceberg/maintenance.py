@@ -119,3 +119,124 @@ def compact_parquet(
         .parquet(out_path)
     )
     return n_files
+
+
+def referenced_paths(metadata_path: str, base_dir: str | None = None) -> set[str]:
+    """Every LOCAL path any retained snapshot references: data +
+    delete files of every manifest entry (ANY status — a DELETED
+    tombstone's file is still live in older snapshots), the
+    manifests, the manifest lists, and the metadata.json chain.
+    This is the protected set orphan deletion must never touch."""
+    import os
+
+    from .metadata import parse_metadata
+    from .snapshots import _local, manifest_files_at
+    from ..avro.reader import AvroContainerFile
+
+    base_dir = base_dir or os.path.dirname(metadata_path)
+    meta = parse_metadata(metadata_path)
+    loc = meta.raw.get("location")
+    out: set[str] = set()
+    for s in meta.snapshots:
+        sid = s["snapshot-id"]
+        out.add(_local(s["manifest-list"], base_dir, loc))
+        for mrow in manifest_files_at(meta, sid, base_dir):
+            out.add(mrow["local_path"])
+            with open(mrow["local_path"], "rb") as f:
+                for rec in AvroContainerFile(f.read()):
+                    out.add(_local(rec["data_file"]["file_path"], base_dir, loc))
+    for entry in meta.raw.get("metadata-log", []):
+        out.add(_local(entry["metadata-file"], base_dir, loc))
+    out.add(os.path.abspath(metadata_path))
+    return {os.path.abspath(p) for p in out}
+
+
+def delete_orphan_files(
+    spark,
+    metadata_path: str,
+    *,
+    base_dir: str | None = None,
+    dry_run: bool = False,
+) -> dict:
+    """Orphan-file REMOVAL (the executor behind the
+    `orphan_files_current` planner): list the table's data
+    directory, anti-join against :func:`referenced_paths` — the
+    union over ALL retained snapshots, so a file only an old
+    snapshot references survives until that snapshot expires — and
+    unlink what remains. Returns ``{"orphans": [...], "removed":
+    n}``; ``dry_run`` plans without deleting.
+
+    Scale shape: the listing and anti-join run as DataFrames (at
+    100 TB the FS listing is the big side and shuffles against a
+    broadcast-ish metadata set); the final unlink loop is
+    driver-side over the (small) orphan list, exactly like real
+    `remove_orphan_files` actions."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    base_dir = base_dir or os.path.dirname(metadata_path)
+    table_root = (
+        base_dir
+        if os.path.isdir(os.path.join(base_dir, "metadata"))
+        else os.path.dirname(base_dir)
+    )
+    data_root = os.path.join(table_root, "data")
+    listing = [
+        os.path.abspath(os.path.join(dp, fn))
+        for dp, _, fns in os.walk(data_root)
+        for fn in fns
+    ]
+    schema = T.StructType([T.StructField("file_path", T.StringType())])
+    listing_df = spark.createDataFrame([(p,) for p in listing], schema)
+    ref_df = spark.createDataFrame(
+        [(p,) for p in sorted(referenced_paths(metadata_path, base_dir))], schema
+    )
+    orphans = sorted(
+        r["file_path"]
+        for r in find_orphan_files(listing_df, ref_df).collect()
+    )
+    if not dry_run:
+        for p in orphans:
+            os.remove(p)
+    return {"orphans": orphans, "removed": 0 if dry_run else len(orphans)}
+
+
+def orphan_delete_roundtrip(spark, sf_dir):
+    """Driver gate for orphan REMOVAL: scratch-copy the MoR fixture,
+    plant two stray files under data/, execute, and report — the
+    strays go, every file any snapshot references stays, and the
+    table still reads its 323 live rows. Golden oracle.
+    (``sf_dir`` unused.)"""
+    import os
+
+    from .commit import _scratch_table
+    from .deletes import MOR_DIR, read_mor
+    from .metadata import parse_metadata
+
+    root = _scratch_table("orphan_gate_", MOR_DIR)
+    for rel in ("data/stray-upload.parquet", "data/category=x/.tmp-part.parquet"):
+        with open(os.path.join(root, rel), "wb") as f:
+            f.write(b"junk")
+    mp = os.path.join(root, "v2.metadata.json")
+    res = delete_orphan_files(spark, mp)
+    meta = parse_metadata(mp)
+    live = read_mor(spark, mp, meta.current_snapshot_id, base_dir=root).count()
+    survivors = sum(
+        1
+        for dp, _, fns in os.walk(os.path.join(root, "data"))
+        for _f in fns
+    )
+    return spark.createDataFrame(
+        [(res["removed"], survivors, live)],
+        "n_removed int, n_files_left int, live_rows long",
+    )
+
+
+ORPHAN_DELETE_SQL = """
+SELECT CAST(n_removed AS INTEGER) AS n_removed,
+       CAST(n_files_left AS INTEGER) AS n_files_left,
+       CAST(live_rows AS BIGINT) AS live_rows
+FROM (VALUES (2, 7, 323)) t(n_removed, n_files_left, live_rows)
+"""

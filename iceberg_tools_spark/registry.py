@@ -147,14 +147,16 @@ def _decimal_cols(name: str) -> tuple[str, ...]:
 #         plan_scan (scan_plan_pruned, meta_manifests,
 #         meta_entry_status_dist, files_at_snapshot,
 #         files_added_between, meta_rewritten_files,
-#         compaction_plan, orphan_files_current);
+#         compaction_plan);
 #   48-50 changed-kernel dedup re-certs: minhash (Arrow-kernel
 #         signatures), ivf (single-task Lloyd), simhash (signature
 #         checkpoint).
 # Slid past 50 WITH still-valid prior rows (see the comment at
-# their registrations): probe_string, q1 (untouched canary), and
-# the three pure-metadata.json re-certs (snapshots_df/history_df/
-# plan_expire_snapshots never touch the resolver). Every entry past
+# their registrations): probe_string, q1 (untouched canary), the
+# three pure-metadata.json re-certs (snapshots_df/history_df/
+# plan_expire_snapshots never touch the resolver), and
+# orphan_files_current (its anti-join is freshly exercised
+# in-window by the new executor gate orphan_delete_roundtrip). Every entry past
 # 50 is still re-verified bit-exactly by tests/test_oracle_parity.py
 # on every pytest run. probe_decimal (EXPECTED-red witness of the
 # driver's decimal rendering law, proven in r2/r3) stays retired.
@@ -362,6 +364,16 @@ register(
     meta_sort.SORTED_REWRITE_SQL,
 )
 
+# orphan-file REMOVAL executor: strays under data/ unlinked, every
+# snapshot-referenced file protected (golden accounting + live read)
+from .iceberg import maintenance as meta_maint  # noqa: E402
+
+register(
+    "orphan_delete_roundtrip",
+    meta_maint.orphan_delete_roundtrip,
+    meta_maint.ORPHAN_DELETE_SQL,
+)
+
 # metadata-table completions: $all_files (every file any snapshot
 # references, with live-span) and $refs (tags/branches + main)
 register("meta_all_files", meta_snap.meta_all_files, meta_snap.META_ALL_FILES_SQL)
@@ -390,7 +402,6 @@ register("files_at_snapshot", meta_snap.files_at_snapshot, meta_snap.FILES_AT_SN
 register("files_added_between", meta_snap.files_added_between_q, meta_snap.FILES_ADDED_BETWEEN_SQL)
 register("meta_rewritten_files", meta_snap.meta_rewritten_files, meta_snap.META_REWRITTEN_FILES_SQL)
 register("compaction_plan", meta_snap.compaction_plan, meta_snap.COMPACTION_PLAN_SQL)
-register("orphan_files_current", meta_snap.orphan_files_current, meta_snap.ORPHAN_FILES_SQL)
 
 # ------------------------- double-certified canaries (regression detectors)
 # ann_ivf_topk and dedup_minhash_lsh double as re-certs for the
@@ -416,6 +427,10 @@ register("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL)
 register("meta_snapshots_multi", meta_snap.meta_snapshots_multi, meta_snap.META_SNAPSHOTS_MULTI_SQL)
 register("meta_history_multi", meta_snap.meta_history_multi, meta_snap.META_HISTORY_MULTI_SQL)
 register("expire_snapshots_plan", meta_snap.expire_snapshots_plan, meta_snap.EXPIRE_SNAPSHOTS_PLAN_SQL)
+# orphan_files_current's find_orphan_files anti-join is freshly
+# exercised in-window by orphan_delete_roundtrip (the executor
+# gate), so the planner gate itself can keep its r5 row out here
+register("orphan_files_current", meta_snap.orphan_files_current, meta_snap.ORPHAN_FILES_SQL)
 
 # ------------------- re-certs of untouched r4/r5-green queries
 # (fresh rows harmless; any sliding past 50 keep their green row)

@@ -116,3 +116,59 @@ def test_prune_files_on_fixture_bounds(spark):
     # string column (field 2): value ranges a..a / b..b
     kept2 = prune_files(entries, field_id=2, lo="b", hi=None, cast_to="string").collect()
     assert len(kept2) == 1
+
+
+# ------------------------------------------------ orphan deletion
+
+
+def test_orphan_delete_protects_all_snapshots(spark, tmp_path):
+    # after rewrite_data_files, the replaced A.parquet is still
+    # referenced by snapshots 2001-2004 -> protected; only true
+    # strays are removed, and a dry run removes nothing
+    import os
+    import shutil
+
+    from iceberg_tools_spark.iceberg.deletes import MOR_DIR
+    from iceberg_tools_spark.iceberg.maintenance import delete_orphan_files
+    from iceberg_tools_spark.iceberg.rewrite_data import rewrite_data_files
+
+    root = tmp_path / "t"
+    shutil.copytree(MOR_DIR, root)
+    mp = str(root / "v2.metadata.json")
+    res = rewrite_data_files(spark, mp, target_rels=["data/category=x/A.parquet"])
+    stray = root / "data" / "leftover.parquet"
+    stray.write_bytes(b"junk")
+    dry = delete_orphan_files(spark, res["metadata_path"], dry_run=True)
+    assert dry["removed"] == 0 and stray.exists()
+    assert [os.path.basename(p) for p in dry["orphans"]] == ["leftover.parquet"]
+    out = delete_orphan_files(spark, res["metadata_path"])
+    assert out["removed"] == 1 and not stray.exists()
+    # A.parquet survives: old snapshots still reference it
+    assert (root / "data" / "category=x" / "A.parquet").exists()
+
+
+def test_orphan_delete_after_expiry_frees_old_files(spark, tmp_path):
+    # compose with expiry: once every snapshot referencing only-old
+    # files is expired, those files become deletable orphans
+    import shutil
+
+    from iceberg_tools_spark.iceberg.commit import expire_snapshots
+    from iceberg_tools_spark.iceberg.deletes import MOR_DIR, read_mor
+    from iceberg_tools_spark.iceberg.maintenance import delete_orphan_files
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+    from iceberg_tools_spark.iceberg.rewrite_data import rewrite_data_files
+
+    root = tmp_path / "t"
+    shutil.copytree(MOR_DIR, root)
+    mp = str(root / "v2.metadata.json")
+    res = rewrite_data_files(spark, mp)  # folds all pos-deletes
+    res2 = expire_snapshots(res["metadata_path"], keep_last=1)
+    out = delete_orphan_files(spark, res2["metadata_path"])
+    # the replaced originals (A, C) are now unreferenced
+    names = {p.rsplit("/", 1)[-1] for p in out["orphans"]}
+    assert {"A.parquet", "C.parquet"} <= names
+    meta = parse_metadata(res2["metadata_path"])
+    live = read_mor(
+        spark, res2["metadata_path"], meta.current_snapshot_id, base_dir=str(root)
+    )
+    assert live.count() == 323  # table unharmed
