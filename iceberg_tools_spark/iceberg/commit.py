@@ -147,6 +147,40 @@ MANIFEST_LIST_SCHEMA = {
 }
 
 
+def partition_summaries(
+    entries: list[dict[str, Any]], part_fields: list[tuple[str, str]]
+) -> list[dict[str, Any]] | None:
+    """Manifest-list ``partitions`` field summaries over a
+    manifest's entries: per spec field, contains_null + single-value
+    encoded lower/upper bounds — the level-1 pruning input
+    `plan_scan` consults before ever opening the manifest. Shared by
+    the commit path and every manifest REBUILD (rewrites must not
+    degrade manifest-level pruning to conservative)."""
+    if not part_fields:
+        return None
+    avro_of = dict(part_fields)
+    out = []
+    for fn, _ in part_fields:
+        vals = [
+            e["data_file"]["partition"][fn]
+            for e in entries
+            if e["data_file"]["partition"].get(fn) is not None
+        ]
+        # bounds over NON-NULL values only; an all-null field keeps
+        # null bounds (the summary schema allows it, and min/max
+        # over a null mix would otherwise TypeError)
+        out.append(
+            {
+                "contains_null": any(
+                    e["data_file"]["partition"].get(fn) is None for e in entries
+                ),
+                "lower_bound": to_bytes(avro_of[fn], min(vals)) if vals else None,
+                "upper_bound": to_bytes(avro_of[fn], max(vals)) if vals else None,
+            }
+        )
+    return out
+
+
 def _spec_partition_fields(meta: TableMetadata, spec_id: int) -> list[tuple[str, str]]:
     """(partition field name, avro type) for a spec, derived from
     the transform's result type over the source column."""
@@ -431,26 +465,7 @@ def _commit_files(
             f.write(man_blob)
         man_paths.append(os.path.join(meta_dir, man_name))
 
-        avro_of = dict(part_fields)
-        summaries = []
-        for fn, _ in part_fields:
-            vals = [
-                e["data_file"]["partition"][fn]
-                for e in entries
-                if e["data_file"]["partition"][fn] is not None
-            ]
-            # bounds over NON-NULL values only; an all-null field
-            # keeps null bounds (the summary schema allows it, and
-            # min/max over a null mix would otherwise TypeError)
-            summaries.append(
-                {
-                    "contains_null": any(
-                        e["data_file"]["partition"][fn] is None for e in entries
-                    ),
-                    "lower_bound": to_bytes(avro_of[fn], min(vals)) if vals else None,
-                    "upper_bound": to_bytes(avro_of[fn], max(vals)) if vals else None,
-                }
-            )
+        summaries = partition_summaries(entries, part_fields)
         rows.append(
             {
                 "manifest_path": f"{loc}/metadata/{man_name}",

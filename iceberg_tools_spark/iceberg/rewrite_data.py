@@ -43,6 +43,7 @@ from .commit import (
     _next_metadata_path,
     _spec_partition_fields,
     manifest_entry_schema,
+    partition_summaries,
 )
 from .deletes import (
     EQUALITY_DELETES,
@@ -278,7 +279,7 @@ def rewrite_data_files(
                 "added_rows_count": 0,
                 "existing_rows_count": sum(e["data_file"]["record_count"] for e in kept),
                 "deleted_rows_count": 0,
-                "partitions": None,  # conservative: no pruning summaries
+                "partitions": partition_summaries(kept, spec_fields),
             }
         )
 
@@ -309,7 +310,9 @@ def rewrite_data_files(
                 "added_rows_count": sum(g["entry"]["data_file"]["record_count"] for g in group),
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
-                "partitions": None,
+                "partitions": partition_summaries(
+                    [g["entry"] for g in group], group[0]["spec_fields"]
+                ),
             }
         )
 

@@ -45,6 +45,7 @@ from .commit import (
     _next_metadata_path,
     _spec_partition_fields,
     manifest_entry_schema,
+    partition_summaries,
 )
 from .deletes import EQUALITY_DELETES, POSITION_DELETES, mor_entries_at
 from .metadata import parse_metadata
@@ -215,7 +216,7 @@ def rewrite_position_deletes(
                     e["data_file"]["record_count"] for e in kept
                 ),
                 "deleted_rows_count": 0,
-                "partitions": None,
+                "partitions": partition_summaries(kept, spec_fields),
             }
         )
 
@@ -250,7 +251,9 @@ def rewrite_position_deletes(
                 ),
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
-                "partitions": None,
+                "partitions": partition_summaries(
+                    [g["entry"] for g in group], spec_fields
+                ),
             }
         )
 

@@ -110,3 +110,37 @@ def test_plan_execute_replan_coherence(spark, table):
     meta = parse_metadata(res["metadata_path"])
     tasks = plan_scan_tasks(meta, res["snapshot_id"], table)
     assert not any(t[3] == "POSITION_DELETES" for t in tasks)
+
+
+def test_rebuilt_manifests_keep_partition_summaries(spark, tmp_path):
+    # rewrites must not degrade manifest-level pruning: after a
+    # rewrite, a predicate on a partition value no manifest covers
+    # prunes every manifest at LEVEL 1 (their Avro never opens)
+    import os
+    import shutil
+
+    from iceberg_tools_spark.iceberg.deletes import MOR_DIR
+    from iceberg_tools_spark.iceberg.rewrite_data import rewrite_data_files
+    from iceberg_tools_spark.iceberg.snapshots import plan_scan
+
+    root = tmp_path / "t"
+    shutil.copytree(MOR_DIR, root)
+    res = rewrite_data_files(spark, str(root / "v2.metadata.json"))
+    out = plan_scan(
+        spark,
+        res["metadata_path"],
+        res["snapshot_id"],
+        partition_pred={"category": "zz"},
+        debug=True,
+    ).collect()
+    assert out and all(r["manifest_pruned"] for r in out)
+    # and a real value still resolves through the summaries
+    sel = plan_scan(
+        spark,
+        res["metadata_path"],
+        res["snapshot_id"],
+        partition_pred={"category": "w"},
+    ).collect()
+    assert {r["file_path"].rsplit("/", 1)[-1] for r in sel if r["selected"]} == {
+        "F.parquet"
+    }
