@@ -201,3 +201,76 @@ FROM comp
 GROUP BY component
 ORDER BY survivor_doc_id
 """
+
+
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship policy over the near-dup clusters: within each
+    cluster KEEP the longest member (``n_chars`` desc — the
+    standard keep-the-richest-copy heuristic), tie-broken by min
+    doc id, and DROP the rest. Output: one row per cluster with its
+    stable key (min member id), the kept doc, its length, and the
+    drop count — the decision table a cleaning pipeline applies
+    back to the corpus.
+
+    Scale: clusters are LSH-bounded (bucket caps upstream), the
+    doc-length join hits only clustered docs (semi-join sized), and
+    the per-cluster pick is one window over cluster keys — no
+    corpus-wide shuffle beyond the join.
+    """
+    from ..sources.readers import load_table
+
+    pairs = minhash_pairs(spark, sf_dir).select("da", "db")
+    comp = connected_components(pairs)
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "n_chars"])
+    members = comp.join(docs, comp["vertex"] == docs["doc_id"], "inner")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = members.select(
+        "component", "doc_id", "n_chars", F.row_number().over(w).alias("rk")
+    )
+    return (
+        ranked.groupBy("component")
+        .agg(
+            F.min("doc_id").alias("cluster_key"),
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("kept_doc_id"),
+            F.max(F.when(F.col("rk") == 1, F.col("n_chars"))).alias("kept_chars"),
+            (F.count(F.lit(1)) - F.lit(1)).alias("n_dropped"),
+        )
+        .select("cluster_key", "kept_doc_id", "kept_chars", "n_dropped")
+        .orderBy("cluster_key")
+    )
+
+
+DEDUP_SURVIVORS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT da, db FROM (
+{DEDUP_MINHASH_SQL}
+  ) mh),
+und AS (
+  SELECT da AS a, db AS b FROM pairs
+  UNION
+  SELECT db AS a, da AS b FROM pairs),
+cc(v, label) AS (
+  SELECT DISTINCT a AS v, a AS label FROM und
+  UNION
+  SELECT u.b AS v, cc.label
+  FROM cc JOIN und u ON u.a = cc.v
+  WHERE cc.label < u.b),
+comp AS (SELECT v, MIN(label) AS component FROM cc GROUP BY v),
+ranked AS (
+  SELECT comp.component, d.doc_id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY comp.component
+                            ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
+  FROM comp JOIN documents d ON d.doc_id = comp.v)
+SELECT MIN(doc_id) AS cluster_key,
+       MAX(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc_id,
+       MAX(CASE WHEN rk = 1 THEN n_chars END) AS kept_chars,
+       COUNT(*) - 1 AS n_dropped
+FROM ranked
+GROUP BY component
+ORDER BY cluster_key
+"""

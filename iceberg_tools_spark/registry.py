@@ -431,6 +431,10 @@ register("expire_snapshots_plan", meta_snap.expire_snapshots_plan, meta_snap.EXP
 # exercised in-window by orphan_delete_roundtrip (the executor
 # gate), so the planner gate itself can keep its r5 row out here
 register("orphan_files_current", meta_snap.orphan_files_current, meta_snap.ORPHAN_FILES_SQL)
+# dedup survivorship (keep-the-longest per near-dup cluster) joined
+# late in round 6: first driver row next round; until then the
+# oracle-parity replica verifies it bit-exactly each pytest run
+register("dedup_survivors", components.dedup_survivors, components.DEDUP_SURVIVORS_SQL)
 
 # ------------------- re-certs of untouched r4/r5-green queries
 # (fresh rows harmless; any sliding past 50 keep their green row)

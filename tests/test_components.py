@@ -70,3 +70,24 @@ def test_merge_guard_raises(spark):
     )
     with pytest.raises(PythonException, match="star edges"):
         connected_components(df, max_merge_rows=3).collect()
+
+
+def test_dedup_survivors_policy(spark):
+    from iceberg_tools_spark.operators.components import dedup_clusters, dedup_survivors
+
+    sfd = "/root/testdata/sf0.01"
+    surv = {r["cluster_key"]: r for r in dedup_survivors(spark, sfd).collect()}
+    clusters = {r["survivor_doc_id"]: r for r in dedup_clusters(spark, sfd).collect()}
+    assert set(surv) == set(clusters)  # same clustering, same keys
+    docs = dict(
+        spark.read.parquet(f"{sfd}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+    for key, row in surv.items():
+        members = [int(m) for m in clusters[key]["members_csv"].split(",")]
+        assert row["n_dropped"] == len(members) - 1
+        # kept doc is the longest member (ties by min id)
+        best = min(members, key=lambda m: (-docs[m], m))
+        assert row["kept_doc_id"] == best
+        assert row["kept_chars"] == docs[best]
