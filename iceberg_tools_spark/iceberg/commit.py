@@ -645,6 +645,7 @@ def write_position_deletes(
         raise ValueError(f"no *.metadata.json with a location under {table_root}")
     path = os.path.join(table_root, rel_out)
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    deletes = sorted(deletes)  # spec: position deletes sort by (file_path, pos)
     pq.write_table(
         pa.table({
             "file_path": pa.array([f"{loc}/{rel}" for rel, _ in deletes], pa.string()),
