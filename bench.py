@@ -125,6 +125,7 @@ HEADLINE = [
     "merge_transform_partitions",
     "rewrite_pos_deletes_roundtrip",
     "mixture_plan",
+    "ann_pq_topk",
 ]
 
 

@@ -435,6 +435,11 @@ register("orphan_files_current", meta_snap.orphan_files_current, meta_snap.ORPHA
 # late in round 6: first driver row next round; until then the
 # oracle-parity replica verifies it bit-exactly each pytest run
 register("dedup_survivors", components.dedup_survivors, components.DEDUP_SURVIVORS_SQL)
+# product-quantization ANN (rows-only: k-means isn't SQL-expressible;
+# recall@5 >= 0.9 vs the exact baseline + determinism pinned by pytest)
+from .operators import pq as pq_ops  # noqa: E402
+
+register("ann_pq_topk", pq_ops.ann_pq_topk, None)
 
 # ------------------- re-certs of untouched r4/r5-green queries
 # (fresh rows harmless; any sliding past 50 keep their green row)

@@ -107,3 +107,66 @@ def test_kernel_lloyd_bitmatches_distributed(spark):
     assert kernel_cents.keys() == dist_cents.keys()
     for cell in kernel_cents:
         assert kernel_cents[cell] == dist_cents[cell], f"cell {cell} diverged"
+
+
+# ------------------------------------------------ product quantization
+
+
+def test_pq_recall_vs_exact(spark):
+    from iceberg_tools_spark.operators.pq import ann_pq_topk
+    from iceberg_tools_spark.operators.similarity import ann_topk_bruteforce
+
+    sfd = "/root/testdata/sf0.01"
+    got = {}
+    for r in ann_pq_topk(spark, sfd).collect():
+        got.setdefault(r["qid"], set()).add(r["neighbor_id"])
+    exact = {}
+    for r in ann_topk_bruteforce(spark, sfd).collect():
+        exact.setdefault(r["qid"], set()).add(r["neighbor_id"])
+    assert set(got) == set(exact)
+    recalls = [len(got[q] & exact[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    from iceberg_tools_spark.operators.pq import (
+        PQ_DIM,
+        PQ_KSUB,
+        PQ_M,
+        encode,
+        train_codebooks,
+    )
+    from iceberg_tools_spark.functions.vectors import sum_squares
+    from iceberg_tools_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    sfd = "/root/testdata/sf0.001"
+    e = load_table(spark, sfd, "embeddings", ["vec_id", "embedding"])
+    base = e.select("vec_id", "embedding", sum_squares("embedding").alias("ss"))
+    b1 = sorted(tuple(r) for r in train_codebooks(base).collect())
+    b2 = sorted(tuple(r) for r in train_codebooks(base).collect())
+    assert b1 == b2  # bit-deterministic training, no RNG
+    assert len(b1) == PQ_M * PQ_KSUB
+    books = train_codebooks(base)
+    codes = encode(base, books, PQ_DIM).collect()
+    assert all(len(r["codes"]) == PQ_M for r in codes)
+    assert all(0 <= c < PQ_KSUB for r in codes for c in r["codes"])
+
+
+def test_pq_adc_scan_is_jvm_only(spark):
+    # Python appears ONLY in the single-task training kernel; the
+    # corpus-wide ADC scan plan of the candidate stage is pure JVM
+    from iceberg_tools_spark.operators.pq import ann_pq_topk
+
+    plan = (
+        ann_pq_topk(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # no row-at-a-time Python anywhere; Arrow-batched Python only in
+    # the bounded candidate re-rank (dot_fast over PQ_CAND·queries
+    # rows) — the corpus-wide ADC scoring itself is JVM expressions
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") <= 1
+    assert plan.count("MapInPandas") <= 2  # single-task training only
