@@ -500,3 +500,73 @@ SELECT CAST(stage AS BIGINT) AS stage, stage_name,
 FROM stages
 ORDER BY stage
 """
+
+
+def quality_score_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality scorer — the continuous companion to the
+    rule-gate `text_quality`: a fixed, documented weight vector over
+    four interpretable features (stopword ratio, alphabetic ratio,
+    average token length, saturating length), the shape a
+    fasttext-style quality model takes once distilled to a linear
+    head. All ratios are SINGLE double divisions over exact integer
+    counts and the logit is one fixed-order expression tree, so the
+    doubles are bit-identical across engines (per-doc rows: no
+    order-dependent double reductions anywhere).
+
+    Weights are engine-pinned constants, not a trained artifact —
+    swap them for real trained weights without touching the plan.
+    """
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    toks_sql = "split(trim(text), '\\\\s+')"
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("double")
+    n_chars = F.length("text").cast("double")
+    tok_len_sum = F.expr(
+        "aggregate(transform(split(trim(text), '\\\\s+'), t -> length(t)),"
+        " 0, (acc, x) -> acc + x)"
+    ).cast("double")
+    non_alpha = (F.length("text") - count_matches("text", "[a-zA-Z]")).cast("double")
+    stop_hits = stopword_hits(toks_sql, STOPWORDS_EN).cast("double")
+
+    stop_ratio = stop_hits / n_tokens
+    alpha_ratio = F.lit(1.0) - non_alpha / n_chars
+    avg_tok_len = tok_len_sum / n_tokens
+    len_norm = F.least(n_chars, F.lit(2000.0)) / F.lit(2000.0)
+    logit = (
+        F.lit(-1.5)
+        + F.lit(3.0) * stop_ratio
+        + F.lit(2.0) * alpha_ratio
+        + F.lit(0.1) * avg_tok_len
+        + F.lit(1.0) * len_norm
+    )
+    return d.select(
+        "doc_id",
+        logit.alias("quality_logit"),
+        F.when(logit > F.lit(0.94), 1).otherwise(0).cast("bigint").alias("keep"),
+    ).orderBy("doc_id")
+
+
+_QL_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_QL_STOPS = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+
+QUALITY_LINEAR_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+    CAST(len({_QL_TOKS}) AS DOUBLE) AS n_tokens,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(list_sum(list_transform({_QL_TOKS}, x -> length(x))) AS DOUBLE) AS tok_len_sum,
+    CAST(length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE) AS non_alpha,
+    CAST(len(list_filter({_QL_TOKS}, t -> t IN ({_QL_STOPS}))) AS DOUBLE) AS stop_hits
+  FROM documents)
+SELECT doc_id,
+  -1.5 + 3.0 * (stop_hits / n_tokens)
+       + 2.0 * (1.0 - non_alpha / n_chars)
+       + 0.1 * (tok_len_sum / n_tokens)
+       + 1.0 * (least(n_chars, 2000.0) / 2000.0) AS quality_logit,
+  CAST(CASE WHEN -1.5 + 3.0 * (stop_hits / n_tokens)
+                 + 2.0 * (1.0 - non_alpha / n_chars)
+                 + 0.1 * (tok_len_sum / n_tokens)
+                 + 1.0 * (least(n_chars, 2000.0) / 2000.0) > 0.94
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM f
+ORDER BY doc_id
+"""

@@ -440,6 +440,11 @@ register("dedup_survivors", components.dedup_survivors, components.DEDUP_SURVIVO
 from .operators import pq as pq_ops  # noqa: E402
 
 register("ann_pq_topk", pq_ops.ann_pq_topk, None)
+# linear quality scorer (continuous companion to the rule gate):
+# fixed-order double expression tree, bit-identical cross-engine
+register(
+    "quality_score_linear", text_ops.quality_score_linear, text_ops.QUALITY_LINEAR_SQL
+)
 
 # ------------------- re-certs of untouched r4/r5-green queries
 # (fresh rows harmless; any sliding past 50 keep their green row)

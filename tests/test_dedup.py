@@ -191,3 +191,15 @@ def test_decontaminate_minhash_catches_paraphrase(spark, tmp_path):
     exact = {(r.train_doc_id, r.eval_doc_id)
              for r in dedup.decontaminate_ngram(spark, str(tmp_path)).collect()}
     assert (5, 97) not in exact      # scrambled order kills every 3-gram
+
+
+def test_quality_score_linear_discriminates(spark):
+    from iceberg_tools_spark.operators.text import quality_score_linear
+
+    rows = quality_score_linear(spark, "/root/testdata/sf0.01").collect()
+    keep = sum(r["keep"] for r in rows)
+    # the threshold sits in the data mass: a real split, not a
+    # constant gate
+    assert 0.2 < keep / len(rows) < 0.8
+    again = quality_score_linear(spark, "/root/testdata/sf0.01").collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
