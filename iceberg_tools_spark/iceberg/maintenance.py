@@ -193,6 +193,10 @@ def delete_orphan_files(
     ref_df = spark.createDataFrame(
         [(p,) for p in sorted(referenced_paths(metadata_path, base_dir))], schema
     )
+    # the anti-join reduces to the ORPHAN list — the one set that is
+    # small by definition (it's about to be unlinked one syscall at a
+    # time); this is the same driver hand-off a real
+    # remove_orphan_files action makes
     orphans = sorted(
         r["file_path"]
         for r in find_orphan_files(listing_df, ref_df).collect()

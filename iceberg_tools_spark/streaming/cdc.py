@@ -107,7 +107,9 @@ def changelog_stream_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = got.orderBy("snapshot_id", "change_type", "id").select(
             "snapshot_id", "change_type", "id", "category"
         )
-        rows = out.collect()
+        rows = out.collect()  # materialize BEFORE the memory sink's
+        # temp view drops (same containment as the incremental
+        # stream gate; the changelog is bounded by design)
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
