@@ -206,6 +206,26 @@ def _spec_partition_fields(meta: TableMetadata, spec_id: int) -> list[tuple[str,
     return out
 
 
+def _summary_totals(rows: list[dict]) -> dict[str, str]:
+    """Iceberg snapshot-summary totals derived from the manifest
+    list being committed: live (ADDED+EXISTING) rows and file
+    counts per content kind. Real commits carry these so readers
+    can answer "how big is this table" without opening manifests."""
+    data = [r for r in rows if r.get("content", 0) == 0]
+    dels = [r for r in rows if r.get("content", 0) == 1]
+    return {
+        "total-records": str(
+            sum(r["added_rows_count"] + r["existing_rows_count"] for r in data)
+        ),
+        "total-data-files": str(
+            sum(r["added_files_count"] + r["existing_files_count"] for r in data)
+        ),
+        "total-delete-files": str(
+            sum(r["added_files_count"] + r["existing_files_count"] for r in dels)
+        ),
+    }
+
+
 def _canonical_metadata_uri(metadata_path: str, table_root: str, loc: str | None) -> str:
     """Canonical URI of a metadata file for the metadata-log: the
     table location + the file's ACTUAL root-relative path (the
@@ -511,6 +531,7 @@ def _commit_files(
                 **({"added-data-files": str(n_data_files)} if n_data_files else {}),
                 **({"added-delete-files": str(n_delete_files)} if n_delete_files else {}),
                 "added-records": str(added_rows),
+                **_summary_totals(rows),
             },
             "manifest-list": f"{loc}/metadata/{list_name}",
             "schema-id": raw.get("current-schema-id", 0),

@@ -45,6 +45,7 @@ from .commit import (
     manifest_entry_schema,
     partition_summaries,
 )
+from .commit import _summary_totals  # noqa: E402
 from .deletes import (
     EQUALITY_DELETES,
     POSITION_DELETES,
@@ -334,6 +335,7 @@ def rewrite_data_files(
                 "operation": "replace",
                 "rewritten-data-files": str(len(targets)),
                 "added-data-files": str(len(new_entries)),
+                **_summary_totals(list_rows),
             },
             "manifest-list": f"{loc}/metadata/{list_name}",
             "schema-id": raw.get("current-schema-id", 0),

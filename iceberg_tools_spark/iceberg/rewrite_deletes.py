@@ -47,6 +47,7 @@ from .commit import (
     manifest_entry_schema,
     partition_summaries,
 )
+from .commit import _summary_totals  # noqa: E402
 from .deletes import EQUALITY_DELETES, POSITION_DELETES, mor_entries_at
 from .metadata import parse_metadata
 from .rewrite_data import _write_single_parquet
@@ -275,6 +276,7 @@ def rewrite_position_deletes(
                 "removed-delete-files": str(len(pos_dels)),
                 "added-delete-files": str(len(new_delete_entries)),
                 "removed-position-delete-rows": str(rows_before - rows_after),
+                **_summary_totals(list_rows),
             },
             "manifest-list": f"{loc}/metadata/{list_name}",
             "schema-id": raw.get("current-schema-id", 0),

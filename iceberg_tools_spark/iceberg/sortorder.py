@@ -288,6 +288,17 @@ def rewrite_sorted(
     ]
     with open(mlist_path, "wb") as f:
         f.write(write_container(MANIFEST_LIST_SCHEMA, keep))
+    # the commit wrote summary totals over the UNTRIMMED list;
+    # recompute them from what actually remains
+    from .commit import _summary_totals
+
+    raw2 = parse_metadata(res["metadata_path"]).raw
+    snap2 = next(
+        s for s in raw2["snapshots"] if s["snapshot-id"] == res["snapshot_id"]
+    )
+    snap2["summary"].update(_summary_totals(keep))
+    with open(res["metadata_path"], "w") as f:
+        json.dump(raw2, f, indent=2)
     return {**res, "n_files": len(new_files), "sort_order_id": oid}
 
 

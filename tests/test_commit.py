@@ -540,3 +540,41 @@ def test_publish_requires_fast_forward(spark, tmp_path):
         publish_snapshot(res2["metadata_path"], "wap-x")
     with pytest.raises(ValueError, match="no staged ref"):
         publish_snapshot(res2["metadata_path"], "nope")
+
+
+def test_snapshot_summary_totals(spark, tmp_path):
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_tools_spark.iceberg.commit import append_snapshot
+    from iceberg_tools_spark.iceberg.deletes import MOR_DIR
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+    from iceberg_tools_spark.iceberg.sortorder import commit_sort_order, rewrite_sorted
+
+    root = tmp_path / "t"
+    shutil.copytree(MOR_DIR, root)
+    rel = "data/category=w/id_trunc=400/G.parquet"
+    p = root / rel
+    p.parent.mkdir(parents=True, exist_ok=True)
+    pq.write_table(
+        pa.table({"id": pa.array(range(400, 407), pa.int64()),
+                  "category": pa.array(["w"] * 7)}), p
+    )
+    res = append_snapshot(
+        str(root / "v2.metadata.json"),
+        [{"path": rel, "partition": {"category": "w", "id_trunc": 400}}],
+    )
+    snap = parse_metadata(res["metadata_path"]).snapshots[-1]
+    # A100+B50+C100+D50+F40+G7 manifest-entry rows; 6 data files;
+    # pd1+ed1 delete files
+    assert snap["summary"]["total-records"] == "347"
+    assert snap["summary"]["total-data-files"] == "6"
+    assert snap["summary"]["total-delete-files"] == "2"
+    # after a full sorted rewrite the totals equal the LIVE fold
+    res2 = commit_sort_order(res["metadata_path"], [("id", "asc")])
+    res3 = rewrite_sorted(spark, res2["metadata_path"], target_files=2)
+    snap3 = parse_metadata(res3["metadata_path"]).snapshots[-1]
+    assert snap3["summary"]["total-records"] == "330"  # 347 − 17 dead
+    assert snap3["summary"]["total-delete-files"] == "0"
