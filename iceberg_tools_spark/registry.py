@@ -281,6 +281,14 @@ register(
     stream_cdc.changelog_stream_rows,
     stream_cdc.CHANGELOG_STREAM_SQL,
 )
+# CDC REPLICATION: the changelog stream replayed into a fresh table
+# through the engine's OWN DML (delete_where + append per commit);
+# golden: replica == source row-for-row after 3 replayed commits
+register(
+    "cdc_replicate_roundtrip",
+    stream_cdc.cdc_replicate_roundtrip,
+    stream_cdc.CDC_REPLICATE_SQL,
+)
 
 # row-level CDC changelog (create_changelog_view parity): per-commit
 # net INSERT/DELETE rows derived from metadata increments; the

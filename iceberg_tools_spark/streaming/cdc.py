@@ -123,3 +123,151 @@ def _sql() -> str:
 
 
 CHANGELOG_STREAM_SQL = _sql()
+
+
+def replicate_changelog(
+    spark: SparkSession,
+    src_metadata: str,
+    from_id: int,
+    to_id: int,
+    staging_dir: str,
+    target_root: str,
+    *,
+    base_dir: str | None = None,
+) -> dict:
+    """CDC REPLICATION — the full-circle composition: replay table
+    A's changelog stream into a fresh table B through the engine's
+    OWN write path, one commit per micro-batch:
+
+    * B seeds from A's state at ``from_id`` (one materialized
+      snapshot);
+    * each micro-batch (= exactly one source commit, see
+      :func:`changelog_stream`) applies its DELETE rows via
+      ``delete_where`` (position-delete commit) and its INSERT rows
+      via a staged parquet + ``append_snapshot``;
+    * afterwards ``read_mor(B)`` must equal ``read_mor(A, to_id)``
+      row-for-row — B's history is a faithful per-commit replica.
+
+    The per-batch delete keys are collected driver-side: a single
+    commit's delta is bounded by design (it IS the unit a CDC
+    consumer batches by), the same hand-off a foreachBatch MERGE
+    makes in production. Returns ``{"metadata_path", "n_batches",
+    "target_root"}``."""
+    import json as _json
+    import os
+
+    from ..iceberg.commit import append_snapshot
+    from ..iceberg.deletes import read_mor
+    from ..iceberg.dml import delete_where
+    from ..iceberg.rewrite_data import _write_single_parquet
+
+    base_dir = base_dir or os.path.dirname(src_metadata)
+
+    # ---- seed B with A@from_id
+    os.makedirs(os.path.join(target_root, "metadata"))
+    os.makedirs(os.path.join(target_root, "data"))
+    meta0 = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-00000000c001",
+        "location": "file:///tmp/cdc_replica_table",
+        "last-sequence-number": 0,
+        "last-updated-ms": 1700000000000,
+        "last-column-id": 2,
+        "current-schema-id": 0,
+        "schemas": [{
+            "schema-id": 0, "type": "struct",
+            "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"},
+                {"id": 2, "name": "category", "required": False, "type": "string"},
+            ],
+        }],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {}, "snapshots": [], "snapshot-log": [],
+        "metadata-log": [],
+    }
+    mp = os.path.join(target_root, "v1.metadata.json")
+    with open(mp, "w") as f:
+        _json.dump(meta0, f, indent=2)
+    seed = read_mor(spark, src_metadata, from_id, base_dir).select("id", "category")
+    _write_single_parquet(seed.orderBy("id"), os.path.join(target_root, "data", "seed.parquet"))
+    state = append_snapshot(mp, [{"path": "data/seed.parquet", "partition": {}}])
+
+    stream, n_batches = changelog_stream(
+        spark, src_metadata, from_id, to_id, staging_dir, base_dir
+    )
+    holder = {"mp": state["metadata_path"], "batch": 0}
+
+    def _apply(batch_df, batch_id):
+        deletes = batch_df.filter("change_type = 'DELETE'")
+        inserts = batch_df.filter("change_type = 'INSERT'").select("id", "category")
+        ids = [r["id"] for r in deletes.select("id").collect()]
+        if ids:
+            res = delete_where(
+                spark, holder["mp"], f"id IN ({', '.join(map(str, ids))})"
+            )
+            holder["mp"] = res["metadata_path"]
+        n_ins = inserts.count()
+        if n_ins:
+            rel = f"data/cdc-b{holder['batch']}.parquet"
+            _write_single_parquet(
+                inserts.orderBy("id"),
+                os.path.join(target_root, rel),
+            )
+            res = append_snapshot(holder["mp"], [{"path": rel, "partition": {}}])
+            holder["mp"] = res["metadata_path"]
+        holder["batch"] += 1
+
+    q = stream.writeStream.foreachBatch(_apply).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return {
+        "metadata_path": holder["mp"],
+        "n_batches": holder["batch"],
+        "target_root": target_root,
+    }
+
+
+def cdc_replicate_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for CDC replication: replay the MoR fixture's
+    full history (2001 → 2004) into a fresh replica through the
+    stream + the engine's own DML, then compare the replica's MoR
+    read against the source's — golden: 3 replayed commits, 323
+    live rows, zero missing, zero extra. (``sf_dir`` unused.)"""
+    import os
+    import tempfile
+
+    from ..iceberg.commit import _SCRATCH_ROOTS
+    from ..iceberg.deletes import MOR_METADATA, read_mor
+    from ..iceberg.metadata import parse_metadata
+
+    scratch = tempfile.mkdtemp(prefix="cdc_replica_")
+    _SCRATCH_ROOTS.append(scratch)
+    res = replicate_changelog(
+        spark,
+        MOR_METADATA,
+        2001,
+        2004,
+        os.path.join(scratch, "staging"),
+        os.path.join(scratch, "t"),
+    )
+    meta = parse_metadata(res["metadata_path"])
+    replica = read_mor(
+        spark, res["metadata_path"], meta.current_snapshot_id, res["target_root"]
+    ).select("id", "category")
+    source = read_mor(spark, MOR_METADATA, 2004).select("id", "category")
+    missing = source.exceptAll(replica).count()
+    extra = replica.exceptAll(source).count()
+    return spark.createDataFrame(
+        [(res["n_batches"], replica.count(), missing, extra)],
+        "n_batches int, replica_rows long, missing long, extra long",
+    )
+
+
+CDC_REPLICATE_SQL = """
+SELECT CAST(n_batches AS INTEGER) AS n_batches,
+       CAST(replica_rows AS BIGINT) AS replica_rows,
+       CAST(missing AS BIGINT) AS missing, CAST(extra AS BIGINT) AS extra
+FROM (VALUES (3, 323, 0, 0)) t(n_batches, replica_rows, missing, extra)
+"""

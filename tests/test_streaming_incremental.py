@@ -181,3 +181,38 @@ def test_changelog_stream_empty_range_raises(spark, tmp_path):
         changelog_stream(spark, MOR_METADATA, 2004, 2004, str(tmp_path / "x"))
     with pytest.raises(ValueError, match="not an ancestor"):
         changelog_stream(spark, MOR_METADATA, 9999, 2004, str(tmp_path / "y"))
+
+
+def test_cdc_replication_replica_matches_source(spark, tmp_path):
+    from iceberg_tools_spark.iceberg.deletes import MOR_METADATA, read_mor
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+    from iceberg_tools_spark.streaming.cdc import replicate_changelog
+
+    res = replicate_changelog(
+        spark,
+        MOR_METADATA,
+        2001,
+        2004,
+        str(tmp_path / "staging"),
+        str(tmp_path / "replica"),
+    )
+    assert res["n_batches"] == 3
+    meta = parse_metadata(res["metadata_path"])
+    replica = sorted(
+        tuple(r)
+        for r in read_mor(
+            spark, res["metadata_path"], meta.current_snapshot_id, res["target_root"]
+        )
+        .select("id", "category")
+        .collect()
+    )
+    source = sorted(
+        tuple(r)
+        for r in read_mor(spark, MOR_METADATA, 2004).select("id", "category").collect()
+    )
+    assert replica == source and len(replica) == 323
+    # the replica carries a real commit HISTORY, not one blob:
+    # seed + (2002 insert) + (2003 delete) + (2004 insert)
+    assert len(meta.snapshots) == 4
+    ops = [s["summary"]["operation"] for s in meta.snapshots]
+    assert ops == ["append", "append", "delete", "append"]
