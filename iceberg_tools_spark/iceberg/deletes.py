@@ -125,6 +125,8 @@ def mor_entries_at(
                 "sequence_number": seq,
                 "equality_ids": df_.get("equality_ids"),
                 "spec_id": spec_id,
+                "lower_bounds": df_.get("lower_bounds"),
+                "upper_bounds": df_.get("upper_bounds"),
             }
             (data if entry["content"] == DATA else dels).append(entry)
     return data, dels
@@ -436,6 +438,26 @@ def scan_plan_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# reserved field id of position-delete files' file_path column
+# (Iceberg spec, "Reserved Field IDs")
+PATH_FIELD_ID = 2147483546
+
+
+def _path_outside_bounds(data_path: str, delete_entry: dict) -> bool:
+    """True when the delete file's referenced-path bounds PROVE it
+    cannot target ``data_path`` (conservative: missing bounds keep
+    the attachment). Paths compare canonically; bounds are the
+    single-value UTF-8 encoding the commit path writes."""
+    lbs = delete_entry.get("lower_bounds") or []
+    ubs = delete_entry.get("upper_bounds") or []
+    lo = next((kv["value"] for kv in lbs if kv["key"] == PATH_FIELD_ID), None)
+    hi = next((kv["value"] for kv in ubs if kv["key"] == PATH_FIELD_ID), None)
+    if lo is None or hi is None:
+        return False
+    return not (lo.decode("utf-8") <= data_path <= hi.decode("utf-8"))
+
+
+
 SCAN_TASKS_SCHEMA = T.StructType([
     T.StructField("data_file", T.StringType()),
     T.StructField("data_seq", T.LongType()),
@@ -480,10 +502,13 @@ def plan_scan_tasks(
             if any(d["partition"][k] != x["partition"][k] for k in shared):
                 continue
             if x["content"] == POSITION_DELETES:
-                if d["sequence_number"] <= x["sequence_number"]:
-                    rule = "pos: data_seq <= delete_seq"
-                else:
+                if d["sequence_number"] > x["sequence_number"]:
                     continue
+                if _path_outside_bounds(d["file_path"], x):
+                    continue  # delete file provably references
+                    # other data files (reserved field 2147483546
+                    # bounds) — never ship it to this task
+                rule = "pos: data_seq <= delete_seq"
             else:
                 if d["sequence_number"] < x["sequence_number"]:
                     rule = "eq: data_seq < delete_seq"

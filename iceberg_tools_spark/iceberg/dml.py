@@ -441,6 +441,33 @@ def _insert_partition_exprs(meta, spec_id: int) -> dict[str, "F.Column"]:
     }
 
 
+
+def _referenced_path_bounds(path: str) -> dict[str, Any]:
+    """lower/upper bounds of a position-delete parquet's
+    ``file_path`` column, from its footer statistics (no data
+    read), in the commit path's kv-bounds shape."""
+    import pyarrow.parquet as pq
+
+    from .conversions import to_bytes
+    from .deletes import PATH_FIELD_ID
+
+    md = pq.ParquetFile(path).metadata
+    idx = md.schema.to_arrow_schema().get_field_index("file_path")
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return {}
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:
+        return {}
+    return {
+        "lower_bounds": [{"key": PATH_FIELD_ID, "value": to_bytes("string", lo)}],
+        "upper_bounds": [{"key": PATH_FIELD_ID, "value": to_bytes("string", hi)}],
+    }
+
+
 def _walk_staged(stage_dir: str, base_dir: str, *, content: int) -> list[dict[str, Any]]:
     """List Spark-staged parquet under ``sid=<n>/pjson=<json>/``
     layout as commit-ready file dicts."""
@@ -467,6 +494,12 @@ def _walk_staged(stage_dir: str, base_dir: str, *, content: int) -> list[dict[st
                 }
                 if content:
                     entry["content"] = content
+                    if content == 1:
+                        # referenced-path bounds (reserved field id
+                        # 2147483546) from the staged footer stats:
+                        # planning can then skip this delete file
+                        # for data files it provably never targets
+                        entry.update(_referenced_path_bounds(os.path.join(pdir, f)))
                 out.append(entry)
     return out
 

@@ -191,3 +191,30 @@ def test_merge_no_clause_and_no_effect(spark, table):
         _merge(spark, mp, [(1, "x")])
     with pytest.raises(ValueError, match="empty commit"):
         _merge(spark, mp, [(99999, "x")], when_matched=("delete",))
+
+
+def test_staged_delete_bounds_skip_untargeted_files(spark, tmp_path):
+    # delete_where over rows living ONLY in A stamps referenced-path
+    # bounds on the staged delete file; planning then refuses to
+    # attach it to C even though C shares A's partition and passes
+    # the sequence gate — the 100 TB fan-out reducer
+    import shutil
+
+    from iceberg_tools_spark.iceberg.deletes import MOR_DIR, plan_scan_tasks
+    from iceberg_tools_spark.iceberg.dml import delete_where
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+
+    root = tmp_path / "t"
+    shutil.copytree(MOR_DIR, root)
+    res = delete_where(spark, str(root / "v2.metadata.json"), "id BETWEEN 20 AND 30")
+    meta = parse_metadata(res["metadata_path"])
+    rows = plan_scan_tasks(meta, res["snapshot_id"], str(root))
+    new_delete = [r for r in rows if r[2] and f"-{2004}" in str(r[2])] or [
+        r for r in rows if r[2] and "_staged-2004" in r[2]
+    ]
+    attached_to = {r[0].rsplit("/", 1)[-1] for r in new_delete}
+    assert "A.parquet" in attached_to
+    assert "C.parquet" not in attached_to  # bounds prove it targets A only
+    # the old bound-less fixture deletes stay conservatively attached
+    pd1_rows = {r[0].rsplit("/", 1)[-1] for r in rows if r[2] and "pd1" in r[2]}
+    assert {"A.parquet", "C.parquet"} <= pd1_rows
