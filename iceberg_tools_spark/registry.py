@@ -151,15 +151,18 @@ def _decimal_cols(name: str) -> tuple[str, ...]:
 #   48-50 changed-kernel dedup re-certs: minhash (Arrow-kernel
 #         signatures), ivf (single-task Lloyd), simhash (signature
 #         checkpoint).
-# Slid past 50 WITH still-valid prior rows (see the comment at
-# their registrations): probe_string, q1 (untouched canary), the
-# three pure-metadata.json re-certs (snapshots_df/history_df/
-# plan_expire_snapshots never touch the resolver), and
-# orphan_files_current (its anti-join is freshly exercised
-# in-window by the new executor gate orphan_delete_roundtrip). Every entry past
-# 50 is still re-verified bit-exactly by tests/test_oracle_parity.py
-# on every pytest run. probe_decimal (EXPECTED-red witness of the
-# driver's decimal rendering law, proven in r2/r3) stays retired.
+# Slid past 50 (see the comment at each registration): probe_string
+# and q1 (untouched canaries, prior rows valid), the three
+# pure-metadata.json re-certs (snapshots_df/history_df/
+# plan_expire_snapshots never touch the resolver),
+# orphan_files_current (its anti-join is freshly exercised in-window
+# by the executor gate orphan_delete_roundtrip), and the late-round
+# NEW entries that lost the seat count (meta_refs, dedup_survivors,
+# ann_pq_topk, quality_score_linear — first driver rows next round).
+# Every entry past 50 is still re-verified bit-exactly by
+# tests/test_oracle_parity.py on every pytest run. probe_decimal
+# (EXPECTED-red witness of the driver's decimal rendering law,
+# proven in r2/r3) stays retired.
 
 from .iceberg import deletes as meta_del  # noqa: E402  (after operator imports)
 from .iceberg import snapshots as meta_snap  # noqa: E402
@@ -385,7 +388,6 @@ register(
 # metadata-table completions: $all_files (every file any snapshot
 # references, with live-span) and $refs (tags/branches + main)
 register("meta_all_files", meta_snap.meta_all_files, meta_snap.META_ALL_FILES_SQL)
-register("meta_refs", meta_commit.meta_refs, meta_commit.META_REFS_SQL)
 
 # round-6 training-pipeline breadth: intra-document repetition
 # filter (duplicated 5-gram fraction, map-side only) and per-source
@@ -435,6 +437,10 @@ register("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL)
 register("meta_snapshots_multi", meta_snap.meta_snapshots_multi, meta_snap.META_SNAPSHOTS_MULTI_SQL)
 register("meta_history_multi", meta_snap.meta_history_multi, meta_snap.META_HISTORY_MULTI_SQL)
 register("expire_snapshots_plan", meta_snap.expire_snapshots_plan, meta_snap.EXPIRE_SNAPSHOTS_PLAN_SQL)
+# meta_refs (new, golden-trivial) waits just past the window: the
+# replica verifies it each pytest run; a late-round in-window add
+# (cdc_replicate_roundtrip) outranked it for a first driver row
+register("meta_refs", meta_commit.meta_refs, meta_commit.META_REFS_SQL)
 # orphan_files_current's find_orphan_files anti-join is freshly
 # exercised in-window by orphan_delete_roundtrip (the executor
 # gate), so the planner gate itself can keep its r5 row out here
