@@ -158,7 +158,8 @@ def _decimal_cols(name: str) -> tuple[str, ...]:
 # orphan_files_current (its anti-join is freshly exercised in-window
 # by the executor gate orphan_delete_roundtrip), and the late-round
 # NEW entries that lost the seat count (meta_refs, dedup_survivors,
-# ann_pq_topk, quality_score_linear — first driver rows next round).
+# ann_pq_topk, quality_score_linear, column_stats_orders — first
+# driver rows next round).
 # Every entry past 50 is still re-verified bit-exactly by
 # tests/test_oracle_parity.py on every pytest run. probe_decimal
 # (EXPECTED-red witness of the driver's decimal rendering law,
@@ -458,6 +459,13 @@ register("ann_pq_topk", pq_ops.ann_pq_topk, None)
 # fixed-order double expression tree, bit-identical cross-engine
 register(
     "quality_score_linear", text_ops.quality_score_linear, text_ops.QUALITY_LINEAR_SQL
+)
+# ANALYZE-style column stats (exact-distinct gate; the HLL scale
+# path is pytest-bounded against it)
+from .operators import stats as stats_ops  # noqa: E402
+
+register(
+    "column_stats_orders", stats_ops.column_stats_orders, stats_ops.COLUMN_STATS_SQL
 )
 
 # ------------------- re-certs of untouched r4/r5-green queries

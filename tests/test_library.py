@@ -273,3 +273,34 @@ def test_connectors_gated(spark):
         read_iceberg(spark, "/tmp/nope")
     with pytest.raises(ConnectorUnavailable):
         read_delta(spark, "/tmp/nope")
+
+
+def test_column_stats_one_pass_and_hll_bound(spark):
+    from iceberg_tools_spark.operators.stats import (
+        _ORDERS_COLS,
+        approx_column_ndv,
+        column_stats,
+        column_stats_orders,
+    )
+    from iceberg_tools_spark.sources.readers import load_table
+
+    sfd = "/root/testdata/sf0.01"
+    # single-job shape: exactly one aggregate over one scan
+    plan = (
+        column_stats_orders(spark, sfd)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1
+    exact = {
+        r["column_name"]: r["n_distinct"]
+        for r in column_stats_orders(spark, sfd).collect()
+    }
+    o = load_table(spark, sfd, "orders", _ORDERS_COLS)
+    approx = {
+        r["column_name"]: r["approx_ndv"]
+        for r in approx_column_ndv(o, _ORDERS_COLS).collect()
+    }
+    for c, nd in exact.items():
+        assert abs(approx[c] - nd) <= max(2, 0.1 * nd), (c, nd, approx[c])
