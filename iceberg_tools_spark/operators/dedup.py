@@ -718,3 +718,98 @@ FROM ver
 WHERE eq_slots >= {DECON_MIN_EQ_SLOTS}
 ORDER BY train_doc_id, eval_doc_id
 """
+
+
+def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level near-duplication triage over the MinHash pair
+    list: per source, how many of its documents participate in at
+    least one near-dup pair, and how many of those pairs stay
+    INSIDE the source vs cross feeds — the report that decides
+    which crawls to deprioritize (a feed whose dups are internal
+    re-crawl churn is cheap to fix; one duplicating OTHER feeds
+    adds nothing at all).
+
+    Scale: the pair list is LSH-bounded; the doc→source map joins
+    once (broadcast-size per pair side at any corpus — pairs carry
+    only ids); counts are exact integers, the rate one double
+    division."""
+    pairs = minhash_pairs(spark, sf_dir).select("da", "db")
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "source"])
+    sa = docs.select(F.col("doc_id").alias("da"), F.col("source").alias("src_a"))
+    sb = docs.select(F.col("doc_id").alias("db"), F.col("source").alias("src_b"))
+    tagged = pairs.join(sa, "da").join(sb, "db")
+    # per-source pair exposure: a pair counts for BOTH its sources
+    # (once if both ends share the source)
+    per_pair = tagged.select(
+        F.explode(F.array_distinct(F.array("src_a", "src_b"))).alias("source"),
+        F.when(F.col("src_a") == F.col("src_b"), 1).otherwise(0).alias("internal"),
+    )
+    pair_stats = per_pair.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("internal").alias("n_internal_pairs"),
+    )
+    involved = (
+        tagged.select(F.col("da").alias("doc_id"), F.col("src_a").alias("source"))
+        .unionByName(
+            tagged.select(F.col("db").alias("doc_id"), F.col("src_b").alias("source"))
+        )
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_dup_docs"))
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        totals.join(involved, "source", "left")
+        .join(pair_stats, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_dup_docs", F.lit(0)).alias("n_dup_docs"),
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_internal_pairs", F.lit(0)).alias("n_internal_pairs"),
+            (
+                F.coalesce("n_dup_docs", F.lit(0)).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("dup_doc_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+NEAR_DUP_BY_SOURCE_SQL = f"""
+WITH pairs AS (
+  SELECT da, db FROM (
+{DEDUP_MINHASH_SQL}
+  ) mh),
+tagged AS (
+  SELECT p.da, p.db, a.source AS src_a, b.source AS src_b
+  FROM pairs p
+  JOIN documents a ON a.doc_id = p.da
+  JOIN documents b ON b.doc_id = p.db),
+per_pair AS (
+  SELECT unnest(CASE WHEN src_a = src_b THEN [src_a]
+                     ELSE [src_a, src_b] END) AS source,
+         CASE WHEN src_a = src_b THEN 1 ELSE 0 END AS internal
+  FROM tagged),
+pair_stats AS (
+  SELECT source, COUNT(*) AS n_pairs, SUM(internal) AS n_internal_pairs
+  FROM per_pair GROUP BY source),
+involved AS (
+  SELECT source, COUNT(*) AS n_dup_docs FROM (
+    SELECT DISTINCT doc_id, source FROM (
+      SELECT da AS doc_id, src_a AS source FROM tagged
+      UNION ALL
+      SELECT db AS doc_id, src_b AS source FROM tagged))
+  GROUP BY source),
+totals AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+SELECT t.source, t.n_docs,
+       CAST(COALESCE(i.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+       CAST(COALESCE(ps.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(ps.n_internal_pairs, 0) AS BIGINT) AS n_internal_pairs,
+       CAST(COALESCE(i.n_dup_docs, 0) AS DOUBLE) / CAST(t.n_docs AS DOUBLE)
+         AS dup_doc_rate
+FROM totals t
+LEFT JOIN involved i ON i.source = t.source
+LEFT JOIN pair_stats ps ON ps.source = t.source
+ORDER BY t.source
+"""

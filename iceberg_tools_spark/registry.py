@@ -158,7 +158,8 @@ def _decimal_cols(name: str) -> tuple[str, ...]:
 # orphan_files_current (its anti-join is freshly exercised in-window
 # by the executor gate orphan_delete_roundtrip), and the late-round
 # NEW entries that lost the seat count (meta_refs, dedup_survivors,
-# ann_pq_topk, quality_score_linear, column_stats_orders — first
+# ann_pq_topk, quality_score_linear, column_stats_orders,
+# near_dup_rate_by_source — first
 # driver rows next round).
 # Every entry past 50 is still re-verified bit-exactly by
 # tests/test_oracle_parity.py on every pytest run. probe_decimal
@@ -466,6 +467,12 @@ from .operators import stats as stats_ops  # noqa: E402
 
 register(
     "column_stats_orders", stats_ops.column_stats_orders, stats_ops.COLUMN_STATS_SQL
+)
+# source-level near-dup triage (internal re-crawl vs cross-feed)
+register(
+    "near_dup_rate_by_source",
+    dedup.near_dup_rate_by_source,
+    dedup.NEAR_DUP_BY_SOURCE_SQL,
 )
 
 # ------------------- re-certs of untouched r4/r5-green queries
