@@ -336,6 +336,35 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover - defensive
         sweep["error"] = f"{type(exc).__name__}: {exc}"
 
+    # PQ re-rank depth: measured recall@5 (vs the exact baseline)
+    # against candidate count — the accuracy-vs-cost knob of the
+    # compressed ANN path
+    try:
+        from iceberg_tools_spark.operators.pq import ann_pq_topk
+        from iceberg_tools_spark.operators.similarity import ann_topk_bruteforce
+
+        exact_sets: dict = {}
+        for r in ann_topk_bruteforce(spark, sf_dir).collect():
+            exact_sets.setdefault(r["qid"], set()).add(r["neighbor_id"])
+        sweep["pq_rerank_cand"] = []
+        for cand in (50, 150, 300):
+            t = time.perf_counter()
+            got: dict = {}
+            for r in ann_pq_topk(spark, sf_dir, cand=cand).collect():
+                got.setdefault(r["qid"], set()).add(r["neighbor_id"])
+            rec = sum(
+                len(got.get(q, set()) & s) / len(s) for q, s in exact_sets.items()
+            ) / len(exact_sets)
+            sweep["pq_rerank_cand"].append(
+                {
+                    "cand": cand,
+                    "recall_at_5": round(rec, 3),
+                    "sec": round(time.perf_counter() - t, 3),
+                }
+            )
+    except Exception as exc:  # pragma: no cover - defensive
+        sweep["pq_rerank_cand"] = {"error": f"{type(exc).__name__}: {exc}"}
+
     # drift-normalized reporting (VERDICT r5 #6): this run in
     # calibration units + per-query ratio vs the pinned r5 baseline
     cal_units = {k: round(v / calibration, 3) for k, v in best.items()}

@@ -133,7 +133,7 @@ def _query_tables(queries: DataFrame, books: DataFrame, dim: int) -> DataFrame:
     )
 
 
-def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_pq_topk(spark: SparkSession, sf_dir: str, *, cand: int | None = None) -> DataFrame:
     """PQ/ADC top-5 for the 10-query probe set (same probe contract
     as `ann_topk_bruteforce` / `ann_ivf_topk`): ADC scores the
     whole corpus from ``PQ_M`` table lookups per vector (pure JVM,
@@ -167,7 +167,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", adc.alias("adc"))
         .withColumn("crk", F.row_number().over(w))
-        .filter(F.col("crk") <= PQ_CAND)
+        .filter(F.col("crk") <= (cand if cand is not None else PQ_CAND))
         .select("qid", "vec_id")
     )
     # exact re-rank of candidates only

@@ -127,6 +127,17 @@ def test_pq_recall_vs_exact(spark):
     recalls = [len(got[q] & exact[q]) / len(exact[q]) for q in exact]
     assert sum(recalls) / len(recalls) >= 0.9, recalls
 
+    # the re-rank depth knob: a deeper candidate pool can only help
+    # (recall is monotone in `cand`), and the output contract (top-5
+    # per query) is unchanged at any depth
+    deep = {}
+    for r in ann_pq_topk(spark, sfd, cand=400).collect():
+        deep.setdefault(r["qid"], set()).add(r["neighbor_id"])
+    assert set(deep) == set(exact)
+    assert all(len(s) == 5 for s in deep.values())
+    deep_rec = sum(len(deep[q] & exact[q]) / len(exact[q]) for q in exact) / len(exact)
+    assert deep_rec >= sum(recalls) / len(recalls) - 1e-9, deep_rec
+
 
 def test_pq_codes_shape_and_determinism(spark):
     from iceberg_tools_spark.operators.pq import (
