@@ -52,9 +52,14 @@ def _kv(n: str, vtype: str) -> dict:
     }
 
 
-def manifest_entry_schema(partition_fields: list[tuple[str, str]], suffix: str) -> dict:
+def manifest_entry_schema(
+    partition_fields: list[tuple[str, str]], suffix: str, *, v3: bool = False
+) -> dict:
     """v2 ``manifest_entry`` record (the shape `mor_entries_at` and
-    the reference's manifest reader consume)."""
+    the reference's manifest reader consume). ``v3=True`` appends the
+    v3 deletion-vector locator fields (``referenced_data_file`` +
+    ``content_offset``/``content_size_in_bytes``) — opt-in so v2
+    manifests stay byte-identical."""
     return {
         "type": "record",
         "name": "manifest_entry",
@@ -100,6 +105,15 @@ def manifest_entry_schema(partition_fields: list[tuple[str, str]], suffix: str) 
                             "default": None,
                         },
                         {"name": "sort_order_id", "type": ["null", "int"], "default": None},
+                        *(
+                            [
+                                {"name": "referenced_data_file", "type": ["null", "string"], "default": None},
+                                {"name": "content_offset", "type": ["null", "long"], "default": None},
+                                {"name": "content_size_in_bytes", "type": ["null", "long"], "default": None},
+                            ]
+                            if v3
+                            else []
+                        ),
                     ],
                 },
             },

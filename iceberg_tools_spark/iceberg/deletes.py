@@ -28,6 +28,15 @@ Fixture: ``tests/fixtures/mor`` (scripts/gen_mor_fixture.py) — real
 parquet data + delete files, so the DuckDB oracles independently
 re-implement MoR semantics over the same physical files
 (``file_row_number`` vs Spark's ``_metadata.row_index``).
+
+v3 deletion vectors (the bottom section + ``tests/fixtures/dv``):
+position deletes stored as ``deletion-vector-v1`` Puffin blobs
+(`puffin.py` / `roaring.py`, public specs) instead of parquet rows.
+The manifest entry carries ``referenced_data_file`` plus the blob's
+``content_offset``/``content_size_in_bytes``; `_dv_positions_frame`
+decodes each vector in its own Arrow task and feeds the SAME
+distributed anti-join as the v2 parquet path, so every consumer
+(read_mor, changelog, evolution composition) gets v3 for free.
 """
 
 from __future__ import annotations
@@ -127,9 +136,31 @@ def mor_entries_at(
                 "spec_id": spec_id,
                 "lower_bounds": df_.get("lower_bounds"),
                 "upper_bounds": df_.get("upper_bounds"),
+                # v3 deletion-vector locator (None on v2 entries)
+                "file_format": df_.get("file_format"),
+                "referenced_data_file": df_.get("referenced_data_file"),
+                "content_offset": df_.get("content_offset"),
+                "content_size_in_bytes": df_.get("content_size_in_bytes"),
             }
             (data if entry["content"] == DATA else dels).append(entry)
+    refs = [
+        e["referenced_data_file"]
+        for e in dels
+        if e["content"] == POSITION_DELETES and e["referenced_data_file"]
+    ]
+    dup = {r for r in refs if refs.count(r) > 1}
+    if dup:
+        raise ValueError(
+            f"v3 invariant violated: multiple deletion vectors reference {sorted(dup)}"
+        )
     return data, dels
+
+
+def _is_dv(e: dict[str, Any]) -> bool:
+    return (
+        e["content"] == POSITION_DELETES
+        and (e.get("file_format") or "").upper() == "PUFFIN"
+    )
 
 
 def mor_frame(spark: SparkSession, data: list[dict[str, Any]]) -> DataFrame:
@@ -156,12 +187,87 @@ def mor_frame(spark: SparkSession, data: list[dict[str, Any]]) -> DataFrame:
     )
 
 
+_DV_TASK_SCHEMA = T.StructType([
+    T.StructField("local_path", T.StringType()),
+    T.StructField("content_offset", T.LongType()),
+    T.StructField("content_size_in_bytes", T.LongType()),
+    T.StructField("pd_rel", T.StringType()),
+    T.StructField("pd_seq", T.LongType()),
+    T.StructField("cardinality", T.LongType()),
+])
+
+_DV_POS_SCHEMA = T.StructType([
+    T.StructField("pd_rel", T.StringType()),
+    T.StructField("pd_pos", T.LongType()),
+    T.StructField("pd_seq", T.LongType()),
+])
+
+
+def _dv_positions_frame(
+    spark: SparkSession, dv_entries: list[dict[str, Any]]
+) -> DataFrame:
+    """Deleted positions of v3 deletion vectors, decoded
+    executor-side: one row per DV (KB of locator metadata) fans out
+    through an Arrow-batched ``mapInPandas`` kernel that ranged-reads
+    its blob and expands the Roaring bitmap — one task per vector,
+    the per-data-file parallelism a real v3 reader has, with the
+    driver never holding position lists."""
+    tasks = spark.createDataFrame(
+        [
+            (
+                e["local_path"],
+                e["content_offset"],
+                e["content_size_in_bytes"],
+                _rel(e["referenced_data_file"]),
+                e["sequence_number"],
+                e["record_count"],
+            )
+            for e in dv_entries
+        ],
+        _DV_TASK_SCHEMA,
+    ).repartition(max(1, len(dv_entries)))
+
+    def _decode(batches):
+        import pandas as pd
+
+        from .puffin import decode_dv_blob, read_blob
+
+        for b in batches:
+            for row in b.itertuples(index=False):
+                if row.content_offset is None or row.content_size_in_bytes is None:
+                    raise ValueError(
+                        f"deletion vector for {row.pd_rel!r} lacks a blob locator"
+                    )
+                positions = decode_dv_blob(
+                    read_blob(
+                        row.local_path,
+                        int(row.content_offset),
+                        int(row.content_size_in_bytes),
+                    )
+                )
+                if len(positions) != row.cardinality:
+                    raise ValueError(
+                        f"DV for {row.pd_rel!r}: manifest record_count "
+                        f"{row.cardinality} != decoded {len(positions)}"
+                    )
+                yield pd.DataFrame(
+                    {
+                        "pd_rel": row.pd_rel,
+                        "pd_pos": pd.Series(positions, dtype="int64"),
+                        "pd_seq": row.pd_seq,
+                    }
+                )
+
+    return tasks.mapInPandas(_decode, _DV_POS_SCHEMA)
+
+
 def _pos_delete_frame(
     spark: SparkSession, dels: list[dict[str, Any]]
 ) -> DataFrame | None:
-    pos_dels = [e for e in dels if e["content"] == POSITION_DELETES]
-    if not pos_dels:
-        return None
+    pos_dels = [
+        e for e in dels if e["content"] == POSITION_DELETES and not _is_dv(e)
+    ]
+    dv_dels = [e for e in dels if _is_dv(e)]
     frames = [
         spark.read.parquet(e["local_path"]).select(
             F.regexp_extract("file_path", _REL_RE, 0).alias("pd_rel"),
@@ -170,6 +276,10 @@ def _pos_delete_frame(
         )
         for e in pos_dels
     ]
+    if dv_dels:
+        frames.append(_dv_positions_frame(spark, dv_dels))
+    if not frames:
+        return None
     return reduce(DataFrame.unionByName, frames)
 
 
@@ -504,11 +614,18 @@ def plan_scan_tasks(
             if x["content"] == POSITION_DELETES:
                 if d["sequence_number"] > x["sequence_number"]:
                     continue
-                if _path_outside_bounds(d["file_path"], x):
-                    continue  # delete file provably references
-                    # other data files (reserved field 2147483546
-                    # bounds) — never ship it to this task
-                rule = "pos: data_seq <= delete_seq"
+                if x.get("referenced_data_file"):
+                    # v3 deletion vector: the manifest names its one
+                    # target exactly — no bounds heuristics needed
+                    if x["referenced_data_file"] != d["file_path"]:
+                        continue
+                    rule = "dv: data_seq <= delete_seq"
+                else:
+                    if _path_outside_bounds(d["file_path"], x):
+                        continue  # delete file provably references
+                        # other data files (reserved field 2147483546
+                        # bounds) — never ship it to this task
+                    rule = "pos: data_seq <= delete_seq"
             else:
                 if d["sequence_number"] < x["sequence_number"]:
                     rule = "eq: data_seq < delete_seq"
@@ -824,4 +941,149 @@ FROM (VALUES
   ('z', 48, 0)
 ) t(cat, n_rows, n_notes)
 ORDER BY cat
+"""
+
+
+# ---------------------------------------- v3 deletion vectors (DVs)
+
+DV_DIR = os.path.join(_REPO_ROOT, "tests", "fixtures", "dv")
+DV_METADATA = os.path.join(DV_DIR, "v3.metadata.json")
+_DVLOC = "file:///tmp/dv_table"
+
+DV_BLOBS_SCHEMA = T.StructType([
+    T.StructField("referenced_data_file", T.StringType()),
+    T.StructField("cardinality", T.LongType()),
+    T.StructField("content_offset", T.LongType()),
+    T.StructField("content_size_in_bytes", T.LongType()),
+    T.StructField("sequence_number", T.LongType()),
+    T.StructField("crc_valid", T.BooleanType()),
+])
+
+
+def meta_dv_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$delete_files for the v3 fixture's deletion vectors: each
+    DV's manifest locator (referenced data file, blob offset/length,
+    inherited sequence number) cross-checked against the Puffin
+    footer and the decoded bitmap — ``crc_valid`` is True only when
+    the blob's CRC verifies AND the decoded cardinality equals both
+    the footer property and the manifest ``record_count``."""
+    from .puffin import decode_dv_blob, read_blob, read_puffin_footer
+
+    meta = parse_metadata(DV_METADATA)
+    _, dels = mor_entries_at(meta, 3003, DV_DIR)
+    dvs = [e for e in dels if _is_dv(e)]
+    footer_cards = {}
+    for e in dvs:
+        for b in read_puffin_footer(e["local_path"]).get("blobs", []):
+            props = b.get("properties", {})
+            footer_cards[props.get("referenced-data-file")] = int(
+                props.get("cardinality", -1)
+            )
+    rows = []
+    for e in sorted(dvs, key=lambda x: x["referenced_data_file"]):
+        try:
+            positions = decode_dv_blob(
+                read_blob(e["local_path"], e["content_offset"], e["content_size_in_bytes"])
+            )
+            ok = (
+                len(positions) == e["record_count"]
+                and footer_cards.get(e["referenced_data_file"]) == len(positions)
+            )
+        except ValueError:
+            ok = False
+        rows.append(
+            (
+                e["referenced_data_file"],
+                e["record_count"],
+                e["content_offset"],
+                e["content_size_in_bytes"],
+                e["sequence_number"],
+                ok,
+            )
+        )
+    return spark.createDataFrame(rows, DV_BLOBS_SCHEMA).orderBy("referenced_data_file")
+
+
+def mor_live_rows_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v3 merge-on-read flagship: every surviving row of the DV
+    fixture at snapshot 3003 — deletion vectors knock out A's
+    positions 0-9 (ids 1-10) and C's 0-4 (ids 151-155); B and D are
+    untouched → 285 rows. Same distributed anti-join as the v2 path;
+    only the position SOURCE changed (Roaring bitmap blobs decoded
+    per-vector in an Arrow kernel instead of parquet rows)."""
+    return read_mor(spark, DV_METADATA, 3003, DV_DIR).orderBy("id")
+
+
+def scan_plan_tasks_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FileScanTask planning on the v3 fixture: each deletion vector
+    attaches to EXACTLY its referenced data file (no bounds
+    heuristics — the manifest names the target), so A and C each
+    carry one DV task row while B and D plan clean."""
+    meta = parse_metadata(DV_METADATA)
+    rows = plan_scan_tasks(meta, 3003, DV_DIR)
+    return (
+        spark.createDataFrame(rows, SCAN_TASKS_SCHEMA)
+        .orderBy("data_file", "delete_file")
+    )
+
+
+META_DV_BLOBS_SQL = f"""
+SELECT referenced_data_file, CAST(cardinality AS BIGINT) AS cardinality,
+       CAST(content_offset AS BIGINT) AS content_offset,
+       CAST(content_size_in_bytes AS BIGINT) AS content_size_in_bytes,
+       CAST(sequence_number AS BIGINT) AS sequence_number, crc_valid
+FROM (VALUES
+  ('{_DVLOC}/data/category=x/A.parquet', 10, 4, 39, 3, true),
+  ('{_DVLOC}/data/category=x/C.parquet', 5, 43, 39, 3, true)
+) t(referenced_data_file, cardinality, content_offset,
+    content_size_in_bytes, sequence_number, crc_valid)
+ORDER BY referenced_data_file
+"""
+
+_DV_DATA_FILES = ", ".join(
+    f"'{DV_DIR}/{rel}'"
+    for rel in [
+        "data/category=x/A.parquet",
+        "data/category=y/B.parquet",
+        "data/category=x/C.parquet",
+        "data/category=z/D.parquet",
+    ]
+)
+
+# Independent v3 MoR re-implementation: DuckDB reads the SAME data
+# parquet; the deleted positions are the generator's declared DV
+# contents (DuckDB cannot read Puffin), applied with the same
+# (rel, pos) + sequence-gate semantics Spark derives from the
+# decoded bitmaps.
+MOR_LIVE_ROWS_DV_SQL = f"""
+WITH d AS (
+  SELECT id, category,
+         regexp_extract(filename, 'data/.*$') AS rel,
+         file_row_number AS pos
+  FROM read_parquet([{_DV_DATA_FILES}], filename=true, file_row_number=true)
+),
+dv(rel, pos) AS (
+  SELECT 'data/category=x/A.parquet', * FROM range(0, 10)
+  UNION ALL
+  SELECT 'data/category=x/C.parquet', * FROM range(0, 5)
+)
+SELECT d.id, d.category
+FROM d
+WHERE NOT EXISTS (SELECT 1 FROM dv WHERE dv.rel = d.rel AND dv.pos = d.pos)
+ORDER BY d.id
+"""
+
+SCAN_PLAN_TASKS_DV_SQL = f"""
+SELECT data_file, CAST(data_seq AS BIGINT) AS data_seq,
+       delete_file, delete_content,
+       CAST(delete_seq AS BIGINT) AS delete_seq, apply_rule
+FROM (VALUES
+  ('{_DVLOC}/data/category=x/A.parquet', 1, '{_DVLOC}/data/deletes/dv1.puffin',
+   'POSITION_DELETES', 3, 'dv: data_seq <= delete_seq'),
+  ('{_DVLOC}/data/category=y/B.parquet', 1, NULL, NULL, NULL, 'none'),
+  ('{_DVLOC}/data/category=x/C.parquet', 2, '{_DVLOC}/data/deletes/dv1.puffin',
+   'POSITION_DELETES', 3, 'dv: data_seq <= delete_seq'),
+  ('{_DVLOC}/data/category=z/D.parquet', 2, NULL, NULL, NULL, 'none')
+) t(data_file, data_seq, delete_file, delete_content, delete_seq, apply_rule)
+ORDER BY data_file, delete_file
 """

@@ -159,7 +159,8 @@ def _decimal_cols(name: str) -> tuple[str, ...]:
 # by the executor gate orphan_delete_roundtrip), and the late-round
 # NEW entries that lost the seat count (meta_refs, dedup_survivors,
 # ann_pq_topk, quality_score_linear, column_stats_orders,
-# near_dup_rate_by_source — first
+# near_dup_rate_by_source, and the v3 deletion-vector trio
+# meta_dv_blobs / mor_live_rows_dv / scan_plan_tasks_dv — first
 # driver rows next round).
 # Every entry past 50 is still re-verified bit-exactly by
 # tests/test_oracle_parity.py on every pytest run. probe_decimal
@@ -473,6 +474,16 @@ register(
     "near_dup_rate_by_source",
     dedup.near_dup_rate_by_source,
     dedup.NEAR_DUP_BY_SOURCE_SQL,
+)
+# v3 deletion vectors (Puffin + portable Roaring, public specs):
+# the DV blob audit (manifest locator × footer × decoded bitmap,
+# golden), the v3 MoR read (DuckDB re-implements deletes over the
+# SAME parquet from the generator's declared positions), and exact
+# referenced-data-file task attachment (golden decision table)
+register("meta_dv_blobs", meta_del.meta_dv_blobs, meta_del.META_DV_BLOBS_SQL)
+register("mor_live_rows_dv", meta_del.mor_live_rows_dv, meta_del.MOR_LIVE_ROWS_DV_SQL)
+register(
+    "scan_plan_tasks_dv", meta_del.scan_plan_tasks_dv, meta_del.SCAN_PLAN_TASKS_DV_SQL
 )
 
 # ------------------- re-certs of untouched r4/r5-green queries

@@ -1,0 +1,318 @@
+"""Iceberg v3 deletion vectors: portable Roaring serialization
+(RoaringFormatSpec), the Puffin container, the deletion-vector-v1
+blob codec, and the MoR read path over the DV fixture
+(scripts/gen_dv_fixture.py)."""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from iceberg_tools_spark.iceberg.puffin import (
+    DV_MAGIC,
+    decode_dv_blob,
+    encode_dv_blob,
+    read_deletion_vectors,
+    read_puffin_footer,
+    write_deletion_vectors,
+    write_puffin,
+)
+from iceberg_tools_spark.iceberg.roaring import (
+    deserialize_u32,
+    deserialize_u64,
+    serialize_u32,
+    serialize_u64,
+)
+
+# ------------------------------------------------------- roaring
+
+
+def _rt32(vals):
+    buf = serialize_u32(vals)
+    got, end = deserialize_u32(buf)
+    assert end == len(buf)
+    return got
+
+
+def test_roaring_u32_round_trips():
+    cases = [
+        [],
+        [0],
+        [0xFFFFFFFF],
+        [1, 2, 3],
+        list(range(5000)),  # dense run container
+        [i * 7 % 65536 for i in range(5000)],  # >4096 scattered: bitmap
+        [i * 131 for i in range(3000)],  # arrays across several keys
+        [0, 65535, 65536, 131072, 0xFFFF0000],
+    ]
+    for c in cases:
+        assert _rt32(c) == sorted(set(c))
+
+
+def test_roaring_u64_round_trips():
+    cases = [
+        [],
+        [0, 1, 1 << 32, (1 << 32) + 5, (1 << 40) + 123, (1 << 63) + 7],
+        list(range(10000)) + [(1 << 33) + i for i in range(100)],
+    ]
+    for c in cases:
+        buf = serialize_u64(c)
+        got, end = deserialize_u64(buf)
+        assert got == sorted(set(c))
+        assert end == len(buf)
+
+
+def test_roaring_golden_array_container():
+    # {1,2,3}: hand-assembled per the public RoaringFormatSpec —
+    # cookie 12346, one container, key 0 / card-1 = 2, one offset
+    # (16 = 4+4+4+4), then the three sorted uint16 values
+    expected = (
+        struct.pack("<II", 12346, 1)
+        + struct.pack("<HH", 0, 2)
+        + struct.pack("<I", 16)
+        + struct.pack("<3H", 1, 2, 3)
+    )
+    assert serialize_u32([3, 1, 2]) == expected
+
+
+def test_roaring_golden_run_container():
+    # {0..9}: run encoding (6 bytes) beats array (20) — cookie
+    # 12347 | (size-1)<<16, 1-byte run flag, key 0 / card-1 = 9,
+    # NO offsets (size < 4), then n_runs=1, (start=0, len-1=9)
+    expected = (
+        struct.pack("<I", 12347)
+        + bytes([0x01])
+        + struct.pack("<HH", 0, 9)
+        + struct.pack("<HHH", 1, 0, 9)
+    )
+    assert serialize_u32(range(10)) == expected
+
+
+def test_roaring_container_choice_is_size_minimal():
+    # run of 10 → run container (6 < 20); 3 singleton gaps → array
+    # (6 !< 6, ties prefer non-run); 5000 scattered → bitmap (8192)
+    assert serialize_u32(range(10))[:2] == struct.pack("<H", 12347)
+    assert serialize_u32([1, 2, 3])[:2] == struct.pack("<H", 12346)
+    scattered = [i * 7 % 65536 for i in range(5000)]
+    buf = serialize_u32(scattered)
+    assert buf[:2] == struct.pack("<H", 12346)
+    assert len(buf) == 8 + 4 + 4 + 8192  # header + desc + offset + bitmap
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.sets(
+        st.one_of(
+            st.integers(0, 200_000),
+            st.integers(0, (1 << 33)),
+            st.builds(lambda base, n: base + n, st.sampled_from([0, 60_000]), st.integers(0, 9000)),
+        ),
+        max_size=9000,
+    )
+)
+def test_roaring_u64_property(vals):
+    buf = serialize_u64(vals)
+    got, end = deserialize_u64(buf)
+    assert got == sorted(vals)
+    assert end == len(buf)
+
+
+def test_roaring_rejects_out_of_range():
+    with pytest.raises(ValueError):
+        serialize_u32([-1])
+    with pytest.raises(ValueError):
+        serialize_u32([1 << 32])
+    with pytest.raises(ValueError):
+        serialize_u64([1 << 64])
+
+
+# -------------------------------------------------------- puffin
+
+
+def test_puffin_round_trip(tmp_path):
+    p = str(tmp_path / "dv.puffin")
+    metas = write_deletion_vectors(
+        p,
+        [("file:///t/A.parquet", list(range(10))), ("file:///t/C.parquet", [0, 2, 4])],
+        snapshot_id=77,
+        sequence_number=3,
+    )
+    assert [m["offset"] for m in metas] == [4, 4 + metas[0]["length"]]
+    got = read_deletion_vectors(p)
+    assert got == {
+        "file:///t/A.parquet": list(range(10)),
+        "file:///t/C.parquet": [0, 2, 4],
+    }
+    footer = read_puffin_footer(p)
+    assert all(b["type"] == "deletion-vector-v1" for b in footer["blobs"])
+    assert all(b["snapshot-id"] == 77 for b in footer["blobs"])
+
+
+def test_puffin_corrupt_vector_crc_raises(tmp_path):
+    p = str(tmp_path / "dv.puffin")
+    metas = write_deletion_vectors(p, [("file:///t/A.parquet", [5, 6, 7])])
+    buf = bytearray(open(p, "rb").read())
+    # flip a byte INSIDE the serialized vector (past len+magic)
+    buf[metas[0]["offset"] + 9] ^= 0xFF
+    open(p, "wb").write(bytes(buf))
+    with pytest.raises(ValueError):
+        read_deletion_vectors(p)
+
+
+def test_puffin_bad_magics_raise(tmp_path):
+    p = str(tmp_path / "x.puffin")
+    open(p, "wb").write(b"NOPE" + bytes(40))
+    with pytest.raises(ValueError, match="head magic"):
+        read_puffin_footer(p)
+    write_deletion_vectors(p, [("f", [1])])
+    buf = open(p, "rb").read()
+    open(p, "wb").write(buf[:-2])  # chop the tail magic
+    with pytest.raises(ValueError, match="tail magic"):
+        read_puffin_footer(p)
+
+
+def test_puffin_duplicate_reference_raises(tmp_path):
+    p = str(tmp_path / "dup.puffin")
+    write_puffin(
+        p,
+        [
+            {
+                "type": "deletion-vector-v1",
+                "data": encode_dv_blob([1]),
+                "properties": {"referenced-data-file": "f", "cardinality": "1"},
+            }
+            for _ in range(2)
+        ],
+    )
+    with pytest.raises(ValueError, match="two deletion vectors"):
+        read_deletion_vectors(p)
+
+
+def test_puffin_cardinality_mismatch_raises(tmp_path):
+    p = str(tmp_path / "card.puffin")
+    write_puffin(
+        p,
+        [
+            {
+                "type": "deletion-vector-v1",
+                "data": encode_dv_blob([1, 2]),
+                "properties": {"referenced-data-file": "f", "cardinality": "3"},
+            }
+        ],
+    )
+    with pytest.raises(ValueError, match="cardinality"):
+        read_deletion_vectors(p)
+
+
+def test_dv_blob_codec():
+    blob = encode_dv_blob([3, 1, 1 << 40])
+    assert blob[4:8] == DV_MAGIC
+    assert decode_dv_blob(blob) == [1, 3, 1 << 40]
+    with pytest.raises(ValueError, match="magic"):
+        decode_dv_blob(b"\x00\x00\x00\x08" + b"XXXX" + bytes(8))
+
+
+# ------------------------------------------------- the DV fixture
+
+
+def test_dv_fixture_mor_read(spark):
+    from iceberg_tools_spark.iceberg.deletes import DV_DIR, DV_METADATA, read_mor
+
+    df = read_mor(spark, DV_METADATA, 3003, DV_DIR)
+    ids = sorted(r["id"] for r in df.collect())
+    dead = set(range(1, 11)) | set(range(151, 156))
+    assert len(ids) == 285
+    assert set(ids) == set(range(1, 301)) - dead
+
+
+def test_dv_fixture_time_travel_before_deletes(spark):
+    # at 3002 the DVs don't exist yet: all 300 rows live
+    from iceberg_tools_spark.iceberg.deletes import DV_DIR, DV_METADATA, read_mor
+
+    assert read_mor(spark, DV_METADATA, 3002, DV_DIR).count() == 300
+
+
+def test_dv_positions_frame_matches_declared(spark):
+    from iceberg_tools_spark.iceberg.deletes import (
+        DV_DIR,
+        DV_METADATA,
+        _dv_positions_frame,
+        _is_dv,
+        mor_entries_at,
+    )
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+
+    meta = parse_metadata(DV_METADATA)
+    _, dels = mor_entries_at(meta, 3003, DV_DIR)
+    dvs = [e for e in dels if _is_dv(e)]
+    assert len(dvs) == 2
+    rows = sorted(
+        (r["pd_rel"], r["pd_pos"], r["pd_seq"])
+        for r in _dv_positions_frame(spark, dvs).collect()
+    )
+    expected = sorted(
+        [("data/category=x/A.parquet", p, 3) for p in range(10)]
+        + [("data/category=x/C.parquet", p, 3) for p in range(5)]
+    )
+    assert rows == expected
+
+
+def test_dv_equivalent_to_parquet_position_deletes(spark):
+    # the SAME logical deletes expressed as v2 parquet position
+    # deletes (MoR fixture pd1: A 0-9, C 0-4) and as v3 DVs must
+    # yield identical survivor id sets over identical data files
+    from iceberg_tools_spark.iceberg.deletes import (
+        DV_DIR,
+        DV_METADATA,
+        MOR_DIR,
+        MOR_METADATA,
+        read_mor,
+    )
+
+    v3 = {r["id"] for r in read_mor(spark, DV_METADATA, 3003, DV_DIR).collect()}
+    # v2 fixture at 2003 additionally applies the equality delete
+    # (ids 260, 270); add them back for the position-only comparison
+    v2 = {r["id"] for r in read_mor(spark, MOR_METADATA, 2003, MOR_DIR).collect()}
+    assert v3 == v2 | {260, 270}
+
+
+def test_dv_scan_tasks_attach_by_reference(spark):
+    from iceberg_tools_spark.iceberg.deletes import scan_plan_tasks_dv
+
+    rows = scan_plan_tasks_dv(spark, "").collect()
+    by_file = {r["data_file"].rsplit("/", 1)[-1]: r for r in rows}
+    assert by_file["A.parquet"]["apply_rule"] == "dv: data_seq <= delete_seq"
+    assert by_file["C.parquet"]["apply_rule"] == "dv: data_seq <= delete_seq"
+    assert by_file["B.parquet"]["apply_rule"] == "none"
+    assert by_file["D.parquet"]["apply_rule"] == "none"
+
+
+def test_dv_fixture_regeneration_is_deterministic(tmp_path):
+    # regenerate into a scratch dir (OUT_DIR is a module global the
+    # generator threads through every path) and byte-compare the
+    # committed fixture's metadata artifacts
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    gen = os.path.join(repo, "scripts", "gen_dv_fixture.py")
+    spec = importlib.util.spec_from_file_location("gen_dv_fixture_scratch", gen)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    scratch = str(tmp_path / "dv")
+    mod.OUT_DIR = scratch
+    mod.main()
+    fixture = os.path.join(repo, "tests", "fixtures", "dv")
+    for rel in [
+        "v3.metadata.json",
+        "metadata/m1.avro",
+        "metadata/m5.avro",
+        "metadata/snap-3003.avro",
+        "data/deletes/dv1.puffin",
+    ]:
+        a = open(os.path.join(fixture, rel), "rb").read()
+        b = open(os.path.join(scratch, *rel.split("/")), "rb").read()
+        assert a == b, f"{rel} differs between committed fixture and regeneration"
