@@ -341,6 +341,7 @@ def commit_delete_snapshot(
     snapshot_id: int | None = None,
     timestamp_ms: int | None = None,
     spec_id: int | None = None,
+    replace_dv_refs: set[str] | None = None,
 ) -> dict[str, Any]:
     """Commit a DELETE snapshot carrying v2 delete files (the MoR
     write half): a content=1 manifest whose entries reference
@@ -355,7 +356,17 @@ def commit_delete_snapshot(
 
     ``delete_files``: ``{"path": ..., "partition": {...},
     "content": 1|2, "equality_ids"?: [field ids], "record_count"?,
-    "file_size_in_bytes"?}``.
+    "file_size_in_bytes"?}`` — plus, for v3 deletion vectors,
+    ``file_format: "PUFFIN"`` with ``referenced_data_file`` /
+    ``content_offset`` / ``content_size_in_bytes`` (and
+    ``record_count`` = the vector's cardinality).
+
+    ``replace_dv_refs``: data-file paths whose PREVIOUS deletion
+    vectors this commit supersedes (the v3 "one DV per data file"
+    rule: a new DV must carry the union of positions and retire the
+    old blob). Carried-forward delete manifests holding a superseded
+    DV are rewritten with that entry marked DELETED; the original
+    manifest files stay untouched for older snapshots' lists.
     """
     for df in delete_files:
         if df.get("content") not in (1, 2):
@@ -371,7 +382,81 @@ def commit_delete_snapshot(
         snapshot_id=snapshot_id,
         timestamp_ms=timestamp_ms,
         spec_id=spec_id,
+        replace_dv_refs=replace_dv_refs,
     )
+
+
+def _retire_replaced_dvs(
+    rows: list[dict[str, Any]],
+    refs: set[str],
+    meta: TableMetadata,
+    base_dir: str,
+    loc: str,
+    meta_dir: str,
+    snapshot_id: int,
+) -> None:
+    """v3 deletion-vector replacement: any carried-forward delete
+    manifest holding a live DV entry whose ``referenced_data_file``
+    is in ``refs`` is rewritten (to a NEW manifest file — the
+    original stays for older snapshots' lists) with that entry
+    re-statused DELETED, its sequence number made explicit (a
+    tombstone no longer inherits), and the list row's path/length/
+    counts updated in place. Raises if a claimed-replaced ref has no
+    live DV in any carried manifest (the caller's replacement set
+    would silently diverge from table state)."""
+    from ..avro.reader import AvroContainerFile
+
+    found: set[str] = set()
+    for i, row in enumerate(rows):
+        if row.get("content", 0) != 1:
+            continue
+        local = _local(row["manifest_path"], base_dir, loc)
+        with open(local, "rb") as f:
+            records = list(AvroContainerFile(f.read()))
+        hits = [
+            r
+            for r in records
+            if r["status"] != 2
+            and r["data_file"].get("referenced_data_file") in refs
+        ]
+        if not hits:
+            continue
+        for r in hits:
+            r["status"] = 2  # DELETED tombstone
+            if r.get("sequence_number") is None:
+                r["sequence_number"] = row["sequence_number"]
+            found.add(r["data_file"]["referenced_data_file"])
+        gspec = row.get("partition_spec_id", 0)
+        part_fields = _spec_partition_fields(meta, gspec)
+        blob = write_container(
+            manifest_entry_schema(part_fields, f"ret{snapshot_id}i{i}", v3=True),
+            records,
+        )
+        man_name = f"manifest-{snapshot_id}-retire{i}.avro"
+        with open(os.path.join(meta_dir, man_name), "wb") as f:
+            f.write(blob)
+        label = {1: "added", 0: "existing", 2: "deleted"}
+        counts = {
+            f"{k}_{u}_count": 0
+            for k in label.values()
+            for u in ("files", "rows")
+        }
+        for r in records:
+            counts[f"{label[r['status']]}_files_count"] += 1
+            counts[f"{label[r['status']]}_rows_count"] += r["data_file"]["record_count"]
+        row.update(
+            {
+                "manifest_path": f"{loc}/metadata/{man_name}",
+                "manifest_length": len(blob),
+                **counts,
+            }
+        )
+    missing = refs - found
+    if missing:
+        raise ValueError(
+            f"replace_dv_refs claims superseded deletion vectors for "
+            f"{sorted(missing)} but no carried delete manifest holds one"
+        )
 
 
 def _commit_files(
@@ -385,6 +470,7 @@ def _commit_files(
     timestamp_ms: int | None = None,
     spec_id: int | None = None,
     stage_ref: str | None = None,
+    replace_dv_refs: set[str] | None = None,
 ) -> dict[str, Any]:
     if not data_files:
         raise ValueError(f"{operation} commit with no data files (empty commits carry no manifest)")
@@ -436,9 +522,15 @@ def _commit_files(
                 )
             local = df["path"] if os.path.isabs(df["path"]) else os.path.join(table_root, df["path"])
             rel = os.path.relpath(local, table_root).replace(os.sep, "/")
+            file_format = df.get("file_format", "PARQUET")
             record_count = df.get("record_count")
             file_size = df.get("file_size_in_bytes")
             if record_count is None:
+                if file_format != "PARQUET":
+                    raise ValueError(
+                        f"{rel}: non-parquet files must declare record_count "
+                        "(a deletion vector's is its cardinality)"
+                    )
                 import pyarrow.parquet as pq
 
                 record_count = pq.read_metadata(local).num_rows
@@ -453,7 +545,7 @@ def _commit_files(
                     "data_file": {
                         "content": int(df.get("content", 0)),
                         "file_path": f"{loc}/{rel}",
-                        "file_format": "PARQUET",
+                        "file_format": file_format,
                         "partition": part,
                         "record_count": record_count,
                         "file_size_in_bytes": file_size,
@@ -465,6 +557,12 @@ def _commit_files(
                         "upper_bounds": df.get("upper_bounds"),
                         "equality_ids": df.get("equality_ids"),
                         "sort_order_id": df.get("sort_order_id"),
+                        # v3 deletion-vector locator (ignored by the
+                        # v2 entry schema; written when the group's
+                        # schema is v3)
+                        "referenced_data_file": df.get("referenced_data_file"),
+                        "content_offset": df.get("content_offset"),
+                        "content_size_in_bytes": df.get("content_size_in_bytes"),
                     },
                 }
             )
@@ -476,6 +574,10 @@ def _commit_files(
     if parent_id is not None:
         parent = next(s for s in snaps if s["snapshot-id"] == parent_id)
         rows.extend(read_manifest_list(_local(parent["manifest-list"], base_dir, loc)))
+    if replace_dv_refs:
+        _retire_replaced_dvs(
+            rows, set(replace_dv_refs), meta, base_dir, loc, meta_dir, snapshot_id
+        )
     man_paths: list[str] = []
     added_rows = 0
     n_data_files = n_delete_files = 0
@@ -493,7 +595,15 @@ def _commit_files(
             else f"manifest-{snapshot_id}-c{mc}s{gspec}.avro"
         )
         man_blob = write_container(
-            manifest_entry_schema(part_fields, f"c{snapshot_id}m{mc}s{gspec}"), entries
+            manifest_entry_schema(
+                part_fields,
+                f"c{snapshot_id}m{mc}s{gspec}",
+                v3=any(
+                    e["data_file"].get("referenced_data_file") is not None
+                    for e in entries
+                ),
+            ),
+            entries,
         )
         with open(os.path.join(meta_dir, man_name), "wb") as f:
             f.write(man_blob)

@@ -111,6 +111,166 @@ def delete_where(
     return res
 
 
+def delete_where_dv(
+    spark: SparkSession,
+    metadata_path: str,
+    predicate: str,
+    *,
+    base_dir: str | None = None,
+    snapshot_id: int | None = None,
+    timestamp_ms: int | None = None,
+    stage_rel_dir: str = "data/deletes",
+) -> dict[str, Any]:
+    """v3 ``DELETE WHERE``: commit the victims as **deletion
+    vectors** (Puffin Roaring blobs) instead of position-delete
+    parquet — the write shape Iceberg v3 mandates.
+
+    Same distributed victim scan as :func:`delete_where`; then ONE
+    Arrow task per affected data file (``applyInPandas`` over the
+    file group) unions the new victims with the file's EXISTING
+    vector (the v3 replacement rule: at most one DV per data file,
+    so a new vector carries the union of positions), serializes the
+    bitmap, and writes a single-blob Puffin file into the staging
+    dir — executor-side, one KB–MB blob per file, never a
+    driver-held position list. The commit adds the new DV entries
+    and retires superseded vectors via ``replace_dv_refs`` (their
+    carried manifests are rewritten with the old entry tombstoned;
+    older snapshots keep the original manifests, so time travel
+    still sees the pre-delete state).
+
+    The locator collect below is planning metadata — one row per
+    affected FILE (path/offset/length/cardinality), the same
+    KB-per-thousand-files scale as every manifest the driver writes.
+    """
+    base_dir = base_dir or os.path.dirname(metadata_path)
+    meta = parse_metadata(metadata_path)
+    loc = meta.raw.get("location")
+    if not loc:
+        raise ValueError("table metadata carries no location; cannot stage deletes")
+    current = meta.current_snapshot_id
+    data, dels = mor_entries_at(meta, current, base_dir)
+    if not data:
+        raise ValueError("table has no live data files")
+
+    live = apply_deletes(spark, meta, mor_frame(spark, data), dels, mode="survivors")
+    victims = live.filter(predicate).select("_rel", "_pos")
+
+    from .deletes import _is_dv
+
+    old_dv = {e["referenced_data_file"]: e for e in dels if _is_dv(e)}
+    stage_dir = os.path.join(
+        base_dir, *stage_rel_dir.split("/"), f"_staged-dv-{current}"
+    )
+    os.makedirs(stage_dir, exist_ok=True)
+
+    # one broadcast row per data FILE: its canonical path, spec,
+    # partition, and (if present) the locator of the DV this commit
+    # would supersede
+    info = spark.createDataFrame(
+        [
+            (
+                e["rel"],
+                e["file_path"],
+                int(e["spec_id"]),
+                json.dumps(e["partition"], sort_keys=True),
+                old_dv[e["file_path"]]["local_path"] if e["file_path"] in old_dv else None,
+                old_dv[e["file_path"]]["content_offset"] if e["file_path"] in old_dv else None,
+                old_dv[e["file_path"]]["content_size_in_bytes"] if e["file_path"] in old_dv else None,
+            )
+            for e in data
+        ],
+        "p_rel string, ref string, sid int, pjson string, "
+        "old_path string, old_off bigint, old_len bigint",
+    )
+    tagged = victims.join(F.broadcast(info), victims["_rel"] == info["p_rel"])
+
+    out_schema = (
+        "rel string, ref string, sid int, pjson string, path string, "
+        "content_offset bigint, content_size_in_bytes bigint, "
+        "cardinality bigint, replaced boolean"
+    )
+
+    def _write_dv(pdf):
+        import hashlib
+        import os as _os
+
+        import pandas as pd
+
+        from iceberg_tools_spark.iceberg.puffin import (
+            decode_dv_blob,
+            read_blob,
+            write_deletion_vectors,
+        )
+
+        row0 = pdf.iloc[0]
+        positions = {int(p) for p in pdf["_pos"]}
+        replaced = pd.notna(row0["old_path"])
+        if replaced:
+            positions |= set(
+                decode_dv_blob(
+                    read_blob(
+                        row0["old_path"], int(row0["old_off"]), int(row0["old_len"])
+                    )
+                )
+            )
+        name = "dv-" + hashlib.md5(row0["_rel"].encode()).hexdigest()[:16] + ".puffin"
+        out_path = _os.path.join(stage_dir, name)
+        (m,) = write_deletion_vectors(
+            out_path,
+            [(row0["ref"], sorted(positions))],
+            snapshot_id=-1,  # unknown pre-commit (spec: -1)
+            sequence_number=-1,
+        )
+        return pd.DataFrame(
+            [
+                {
+                    "rel": row0["_rel"],
+                    "ref": row0["ref"],
+                    "sid": int(row0["sid"]),
+                    "pjson": row0["pjson"],
+                    "path": out_path,
+                    "content_offset": m["offset"],
+                    "content_size_in_bytes": m["length"],
+                    "cardinality": len(positions),
+                    "replaced": bool(replaced),
+                }
+            ]
+        )
+
+    locators = tagged.groupBy("_rel").applyInPandas(_write_dv, out_schema).collect()
+    if not locators:
+        raise ValueError(f"predicate {predicate!r} matched no live rows")
+
+    delete_files = [
+        {
+            "path": r["path"],
+            "partition": json.loads(r["pjson"]),
+            "spec_id": r["sid"],
+            "content": 1,
+            "file_format": "PUFFIN",
+            "referenced_data_file": r["ref"],
+            "content_offset": r["content_offset"],
+            "content_size_in_bytes": r["content_size_in_bytes"],
+            "record_count": r["cardinality"],
+            "file_size_in_bytes": os.path.getsize(r["path"]),
+        }
+        for r in sorted(locators, key=lambda x: x["rel"])
+    ]
+    replace_refs = {r["ref"] for r in locators if r["replaced"]}
+    res = commit_delete_snapshot(
+        metadata_path,
+        delete_files,
+        base_dir=base_dir,
+        snapshot_id=snapshot_id,
+        timestamp_ms=timestamp_ms,
+        replace_dv_refs=replace_refs or None,
+    )
+    res["staged_files"] = [d["path"] for d in delete_files]
+    res["n_dvs"] = len(delete_files)
+    res["n_replaced"] = len(replace_refs)
+    return res
+
+
 def _spec_source_columns(meta, spec_id: int) -> set[str]:
     """Source COLUMN names of a spec's partition fields (any
     transform)."""
@@ -610,4 +770,41 @@ FROM (VALUES
   ('DELETE', 118, 'y'), ('INSERT', 990, 'x'), ('INSERT', 1118, 'y'))
   t(change_type, id, category)
 ORDER BY id, change_type
+"""
+
+
+def delete_where_dv_roundtrip(spark, sf_dir):
+    """Driver-gate round-trip for the v3 DV write path: on a scratch
+    copy of the DV fixture, ``DELETE WHERE id % 50 = 0`` — victims
+    land in all four data files; A and C already carry deletion
+    vectors, so their new vectors must be the UNION of positions
+    (12 and 7 dead rows) with the old blobs retired, while B and D
+    get first-time vectors. Returned as the commit's CDC changelog:
+    exactly the six matching live rows as DELETEs. Golden oracle;
+    the changelog diff itself re-reads BOTH snapshots through the
+    v3 MoR path."""
+    from .changelog import changelog_between
+    from .commit import _scratch_table
+    from .deletes import DV_DIR
+
+    root = _scratch_table("dvdml_gate_", DV_DIR)
+    res = delete_where_dv(
+        spark,
+        os.path.join(root, "v3.metadata.json"),
+        "id % 50 = 0",
+    )
+    return (
+        changelog_between(spark, res["metadata_path"], 3003, res["snapshot_id"])
+        .select("change_type", "id", "category")
+        .orderBy("id")
+    )
+
+
+DELETE_WHERE_DV_SQL = """
+SELECT change_type, CAST(id AS BIGINT) AS id, category
+FROM (VALUES
+  ('DELETE', 50, 'x'), ('DELETE', 100, 'x'), ('DELETE', 150, 'y'),
+  ('DELETE', 200, 'x'), ('DELETE', 250, 'x'), ('DELETE', 300, 'z'))
+  t(change_type, id, category)
+ORDER BY id
 """

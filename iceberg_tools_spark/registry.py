@@ -485,6 +485,16 @@ register("mor_live_rows_dv", meta_del.mor_live_rows_dv, meta_del.MOR_LIVE_ROWS_D
 register(
     "scan_plan_tasks_dv", meta_del.scan_plan_tasks_dv, meta_del.SCAN_PLAN_TASKS_DV_SQL
 )
+# the v3 DV WRITE path: DELETE WHERE staging deletion vectors (one
+# Arrow task per affected file, existing-vector union + retirement
+# of superseded blobs), certified through the CDC changelog of the
+# resulting commit (golden; the diff re-reads both snapshots via
+# the v3 MoR path)
+register(
+    "delete_where_dv_roundtrip",
+    meta_dml.delete_where_dv_roundtrip,
+    meta_dml.DELETE_WHERE_DV_SQL,
+)
 
 # ------------------- re-certs of untouched r4/r5-green queries
 # (fresh rows harmless; any sliding past 50 keep their green row)

@@ -316,3 +316,107 @@ def test_dv_fixture_regeneration_is_deterministic(tmp_path):
         a = open(os.path.join(fixture, rel), "rb").read()
         b = open(os.path.join(scratch, *rel.split("/")), "rb").read()
         assert a == b, f"{rel} differs between committed fixture and regeneration"
+
+
+# ------------------------------------------------- DV write path
+
+
+@pytest.fixture()
+def dv_scratch(spark):
+    from iceberg_tools_spark.iceberg.commit import _scratch_table
+    from iceberg_tools_spark.iceberg.deletes import DV_DIR
+
+    root = _scratch_table("dv_write_test_", DV_DIR)
+    return root, os.path.join(root, "v3.metadata.json")
+
+
+def test_delete_where_dv_merges_and_retires(spark, dv_scratch):
+    from iceberg_tools_spark.iceberg.deletes import mor_entries_at, read_mor, _is_dv
+    from iceberg_tools_spark.iceberg.dml import delete_where_dv
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+    from iceberg_tools_spark.iceberg.puffin import decode_dv_blob, read_blob
+
+    root, mpath = dv_scratch
+    res = delete_where_dv(spark, mpath, "id % 50 = 0")
+    assert res["n_dvs"] == 4  # victims in all four files
+    assert res["n_replaced"] == 2  # A and C had vectors already
+
+    meta = parse_metadata(res["metadata_path"])
+    _, dels = mor_entries_at(meta, res["snapshot_id"], root)
+    dvs = {e["referenced_data_file"]: e for e in dels if _is_dv(e)}
+    assert len(dvs) == 4  # one-DV-per-file invariant survived
+    # A: old {0..9} ∪ new {49, 99} = 12; C: old {0..4} ∪ {49, 99} = 7
+    card = {ref.rsplit("/", 1)[-1]: e["record_count"] for ref, e in dvs.items()}
+    assert card == {"A.parquet": 12, "B.parquet": 1, "C.parquet": 7, "D.parquet": 1}
+    a = dvs[next(r for r in dvs if r.endswith("A.parquet"))]
+    positions = decode_dv_blob(
+        read_blob(a["local_path"], a["content_offset"], a["content_size_in_bytes"])
+    )
+    assert positions == sorted(set(range(10)) | {49, 99})
+
+    # live read: 285 - 6 = 279 rows, none divisible by 50
+    live = read_mor(spark, res["metadata_path"], res["snapshot_id"], root)
+    ids = {r["id"] for r in live.collect()}
+    assert len(ids) == 279
+    assert not any(i % 50 == 0 for i in ids)
+
+
+def test_delete_where_dv_preserves_time_travel(spark, dv_scratch):
+    from iceberg_tools_spark.iceberg.deletes import read_mor
+    from iceberg_tools_spark.iceberg.dml import delete_where_dv
+
+    root, mpath = dv_scratch
+    res = delete_where_dv(spark, mpath, "id % 50 = 0")
+    # the pre-delete snapshots still read through their ORIGINAL
+    # manifests: 3003 sees 285 live rows, 3002 all 300
+    assert read_mor(spark, res["metadata_path"], 3003, root).count() == 285
+    assert read_mor(spark, res["metadata_path"], 3002, root).count() == 300
+
+
+def test_delete_where_dv_chains(spark, dv_scratch):
+    # a second DV delete on the committed table replaces the
+    # replacement: unions accumulate, invariant holds
+    from iceberg_tools_spark.iceberg.deletes import mor_entries_at, read_mor, _is_dv
+    from iceberg_tools_spark.iceberg.dml import delete_where_dv
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+
+    root, mpath = dv_scratch
+    r1 = delete_where_dv(spark, mpath, "id % 50 = 0")
+    r2 = delete_where_dv(spark, r1["metadata_path"], "id IN (11, 12)")
+    assert r2["n_dvs"] == 1 and r2["n_replaced"] == 1  # A again
+    meta = parse_metadata(r2["metadata_path"])
+    _, dels = mor_entries_at(meta, r2["snapshot_id"], root)
+    a = next(
+        e for e in dels
+        if _is_dv(e) and e["referenced_data_file"].endswith("A.parquet")
+    )
+    assert a["record_count"] == 14  # {0..9} ∪ {49, 99} ∪ {10, 11}
+    assert read_mor(spark, r2["metadata_path"], r2["snapshot_id"], root).count() == 277
+
+
+def test_delete_where_dv_no_match_raises(spark, dv_scratch):
+    from iceberg_tools_spark.iceberg.dml import delete_where_dv
+
+    root, mpath = dv_scratch
+    with pytest.raises(ValueError, match="matched no live rows"):
+        delete_where_dv(spark, mpath, "id = -1")
+
+
+def test_delete_where_dv_on_v2_table_writes_first_vectors(spark):
+    # the DV writer also works on a table whose existing deletes are
+    # v2 parquet files: new DVs coexist with (and apply alongside)
+    # the old positional/equality deletes
+    from iceberg_tools_spark.iceberg.commit import _scratch_table
+    from iceberg_tools_spark.iceberg.deletes import MOR_DIR, read_mor
+    from iceberg_tools_spark.iceberg.dml import delete_where_dv
+
+    root = _scratch_table("dv_on_v2_test_", MOR_DIR)
+    mpath = os.path.join(root, "v2.metadata.json")
+    res = delete_where_dv(spark, mpath, "id IN (30, 310)")
+    assert res["n_dvs"] == 2 and res["n_replaced"] == 0
+    live = read_mor(spark, res["metadata_path"], res["snapshot_id"], root)
+    ids = {r["id"] for r in live.collect()}
+    assert len(ids) == 321  # 323 - 2
+    assert 30 not in ids and 310 not in ids
+    # the v2 deletes still apply (pd1: ids 1-10; ed1: 260, 270)
+    assert 5 not in ids and 260 not in ids
