@@ -49,7 +49,9 @@ from .commit import _summary_totals  # noqa: E402
 from .deletes import (
     EQUALITY_DELETES,
     POSITION_DELETES,
+    _dv_positions_frame,
     _identity_sources,
+    _is_dv,
     _schema_field_names,
     mor_entries_at,
 )
@@ -80,11 +82,20 @@ def _fold_file(
         and entry["sequence_number"] <= d["sequence_number"]
     ]
     for d in pos:
-        pd_ = (
-            spark.read.parquet(d["local_path"])
-            .filter(F.regexp_extract("file_path", r"data/.*$", 0) == rel)
-            .select(F.col("pos").alias("pd_pos"))
-        )
+        if _is_dv(d):
+            # v3 deletion vector: attaches ONLY to its referenced
+            # file; positions decode from the Puffin blob
+            if d["referenced_data_file"] != entry["file_path"]:
+                continue
+            pd_ = _dv_positions_frame(spark, [d]).select(
+                F.col("pd_pos")
+            )
+        else:
+            pd_ = (
+                spark.read.parquet(d["local_path"])
+                .filter(F.regexp_extract("file_path", r"data/.*$", 0) == rel)
+                .select(F.col("pos").alias("pd_pos"))
+            )
         df = df.join(pd_, df["_pos"] == pd_["pd_pos"], "left_anti")
 
     field_names = _schema_field_names(meta)
@@ -158,10 +169,19 @@ def rewrite_data_files(
                     continue
                 if e["sequence_number"] > d["sequence_number"]:
                     continue
-                n = duckdb.sql(
-                    f"SELECT COUNT(*) FROM read_parquet('{d['local_path']}') "
-                    f"WHERE regexp_extract(file_path, 'data/.*$') = '{e['rel']}'"
-                ).fetchone()[0]
+                if _is_dv(d):
+                    # the manifest already names the target and the
+                    # cardinality — no file read needed to plan
+                    n = (
+                        d["record_count"]
+                        if d["referenced_data_file"] == e["file_path"]
+                        else 0
+                    )
+                else:
+                    n = duckdb.sql(
+                        f"SELECT COUNT(*) FROM read_parquet('{d['local_path']}') "
+                        f"WHERE regexp_extract(file_path, 'data/.*$') = '{e['rel']}'"
+                    ).fetchone()[0]
                 if n:
                     target_rels.append(e["rel"])
                     break

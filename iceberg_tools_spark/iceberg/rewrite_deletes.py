@@ -48,7 +48,7 @@ from .commit import (
     partition_summaries,
 )
 from .commit import _summary_totals  # noqa: E402
-from .deletes import EQUALITY_DELETES, POSITION_DELETES, mor_entries_at
+from .deletes import EQUALITY_DELETES, POSITION_DELETES, _is_dv, mor_entries_at
 from .metadata import parse_metadata
 from .rewrite_data import _write_single_parquet
 from .snapshots import _local, manifest_files_at, read_manifest_list
@@ -80,9 +80,18 @@ def rewrite_position_deletes(
 
     parent_id = raw.get("current-snapshot-id")
     data, dels = mor_entries_at(meta, parent_id, base_dir)
-    pos_dels = [d for d in dels if d["content"] == POSITION_DELETES]
+    # v3 deletion vectors never need this compaction: there is at
+    # most ONE vector per data file by invariant, and a dangling
+    # vector (referenced file no longer live) simply never attaches.
+    # Only parquet position-delete files accumulate per-file.
+    pos_dels = [
+        d for d in dels if d["content"] == POSITION_DELETES and not _is_dv(d)
+    ]
     if not pos_dels:
-        raise ValueError("no positional delete files at the current snapshot")
+        raise ValueError(
+            "no positional delete parquet files at the current snapshot "
+            "(deletion vectors are one-per-file and need no compaction)"
+        )
 
     live_rels = sorted({e["rel"] for e in data})
 
@@ -173,8 +182,15 @@ def rewrite_position_deletes(
         for rec in records:
             if rec["status"] == DELETED:
                 continue
-            if rec["data_file"].get("content") != EQUALITY_DELETES:
-                continue  # positional: replaced by the compacted files
+            df_ = rec["data_file"]
+            if df_.get("content") != EQUALITY_DELETES and not (
+                (df_.get("file_format") or "").upper() == "PUFFIN"
+            ):
+                continue  # parquet positional: replaced by the
+                # compacted files; equality AND v3 deletion-vector
+                # entries carry forward (vectors were excluded from
+                # compaction — dropping them here would resurrect
+                # their deleted rows)
             eseq = rec.get("sequence_number")
             if eseq is None:
                 eseq = mrow.get("sequence_number", 0)
@@ -196,7 +212,15 @@ def rewrite_position_deletes(
         name = os.path.basename(mrow["local_path"]).rsplit(".", 1)[0]
         new_name = f"{name}-eq{snapshot_id}.avro"
         blob = write_container(
-            manifest_entry_schema(spec_fields, f"eq{snapshot_id}_{name}"), kept
+            manifest_entry_schema(
+                spec_fields,
+                f"eq{snapshot_id}_{name}",
+                v3=any(
+                    e["data_file"].get("referenced_data_file") is not None
+                    for e in kept
+                ),
+            ),
+            kept,
         )
         with open(os.path.join(meta_dir, new_name), "wb") as f:
             f.write(blob)

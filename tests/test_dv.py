@@ -420,3 +420,57 @@ def test_delete_where_dv_on_v2_table_writes_first_vectors(spark):
     assert 30 not in ids and 310 not in ids
     # the v2 deletes still apply (pd1: ids 1-10; ed1: 260, 270)
     assert 5 not in ids and 260 not in ids
+
+
+# ------------------------------------ maintenance on DV tables
+
+
+def test_rewrite_data_files_folds_deletion_vectors(spark, dv_scratch):
+    from iceberg_tools_spark.iceberg.deletes import (
+        mor_entries_at,
+        plan_scan_tasks,
+        read_mor,
+    )
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+    from iceberg_tools_spark.iceberg.rewrite_data import rewrite_data_files
+
+    root, mpath = dv_scratch
+    before = sorted(r["id"] for r in read_mor(spark, mpath, 3003, root).collect())
+    # target detection reads NO files for DVs: the manifest names
+    # the referenced file and carries the cardinality
+    res = rewrite_data_files(spark, mpath, base_dir=root)
+    assert sorted(res["rewritten"]) == [
+        "data/category=x/A.parquet", "data/category=x/C.parquet",
+    ]
+    after = sorted(
+        r["id"]
+        for r in read_mor(spark, res["metadata_path"], res["snapshot_id"], root).collect()
+    )
+    assert after == before  # fold preserved row-level state
+    # the folded files plan clean: their old vectors never attach
+    meta = parse_metadata(res["metadata_path"])
+    tasks = plan_scan_tasks(meta, res["snapshot_id"], root)
+    by_file = {t[0].rsplit("/", 1)[-1]: t[5] for t in tasks}
+    assert by_file[f"A-rw{res['snapshot_id']}.parquet"] == "none"
+    assert by_file[f"C-rw{res['snapshot_id']}.parquet"] == "none"
+
+
+def test_rewrite_position_deletes_skips_vectors(spark):
+    # on a v2 table that ALSO carries a deletion vector, compaction
+    # touches only the parquet position deletes; the vector still
+    # applies afterward
+    from iceberg_tools_spark.iceberg.commit import _scratch_table
+    from iceberg_tools_spark.iceberg.deletes import MOR_DIR, read_mor
+    from iceberg_tools_spark.iceberg.dml import delete_where_dv
+    from iceberg_tools_spark.iceberg.rewrite_deletes import rewrite_position_deletes
+
+    root = _scratch_table("dv_rwpd_test_", MOR_DIR)
+    mpath = os.path.join(root, "v2.metadata.json")
+    r1 = delete_where_dv(spark, mpath, "id IN (30, 310)")
+    r2 = rewrite_position_deletes(spark, r1["metadata_path"], base_dir=root)
+    assert r2["removed_files"] == 1  # pd1.parquet only; the DV stays
+    live = read_mor(spark, r2["metadata_path"], r2["snapshot_id"], root)
+    ids = {r["id"] for r in live.collect()}
+    assert len(ids) == 321
+    assert 30 not in ids and 310 not in ids  # the vector survived
+    assert 5 not in ids  # compacted parquet deletes still apply

@@ -102,7 +102,7 @@ def test_no_position_deletes_raises(spark, tmp_path):
     evo = os.path.join(os.path.dirname(__file__), "fixtures", "evolution")
     root = tmp_path / "evo"
     shutil.copytree(evo, root)
-    with pytest.raises(ValueError, match="no positional delete files"):
+    with pytest.raises(ValueError, match="no positional delete parquet files"):
         rewrite_position_deletes(spark, str(root / "v5.metadata.json"))
 
 
