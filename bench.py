@@ -223,6 +223,52 @@ def _metadata_scale_evidence(spark) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _dv_scale_evidence() -> dict:
+    """Deletion-vector codec at production cardinalities: encode /
+    decode a 1M-position sparse vector (10 % of a 10M-row file) and
+    a 5M-position dense one (every 2nd row — the run/bitmap-heavy
+    shape compaction debt produces), through the full Puffin
+    write → ranged-read → CRC-checked decode path. The sizes are the
+    point: megabytes of bitmap where parquet position deletes would
+    be tens of MB of (path, pos) rows."""
+    import random
+    import shutil
+    import tempfile
+
+    from iceberg_tools_spark.iceberg.puffin import (
+        read_deletion_vectors,
+        write_deletion_vectors,
+    )
+
+    root = tempfile.mkdtemp(prefix="dv_scale_")
+    out = {}
+    try:
+        cases = {
+            "sparse_1m_of_10m": sorted(
+                random.Random(42).sample(range(10_000_000), 1_000_000)
+            ),
+            "dense_5m_every_2nd": list(range(0, 10_000_000, 2)),
+        }
+        for name, positions in cases.items():
+            path = os.path.join(root, f"{name}.puffin")
+            t0 = time.perf_counter()
+            (m,) = write_deletion_vectors(path, [("file:///t/big.parquet", positions)])
+            enc = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            got = read_deletion_vectors(path)
+            dec = time.perf_counter() - t0
+            assert got["file:///t/big.parquet"] == positions
+            out[name] = {
+                "cardinality": len(positions),
+                "blob_kib": round(m["length"] / 1024, 1),
+                "encode_sec": round(enc, 3),
+                "decode_sec": round(dec, 3),
+            }
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -431,11 +477,16 @@ def main() -> None:
     # snapshots × 50 files (each snapshot a disjoint identity-key
     # range, so a point predicate prunes 39/40 manifests at level 1)
     metadata_scale = None
+    dv_scale = None
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALE"):
         try:
             metadata_scale = _metadata_scale_evidence(spark)
         except Exception as exc:  # pragma: no cover - defensive
             metadata_scale = {"error": f"{type(exc).__name__}: {exc}"}
+        try:
+            dv_scale = _dv_scale_evidence()
+        except Exception as exc:  # pragma: no cover - defensive
+            dv_scale = {"error": f"{type(exc).__name__}: {exc}"}
 
     out = {
         "metric": "headline_total",
@@ -455,6 +506,7 @@ def main() -> None:
         "knob_sweep": sweep,
         "scale_evidence": scale_evidence,
         "metadata_scale": metadata_scale,
+        "dv_scale": dv_scale,
     }
     print(json.dumps(out))
 

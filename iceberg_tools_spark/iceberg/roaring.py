@@ -32,6 +32,11 @@ from __future__ import annotations
 import struct
 from typing import Iterable
 
+try:  # vectorized fast paths; the scalar code below is the
+    import numpy as _np  # reference implementation and fallback
+except ImportError:  # pragma: no cover - numpy is baked in here
+    _np = None
+
 SERIAL_COOKIE_NO_RUNCONTAINER = 12346
 SERIAL_COOKIE = 12347
 NO_OFFSET_THRESHOLD = 4
@@ -78,8 +83,58 @@ def _serialize_container(values: list[int]) -> tuple[str, bytes]:
     return "bitmap", struct.pack("<1024Q", *words)
 
 
+def _np_container(lo: "object") -> tuple[str, bytes]:
+    """Vectorized `_serialize_container`: identical kind choice and
+    byte output for one container's sorted unique uint16 values
+    (``lo``: np.uint32 array)."""
+    card = int(lo.size)
+    d = _np.diff(lo)
+    n_runs = int((d != 1).sum()) + 1
+    run_size = 2 + 4 * n_runs
+    array_size = 2 * card if card <= ARRAY_MAX_CARD else None
+    other = min(s for s in (array_size, BITMAP_BYTES) if s is not None)
+    if run_size < other:
+        brk = _np.nonzero(d != 1)[0]
+        starts = lo[_np.concatenate(([0], brk + 1))]
+        ends = lo[_np.concatenate((brk, [card - 1]))]
+        inter = _np.empty(2 * n_runs, dtype="<u2")
+        inter[0::2] = starts
+        inter[1::2] = ends - starts  # length - 1
+        return "run", struct.pack("<H", n_runs) + inter.tobytes()
+    if array_size is not None:
+        return "array", lo.astype("<u2").tobytes()
+    # bitmap: 1024 little-endian uint64 words == 8192 bytes in flat
+    # little bit order (value x ↔ byte x>>3, bit x&7)
+    bits = _np.zeros(BITMAP_BYTES, dtype=_np.uint8)
+    _np.bitwise_or.at(bits, lo >> 3, _np.left_shift(1, lo & 7).astype(_np.uint8))
+    return "bitmap", bits.tobytes()
+
+
+def _np_serialize_u32(values: Iterable[int]) -> bytes:
+    try:
+        v = _np.asarray(
+            values if isinstance(values, _np.ndarray) else list(values),
+            dtype=_np.int64,
+        )
+    except (OverflowError, ValueError, TypeError) as exc:
+        raise ValueError("serialize_u32: values must be uint32") from exc
+    v = _np.unique(v)
+    if v.size and (int(v[0]) < 0 or int(v[-1]) > 0xFFFFFFFF):
+        raise ValueError("serialize_u32: values must be uint32")
+    v = v.astype(_np.uint32)
+    keys16 = (v >> 16).astype(_np.uint32)
+    brk = _np.nonzero(_np.diff(keys16))[0] + 1
+    chunks = _np.split(v & 0xFFFF, brk) if v.size else []
+    keys = [int(k) for k in keys16[_np.concatenate(([0], brk))]] if v.size else []
+    conts = [_np_container(c.astype(_np.uint32)) for c in chunks]
+    cards = [int(c.size) for c in chunks]
+    return _assemble_u32(keys, cards, conts)
+
+
 def serialize_u32(values: Iterable[int]) -> bytes:
     """Standard 32-bit Roaring serialization of a set of uint32s."""
+    if _np is not None:
+        return _np_serialize_u32(values)
     vals = sorted(set(values))
     if any(v < 0 or v > 0xFFFFFFFF for v in vals):
         raise ValueError("serialize_u32: values must be uint32")
@@ -87,8 +142,14 @@ def serialize_u32(values: Iterable[int]) -> bytes:
     for v in vals:
         buckets.setdefault(v >> 16, []).append(v & 0xFFFF)
     keys = sorted(buckets)
-    size = len(keys)
     conts = [_serialize_container(buckets[k]) for k in keys]
+    return _assemble_u32(keys, [len(buckets[k]) for k in keys], conts)
+
+
+def _assemble_u32(
+    keys: list[int], cards: list[int], conts: list[tuple[str, bytes]]
+) -> bytes:
+    size = len(keys)
     has_run = any(kind == "run" for kind, _ in conts)
 
     out = bytearray()
@@ -101,8 +162,8 @@ def serialize_u32(values: Iterable[int]) -> bytes:
         out += flags
     else:
         out += struct.pack("<II", SERIAL_COOKIE_NO_RUNCONTAINER, size)
-    for k, (_, _p) in zip(keys, conts):
-        out += struct.pack("<HH", k, len(buckets[k]) - 1)
+    for k, card in zip(keys, cards):
+        out += struct.pack("<HH", k, card - 1)
     write_offsets = (not has_run) or size >= NO_OFFSET_THRESHOLD
     if write_offsets:
         off = len(out) + 4 * size
@@ -118,6 +179,25 @@ def serialize_u64(values: Iterable[int]) -> bytes:
     """Portable 64-bit Roaring serialization (the Iceberg v3
     deletion-vector layout): uint64 bucket count, then per bucket a
     uint32 high key + the bucket's 32-bit serialization."""
+    if _np is not None:
+        lst = values if isinstance(values, _np.ndarray) else list(values)
+        try:
+            v = _np.unique(_np.asarray(lst, dtype=_np.uint64))
+        except (OverflowError, ValueError, TypeError) as exc:
+            raise ValueError("serialize_u64: values must be uint64") from exc
+        hi32 = (v >> _np.uint64(32)).astype(_np.uint32)
+        brk = _np.nonzero(_np.diff(hi32))[0] + 1
+        chunks = (
+            _np.split((v & _np.uint64(0xFFFFFFFF)).astype(_np.uint32), brk)
+            if v.size
+            else []
+        )
+        his = hi32[_np.concatenate(([0], brk))] if v.size else []
+        out = bytearray(struct.pack("<Q", len(chunks)))
+        for hi, chunk in zip(his, chunks):
+            out += struct.pack("<I", int(hi))
+            out += _np_serialize_u32(chunk)
+        return bytes(out)
     vals = sorted(set(values))
     if any(v < 0 or v >= 1 << 64 for v in vals):
         raise ValueError("serialize_u64: values must be uint64")
@@ -160,9 +240,35 @@ def _read_container(
     return vals, pos
 
 
-def deserialize_u32(buf: bytes, pos: int = 0) -> tuple[list[int], int]:
-    """Parse one 32-bit Roaring serialization at ``pos``; returns
-    (sorted values, next position)."""
+def _np_read_container(buf: bytes, pos: int, kind: str, card: int):
+    if kind == "array":
+        vals = _np.frombuffer(buf, dtype="<u2", count=card, offset=pos).astype(
+            _np.uint32
+        )
+        return vals, pos + 2 * card
+    if kind == "bitmap":
+        bits = _np.frombuffer(buf, dtype=_np.uint8, count=BITMAP_BYTES, offset=pos)
+        vals = _np.nonzero(_np.unpackbits(bits, bitorder="little"))[0].astype(
+            _np.uint32
+        )
+        return vals, pos + BITMAP_BYTES
+    n_runs = struct.unpack_from("<H", buf, pos)[0]
+    pos += 2
+    inter = _np.frombuffer(buf, dtype="<u2", count=2 * n_runs, offset=pos).astype(
+        _np.int64
+    )
+    pos += 4 * n_runs
+    starts, lens = inter[0::2], inter[1::2] + 1
+    total = int(lens.sum())
+    base = _np.repeat(starts, lens)
+    shift = _np.cumsum(lens) - lens
+    vals = (base + (_np.arange(total) - _np.repeat(shift, lens))).astype(_np.uint32)
+    return vals, pos
+
+
+def _deserialize_u32_core(buf: bytes, pos: int):
+    """(values, next position) — values as a sorted np.uint32 array
+    under numpy, else a sorted python list."""
     cookie = struct.unpack_from("<I", buf, pos)[0]
     if (cookie & 0xFFFF) == SERIAL_COOKIE:
         size = (cookie >> 16) + 1
@@ -187,6 +293,7 @@ def deserialize_u32(buf: bytes, pos: int = 0) -> tuple[list[int], int]:
         cards.append(cm1 + 1)
     if has_offsets:
         pos += 4 * size  # offsets enable random access; sequential here
+    parts = []
     out: list[int] = []
     for i in range(size):
         if is_run[i]:
@@ -195,14 +302,29 @@ def deserialize_u32(buf: bytes, pos: int = 0) -> tuple[list[int], int]:
             kind = "bitmap"
         else:
             kind = "array"
-        vals, pos = _read_container(buf, pos, kind, cards[i])
+        reader = _np_read_container if _np is not None else _read_container
+        vals, pos = reader(buf, pos, kind, cards[i])
         if len(vals) != cards[i]:
             raise ValueError(
                 f"container {i}: header cardinality {cards[i]} != "
                 f"decoded {len(vals)}"
             )
-        out.extend((keys[i] << 16) | v for v in vals)
+        if _np is not None:
+            parts.append(_np.uint32(keys[i] << 16) | vals)
+        else:
+            out.extend((keys[i] << 16) | v for v in vals)
+    if _np is not None:
+        return (
+            _np.concatenate(parts) if parts else _np.empty(0, _np.uint32)
+        ), pos
     return out, pos
+
+
+def deserialize_u32(buf: bytes, pos: int = 0) -> tuple[list[int], int]:
+    """Parse one 32-bit Roaring serialization at ``pos``; returns
+    (sorted values, next position)."""
+    vals, pos = _deserialize_u32_core(buf, pos)
+    return (vals.tolist() if _np is not None else vals), pos
 
 
 def deserialize_u64(buf: bytes, pos: int = 0) -> tuple[list[int], int]:
@@ -210,6 +332,7 @@ def deserialize_u64(buf: bytes, pos: int = 0) -> tuple[list[int], int]:
     returns (sorted values, next position)."""
     n_buckets = struct.unpack_from("<Q", buf, pos)[0]
     pos += 8
+    parts = []
     out: list[int] = []
     last_hi = -1
     for _ in range(n_buckets):
@@ -218,6 +341,15 @@ def deserialize_u64(buf: bytes, pos: int = 0) -> tuple[list[int], int]:
         if hi <= last_hi:
             raise ValueError("portable 64-bit buckets must be key-sorted")
         last_hi = hi
-        vals, pos = deserialize_u32(buf, pos)
-        out.extend((hi << 32) | v for v in vals)
+        vals, pos = _deserialize_u32_core(buf, pos)
+        if _np is not None:
+            parts.append(
+                (_np.uint64(hi) << _np.uint64(32)) | vals.astype(_np.uint64)
+            )
+        else:
+            out.extend((hi << 32) | v for v in vals)
+    if _np is not None:
+        return (
+            _np.concatenate(parts).tolist() if parts else []
+        ), pos
     return out, pos

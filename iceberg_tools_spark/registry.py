@@ -159,9 +159,9 @@ def _decimal_cols(name: str) -> tuple[str, ...]:
 # by the executor gate orphan_delete_roundtrip), and the late-round
 # NEW entries that lost the seat count (meta_refs, dedup_survivors,
 # ann_pq_topk, quality_score_linear, column_stats_orders,
-# near_dup_rate_by_source, and the v3 deletion-vector trio
-# meta_dv_blobs / mor_live_rows_dv / scan_plan_tasks_dv — first
-# driver rows next round).
+# near_dup_rate_by_source, and the v3 deletion-vector surface
+# meta_dv_blobs / mor_live_rows_dv / scan_plan_tasks_dv /
+# delete_where_dv_roundtrip — first driver rows next round).
 # Every entry past 50 is still re-verified bit-exactly by
 # tests/test_oracle_parity.py on every pytest run. probe_decimal
 # (EXPECTED-red witness of the driver's decimal rendering law,

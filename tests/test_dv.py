@@ -474,3 +474,64 @@ def test_rewrite_position_deletes_skips_vectors(spark):
     assert len(ids) == 321
     assert 30 not in ids and 310 not in ids  # the vector survived
     assert 5 not in ids  # compacted parquet deletes still apply
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.sets(
+        st.one_of(
+            st.integers(0, 300_000),
+            st.builds(lambda b, n: b + n, st.sampled_from([0, 70_000, 1 << 33]), st.integers(0, 6000)),
+        ),
+        max_size=7000,
+    )
+)
+def test_roaring_numpy_and_scalar_paths_agree(vals):
+    # the vectorized fast path must produce byte-identical output to
+    # the scalar reference implementation (and both must read each
+    # other's bytes)
+    import iceberg_tools_spark.iceberg.roaring as roaring
+
+    np_bytes = roaring.serialize_u64(vals)
+    saved = roaring._np
+    roaring._np = None
+    try:
+        py_bytes = roaring.serialize_u64(vals)
+        py_vals, _ = roaring.deserialize_u64(np_bytes)
+    finally:
+        roaring._np = saved
+    assert np_bytes == py_bytes
+    assert py_vals == sorted(vals)
+    np_vals, _ = roaring.deserialize_u64(py_bytes)
+    assert np_vals == sorted(vals)
+
+
+def test_manifest2json_reads_v3_dv_manifest():
+    # the reference-parity CLI surface extends to v3: locator fields
+    # render with Avro union type labels, exactly like every other
+    # optional field (IcebergEncoder union-label convention)
+    import io
+    import json as _json
+
+    from iceberg_tools_spark.iceberg.manifest2json import manifest2json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    buf = io.StringIO()
+    manifest2json(
+        os.path.join(repo, "tests", "fixtures", "dv", "metadata", "m5.avro"),
+        os.path.join(repo, "tests", "fixtures", "dv", "v3.metadata.json"),
+        buf,
+    )
+    recs = [
+        _json.loads(line.rstrip(","))
+        for line in buf.getvalue().splitlines()
+        if line.strip() not in ("[", "]", "")
+    ]
+    assert len(recs) == 2
+    for rec in recs:
+        df = rec["data_file"]
+        assert df["content"] == 1
+        assert df["file_format"] == "PUFFIN"
+        assert df["referenced_data_file"]["string"].endswith(".parquet")
+        assert df["content_offset"]["long"] >= 4
+        assert df["content_size_in_bytes"]["long"] > 0
