@@ -302,6 +302,7 @@ def commit_row_delta(
     snapshot_id: int | None = None,
     timestamp_ms: int | None = None,
     spec_id: int | None = None,
+    replace_dv_refs: set[str] | None = None,
 ) -> dict[str, Any]:
     """Commit a ROW DELTA — new data files and delete files in ONE
     snapshot (Iceberg's ``RowDelta`` operation, the shape UPDATE /
@@ -330,6 +331,7 @@ def commit_row_delta(
         snapshot_id=snapshot_id,
         timestamp_ms=timestamp_ms,
         spec_id=spec_id,
+        replace_dv_refs=replace_dv_refs,
     )
 
 

@@ -155,12 +155,42 @@ def delete_where_dv(
     live = apply_deletes(spark, meta, mor_frame(spark, data), dels, mode="survivors")
     victims = live.filter(predicate).select("_rel", "_pos")
 
-    from .deletes import _is_dv
-
-    old_dv = {e["referenced_data_file"]: e for e in dels if _is_dv(e)}
     stage_dir = os.path.join(
         base_dir, *stage_rel_dir.split("/"), f"_staged-dv-{current}"
     )
+    delete_files, replace_refs = _stage_dvs(spark, victims, data, dels, stage_dir)
+    if not delete_files:
+        raise ValueError(f"predicate {predicate!r} matched no live rows")
+    res = commit_delete_snapshot(
+        metadata_path,
+        delete_files,
+        base_dir=base_dir,
+        snapshot_id=snapshot_id,
+        timestamp_ms=timestamp_ms,
+        replace_dv_refs=replace_refs or None,
+    )
+    res["staged_files"] = [d["path"] for d in delete_files]
+    res["n_dvs"] = len(delete_files)
+    res["n_replaced"] = len(replace_refs)
+    return res
+
+
+def _stage_dvs(
+    spark: SparkSession,
+    victims: "DataFrame",
+    data: list[dict[str, Any]],
+    dels: list[dict[str, Any]],
+    stage_dir: str,
+) -> tuple[list[dict[str, Any]], set[str]]:
+    """Stage one deletion vector per data file holding victim rows
+    (``victims``: a ``(_rel, _pos)`` frame): each file's Arrow task
+    unions the new positions with the file's existing vector and
+    writes a single-blob Puffin file under ``stage_dir``. Returns
+    commit-ready ``delete_files`` dicts plus the referenced paths
+    whose previous vectors the commit must retire."""
+    from .deletes import _is_dv
+
+    old_dv = {e["referenced_data_file"]: e for e in dels if _is_dv(e)}
     os.makedirs(stage_dir, exist_ok=True)
 
     # one broadcast row per data FILE: its canonical path, spec,
@@ -238,8 +268,6 @@ def delete_where_dv(
         )
 
     locators = tagged.groupBy("_rel").applyInPandas(_write_dv, out_schema).collect()
-    if not locators:
-        raise ValueError(f"predicate {predicate!r} matched no live rows")
 
     delete_files = [
         {
@@ -257,18 +285,7 @@ def delete_where_dv(
         for r in sorted(locators, key=lambda x: x["rel"])
     ]
     replace_refs = {r["ref"] for r in locators if r["replaced"]}
-    res = commit_delete_snapshot(
-        metadata_path,
-        delete_files,
-        base_dir=base_dir,
-        snapshot_id=snapshot_id,
-        timestamp_ms=timestamp_ms,
-        replace_dv_refs=replace_refs or None,
-    )
-    res["staged_files"] = [d["path"] for d in delete_files]
-    res["n_dvs"] = len(delete_files)
-    res["n_replaced"] = len(replace_refs)
-    return res
+    return delete_files, replace_refs
 
 
 def _spec_source_columns(meta, spec_id: int) -> set[str]:
@@ -294,6 +311,7 @@ def update_where(
     snapshot_id: int | None = None,
     timestamp_ms: int | None = None,
     stage_rel_dir: str = "data",
+    use_dv: bool = False,
 ) -> dict[str, Any]:
     """``UPDATE t SET col = expr, ... WHERE pred`` as a ROW DELTA
     commit (Iceberg's UPDATE/MERGE write shape): position deletes
@@ -311,6 +329,11 @@ def update_where(
     delete positions and the updated rows) — both passes are
     distributed; a single-pass dual write is not expressible as one
     Spark action.
+
+    ``use_dv=True`` stages the old-row-version deletes as v3
+    deletion vectors (`_stage_dvs`: per-file Arrow tasks, existing
+    vectors unioned and superseded blobs retired) instead of
+    position-delete parquet — the full UPDATE in v3 write shape.
     """
     from .commit import commit_row_delta
     from .deletes import _schema_field_names
@@ -340,21 +363,29 @@ def update_where(
     victims = live.filter(predicate)
     vj = victims.join(F.broadcast(parts), victims["_rel"] == parts["p_rel"])
 
-    # stage 1: position deletes for the old row versions
-    del_stage = os.path.join(base_dir, "data", "deletes", f"_upd-del-{current}")
-    (
-        vj.select(
-            F.concat(F.lit(loc.rstrip("/") + "/"), F.col("_rel")).alias("file_path"),
-            F.col("_pos").alias("pos"),
-            "sid",
-            "pjson",
+    # stage 1: deletes for the old row versions — position-delete
+    # parquet (v2) or deletion vectors (v3)
+    replace_refs: set = set()
+    if use_dv:
+        del_stage = os.path.join(base_dir, "data", "deletes", f"_upd-dv-{current}")
+        delete_files, replace_refs = _stage_dvs(
+            spark, vj.select("_rel", "_pos"), data, dels, del_stage
         )
-        .repartition("sid", "pjson")
-        .sortWithinPartitions("file_path", "pos")
-        .write.partitionBy("sid", "pjson")
-        .mode("overwrite")
-        .parquet(del_stage)
-    )
+    else:
+        del_stage = os.path.join(base_dir, "data", "deletes", f"_upd-del-{current}")
+        (
+            vj.select(
+                F.concat(F.lit(loc.rstrip("/") + "/"), F.col("_rel")).alias("file_path"),
+                F.col("_pos").alias("pos"),
+                "sid",
+                "pjson",
+            )
+            .repartition("sid", "pjson")
+            .sortWithinPartitions("file_path", "pos")
+            .write.partitionBy("sid", "pjson")
+            .mode("overwrite")
+            .parquet(del_stage)
+        )
     # stage 2: the updated row versions, in their original partition
     upd = vj
     for c, expr in set_exprs.items():
@@ -368,7 +399,8 @@ def update_where(
         .parquet(upd_stage)
     )
 
-    delete_files = _walk_staged(del_stage, base_dir, content=1)
+    if not use_dv:
+        delete_files = _walk_staged(del_stage, base_dir, content=1)
     new_data_files = _walk_staged(upd_stage, base_dir, content=0)
     if not delete_files:
         raise ValueError(f"predicate {predicate!r} matched no live rows")
@@ -392,6 +424,7 @@ def update_where(
         base_dir=base_dir,
         snapshot_id=snapshot_id,
         timestamp_ms=timestamp_ms,
+        replace_dv_refs=replace_refs or None,
     )
     res["staged_files"] = [d["path"] for d in (*new_data_files, *delete_files)]
     return res
@@ -408,6 +441,7 @@ def merge_into(
     base_dir: str | None = None,
     snapshot_id: int | None = None,
     timestamp_ms: int | None = None,
+    use_dv: bool = False,
 ) -> dict[str, Any]:
     """``MERGE INTO target t USING source s ON <cond>`` — the upsert
     a CDC/incremental pipeline runs, compiled to one row-delta
@@ -465,6 +499,7 @@ def merge_into(
 
     new_data_files: list[dict[str, Any]] = []
     delete_files: list[dict[str, Any]] = []
+    replace_refs: set = set()
 
     if when_matched is not None:
         from pyspark.sql import Window
@@ -483,21 +518,35 @@ def merge_into(
             ).otherwise(F.lit(True))
         )
         mj = matched.join(F.broadcast(parts), F.col("t._rel") == parts["p_rel"])
-        del_stage = os.path.join(base_dir, "data", "deletes", f"_merge-del-{current}")
-        (
-            mj.select(
-                F.concat(F.lit(loc.rstrip("/") + "/"), F.col("t._rel")).alias("file_path"),
-                F.col("t._pos").alias("pos"),
-                "sid",
-                "pjson",
+        if use_dv:
+            del_stage = os.path.join(
+                base_dir, "data", "deletes", f"_merge-dv-{current}"
             )
-            .repartition("sid", "pjson")
-            .sortWithinPartitions("file_path", "pos")
-            .write.partitionBy("sid", "pjson")
-            .mode("overwrite")
-            .parquet(del_stage)
-        )
-        delete_files = _walk_staged(del_stage, base_dir, content=1)
+            delete_files, replace_refs = _stage_dvs(
+                spark,
+                mj.select(
+                    F.col("t._rel").alias("_rel"), F.col("t._pos").alias("_pos")
+                ),
+                data,
+                dels,
+                del_stage,
+            )
+        else:
+            del_stage = os.path.join(base_dir, "data", "deletes", f"_merge-del-{current}")
+            (
+                mj.select(
+                    F.concat(F.lit(loc.rstrip("/") + "/"), F.col("t._rel")).alias("file_path"),
+                    F.col("t._pos").alias("pos"),
+                    "sid",
+                    "pjson",
+                )
+                .repartition("sid", "pjson")
+                .sortWithinPartitions("file_path", "pos")
+                .write.partitionBy("sid", "pjson")
+                .mode("overwrite")
+                .parquet(del_stage)
+            )
+            delete_files = _walk_staged(del_stage, base_dir, content=1)
         if when_matched[0] == "update" and delete_files:
             set_exprs = when_matched[1]
             for sid in {d["spec_id"] for d in delete_files}:
@@ -554,6 +603,7 @@ def merge_into(
         res = commit_row_delta(
             metadata_path, new_data_files, delete_files,
             base_dir=base_dir, snapshot_id=snapshot_id, timestamp_ms=timestamp_ms,
+            replace_dv_refs=replace_refs or None,
         )
     elif delete_files:
         from .commit import commit_delete_snapshot
@@ -561,6 +611,7 @@ def merge_into(
         res = commit_delete_snapshot(
             metadata_path, delete_files,
             base_dir=base_dir, snapshot_id=snapshot_id, timestamp_ms=timestamp_ms,
+            replace_dv_refs=replace_refs or None,
         )
     else:
         res = append_snapshot(

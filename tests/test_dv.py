@@ -535,3 +535,55 @@ def test_manifest2json_reads_v3_dv_manifest():
         assert df["referenced_data_file"]["string"].endswith(".parquet")
         assert df["content_offset"]["long"] >= 4
         assert df["content_size_in_bytes"]["long"] > 0
+
+
+def test_update_where_dv_mode(spark, dv_scratch):
+    # UPDATE through v3 staging: old row versions become deletion
+    # vectors (merged with A's existing vector), updated versions
+    # appear as new data files in the same snapshot
+    from iceberg_tools_spark.iceberg.deletes import mor_entries_at, read_mor, _is_dv
+    from iceberg_tools_spark.iceberg.dml import update_where
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+
+    root, mpath = dv_scratch
+    res = update_where(
+        spark, mpath, "id IN (20, 160)", {"id": "id + 9000"}, use_dv=True
+    )
+    live = read_mor(spark, res["metadata_path"], res["snapshot_id"], root)
+    ids = {r["id"] for r in live.collect()}
+    assert live.count() == 285  # row count preserved by UPDATE
+    assert 20 not in ids and 160 not in ids
+    assert 9020 in ids and 9160 in ids
+    meta = parse_metadata(res["metadata_path"])
+    _, dels = mor_entries_at(meta, res["snapshot_id"], root)
+    dvs = {e["referenced_data_file"].rsplit("/", 1)[-1]: e
+           for e in dels if _is_dv(e)}
+    # A's vector merged ({0..9} + pos 19 of id 20 = 11); C got a new
+    # one (pos 9 of id 160)
+    assert dvs["A.parquet"]["record_count"] == 11
+    assert dvs["C.parquet"]["record_count"] == 6
+    assert len(dvs) == 2
+
+
+def test_merge_into_dv_mode(spark, dv_scratch):
+    from iceberg_tools_spark.iceberg.deletes import read_mor
+    from iceberg_tools_spark.iceberg.dml import merge_into
+
+    root, mpath = dv_scratch
+    source = spark.createDataFrame(
+        [(120, "y"), (990, "w")], "id bigint, category string"
+    )
+    res = merge_into(
+        spark,
+        mpath,
+        source,
+        "t.id = s.id",
+        when_matched=("update", {"id": "t.id + 1000"}),
+        when_not_matched_insert=True,
+        use_dv=True,
+    )
+    live = read_mor(spark, res["metadata_path"], res["snapshot_id"], root)
+    ids = {r["id"] for r in live.collect()}
+    assert 120 not in ids and 1120 in ids  # matched: updated via DV
+    assert 990 in ids  # not matched: inserted
+    assert live.count() == 286  # 285 + 1 insert
