@@ -587,3 +587,19 @@ def test_merge_into_dv_mode(spark, dv_scratch):
     assert 120 not in ids and 1120 in ids  # matched: updated via DV
     assert 990 in ids  # not matched: inserted
     assert live.count() == 286  # 285 + 1 insert
+
+
+def test_orphan_removal_protects_dv_puffin(spark, dv_scratch):
+    # the protected set covers delete-file entries of every kind:
+    # a stray next to the vector goes, the vector itself survives
+    from iceberg_tools_spark.iceberg.deletes import read_mor
+    from iceberg_tools_spark.iceberg.maintenance import delete_orphan_files
+
+    root, mpath = dv_scratch
+    stray = os.path.join(root, "data", "deletes", "stray.puffin")
+    with open(stray, "wb") as f:
+        f.write(b"junk")
+    res = delete_orphan_files(spark, mpath)
+    assert [p.rsplit("/", 1)[-1] for p in res["orphans"]] == ["stray.puffin"]
+    assert os.path.exists(os.path.join(root, "data", "deletes", "dv1.puffin"))
+    assert read_mor(spark, mpath, 3003, root).count() == 285
