@@ -131,6 +131,7 @@ def mor_entries_at(
                 "rel": _rel(df_["file_path"]),
                 "partition": df_.get("partition") or {},
                 "record_count": df_["record_count"],
+                "file_size_in_bytes": df_.get("file_size_in_bytes"),
                 "sequence_number": seq,
                 "equality_ids": df_.get("equality_ids"),
                 "spec_id": spec_id,

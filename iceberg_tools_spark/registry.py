@@ -495,6 +495,17 @@ register(
     meta_dml.delete_where_dv_roundtrip,
     meta_dml.DELETE_WHERE_DV_SQL,
 )
+# partition statistics files (spec "Partition statistics"): write +
+# register + read back through the metadata chain on a scratch MoR
+# copy; unified (category, id_trunc) tuple across both specs, delete
+# exposure split by kind (golden counts; sizes pytest-checked)
+from .iceberg import partition_stats as meta_pstats  # noqa: E402
+
+register(
+    "meta_partition_stats",
+    meta_pstats.meta_partition_stats,
+    meta_pstats.META_PARTITION_STATS_SQL,
+)
 
 # ------------------- re-certs of untouched r4/r5-green queries
 # (fresh rows harmless; any sliding past 50 keep their green row)
