@@ -506,6 +506,17 @@ register(
     meta_pstats.meta_partition_stats,
     meta_pstats.META_PARTITION_STATS_SQL,
 )
+# table statistics files (spec "Table statistics"): Puffin NDV
+# blobs (honest custom type + the interop `ndv` property) computed
+# over the LIVE MoR read, registered under metadata `statistics`,
+# read back footer-first with payload/property agreement checked
+from .iceberg import table_stats as meta_tstats  # noqa: E402
+
+register(
+    "meta_table_stats",
+    meta_tstats.meta_table_stats,
+    meta_tstats.META_TABLE_STATS_SQL,
+)
 
 # ------------------- re-certs of untouched r4/r5-green queries
 # (fresh rows harmless; any sliding past 50 keep their green row)

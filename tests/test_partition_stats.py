@@ -82,3 +82,65 @@ def test_unregistered_snapshot_raises(spark, mor_scratch):
     root, mpath = mor_scratch
     with pytest.raises(ValueError, match="no partition-statistics"):
         read_partition_stats(spark, mpath, 2004, root)
+
+
+# --------------------------------------- table statistics (Puffin)
+
+
+def test_table_stats_write_read_roundtrip(spark, mor_scratch):
+    from iceberg_tools_spark.iceberg.table_stats import (
+        read_table_stats,
+        write_table_stats,
+    )
+
+    root, mpath = mor_scratch
+    res = write_table_stats(spark, mpath, 2004, root)
+    assert res["ndv"] == {"id": 323, "category": 4}  # LIVE rows, deletes applied
+    meta = parse_metadata(res["metadata_path"])
+    (entry,) = meta.raw["statistics"]
+    assert entry["snapshot-id"] == 2004
+    assert entry["file-size-in-bytes"] == os.path.getsize(res["statistics_path"])
+    assert entry["file-footer-size-in-bytes"] > 8
+    df = read_table_stats(spark, res["metadata_path"], 2004, root)
+    rows = {r["col_name"]: r for r in df.collect()}
+    assert rows["id"]["ndv"] == 323 and rows["id"]["field_id"] == 1
+    assert rows["category"]["ndv"] == 4
+    assert all(r["payload_agrees"] for r in rows.values())
+
+
+def test_table_stats_approximate_close_to_exact(spark, mor_scratch):
+    from iceberg_tools_spark.iceberg.table_stats import write_table_stats
+
+    root, mpath = mor_scratch
+    res = write_table_stats(spark, mpath, 2004, root, approximate=True)
+    assert abs(res["ndv"]["id"] - 323) / 323 < 0.15  # HLL++ rsd default 5%
+    assert res["ndv"]["category"] == 4  # tiny cardinality is exact in HLL++
+
+
+def test_table_stats_unknown_column_raises(spark, mor_scratch):
+    from iceberg_tools_spark.iceberg.table_stats import write_table_stats
+
+    root, mpath = mor_scratch
+    with pytest.raises(ValueError, match="not in the current schema"):
+        write_table_stats(spark, mpath, 2004, root, columns=["nope"])
+
+
+def test_table_stats_tampered_registration_raises(spark, mor_scratch):
+    # a metadata entry whose blob list disagrees with the file's own
+    # footer is rejected (stale registration after a file rewrite)
+    import json as _json
+
+    from iceberg_tools_spark.iceberg.table_stats import (
+        read_table_stats,
+        write_table_stats,
+    )
+
+    root, mpath = mor_scratch
+    res = write_table_stats(spark, mpath, 2004, root)
+    doc = _json.load(open(res["metadata_path"]))
+    doc["statistics"][0]["blob-metadata"].append(
+        dict(doc["statistics"][0]["blob-metadata"][0])
+    )
+    _json.dump(doc, open(res["metadata_path"], "w"))
+    with pytest.raises(ValueError, match="footer lists"):
+        read_table_stats(spark, res["metadata_path"], 2004, root)
