@@ -863,6 +863,23 @@ def expire_snapshots(
     raw["snapshot-log"] = [
         e for e in raw.get("snapshot-log", []) if e["snapshot-id"] not in expired
     ]
+    # statistics registrations of expired snapshots go with them
+    # (their files join the removable set — same rule real expiry
+    # applies to stats and partition-stats files)
+    for key, path_key in (
+        ("statistics", "statistics-path"),
+        ("partition-statistics", "statistics-path"),
+    ):
+        kept_stats = []
+        for s in raw.get(key, []):
+            if s.get("snapshot-id") in expired:
+                p = _local(s[path_key], base_dir, loc)
+                if p not in removable:
+                    removable.append(p)
+            else:
+                kept_stats.append(s)
+        if key in raw:
+            raw[key] = kept_stats
     raw["last-updated-ms"] = timestamp_ms
     raw.setdefault("metadata-log", []).append(
         {

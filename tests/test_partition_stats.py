@@ -144,3 +144,22 @@ def test_table_stats_tampered_registration_raises(spark, mor_scratch):
     _json.dump(doc, open(res["metadata_path"], "w"))
     with pytest.raises(ValueError, match="footer lists"):
         read_table_stats(spark, res["metadata_path"], 2004, root)
+
+
+def test_expire_drops_stats_of_expired_snapshots(spark, mor_scratch):
+    # expiry removes BOTH kinds of stats registrations for expired
+    # snapshots and reports their files as removable; survivors keep
+    # theirs
+    from iceberg_tools_spark.iceberg.commit import expire_snapshots
+    from iceberg_tools_spark.iceberg.table_stats import write_table_stats
+
+    root, mpath = mor_scratch
+    r1 = write_partition_stats(spark, mpath, 2002, root)
+    r2 = write_table_stats(spark, r1["metadata_path"], 2004, root)
+    res = expire_snapshots(r2["metadata_path"], keep_last=2, base_dir=root)
+    assert 2002 in res["expired"]
+    meta = parse_metadata(res["metadata_path"])
+    assert meta.raw.get("partition-statistics", []) == []  # 2002's gone
+    (t,) = meta.raw["statistics"]  # 2004 survived
+    assert t["snapshot-id"] == 2004
+    assert any(p.endswith("partition-stats-2002.parquet") for p in res["removable"])
