@@ -603,3 +603,23 @@ def test_orphan_removal_protects_dv_puffin(spark, dv_scratch):
     assert [p.rsplit("/", 1)[-1] for p in res["orphans"]] == ["stray.puffin"]
     assert os.path.exists(os.path.join(root, "data", "deletes", "dv1.puffin"))
     assert read_mor(spark, mpath, 3003, root).count() == 285
+
+
+def test_dv_read_plan_shape(spark):
+    # plan contract: exactly ONE Arrow-batched decode (MapInPandas
+    # over one row per vector), the per-file sequence attach as a
+    # broadcast join, and zero row-at-a-time Python anywhere; the
+    # delete anti-join is left to AQE (static plan shows sort-merge,
+    # runtime may flip it to broadcast)
+    from iceberg_tools_spark.iceberg.deletes import DV_DIR, DV_METADATA, read_mor
+
+    plan = (
+        read_mor(spark, DV_METADATA, 3003, DV_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
