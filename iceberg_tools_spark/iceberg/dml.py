@@ -138,8 +138,8 @@ def delete_where_dv(
     older snapshots keep the original manifests, so time travel
     still sees the pre-delete state).
 
-    The locator collect below is planning metadata — one row per
-    affected FILE (path/offset/length/cardinality), the same
+    `_stage_dvs`'s locator collect is planning metadata — one row
+    per affected FILE (path/offset/length/cardinality), the same
     KB-per-thousand-files scale as every manifest the driver writes.
     """
     base_dir = base_dir or os.path.dirname(metadata_path)
