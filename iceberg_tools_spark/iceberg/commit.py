@@ -583,6 +583,7 @@ def _commit_files(
     man_paths: list[str] = []
     added_rows = 0
     n_data_files = n_delete_files = 0
+    any_v3 = False
     single = len(by_group) == 1
     for (mc, gspec) in sorted(by_group):
         part_fields, entries, rows_count = _build_entries(by_group[(mc, gspec)], gspec)
@@ -596,14 +597,13 @@ def _commit_files(
             if single
             else f"manifest-{snapshot_id}-c{mc}s{gspec}.avro"
         )
+        group_v3 = any(
+            e["data_file"].get("referenced_data_file") is not None for e in entries
+        )
+        any_v3 = any_v3 or group_v3
         man_blob = write_container(
             manifest_entry_schema(
-                part_fields,
-                f"c{snapshot_id}m{mc}s{gspec}",
-                v3=any(
-                    e["data_file"].get("referenced_data_file") is not None
-                    for e in entries
-                ),
+                part_fields, f"c{snapshot_id}m{mc}s{gspec}", v3=group_v3
             ),
             entries,
         )
@@ -635,6 +635,12 @@ def _commit_files(
         f.write(write_container(MANIFEST_LIST_SCHEMA, rows))
 
     # ---- new metadata.json
+    if any_v3:
+        # deletion vectors are v3-only: committing one upgrades the
+        # table's format version (the spec's supported v2 -> v3
+        # upgrade path) so a spec-compliant reader knows to expect
+        # DV manifest fields
+        raw["format-version"] = max(int(raw.get("format-version", 2)), 3)
     raw["last-sequence-number"] = seq
     raw["last-updated-ms"] = timestamp_ms
     if stage_ref is None:

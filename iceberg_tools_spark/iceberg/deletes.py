@@ -144,12 +144,14 @@ def mor_entries_at(
                 "content_size_in_bytes": df_.get("content_size_in_bytes"),
             }
             (data if entry["content"] == DATA else dels).append(entry)
-    refs = [
+    from collections import Counter
+
+    refs = Counter(
         e["referenced_data_file"]
         for e in dels
         if e["content"] == POSITION_DELETES and e["referenced_data_file"]
-    ]
-    dup = {r for r in refs if refs.count(r) > 1}
+    )
+    dup = {r for r, n in refs.items() if n > 1}
     if dup:
         raise ValueError(
             f"v3 invariant violated: multiple deletion vectors reference {sorted(dup)}"

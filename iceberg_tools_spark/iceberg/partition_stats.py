@@ -80,6 +80,11 @@ def compute_partition_stats(
     data, dels = mor_entries_at(meta, snapshot_id, base_dir)
     ufields = unified_partition_fields(meta)
     ts_by_snap = {s["snapshot-id"]: s["timestamp-ms"] for s in meta.snapshots}
+    # sequence number -> owning snapshot, built ONCE (first writer
+    # of each sequence wins; entries resolve through their sequence)
+    snap_by_seq: dict[int, int] = {}
+    for s in meta.snapshots:
+        snap_by_seq.setdefault(s.get("sequence-number"), s["snapshot-id"])
 
     schema = T.StructType(
         [
@@ -88,19 +93,14 @@ def compute_partition_stats(
             T.StructField("content", T.IntegerType()),
             T.StructField("record_count", T.LongType()),
             T.StructField("file_size_in_bytes", T.LongType()),
+            T.StructField("seq", T.LongType()),
             T.StructField("snapshot_id", T.LongType()),
             T.StructField("updated_ms", T.LongType()),
         ]
     )
     rows = []
     for e in (*data, *dels):
-        # entries carry their commit snapshot via the read path's
-        # resolution; the timestamp comes from that snapshot
-        esnap = None
-        for s in meta.snapshots:
-            if s.get("sequence-number") == e["sequence_number"]:
-                esnap = s["snapshot-id"]
-                break
+        esnap = snap_by_seq.get(e["sequence_number"])
         rows.append(
             (
                 *[e["partition"].get(n) for n, _ in ufields],
@@ -108,6 +108,7 @@ def compute_partition_stats(
                 int(e["content"]),
                 int(e["record_count"]),
                 int(e.get("file_size_in_bytes") or 0),
+                int(e["sequence_number"]),
                 esnap,
                 ts_by_snap.get(esnap),
             )
@@ -140,8 +141,12 @@ def compute_partition_stats(
             F.sum(F.when(is_eq, 1).otherwise(0)).alias(
                 "equality_delete_file_count"
             ),
-            F.max("updated_ms").alias("last_updated_at"),
-            F.max("snapshot_id").alias("last_updated_snapshot_id"),
+            # BOTH from the max-sequence entry: snapshot ids are
+            # arbitrary (not time-ordered) in real tables, so an
+            # independent max(snapshot_id) could name a snapshot
+            # that is not the latest writer
+            F.expr("max_by(updated_ms, seq)").alias("last_updated_at"),
+            F.expr("max_by(snapshot_id, seq)").alias("last_updated_snapshot_id"),
         )
         .select(
             F.struct(
@@ -226,11 +231,14 @@ def write_partition_stats(
         new_path = metadata_path + f".pstats{snapshot_id}.json"
     with open(new_path, "w") as f:
         json.dump(raw, f, indent=2)
+    import pyarrow.parquet as pq
+
     return {
         "metadata_path": new_path,
         "statistics_path": out_path,
         "snapshot_id": snapshot_id,
-        "n_partitions": stats.count(),
+        # from the just-written footer — no second aggregation job
+        "n_partitions": pq.read_metadata(out_path).num_rows,
     }
 
 

@@ -35,7 +35,9 @@ MAGIC = b"PFA1"
 FLAG_FOOTER_COMPRESSED = 0x1  # bit 0 of flag byte 0
 
 DV_BLOB_TYPE = "deletion-vector-v1"
-DV_MAGIC = bytes([0xD1, 0xD3, 0x3D, 0xD3])
+# the spec's magic (1681511377 little-endian — the constant real
+# engines embed)
+DV_MAGIC = bytes([0xD1, 0xD3, 0x39, 0x64])
 
 
 # ------------------------------------------------------------ write

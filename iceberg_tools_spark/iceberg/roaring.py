@@ -180,8 +180,23 @@ def serialize_u64(values: Iterable[int]) -> bytes:
     deletion-vector layout): uint64 bucket count, then per bucket a
     uint32 high key + the bucket's 32-bit serialization."""
     if _np is not None:
-        lst = values if isinstance(values, _np.ndarray) else list(values)
+        if isinstance(values, _np.ndarray) and _np.issubdtype(
+            values.dtype, _np.integer
+        ):
+            # numpy<2 silently WRAPS negatives on an astype(uint64):
+            # validate signed inputs before the cast
+            if (
+                _np.issubdtype(values.dtype, _np.signedinteger)
+                and values.size
+                and int(values.min()) < 0
+            ):
+                raise ValueError("serialize_u64: values must be uint64")
+            lst = values
+        else:
+            lst = list(values)
         try:
+            if not isinstance(lst, _np.ndarray) and lst and min(lst) < 0:
+                raise OverflowError("negative value")
             v = _np.unique(_np.asarray(lst, dtype=_np.uint64))
         except (OverflowError, ValueError, TypeError) as exc:
             raise ValueError("serialize_u64: values must be uint64") from exc

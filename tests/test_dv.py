@@ -414,6 +414,11 @@ def test_delete_where_dv_on_v2_table_writes_first_vectors(spark):
     mpath = os.path.join(root, "v2.metadata.json")
     res = delete_where_dv(spark, mpath, "id IN (30, 310)")
     assert res["n_dvs"] == 2 and res["n_replaced"] == 0
+    # committing deletion vectors upgrades the table to v3 (DVs are
+    # v3-only; leaving format-version 2 would be a spec-invalid state)
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata as _pm
+
+    assert _pm(res["metadata_path"]).raw["format-version"] == 3
     live = read_mor(spark, res["metadata_path"], res["snapshot_id"], root)
     ids = {r["id"] for r in live.collect()}
     assert len(ids) == 321  # 323 - 2
@@ -623,3 +628,12 @@ def test_dv_read_plan_shape(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("BroadcastHashJoin") >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_dv_magic_is_the_spec_constant():
+    # the v3 spec's deletion-vector magic is the little-endian
+    # encoding of 1681511377 (D1 D3 39 64) — what every real engine
+    # embeds; a wrong constant would round-trip internally but
+    # reject (and be rejected by) spec-compliant files
+    assert struct.unpack("<I", DV_MAGIC)[0] == 1681511377
+    assert DV_MAGIC == bytes([0xD1, 0xD3, 0x39, 0x64])
