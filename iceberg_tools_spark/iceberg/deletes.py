@@ -46,7 +46,7 @@ import re
 from functools import reduce
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -82,21 +82,49 @@ def _schema_field_names(meta: TableMetadata) -> dict[int, str]:
     return {f["id"]: f["name"] for f in schema.get("fields", [])}
 
 
-def _identity_sources(meta: TableMetadata, spec_id: int) -> dict[str, str]:
-    """partition field name → source COLUMN name, identity
-    transforms only; a non-identity field raises when equality-
-    delete partition gating would need it (wrongly gating would
-    delete rows that should survive)."""
-    by_id = _schema_field_names(meta)
+def _spec_partition_fields(
+    meta: TableMetadata, spec_id: int
+) -> list[tuple[str, str, str, Any]]:
+    """The spec's partition fields joined to their source schema
+    columns: ``[(partition_field_name, source_column_name,
+    transform, source_type)]``."""
+    raw = meta.raw
+    schema = next(
+        s for s in raw.get("schemas", [raw.get("schema", {})])
+        if s.get("schema-id", 0) == raw.get("current-schema-id", 0)
+    )
+    by_id = {f["id"]: f for f in schema.get("fields", [])}
     spec = next(
         s for s in meta.raw.get("partition-specs", [])
         if s.get("spec-id", 0) == spec_id
     )
-    out = {}
+    out = []
     for f in spec.get("fields", []):
-        if f.get("transform", "identity") == "identity":
-            out[f["name"]] = by_id[f["source-id"]]
+        src = by_id[f["source-id"]]
+        out.append(
+            (f["name"], src["name"], f.get("transform", "identity"), src["type"])
+        )
     return out
+
+
+def _derived_partition_col(src_col: str, transform: str, typ: Any) -> Column:
+    """The data-side row-level partition value of one spec field, as
+    a Column over the aliased data frame ``d`` — identity fields
+    read their source column directly; non-identity fields derive
+    the value via :func:`transforms.transform_column` (ADVICE r6:
+    silently skipping them applied a partition-scoped equality
+    delete table-wide)."""
+    col = F.col(f"d.{src_col}")
+    if transform == "identity":
+        return col
+    if not isinstance(typ, str):
+        raise ValueError(
+            f"cannot gate equality delete on transform {transform!r} "
+            f"over non-primitive source type {typ!r}"
+        )
+    from .transforms import transform_column
+
+    return transform_column(transform, col, typ)
 
 
 def mor_entries_at(
@@ -286,21 +314,18 @@ def _pos_delete_frame(
     return reduce(DataFrame.unionByName, frames)
 
 
-def _eq_delete_join(
-    spark: SparkSession, meta: TableMetadata, df: DataFrame, e: dict[str, Any]
-):
-    """(aliased data frame, delete frame, join condition) for one
-    equality delete file — the v2 apply rule."""
-    field_names = _schema_field_names(meta)
-    eq_cols = [field_names[fid] for fid in (e["equality_ids"] or [])]
-    if not eq_cols:
-        raise ValueError(
-            f"equality delete {e['file_path']!r} lists no equality_ids"
-        )
-    d = df.alias("d")
+def _eq_delete_file_frame(
+    spark: SparkSession, meta: TableMetadata, e: dict[str, Any], eq_cols: list[str]
+) -> DataFrame:
+    """One equality-delete file projected to the CURRENT column
+    names (historical-alias name mapping for pre-rename files) and
+    tagged with its sequence number + partition tuple, so files
+    sharing an ``equality_ids`` signature can union into ONE
+    anti-join (VERDICT r6 #5: one join node per file means hundreds
+    of plan nodes at hundreds of delete files)."""
     ed_raw = spark.read.parquet(e["local_path"])
     if all(c in ed_raw.columns for c in eq_cols):
-        ed = ed_raw.select(*eq_cols).alias("ed")
+        sel = [F.col(c) for c in eq_cols]
     else:
         # the delete file predates a rename: bind its physical
         # columns to the CURRENT names via the historical-alias
@@ -319,7 +344,37 @@ def _eq_delete_join(
                     f"file matches any historical name of field id {fid}"
                 )
             sel.append(F.col(phys).alias(cur))
-        ed = ed_raw.select(*sel).alias("ed")
+    sel.append(F.lit(e["sequence_number"]).alias("_eseq"))
+    spec_fields = _spec_partition_fields(meta, e["spec_id"])
+    for i, (pname, _src, _tr, _typ) in enumerate(spec_fields):
+        sel.append(F.lit(e["partition"].get(pname)).alias(f"_ep{i}"))
+    return ed_raw.select(*sel)
+
+
+def _eq_delete_group_join(
+    spark: SparkSession,
+    meta: TableMetadata,
+    df: DataFrame,
+    group: list[dict[str, Any]],
+):
+    """(aliased data frame, unioned delete frame, join condition)
+    for all equality-delete files sharing one (equality_ids,
+    spec_id) signature — the v2 apply rule, one join for the whole
+    group. Per-file variation (sequence number, partition tuple)
+    rides as columns of the unioned delete frame instead of
+    per-file literals, so N files cost one plan node, not N."""
+    e0 = group[0]
+    field_names = _schema_field_names(meta)
+    eq_cols = [field_names[fid] for fid in (e0["equality_ids"] or [])]
+    if not eq_cols:
+        raise ValueError(
+            f"equality delete {e0['file_path']!r} lists no equality_ids"
+        )
+    d = df.alias("d")
+    ed = reduce(
+        DataFrame.unionByName,
+        [_eq_delete_file_frame(spark, meta, e, eq_cols) for e in group],
+    ).alias("ed")
     # equality on the delete columns (null-safe per spec) ...
     cond = reduce(
         lambda a, b: a & b,
@@ -327,15 +382,20 @@ def _eq_delete_join(
     )
     # ... gated on sequence order (strict: deletes don't apply
     # to rows written at or after the delete) ...
-    cond = cond & (F.col("d._seq") < F.lit(e["sequence_number"]))
-    # ... and on the delete file's partition (identity fields
-    # gate on their source columns; a partition field that is
-    # not identity cannot be gated from column values, and the
-    # spec scopes partitioned deletes to their own spec)
-    ident = _identity_sources(meta, e["spec_id"])
-    for pname, pval in e["partition"].items():
-        if pname in ident and pval is not None:
-            cond = cond & (F.col(f"d.{ident[pname]}") == F.lit(pval))
+    cond = cond & (F.col("d._seq") < F.col("ed._eseq"))
+    # ... and on the delete file's partition: every spec field with
+    # a non-null partition value scopes the delete to rows whose
+    # DERIVED partition value matches — identity fields compare the
+    # source column, non-identity fields compare through the
+    # transform (ADVICE r6: skipping those applied the delete
+    # table-wide)
+    for i, (_pname, src, transform, typ) in enumerate(
+        _spec_partition_fields(meta, e0["spec_id"])
+    ):
+        pcol = F.col(f"ed._ep{i}")
+        cond = cond & (
+            pcol.isNull() | (_derived_partition_col(src, transform, typ) == pcol)
+        )
     return d, ed, cond
 
 
@@ -372,8 +432,13 @@ def apply_deletes(
             df = df.join(pd_all, cond, "left_anti")
         else:
             victims.append(df.join(pd_all, cond, "left_semi"))
-    for e in (e for e in dels if e["content"] == EQUALITY_DELETES):
-        d, ed, cond = _eq_delete_join(spark, meta, df, e)
+    groups: dict[tuple, list[dict[str, Any]]] = {}
+    for e in dels:
+        if e["content"] == EQUALITY_DELETES:
+            sig = (tuple(e["equality_ids"] or []), e["spec_id"])
+            groups.setdefault(sig, []).append(e)
+    for group in groups.values():
+        d, ed, cond = _eq_delete_group_join(spark, meta, df, group)
         if anti:
             df = d.join(ed, cond, "left_anti")
         else:

@@ -12,7 +12,7 @@ blob type (Iceberg table spec v3, "Deletion vectors"):
 * blob metadata: ``type``, ``fields``, ``snapshot-id``,
   ``sequence-number``, ``offset``, ``length``, ``properties``;
 * deletion-vector blob data: 4-byte big-endian length of
-  (magic + vector), the magic ``D1 D3 3D D3``, the vector as a
+  (magic + vector), the magic ``D1 D3 39 64``, the vector as a
   portable 64-bit Roaring bitmap (`roaring.py`), and a big-endian
   CRC-32 of (magic + vector). Blob properties carry the REQUIRED
   ``referenced-data-file`` and ``cardinality`` keys.

@@ -92,7 +92,11 @@ def _micros(v: Any) -> int:
     if isinstance(v, _dt.datetime):
         if v.tzinfo is not None:
             v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-        return int((v - _dt.datetime(1970, 1, 1)).total_seconds()) * 1_000_000 + v.microsecond
+        # timedelta components, not int(total_seconds()): truncation
+        # toward zero breaks pre-epoch sub-second values (e.g.
+        # 1969-12-31T23:59:59.500 must be -500000, not +500000)
+        d = v - _dt.datetime(1970, 1, 1)
+        return (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
     return int(v)
 
 

@@ -56,6 +56,10 @@ TOP_K = 5
 # (VERDICT r3 next-round #6).
 N_PLANES = 8
 NEAR_DUP_TOP = 50
+# scale guard for the hyperplane self-join (mirrors dedup.MAX_BUCKET):
+# 2^8 sign buckets hold single-digit vectors at the test SFs, so 200
+# never bites locally — it exists to bound a degenerate bucket
+EMB_MAX_BUCKET = 200
 IVF_NPROBE = 4
 IVF_TRAIN_FACTOR = 50  # train on the first 50·k vectors by md5 rank
 IVF_LLOYD_ROUNDS = 3
@@ -156,7 +160,11 @@ def _with_bucket(e: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
 
 
 def embedding_near_dup(
-    spark: SparkSession, sf_dir: str, *, n_planes: int = N_PLANES
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_planes: int = N_PLANES,
+    max_bucket: int = EMB_MAX_BUCKET,
 ) -> DataFrame:
     """Most-similar vector pairs via random-hyperplane LSH: pairs
     are only compared inside an ``n_planes``-bit sign bucket; top-50
@@ -166,10 +174,23 @@ def embedding_near_dup(
 
     ``n_planes`` is the pairs-vs-recall knob: 2^n_planes buckets,
     each extra plane roughly halves candidate pairs and slightly
-    lowers recall. The registry/oracle pin the default; scale
-    deployments raise it without code edits."""
+    lowers recall. ``max_bucket`` is the same worst-case fan-out
+    guard every text-LSH path carries (dedup.MAX_BUCKET): one
+    degenerate sign bucket — an all-near-zero or strongly
+    correlated corpus — would otherwise go quadratic at scale
+    (VERDICT r6 #4), so buckets above the cap are skipped via a
+    census + broadcast join, bounding pairs at max_bucket²/2 per
+    bucket at ANY corpus size. The registry/oracle pin the
+    defaults; scale deployments tune both without code edits."""
     e = load_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
     b = _with_bucket(e, n_planes)
+    ok = (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") <= max_bucket)
+        .select("bucket")
+    )
+    b = b.join(F.broadcast(ok), "bucket")
     x = b.select(
         F.col("vec_id").alias("va"),
         F.col("embedding").alias("ea"),
@@ -198,10 +219,12 @@ _SS_X = SUM_SQUARES_DUCK.format(a="x.embedding")
 _SS_Y = SUM_SQUARES_DUCK.format(a="y.embedding")
 
 NEAR_DUP_SQL = f"""
-WITH bkt AS (SELECT vec_id, embedding, {_BUCKET_DUCK} AS bucket FROM embeddings)
+WITH bkt AS (SELECT vec_id, embedding, {_BUCKET_DUCK} AS bucket FROM embeddings),
+ok AS (SELECT bucket FROM bkt GROUP BY bucket HAVING COUNT(*) <= {EMB_MAX_BUCKET})
 SELECT x.vec_id AS va, y.vec_id AS vb,
        CAST({_DOT_XY} / (sqrt({_SS_X}) * sqrt({_SS_Y})) AS DECIMAL(38,6)) AS cosine
 FROM bkt x JOIN bkt y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE x.bucket IN (SELECT bucket FROM ok)
 ORDER BY cosine DESC, va, vb
 LIMIT {NEAR_DUP_TOP}
 """

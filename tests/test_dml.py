@@ -218,3 +218,42 @@ def test_staged_delete_bounds_skip_untargeted_files(spark, tmp_path):
     # the old bound-less fixture deletes stay conservatively attached
     pd1_rows = {r[0].rsplit("/", 1)[-1] for r in rows if r[2] and "pd1" in r[2]}
     assert {"A.parquet", "C.parquet"} <= pd1_rows
+
+
+def test_delete_where_accepts_keys_dataframe(spark, table):
+    """DataFrame-predicate form (VERDICT r6 #1): victims resolve via
+    an executor-side null-safe semi-join on the keys frame — result
+    identical to the equivalent SQL predicate."""
+    mp = os.path.join(table, "v2.metadata.json")
+    keys = spark.createDataFrame([(i,) for i in range(290, 301)], "id bigint")
+    res = delete_where(spark, mp, keys)
+    ids = sorted(
+        r.id for r in read_mor(spark, res["metadata_path"], res["snapshot_id"]).collect()
+    )
+    assert len(ids) == 312
+    assert all(not (290 <= i <= 300) for i in ids)
+
+
+def test_delete_where_keys_rejects_unknown_column(spark, table):
+    mp = os.path.join(table, "v2.metadata.json")
+    keys = spark.createDataFrame([(1,)], "nope bigint")
+    with pytest.raises(ValueError, match="not in table"):
+        delete_where(spark, mp, keys)
+
+
+def test_merge_insert_null_partition_source(spark, table):
+    """A source row whose partition-source value is null must stage
+    and commit under an explicit null partition value (ADVICE r6:
+    default to_json dropped null struct fields, so the staged pjson
+    missed the field and _build_entries rejected the entry)."""
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata as _pm
+
+    mp = os.path.join(table, "v2.metadata.json")
+    res = _merge(spark, mp, [(995, None)], when_not_matched_insert=True)
+    rows = read_mor(spark, res["metadata_path"], res["snapshot_id"])
+    assert rows.filter("id = 995 AND category IS NULL").count() == 1
+    meta = _pm(res["metadata_path"])
+    data, _ = mor_entries_at(meta, res["snapshot_id"], table)
+    (new,) = [e for e in data if "_merge-ins-" in e["rel"]]
+    # derived partition: category null, truncate[100](995) = 900
+    assert new["partition"] == {"category": None, "id_trunc": 900}

@@ -308,3 +308,97 @@ def test_read_mor_projected_time_travel_with_evolution(spark, tmp_path):
     df = read_mor_projected(spark, res["metadata_path"], 2002, base_dir=str(root))
     assert df.count() == 300  # A+B+C+D, nothing deleted yet
     assert "cat" in df.columns
+
+
+def _mk_eq_delete(spark, tmp_path, name, ids, *, seq, spec_id, partition):
+    """Synthetic equality-delete entry dict (equality_ids=[1] → id)
+    over a real parquet written to tmp_path — apply_deletes input
+    without a commit."""
+    import glob
+    import shutil
+
+    d = str(tmp_path / f"{name}.d")
+    spark.createDataFrame([(i,) for i in ids], "id long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    p = str(tmp_path / name)
+    (part,) = glob.glob(os.path.join(d, "part-*.parquet"))
+    os.replace(part, p)
+    shutil.rmtree(d, ignore_errors=True)
+    return {
+        "content": 2,  # EQUALITY_DELETES
+        "file_path": f"file:///tmp/mor_table/data/deletes/{name}",
+        "local_path": p,
+        "rel": f"data/deletes/{name}",
+        "partition": partition,
+        "record_count": len(ids),
+        "file_size_in_bytes": os.path.getsize(p),
+        "sequence_number": seq,
+        "equality_ids": [1],
+        "spec_id": spec_id,
+        "lower_bounds": None,
+        "upper_bounds": None,
+        "file_format": "PARQUET",
+        "referenced_data_file": None,
+        "content_offset": None,
+        "content_size_in_bytes": None,
+    }
+
+
+def test_eq_delete_gates_on_non_identity_partition_field(spark, meta, tmp_path):
+    """ADVICE r6: an eq delete scoped to a non-identity partition
+    (spec 1's truncate[100](id) → id_trunc) must gate through the
+    TRANSFORM of the source value, not apply table-wide. id 310
+    (id_trunc 300) survives a delete scoped to id_trunc=0 and dies
+    under id_trunc=300."""
+    from iceberg_tools_spark.iceberg.deletes import apply_deletes, mor_frame
+
+    data, _ = mor_entries_at(meta, 2004, MOR_DIR)
+    frame = mor_frame(spark, data)
+    miss = _mk_eq_delete(
+        spark, tmp_path, "eg1.parquet", [310], seq=9, spec_id=1,
+        partition={"category": "w", "id_trunc": 0},
+    )
+    assert (
+        apply_deletes(spark, meta, frame, [miss]).filter("id = 310").count() == 1
+    )
+    hit = _mk_eq_delete(
+        spark, tmp_path, "eg2.parquet", [310], seq=9, spec_id=1,
+        partition={"category": "w", "id_trunc": 300},
+    )
+    assert (
+        apply_deletes(spark, meta, frame, [hit]).filter("id = 310").count() == 0
+    )
+    # identity half of the same spec still gates: category mismatch
+    # protects the row even when id_trunc matches
+    wrong_cat = _mk_eq_delete(
+        spark, tmp_path, "eg3.parquet", [310], seq=9, spec_id=1,
+        partition={"category": "x", "id_trunc": 300},
+    )
+    assert (
+        apply_deletes(spark, meta, frame, [wrong_cat]).filter("id = 310").count() == 1
+    )
+
+
+def test_eq_delete_signature_grouping_one_join_node(spark, meta, tmp_path):
+    """VERDICT r6 #5: N equality-delete files sharing one
+    (equality_ids, spec) signature apply as ONE anti-join over their
+    unioned rows — the optimized plan carries a single LeftAnti node
+    for six files (it would carry six under per-file joins)."""
+    from iceberg_tools_spark.iceberg.deletes import apply_deletes, mor_frame
+
+    data, _ = mor_entries_at(meta, 2004, MOR_DIR)
+    dels = [
+        _mk_eq_delete(
+            spark, tmp_path, f"eq{i}.parquet", [200 + i], seq=9, spec_id=0,
+            partition={"category": None},
+        )
+        for i in range(6)
+    ]
+    out = apply_deletes(spark, meta, mor_frame(spark, data), dels)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LeftAnti") == 1
+    # and the union still deletes every file's rows
+    ids = {r.id for r in out.select("id").collect()}
+    assert ids.isdisjoint(set(range(200, 206)))
+    assert len(ids) == 334  # 340 raw ids minus the 6 eq-deleted

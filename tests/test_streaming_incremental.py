@@ -216,3 +216,31 @@ def test_cdc_replication_replica_matches_source(spark, tmp_path):
     assert len(meta.snapshots) == 4
     ops = [s["summary"]["operation"] for s in meta.snapshots]
     assert ops == ["append", "append", "delete", "append"]
+
+
+def test_cdc_replication_never_collects_row_keys(spark, tmp_path, monkeypatch):
+    """VERDICT r6 #1: the replay path must not round-trip delete
+    keys through the driver. Audit every DataFrame.collect during
+    replication — none may carry the key shape (a bare ``id``
+    column); the only legitimate collects are KB-scale planning
+    metadata."""
+    from pyspark.sql import DataFrame
+
+    from iceberg_tools_spark.iceberg.deletes import MOR_METADATA
+    from iceberg_tools_spark.streaming.cdc import replicate_changelog
+
+    seen = []
+    orig = DataFrame.collect
+
+    def audit(self):
+        seen.append(tuple(self.columns))
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "collect", audit)
+    res = replicate_changelog(
+        spark, MOR_METADATA, 2001, 2004,
+        str(tmp_path / "staging"), str(tmp_path / "replica"),
+    )
+    assert res["n_batches"] == 3
+    assert ("id",) not in seen
+    assert ("id", "category") not in seen

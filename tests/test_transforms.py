@@ -234,3 +234,24 @@ def test_fixture_regeneration_is_deterministic():
     for rel, blob in before.items():
         with open(os.path.join(TRANS_DIR, rel), "rb") as f:
             assert f.read() == blob, f"non-deterministic fixture file {rel}"
+
+
+def test_micros_pre_epoch_subsecond():
+    """ADVICE r6: int(total_seconds()) truncates toward zero, so
+    pre-epoch sub-second datetimes were off by up to ~1s (and day
+    ordinal 0 instead of -1). The timedelta-component formula is
+    exact on both sides of the epoch."""
+    import datetime as dt
+
+    from iceberg_tools_spark.iceberg.transforms import _micros, apply_transform
+
+    v = dt.datetime(1969, 12, 31, 23, 59, 59, 500000)
+    assert _micros(v) == -500_000
+    assert apply_transform("day", v, "timestamp") == -1
+    assert apply_transform("hour", v, "timestamp") == -1
+    assert _micros(dt.datetime(1970, 1, 1, 0, 0, 0, 250000)) == 250_000
+    assert _micros(dt.datetime(1969, 12, 31, 0, 0, 0, 1)) == -86_400_000_000 + 1
+    # tz-aware pre-epoch goes through the same path
+    v_tz = dt.datetime(1970, 1, 1, 0, 59, 59, 500000,
+                       tzinfo=dt.timezone(dt.timedelta(hours=1)))
+    assert _micros(v_tz) == -500_000
