@@ -269,6 +269,100 @@ def _dv_scale_evidence() -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _rewrite_scale_evidence(spark) -> dict:
+    """Multi-file rewrite wall-time vs file count (VERDICT r6 #2):
+    build an unpartitioned table with N data files through the
+    engine's own commit path, position-delete 10 % of every file,
+    then time rewrite_data_files folding ALL N files. The fold+write
+    is ONE Spark job, so wall-time should grow far slower than
+    linearly in N (the former per-file coalesce(1) driver loop was
+    ~linear)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from iceberg_tools_spark.iceberg.commit import append_snapshot
+    from iceberg_tools_spark.iceberg.dml import delete_where
+    from iceberg_tools_spark.iceberg.rewrite_data import rewrite_data_files
+
+    out = {}
+    for n_files in (4, 16):
+        root = tempfile.mkdtemp(prefix=f"rw_scale_{n_files}_")
+        try:
+            os.makedirs(os.path.join(root, "metadata"))
+            os.makedirs(os.path.join(root, "data"))
+            meta0 = {
+                "format-version": 2,
+                "table-uuid": "00000000-0000-0000-0000-00000000d001",
+                "location": "file:///tmp/rw_scale_table",
+                "last-sequence-number": 0,
+                "last-updated-ms": 1700000000000,
+                "last-column-id": 2,
+                "current-schema-id": 0,
+                "schemas": [{
+                    "schema-id": 0, "type": "struct",
+                    "fields": [
+                        {"id": 1, "name": "id", "required": False, "type": "long"},
+                        {"id": 2, "name": "payload", "required": False,
+                         "type": "string"},
+                    ],
+                }],
+                "default-spec-id": 0,
+                "partition-specs": [{"spec-id": 0, "fields": []}],
+                "default-sort-order-id": 0,
+                "sort-orders": [{"order-id": 0, "fields": []}],
+                "properties": {}, "snapshots": [], "snapshot-log": [],
+                "metadata-log": [],
+            }
+            mp = os.path.join(root, "v1.metadata.json")
+            with open(mp, "w") as f:
+                json.dump(meta0, f)
+            rows_per = 50_000
+            stage = os.path.join(root, "stage")
+            (
+                spark.range(n_files * rows_per)
+                .select(
+                    F.col("id"),
+                    F.md5(F.col("id").cast("string")).alias("payload"),
+                    F.floor(F.col("id") / rows_per).cast("int").alias("b"),
+                )
+                .repartition("b")
+                .write.partitionBy("b")
+                .mode("overwrite")
+                .parquet(stage)
+            )
+            import glob as _glob
+
+            files = []
+            for i in range(n_files):
+                (part,) = _glob.glob(os.path.join(stage, f"b={i}", "part-*.parquet"))
+                rel = f"data/f{i}.parquet"
+                os.replace(part, os.path.join(root, rel))
+                files.append(
+                    {"path": rel, "partition": {}, "record_count": rows_per}
+                )
+            shutil.rmtree(stage, ignore_errors=True)
+            mp = append_snapshot(mp, files, snapshot_id=100)["metadata_path"]
+            res = delete_where(spark, mp, "id % 10 = 0")
+            t0 = time.perf_counter()
+            rw = rewrite_data_files(spark, res["metadata_path"])
+            sec = round(time.perf_counter() - t0, 3)
+            out[f"n{n_files}"] = {
+                "n_files": n_files,
+                "rows_total": n_files * rows_per,
+                "rewritten": len(rw["rewritten"]),
+                "rewrite_sec": sec,
+            }
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    if "n4" in out and "n16" in out and out["n4"]["rewrite_sec"] > 0:
+        out["time_ratio_16_vs_4"] = round(
+            out["n16"]["rewrite_sec"] / out["n4"]["rewrite_sec"], 2
+        )
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -478,6 +572,7 @@ def main() -> None:
     # range, so a point predicate prunes 39/40 manifests at level 1)
     metadata_scale = None
     dv_scale = None
+    rewrite_scale = None
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALE"):
         try:
             metadata_scale = _metadata_scale_evidence(spark)
@@ -487,6 +582,10 @@ def main() -> None:
             dv_scale = _dv_scale_evidence()
         except Exception as exc:  # pragma: no cover - defensive
             dv_scale = {"error": f"{type(exc).__name__}: {exc}"}
+        try:
+            rewrite_scale = _rewrite_scale_evidence(spark)
+        except Exception as exc:  # pragma: no cover - defensive
+            rewrite_scale = {"error": f"{type(exc).__name__}: {exc}"}
 
     out = {
         "metric": "headline_total",
@@ -507,8 +606,35 @@ def main() -> None:
         "scale_evidence": scale_evidence,
         "metadata_scale": metadata_scale,
         "dv_scale": dv_scale,
+        "rewrite_scale": rewrite_scale,
     }
-    print(json.dumps(out))
+    # full metric JSON goes to a FILE (VERDICT r6 artifact bug: the
+    # driver keeps only the tail of a giant stdout line, which lost
+    # the per-query raws in BENCH_r06); stdout gets a compact line
+    # that still carries the contract fields and stays well under
+    # the capture window
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
+    )
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    compact = {
+        "metric": "headline_total",
+        "value": out["value"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": out["sf"],
+        "cpus": cpus,
+        "n_queries": len(timings),
+        "calibration_sec": out["calibration_sec"],
+        "vs_baseline_median": median_ratio,
+        "full_metrics_file": "bench_out.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # hard ceiling: never regrow past capture
+        compact.pop("queries")
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -120,361 +120,66 @@ def _decimal_cols(name: str) -> tuple[str, ...]:
 
 # REGISTRATION ORDER IS LOAD-BEARING (VERDICT r2 #2): the driver
 # adjudicates only the FIRST 50 registry entries per round, so the
-# order below spends that window deliberately. Round-6 window
-# (final layout — the round added 35 first-certification entries,
-# so the window is spent entirely on NEW + stale-evidence rows):
+# order below spends that window deliberately. Round-7 window:
 #   1     probe_double — canary for a driver canonicalization
-#         change (its string twin slid just past 50; one probe
-#         keeps the alarm);
-#   2-36  NEW round-6 operators (first certification): the v2
-#         merge-on-read delete-file surface + spec evolution, the
-#         full WRITE path (append/delete/eq-delete/row-delta
-#         commits, DELETE/UPDATE/MERGE DML, rewrite-data-files,
-#         rewrite-position-deletes EXECUTION, sorted rewrite,
-#         rollback, WAP staging/publish, tags/refs, expiry
-#         execution), FULL schema evolution (rename/drop/promote +
-#         field-id projection + name mapping + MoR composition),
-#         partition transforms (bucket/temporal derivation +
-#         source-predicate pruning), incremental-scan and CDC
-#         changelog streaming compositions, $all_files/$refs/
-#         $schemas tables, and the training-pipeline adds
-#         (repetition, source-dup, fuzzy decontamination, cleaning
-#         funnel, mixture planner);
-#   37-47 stale-evidence re-certs — implementation or call path
-#         changed this round: dedup_clusters / decontaminate_ngram
-#         / pii_scrub_stats, plus every metadata query that
-#         traverses the reworked location-relative resolver or
-#         plan_scan (scan_plan_pruned, meta_manifests,
-#         meta_entry_status_dist, files_at_snapshot,
-#         files_added_between, meta_rewritten_files,
-#         compaction_plan);
-#   48-50 changed-kernel dedup re-certs: minhash (Arrow-kernel
-#         signatures), ivf (single-task Lloyd), simhash (signature
-#         checkpoint).
-# Slid past 50 (see the comment at each registration): probe_string
-# and q1 (untouched canaries, prior rows valid), the three
-# pure-metadata.json re-certs (snapshots_df/history_df/
-# plan_expire_snapshots never touch the resolver),
-# orphan_files_current (its anti-join is freshly exercised in-window
-# by the executor gate orphan_delete_roundtrip), and the late-round
-# NEW entries that lost the seat count (meta_refs, dedup_survivors,
-# ann_pq_topk, quality_score_linear, column_stats_orders,
-# near_dup_rate_by_source, and the v3 deletion-vector surface
-# meta_dv_blobs / mor_live_rows_dv / scan_plan_tasks_dv /
-# delete_where_dv_roundtrip — first driver rows next round).
-# Every entry past 50 is still re-verified bit-exactly by
-# tests/test_oracle_parity.py on every pytest run. probe_decimal
+#         change (its string twin stays past 50; one probe keeps
+#         the alarm);
+#   2-13  FIRST CERTIFICATION (VERDICT r6 "Next round" #1): the 12
+#         queries registered late in round 6 that slid past the
+#         window — the whole v3 deletion-vector surface
+#         (meta_dv_blobs, mor_live_rows_dv, scan_plan_tasks_dv,
+#         delete_where_dv_roundtrip), both statistics surfaces
+#         (meta_partition_stats, meta_table_stats), meta_refs,
+#         dedup_survivors, ann_pq_topk (rows-only by design),
+#         quality_score_linear, column_stats_orders,
+#         near_dup_rate_by_source;
+#   14-45 re-certs whose implementation or shared call path changed
+#         THIS round: everything traversing apply_deletes (the
+#         equality-delete application is now signature-grouped and
+#         partition-gated through transforms), the DML/victims
+#         path (delete_where accepts a keys DataFrame; MERGE
+#         null-partition staging), the rewritten-in-one-job
+#         rewrite_data_files, the collect-free CDC replication,
+#         driver-side transforms (_micros pre-epoch fix), and
+#         embedding_near_dup (new bucket cap; its r4 row is stale);
+#   46-50 oldest-evidence refresh: five untouched queries whose
+#         last driver row dates to r4 (q9, top_k_per_group,
+#         dedup_exact, ann_topk_bruteforce, asof_join).
+# Slid past 50 (evidence current; every one still re-verified
+# bit-exactly at TWO SFs by tests/test_oracle_parity.py each pytest
+# run): probe_string and the r5/r6-green §2.2/§2.3/§2.4 rows whose
+# code paths this round never touched (q1, dedup_clusters,
+# dedup_minhash_lsh, dedup_simhash, ann_ivf_topk, the text/pii
+# family, the pure-metadata.json queries, ...). probe_decimal
 # (EXPECTED-red witness of the driver's decimal rendering law,
 # proven in r2/r3) stays retired.
 
-from .iceberg import deletes as meta_del  # noqa: E402  (after operator imports)
-from .iceberg import snapshots as meta_snap  # noqa: E402
-from .iceberg import tables as meta_tables  # noqa: E402
-
-# ------------------------------------------- canary probes (window)
-register("probe_double", probes.probe_double, probes.PROBE_DOUBLE_SQL, raw=True)
-
-# ------------------- NEW round-6 operators (first certification):
-# Iceberg v2 delete files / merge-on-read + spec evolution. Oracles:
-# meta_delete_files and scan_plan_evolved are golden VALUES (Avro is
-# unreadable to DuckDB); files_at_snapshot_mor and mor_live_rows are
-# INDEPENDENT second-engine checks — DuckDB re-implements delete
-# application (file_row_number vs Spark's _metadata.row_index) over
-# the same physical parquet data/delete files.
-register("meta_delete_files", meta_del.meta_delete_files, meta_del.META_DELETE_FILES_SQL)
-register("files_at_snapshot_mor", meta_del.files_at_snapshot_mor, meta_del.FILES_AT_SNAPSHOT_MOR_SQL)
-register("mor_live_rows", meta_del.mor_live_rows, meta_del.MOR_LIVE_ROWS_SQL)
-register("scan_plan_evolved", meta_del.scan_plan_evolved, meta_del.SCAN_PLAN_EVOLVED_SQL)
-# FileScanTask-parity planning: data file → applicable delete files
-# (pos ≤ / eq < sequence gates + shared-field partition gate)
-register("scan_plan_mor", meta_del.scan_plan_mor, meta_del.SCAN_PLAN_MOR_SQL)
-# MoR maintenance: rewrite-position-deletes planning (dead-fraction
-# threshold; oracle independently recounts the delete parquet)
-register(
-    "delete_compaction_plan",
-    meta_del.delete_compaction_plan,
-    meta_del.DELETE_COMPACTION_SQL,
-)
-
-# the metadata WRITE path: append-snapshot commit round-trip read
-# back through ordinary time travel (iceberg/commit.py)
+from .iceberg import changelog as meta_changelog  # noqa: E402
 from .iceberg import commit as meta_commit  # noqa: E402
-
-register(
-    "commit_append_files",
-    meta_commit.commit_append_files,
-    meta_commit.COMMIT_APPEND_SQL,
-)
-
-# rewrite-data-files EXECUTION (delete folding + replace snapshot),
-# read back via ordinary time travel (iceberg/rewrite_data.py)
-from .iceberg import rewrite_data as meta_rwdata  # noqa: E402
-
-register(
-    "rewrite_datafiles_roundtrip",
-    meta_rwdata.rewrite_datafiles_roundtrip,
-    meta_rwdata.REWRITE_DATAFILES_SQL,
-)
-# DELETE write path round-trip: committed positional deletes read
-# back through the MoR reader (golden id range)
-register(
-    "commit_delete_roundtrip",
-    meta_commit.commit_delete_roundtrip,
-    meta_commit.COMMIT_DELETE_SQL,
-)
-# EQUALITY-delete write path × changelog: a committed eq delete's
-# own commit reported as exactly its DELETE rows (golden)
-register(
-    "commit_eq_delete_roundtrip",
-    meta_commit.commit_eq_delete_roundtrip,
-    meta_commit.COMMIT_EQ_DELETE_SQL,
-)
-# row-level DML: DELETE WHERE <pred> — distributed victim scan +
-# Spark-staged position-delete parquet + ordinary delete commit,
-# certified through the commit's own changelog (golden)
+from .iceberg import deletes as meta_del  # noqa: E402
 from .iceberg import dml as meta_dml  # noqa: E402
-
-register(
-    "delete_where_roundtrip", meta_dml.delete_where_roundtrip, meta_dml.DELETE_WHERE_SQL
-)
-# UPDATE WHERE — row-delta commit (position deletes + new data files
-# in ONE snapshot), certified through its changelog (golden)
-register(
-    "update_where_roundtrip", meta_dml.update_where_roundtrip, meta_dml.UPDATE_WHERE_SQL
-)
-# MERGE INTO — CDC upsert: matched rows updated via row delta,
-# unmatched source rows inserted under derived partitions; the
-# commit's changelog is the exact upsert delta (golden)
-register(
-    "merge_into_roundtrip", meta_dml.merge_into_roundtrip, meta_dml.MERGE_INTO_SQL
-)
-# named refs: tag a snapshot, time-travel through resolve_ref
-register("files_at_tag", meta_commit.files_at_tag, meta_commit.FILES_AT_TAG_SQL)
-# write-audit-publish: staged append (main unchanged, ref readable)
-# then fast-forward publish — golden before/ref/after file counts
-register(
-    "wap_publish_roundtrip",
-    meta_commit.wap_publish_roundtrip,
-    meta_commit.WAP_PUBLISH_SQL,
-)
-# expiry EXECUTION: surviving snapshots + physically-removed
-# metadata file count after expire_snapshots(keep_last=2)
-register(
-    "expire_execute_roundtrip",
-    meta_commit.expire_execute_roundtrip,
-    meta_commit.EXPIRE_EXECUTE_SQL,
-)
-
-# incremental scan × Structured Streaming (VERDICT r5 #5): the rows
-# a snapshot range appended, consumed THROUGH the staged file stream;
-# oracle reads the same physical parquet files directly — an
-# independent check that streamed consumption loses/dups nothing
+from .iceberg import evolution as meta_evo  # noqa: E402
+from .iceberg import maintenance as meta_maint  # noqa: E402
+from .iceberg import partition_stats as meta_pstats  # noqa: E402
+from .iceberg import rewrite_data as meta_rwdata  # noqa: E402
+from .iceberg import rewrite_deletes as meta_rwdel  # noqa: E402
+from .iceberg import snapshots as meta_snap  # noqa: E402
+from .iceberg import sortorder as meta_sort  # noqa: E402
+from .iceberg import table_stats as meta_tstats  # noqa: E402
+from .iceberg import tables as meta_tables  # noqa: E402
+from .iceberg import transforms as meta_trans  # noqa: E402
+from .operators import pq as pq_ops  # noqa: E402
+from .operators import stats as stats_ops  # noqa: E402
+from .streaming import cdc as stream_cdc  # noqa: E402
 from .streaming import incremental as stream_inc  # noqa: E402
 
-register(
-    "incremental_stream_rows",
-    stream_inc.incremental_stream_rows,
-    stream_inc.INCREMENTAL_STREAM_SQL,
-)
+# ---------------------------------------- 1: canary probe (window)
+register("probe_double", probes.probe_double, probes.PROBE_DOUBLE_SQL, raw=True)
 
-# CDC changelog × Structured Streaming: the full MoR history
-# consumed commit-per-micro-batch; oracle = the same independent
-# full-materialization diff the batch changelog gate uses
-from .streaming import cdc as stream_cdc  # noqa: E402
-
-register(
-    "changelog_stream_rows",
-    stream_cdc.changelog_stream_rows,
-    stream_cdc.CHANGELOG_STREAM_SQL,
-)
-# CDC REPLICATION: the changelog stream replayed into a fresh table
-# through the engine's OWN DML (delete_where + append per commit);
-# golden: replica == source row-for-row after 3 replayed commits
-register(
-    "cdc_replicate_roundtrip",
-    stream_cdc.cdc_replicate_roundtrip,
-    stream_cdc.CDC_REPLICATE_SQL,
-)
-
-# row-level CDC changelog (create_changelog_view parity): per-commit
-# net INSERT/DELETE rows derived from metadata increments; the
-# oracle independently diffs FULL MoR materializations of adjacent
-# snapshots (DuckDB EXCEPT ALL) — no shared code path
-from .iceberg import changelog as meta_changelog  # noqa: E402
-
-register(
-    "changelog_rows", meta_changelog.changelog_rows, meta_changelog.CHANGELOG_SQL
-)
-
-# FULL schema evolution (rename/drop/promote/add) with field-id
-# column projection — Spark's native parquet field-id resolution
-# reads a chained-rename + promoted + dropped + added history in
-# ONE scan; the oracle re-implements per-file projection in DuckDB
-# over the same physical parquet (independent second engine), and
-# meta_schemas pins the schema-history audit trail (golden)
-from .iceberg import evolution as meta_evo  # noqa: E402
-
-register(
-    "schema_evolution_read",
-    meta_evo.schema_evolution_read,
-    meta_evo.SCHEMA_EVOLUTION_READ_SQL,
-)
-register("meta_schemas", meta_evo.meta_schemas, meta_evo.META_SCHEMAS_SQL)
-# name-mapping fallback (schema.name-mapping.default): fileA's ids
-# stripped (Hive-migration stand-in) → binds by historical-name
-# aliases; same independent per-file DuckDB re-projection oracle
-register(
-    "schema_evolution_name_mapping",
-    meta_evo.schema_evolution_name_mapping,
-    meta_evo.SCHEMA_EVOLUTION_NAME_MAPPING_SQL,
-)
-# evolution × merge-on-read composition: rename + add over the MoR
-# fixture, positional AND equality deletes still applying through
-# the projected scan (golden per-renamed-column counts)
-register("mor_read_evolved", meta_del.mor_read_evolved, meta_del.MOR_READ_EVOLVED_SQL)
-
-# partition transforms: bucket[N] (spec Appendix-B murmur3, vector-
-# pinned) + temporal ordinals — source-predicate projection prunes a
-# bucket/day table at both planning levels (golden decision table),
-# and an insert-only MERGE derives bucket/day partitions data-side
-# through the Arrow-batched numpy kernel (golden per-partition counts)
-from .iceberg import transforms as meta_trans  # noqa: E402
-
-register(
-    "scan_plan_transforms",
-    meta_trans.scan_plan_transforms,
-    meta_trans.SCAN_PLAN_TRANSFORMS_SQL,
-)
-register(
-    "merge_transform_partitions",
-    meta_trans.merge_transform_partitions,
-    meta_trans.MERGE_TRANSFORM_PARTITIONS_SQL,
-)
-
-# rewrite-position-deletes EXECUTION (MoR delete-file compaction:
-# dangling deletes dropped, sequence numbers preserved explicitly,
-# eq-deletes carried forward; golden before/after accounting + live
-# row count) and snapshot ROLLBACK (ancestor-gated, recorded in the
-# snapshot log; golden pre-delete read-back through the MoR reader)
-from .iceberg import rewrite_deletes as meta_rwdel  # noqa: E402
-
-register(
-    "rewrite_pos_deletes_roundtrip",
-    meta_rwdel.rewrite_pos_deletes_roundtrip,
-    meta_rwdel.REWRITE_POS_DELETES_SQL,
-)
-register(
-    "rollback_roundtrip", meta_commit.rollback_roundtrip, meta_commit.ROLLBACK_SQL
-)
-# sort orders + sorted rewrite: interleaved-range table rewritten
-# ORDER BY id into disjoint splits with REAL footer-derived bounds
-# committed — plan_scan's decoded-bound pruning then selects exactly
-# one file for an id interval (golden decision table)
-from .iceberg import sortorder as meta_sort  # noqa: E402
-
-register(
-    "sorted_rewrite_prunes",
-    meta_sort.sorted_rewrite_prunes,
-    meta_sort.SORTED_REWRITE_SQL,
-)
-
-# orphan-file REMOVAL executor: strays under data/ unlinked, every
-# snapshot-referenced file protected (golden accounting + live read)
-from .iceberg import maintenance as meta_maint  # noqa: E402
-
-register(
-    "orphan_delete_roundtrip",
-    meta_maint.orphan_delete_roundtrip,
-    meta_maint.ORPHAN_DELETE_SQL,
-)
-
-# metadata-table completions: $all_files (every file any snapshot
-# references, with live-span) and $refs (tags/branches + main)
-register("meta_all_files", meta_snap.meta_all_files, meta_snap.META_ALL_FILES_SQL)
-
-# round-6 training-pipeline breadth: intra-document repetition
-# filter (duplicated 5-gram fraction, map-side only) and per-source
-# exact-duplication profile (which feeds are mostly re-crawl)
-register("doc_repetition_stats", text_ops.doc_repetition_stats, text_ops.DOC_REPETITION_SQL)
-register("source_dup_stats", text_ops.source_dup_stats, text_ops.SOURCE_DUP_SQL)
-register("decontaminate_minhash", dedup.decontaminate_minhash, dedup.DECONTAMINATE_MINHASH_SQL)
-register("corpus_filter_funnel", text_ops.corpus_filter_funnel, text_ops.CORPUS_FUNNEL_SQL)
-# training-mixture planner: temperature-weighted (√tokens) budget
-# allocation per source — exact integer arithmetic both engines
-register("mixture_plan", sampling.mixture_plan, sampling.MIXTURE_PLAN_SQL)
-
-# ------------------- changed-this-round re-certifications (stale
-# prior evidence: implementation or shared call path modified)
-register("dedup_clusters", components.dedup_clusters, components.DEDUP_CLUSTERS_SQL)
-register("decontaminate_ngram", dedup.decontaminate_ngram, dedup.DECONTAMINATE_SQL)
-register("pii_scrub_stats", text_ops.pii_scrub_stats, text_ops.PII_SCRUB_SQL)
-register("scan_plan_pruned", meta_snap.scan_plan_pruned, meta_snap.SCAN_PLAN_PRUNED_SQL)
-register("meta_manifests", meta_snap.meta_manifests, meta_snap.META_MANIFESTS_SQL)
-register("meta_entry_status_dist", meta_snap.meta_entry_status_dist, meta_snap.META_ENTRY_STATUS_DIST_SQL)
-register("files_at_snapshot", meta_snap.files_at_snapshot, meta_snap.FILES_AT_SNAPSHOT_SQL)
-register("files_added_between", meta_snap.files_added_between_q, meta_snap.FILES_ADDED_BETWEEN_SQL)
-register("meta_rewritten_files", meta_snap.meta_rewritten_files, meta_snap.META_REWRITTEN_FILES_SQL)
-register("compaction_plan", meta_snap.compaction_plan, meta_snap.COMPACTION_PLAN_SQL)
-
-# ------------------------- double-certified canaries (regression detectors)
-# ann_ivf_topk and dedup_minhash_lsh double as re-certs for the
-# round-6 kernel work (single-task Lloyd trainer, aggregate argmin);
-# dedup_simhash joins them in-window because its implementation
-# gained the per-doc signature checkpoint this round (prior r4 row
-# is stale evidence); dedup_clusters (tree-reduction union-find
-# rewrite) is re-certified at its round-6 window slot above.
-register("dedup_minhash_lsh", dedup.dedup_minhash_lsh, dedup.DEDUP_MINHASH_SQL)
-register("ann_ivf_topk", similarity.ann_ivf_topk, similarity.ANN_IVF_SQL)
-register("dedup_simhash", dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL)
-
-# ---- slid past the 50-entry window (evidence still current):
-# probe_string (diagnostic twin of probe_double — one canary keeps
-# the canonicalization alarm), q1 (untouched since its r5 canary
-# row), and the three pure-metadata.json re-certs whose call path
-# the round-6 resolver/plan_scan rework never touches (snapshots_df
-# / history_df / plan_expire_snapshots parse metadata.json only) —
-# all re-verified bit-exactly by tests/test_oracle_parity.py every
-# pytest run
-register("probe_string", probes.probe_string, probes.PROBE_STRING_SQL, raw=True)
-register("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL)
-register("meta_snapshots_multi", meta_snap.meta_snapshots_multi, meta_snap.META_SNAPSHOTS_MULTI_SQL)
-register("meta_history_multi", meta_snap.meta_history_multi, meta_snap.META_HISTORY_MULTI_SQL)
-register("expire_snapshots_plan", meta_snap.expire_snapshots_plan, meta_snap.EXPIRE_SNAPSHOTS_PLAN_SQL)
-# meta_refs (new, golden-trivial) waits just past the window: the
-# replica verifies it each pytest run; a late-round in-window add
-# (cdc_replicate_roundtrip) outranked it for a first driver row
-register("meta_refs", meta_commit.meta_refs, meta_commit.META_REFS_SQL)
-# orphan_files_current's find_orphan_files anti-join is freshly
-# exercised in-window by orphan_delete_roundtrip (the executor
-# gate), so the planner gate itself can keep its r5 row out here
-register("orphan_files_current", meta_snap.orphan_files_current, meta_snap.ORPHAN_FILES_SQL)
-# dedup survivorship (keep-the-longest per near-dup cluster) joined
-# late in round 6: first driver row next round; until then the
-# oracle-parity replica verifies it bit-exactly each pytest run
-register("dedup_survivors", components.dedup_survivors, components.DEDUP_SURVIVORS_SQL)
-# product-quantization ANN (rows-only: k-means isn't SQL-expressible;
-# recall@5 >= 0.9 vs the exact baseline + determinism pinned by pytest)
-from .operators import pq as pq_ops  # noqa: E402
-
-register("ann_pq_topk", pq_ops.ann_pq_topk, None)
-# linear quality scorer (continuous companion to the rule gate):
-# fixed-order double expression tree, bit-identical cross-engine
-register(
-    "quality_score_linear", text_ops.quality_score_linear, text_ops.QUALITY_LINEAR_SQL
-)
-# ANALYZE-style column stats (exact-distinct gate; the HLL scale
-# path is pytest-bounded against it)
-from .operators import stats as stats_ops  # noqa: E402
-
-register(
-    "column_stats_orders", stats_ops.column_stats_orders, stats_ops.COLUMN_STATS_SQL
-)
-# source-level near-dup triage (internal re-crawl vs cross-feed)
-register(
-    "near_dup_rate_by_source",
-    dedup.near_dup_rate_by_source,
-    dedup.NEAR_DUP_BY_SOURCE_SQL,
-)
+# ------------------- 2-13: FIRST CERTIFICATION of the round-6 late
+# registrations (v3 deletion vectors, statistics files, refs,
+# survivorship, PQ ANN, linear quality, column stats, source triage)
+#
 # v3 deletion vectors (Puffin + portable Roaring, public specs):
 # the DV blob audit (manifest locator × footer × decoded bitmap,
 # golden), the v3 MoR read (DuckDB re-implements deletes over the
@@ -499,123 +204,269 @@ register(
 # register + read back through the metadata chain on a scratch MoR
 # copy; unified (category, id_trunc) tuple across both specs, delete
 # exposure split by kind (golden counts; sizes pytest-checked)
-from .iceberg import partition_stats as meta_pstats  # noqa: E402
-
 register(
     "meta_partition_stats",
     meta_pstats.meta_partition_stats,
     meta_pstats.META_PARTITION_STATS_SQL,
 )
 # table statistics files (spec "Table statistics"): Puffin NDV
-# blobs (honest custom type + the interop `ndv` property) computed
-# over the LIVE MoR read, registered under metadata `statistics`,
-# read back footer-first with payload/property agreement checked
-from .iceberg import table_stats as meta_tstats  # noqa: E402
-
+# blobs computed over the LIVE MoR read, registered under metadata
+# `statistics`, read back footer-first with payload/property
+# agreement checked
 register(
     "meta_table_stats",
     meta_tstats.meta_table_stats,
     meta_tstats.META_TABLE_STATS_SQL,
 )
-
-# ------------------- re-certs of untouched r4/r5-green queries
-# (fresh rows harmless; any sliding past 50 keep their green row)
-register("percentiles_order_value", analytics.percentiles_order_value, analytics.PERCENTILES_SQL)
-register("customer_running_total", analytics.customer_running_total, analytics.RUNNING_TOTAL_SQL)
-register("monthly_revenue_delta", analytics.monthly_revenue_delta, analytics.MONTHLY_DELTA_SQL)
-register("decile_value_customers", analytics.decile_value_customers, analytics.DECILE_SQL)
-register("orders_cume_dist", analytics.orders_cume_dist, analytics.CUME_DIST_SQL)
-register("sessionize_events", events.sessionize_events, events.SESSIONIZE_SQL)
-register("session_window_agg", events.session_window_agg, events.SESSION_WINDOW_SQL)
-register("sliding_window_agg", events.sliding_window_agg, events.SLIDING_WINDOW_SQL)
-register("events_props_stats", events.events_props_stats, events.EVENTS_PROPS_SQL)
-register("funnel_windowed", events.funnel_windowed, events.FUNNEL_WINDOWED_SQL)
-register("events_dedup_exact", events.events_dedup_exact, events.EVENTS_DEDUP_SQL)
-register("text_stats", text_ops.text_stats, text_ops.TEXT_STATS_SQL)
-register("text_quality", text_ops.text_quality, text_ops.TEXT_QUALITY_SQL)
-register("dataset_split", sampling.dataset_split, sampling.DATASET_SPLIT_SQL)
-register("stratified_sample", sampling.stratified_sample, sampling.STRATIFIED_SAMPLE_SQL)
+# named refs metadata table ($refs: tags/branches + main)
+register("meta_refs", meta_commit.meta_refs, meta_commit.META_REFS_SQL)
+# dedup survivorship (keep-the-longest per near-dup cluster)
+register("dedup_survivors", components.dedup_survivors, components.DEDUP_SURVIVORS_SQL)
+# product-quantization ANN (rows-only: k-means isn't SQL-expressible;
+# recall@5 >= 0.9 vs the exact baseline + determinism pinned by pytest)
+register("ann_pq_topk", pq_ops.ann_pq_topk, None)
+# linear quality scorer (continuous companion to the rule gate):
+# fixed-order double expression tree, bit-identical cross-engine
 register(
-    "approx_percentiles_check",
-    analytics.approx_percentiles_check,
-    analytics.APPROX_CHECK_SQL,
+    "quality_score_linear", text_ops.quality_score_linear, text_ops.QUALITY_LINEAR_SQL
 )
-register("pack_sequences_check", packing.pack_sequences_check, packing.PACK_CHECK_SQL)
-register("q4_order_priority", tpch.q4_order_priority, tpch.Q4_SQL)
-register("q6_revenue_change", tpch.q6_revenue_change, tpch.Q6_SQL)
-register("q14_promo_effect", tpch.q14_promo_effect, tpch.Q14_SQL)
-register("q15_top_supplier", tpch_ext.q15_top_supplier, tpch_ext.Q15_SQL)
-register("q21_sole_fault_supplier", tpch_ext.q21_sole_fault_supplier, tpch_ext.Q21_SQL)
-register("pivot_status_by_priority", analytics.pivot_status_by_priority, analytics.PIVOT_SQL)
-register("retention_matrix", events.retention_matrix, events.RETENTION_MATRIX_SQL)
-register("meta_typed_bounds", meta_tables.meta_typed_bounds, meta_tables.META_TYPED_BOUNDS_SQL)
+# ANALYZE-style column stats (exact-distinct gate; the HLL scale
+# path is pytest-bounded against it)
+register(
+    "column_stats_orders", stats_ops.column_stats_orders, stats_ops.COLUMN_STATS_SQL
+)
+# source-level near-dup triage (internal re-crawl vs cross-feed)
+register(
+    "near_dup_rate_by_source",
+    dedup.near_dup_rate_by_source,
+    dedup.NEAR_DUP_BY_SOURCE_SQL,
+)
+
+# ------------------- 14-45: changed-this-round re-certifications
+# (apply_deletes eq-grouping/transform-gating, DML keys-DataFrame +
+# null-partition staging, one-job rewrite_data_files, collect-free
+# CDC replication, _micros pre-epoch, embedding_near_dup cap)
+register("mor_live_rows", meta_del.mor_live_rows, meta_del.MOR_LIVE_ROWS_SQL)
+register("files_at_snapshot_mor", meta_del.files_at_snapshot_mor, meta_del.FILES_AT_SNAPSHOT_MOR_SQL)
+register("meta_delete_files", meta_del.meta_delete_files, meta_del.META_DELETE_FILES_SQL)
+register("scan_plan_evolved", meta_del.scan_plan_evolved, meta_del.SCAN_PLAN_EVOLVED_SQL)
+register("scan_plan_mor", meta_del.scan_plan_mor, meta_del.SCAN_PLAN_MOR_SQL)
+register(
+    "delete_compaction_plan",
+    meta_del.delete_compaction_plan,
+    meta_del.DELETE_COMPACTION_SQL,
+)
+register(
+    "rewrite_datafiles_roundtrip",
+    meta_rwdata.rewrite_datafiles_roundtrip,
+    meta_rwdata.REWRITE_DATAFILES_SQL,
+)
+register(
+    "commit_delete_roundtrip",
+    meta_commit.commit_delete_roundtrip,
+    meta_commit.COMMIT_DELETE_SQL,
+)
+register(
+    "commit_eq_delete_roundtrip",
+    meta_commit.commit_eq_delete_roundtrip,
+    meta_commit.COMMIT_EQ_DELETE_SQL,
+)
+register(
+    "delete_where_roundtrip", meta_dml.delete_where_roundtrip, meta_dml.DELETE_WHERE_SQL
+)
+register(
+    "update_where_roundtrip", meta_dml.update_where_roundtrip, meta_dml.UPDATE_WHERE_SQL
+)
+register(
+    "merge_into_roundtrip", meta_dml.merge_into_roundtrip, meta_dml.MERGE_INTO_SQL
+)
+register(
+    "cdc_replicate_roundtrip",
+    stream_cdc.cdc_replicate_roundtrip,
+    stream_cdc.CDC_REPLICATE_SQL,
+)
+register(
+    "changelog_rows", meta_changelog.changelog_rows, meta_changelog.CHANGELOG_SQL
+)
+register(
+    "changelog_stream_rows",
+    stream_cdc.changelog_stream_rows,
+    stream_cdc.CHANGELOG_STREAM_SQL,
+)
+register(
+    "incremental_stream_rows",
+    stream_inc.incremental_stream_rows,
+    stream_inc.INCREMENTAL_STREAM_SQL,
+)
+register("mor_read_evolved", meta_del.mor_read_evolved, meta_del.MOR_READ_EVOLVED_SQL)
+register(
+    "schema_evolution_read",
+    meta_evo.schema_evolution_read,
+    meta_evo.SCHEMA_EVOLUTION_READ_SQL,
+)
+register(
+    "schema_evolution_name_mapping",
+    meta_evo.schema_evolution_name_mapping,
+    meta_evo.SCHEMA_EVOLUTION_NAME_MAPPING_SQL,
+)
+register("meta_schemas", meta_evo.meta_schemas, meta_evo.META_SCHEMAS_SQL)
+register(
+    "scan_plan_transforms",
+    meta_trans.scan_plan_transforms,
+    meta_trans.SCAN_PLAN_TRANSFORMS_SQL,
+)
+register(
+    "merge_transform_partitions",
+    meta_trans.merge_transform_partitions,
+    meta_trans.MERGE_TRANSFORM_PARTITIONS_SQL,
+)
+register(
+    "rewrite_pos_deletes_roundtrip",
+    meta_rwdel.rewrite_pos_deletes_roundtrip,
+    meta_rwdel.REWRITE_POS_DELETES_SQL,
+)
+register(
+    "rollback_roundtrip", meta_commit.rollback_roundtrip, meta_commit.ROLLBACK_SQL
+)
+register(
+    "sorted_rewrite_prunes",
+    meta_sort.sorted_rewrite_prunes,
+    meta_sort.SORTED_REWRITE_SQL,
+)
+register(
+    "orphan_delete_roundtrip",
+    meta_maint.orphan_delete_roundtrip,
+    meta_maint.ORPHAN_DELETE_SQL,
+)
+register(
+    "commit_append_files",
+    meta_commit.commit_append_files,
+    meta_commit.COMMIT_APPEND_SQL,
+)
+register("files_at_tag", meta_commit.files_at_tag, meta_commit.FILES_AT_TAG_SQL)
+register(
+    "wap_publish_roundtrip",
+    meta_commit.wap_publish_roundtrip,
+    meta_commit.WAP_PUBLISH_SQL,
+)
+register(
+    "expire_execute_roundtrip",
+    meta_commit.expire_execute_roundtrip,
+    meta_commit.EXPIRE_EXECUTE_SQL,
+)
+register("meta_all_files", meta_snap.meta_all_files, meta_snap.META_ALL_FILES_SQL)
+register("embedding_near_dup", similarity.embedding_near_dup, similarity.NEAR_DUP_SQL)
+
+# ------------------- 46-50: oldest-evidence refresh (r4 rows)
+register("q9_product_type_profit", tpch.q9_product_type_profit, tpch.Q9_SQL)
+register("top_k_per_group", analytics.top_k_per_group, analytics.TOP_K_SQL)
+register("dedup_exact", dedup.dedup_exact, dedup.DEDUP_EXACT_SQL)
+register("ann_topk_bruteforce", similarity.ann_topk_bruteforce, similarity.ANN_BRUTE_SQL)
+register("asof_join_events_orders", events.asof_join_events_orders, events.ASOF_SQL)
 
 # === PAST-50 MARKER ===============================================
 # Everything REGISTERED below sits past the driver's 50-entry window
-# this round and holds a green r3 or r4 driver row; local
-# test_oracle_parity still runs ALL entries bit-exactly at two SFs
-# every pytest run. (If fewer than 50 entries are registered above,
-# leading _register_past_window entries fill the remaining in-window
-# slots — harmless re-certs of already-green queries.)
+# this round and holds a green r4-r6 driver row (or is a retired /
+# rows-only diagnostic); local test_oracle_parity still runs ALL
+# entries bit-exactly at two SFs every pytest run.
 
 
 def _register_past_window() -> None:
-    """Registrations past the driver's 50-entry window (r3/r4-green)."""
-    # §2.4 dedup (dedup_simhash moved IN-window this round — its
-    # implementation changed)
-    register("dedup_exact", dedup.dedup_exact, dedup.DEDUP_EXACT_SQL)
-    register("dedup_ngram_jaccard", dedup.dedup_ngram_jaccard, dedup.DEDUP_NGRAM_SQL)
+    """Registrations past the driver's 50-entry window."""
+    register("probe_string", probes.probe_string, probes.PROBE_STRING_SQL, raw=True)
+    register("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL)
 
-    # §2.4 embeddings
-    register("embedding_norm_stats", similarity.embedding_norm_stats, similarity.NORM_STATS_SQL)
-    register("ann_topk_bruteforce", similarity.ann_topk_bruteforce, similarity.ANN_BRUTE_SQL)
-    register("embedding_near_dup", similarity.embedding_near_dup, similarity.NEAR_DUP_SQL)
+    # pure-metadata.json queries (resolver untouched this round)
+    register("meta_snapshots_multi", meta_snap.meta_snapshots_multi, meta_snap.META_SNAPSHOTS_MULTI_SQL)
+    register("meta_history_multi", meta_snap.meta_history_multi, meta_snap.META_HISTORY_MULTI_SQL)
+    register("expire_snapshots_plan", meta_snap.expire_snapshots_plan, meta_snap.EXPIRE_SNAPSHOTS_PLAN_SQL)
+    register("orphan_files_current", meta_snap.orphan_files_current, meta_snap.ORPHAN_FILES_SQL)
+    register("scan_plan_pruned", meta_snap.scan_plan_pruned, meta_snap.SCAN_PLAN_PRUNED_SQL)
+    register("meta_manifests", meta_snap.meta_manifests, meta_snap.META_MANIFESTS_SQL)
+    register("meta_entry_status_dist", meta_snap.meta_entry_status_dist, meta_snap.META_ENTRY_STATUS_DIST_SQL)
+    register("files_at_snapshot", meta_snap.files_at_snapshot, meta_snap.FILES_AT_SNAPSHOT_SQL)
+    register("files_added_between", meta_snap.files_added_between_q, meta_snap.FILES_ADDED_BETWEEN_SQL)
+    register("meta_rewritten_files", meta_snap.meta_rewritten_files, meta_snap.META_REWRITTEN_FILES_SQL)
+    register("compaction_plan", meta_snap.compaction_plan, meta_snap.COMPACTION_PLAN_SQL)
 
-    # §2.1 metadata tables
-    # meta_snapshots / meta_history: oracle reads the reference
-    # fixture's metadata.json directly via DuckDB read_json
-    # (independent engine). meta_manifest_entries / meta_files /
-    # meta_partitions introspect the fixture's Avro manifest, which
-    # DuckDB cannot read natively: their oracle is golden VALUES
-    # derived from the reference's own expected test output (see
-    # iceberg/tables.py) — fixture-pinned golden, not a second engine.
+    # §2.1 metadata tables over the reference fixture
     register("meta_manifest_entries", meta_tables.meta_manifest_entries, meta_tables.META_MANIFEST_ENTRIES_SQL)
     register("meta_files", meta_tables.meta_files, meta_tables.META_FILES_SQL)
     register("meta_partitions", meta_tables.meta_partitions, meta_tables.META_PARTITIONS_SQL)
     register("meta_snapshots", meta_tables.meta_snapshots, meta_tables.META_SNAPSHOTS_SQL)
     register("meta_history", meta_tables.meta_history, meta_tables.META_HISTORY_SQL)
+    register("meta_typed_bounds", meta_tables.meta_typed_bounds, meta_tables.META_TYPED_BOUNDS_SQL)
 
-    # §2.2 TPC-H
+    # §2.2 TPC-H + analytics (r4-r5 green)
+    register("q2_min_cost_supplier", tpch_ext.q2_min_cost_supplier, tpch_ext.Q2_SQL)
+    register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_SQL)
+    register("q4_order_priority", tpch.q4_order_priority, tpch.Q4_SQL)
     register("q5_local_supplier_volume", tpch.q5_local_supplier_volume, tpch.Q5_SQL)
+    register("q6_revenue_change", tpch.q6_revenue_change, tpch.Q6_SQL)
     register("q7_volume_shipping", tpch.q7_volume_shipping, tpch.Q7_SQL)
+    register("q8_market_share", tpch_ext.q8_market_share, tpch_ext.Q8_SQL)
+    register("q10_returned_items", tpch.q10_returned_items, tpch.Q10_SQL)
+    register("q11_important_part_value", tpch_ext.q11_important_part_value, tpch_ext.Q11_SQL)
     register("q12_priority_shipping", tpch.q12_priority_shipping, tpch.Q12_SQL)
     register("q13_customer_distribution", tpch.q13_customer_distribution, tpch.Q13_SQL)
-    register("q19_discounted_revenue", tpch.q19_discounted_revenue, tpch.Q19_SQL)
-    register("q22_global_sales_opportunity", tpch.q22_global_sales_opportunity, tpch.Q22_SQL)
+    register("q14_promo_effect", tpch.q14_promo_effect, tpch.Q14_SQL)
+    register("q15_top_supplier", tpch_ext.q15_top_supplier, tpch_ext.Q15_SQL)
     register("q16_supplier_part_variety", tpch_ext.q16_supplier_part_variety, tpch_ext.Q16_SQL)
     register("q17_small_quantity_revenue", tpch_ext.q17_small_quantity_revenue, tpch_ext.Q17_SQL)
-    register("asof_join_events_orders", events.asof_join_events_orders, events.ASOF_SQL)
-    register("funnel_view_click_purchase", events.funnel_view_click_purchase, events.FUNNEL_SQL)
-    register("retention_day_n", events.retention_day_n, events.RETENTION_SQL)
-    register("text_langid", text_ops.text_langid, text_ops.TEXT_LANGID_SQL)
-    register("text_fingerprint", text_ops.text_fingerprint, text_ops.TEXT_FINGERPRINT_SQL)
-    register("token_count_histogram", sampling.token_count_histogram, sampling.TOKEN_HISTOGRAM_SQL)
-    register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_SQL)
-    register("q9_product_type_profit", tpch.q9_product_type_profit, tpch.Q9_SQL)
-    register("q10_returned_items", tpch.q10_returned_items, tpch.Q10_SQL)
     register("q18_large_volume_customers", tpch.q18_large_volume_customers, tpch.Q18_SQL)
-    register("q2_min_cost_supplier", tpch_ext.q2_min_cost_supplier, tpch_ext.Q2_SQL)
-    register("q8_market_share", tpch_ext.q8_market_share, tpch_ext.Q8_SQL)
-    register("q11_important_part_value", tpch_ext.q11_important_part_value, tpch_ext.Q11_SQL)
+    register("q19_discounted_revenue", tpch.q19_discounted_revenue, tpch.Q19_SQL)
     register("q20_promo_part_shippers", tpch_ext.q20_promo_part_shippers, tpch_ext.Q20_SQL)
-
-    # §2.2 window/analytics (the rest of this family sits in-window
-    # this round as the 17-query re-certification set)
-    register("top_k_per_group", analytics.top_k_per_group, analytics.TOP_K_SQL)
+    register("q21_sole_fault_supplier", tpch_ext.q21_sole_fault_supplier, tpch_ext.Q21_SQL)
+    register("q22_global_sales_opportunity", tpch.q22_global_sales_opportunity, tpch.Q22_SQL)
     register("rollup_revenue", analytics.rollup_revenue, analytics.ROLLUP_SQL)
     register("cube_status_priority", analytics.cube_status_priority, analytics.CUBE_SQL)
+    register("pivot_status_by_priority", analytics.pivot_status_by_priority, analytics.PIVOT_SQL)
+    register("percentiles_order_value", analytics.percentiles_order_value, analytics.PERCENTILES_SQL)
+    register("customer_running_total", analytics.customer_running_total, analytics.RUNNING_TOTAL_SQL)
+    register("monthly_revenue_delta", analytics.monthly_revenue_delta, analytics.MONTHLY_DELTA_SQL)
+    register("decile_value_customers", analytics.decile_value_customers, analytics.DECILE_SQL)
+    register("orders_cume_dist", analytics.orders_cume_dist, analytics.CUME_DIST_SQL)
+    register(
+        "approx_percentiles_check",
+        analytics.approx_percentiles_check,
+        analytics.APPROX_CHECK_SQL,
+    )
 
-    # rows-only raw forms of the in-window invariant-check queries
+    # §2.3 events (r5 green)
+    register("sessionize_events", events.sessionize_events, events.SESSIONIZE_SQL)
+    register("session_window_agg", events.session_window_agg, events.SESSION_WINDOW_SQL)
+    register("sliding_window_agg", events.sliding_window_agg, events.SLIDING_WINDOW_SQL)
+    register("events_props_stats", events.events_props_stats, events.EVENTS_PROPS_SQL)
+    register("funnel_windowed", events.funnel_windowed, events.FUNNEL_WINDOWED_SQL)
+    register("events_dedup_exact", events.events_dedup_exact, events.EVENTS_DEDUP_SQL)
+    register("funnel_view_click_purchase", events.funnel_view_click_purchase, events.FUNNEL_SQL)
+    register("retention_day_n", events.retention_day_n, events.RETENTION_SQL)
+    register("retention_matrix", events.retention_matrix, events.RETENTION_MATRIX_SQL)
+
+    # §2.4 text/dedup/sampling (r4-r6 green)
+    register("text_stats", text_ops.text_stats, text_ops.TEXT_STATS_SQL)
+    register("text_quality", text_ops.text_quality, text_ops.TEXT_QUALITY_SQL)
+    register("text_langid", text_ops.text_langid, text_ops.TEXT_LANGID_SQL)
+    register("text_fingerprint", text_ops.text_fingerprint, text_ops.TEXT_FINGERPRINT_SQL)
+    register("pii_scrub_stats", text_ops.pii_scrub_stats, text_ops.PII_SCRUB_SQL)
+    register("doc_repetition_stats", text_ops.doc_repetition_stats, text_ops.DOC_REPETITION_SQL)
+    register("source_dup_stats", text_ops.source_dup_stats, text_ops.SOURCE_DUP_SQL)
+    register("corpus_filter_funnel", text_ops.corpus_filter_funnel, text_ops.CORPUS_FUNNEL_SQL)
+    register("dedup_ngram_jaccard", dedup.dedup_ngram_jaccard, dedup.DEDUP_NGRAM_SQL)
+    register("dedup_minhash_lsh", dedup.dedup_minhash_lsh, dedup.DEDUP_MINHASH_SQL)
+    register("dedup_simhash", dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL)
+    register("dedup_clusters", components.dedup_clusters, components.DEDUP_CLUSTERS_SQL)
+    register("decontaminate_ngram", dedup.decontaminate_ngram, dedup.DECONTAMINATE_SQL)
+    register("decontaminate_minhash", dedup.decontaminate_minhash, dedup.DECONTAMINATE_MINHASH_SQL)
+    register("embedding_norm_stats", similarity.embedding_norm_stats, similarity.NORM_STATS_SQL)
+    register("ann_ivf_topk", similarity.ann_ivf_topk, similarity.ANN_IVF_SQL)
+    register("dataset_split", sampling.dataset_split, sampling.DATASET_SPLIT_SQL)
+    register("stratified_sample", sampling.stratified_sample, sampling.STRATIFIED_SAMPLE_SQL)
+    register("token_count_histogram", sampling.token_count_histogram, sampling.TOKEN_HISTOGRAM_SQL)
+    register("mixture_plan", sampling.mixture_plan, sampling.MIXTURE_PLAN_SQL)
+    register("pack_sequences_check", packing.pack_sequences_check, packing.PACK_CHECK_SQL)
+
+    # rows-only raw forms of the invariant-check queries
     register("approx_percentiles_order_value", analytics.approx_percentiles_order_value, None)
     register("pack_sequences", packing.pack_sequences, None)
 
