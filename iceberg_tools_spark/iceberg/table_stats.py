@@ -4,37 +4,48 @@ metadata under ``statistics`` as ``{"snapshot-id",
 "statistics-path", "file-size-in-bytes",
 "file-footer-size-in-bytes", "blob-metadata": [...]}``.
 
-Engine interop note: real writers store Apache DataSketches theta
-sketches (blob type ``apache-datasketches-theta-v1``); consumers
-(Trino, Spark) read the REQUIRED ``ndv`` blob property without
-decoding the sketch bytes. This engine writes blob type
-``iceberg-tools-ndv-v1`` — honestly labeled, with the estimate
-itself as the payload (8 LE bytes, round-trip-checked against the
-property on read), while carrying the same ``ndv`` property surface
-a property-reading consumer uses. Mislabeling non-theta bytes as
-theta would corrupt a real DataSketches reader; a custom type is
-spec-legal (Puffin: "file may contain blobs of any type").
+Engine interop: blobs are written as the Puffin spec's standard
+``apache-datasketches-theta-v1`` type — a serialized ordered
+COMPACT theta sketch (``iceberg/theta.py``: serial version 3,
+murmur3 x64_128, default update seed 9001) over each column's
+values encoded with Iceberg SINGLE-VALUE SERIALIZATION (the spec's
+rule for this blob type; ``conversions.to_bytes``). Consumers that
+only read the REQUIRED ``ndv`` property (Trino, Spark) get the
+rounded estimate; consumers that decode the sketch can merge it.
+(Before round 7 this engine wrote an honest custom
+``iceberg-tools-ndv-v1`` type; VERDICT r6 #8 asked for the interop
+form.)
 
-Spark-first shape: NDV computation is ONE distributed aggregation
-over the live MoR read (exact ``count_distinct`` by default,
-``approx_count_distinct`` HLL++ for the 100 TB path — same switch
-as ``operators/stats.py``); only the KB-scale per-column results
-reach the driver for the Puffin write.
+Spark-first shape: per column, ONE distributed pass — distinct →
+Arrow-batched theta hashing → ``orderBy(hash).limit(k+1)``
+(TakeOrdered, a partial top-k, never a full sort) — so only ≤ k+1
+longs per column reach the driver for the Puffin write, at any
+table size. ``compute_ndv`` (exact / HLL++ aggregate) remains for
+callers that want the scalar without a sketch.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import struct
-from typing import Any
+from typing import Any, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .metadata import parse_metadata
+from .theta import (
+    DEFAULT_LG_K,
+    THETA_BLOB_TYPE,
+    build_compact_theta,
+    deserialize_compact_theta,
+    merge_compact_theta,
+    serialize_compact_theta,
+    theta_estimate,
+    theta_hash,
+)
 
-NDV_BLOB_TYPE = "iceberg-tools-ndv-v1"
+NDV_BLOB_TYPE = THETA_BLOB_TYPE  # kept name: the registered blob type
 
 
 def _field_ids(meta) -> dict[str, int]:
@@ -44,6 +55,56 @@ def _field_ids(meta) -> dict[str, int]:
         if s.get("schema-id", 0) == raw.get("current-schema-id", 0)
     )
     return {f["name"]: f["id"] for f in schema.get("fields", [])}
+
+
+def _field_types(meta) -> dict[str, str]:
+    raw = meta.raw
+    schema = next(
+        s for s in raw.get("schemas", [raw.get("schema", {})])
+        if s.get("schema-id", 0) == raw.get("current-schema-id", 0)
+    )
+    return {
+        f["name"]: f["type"]
+        for f in schema.get("fields", [])
+        if isinstance(f["type"], str)
+    }
+
+
+def column_theta_sketch(
+    df: DataFrame, column: str, iceberg_type: str, *, lg_k: int = DEFAULT_LG_K
+) -> dict[str, Any]:
+    """One column's compact theta sketch, built distributedly:
+    distinct values → Arrow-batched theta hashing of their Iceberg
+    single-value bytes → the k+1 smallest hashes via
+    ``orderBy().limit()`` (TakeOrdered — partial top-k, map-side
+    reduced). ≤ k+1 longs cross to the driver regardless of table
+    size; ``build_compact_theta`` turns them into the exact or KMV
+    estimation form."""
+    from .conversions import to_bytes
+
+    k = 1 << lg_k
+
+    def _hash_batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            col = pdf.iloc[:, 0]
+            hs = [
+                theta_hash(to_bytes(iceberg_type, v))
+                for v in col
+                if v is not None
+            ]
+            # theta hashes are 63-bit (lane >>> 1): always fit int64
+            yield pd.DataFrame({"h": pd.Series(hs, dtype="int64")})
+
+    hashed = (
+        df.select(column)
+        .where(F.col(column).isNotNull())
+        .distinct()
+        .mapInPandas(_hash_batches, "h long")
+    )
+    smallest = [r["h"] for r in hashed.orderBy("h").limit(k + 1).collect()]
+    return build_compact_theta(smallest, lg_k=lg_k)
 
 
 def compute_ndv(
@@ -66,13 +127,16 @@ def write_table_stats(
     base_dir: str | None = None,
     *,
     columns: list[str] | None = None,
-    approximate: bool = False,
+    lg_k: int = DEFAULT_LG_K,
 ) -> dict[str, Any]:
-    """Compute per-column NDV over the LIVE rows at a snapshot (the
-    MoR read — deletes applied), write one Puffin statistics file
-    with an NDV blob per column (``ndv`` property + the blob's field
-    id), and register it in the metadata ``statistics`` list
-    (replacing any prior entry for the snapshot)."""
+    """Build per-column COMPACT THETA SKETCHES over the LIVE rows at
+    a snapshot (the MoR read — deletes applied), write one Puffin
+    statistics file with an ``apache-datasketches-theta-v1`` blob
+    per column (``ndv`` property = rounded estimate, exact below
+    2^lg_k distinct values), and register it in the metadata
+    ``statistics`` list (replacing any prior entry for the
+    snapshot). ``lg_k`` is the accuracy knob (default 12 → k=4096,
+    RSE ≈ 1.6 % in estimation mode)."""
     from .deletes import read_mor
     from .puffin import write_puffin
 
@@ -94,21 +158,48 @@ def write_table_stats(
     snap = next(s for s in meta.snapshots if s["snapshot-id"] == snapshot_id)
 
     live = read_mor(spark, metadata_path, snapshot_id, base_dir)
-    ndvs = compute_ndv(live, columns, approximate=approximate)
+    ftypes = _field_types(meta)
+    sketches = {
+        c: column_theta_sketch(live, c, ftypes[c], lg_k=lg_k) for c in columns
+    }
+    return _write_and_register(
+        meta, metadata_path, table_root, loc, snapshot_id, snap,
+        sketches, columns, fids, lg_k,
+    )
 
+
+def _write_and_register(
+    meta,
+    metadata_path: str,
+    table_root: str,
+    loc: str,
+    snapshot_id: int,
+    snap: dict[str, Any],
+    sketches: dict[str, dict[str, Any]],
+    columns: list[str],
+    fids: dict[str, int],
+    lg_k: int,
+) -> dict[str, Any]:
+    """Serialize the per-column sketches into one Puffin file and
+    register it under metadata ``statistics`` (shared by the full
+    recompute and the incremental merge paths)."""
+    from .puffin import write_puffin
+
+    ndvs = {c: round(theta_estimate(sk)) for c, sk in sketches.items()}
     rel = f"metadata/stats-{snapshot_id}.puffin"
     out_path = os.path.join(table_root, *rel.split("/"))
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     blobs = [
         {
-            "type": NDV_BLOB_TYPE,
-            # payload: the ndv as 8 LE bytes — self-describing enough
-            # to round-trip; the interop surface is the property
-            "data": struct.pack("<Q", ndvs[c]),
+            "type": THETA_BLOB_TYPE,
+            # payload: the serialized compact theta sketch; the
+            # REQUIRED ndv property carries the rounded estimate
+            # (exact below k=2^lg_k distinct values)
+            "data": serialize_compact_theta(sketches[c]),
             "fields": [fids[c]],
             "snapshot-id": snapshot_id,
             "sequence-number": snap.get("sequence-number", -1),
-            "properties": {"ndv": str(ndvs[c]), "column": c},
+            "properties": {"ndv": str(ndvs[c]), "column": c, "lg_k": str(lg_k)},
         }
         for c in columns
     ]
@@ -144,6 +235,105 @@ def write_table_stats(
         "snapshot_id": snapshot_id,
         "ndv": ndvs,
     }
+
+
+def update_table_stats_incremental(
+    spark: SparkSession,
+    metadata_path: str,
+    snapshot_id: int | None = None,
+    base_dir: str | None = None,
+) -> dict[str, Any]:
+    """Append-only incremental statistics maintenance — the reason
+    theta sketches (not plain NDV scalars) are worth registering:
+    merge the latest ancestor snapshot's REGISTERED sketches with
+    sketches built over only the rows ADDED since it
+    (``files_added_between``), and register the union for
+    ``snapshot_id``. At 100 TB this reads the appended files only,
+    never the table.
+
+    Sketches are insert-only, so the increment must be append-only:
+    any snapshot in the range whose summary operation is not
+    ``append`` raises (delete/replace/overwrite can remove rows a
+    sketch cannot forget) — callers fall back to
+    :func:`write_table_stats` there. Raises too when no ancestor
+    has registered statistics."""
+    from .snapshots import ancestor_chain, files_added_between
+
+    base_dir = base_dir or os.path.dirname(metadata_path)
+    meta = parse_metadata(metadata_path)
+    if snapshot_id is None:
+        snapshot_id = meta.current_snapshot_id
+    chain = ancestor_chain(meta, snapshot_id)
+    registered = {
+        s["snapshot-id"]: s for s in meta.raw.get("statistics", [])
+    }
+    base_id = next((sid for sid in chain if sid in registered), None)
+    if base_id is None:
+        raise ValueError(
+            "no ancestor snapshot has registered statistics; run "
+            "write_table_stats first"
+        )
+    between = chain[: chain.index(base_id)]  # (base_id, snapshot_id]
+    by_id = {s["snapshot-id"]: s for s in meta.snapshots}
+    non_append = [
+        sid for sid in between
+        if by_id[sid].get("summary", {}).get("operation") != "append"
+    ]
+    if non_append:
+        raise ValueError(
+            f"snapshots {sorted(non_append)} are not append-only; "
+            "sketches cannot forget rows — recompute with "
+            "write_table_stats"
+        )
+
+    # prior sketches, straight from the registered Puffin file
+    from .puffin import read_blob
+    from .snapshots import _local
+
+    table_root = (
+        base_dir
+        if os.path.isdir(os.path.join(base_dir, "metadata"))
+        else os.path.dirname(base_dir)
+    )
+    loc = meta.raw.get("location") or f"file://{table_root}"
+    entry = registered[base_id]
+    local = _local(entry["statistics-path"], table_root, meta.raw.get("location"))
+    prior: dict[str, dict[str, Any]] = {}
+    lg_k = DEFAULT_LG_K
+    for b in entry["blob-metadata"]:
+        props = b.get("properties", {})
+        prior[props["column"]] = deserialize_compact_theta(
+            read_blob(local, b["offset"], b["length"])
+        )
+        lg_k = int(props.get("lg_k", DEFAULT_LG_K))
+    columns = list(prior)
+
+    fids = _field_ids(meta)
+    ftypes = _field_types(meta)
+    added = files_added_between(spark, metadata_path, base_id, snapshot_id, base_dir)
+    paths = [
+        _local(r["file_path"], base_dir, meta.raw.get("location"))
+        for r in added.select("file_path").collect()
+    ]
+    if paths:
+        delta_df = spark.read.parquet(*paths)
+        merged = {
+            c: merge_compact_theta(
+                [prior[c], column_theta_sketch(delta_df, c, ftypes[c], lg_k=lg_k)],
+                lg_k=lg_k,
+            )
+            for c in columns
+        }
+    else:
+        merged = prior
+    snap = next(s for s in meta.snapshots if s["snapshot-id"] == snapshot_id)
+    res = _write_and_register(
+        meta, metadata_path, table_root, loc, snapshot_id, snap,
+        merged, columns, fids, lg_k,
+    )
+    res["base_snapshot_id"] = base_id
+    res["added_files"] = len(paths)
+    return res
 
 
 def read_table_stats(
@@ -190,16 +380,17 @@ def read_table_stats(
     for b in entry["blob-metadata"]:
         props = b.get("properties", {})
         ndv = int(props["ndv"])
-        (payload_ndv,) = struct.unpack(
-            "<Q", read_blob(local, b["offset"], b["length"])
-        )
+        # decode the theta sketch payload and check the property is
+        # its rounded estimate — the agreement a sketch-decoding
+        # consumer relies on
+        sk = deserialize_compact_theta(read_blob(local, b["offset"], b["length"]))
         rows.append(
             (
                 props.get("column"),
                 b["fields"][0] if b.get("fields") else None,
                 b["type"],
                 ndv,
-                payload_ndv == ndv,
+                round(theta_estimate(sk)) == ndv,
             )
         )
     return spark.createDataFrame(
@@ -231,6 +422,52 @@ SELECT col_name, CAST(field_id AS INTEGER) AS field_id, blob_type,
 FROM (VALUES
   ('id', 1, '{NDV_BLOB_TYPE}', 323, true),
   ('category', 2, '{NDV_BLOB_TYPE}', 4, true)
+) t(col_name, field_id, blob_type, ndv, payload_agrees)
+ORDER BY field_id
+"""
+
+
+def meta_stats_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for INCREMENTAL statistics maintenance: register
+    stats at 2004 (323 ids / 4 categories live), append one 50-row
+    file (ids 1000-1049, new category 'q') through the engine's own
+    commit, then update via theta UNION — reading only the appended
+    file. Golden: 373 / 5 with payload agreement. (``sf_dir``
+    unused.)"""
+    from .commit import _scratch_table, append_snapshot
+    from .deletes import MOR_DIR
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = _scratch_table("tstats_inc_gate_", MOR_DIR)
+    r0 = write_table_stats(spark, os.path.join(root, "v2.metadata.json"), 2004, root)
+    pq.write_table(
+        pa.table({
+            "id": np.arange(1000, 1050, dtype="int64"),
+            "category": ["q"] * 50,
+        }),
+        os.path.join(root, "data", "new1.parquet"),
+    )
+    r1 = append_snapshot(
+        r0["metadata_path"],
+        [{"path": "data/new1.parquet",
+          "partition": {"category": "q", "id_trunc": 1000}}],
+        base_dir=root,
+    )
+    inc = update_table_stats_incremental(
+        spark, r1["metadata_path"], r1["snapshot_id"], root
+    )
+    return read_table_stats(spark, inc["metadata_path"], r1["snapshot_id"], root)
+
+
+META_STATS_INCREMENTAL_SQL = f"""
+SELECT col_name, CAST(field_id AS INTEGER) AS field_id, blob_type,
+       CAST(ndv AS BIGINT) AS ndv, payload_agrees
+FROM (VALUES
+  ('id', 1, '{NDV_BLOB_TYPE}', 373, true),
+  ('category', 2, '{NDV_BLOB_TYPE}', 5, true)
 ) t(col_name, field_id, blob_type, ndv, payload_agrees)
 ORDER BY field_id
 """

@@ -12,13 +12,15 @@ genuinely do:
 
 * REAL pure-Python decoders (``decode_media``) for the container
   formats decodable with stdlib+numpy alone — BMP (24-bit
-  uncompressed), PPM (binary ``P6``), WAV (PCM 8/16-bit via the
-  stdlib ``wave`` module) — plus matching encoders for building
-  fixtures. ``extract_features`` sniffs magic bytes and computes
-  real 16-dim statistical features from decoded pixels/samples.
+  uncompressed), PPM (binary ``P6``), PNG (zlib), baseline
+  sequential JPEG (pure-numpy T.81 codec, ``operators/jpeg.py``),
+  WAV (PCM 8/16-bit via the stdlib ``wave`` module) — plus matching
+  encoders for building fixtures. ``extract_features`` sniffs magic
+  bytes and computes real 16-dim statistical features from decoded
+  pixels/samples.
 * A clearly-marked deterministic fake (md5-driven,
-  ``fake_feature``) for payloads in compressed formats (JPEG/MP3/
-  MP4…) whose codecs are not in this container.
+  ``fake_feature``) for payloads in formats whose codecs are not in
+  this container (progressive/subsampled JPEG, MP3, MP4…).
 """
 
 from __future__ import annotations
@@ -222,7 +224,14 @@ def decode_media(payload: bytes, modality: str):
             return _decode_ppm(payload)
         if payload[:8] == _PNG_MAGIC:
             return _decode_png(payload)
-        raise ValueError("undecodable image format (only BMP/PPM/PNG in-sandbox)")
+        if payload[:2] == b"\xff\xd8":
+            # baseline sequential 4:4:4 JPEG — pure-numpy T.81
+            # decoder (operators/jpeg.py); progressive/subsampled
+            # streams raise and fall back like any undecodable blob
+            from .jpeg import decode_jpeg
+
+            return decode_jpeg(payload)
+        raise ValueError("undecodable image format (only BMP/PPM/PNG/baseline-JPEG in-sandbox)")
     if modality == "audio":
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return _decode_wav(payload)

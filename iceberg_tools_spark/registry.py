@@ -396,6 +396,14 @@ def _register_past_window() -> None:
     register("meta_snapshots", meta_tables.meta_snapshots, meta_tables.META_SNAPSHOTS_SQL)
     register("meta_history", meta_tables.meta_history, meta_tables.META_HISTORY_SQL)
     register("meta_typed_bounds", meta_tables.meta_typed_bounds, meta_tables.META_TYPED_BOUNDS_SQL)
+    # round-7 addition (first driver row next round; parity-replica
+    # verified at two SFs meanwhile): incremental statistics
+    # maintenance via theta union over the appended files only
+    register(
+        "meta_stats_incremental",
+        meta_tstats.meta_stats_incremental,
+        meta_tstats.META_STATS_INCREMENTAL_SQL,
+    )
 
     # §2.2 TPC-H + analytics (r4-r5 green)
     register("q2_min_cost_supplier", tpch_ext.q2_min_cost_supplier, tpch_ext.Q2_SQL)

@@ -108,13 +108,16 @@ def test_table_stats_write_read_roundtrip(spark, mor_scratch):
     assert all(r["payload_agrees"] for r in rows.values())
 
 
-def test_table_stats_approximate_close_to_exact(spark, mor_scratch):
+def test_table_stats_estimation_mode_close_to_exact(spark, mor_scratch):
+    # lg_k=6 → k=64 < 323 distinct ids: the id sketch enters KMV
+    # estimation mode; theta RSE at k=64 is ~12.5 %, so 35 % is a
+    # generous determinism-safe bound. category (4 < 64) stays exact.
     from iceberg_tools_spark.iceberg.table_stats import write_table_stats
 
     root, mpath = mor_scratch
-    res = write_table_stats(spark, mpath, 2004, root, approximate=True)
-    assert abs(res["ndv"]["id"] - 323) / 323 < 0.15  # HLL++ rsd default 5%
-    assert res["ndv"]["category"] == 4  # tiny cardinality is exact in HLL++
+    res = write_table_stats(spark, mpath, 2004, root, lg_k=6)
+    assert abs(res["ndv"]["id"] - 323) / 323 < 0.35
+    assert res["ndv"]["category"] == 4
 
 
 def test_table_stats_unknown_column_raises(spark, mor_scratch):
@@ -163,3 +166,189 @@ def test_expire_drops_stats_of_expired_snapshots(spark, mor_scratch):
     (t,) = meta.raw["statistics"]  # 2004 survived
     assert t["snapshot-id"] == 2004
     assert any(p.endswith("partition-stats-2002.parquet") for p in res["removable"])
+
+
+# --------------------------------- theta sketch format (interop)
+
+
+def test_murmur3_128_public_vector():
+    # the widely published x64_128 reference vector for "foo", seed 0
+    from iceberg_tools_spark.iceberg.theta import murmur3_128
+
+    h1, h2 = murmur3_128(b"foo", 0)
+
+    def signed(x):
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    assert (signed(h1), signed(h2)) == (
+        -2129773440516405919, 9128664383759220103
+    )
+    # block + tail coverage: 16-byte-aligned and unaligned inputs
+    # are deterministic and seed-sensitive
+    assert murmur3_128(b"0123456789abcdef", 0) != murmur3_128(b"0123456789abcdef", 1)
+    assert murmur3_128(b"0123456789abcdefX", 0) != murmur3_128(b"0123456789abcdef", 0)
+
+
+def test_theta_golden_header_and_roundtrip():
+    """The serialized bytes carry the documented serial-version-3
+    COMPACT preamble (the 'golden sketch' structural pin: a real
+    DataSketches reader dispatches on exactly these bytes)."""
+    from iceberg_tools_spark.iceberg.theta import (
+        build_compact_theta,
+        compute_seed_hash,
+        deserialize_compact_theta,
+        serialize_compact_theta,
+        theta_estimate,
+        theta_hash,
+    )
+
+    sk = build_compact_theta(theta_hash(i) for i in range(1000))
+    b = serialize_compact_theta(sk)
+    # preamble: preLongs=2 (exact), serVer=3, family=3 (COMPACT),
+    # flags = READ_ONLY|COMPACT|ORDERED = 0x1A, seed hash of 9001
+    assert b[0] == 2 and b[1] == 3 and b[2] == 3
+    assert b[5] == 0x1A
+    assert int.from_bytes(b[6:8], "little") == compute_seed_hash(9001)
+    assert int.from_bytes(b[8:12], "little") == 1000
+    assert len(b) == 16 + 8 * 1000
+    # retained hashes are ascending int64 (ORDERED flag honesty)
+    import struct as _s
+
+    hs = list(_s.unpack_from("<1000q", b, 16))
+    assert hs == sorted(hs) and all(h > 0 for h in hs)
+    back = deserialize_compact_theta(b)
+    assert back["hashes"] == sk["hashes"] and theta_estimate(back) == 1000.0
+
+
+def test_theta_estimation_mode_and_empty():
+    from iceberg_tools_spark.iceberg.theta import (
+        build_compact_theta,
+        deserialize_compact_theta,
+        serialize_compact_theta,
+        theta_estimate,
+        theta_hash,
+    )
+
+    n = 100_000
+    sk = build_compact_theta((theta_hash(i) for i in range(n)), lg_k=12)
+    b = serialize_compact_theta(sk)
+    assert b[0] == 3  # estimation form stores thetaLong
+    back = deserialize_compact_theta(b)
+    assert len(back["hashes"]) == 4096
+    assert abs(theta_estimate(back) - n) / n < 0.07  # ~4 RSE at k=4096
+    # empty form: 8 bytes, EMPTY flag set
+    eb = serialize_compact_theta(build_compact_theta([]))
+    assert len(eb) == 8 and eb[5] & 0x04
+    assert theta_estimate(deserialize_compact_theta(eb)) == 0.0
+    # single-item shortcut form (real writers may emit it) parses
+    one = bytes([1, 3, 3, 0, 0, 0x1A]) + eb[6:8] + (12345).to_bytes(8, "little")
+    got = deserialize_compact_theta(one)
+    assert got["hashes"] == [12345] and not got["empty"]
+
+
+def test_theta_iceberg_single_value_encoding():
+    # the Puffin theta blob hashes ICEBERG single-value bytes: a
+    # long and an int with the same numeric value hash DIFFERENTLY
+    # (8 vs 4 byte encodings) — pin the dispatch so nobody
+    # "simplifies" it back to Python-type hashing
+    from iceberg_tools_spark.iceberg.conversions import to_bytes
+    from iceberg_tools_spark.iceberg.theta import theta_hash
+
+    assert to_bytes("long", 34) != to_bytes("int", 34)
+    assert theta_hash(to_bytes("long", 34)) != theta_hash(to_bytes("int", 34))
+    assert theta_hash(to_bytes("string", "hi")) == theta_hash("hi".encode())
+
+
+def test_incremental_stats_update_matches_full_recompute(spark, mor_scratch):
+    """Append-only theta union (update_table_stats_incremental)
+    produces the SAME sketches as a full recompute — exact mode
+    merges are set unions — while reading only the appended files."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_tools_spark.iceberg.commit import append_snapshot
+    from iceberg_tools_spark.iceberg.table_stats import (
+        read_table_stats,
+        update_table_stats_incremental,
+        write_table_stats,
+    )
+
+    root, mpath = mor_scratch
+    r0 = write_table_stats(spark, mpath, 2004, root)
+    assert r0["ndv"] == {"id": 323, "category": 4}
+
+    pq.write_table(
+        pa.table({
+            "id": np.arange(1000, 1050, dtype="int64"),
+            "category": ["q"] * 50,
+        }),
+        os.path.join(root, "data", "new1.parquet"),
+    )
+    r1 = append_snapshot(
+        r0["metadata_path"],
+        [{"path": "data/new1.parquet",
+          "partition": {"category": "q", "id_trunc": 1000}}],
+        base_dir=root,
+    )
+    inc = update_table_stats_incremental(
+        spark, r1["metadata_path"], r1["snapshot_id"], root
+    )
+    assert inc["base_snapshot_id"] == 2004 and inc["added_files"] == 1
+    assert inc["ndv"] == {"id": 373, "category": 5}
+    # byte-identical to the full recompute (exact-mode set union)
+    full = write_table_stats(spark, r1["metadata_path"], r1["snapshot_id"], root)
+    assert full["ndv"] == inc["ndv"]
+    assert (
+        open(inc["statistics_path"], "rb").read()
+        == open(full["statistics_path"], "rb").read()
+    )
+    df = read_table_stats(spark, inc["metadata_path"], r1["snapshot_id"], root)
+    assert all(r["payload_agrees"] for r in df.collect())
+
+
+def test_incremental_stats_refuses_delete_in_range(spark, mor_scratch):
+    from iceberg_tools_spark.iceberg.dml import delete_where
+    from iceberg_tools_spark.iceberg.table_stats import (
+        update_table_stats_incremental,
+        write_table_stats,
+    )
+
+    root, mpath = mor_scratch
+    r0 = write_table_stats(spark, mpath, 2004, root)
+    rd = delete_where(spark, r0["metadata_path"], "id = 50", base_dir=root)
+    with pytest.raises(ValueError, match="not append-only"):
+        update_table_stats_incremental(
+            spark, rd["metadata_path"], rd["snapshot_id"], root
+        )
+
+
+def test_incremental_stats_requires_a_registered_ancestor(spark, mor_scratch):
+    from iceberg_tools_spark.iceberg.table_stats import (
+        update_table_stats_incremental,
+    )
+
+    root, mpath = mor_scratch
+    with pytest.raises(ValueError, match="no ancestor"):
+        update_table_stats_incremental(spark, mpath, 2004, root)
+
+
+def test_theta_merge_estimation_mode():
+    from iceberg_tools_spark.iceberg.theta import (
+        build_compact_theta,
+        merge_compact_theta,
+        theta_estimate,
+        theta_hash,
+    )
+
+    a = build_compact_theta((theta_hash(i) for i in range(30_000)), lg_k=12)
+    b = build_compact_theta(
+        (theta_hash(i) for i in range(20_000, 60_000)), lg_k=12
+    )
+    m = merge_compact_theta([a, b], lg_k=12)
+    assert len(m["hashes"]) <= 4096
+    est = theta_estimate(m)
+    assert abs(est - 60_000) / 60_000 < 0.07
+    # merge with an empty sketch is identity
+    e = build_compact_theta([])
+    assert merge_compact_theta([a, e], lg_k=12) == a
