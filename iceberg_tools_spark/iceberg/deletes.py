@@ -315,7 +315,11 @@ def _pos_delete_frame(
 
 
 def _eq_delete_file_frame(
-    spark: SparkSession, meta: TableMetadata, e: dict[str, Any], eq_cols: list[str]
+    spark: SparkSession,
+    meta: TableMetadata,
+    e: dict[str, Any],
+    eq_cols: list[str],
+    gated: set[str],
 ) -> DataFrame:
     """One equality-delete file projected to the CURRENT column
     names (historical-alias name mapping for pre-rename files) and
@@ -347,7 +351,8 @@ def _eq_delete_file_frame(
     sel.append(F.lit(e["sequence_number"]).alias("_eseq"))
     spec_fields = _spec_partition_fields(meta, e["spec_id"])
     for i, (pname, _src, _tr, _typ) in enumerate(spec_fields):
-        sel.append(F.lit(e["partition"].get(pname)).alias(f"_ep{i}"))
+        if pname in gated:
+            sel.append(F.lit(e["partition"].get(pname)).alias(f"_ep{i}"))
     return ed_raw.select(*sel)
 
 
@@ -371,9 +376,19 @@ def _eq_delete_group_join(
             f"equality delete {e0['file_path']!r} lists no equality_ids"
         )
     d = df.alias("d")
+    # partition fields where EVERY file in the group carries null
+    # need no gate at all (unpartitioned deletes, the common case):
+    # dropping their clauses keeps the join condition equi-extractable
+    # plus the seq inequality, nothing per-row beyond that
+    spec_fields = _spec_partition_fields(meta, e0["spec_id"])
+    gated = {
+        pname
+        for pname, _src, _tr, _typ in spec_fields
+        if any(e["partition"].get(pname) is not None for e in group)
+    }
     ed = reduce(
         DataFrame.unionByName,
-        [_eq_delete_file_frame(spark, meta, e, eq_cols) for e in group],
+        [_eq_delete_file_frame(spark, meta, e, eq_cols, gated) for e in group],
     ).alias("ed")
     # equality on the delete columns (null-safe per spec) ...
     cond = reduce(
@@ -389,9 +404,9 @@ def _eq_delete_group_join(
     # source column, non-identity fields compare through the
     # transform (ADVICE r6: skipping those applied the delete
     # table-wide)
-    for i, (_pname, src, transform, typ) in enumerate(
-        _spec_partition_fields(meta, e0["spec_id"])
-    ):
+    for i, (pname, src, transform, typ) in enumerate(spec_fields):
+        if pname not in gated:
+            continue
         pcol = F.col(f"ed._ep{i}")
         cond = cond & (
             pcol.isNull() | (_derived_partition_col(src, transform, typ) == pcol)

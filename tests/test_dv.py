@@ -637,3 +637,23 @@ def test_dv_magic_is_the_spec_constant():
     # reject (and be rejected by) spec-compliant files
     assert struct.unpack("<I", DV_MAGIC)[0] == 1681511377
     assert DV_MAGIC == bytes([0xD1, 0xD3, 0x39, 0x64])
+
+
+def test_delete_where_dv_accepts_keys_dataframe(spark, tmp_path):
+    """The v3 DV write path shares the keys-DataFrame victim scan
+    (VERDICT r6 #1): same result as the SQL-predicate form."""
+    import shutil
+
+    from iceberg_tools_spark.iceberg.deletes import DV_DIR, read_mor
+    from iceberg_tools_spark.iceberg.dml import delete_where_dv
+
+    root = str(tmp_path / "t")
+    shutil.copytree(DV_DIR, root)
+    mp = os.path.join(root, "v3.metadata.json")
+    keys = spark.createDataFrame([(i,) for i in range(30, 40)], "id bigint")
+    res = delete_where_dv(spark, mp, keys)
+    ids = {
+        r.id
+        for r in read_mor(spark, res["metadata_path"], res["snapshot_id"]).collect()
+    }
+    assert ids.isdisjoint(range(30, 40))

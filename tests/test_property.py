@@ -157,3 +157,74 @@ def test_decimal_bytes_roundtrip_and_minimality(value):
     unscaled = int(value.scaleb(2))
     bl = unscaled.bit_length() if unscaled >= 0 else (~unscaled).bit_length()
     assert len(data) == bl // 8 + 1
+
+
+@given(
+    vals=st.sets(st.integers(min_value=-(2**62), max_value=2**62), max_size=300),
+    lg_k=st.integers(min_value=4, max_value=12),
+)
+@settings(max_examples=150, deadline=None)
+def test_theta_serialize_roundtrip_property(vals, lg_k):
+    """Any hash set round-trips the serial-version-3 bytes exactly;
+    estimate is exact (== |set|) whenever the set fits k."""
+    from iceberg_tools_spark.iceberg.theta import (
+        build_compact_theta,
+        deserialize_compact_theta,
+        serialize_compact_theta,
+        theta_estimate,
+        theta_hash,
+    )
+
+    hashes = [theta_hash(v) for v in vals]
+    sk = build_compact_theta(hashes, lg_k=lg_k)
+    back = deserialize_compact_theta(serialize_compact_theta(sk))
+    assert back["hashes"] == sk["hashes"] and back["theta"] == sk["theta"]
+    if len(vals) <= (1 << lg_k):
+        assert round(theta_estimate(sk)) == len(set(hashes))
+
+
+@given(
+    h=st.integers(min_value=1, max_value=6).map(lambda x: x * 8),
+    w=st.integers(min_value=1, max_value=6).map(lambda x: x * 8),
+    seed=st.integers(min_value=0, max_value=2**31),
+    gray=st.booleans(),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_roundtrip_property(h, w, seed, gray):
+    """Smooth images survive encode→decode within a lossy bound at
+    q=95, for arbitrary 8-aligned shapes, color and grayscale."""
+    import numpy as np
+
+    from iceberg_tools_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (1 + h // 8, 1 + w // 8, 3)).astype(np.float64)
+    # bilinear-ish upsample → smooth (JPEG-friendly) content
+    img = np.clip(
+        np.kron(base, np.ones((8, 8, 1)))[:h, :w], 0, 255
+    ).astype(np.uint8)
+    if gray:
+        img = img[..., 0]
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    ref = img if not gray else np.stack([img] * 3, axis=-1)
+    assert out.shape == ref.shape
+    assert np.abs(out.astype(int) - ref.astype(int)).mean() < 6
+
+
+@given(
+    a=st.sets(st.integers(min_value=0, max_value=10**6), max_size=200),
+    b=st.sets(st.integers(min_value=0, max_value=10**6), max_size=200),
+)
+@settings(max_examples=100, deadline=None)
+def test_theta_merge_is_set_union_in_exact_mode(a, b):
+    from iceberg_tools_spark.iceberg.theta import (
+        build_compact_theta,
+        merge_compact_theta,
+        theta_hash,
+    )
+
+    sa = build_compact_theta(theta_hash(v) for v in a)
+    sb = build_compact_theta(theta_hash(v) for v in b)
+    m = merge_compact_theta([sa, sb])
+    u = build_compact_theta(theta_hash(v) for v in a | b)
+    assert m == u
