@@ -269,6 +269,34 @@ def _dv_scale_evidence() -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _stats_scale_evidence(spark) -> dict:
+    """Theta-sketch statistics at production cardinality: build one
+    column sketch over 2M distinct longs through the full
+    distributed path (distinct → numpy murmur kernel → TakeOrdered
+    k+1) and report build time + estimation error — the NDV story a
+    100 TB ANALYZE rests on (k=4096 ⇒ ~1.6 % RSE, ≤ k+1 longs to
+    the driver)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_tools_spark.iceberg.table_stats import column_theta_sketch
+    from iceberg_tools_spark.iceberg.theta import theta_estimate
+
+    n = 2_000_000
+    df = spark.range(n).select((F.col("id") * 2_654_435_761 % (1 << 40)).alias("v"))
+    true_n = df.distinct().count()
+    t0 = time.perf_counter()
+    sk = column_theta_sketch(df, "v", "long")
+    sec = round(time.perf_counter() - t0, 3)
+    est = theta_estimate(sk)
+    return {
+        "distinct": true_n,
+        "estimate": round(est),
+        "err_pct": round(abs(est - true_n) / true_n * 100, 2),
+        "build_sec": sec,
+        "retained": len(sk["hashes"]),
+    }
+
+
 def _rewrite_scale_evidence(spark) -> dict:
     """Multi-file rewrite wall-time vs file count (VERDICT r6 #2):
     build an unpartitioned table with N data files through the
@@ -573,6 +601,7 @@ def main() -> None:
     metadata_scale = None
     dv_scale = None
     rewrite_scale = None
+    stats_scale = None
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALE"):
         try:
             metadata_scale = _metadata_scale_evidence(spark)
@@ -586,6 +615,10 @@ def main() -> None:
             rewrite_scale = _rewrite_scale_evidence(spark)
         except Exception as exc:  # pragma: no cover - defensive
             rewrite_scale = {"error": f"{type(exc).__name__}: {exc}"}
+        try:
+            stats_scale = _stats_scale_evidence(spark)
+        except Exception as exc:  # pragma: no cover - defensive
+            stats_scale = {"error": f"{type(exc).__name__}: {exc}"}
 
     out = {
         "metric": "headline_total",
@@ -607,6 +640,7 @@ def main() -> None:
         "metadata_scale": metadata_scale,
         "dv_scale": dv_scale,
         "rewrite_scale": rewrite_scale,
+        "stats_scale": stats_scale,
     }
     # full metric JSON goes to a FILE (VERDICT r6 artifact bug: the
     # driver keeps only the tail of a giant stdout line, which lost

@@ -85,15 +85,26 @@ def column_theta_sketch(
     k = 1 << lg_k
 
     def _hash_batches(it: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
+        from .theta import theta_hash_fixed_batch
+
         for pdf in it:
-            col = pdf.iloc[:, 0]
-            hs = [
-                theta_hash(to_bytes(iceberg_type, v))
-                for v in col
-                if v is not None
-            ]
+            col = pdf.iloc[:, 0].dropna()
+            # numpy murmur kernel for the fixed-width integer/double
+            # encodings (element-exact vs the scalar reference, ~80×
+            # faster); everything else (strings, decimals, temporal
+            # objects) takes the per-value reference path
+            if iceberg_type == "long":
+                hs = theta_hash_fixed_batch(col.to_numpy(dtype="int64"), 8)
+            elif iceberg_type == "int":
+                hs = theta_hash_fixed_batch(col.to_numpy(dtype="int64"), 4)
+            elif iceberg_type == "double":
+                bits = col.to_numpy(dtype="float64").view(np.int64)
+                hs = theta_hash_fixed_batch(bits, 8)
+            else:
+                hs = [theta_hash(to_bytes(iceberg_type, v)) for v in col]
             # theta hashes are 63-bit (lane >>> 1): always fit int64
             yield pd.DataFrame({"h": pd.Series(hs, dtype="int64")})
 

@@ -241,6 +241,51 @@ def theta_estimate(sketch: dict[str, Any]) -> float:
     return len(sketch["hashes"]) / (sketch["theta"] / _LONG_MAX)
 
 
+def theta_hash_fixed_batch(values, width: int, seed: int = DEFAULT_UPDATE_SEED):
+    """Vectorized theta hashes for a batch of FIXED-WIDTH (≤ 8 byte)
+    little-endian encodings — the long/int/date/timestamp/double
+    family of Iceberg single-value serialization. A width-w input is
+    a single murmur3 tail block (no 16-byte body), so the whole hash
+    collapses to a handful of wrapping uint64 numpy ops; verified
+    element-for-element against the scalar reference by pytest.
+
+    ``values``: int64 numpy array holding the encoding interpreted
+    as a little-endian integer (for width 8 that is the value/bits
+    themselves; for width 4 the low 4 bytes)."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        v = values.astype(np.uint64)
+        if width < 8:
+            v &= np.uint64((1 << (8 * width)) - 1)
+        c1 = np.uint64(_C1)
+        c2 = np.uint64(_C2)
+        h1 = np.full_like(v, np.uint64(seed))
+        h2 = np.full_like(v, np.uint64(seed))
+        k1 = v * c1
+        k1 = (k1 << np.uint64(31)) | (k1 >> np.uint64(33))
+        k1 = k1 * c2
+        h1 = h1 ^ k1
+        n = np.uint64(width)
+        h1 = h1 ^ n
+        h2 = h2 ^ n
+        h1 = h1 + h2
+        h2 = h2 + h1
+
+        def fmix(k):
+            k = k ^ (k >> np.uint64(33))
+            k = k * np.uint64(0xFF51AFD7ED558CCD)
+            k = k ^ (k >> np.uint64(33))
+            k = k * np.uint64(0xC4CEB9FE1A85EC53)
+            k = k ^ (k >> np.uint64(33))
+            return k
+
+        h1 = fmix(h1)
+        h2 = fmix(h2)
+        h1 = h1 + h2
+        return (h1 >> np.uint64(1)).astype(np.int64)
+
+
 def merge_compact_theta(
     sketches: Iterable[dict[str, Any]], *, lg_k: int = DEFAULT_LG_K
 ) -> dict[str, Any]:

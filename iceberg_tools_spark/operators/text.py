@@ -570,3 +570,83 @@ SELECT doc_id,
 FROM f
 ORDER BY doc_id
 """
+
+
+def lm_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM commonness score (round 7) — the CCNet/perplexity-
+    filter shape without a float log-sum: "train" corpus-wide word-
+    bigram counts in one aggregation, then score every document by
+    how common its bigrams are. Rare-bigram documents are the
+    OOD/noise candidates a perplexity filter flags; ultra-common
+    ones the boilerplate.
+
+    Per doc (≥1 bigram): ``n_bigrams``, ``sum_bigram_count`` (Σ of
+    the GLOBAL count of each bigram occurrence) and
+    ``avg_bigram_count`` — one double division of two exact ints,
+    so the certified surface stays bit-exact across engines (a log-
+    prob sum would be float-order-nondeterministic; consumers can
+    take ``log`` of these integers themselves).
+
+    Scale: bigram keys are md5 hashes (uniform shuffle keys); one
+    groupBy builds the model, one re-join scores. At 100 TB cap the
+    model to the top-V bigrams (broadcastable) and default the
+    tail — this full-join form is the exact gate."""
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    words = d.select("doc_id", toks.alias("w"))
+    n = F.size("w")
+    bg = (
+        words.filter(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("w", 1, n - F.lit(1)),
+                    F.expr("slice(w, 2, size(w) - 1)"),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws("\x1f", F.col("p.0"), F.col("p.1"))).alias("bh"),
+        )
+    )
+    model = bg.groupBy("bh").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        bg.join(model, "bh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("c").cast("bigint").alias("sum_bigram_count"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_bigram_count",
+            _ratio(F.col("sum_bigram_count"), F.col("n_bigrams")).alias(
+                "avg_bigram_count"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+LM_BIGRAM_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+  FROM documents),
+idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+  FROM w WHERE len(w) >= 2),
+bg AS (
+  SELECT doc_id, md5(w[i] || chr(31) || w[i + 1]) AS bh FROM idx),
+model AS (SELECT bh, COUNT(*) AS c FROM bg GROUP BY bh)
+SELECT bg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(model.c) AS BIGINT) AS sum_bigram_count,
+       CAST(CAST(SUM(model.c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            AS DECIMAL(38,6)) AS avg_bigram_count
+FROM bg JOIN model USING (bh)
+GROUP BY bg.doc_id
+ORDER BY bg.doc_id
+"""

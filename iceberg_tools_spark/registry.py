@@ -404,6 +404,9 @@ def _register_past_window() -> None:
         meta_tstats.meta_stats_incremental,
         meta_tstats.META_STATS_INCREMENTAL_SQL,
     )
+    # round-7 addition: corpus-LM bigram commonness score (the
+    # perplexity-filter shape, exact-integer certified surface)
+    register("lm_bigram_stats", text_ops.lm_bigram_stats, text_ops.LM_BIGRAM_SQL)
 
     # §2.2 TPC-H + analytics (r4-r5 green)
     register("q2_min_cost_supplier", tpch_ext.q2_min_cost_supplier, tpch_ext.Q2_SQL)

@@ -203,3 +203,33 @@ def test_quality_score_linear_discriminates(spark):
     assert 0.2 < keep / len(rows) < 0.8
     again = quality_score_linear(spark, "/root/testdata/sf0.01").collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_lm_bigram_stats_mechanism(spark):
+    """Hand-checkable micro-corpus: bigram counts are GLOBAL (cross-
+    doc), one-word docs are excluded, and avg = sum/n exactly."""
+    import pandas as pd
+
+    from iceberg_tools_spark.operators import text as text_ops
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a b c", "a b", "x"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [5, 3, 1],
+        }
+    )
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="lm_micro_")
+    pdf.to_parquet(os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: r for r in text_ops.lm_bigram_stats(spark, d).collect()}
+    # bigrams: doc1 = (a,b),(b,c); doc2 = (a,b). global c(a,b)=2, c(b,c)=1
+    assert set(out) == {1, 2}  # doc3 (one word) excluded
+    assert out[1]["n_bigrams"] == 2 and out[1]["sum_bigram_count"] == 3
+    assert out[2]["n_bigrams"] == 1 and out[2]["sum_bigram_count"] == 2
+    assert float(out[1]["avg_bigram_count"]) == 1.5
+    assert float(out[2]["avg_bigram_count"]) == 2.0

@@ -352,3 +352,30 @@ def test_theta_merge_estimation_mode():
     # merge with an empty sketch is identity
     e = build_compact_theta([])
     assert merge_compact_theta([a, e], lg_k=12) == a
+
+
+def test_theta_fixed_batch_kernel_matches_scalar():
+    import numpy as np
+
+    from iceberg_tools_spark.iceberg.conversions import to_bytes
+    from iceberg_tools_spark.iceberg.theta import (
+        theta_hash,
+        theta_hash_fixed_batch,
+    )
+
+    rng = np.random.default_rng(11)
+    longs = rng.integers(-(2**62), 2**62, 2000, dtype=np.int64)
+    assert (
+        theta_hash_fixed_batch(longs, 8)
+        == np.array([theta_hash(to_bytes("long", int(v))) for v in longs])
+    ).all()
+    ints = rng.integers(-(2**31), 2**31, 1000, dtype=np.int64)
+    assert (
+        theta_hash_fixed_batch(ints, 4)
+        == np.array([theta_hash(to_bytes("int", int(v))) for v in ints])
+    ).all()
+    dbl = rng.normal(size=1000)
+    assert (
+        theta_hash_fixed_batch(np.frombuffer(dbl.tobytes(), dtype=np.int64), 8)
+        == np.array([theta_hash(to_bytes("double", float(v))) for v in dbl])
+    ).all()
