@@ -376,15 +376,17 @@ def _eq_delete_group_join(
             f"equality delete {e0['file_path']!r} lists no equality_ids"
         )
     d = df.alias("d")
-    # partition fields where EVERY file in the group carries null
-    # need no gate at all (unpartitioned deletes, the common case):
-    # dropping their clauses keeps the join condition equi-extractable
-    # plus the seq inequality, nothing per-row beyond that
+    # a spec field ABSENT from every file's partition tuple needs no
+    # gate (a truly unpartitioned delete under this spec); a field
+    # that IS present gates null-safely — per the spec a partitioned
+    # delete applies only to its own partition, and that includes
+    # the null partition (ADVICE r7: treating a null partition VALUE
+    # as a wildcard applied such a delete table-wide)
     spec_fields = _spec_partition_fields(meta, e0["spec_id"])
     gated = {
         pname
         for pname, _src, _tr, _typ in spec_fields
-        if any(e["partition"].get(pname) is not None for e in group)
+        if any(pname in e["partition"] for e in group)
     }
     ed = reduce(
         DataFrame.unionByName,
@@ -398,18 +400,18 @@ def _eq_delete_group_join(
     # ... gated on sequence order (strict: deletes don't apply
     # to rows written at or after the delete) ...
     cond = cond & (F.col("d._seq") < F.col("ed._eseq"))
-    # ... and on the delete file's partition: every spec field with
-    # a non-null partition value scopes the delete to rows whose
-    # DERIVED partition value matches — identity fields compare the
-    # source column, non-identity fields compare through the
-    # transform (ADVICE r6: skipping those applied the delete
-    # table-wide)
+    # ... and on the delete file's partition: every gated spec field
+    # scopes the delete to rows whose DERIVED partition value
+    # matches NULL-SAFELY — identity fields compare the source
+    # column, non-identity fields compare through the transform
+    # (ADVICE r6: skipping those applied the delete table-wide); the
+    # null partition is a real partition, so a delete scoped to it
+    # hits only rows whose derived value is null (ADVICE r7)
     for i, (pname, src, transform, typ) in enumerate(spec_fields):
         if pname not in gated:
             continue
-        pcol = F.col(f"ed._ep{i}")
-        cond = cond & (
-            pcol.isNull() | (_derived_partition_col(src, transform, typ) == pcol)
+        cond = cond & _derived_partition_col(src, transform, typ).eqNullSafe(
+            F.col(f"ed._ep{i}")
         )
     return d, ed, cond
 

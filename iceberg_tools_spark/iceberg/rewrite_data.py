@@ -51,7 +51,6 @@ from .deletes import (
     _is_dv,
     apply_deletes,
     mor_entries_at,
-    mor_frame,
 )
 from .metadata import parse_metadata
 from .snapshots import _local, manifest_files_at, read_manifest_list
@@ -129,16 +128,40 @@ def _fold_and_write(
 ) -> dict[str, str]:
     """Fold applicable deletes into ALL target files and write every
     replacement parquet in ONE Spark job: the targets go through the
-    exact scan + anti-join plan ``read_mor`` builds (``mor_frame`` +
-    ``apply_deletes``), then one shuffle on the per-file token and a
+    exact scan + anti-join plan ``read_mor_projected`` builds
+    (projected scan parts + ``apply_deletes``), then one shuffle on
+    the per-file token and a
     ``partitionBy`` write puts each file's survivors in its own
     single part file, executor-parallel across files. (The former
     per-file ``coalesce(1)`` driver loop serialized the rewrite —
     linear wall-time in file count; VERDICT r6 #2.)
 
     Returns rel → replacement local path; replacement files are
-    named ``{stem}-rw{snapshot_id}{ext}`` next to their source."""
-    df = mor_frame(spark, entries)
+    named ``{stem}-rw{snapshot_id}{ext}`` next to their source.
+
+    The scan projects every target through the CURRENT schema via
+    field ids / the historical-alias name mapping (one scan group
+    per write-schema generation, exactly ``read_mor_projected``'s
+    shape) — a plain name-based union would silently null-fill the
+    old-named column of any pre-rename target and the REPLACE
+    commit would persist those nulls (ADVICE r7). Replacement files
+    are therefore written under CURRENT column names, which the
+    same mapping resolves on every future read."""
+    from functools import reduce
+
+    from .evolution import projected_scan_parts
+
+    parts = projected_scan_parts(
+        spark, meta, [e["local_path"] for e in entries], tag=True
+    )
+    df = reduce(DataFrame.unionByName, parts)
+    seq_df = spark.createDataFrame(
+        [(e["rel"], e["sequence_number"]) for e in entries],
+        "seq_rel string, _seq bigint",
+    )
+    df = df.join(
+        F.broadcast(seq_df), df["_rel"] == seq_df["seq_rel"], "left"
+    ).drop("seq_rel")
     surv = apply_deletes(spark, meta, df, dels, mode="survivors")
     out_cols = [c for c in df.columns if c not in ("_rel", "_pos", "_seq")]
     tok = {e["rel"]: f"t{i:05d}" for i, e in enumerate(entries)}

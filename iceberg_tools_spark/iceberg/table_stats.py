@@ -101,8 +101,13 @@ def column_theta_sketch(
             elif iceberg_type == "int":
                 hs = theta_hash_fixed_batch(col.to_numpy(dtype="int64"), 4)
             elif iceberg_type == "double":
-                bits = col.to_numpy(dtype="float64").view(np.int64)
-                hs = theta_hash_fixed_batch(bits, 8)
+                from .theta import canonical_double_bits
+
+                # canonicalize BEFORE viewing bits, exactly like the
+                # scalar theta_hash (-0.0 / NaN payloads; ADVICE r7)
+                hs = theta_hash_fixed_batch(
+                    canonical_double_bits(col.to_numpy(dtype="float64")), 8
+                )
             else:
                 hs = [theta_hash(to_bytes(iceberg_type, v)) for v in col]
             # theta hashes are 63-bit (lane >>> 1): always fit int64

@@ -17,8 +17,12 @@ Layout written here (little-endian; ordered compact sketch):
   byte 5 flags = READ_ONLY|COMPACT|ORDERED (|EMPTY),
   bytes 6-7 seed hash;
 * preamble long 1 (exact/estimation): retained-entry count (u32) +
-  4 zero bytes; preamble long 2 (estimation only): thetaLong (i64);
-* retained hash values as ascending int64.
+  sampling probability p = 1.0 (f32, bytes 12-15 — the value the
+  library stores when no downsampling happened); preamble long 2
+  (estimation only): thetaLong (i64);
+* retained hash values as ascending int64;
+* count == 1 with theta = MAX takes the library's 16-byte
+  SingleItemSketch form instead (preLongs = 1, SINGLEITEM flag).
 
 Hashing rules (DataSketches update semantics):
 
@@ -58,6 +62,7 @@ _FLAG_READ_ONLY = 0x02
 _FLAG_EMPTY = 0x04
 _FLAG_COMPACT = 0x08
 _FLAG_ORDERED = 0x10
+_FLAG_SINGLEITEM = 0x20
 _FAMILY_COMPACT = 3
 _SER_VER = 3
 
@@ -189,13 +194,22 @@ def serialize_compact_theta(
             "<BBBBBBH", 1, _SER_VER, _FAMILY_COMPACT, 0, 0,
             flags | _FLAG_EMPTY, seed_hash,
         )
+    if theta == _LONG_MAX and len(hs) == 1:
+        # the library's 16-byte SingleItemSketch form (preLongs=1,
+        # SINGLEITEM flag): what a real writer emits for count==1
+        return struct.pack(
+            "<BBBBBBHq", 1, _SER_VER, _FAMILY_COMPACT, 0, 0,
+            flags | _FLAG_SINGLEITEM, seed_hash, hs[0],
+        )
     pre_longs = 2 if theta == _LONG_MAX else 3
     out = bytearray(
         struct.pack(
             "<BBBBBBH", pre_longs, _SER_VER, _FAMILY_COMPACT, 0, 0, flags, seed_hash
         )
     )
-    out += struct.pack("<Ii", len(hs), 0)
+    # preamble bytes 8-11: retained count; 12-15: sampling
+    # probability p as float (always 1.0 here — no downsampling)
+    out += struct.pack("<If", len(hs), 1.0)
     if pre_longs == 3:
         out += struct.pack("<q", theta)
     for h in hs:
@@ -284,6 +298,19 @@ def theta_hash_fixed_batch(values, width: int, seed: int = DEFAULT_UPDATE_SEED):
         h2 = fmix(h2)
         h1 = h1 + h2
         return (h1 >> np.uint64(1)).astype(np.int64)
+
+
+def canonical_double_bits(arr):
+    """IEEE-754 bits of a float64 numpy array under the scalar
+    ``theta_hash`` canonicalization: -0.0 → +0.0 and every NaN
+    payload → the canonical quiet NaN — so batch callers hash the
+    same bytes the per-value reference path does even on
+    un-normalized inputs (ADVICE r7)."""
+    import numpy as np
+
+    arr = np.where(arr == 0.0, 0.0, arr)
+    arr = np.where(np.isnan(arr), np.float64("nan"), arr)
+    return arr.view(np.int64)
 
 
 def merge_compact_theta(

@@ -311,13 +311,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, _HuffDecoder] = {}
     frame = None
     scan = None
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        # spec-legal 0xFF fill bytes may pad before any marker
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # TEM / RSTn: standalone, no length field
+        if pos + 2 > len(payload):
+            raise ValueError("truncated marker segment")
         (seglen,) = struct.unpack_from(">H", payload, pos)
         seg = payload[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT

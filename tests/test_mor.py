@@ -391,7 +391,7 @@ def test_eq_delete_signature_grouping_one_join_node(spark, meta, tmp_path):
     dels = [
         _mk_eq_delete(
             spark, tmp_path, f"eq{i}.parquet", [200 + i], seq=9, spec_id=0,
-            partition={"category": None},
+            partition={},  # field absent ⇒ ungated (table-wide)
         )
         for i in range(6)
     ]
@@ -402,3 +402,49 @@ def test_eq_delete_signature_grouping_one_join_node(spark, meta, tmp_path):
     ids = {r.id for r in out.select("id").collect()}
     assert ids.isdisjoint(set(range(200, 206)))
     assert len(ids) == 334  # 340 raw ids minus the 6 eq-deleted
+
+
+def test_eq_delete_null_partition_scopes_to_null_partition(spark, meta, tmp_path):
+    """ADVICE r7: under a partitioned spec, a delete file whose
+    partition VALUE is null applies only to the null partition — it
+    must not act as a wildcard. A field absent from the partition
+    tuple entirely stays ungated (table-wide)."""
+    from iceberg_tools_spark.iceberg.deletes import apply_deletes, mor_frame
+
+    data, _ = mor_entries_at(meta, 2004, MOR_DIR)
+    frame = mor_frame(spark, data)
+    # every fixture row has a non-null category, so a null-partition
+    # delete may remove NOTHING
+    null_scoped = _mk_eq_delete(
+        spark, tmp_path, "egnull.parquet", [200], seq=9, spec_id=0,
+        partition={"category": None},
+    )
+    assert (
+        apply_deletes(spark, meta, frame, [null_scoped]).filter("id = 200").count()
+        == 1
+    )
+    # whereas the key-absent form (no partition tuple at all) is the
+    # unpartitioned/table-wide delete and does remove the row
+    unscoped = _mk_eq_delete(
+        spark, tmp_path, "egwide.parquet", [200], seq=9, spec_id=0,
+        partition={},
+    )
+    assert (
+        apply_deletes(spark, meta, frame, [unscoped]).filter("id = 200").count()
+        == 0
+    )
+    # and a null-partition delete DOES hit rows whose partition value
+    # is null: extend the frame with synthetic null-category rows
+    import pyspark.sql.functions as F
+
+    extra = frame.filter("id = 200").withColumn(
+        "category", F.lit(None).cast("string")
+    ).withColumn("id", F.lit(9001).cast("long"))
+    both = frame.unionByName(extra)
+    hit = _mk_eq_delete(
+        spark, tmp_path, "egnull2.parquet", [9001], seq=9, spec_id=0,
+        partition={"category": None},
+    )
+    out = apply_deletes(spark, meta, both, [hit])
+    assert out.filter("id = 9001").count() == 0
+    assert out.filter("id = 200").count() == 1

@@ -210,6 +210,11 @@ def test_theta_golden_header_and_roundtrip():
     assert b[5] == 0x1A
     assert int.from_bytes(b[6:8], "little") == compute_seed_hash(9001)
     assert int.from_bytes(b[8:12], "little") == 1000
+    # bytes 12-15: sampling probability p = 1.0f (ADVICE r7 — the
+    # library stores the float, not zeros)
+    import struct as _s0
+
+    assert _s0.unpack_from("<f", b, 12)[0] == 1.0
     assert len(b) == 16 + 8 * 1000
     # retained hashes are ascending int64 (ORDERED flag honesty)
     import struct as _s
@@ -244,6 +249,12 @@ def test_theta_estimation_mode_and_empty():
     one = bytes([1, 3, 3, 0, 0, 0x1A]) + eb[6:8] + (12345).to_bytes(8, "little")
     got = deserialize_compact_theta(one)
     assert got["hashes"] == [12345] and not got["empty"]
+    # ... and the WRITER now emits it for count==1 (ADVICE r7):
+    # 16 bytes, preLongs=1, SINGLEITEM flag set, round-trips
+    sb = serialize_compact_theta(build_compact_theta([12345]))
+    assert len(sb) == 16 and sb[0] == 1 and sb[5] & 0x20
+    back1 = deserialize_compact_theta(sb)
+    assert back1["hashes"] == [12345] and theta_estimate(back1) == 1.0
 
 
 def test_theta_iceberg_single_value_encoding():
@@ -379,3 +390,35 @@ def test_theta_fixed_batch_kernel_matches_scalar():
         theta_hash_fixed_batch(np.frombuffer(dbl.tobytes(), dtype=np.int64), 8)
         == np.array([theta_hash(to_bytes("double", float(v))) for v in dbl])
     ).all()
+
+
+def test_theta_double_batch_canonicalizes_neg_zero_and_nan():
+    """The batch double path canonicalizes raw IEEE bits before
+    hashing (ADVICE r7): un-normalized -0.0 and odd-payload NaNs
+    must hash exactly like the scalar reference path."""
+    import struct as _s
+
+    import numpy as np
+
+    from iceberg_tools_spark.iceberg.conversions import to_bytes
+    from iceberg_tools_spark.iceberg.theta import (
+        canonical_double_bits,
+        theta_hash,
+        theta_hash_fixed_batch,
+    )
+
+    weird_nan = np.frombuffer(
+        _s.pack("<q", 0x7FF8000000000123), dtype=np.float64
+    )
+    arr = np.concatenate(
+        [np.array([-0.0, 0.0, 1.5, float("nan")], dtype=np.float64), weird_nan]
+    )
+    got = theta_hash_fixed_batch(canonical_double_bits(arr), 8)
+    # scalar reference: the TYPED dispatch (it owns the -0.0/NaN
+    # canonicalization rule; byte inputs are hashed as-given)
+    want = np.array([theta_hash(float(v)) for v in arr])
+    assert (got == want).all()
+    # normal values agree with the single-value-serialization path too
+    assert theta_hash(to_bytes("double", 1.5)) == theta_hash(1.5)
+    # and -0.0 collapsed onto +0.0, both NaNs onto one hash
+    assert got[0] == got[1] and got[3] == got[4]

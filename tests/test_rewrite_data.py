@@ -144,3 +144,30 @@ def test_rebuilt_manifests_keep_partition_summaries(spark, tmp_path):
     assert {r["file_path"].rsplit("/", 1)[-1] for r in sel if r["selected"]} == {
         "F.parquet"
     }
+
+
+def test_rewrite_after_rename_preserves_column_values(spark, table):
+    """ADVICE r7: a rewrite whose targets predate a column rename
+    must project each file through the name mapping — a plain
+    name-based union silently null-fills the old-named column and
+    the REPLACE commit persists the nulls forever."""
+    from iceberg_tools_spark.iceberg.deletes import read_mor_projected
+    from iceberg_tools_spark.iceberg.evolution import evolve_schema
+
+    before = read_mor_projected(spark, _mp(table), 2004, table)
+    before_rows = sorted((r.id, r.category) for r in before.collect())
+    evo = evolve_schema(_mp(table), rename={"category": "cat"})
+    res = rewrite_data_files(spark, evo["metadata_path"])
+    after = read_mor_projected(
+        spark, res["metadata_path"], res["snapshot_id"], table
+    )
+    after_rows = sorted((r.id, r.cat) for r in after.collect())
+    assert after_rows == before_rows  # values survive the rename
+    # the rewritten files themselves carry real values, no null-fill
+    import pyarrow.parquet as pq
+
+    for p in res["new_files"]:
+        local = os.path.join(table, "data", p.split("/data/", 1)[1])
+        t = pq.read_table(local)
+        name = "cat" if "cat" in t.schema.names else "category"
+        assert t.column(name).null_count == 0

@@ -472,3 +472,19 @@ def test_jpeg_unsupported_forms_raise():
     dri = b[:2] + b"\xff\xdd" + _s.pack(">HH", 4, 8) + b[2:]
     with _pt.raises(ValueError, match="restart"):
         decode_jpeg(dri)
+
+
+def test_jpeg_header_fill_bytes_and_standalone_markers():
+    """ADVICE r7: spec-legal 0xFF fill bytes before a marker and
+    standalone markers (TEM) in the header must be skipped, not
+    raise 'marker expected'."""
+    import numpy as np
+
+    from iceberg_tools_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = (np.arange(16 * 24 * 3) % 251).reshape(16, 24, 3).astype(np.uint8)
+    b = encode_jpeg(img, quality=90)
+    base = decode_jpeg(b)
+    # inject 0xFF padding + a standalone TEM marker after SOI
+    padded = b[:2] + b"\xff\xff\xff" + b"\xff\x01" + b[2:]
+    assert (decode_jpeg(padded) == base).all()
