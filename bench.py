@@ -533,6 +533,44 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover - defensive
         sweep["pq_rerank_cand"] = {"error": f"{type(exc).__name__}: {exc}"}
 
+    # lm_bigram top-V model cap (VERDICT r7 #2): measured score
+    # drift vs the exact full-join gate as the broadcastable model
+    # shrinks — mass_covered = capped Σsum / exact Σsum (tail
+    # defaults to 1), docs_exact = fraction of docs scored
+    # bit-identically
+    try:
+        from iceberg_tools_spark.operators.text import (
+            lm_bigram_stats,
+            lm_bigram_stats_capped,
+        )
+
+        exact_lm = {
+            r["doc_id"]: r["sum_bigram_count"]
+            for r in lm_bigram_stats(spark, sf_dir).collect()
+        }
+        lm_total = sum(exact_lm.values())
+        sweep["lm_top_v"] = []
+        for v in (1024, 8192, 65536):
+            t = time.perf_counter()
+            got = {
+                r["doc_id"]: r["sum_bigram_count"]
+                for r in lm_bigram_stats_capped(spark, sf_dir, top_v=v).collect()
+            }
+            sweep["lm_top_v"].append(
+                {
+                    "top_v": v,
+                    "mass_covered": round(sum(got.values()) / lm_total, 4),
+                    "docs_exact": round(
+                        sum(1 for k in exact_lm if got[k] == exact_lm[k])
+                        / len(exact_lm),
+                        4,
+                    ),
+                    "sec": round(time.perf_counter() - t, 3),
+                }
+            )
+    except Exception as exc:  # pragma: no cover - defensive
+        sweep["lm_top_v"] = {"error": f"{type(exc).__name__}: {exc}"}
+
     # drift-normalized reporting (VERDICT r5 #6): this run in
     # calibration units + per-query ratio vs the pinned r5 baseline
     cal_units = {k: round(v / calibration, 3) for k, v in best.items()}

@@ -572,6 +572,75 @@ ORDER BY doc_id
 """
 
 
+def _doc_bigrams(d: DataFrame) -> DataFrame:
+    """(doc_id, bh) — one row per bigram OCCURRENCE, keyed by the
+    md5 of the adjacent lowercase token pair (uniform shuffle keys
+    by construction)."""
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    words = d.select("doc_id", toks.alias("w"))
+    n = F.size("w")
+    return (
+        words.filter(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("w", 1, n - F.lit(1)),
+                    F.expr("slice(w, 2, size(w) - 1)"),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws("\x1f", F.col("p.0"), F.col("p.1"))).alias("bh"),
+        )
+    )
+
+
+LM_TOP_V_DEFAULT = 1 << 20  # ~1M bigrams ≈ 50 MB broadcast
+
+
+def lm_bigram_stats_capped(
+    spark: SparkSession, sf_dir: str, top_v: int = LM_TOP_V_DEFAULT
+) -> DataFrame:
+    """The 100 TB form of :func:`lm_bigram_stats`: the corpus model
+    is capped to the ``top_v`` most frequent bigrams (ties broken on
+    the hash for determinism) via ``orderBy().limit()`` —
+    TakeOrderedAndProject, a map-side-reduced partial top-k, never a
+    full sort — and BROADCAST to the scoring join, so the corpus is
+    never shuffled on the model side. Tail bigrams (outside the
+    top V) default to count 1, the minimum any observed bigram has;
+    ``sum_bigram_count`` is therefore a lower bound that equals the
+    exact answer whenever every doc bigram lands in the top V
+    (pytest pins bit-equality at ``top_v`` ≥ distinct-bigram count;
+    the bench ``lm_top_v`` sweep measures drift below it)."""
+    bg = _doc_bigrams(load_table(spark, sf_dir, "documents", ["doc_id", "text"]))
+    model = (
+        bg.groupBy("bh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "bh")
+        .limit(top_v)
+    )
+    return (
+        bg.join(F.broadcast(model), "bh", "left")
+        .withColumn("c", F.coalesce("c", F.lit(1)))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("c").cast("bigint").alias("sum_bigram_count"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_bigram_count",
+            _ratio(F.col("sum_bigram_count"), F.col("n_bigrams")).alias(
+                "avg_bigram_count"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def lm_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-LM commonness score (round 7) — the CCNet/perplexity-
     filter shape without a float log-sum: "train" corpus-wide word-
@@ -588,29 +657,10 @@ def lm_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     take ``log`` of these integers themselves).
 
     Scale: bigram keys are md5 hashes (uniform shuffle keys); one
-    groupBy builds the model, one re-join scores. At 100 TB cap the
-    model to the top-V bigrams (broadcastable) and default the
-    tail — this full-join form is the exact gate."""
-    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
-    toks = F.split(F.lower(F.trim("text")), r"\s+")
-    words = d.select("doc_id", toks.alias("w"))
-    n = F.size("w")
-    bg = (
-        words.filter(n >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.arrays_zip(
-                    F.slice("w", 1, n - F.lit(1)),
-                    F.expr("slice(w, 2, size(w) - 1)"),
-                )
-            ).alias("p"),
-        )
-        .select(
-            "doc_id",
-            F.md5(F.concat_ws("\x1f", F.col("p.0"), F.col("p.1"))).alias("bh"),
-        )
-    )
+    groupBy builds the model, one re-join scores. At 100 TB use
+    :func:`lm_bigram_stats_capped` — top-V broadcastable model with
+    a defaulted tail; this full-join form is the exact gate."""
+    bg = _doc_bigrams(load_table(spark, sf_dir, "documents", ["doc_id", "text"]))
     model = bg.groupBy("bh").agg(F.count(F.lit(1)).alias("c"))
     return (
         bg.join(model, "bh")

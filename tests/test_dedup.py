@@ -233,3 +233,35 @@ def test_lm_bigram_stats_mechanism(spark):
     assert out[2]["n_bigrams"] == 1 and out[2]["sum_bigram_count"] == 2
     assert float(out[1]["avg_bigram_count"]) == 1.5
     assert float(out[2]["avg_bigram_count"]) == 2.0
+
+
+def test_lm_bigram_capped_matches_exact_and_bounds(spark):
+    """The top-V capped form (the promised 100 TB knob, now real):
+    with top_v at or above the distinct-bigram count it is BIT-EQUAL
+    to the exact full-join gate; below it, n_bigrams is unchanged
+    and sum_bigram_count is a lower bound (tail defaults to 1). The
+    model side must be broadcast (no corpus-scale model shuffle)."""
+    from iceberg_tools_spark.operators import text as text_ops
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r["doc_id"]: r for r in text_ops.lm_bigram_stats(spark, sf).collect()}
+    capped_df = text_ops.lm_bigram_stats_capped(spark, sf, top_v=10_000_000)
+    capped = {r["doc_id"]: r for r in capped_df.collect()}
+    assert {k: tuple(v) for k, v in capped.items()} == {
+        k: tuple(v) for k, v in exact.items()
+    }
+    plan = capped_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    small = {
+        r["doc_id"]: r
+        for r in text_ops.lm_bigram_stats_capped(spark, sf, top_v=64).collect()
+    }
+    assert set(small) == set(exact)
+    assert all(small[k]["n_bigrams"] == exact[k]["n_bigrams"] for k in exact)
+    assert all(
+        small[k]["sum_bigram_count"] <= exact[k]["sum_bigram_count"] for k in exact
+    )
+    # the cap bites at V=64 on a real corpus: some docs are lower
+    assert any(
+        small[k]["sum_bigram_count"] < exact[k]["sum_bigram_count"] for k in exact
+    )
