@@ -70,6 +70,27 @@ def _field_types(meta) -> dict[str, str]:
     }
 
 
+def _hash_series(col, iceberg_type: str):
+    """Theta hashes of a pandas Series of one Iceberg type: numpy
+    murmur kernel for the fixed-width integer/double encodings
+    (element-exact vs the scalar reference, ~80× faster; doubles
+    canonicalized first — ADVICE r7); everything else (strings,
+    decimals, temporal objects) takes the per-value reference
+    path."""
+    from .conversions import to_bytes
+    from .theta import canonical_double_bits, theta_hash_fixed_batch
+
+    if iceberg_type == "long":
+        return theta_hash_fixed_batch(col.to_numpy(dtype="int64"), 8)
+    if iceberg_type == "int":
+        return theta_hash_fixed_batch(col.to_numpy(dtype="int64"), 4)
+    if iceberg_type == "double":
+        return theta_hash_fixed_batch(
+            canonical_double_bits(col.to_numpy(dtype="float64")), 8
+        )
+    return [theta_hash(to_bytes(iceberg_type, v)) for v in col]
+
+
 def column_theta_sketch(
     df: DataFrame, column: str, iceberg_type: str, *, lg_k: int = DEFAULT_LG_K
 ) -> dict[str, Any]:
@@ -80,38 +101,17 @@ def column_theta_sketch(
     reduced). ≤ k+1 longs cross to the driver regardless of table
     size; ``build_compact_theta`` turns them into the exact or KMV
     estimation form."""
-    from .conversions import to_bytes
-
     k = 1 << lg_k
 
     def _hash_batches(it: Iterator) -> Iterator:
-        import numpy as np
         import pandas as pd
-
-        from .theta import theta_hash_fixed_batch
 
         for pdf in it:
             col = pdf.iloc[:, 0].dropna()
-            # numpy murmur kernel for the fixed-width integer/double
-            # encodings (element-exact vs the scalar reference, ~80×
-            # faster); everything else (strings, decimals, temporal
-            # objects) takes the per-value reference path
-            if iceberg_type == "long":
-                hs = theta_hash_fixed_batch(col.to_numpy(dtype="int64"), 8)
-            elif iceberg_type == "int":
-                hs = theta_hash_fixed_batch(col.to_numpy(dtype="int64"), 4)
-            elif iceberg_type == "double":
-                from .theta import canonical_double_bits
-
-                # canonicalize BEFORE viewing bits, exactly like the
-                # scalar theta_hash (-0.0 / NaN payloads; ADVICE r7)
-                hs = theta_hash_fixed_batch(
-                    canonical_double_bits(col.to_numpy(dtype="float64")), 8
-                )
-            else:
-                hs = [theta_hash(to_bytes(iceberg_type, v)) for v in col]
             # theta hashes are 63-bit (lane >>> 1): always fit int64
-            yield pd.DataFrame({"h": pd.Series(hs, dtype="int64")})
+            yield pd.DataFrame(
+                {"h": pd.Series(_hash_series(col, iceberg_type), dtype="int64")}
+            )
 
     hashed = (
         df.select(column)
@@ -144,6 +144,7 @@ def write_table_stats(
     *,
     columns: list[str] | None = None,
     lg_k: int = DEFAULT_LG_K,
+    per_partition: bool = False,
 ) -> dict[str, Any]:
     """Build per-column COMPACT THETA SKETCHES over the LIVE rows at
     a snapshot (the MoR read — deletes applied), write one Puffin
@@ -152,9 +153,15 @@ def write_table_stats(
     2^lg_k distinct values), and register it in the metadata
     ``statistics`` list (replacing any prior entry for the
     snapshot). ``lg_k`` is the accuracy knob (default 12 → k=4096,
-    RSE ≈ 1.6 % in estimation mode)."""
+    RSE ≈ 1.6 % in estimation mode).
+
+    ``per_partition`` additionally writes one blob per (unified
+    partition tuple, column); the table-level blobs then come from
+    the theta UNION of the partition sketches — provably identical
+    to a direct build (same hash set, same k-smallest trim) — and
+    DELETE/REPLACE maintenance can later recompute only touched
+    partitions (:func:`update_table_stats_partition_scoped`)."""
     from .deletes import read_mor
-    from .puffin import write_puffin
 
     base_dir = base_dir or os.path.dirname(metadata_path)
     meta = parse_metadata(metadata_path)
@@ -173,14 +180,28 @@ def write_table_stats(
         raise ValueError(f"columns {sorted(unknown)} not in the current schema")
     snap = next(s for s in meta.snapshots if s["snapshot-id"] == snapshot_id)
 
-    live = read_mor(spark, metadata_path, snapshot_id, base_dir)
     ftypes = _field_types(meta)
-    sketches = {
-        c: column_theta_sketch(live, c, ftypes[c], lg_k=lg_k) for c in columns
-    }
+    psk = None
+    if per_partition:
+        psk, _ = partition_column_sketches(
+            spark, metadata_path, snapshot_id, base_dir,
+            columns=columns, lg_k=lg_k,
+        )
+        sketches = {
+            c: merge_compact_theta(
+                [by_col[c] for by_col in psk.values() if c in by_col],
+                lg_k=lg_k,
+            )
+            for c in columns
+        }
+    else:
+        live = read_mor(spark, metadata_path, snapshot_id, base_dir)
+        sketches = {
+            c: column_theta_sketch(live, c, ftypes[c], lg_k=lg_k) for c in columns
+        }
     return _write_and_register(
         meta, metadata_path, table_root, loc, snapshot_id, snap,
-        sketches, columns, fids, lg_k,
+        sketches, columns, fids, lg_k, partition_sketches=psk,
     )
 
 
@@ -195,10 +216,20 @@ def _write_and_register(
     columns: list[str],
     fids: dict[str, int],
     lg_k: int,
+    partition_sketches: dict[str, dict[str, dict[str, Any]]] | None = None,
 ) -> dict[str, Any]:
     """Serialize the per-column sketches into one Puffin file and
     register it under metadata ``statistics`` (shared by the full
-    recompute and the incremental merge paths)."""
+    recompute and the incremental merge paths).
+
+    ``partition_sketches`` (pjson → column → sketch) adds one extra
+    blob per (partition, column), tagged with a ``partition``
+    property — the engine extension that makes DELETE/REPLACE-range
+    maintenance partition-scoped (:func:`update_table_stats_partition_scoped`).
+    Consumers that match blobs on type+fields and read only the
+    REQUIRED ``ndv`` property should use the table-level blobs (no
+    ``partition`` property); the partition blobs exist for the
+    maintenance path."""
     from .puffin import write_puffin
 
     ndvs = {c: round(theta_estimate(sk)) for c, sk in sketches.items()}
@@ -219,6 +250,26 @@ def _write_and_register(
         }
         for c in columns
     ]
+    for pj in sorted(partition_sketches or {}):
+        for c in columns:
+            sk = partition_sketches[pj].get(c)
+            if sk is None:
+                continue
+            blobs.append(
+                {
+                    "type": THETA_BLOB_TYPE,
+                    "data": serialize_compact_theta(sk),
+                    "fields": [fids[c]],
+                    "snapshot-id": snapshot_id,
+                    "sequence-number": snap.get("sequence-number", -1),
+                    "properties": {
+                        "ndv": str(round(theta_estimate(sk))),
+                        "column": c,
+                        "lg_k": str(lg_k),
+                        "partition": pj,
+                    },
+                }
+            )
     blob_metas = write_puffin(out_path, blobs)
 
     file_size = os.path.getsize(out_path)
@@ -251,6 +302,234 @@ def _write_and_register(
         "snapshot_id": snapshot_id,
         "ndv": ndvs,
     }
+
+
+def _unified_pjson(meta, entry: dict[str, Any]) -> str:
+    """The entry's unified partition tuple as canonical JSON — the
+    per-partition sketch key (same unification rule as the spec's
+    partition-statistics file)."""
+    from .partition_stats import unified_partition_fields
+
+    return json.dumps(
+        {n: entry["partition"].get(n) for n, _ in unified_partition_fields(meta)},
+        sort_keys=True,
+    )
+
+
+def partition_column_sketches(
+    spark: SparkSession,
+    metadata_path: str,
+    snapshot_id: int | None = None,
+    base_dir: str | None = None,
+    *,
+    columns: list[str] | None = None,
+    lg_k: int = DEFAULT_LG_K,
+    partition_filter: set[str] | None = None,
+) -> tuple[dict[str, dict[str, dict[str, Any]]], list[str]]:
+    """Per (unified-partition-json, column) compact theta sketches
+    over the LIVE rows at a snapshot. With ``partition_filter`` the
+    scan plans ONLY those partitions' data files — the property the
+    partition-scoped maintenance path relies on (delete entries are
+    all still considered; row-level gating scopes them correctly).
+
+    One distributed pass per column: distinct (partition, value) →
+    Arrow-batched theta hashing → per-partition k+1 smallest via a
+    row_number window ordered on the hash (the per-group TakeOrdered
+    shape; ≤ (k+1)·partitions longs reach the driver).
+
+    Returns ``(sketches, scanned_local_paths)``."""
+    from .deletes import apply_deletes, mor_entries_at, mor_frame
+
+    base_dir = base_dir or os.path.dirname(metadata_path)
+    meta = parse_metadata(metadata_path)
+    if snapshot_id is None:
+        snapshot_id = meta.current_snapshot_id
+    fids = _field_ids(meta)
+    columns = columns or list(fids)
+    ftypes = _field_types(meta)
+    data, dels = mor_entries_at(meta, snapshot_id, base_dir)
+    pj_of = {e["rel"]: _unified_pjson(meta, e) for e in data}
+    if partition_filter is not None:
+        data = [e for e in data if pj_of[e["rel"]] in partition_filter]
+    if not data:
+        return {}, []
+    part_set = {pj_of[e["rel"]] for e in data}
+
+    df = mor_frame(spark, data)
+    surv = apply_deletes(spark, meta, df, dels, mode="survivors")
+    pj_df = spark.createDataFrame(
+        [(e["rel"], pj_of[e["rel"]]) for e in data], "pj_rel string, _pj string"
+    )
+    tagged = surv.join(
+        F.broadcast(pj_df), surv["_rel"] == pj_df["pj_rel"]
+    ).drop("pj_rel")
+
+    k = 1 << lg_k
+    from pyspark.sql import Window
+
+    out: dict[str, dict[str, dict[str, Any]]] = {}
+    for c in columns:
+
+        def _hb(it: Iterator, t=ftypes[c]) -> Iterator:
+            import pandas as pd
+
+            for pdf in it:
+                pdf = pdf.dropna(subset=[pdf.columns[1]])
+                if pdf.empty:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "pj": pdf.iloc[:, 0].to_numpy(),
+                        "h": pd.Series(
+                            _hash_series(pdf.iloc[:, 1], t), dtype="int64"
+                        ),
+                    }
+                )
+
+        hashed = (
+            tagged.select("_pj", c)
+            .where(F.col(c).isNotNull())
+            .distinct()
+            .mapInPandas(_hb, "pj string, h long")
+        )
+        w = Window.partitionBy("pj").orderBy("h")
+        rows = (
+            hashed.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k + 1)
+            .collect()
+        )
+        per: dict[str, list[int]] = {}
+        for r in rows:
+            per.setdefault(r["pj"], []).append(r["h"])
+        for pj in part_set:
+            out.setdefault(pj, {})[c] = build_compact_theta(
+                per.get(pj, []), lg_k=lg_k
+            )
+    return out, sorted(e["local_path"] for e in data)
+
+
+def _live_entry_partitions(meta, snapshot_id: int, base_dir: str):
+    """(entry-key set, key → pjson) over BOTH data and delete
+    entries live at a snapshot — the diff input for touched-
+    partition detection."""
+    from .deletes import mor_entries_at
+
+    data, dels = mor_entries_at(meta, snapshot_id, base_dir)
+    keys = {}
+    for e in (*data, *dels):
+        keys[(e["file_path"], e["content"], e["sequence_number"])] = _unified_pjson(
+            meta, e
+        )
+    return keys
+
+
+def update_table_stats_partition_scoped(
+    spark: SparkSession,
+    metadata_path: str,
+    snapshot_id: int | None = None,
+    base_dir: str | None = None,
+) -> dict[str, Any]:
+    """Statistics maintenance for NON-append-only ranges (VERDICT r7
+    #7): where :func:`update_table_stats_incremental` must refuse
+    (sketches cannot forget deleted rows), this path recomputes
+    sketches for ONLY the partitions the range touched and reuses
+    every untouched partition's registered sketch, then re-derives
+    the table-level sketches as the theta union of all partitions.
+    At 100 TB a one-partition DELETE triggers a one-partition read,
+    never a table scan.
+
+    Touched = partitions of every manifest entry (data or delete)
+    that is live at exactly one of {base, head} — file adds,
+    removals, rewrites and new delete files all flag their
+    partition; entries carried unchanged flag nothing.
+
+    Requires the base ancestor's statistics to carry per-partition
+    blobs (``write_table_stats(per_partition=True)`` or a prior run
+    of this function). Returns the usual registration result plus
+    ``touched_partitions`` / ``reused_partitions`` /
+    ``recomputed_files`` (the ONLY data files read)."""
+    from .puffin import read_blob
+    from .snapshots import _local, ancestor_chain
+
+    base_dir = base_dir or os.path.dirname(metadata_path)
+    meta = parse_metadata(metadata_path)
+    if snapshot_id is None:
+        snapshot_id = meta.current_snapshot_id
+    chain = ancestor_chain(meta, snapshot_id)
+    registered = {s["snapshot-id"]: s for s in meta.raw.get("statistics", [])}
+    base_id = next((sid for sid in chain if sid in registered), None)
+    if base_id is None:
+        raise ValueError(
+            "no ancestor snapshot has registered statistics; run "
+            "write_table_stats(per_partition=True) first"
+        )
+    table_root = (
+        base_dir
+        if os.path.isdir(os.path.join(base_dir, "metadata"))
+        else os.path.dirname(base_dir)
+    )
+    loc = meta.raw.get("location") or f"file://{table_root}"
+    entry = registered[base_id]
+    local = _local(entry["statistics-path"], table_root, meta.raw.get("location"))
+    prior_part: dict[str, dict[str, dict[str, Any]]] = {}
+    columns: list[str] = []
+    lg_k = DEFAULT_LG_K
+    for b in entry["blob-metadata"]:
+        props = b.get("properties", {})
+        lg_k = int(props.get("lg_k", DEFAULT_LG_K))
+        sk = deserialize_compact_theta(read_blob(local, b["offset"], b["length"]))
+        if "partition" in props:
+            prior_part.setdefault(props["partition"], {})[props["column"]] = sk
+        elif props["column"] not in columns:
+            columns.append(props["column"])
+    if not prior_part:
+        raise ValueError(
+            f"statistics at base snapshot {base_id} carry no per-partition "
+            "blobs; partition-scoped maintenance needs "
+            "write_table_stats(per_partition=True)"
+        )
+
+    base_keys = _live_entry_partitions(meta, base_id, base_dir)
+    head_keys = _live_entry_partitions(meta, snapshot_id, base_dir)
+    touched = {
+        pj
+        for k, pj in {**base_keys, **head_keys}.items()
+        if (k in base_keys) != (k in head_keys)
+    }
+    # a head partition whose sketch the base file lacks (late spec
+    # evolution, column added) must recompute too
+    head_data_pjs = {
+        pj for k, pj in head_keys.items() if k[1] == 0  # content 0 = data
+    }
+    touched |= {pj for pj in head_data_pjs if pj not in prior_part}
+
+    recomputed, scanned = partition_column_sketches(
+        spark, metadata_path, snapshot_id, base_dir,
+        columns=columns, lg_k=lg_k,
+        partition_filter=touched,
+    )
+    final: dict[str, dict[str, dict[str, Any]]] = {}
+    for pj in head_data_pjs:
+        final[pj] = recomputed[pj] if pj in touched else prior_part[pj]
+    merged = {
+        c: merge_compact_theta(
+            [by_col[c] for by_col in final.values() if c in by_col], lg_k=lg_k
+        )
+        for c in columns
+    }
+    fids = _field_ids(meta)
+    snap = next(s for s in meta.snapshots if s["snapshot-id"] == snapshot_id)
+    res = _write_and_register(
+        meta, metadata_path, table_root, loc, snapshot_id, snap,
+        merged, columns, fids, lg_k, partition_sketches=final,
+    )
+    res.update(
+        base_snapshot_id=base_id,
+        touched_partitions=sorted(touched),
+        reused_partitions=sorted(set(final) - touched),
+        recomputed_files=scanned,
+    )
+    return res
 
 
 def update_table_stats_incremental(
@@ -407,11 +686,14 @@ def read_table_stats(
                 b["type"],
                 ndv,
                 round(theta_estimate(sk)) == ndv,
+                props.get("partition"),  # null on table-level blobs
             )
         )
     return spark.createDataFrame(
-        rows, "col_name string, field_id int, blob_type string, ndv long, payload_agrees boolean"
-    ).orderBy("field_id")
+        rows,
+        "col_name string, field_id int, blob_type string, ndv long, "
+        "payload_agrees boolean, partition_json string",
+    ).orderBy("partition_json", "field_id")
 
 
 # ------------------------------------------------ driver-gate query
@@ -429,7 +711,9 @@ def meta_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = write_table_stats(
         spark, os.path.join(root, "v2.metadata.json"), 2004, root
     )
-    return read_table_stats(spark, res["metadata_path"], 2004, root)
+    return read_table_stats(spark, res["metadata_path"], 2004, root).select(
+        "col_name", "field_id", "blob_type", "ndv", "payload_agrees"
+    )
 
 
 META_TABLE_STATS_SQL = f"""
@@ -475,7 +759,9 @@ def meta_stats_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc = update_table_stats_incremental(
         spark, r1["metadata_path"], r1["snapshot_id"], root
     )
-    return read_table_stats(spark, inc["metadata_path"], r1["snapshot_id"], root)
+    return read_table_stats(
+        spark, inc["metadata_path"], r1["snapshot_id"], root
+    ).select("col_name", "field_id", "blob_type", "ndv", "payload_agrees")
 
 
 META_STATS_INCREMENTAL_SQL = f"""
@@ -486,4 +772,64 @@ FROM (VALUES
   ('category', 2, '{NDV_BLOB_TYPE}', 5, true)
 ) t(col_name, field_id, blob_type, ndv, payload_agrees)
 ORDER BY field_id
+"""
+
+
+def meta_stats_partition_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for PARTITION-SCOPED statistics maintenance:
+    register per-partition stats at 2004, commit a position-delete
+    into partition z (positions 5-9 of D — ids 256-259 die, 260 was
+    already equality-deleted), then update partition-scoped: only z
+    recomputes (one data file read), x/y/w reuse their registered
+    sketches, and the table-level union drops to 319 ids / 4
+    categories. Output: every blob of the new statistics file —
+    table-level rows (empty partition_json) plus one row per
+    (partition, column). Golden oracle. (``sf_dir`` unused.)"""
+    from .commit import _scratch_table, commit_delete_snapshot, write_position_deletes
+    from .deletes import MOR_DIR
+
+    root = _scratch_table("tstats_ps_gate_", MOR_DIR)
+    r0 = write_table_stats(
+        spark, os.path.join(root, "v2.metadata.json"), 2004, root,
+        per_partition=True,
+    )
+    rel = write_position_deletes(
+        root, "data/deletes/psg.parquet",
+        [("data/category=z/D.parquet", p) for p in range(5, 10)],
+    )
+    r1 = commit_delete_snapshot(
+        r0["metadata_path"],
+        [{"path": rel, "partition": {"category": "z"}, "content": 1}],
+        spec_id=0,
+    )
+    upd = update_table_stats_partition_scoped(
+        spark, r1["metadata_path"], r1["snapshot_id"], root
+    )
+    assert upd["touched_partitions"] == ['{"category": "z", "id_trunc": null}']
+    return (
+        read_table_stats(spark, upd["metadata_path"], r1["snapshot_id"], root)
+        .select(
+            "col_name", "field_id", "blob_type", "ndv", "payload_agrees",
+            F.coalesce("partition_json", F.lit("")).alias("partition_json"),
+        )
+        .orderBy("partition_json", "field_id")
+    )
+
+
+META_STATS_PARTITION_SCOPED_SQL = f"""
+SELECT col_name, CAST(field_id AS INTEGER) AS field_id, blob_type,
+       CAST(ndv AS BIGINT) AS ndv, payload_agrees, partition_json
+FROM (VALUES
+  ('id', 1, '{NDV_BLOB_TYPE}', 319, true, ''),
+  ('category', 2, '{NDV_BLOB_TYPE}', 4, true, ''),
+  ('id', 1, '{NDV_BLOB_TYPE}', 40, true, '{{"category": "w", "id_trunc": 300}}'),
+  ('category', 2, '{NDV_BLOB_TYPE}', 1, true, '{{"category": "w", "id_trunc": 300}}'),
+  ('id', 1, '{NDV_BLOB_TYPE}', 185, true, '{{"category": "x", "id_trunc": null}}'),
+  ('category', 2, '{NDV_BLOB_TYPE}', 1, true, '{{"category": "x", "id_trunc": null}}'),
+  ('id', 1, '{NDV_BLOB_TYPE}', 50, true, '{{"category": "y", "id_trunc": null}}'),
+  ('category', 2, '{NDV_BLOB_TYPE}', 1, true, '{{"category": "y", "id_trunc": null}}'),
+  ('id', 1, '{NDV_BLOB_TYPE}', 44, true, '{{"category": "z", "id_trunc": null}}'),
+  ('category', 2, '{NDV_BLOB_TYPE}', 1, true, '{{"category": "z", "id_trunc": null}}')
+) t(col_name, field_id, blob_type, ndv, payload_agrees, partition_json)
+ORDER BY partition_json, field_id
 """

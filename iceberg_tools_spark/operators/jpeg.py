@@ -4,11 +4,15 @@ fallback in the multimodal pipeline).
 
 Scope (documented, enforced):
 
-* decoder: baseline sequential DCT, 8-bit precision, 1x1 sampling
-  on every component (4:4:4 color or grayscale), tables from the
-  file's own DQT/DHT segments, 0xFF00 byte-unstuffing, no
-  progressive / no restart intervals (DRI raises);
-* encoder (fixture builder): 4:4:4 or grayscale, flat quantization
+* decoder: baseline sequential DCT, 8-bit precision, ANY integral
+  sampling-factor combination (4:4:4, 4:2:0, 4:2:2, 4:4:0,
+  grayscale — interleaved MCU order per T.81 A.2.3 with nearest-
+  neighbor chroma upsampling), tables from the file's own DQT/DHT
+  segments, 0xFF00 byte-unstuffing, 0xFF fill bytes and standalone
+  TEM/RSTn header markers skipped, no progressive / no restart
+  intervals (DRI raises);
+* encoder (fixture builder): 4:4:4, 4:2:0 (box-filtered chroma) or
+  grayscale, flat quantization
   table scaled by ``quality``, custom VALID canonical Huffman
   tables written to DHT (fixed 5-bit DC / 9-bit AC codes — spec-
   legal since decoders read the tables from the stream; nothing
@@ -202,25 +206,75 @@ class _HuffDecoder:
 # ---------------------------------------------------------- encode
 
 
-def _blocks_of(plane: np.ndarray) -> np.ndarray:
-    """(H, W) → (nby, nbx, 8, 8) with edge replication padding."""
+def _blocks_of(
+    plane: np.ndarray, tby: int | None = None, tbx: int | None = None
+) -> np.ndarray:
+    """(H, W) → (tby, tbx, 8, 8) with edge replication padding —
+    ``tby``/``tbx`` let a subsampled encoder pad every component to
+    its MCU-aligned block grid."""
     h, w = plane.shape
-    ph, pw = -h % 8, -w % 8
-    plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    tby = tby if tby is not None else -(-h // 8)
+    tbx = tbx if tbx is not None else -(-w // 8)
+    plane = np.pad(plane, ((0, tby * 8 - h), (0, tbx * 8 - w)), mode="edge")
+    return plane.reshape(tby, 8, tbx, 8).transpose(0, 2, 1, 3)
+
+
+def _box_downsample(plane: np.ndarray, fy: int, fx: int) -> np.ndarray:
+    """Mean-pooled chroma downsampling (edge-padded to a factor
+    multiple first — the standard box filter)."""
+    h, w = plane.shape
+    plane = np.pad(plane, ((0, -h % fy), (0, -w % fx)), mode="edge")
     hh, ww = plane.shape
-    return (
-        plane.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
-    )
+    return plane.reshape(hh // fy, fy, ww // fx, fx).mean(axis=(1, 3))
 
 
-def encode_jpeg(arr: np.ndarray, *, quality: int = 85) -> bytes:
-    """Baseline 4:4:4 (or grayscale) JPEG bytes for an ``(H, W, 3)``
-    or ``(H, W)`` uint8 array."""
+def _write_block(bw: _BitWriter, zz: np.ndarray, prev_dc: int) -> int:
+    """Entropy-code one zigzag block; returns the new DC predictor."""
+    diff = int(zz[0]) - prev_dc
+    s = _size_cat(diff)
+    code, length = _DC_CODES[s]
+    bw.write(code, length)
+    if s:
+        amp = diff if diff >= 0 else diff + (1 << s) - 1
+        bw.write(amp, s)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for i in range(1, last + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = _AC_CODES[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        s = _size_cat(v)
+        code, length = _AC_CODES[(run << 4) | s]
+        bw.write(code, length)
+        amp = v if v >= 0 else v + (1 << s) - 1
+        bw.write(amp, s)
+        run = 0
+    if last < 63:
+        code, length = _AC_CODES[0x00]  # EOB
+        bw.write(code, length)
+    return int(zz[0])
+
+
+def encode_jpeg(
+    arr: np.ndarray, *, quality: int = 85, subsampling: str = "444"
+) -> bytes:
+    """Baseline JPEG bytes for an ``(H, W, 3)`` or ``(H, W)`` uint8
+    array. ``subsampling``: ``"444"`` (1x1 on every component) or
+    ``"420"`` (Y at 2x2, box-filtered half-resolution chroma — the
+    dominant real-world form); grayscale ignores it."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, ncomp = arr.shape
     if ncomp not in (1, 3):
         raise ValueError("encode_jpeg expects 1 or 3 channels")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     qval = max(1, min(255, round(2 * (100 - quality)) or 1))
     qtab = np.full(64, qval, dtype=np.int64)
     qtab[0] = max(1, qval // 2)  # gentler DC quantization
@@ -230,6 +284,14 @@ def encode_jpeg(arr: np.ndarray, *, quality: int = 85) -> bytes:
         if ncomp == 3
         else [arr[..., 0].astype(np.float64)]
     )
+    if ncomp == 3 and subsampling == "420":
+        samp = [(2, 2), (1, 1), (1, 1)]
+        planes = [planes[0]] + [_box_downsample(p, 2, 2) for p in planes[1:]]
+    else:
+        samp = [(1, 1)] * ncomp
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
 
     out = bytearray(b"\xff\xd8")  # SOI
     # DQT (one 8-bit table, id 0)
@@ -238,7 +300,8 @@ def encode_jpeg(arr: np.ndarray, *, quality: int = 85) -> bytes:
     # SOF0
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for cid in range(1, ncomp + 1):
-        out += bytes([cid, 0x11, 0])  # 1x1 sampling, qtable 0
+        hi, vi = samp[cid - 1]
+        out += bytes([cid, (hi << 4) | vi, 0])
     # DHT: DC table 0 + AC table 0 (shared by all components)
     for tc, bits, vals in ((0, _DC_BITS, _DC_VALS), (1, _AC_BITS, _AC_VALS)):
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tc << 4])
@@ -250,47 +313,23 @@ def encode_jpeg(arr: np.ndarray, *, quality: int = 85) -> bytes:
     out += b"\x00\x3f\x00"
 
     qmat = qtab[_ZZ_IDX.argsort()].reshape(8, 8)  # natural order (flat anyway)
-    bw = _BitWriter()
     comps = []
-    for plane in planes:
-        blocks = _blocks_of(plane) - 128.0
-        coef = np.round(_dct2(blocks) / qmat).astype(np.int64)
-        comps.append(coef)
-    nby, nbx = comps[0].shape[:2]
+    for plane, (hi, vi) in zip(planes, samp):
+        blocks = _blocks_of(plane, mcuy * vi, mcux * hi) - 128.0
+        comps.append(np.round(_dct2(blocks) / qmat).astype(np.int64))
+    bw = _BitWriter()
     prev_dc = [0] * len(planes)
-    for by in range(nby):
-        for bx in range(nbx):
+    # interleaved MCU order: per MCU, each component contributes its
+    # vi×hi block patch (T.81 A.2.3); 4:4:4 degenerates to the plain
+    # per-block interleave
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci, coef in enumerate(comps):
-                zz = coef[by, bx].reshape(64)[_ZZ_IDX]
-                diff = int(zz[0]) - prev_dc[ci]
-                prev_dc[ci] = int(zz[0])
-                s = _size_cat(diff)
-                code, length = _DC_CODES[s]
-                bw.write(code, length)
-                if s:
-                    amp = diff if diff >= 0 else diff + (1 << s) - 1
-                    bw.write(amp, s)
-                run = 0
-                nz = np.nonzero(zz[1:])[0]
-                last = nz[-1] + 1 if len(nz) else 0
-                for i in range(1, last + 1):
-                    v = int(zz[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = _AC_CODES[0xF0]  # ZRL
-                        bw.write(code, length)
-                        run -= 16
-                    s = _size_cat(v)
-                    code, length = _AC_CODES[(run << 4) | s]
-                    bw.write(code, length)
-                    amp = v if v >= 0 else v + (1 << s) - 1
-                    bw.write(amp, s)
-                    run = 0
-                if last < 63:
-                    code, length = _AC_CODES[0x00]  # EOB
-                    bw.write(code, length)
+                hi, vi = samp[ci]
+                for bv in range(vi):
+                    for bh in range(hi):
+                        zz = coef[my * vi + bv, mx * hi + bh].reshape(64)[_ZZ_IDX]
+                        prev_dc[ci] = _write_block(bw, zz, prev_dc[ci])
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -300,9 +339,10 @@ def encode_jpeg(arr: np.ndarray, *, quality: int = 85) -> bytes:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode baseline sequential 8-bit JPEG (1x1 sampling on every
-    component) to ``(H, W, 3) uint8``. Tables come from the file;
-    progressive / subsampled / restart-interval streams raise."""
+    """Decode baseline sequential 8-bit JPEG (any integral sampling
+    factors — 4:4:4, 4:2:0, 4:2:2, ... ) to ``(H, W, 3) uint8``.
+    Tables come from the file; progressive / restart-interval
+    streams raise."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -357,9 +397,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for i in range(nc):
                 cid, samp, tq = seg[6 + 3 * i : 6 + 3 * i + 3]
-                if samp != 0x11:
-                    raise ValueError("only 1x1 sampling (4:4:4) supported")
-                comps.append({"id": cid, "tq": tq})
+                hi, vi = samp >> 4, samp & 0xF
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"illegal sampling factors {hi}x{vi}")
+                comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
             frame = {"h": fh, "w": fw, "comps": comps}
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(f"unsupported SOF marker 0xFF{marker:02X} (non-baseline)")
@@ -385,48 +426,76 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     r = _BitReader(payload[pos:end])
 
     h, w = frame["h"], frame["w"]
-    nbx, nby = -(-w // 8), -(-h // 8)
     ncomp = len(frame["comps"])
+    if len(scan) != ncomp:
+        raise ValueError("multi-scan (non-interleaved) baseline unsupported")
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    for c in frame["comps"]:
+        if hmax % c["h"] or vmax % c["v"]:
+            raise ValueError("fractional sampling ratios unsupported")
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     coefs = [
-        np.zeros((nby, nbx, 8, 8), dtype=np.int64) for _ in range(ncomp)
+        np.zeros((mcuy * c["v"], mcux * c["h"], 8, 8), dtype=np.int64)
+        for c in frame["comps"]
     ]
     prev_dc = [0] * ncomp
     comp_by_id = {c["id"]: i for i, c in enumerate(frame["comps"])}
     order = [comp_by_id[s["cs"]] for s in scan]
-    for by in range(nby):
-        for bx in range(nbx):
+
+    def _read_block(dc_dec: _HuffDecoder, ac_dec: _HuffDecoder, ci: int):
+        s = dc_dec.decode(r)
+        diff = _extend(r.receive(s), s)
+        prev_dc[ci] += diff
+        zz = np.zeros(64, dtype=np.int64)
+        zz[0] = prev_dc[ci]
+        i = 1
+        while i < 64:
+            rs = ac_dec.decode(r)
+            run, size = rs >> 4, rs & 0xF
+            if size == 0:
+                if run == 15:  # ZRL
+                    i += 16
+                    continue
+                break  # EOB
+            i += run
+            if i > 63:
+                raise ValueError("AC run past block end")
+            zz[i] = _extend(r.receive(size), size)
+            i += 1
+        blk = np.zeros(64, dtype=np.int64)
+        blk[_ZZ_IDX] = zz
+        return blk.reshape(8, 8)
+
+    # interleaved MCU order (T.81 A.2.3); 1x1-everywhere degenerates
+    # to one block per component per MCU — the old 4:4:4 loop
+    for my in range(mcuy):
+        for mx in range(mcux):
             for si, ci in enumerate(order):
+                comp = frame["comps"][ci]
                 dc_dec = huff_dc[scan[si]["td"]]
                 ac_dec = huff_ac[scan[si]["ta"]]
-                s = dc_dec.decode(r)
-                diff = _extend(r.receive(s), s)
-                prev_dc[ci] += diff
-                zz = np.zeros(64, dtype=np.int64)
-                zz[0] = prev_dc[ci]
-                i = 1
-                while i < 64:
-                    rs = ac_dec.decode(r)
-                    run, size = rs >> 4, rs & 0xF
-                    if size == 0:
-                        if run == 15:  # ZRL
-                            i += 16
-                            continue
-                        break  # EOB
-                    i += run
-                    if i > 63:
-                        raise ValueError("AC run past block end")
-                    zz[i] = _extend(r.receive(size), size)
-                    i += 1
-                blk = np.zeros(64, dtype=np.int64)
-                blk[_ZZ_IDX] = zz
-                coefs[ci][by, bx] = blk.reshape(8, 8)
+                for bv in range(comp["v"]):
+                    for bh in range(comp["h"]):
+                        coefs[ci][my * comp["v"] + bv, mx * comp["h"] + bh] = (
+                            _read_block(dc_dec, ac_dec, ci)
+                        )
 
     planes = []
     for ci, comp in enumerate(frame["comps"]):
         q = qtabs[comp["tq"]]
         spatial = _idct2(coefs[ci] * q) + 128.0
-        full = spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
-        planes.append(full[:h, :w])
+        rows, cols = coefs[ci].shape[:2]
+        full = spatial.transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8)
+        # crop to the component's own sample grid, then replicate up
+        # to full resolution (nearest-neighbor chroma upsampling)
+        ch = -(-h * comp["v"] // vmax)
+        cw = -(-w * comp["h"] // hmax)
+        sub = full[:ch, :cw]
+        fy, fx = vmax // comp["v"], hmax // comp["h"]
+        if fy > 1 or fx > 1:
+            sub = np.repeat(np.repeat(sub, fy, axis=0), fx, axis=1)
+        planes.append(sub[:h, :w])
     if ncomp == 1:
         gray = np.clip(planes[0].round(), 0, 255).astype(np.uint8)
         return np.stack([gray] * 3, axis=-1)

@@ -13,14 +13,15 @@ genuinely do:
 * REAL pure-Python decoders (``decode_media``) for the container
   formats decodable with stdlib+numpy alone — BMP (24-bit
   uncompressed), PPM (binary ``P6``), PNG (zlib), baseline
-  sequential JPEG (pure-numpy T.81 codec, ``operators/jpeg.py``),
+  sequential JPEG incl. 4:2:0/4:2:2 subsampling (pure-numpy T.81
+  codec, ``operators/jpeg.py``),
   WAV (PCM 8/16-bit via the stdlib ``wave`` module) — plus matching
   encoders for building fixtures. ``extract_features`` sniffs magic
   bytes and computes real 16-dim statistical features from decoded
   pixels/samples.
 * A clearly-marked deterministic fake (md5-driven,
   ``fake_feature``) for payloads in formats whose codecs are not in
-  this container (progressive/subsampled JPEG, MP3, MP4…).
+  this container (progressive JPEG, MP3, MP4…).
 """
 
 from __future__ import annotations
@@ -225,8 +226,8 @@ def decode_media(payload: bytes, modality: str):
         if payload[:8] == _PNG_MAGIC:
             return _decode_png(payload)
         if payload[:2] == b"\xff\xd8":
-            # baseline sequential 4:4:4 JPEG — pure-numpy T.81
-            # decoder (operators/jpeg.py); progressive/subsampled
+            # baseline sequential JPEG (4:4:4/4:2:0/4:2:2/gray) —
+            # pure-numpy T.81 decoder (operators/jpeg.py); progressive
             # streams raise and fall back like any undecodable blob
             from .jpeg import decode_jpeg
 

@@ -71,15 +71,21 @@ def _sub_slice(col: str, dsub: int):
     return lambda mi: F.slice(F.col(col), mi * dsub + 1, dsub)
 
 
-def encode(base: DataFrame, books: DataFrame, dim: int) -> DataFrame:
+def encode(
+    base: DataFrame, books: DataFrame, dim: int, extra: tuple[str, ...] = ()
+) -> DataFrame:
     """vec_id → ``codes`` (array<int>, one per subspace): argmin
     squared distance to the subspace's codebook, computed as a
     map-side min-of-struct aggregate against the broadcast codebook
-    (same shape as IVF cell assignment)."""
+    (same shape as IVF cell assignment). ``extra`` columns (e.g. the
+    IVF ``cell``) ride through the group keys — functionally
+    dependent on vec_id, so no extra shuffle width is paid versus a
+    re-join."""
     dsub = dim // PQ_M
     sub = _sub_slice("embedding", dsub)
     exploded = base.select(
         "vec_id",
+        *extra,
         F.posexplode(
             F.array(*[sub(mi) for mi in range(PQ_M)])
         ).alias("sub", "svec"),
@@ -90,13 +96,13 @@ def encode(base: DataFrame, books: DataFrame, dim: int) -> DataFrame:
     )
     best = (
         exploded.join(F.broadcast(books), "sub")
-        .select("vec_id", "sub", "code", d2.alias("d2"))
-        .groupBy("vec_id", "sub")
+        .select("vec_id", *extra, "sub", "code", d2.alias("d2"))
+        .groupBy("vec_id", *extra, "sub")
         .agg(F.min(F.struct("d2", "code")).alias("m"))
-        .select("vec_id", "sub", F.col("m.code").alias("code"))
+        .select("vec_id", *extra, "sub", F.col("m.code").alias("code"))
     )
     return (
-        best.groupBy("vec_id")
+        best.groupBy("vec_id", *extra)
         .agg(
             F.expr(
                 "transform(array_sort(collect_list(struct(sub, code))), x -> x.code)"
@@ -105,15 +111,26 @@ def encode(base: DataFrame, books: DataFrame, dim: int) -> DataFrame:
     )
 
 
-def _query_tables(queries: DataFrame, books: DataFrame, dim: int) -> DataFrame:
-    """Per query, the FLATTENED ADC lookup table: tbl[sub·KSUB +
-    code] = dot(q_sub, codebook[sub][code]) — all JVM expressions
-    over a broadcast-sized frame (queries × m·ksub rows)."""
+def _query_tables(
+    queries: DataFrame,
+    books: DataFrame,
+    dim: int,
+    *,
+    vec_col: str = "qemb",
+    keys: tuple[str, ...] = ("qid",),
+    carry: tuple[str, ...] = ("qss",),
+) -> DataFrame:
+    """Per ``keys`` tuple (a query — or a (query, probed cell) pair
+    in the IVF-PQ composition), the FLATTENED ADC lookup table:
+    tbl[sub·KSUB + code] = dot(vec_sub, codebook[sub][code]) — all
+    JVM expressions over a broadcast-sized frame (keys × m·ksub
+    rows). ``carry`` columns (functionally dependent on the keys)
+    ride through via ``first``."""
     dsub = dim // PQ_M
-    sub = _sub_slice("qemb", dsub)
+    sub = _sub_slice(vec_col, dsub)
     exploded = queries.select(
-        "qid",
-        "qss",
+        *keys,
+        *carry,
         F.posexplode(F.array(*[sub(mi) for mi in range(PQ_M)])).alias("sub", "qsub"),
     )
     dot = F.expr(
@@ -121,10 +138,10 @@ def _query_tables(queries: DataFrame, books: DataFrame, dim: int) -> DataFrame:
     )
     return (
         exploded.join(F.broadcast(books), "sub")
-        .select("qid", "qss", "sub", "code", dot.alias("d"))
-        .groupBy("qid")
+        .select(*keys, *carry, "sub", "code", dot.alias("d"))
+        .groupBy(*keys)
         .agg(
-            F.first("qss").alias("qss"),
+            *[F.first(c).alias(c) for c in carry],
             F.expr(
                 "transform(array_sort(collect_list(struct(sub, code, d))),"
                 " x -> x.d)"
@@ -170,7 +187,13 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str, *, cand: int | None = None) ->
         .filter(F.col("crk") <= (cand if cand is not None else PQ_CAND))
         .select("qid", "vec_id")
     )
-    # exact re-rank of candidates only
+    return _exact_rerank(cands, base, q)
+
+
+def _exact_rerank(cands: DataFrame, base: DataFrame, q: DataFrame) -> DataFrame:
+    """Exact-cosine re-rank of (qid, vec_id) candidate pairs: join
+    the candidates (CAND·queries rows, never the corpus) back to
+    their full vectors, score, keep the top-``TOP_K`` per query."""
     rejoined = (
         cands.join(base, "vec_id")
         .join(
@@ -190,3 +213,103 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str, *, cand: int | None = None) ->
         .filter(F.col("rk") <= TOP_K)
         .orderBy("qid", "rk")
     )
+
+
+IVFPQ_NPROBE = 16  # deeper than plain IVF's 4: PQ makes each probed
+# cell ~64× cheaper to scan, so the recall budget moves to nprobe
+
+
+def ann_ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    k: int | None = None,
+    cand: int | None = None,
+    nprobe: int = IVFPQ_NPROBE,
+) -> DataFrame:
+    """IVF-PQ — the standard 100 TB ANN composition (VERDICT r7
+    #6; faiss's ``IVFxx,PQyy`` index shape): IVF prunes WHICH
+    vectors are scanned (only ``IVF_NPROBE`` probed cells per
+    query), PQ shrinks WHAT the scan reads (8 bytes of residual
+    codes per vector instead of the 512-byte embedding), and the
+    exact math touches only the re-rank candidates.
+
+    Composition details, all reusing the two certified halves:
+
+    * cells + assignment: :func:`..operators.similarity.train_centroids`
+      / ``_ivf_assign`` (bounded md5-ranked training, broadcast
+      centroids, map-side argmin);
+    * PQ codebooks are trained on RESIDUALS (v − centroid[cell]) —
+      residuals concentrate near 0 regardless of where cells sit,
+      so one shared codebook set quantizes every cell well (the
+      reason real IVF-PQ encodes residuals, per Jégou et al. §III);
+    * per (query, probed cell): one flattened ADC table over the
+      QUERY residual (q − centroid), built from JVM expressions on
+      a broadcast-sized frame; approx dot(q, v) = dot(q, c) +
+      ADC(q−c, codes) — the dot(q, c) term transfers across cells
+      so candidates rank globally;
+    * scan: codes of the probed cells ONLY (an equi-join on cell),
+      scored by pure-JVM table lookups; top-``cand`` per query
+      re-ranks exactly.
+
+    Rows-only certification (k-means); pytest pins recall@5 ≥ 0.9
+    vs the exact baseline and determinism."""
+    import math
+
+    from .similarity import _ivf_assign, corpus_size, train_centroids
+
+    e = load_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    base = e.select("vec_id", "embedding", sum_squares("embedding").alias("ss"))
+    if k is None:
+        k = int(math.ceil(math.sqrt(corpus_size(spark, sf_dir))))
+    cents = train_centroids(base, k).localCheckpoint()
+
+    assigned = _ivf_assign(base, cents)  # vec_id, embedding, ss, cell
+    resid = assigned.join(F.broadcast(cents), "cell").select(
+        "vec_id",
+        "cell",
+        F.expr("zip_with(embedding, cemb, (a, b) -> a - b)").alias("embedding"),
+    )
+    books = train_codebooks(resid).localCheckpoint()
+    codes = encode(resid, books, PQ_DIM, extra=("cell",))
+
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+        F.col("ss").alias("qss"),
+    )
+    # probe the nprobe nearest cells per query; keep dot(q, c) (the
+    # cross-cell ADC offset) and the query residual per probed cell
+    qdot = dot_fast("qemb", "cemb")
+    qd2 = F.col("qss") - 2 * qdot + F.col("css")
+    wq = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "qid", "qemb", "qss", "cell", qd2.alias("d2"), qdot.alias("qc"),
+            F.expr("zip_with(qemb, cemb, (a, b) -> a - b)").alias("qres"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "cell", "qss", "qc", "qres")
+    )
+    tables = _query_tables(
+        probes, books, PQ_DIM, vec_col="qres", keys=("qid", "cell"),
+        carry=("qss", "qc"),
+    )
+
+    adc = F.col("qc") + F.expr(
+        f"aggregate(zip_with(codes, sequence(0, {PQ_M - 1}),"
+        f" (c, m) -> element_at(tbl, m * {PQ_KSUB} + c + 1)),"
+        " 0D, (acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc").desc(), F.col("vec_id"))
+    cands = (
+        codes.join(F.broadcast(tables), "cell")  # probed cells ONLY
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", adc.alias("adc"))
+        .withColumn("crk", F.row_number().over(w))
+        .filter(F.col("crk") <= (cand if cand is not None else PQ_CAND))
+        .select("qid", "vec_id")
+    )
+    return _exact_rerank(cands, base, q)

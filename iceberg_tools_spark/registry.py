@@ -120,42 +120,48 @@ def _decimal_cols(name: str) -> tuple[str, ...]:
 
 # REGISTRATION ORDER IS LOAD-BEARING (VERDICT r2 #2): the driver
 # adjudicates only the FIRST 50 registry entries per round, so the
-# order below spends that window deliberately. Round-7 window:
+# order below spends that window deliberately. Round-8 window:
 #   1     probe_double — canary for a driver canonicalization
 #         change (its string twin stays past 50; one probe keeps
 #         the alarm);
-#   2-13  FIRST CERTIFICATION (VERDICT r6 "Next round" #1): the 12
-#         queries registered late in round 6 that slid past the
-#         window — the whole v3 deletion-vector surface
-#         (meta_dv_blobs, mor_live_rows_dv, scan_plan_tasks_dv,
-#         delete_where_dv_roundtrip), both statistics surfaces
-#         (meta_partition_stats, meta_table_stats), meta_refs,
-#         dedup_survivors, ann_pq_topk (rows-only by design),
-#         quality_score_linear, column_stats_orders,
-#         near_dup_rate_by_source;
-#   14-45 re-certs whose implementation or shared call path changed
-#         THIS round: everything traversing apply_deletes (the
-#         equality-delete application is now signature-grouped and
-#         partition-gated through transforms), the DML/victims
-#         path (delete_where accepts a keys DataFrame; MERGE
-#         null-partition staging), the rewritten-in-one-job
-#         rewrite_data_files, the collect-free CDC replication,
-#         driver-side transforms (_micros pre-epoch fix), and
-#         embedding_near_dup (new bucket cap; its r4 row is stale);
-#   46-50 oldest-evidence refresh: five untouched queries whose
-#         last driver row dates to r4 (q9, top_k_per_group,
-#         dedup_exact, ann_topk_bruteforce, asof_join).
-# Slid past 50 (evidence current; every one still re-verified
+#   2-3   FIRST CERTIFICATION (VERDICT r7 "Next round" #1): the two
+#         round-7 newcomers that registered past the window —
+#         meta_stats_incremental (theta-union maintenance) and
+#         lm_bigram_stats (corpus-LM score; its promised top-V cap
+#         is now real code with a bench sweep);
+#   4-25  the r4-evidence cohort (VERDICT r7 #3 — the oldest driver
+#         rows in the repo): q2/q3/q8/q10/q11/q18/q20, rollup/cube,
+#         the six metadata.json tables over the reference fixture,
+#         funnel_view_click_purchase, retention_day_n,
+#         dedup_ngram_jaccard, embedding_norm_stats,
+#         text_fingerprint, text_langid, token_count_histogram;
+#   26-28 NEW this round: optimistic-concurrency commits
+#         (commit_conflict_roundtrip), partition-scoped statistics
+#         maintenance (meta_stats_partition_scoped), and IVF-PQ ANN
+#         (ann_ivfpq_topk — rows-only: k-means; recall pinned by
+#         pytest);
+#   29-33 re-certs whose implementation changed THIS round: the
+#         theta serialization now writes p=1.0 / the SingleItem
+#         form (meta_table_stats), rewrite_data_files folds through
+#         field-id/name-mapping projection (ADVICE r7 medium #1),
+#         and the equality-delete partition gate became null-safe
+#         (ADVICE r7 medium #2) — mor_live_rows,
+#         commit_eq_delete_roundtrip, mor_read_evolved traverse it;
+#   34-50 r5-evidence refresh: q1, q4-q7, q12-q17, q19, q21, q22,
+#         percentiles_order_value, customer_running_total,
+#         pivot_status_by_priority.
+# Slid past 50 (evidence r6/r7-current; every one still re-verified
 # bit-exactly at TWO SFs by tests/test_oracle_parity.py each pytest
-# run): probe_string and the r5/r6-green §2.2/§2.3/§2.4 rows whose
-# code paths this round never touched (q1, dedup_clusters,
-# dedup_minhash_lsh, dedup_simhash, ann_ivf_topk, the text/pii
-# family, the pure-metadata.json queries, ...). probe_decimal
+# run): the whole r7 first-certification cohort (DV surface, both
+# statistics surfaces, refs, survivorship, PQ ANN, ...), the r7
+# apply_deletes re-cert block minus the three eq-gate keys above,
+# and the r5/r6 text/dedup/events families. probe_decimal
 # (EXPECTED-red witness of the driver's decimal rendering law,
 # proven in r2/r3) stays retired.
 
 from .iceberg import changelog as meta_changelog  # noqa: E402
 from .iceberg import commit as meta_commit  # noqa: E402
+from .iceberg import concurrency as meta_conc  # noqa: E402
 from .iceberg import deletes as meta_del  # noqa: E402
 from .iceberg import dml as meta_dml  # noqa: E402
 from .iceberg import evolution as meta_evo  # noqa: E402
@@ -176,197 +182,106 @@ from .streaming import incremental as stream_inc  # noqa: E402
 # ---------------------------------------- 1: canary probe (window)
 register("probe_double", probes.probe_double, probes.PROBE_DOUBLE_SQL, raw=True)
 
-# ------------------- 2-13: FIRST CERTIFICATION of the round-6 late
-# registrations (v3 deletion vectors, statistics files, refs,
-# survivorship, PQ ANN, linear quality, column stats, source triage)
-#
-# v3 deletion vectors (Puffin + portable Roaring, public specs):
-# the DV blob audit (manifest locator × footer × decoded bitmap,
-# golden), the v3 MoR read (DuckDB re-implements deletes over the
-# SAME parquet from the generator's declared positions), and exact
-# referenced-data-file task attachment (golden decision table)
-register("meta_dv_blobs", meta_del.meta_dv_blobs, meta_del.META_DV_BLOBS_SQL)
-register("mor_live_rows_dv", meta_del.mor_live_rows_dv, meta_del.MOR_LIVE_ROWS_DV_SQL)
+# ------------------- 2-3: FIRST CERTIFICATION of the r7 newcomers
+# incremental statistics maintenance: theta union over ONLY the
+# appended files, byte-identical to a recompute (pytest-pinned)
 register(
-    "scan_plan_tasks_dv", meta_del.scan_plan_tasks_dv, meta_del.SCAN_PLAN_TASKS_DV_SQL
+    "meta_stats_incremental",
+    meta_tstats.meta_stats_incremental,
+    meta_tstats.META_STATS_INCREMENTAL_SQL,
 )
-# the v3 DV WRITE path: DELETE WHERE staging deletion vectors (one
-# Arrow task per affected file, existing-vector union + retirement
-# of superseded blobs), certified through the CDC changelog of the
-# resulting commit (golden; the diff re-reads both snapshots via
-# the v3 MoR path)
+# corpus-LM bigram commonness score (the perplexity-filter shape,
+# exact-integer certified surface; top-V capped twin lives in
+# lm_bigram_stats_capped with a bench drift sweep)
+register("lm_bigram_stats", text_ops.lm_bigram_stats, text_ops.LM_BIGRAM_SQL)
+
+# ------------------- 4-25: r4-evidence cohort refresh
+register("q2_min_cost_supplier", tpch_ext.q2_min_cost_supplier, tpch_ext.Q2_SQL)
+register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_SQL)
+register("q8_market_share", tpch_ext.q8_market_share, tpch_ext.Q8_SQL)
+register("q10_returned_items", tpch.q10_returned_items, tpch.Q10_SQL)
+register("q11_important_part_value", tpch_ext.q11_important_part_value, tpch_ext.Q11_SQL)
+register("q18_large_volume_customers", tpch.q18_large_volume_customers, tpch.Q18_SQL)
+register("q20_promo_part_shippers", tpch_ext.q20_promo_part_shippers, tpch_ext.Q20_SQL)
+register("rollup_revenue", analytics.rollup_revenue, analytics.ROLLUP_SQL)
+register("cube_status_priority", analytics.cube_status_priority, analytics.CUBE_SQL)
+register("meta_manifest_entries", meta_tables.meta_manifest_entries, meta_tables.META_MANIFEST_ENTRIES_SQL)
+register("meta_files", meta_tables.meta_files, meta_tables.META_FILES_SQL)
+register("meta_partitions", meta_tables.meta_partitions, meta_tables.META_PARTITIONS_SQL)
+register("meta_snapshots", meta_tables.meta_snapshots, meta_tables.META_SNAPSHOTS_SQL)
+register("meta_history", meta_tables.meta_history, meta_tables.META_HISTORY_SQL)
+register("meta_typed_bounds", meta_tables.meta_typed_bounds, meta_tables.META_TYPED_BOUNDS_SQL)
+register("funnel_view_click_purchase", events.funnel_view_click_purchase, events.FUNNEL_SQL)
+register("retention_day_n", events.retention_day_n, events.RETENTION_SQL)
+register("dedup_ngram_jaccard", dedup.dedup_ngram_jaccard, dedup.DEDUP_NGRAM_SQL)
+register("embedding_norm_stats", similarity.embedding_norm_stats, similarity.NORM_STATS_SQL)
+register("text_fingerprint", text_ops.text_fingerprint, text_ops.TEXT_FINGERPRINT_SQL)
+register("text_langid", text_ops.text_langid, text_ops.TEXT_LANGID_SQL)
+register("token_count_histogram", sampling.token_count_histogram, sampling.TOKEN_HISTOGRAM_SQL)
+
+# ------------------- 26-28: NEW round-8 operators
+# optimistic-concurrency commits: append rebase onto a moved head,
+# validateDataFilesExist for staged position deletes, serializable
+# validateNoConflictingAppends for equality deletes (golden
+# four-writer scenario; every live-row count re-read via full MoR)
 register(
-    "delete_where_dv_roundtrip",
-    meta_dml.delete_where_dv_roundtrip,
-    meta_dml.DELETE_WHERE_DV_SQL,
+    "commit_conflict_roundtrip",
+    meta_conc.commit_conflict_roundtrip,
+    meta_conc.COMMIT_CONFLICT_SQL,
 )
-# partition statistics files (spec "Partition statistics"): write +
-# register + read back through the metadata chain on a scratch MoR
-# copy; unified (category, id_trunc) tuple across both specs, delete
-# exposure split by kind (golden counts; sizes pytest-checked)
+# partition-scoped statistics maintenance for non-append ranges:
+# one-partition delete → one-partition recompute, untouched
+# partitions reuse registered sketches, table level = theta union
 register(
-    "meta_partition_stats",
-    meta_pstats.meta_partition_stats,
-    meta_pstats.META_PARTITION_STATS_SQL,
+    "meta_stats_partition_scoped",
+    meta_tstats.meta_stats_partition_scoped,
+    meta_tstats.META_STATS_PARTITION_SCOPED_SQL,
 )
-# table statistics files (spec "Table statistics"): Puffin NDV
-# blobs computed over the LIVE MoR read, registered under metadata
-# `statistics`, read back footer-first with payload/property
-# agreement checked
+# IVF-PQ composition (rows-only: k-means; recall@5 >= 0.9 pinned by
+# pytest vs the exact baseline, monotone in nprobe)
+register("ann_ivfpq_topk", pq_ops.ann_ivfpq_topk, None)
+
+# ------------------- 29-33: changed-this-round re-certifications
 register(
     "meta_table_stats",
     meta_tstats.meta_table_stats,
     meta_tstats.META_TABLE_STATS_SQL,
-)
-# named refs metadata table ($refs: tags/branches + main)
-register("meta_refs", meta_commit.meta_refs, meta_commit.META_REFS_SQL)
-# dedup survivorship (keep-the-longest per near-dup cluster)
-register("dedup_survivors", components.dedup_survivors, components.DEDUP_SURVIVORS_SQL)
-# product-quantization ANN (rows-only: k-means isn't SQL-expressible;
-# recall@5 >= 0.9 vs the exact baseline + determinism pinned by pytest)
-register("ann_pq_topk", pq_ops.ann_pq_topk, None)
-# linear quality scorer (continuous companion to the rule gate):
-# fixed-order double expression tree, bit-identical cross-engine
-register(
-    "quality_score_linear", text_ops.quality_score_linear, text_ops.QUALITY_LINEAR_SQL
-)
-# ANALYZE-style column stats (exact-distinct gate; the HLL scale
-# path is pytest-bounded against it)
-register(
-    "column_stats_orders", stats_ops.column_stats_orders, stats_ops.COLUMN_STATS_SQL
-)
-# source-level near-dup triage (internal re-crawl vs cross-feed)
-register(
-    "near_dup_rate_by_source",
-    dedup.near_dup_rate_by_source,
-    dedup.NEAR_DUP_BY_SOURCE_SQL,
-)
-
-# ------------------- 14-45: changed-this-round re-certifications
-# (apply_deletes eq-grouping/transform-gating, DML keys-DataFrame +
-# null-partition staging, one-job rewrite_data_files, collect-free
-# CDC replication, _micros pre-epoch, embedding_near_dup cap)
-register("mor_live_rows", meta_del.mor_live_rows, meta_del.MOR_LIVE_ROWS_SQL)
-register("files_at_snapshot_mor", meta_del.files_at_snapshot_mor, meta_del.FILES_AT_SNAPSHOT_MOR_SQL)
-register("meta_delete_files", meta_del.meta_delete_files, meta_del.META_DELETE_FILES_SQL)
-register("scan_plan_evolved", meta_del.scan_plan_evolved, meta_del.SCAN_PLAN_EVOLVED_SQL)
-register("scan_plan_mor", meta_del.scan_plan_mor, meta_del.SCAN_PLAN_MOR_SQL)
-register(
-    "delete_compaction_plan",
-    meta_del.delete_compaction_plan,
-    meta_del.DELETE_COMPACTION_SQL,
 )
 register(
     "rewrite_datafiles_roundtrip",
     meta_rwdata.rewrite_datafiles_roundtrip,
     meta_rwdata.REWRITE_DATAFILES_SQL,
 )
-register(
-    "commit_delete_roundtrip",
-    meta_commit.commit_delete_roundtrip,
-    meta_commit.COMMIT_DELETE_SQL,
-)
+register("mor_live_rows", meta_del.mor_live_rows, meta_del.MOR_LIVE_ROWS_SQL)
 register(
     "commit_eq_delete_roundtrip",
     meta_commit.commit_eq_delete_roundtrip,
     meta_commit.COMMIT_EQ_DELETE_SQL,
 )
-register(
-    "delete_where_roundtrip", meta_dml.delete_where_roundtrip, meta_dml.DELETE_WHERE_SQL
-)
-register(
-    "update_where_roundtrip", meta_dml.update_where_roundtrip, meta_dml.UPDATE_WHERE_SQL
-)
-register(
-    "merge_into_roundtrip", meta_dml.merge_into_roundtrip, meta_dml.MERGE_INTO_SQL
-)
-register(
-    "cdc_replicate_roundtrip",
-    stream_cdc.cdc_replicate_roundtrip,
-    stream_cdc.CDC_REPLICATE_SQL,
-)
-register(
-    "changelog_rows", meta_changelog.changelog_rows, meta_changelog.CHANGELOG_SQL
-)
-register(
-    "changelog_stream_rows",
-    stream_cdc.changelog_stream_rows,
-    stream_cdc.CHANGELOG_STREAM_SQL,
-)
-register(
-    "incremental_stream_rows",
-    stream_inc.incremental_stream_rows,
-    stream_inc.INCREMENTAL_STREAM_SQL,
-)
 register("mor_read_evolved", meta_del.mor_read_evolved, meta_del.MOR_READ_EVOLVED_SQL)
-register(
-    "schema_evolution_read",
-    meta_evo.schema_evolution_read,
-    meta_evo.SCHEMA_EVOLUTION_READ_SQL,
-)
-register(
-    "schema_evolution_name_mapping",
-    meta_evo.schema_evolution_name_mapping,
-    meta_evo.SCHEMA_EVOLUTION_NAME_MAPPING_SQL,
-)
-register("meta_schemas", meta_evo.meta_schemas, meta_evo.META_SCHEMAS_SQL)
-register(
-    "scan_plan_transforms",
-    meta_trans.scan_plan_transforms,
-    meta_trans.SCAN_PLAN_TRANSFORMS_SQL,
-)
-register(
-    "merge_transform_partitions",
-    meta_trans.merge_transform_partitions,
-    meta_trans.MERGE_TRANSFORM_PARTITIONS_SQL,
-)
-register(
-    "rewrite_pos_deletes_roundtrip",
-    meta_rwdel.rewrite_pos_deletes_roundtrip,
-    meta_rwdel.REWRITE_POS_DELETES_SQL,
-)
-register(
-    "rollback_roundtrip", meta_commit.rollback_roundtrip, meta_commit.ROLLBACK_SQL
-)
-register(
-    "sorted_rewrite_prunes",
-    meta_sort.sorted_rewrite_prunes,
-    meta_sort.SORTED_REWRITE_SQL,
-)
-register(
-    "orphan_delete_roundtrip",
-    meta_maint.orphan_delete_roundtrip,
-    meta_maint.ORPHAN_DELETE_SQL,
-)
-register(
-    "commit_append_files",
-    meta_commit.commit_append_files,
-    meta_commit.COMMIT_APPEND_SQL,
-)
-register("files_at_tag", meta_commit.files_at_tag, meta_commit.FILES_AT_TAG_SQL)
-register(
-    "wap_publish_roundtrip",
-    meta_commit.wap_publish_roundtrip,
-    meta_commit.WAP_PUBLISH_SQL,
-)
-register(
-    "expire_execute_roundtrip",
-    meta_commit.expire_execute_roundtrip,
-    meta_commit.EXPIRE_EXECUTE_SQL,
-)
-register("meta_all_files", meta_snap.meta_all_files, meta_snap.META_ALL_FILES_SQL)
-register("embedding_near_dup", similarity.embedding_near_dup, similarity.NEAR_DUP_SQL)
 
-# ------------------- 46-50: oldest-evidence refresh (r4 rows)
-register("q9_product_type_profit", tpch.q9_product_type_profit, tpch.Q9_SQL)
-register("top_k_per_group", analytics.top_k_per_group, analytics.TOP_K_SQL)
-register("dedup_exact", dedup.dedup_exact, dedup.DEDUP_EXACT_SQL)
-register("ann_topk_bruteforce", similarity.ann_topk_bruteforce, similarity.ANN_BRUTE_SQL)
-register("asof_join_events_orders", events.asof_join_events_orders, events.ASOF_SQL)
+# ------------------- 34-50: r5-evidence refresh
+register("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL)
+register("q4_order_priority", tpch.q4_order_priority, tpch.Q4_SQL)
+register("q5_local_supplier_volume", tpch.q5_local_supplier_volume, tpch.Q5_SQL)
+register("q6_revenue_change", tpch.q6_revenue_change, tpch.Q6_SQL)
+register("q7_volume_shipping", tpch.q7_volume_shipping, tpch.Q7_SQL)
+register("q12_priority_shipping", tpch.q12_priority_shipping, tpch.Q12_SQL)
+register("q13_customer_distribution", tpch.q13_customer_distribution, tpch.Q13_SQL)
+register("q14_promo_effect", tpch.q14_promo_effect, tpch.Q14_SQL)
+register("q15_top_supplier", tpch_ext.q15_top_supplier, tpch_ext.Q15_SQL)
+register("q16_supplier_part_variety", tpch_ext.q16_supplier_part_variety, tpch_ext.Q16_SQL)
+register("q17_small_quantity_revenue", tpch_ext.q17_small_quantity_revenue, tpch_ext.Q17_SQL)
+register("q19_discounted_revenue", tpch.q19_discounted_revenue, tpch.Q19_SQL)
+register("q21_sole_fault_supplier", tpch_ext.q21_sole_fault_supplier, tpch_ext.Q21_SQL)
+register("q22_global_sales_opportunity", tpch.q22_global_sales_opportunity, tpch.Q22_SQL)
+register("percentiles_order_value", analytics.percentiles_order_value, analytics.PERCENTILES_SQL)
+register("customer_running_total", analytics.customer_running_total, analytics.RUNNING_TOTAL_SQL)
+register("pivot_status_by_priority", analytics.pivot_status_by_priority, analytics.PIVOT_SQL)
 
 # === PAST-50 MARKER ===============================================
 # Everything REGISTERED below sits past the driver's 50-entry window
-# this round and holds a green r4-r6 driver row (or is a retired /
+# this round and holds a green r4-r7 driver row (or is a retired /
 # rows-only diagnostic); local test_oracle_parity still runs ALL
 # entries bit-exactly at two SFs every pytest run.
 
@@ -374,9 +289,142 @@ register("asof_join_events_orders", events.asof_join_events_orders, events.ASOF_
 def _register_past_window() -> None:
     """Registrations past the driver's 50-entry window."""
     register("probe_string", probes.probe_string, probes.PROBE_STRING_SQL, raw=True)
-    register("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL)
 
-    # pure-metadata.json queries (resolver untouched this round)
+    # r7 first-certification cohort (all green r7)
+    register("meta_dv_blobs", meta_del.meta_dv_blobs, meta_del.META_DV_BLOBS_SQL)
+    register("mor_live_rows_dv", meta_del.mor_live_rows_dv, meta_del.MOR_LIVE_ROWS_DV_SQL)
+    register("scan_plan_tasks_dv", meta_del.scan_plan_tasks_dv, meta_del.SCAN_PLAN_TASKS_DV_SQL)
+    register(
+        "delete_where_dv_roundtrip",
+        meta_dml.delete_where_dv_roundtrip,
+        meta_dml.DELETE_WHERE_DV_SQL,
+    )
+    register(
+        "meta_partition_stats",
+        meta_pstats.meta_partition_stats,
+        meta_pstats.META_PARTITION_STATS_SQL,
+    )
+    register("meta_refs", meta_commit.meta_refs, meta_commit.META_REFS_SQL)
+    register("dedup_survivors", components.dedup_survivors, components.DEDUP_SURVIVORS_SQL)
+    register("ann_pq_topk", pq_ops.ann_pq_topk, None)
+    register(
+        "quality_score_linear", text_ops.quality_score_linear, text_ops.QUALITY_LINEAR_SQL
+    )
+    register(
+        "column_stats_orders", stats_ops.column_stats_orders, stats_ops.COLUMN_STATS_SQL
+    )
+    register(
+        "near_dup_rate_by_source",
+        dedup.near_dup_rate_by_source,
+        dedup.NEAR_DUP_BY_SOURCE_SQL,
+    )
+
+    # r7 re-cert block (apply_deletes / DML / CDC / transforms)
+    register("files_at_snapshot_mor", meta_del.files_at_snapshot_mor, meta_del.FILES_AT_SNAPSHOT_MOR_SQL)
+    register("meta_delete_files", meta_del.meta_delete_files, meta_del.META_DELETE_FILES_SQL)
+    register("scan_plan_evolved", meta_del.scan_plan_evolved, meta_del.SCAN_PLAN_EVOLVED_SQL)
+    register("scan_plan_mor", meta_del.scan_plan_mor, meta_del.SCAN_PLAN_MOR_SQL)
+    register(
+        "delete_compaction_plan",
+        meta_del.delete_compaction_plan,
+        meta_del.DELETE_COMPACTION_SQL,
+    )
+    register(
+        "commit_delete_roundtrip",
+        meta_commit.commit_delete_roundtrip,
+        meta_commit.COMMIT_DELETE_SQL,
+    )
+    register(
+        "delete_where_roundtrip", meta_dml.delete_where_roundtrip, meta_dml.DELETE_WHERE_SQL
+    )
+    register(
+        "update_where_roundtrip", meta_dml.update_where_roundtrip, meta_dml.UPDATE_WHERE_SQL
+    )
+    register(
+        "merge_into_roundtrip", meta_dml.merge_into_roundtrip, meta_dml.MERGE_INTO_SQL
+    )
+    register(
+        "cdc_replicate_roundtrip",
+        stream_cdc.cdc_replicate_roundtrip,
+        stream_cdc.CDC_REPLICATE_SQL,
+    )
+    register(
+        "changelog_rows", meta_changelog.changelog_rows, meta_changelog.CHANGELOG_SQL
+    )
+    register(
+        "changelog_stream_rows",
+        stream_cdc.changelog_stream_rows,
+        stream_cdc.CHANGELOG_STREAM_SQL,
+    )
+    register(
+        "incremental_stream_rows",
+        stream_inc.incremental_stream_rows,
+        stream_inc.INCREMENTAL_STREAM_SQL,
+    )
+    register(
+        "schema_evolution_read",
+        meta_evo.schema_evolution_read,
+        meta_evo.SCHEMA_EVOLUTION_READ_SQL,
+    )
+    register(
+        "schema_evolution_name_mapping",
+        meta_evo.schema_evolution_name_mapping,
+        meta_evo.SCHEMA_EVOLUTION_NAME_MAPPING_SQL,
+    )
+    register("meta_schemas", meta_evo.meta_schemas, meta_evo.META_SCHEMAS_SQL)
+    register(
+        "scan_plan_transforms",
+        meta_trans.scan_plan_transforms,
+        meta_trans.SCAN_PLAN_TRANSFORMS_SQL,
+    )
+    register(
+        "merge_transform_partitions",
+        meta_trans.merge_transform_partitions,
+        meta_trans.MERGE_TRANSFORM_PARTITIONS_SQL,
+    )
+    register(
+        "rewrite_pos_deletes_roundtrip",
+        meta_rwdel.rewrite_pos_deletes_roundtrip,
+        meta_rwdel.REWRITE_POS_DELETES_SQL,
+    )
+    register(
+        "rollback_roundtrip", meta_commit.rollback_roundtrip, meta_commit.ROLLBACK_SQL
+    )
+    register(
+        "sorted_rewrite_prunes",
+        meta_sort.sorted_rewrite_prunes,
+        meta_sort.SORTED_REWRITE_SQL,
+    )
+    register(
+        "orphan_delete_roundtrip",
+        meta_maint.orphan_delete_roundtrip,
+        meta_maint.ORPHAN_DELETE_SQL,
+    )
+    register(
+        "commit_append_files",
+        meta_commit.commit_append_files,
+        meta_commit.COMMIT_APPEND_SQL,
+    )
+    register("files_at_tag", meta_commit.files_at_tag, meta_commit.FILES_AT_TAG_SQL)
+    register(
+        "wap_publish_roundtrip",
+        meta_commit.wap_publish_roundtrip,
+        meta_commit.WAP_PUBLISH_SQL,
+    )
+    register(
+        "expire_execute_roundtrip",
+        meta_commit.expire_execute_roundtrip,
+        meta_commit.EXPIRE_EXECUTE_SQL,
+    )
+    register("meta_all_files", meta_snap.meta_all_files, meta_snap.META_ALL_FILES_SQL)
+    register("embedding_near_dup", similarity.embedding_near_dup, similarity.NEAR_DUP_SQL)
+    register("q9_product_type_profit", tpch.q9_product_type_profit, tpch.Q9_SQL)
+    register("top_k_per_group", analytics.top_k_per_group, analytics.TOP_K_SQL)
+    register("dedup_exact", dedup.dedup_exact, dedup.DEDUP_EXACT_SQL)
+    register("ann_topk_bruteforce", similarity.ann_topk_bruteforce, similarity.ANN_BRUTE_SQL)
+    register("asof_join_events_orders", events.asof_join_events_orders, events.ASOF_SQL)
+
+    # pure-metadata.json queries (r5/r6 green)
     register("meta_snapshots_multi", meta_snap.meta_snapshots_multi, meta_snap.META_SNAPSHOTS_MULTI_SQL)
     register("meta_history_multi", meta_snap.meta_history_multi, meta_snap.META_HISTORY_MULTI_SQL)
     register("expire_snapshots_plan", meta_snap.expire_snapshots_plan, meta_snap.EXPIRE_SNAPSHOTS_PLAN_SQL)
@@ -389,51 +437,7 @@ def _register_past_window() -> None:
     register("meta_rewritten_files", meta_snap.meta_rewritten_files, meta_snap.META_REWRITTEN_FILES_SQL)
     register("compaction_plan", meta_snap.compaction_plan, meta_snap.COMPACTION_PLAN_SQL)
 
-    # §2.1 metadata tables over the reference fixture
-    register("meta_manifest_entries", meta_tables.meta_manifest_entries, meta_tables.META_MANIFEST_ENTRIES_SQL)
-    register("meta_files", meta_tables.meta_files, meta_tables.META_FILES_SQL)
-    register("meta_partitions", meta_tables.meta_partitions, meta_tables.META_PARTITIONS_SQL)
-    register("meta_snapshots", meta_tables.meta_snapshots, meta_tables.META_SNAPSHOTS_SQL)
-    register("meta_history", meta_tables.meta_history, meta_tables.META_HISTORY_SQL)
-    register("meta_typed_bounds", meta_tables.meta_typed_bounds, meta_tables.META_TYPED_BOUNDS_SQL)
-    # round-7 addition (first driver row next round; parity-replica
-    # verified at two SFs meanwhile): incremental statistics
-    # maintenance via theta union over the appended files only
-    register(
-        "meta_stats_incremental",
-        meta_tstats.meta_stats_incremental,
-        meta_tstats.META_STATS_INCREMENTAL_SQL,
-    )
-    # round-7 addition: corpus-LM bigram commonness score (the
-    # perplexity-filter shape, exact-integer certified surface)
-    register("lm_bigram_stats", text_ops.lm_bigram_stats, text_ops.LM_BIGRAM_SQL)
-
-    # §2.2 TPC-H + analytics (r4-r5 green)
-    register("q2_min_cost_supplier", tpch_ext.q2_min_cost_supplier, tpch_ext.Q2_SQL)
-    register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_SQL)
-    register("q4_order_priority", tpch.q4_order_priority, tpch.Q4_SQL)
-    register("q5_local_supplier_volume", tpch.q5_local_supplier_volume, tpch.Q5_SQL)
-    register("q6_revenue_change", tpch.q6_revenue_change, tpch.Q6_SQL)
-    register("q7_volume_shipping", tpch.q7_volume_shipping, tpch.Q7_SQL)
-    register("q8_market_share", tpch_ext.q8_market_share, tpch_ext.Q8_SQL)
-    register("q10_returned_items", tpch.q10_returned_items, tpch.Q10_SQL)
-    register("q11_important_part_value", tpch_ext.q11_important_part_value, tpch_ext.Q11_SQL)
-    register("q12_priority_shipping", tpch.q12_priority_shipping, tpch.Q12_SQL)
-    register("q13_customer_distribution", tpch.q13_customer_distribution, tpch.Q13_SQL)
-    register("q14_promo_effect", tpch.q14_promo_effect, tpch.Q14_SQL)
-    register("q15_top_supplier", tpch_ext.q15_top_supplier, tpch_ext.Q15_SQL)
-    register("q16_supplier_part_variety", tpch_ext.q16_supplier_part_variety, tpch_ext.Q16_SQL)
-    register("q17_small_quantity_revenue", tpch_ext.q17_small_quantity_revenue, tpch_ext.Q17_SQL)
-    register("q18_large_volume_customers", tpch.q18_large_volume_customers, tpch.Q18_SQL)
-    register("q19_discounted_revenue", tpch.q19_discounted_revenue, tpch.Q19_SQL)
-    register("q20_promo_part_shippers", tpch_ext.q20_promo_part_shippers, tpch_ext.Q20_SQL)
-    register("q21_sole_fault_supplier", tpch_ext.q21_sole_fault_supplier, tpch_ext.Q21_SQL)
-    register("q22_global_sales_opportunity", tpch.q22_global_sales_opportunity, tpch.Q22_SQL)
-    register("rollup_revenue", analytics.rollup_revenue, analytics.ROLLUP_SQL)
-    register("cube_status_priority", analytics.cube_status_priority, analytics.CUBE_SQL)
-    register("pivot_status_by_priority", analytics.pivot_status_by_priority, analytics.PIVOT_SQL)
-    register("percentiles_order_value", analytics.percentiles_order_value, analytics.PERCENTILES_SQL)
-    register("customer_running_total", analytics.customer_running_total, analytics.RUNNING_TOTAL_SQL)
+    # §2.2 analytics remainder (r5 green)
     register("monthly_revenue_delta", analytics.monthly_revenue_delta, analytics.MONTHLY_DELTA_SQL)
     register("decile_value_customers", analytics.decile_value_customers, analytics.DECILE_SQL)
     register("orders_cume_dist", analytics.orders_cume_dist, analytics.CUME_DIST_SQL)
@@ -450,30 +454,23 @@ def _register_past_window() -> None:
     register("events_props_stats", events.events_props_stats, events.EVENTS_PROPS_SQL)
     register("funnel_windowed", events.funnel_windowed, events.FUNNEL_WINDOWED_SQL)
     register("events_dedup_exact", events.events_dedup_exact, events.EVENTS_DEDUP_SQL)
-    register("funnel_view_click_purchase", events.funnel_view_click_purchase, events.FUNNEL_SQL)
-    register("retention_day_n", events.retention_day_n, events.RETENTION_SQL)
     register("retention_matrix", events.retention_matrix, events.RETENTION_MATRIX_SQL)
 
     # §2.4 text/dedup/sampling (r4-r6 green)
     register("text_stats", text_ops.text_stats, text_ops.TEXT_STATS_SQL)
     register("text_quality", text_ops.text_quality, text_ops.TEXT_QUALITY_SQL)
-    register("text_langid", text_ops.text_langid, text_ops.TEXT_LANGID_SQL)
-    register("text_fingerprint", text_ops.text_fingerprint, text_ops.TEXT_FINGERPRINT_SQL)
     register("pii_scrub_stats", text_ops.pii_scrub_stats, text_ops.PII_SCRUB_SQL)
     register("doc_repetition_stats", text_ops.doc_repetition_stats, text_ops.DOC_REPETITION_SQL)
     register("source_dup_stats", text_ops.source_dup_stats, text_ops.SOURCE_DUP_SQL)
     register("corpus_filter_funnel", text_ops.corpus_filter_funnel, text_ops.CORPUS_FUNNEL_SQL)
-    register("dedup_ngram_jaccard", dedup.dedup_ngram_jaccard, dedup.DEDUP_NGRAM_SQL)
     register("dedup_minhash_lsh", dedup.dedup_minhash_lsh, dedup.DEDUP_MINHASH_SQL)
     register("dedup_simhash", dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL)
     register("dedup_clusters", components.dedup_clusters, components.DEDUP_CLUSTERS_SQL)
     register("decontaminate_ngram", dedup.decontaminate_ngram, dedup.DECONTAMINATE_SQL)
     register("decontaminate_minhash", dedup.decontaminate_minhash, dedup.DECONTAMINATE_MINHASH_SQL)
-    register("embedding_norm_stats", similarity.embedding_norm_stats, similarity.NORM_STATS_SQL)
     register("ann_ivf_topk", similarity.ann_ivf_topk, similarity.ANN_IVF_SQL)
     register("dataset_split", sampling.dataset_split, sampling.DATASET_SPLIT_SQL)
     register("stratified_sample", sampling.stratified_sample, sampling.STRATIFIED_SAMPLE_SQL)
-    register("token_count_histogram", sampling.token_count_histogram, sampling.TOKEN_HISTOGRAM_SQL)
     register("mixture_plan", sampling.mixture_plan, sampling.MIXTURE_PLAN_SQL)
     register("pack_sequences_check", packing.pack_sequences_check, packing.PACK_CHECK_SQL)
 

@@ -422,3 +422,81 @@ def test_theta_double_batch_canonicalizes_neg_zero_and_nan():
     assert theta_hash(to_bytes("double", 1.5)) == theta_hash(1.5)
     # and -0.0 collapsed onto +0.0, both NaNs onto one hash
     assert got[0] == got[1] and got[3] == got[4]
+
+
+def test_partition_scoped_stats_reads_only_touched_partition(spark, mor_scratch):
+    """VERDICT r7 #7: a one-partition delete triggers a recompute
+    that reads ONLY that partition's data files; untouched
+    partitions reuse their registered sketches; the merged
+    table-level sketch is byte-identical to a full recompute."""
+    from iceberg_tools_spark.iceberg.commit import (
+        commit_delete_snapshot,
+        write_position_deletes,
+    )
+    from iceberg_tools_spark.iceberg.puffin import read_blob
+    from iceberg_tools_spark.iceberg.table_stats import (
+        update_table_stats_incremental,
+        update_table_stats_partition_scoped,
+        write_table_stats,
+    )
+
+    root, mpath = mor_scratch
+    r0 = write_table_stats(spark, mpath, 2004, root, per_partition=True)
+    assert r0["ndv"] == {"id": 323, "category": 4}
+    rel = write_position_deletes(
+        root, "data/deletes/ps1.parquet",
+        [("data/category=z/D.parquet", p) for p in range(5, 10)],
+    )
+    r1 = commit_delete_snapshot(
+        r0["metadata_path"],
+        [{"path": rel, "partition": {"category": "z"}, "content": 1}],
+        spec_id=0,
+    )
+    # the insert-only incremental path must refuse this range
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not append-only"):
+        update_table_stats_incremental(spark, r1["metadata_path"], r1["snapshot_id"], root)
+
+    upd = update_table_stats_partition_scoped(
+        spark, r1["metadata_path"], r1["snapshot_id"], root
+    )
+    assert upd["ndv"] == {"id": 319, "category": 4}
+    assert upd["touched_partitions"] == ['{"category": "z", "id_trunc": null}']
+    assert len(upd["reused_partitions"]) == 3
+    # plan pin: ONLY partition z's data file was read
+    assert [p.rsplit("/", 1)[-1] for p in upd["recomputed_files"]] == ["D.parquet"]
+
+    # table-level blobs byte-identical to a FULL per-partition recompute
+    full = write_table_stats(
+        spark, r1["metadata_path"], r1["snapshot_id"], root, per_partition=True
+    )
+
+    def table_blobs(res, mp):
+        from iceberg_tools_spark.iceberg.metadata import parse_metadata
+
+        meta = parse_metadata(res["metadata_path"])
+        entry = next(
+            s for s in meta.raw["statistics"]
+            if s["snapshot-id"] == res["snapshot_id"]
+        )
+        return {
+            b["properties"]["column"]: read_blob(
+                res["statistics_path"], b["offset"], b["length"]
+            )
+            for b in entry["blob-metadata"]
+            if "partition" not in b.get("properties", {})
+        }
+
+    assert table_blobs(upd, root) == table_blobs(full, root)
+
+
+def test_per_partition_write_matches_direct_table_sketch(spark, mor_scratch):
+    """write_table_stats(per_partition=True): the table-level union
+    of partition sketches equals the direct whole-table build."""
+    from iceberg_tools_spark.iceberg.table_stats import write_table_stats
+
+    root, mpath = mor_scratch
+    direct = write_table_stats(spark, mpath, 2004, root)
+    per = write_table_stats(spark, mpath, 2004, root, per_partition=True)
+    assert direct["ndv"] == per["ndv"] == {"id": 323, "category": 4}

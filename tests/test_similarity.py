@@ -181,3 +181,32 @@ def test_pq_adc_scan_is_jvm_only(spark):
     assert "BatchEvalPython" not in plan
     assert plan.count("ArrowEvalPython") <= 1
     assert plan.count("MapInPandas") <= 2  # single-task training only
+
+
+def test_ivfpq_recall_and_scan_pruning(spark):
+    """IVF-PQ composition (VERDICT r7 #6): recall@5 >= 0.9 vs the
+    exact baseline at the default nprobe, recall monotone in nprobe,
+    and determinism across invocations."""
+    from iceberg_tools_spark.operators.pq import ann_ivfpq_topk
+    from iceberg_tools_spark.operators.similarity import ann_topk_bruteforce
+
+    sfd = "/root/testdata/sf0.01"
+    exact = {}
+    for r in ann_topk_bruteforce(spark, sfd).collect():
+        exact.setdefault(r["qid"], set()).add(r["neighbor_id"])
+
+    def rec(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["qid"], set()).add(r["neighbor_id"])
+        assert set(got) == set(exact) and all(len(s) == 5 for s in got.values())
+        return sum(len(got[q] & exact[q]) / len(exact[q]) for q in exact) / len(exact)
+
+    deep = rec(ann_ivfpq_topk(spark, sfd))
+    assert deep >= 0.9, deep
+    shallow = rec(ann_ivfpq_topk(spark, sfd, nprobe=4))
+    assert shallow <= deep + 1e-9
+    # determinism: bounded md5-ranked training + quantized means
+    a = [tuple(r) for r in ann_ivfpq_topk(spark, sfd).collect()]
+    b = [tuple(r) for r in ann_ivfpq_topk(spark, sfd).collect()]
+    assert a == b
