@@ -580,7 +580,7 @@ def main() -> None:
         }
         lm_total = sum(exact_lm.values())
         sweep["lm_top_v"] = []
-        for v in (1024, 8192, 65536):
+        for v in (64, 1024, 8192, 65536):
             t = time.perf_counter()
             got = {
                 r["doc_id"]: r["sum_bigram_count"]

@@ -365,12 +365,12 @@ def partition_column_sketches(
     ).drop("pj_rel")
 
     k = 1 << lg_k
+    from functools import reduce
+
     from pyspark.sql import Window
 
-    out: dict[str, dict[str, dict[str, Any]]] = {}
-    for c in columns:
-
-        def _hb(it: Iterator, t=ftypes[c]) -> Iterator:
+    def _col_hashed(c: str) -> DataFrame:
+        def _hb(it: Iterator, t=ftypes[c], cname=c) -> Iterator:
             import pandas as pd
 
             for pdf in it:
@@ -379,6 +379,7 @@ def partition_column_sketches(
                     continue
                 yield pd.DataFrame(
                     {
+                        "col": cname,
                         "pj": pdf.iloc[:, 0].to_numpy(),
                         "h": pd.Series(
                             _hash_series(pdf.iloc[:, 1], t), dtype="int64"
@@ -386,24 +387,34 @@ def partition_column_sketches(
                     }
                 )
 
-        hashed = (
+        return (
             tagged.select("_pj", c)
             .where(F.col(c).isNotNull())
             .distinct()
-            .mapInPandas(_hb, "pj string, h long")
+            .mapInPandas(_hb, "col string, pj string, h long")
         )
-        w = Window.partitionBy("pj").orderBy("h")
-        rows = (
-            hashed.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k + 1)
-            .collect()
-        )
-        per: dict[str, list[int]] = {}
-        for r in rows:
-            per.setdefault(r["pj"], []).append(r["h"])
-        for pj in part_set:
+
+    # ONE action for every column: the per-column hash branches
+    # union under a column tag and a single per-(col, partition)
+    # top-(k+1) window reduces them together (N_cols × N_partitions
+    # × (k+1) longs to the driver, one job instead of one per
+    # column — the scheduling overhead AND the opportunity for
+    # Spark to run the per-column scans concurrently)
+    hashed = reduce(DataFrame.unionByName, [_col_hashed(c) for c in columns])
+    w = Window.partitionBy("col", "pj").orderBy("h")
+    rows = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k + 1)
+        .collect()
+    )
+    per: dict[tuple[str, str], list[int]] = {}
+    for r in rows:
+        per.setdefault((r["col"], r["pj"]), []).append(r["h"])
+    out: dict[str, dict[str, dict[str, Any]]] = {}
+    for pj in part_set:
+        for c in columns:
             out.setdefault(pj, {})[c] = build_compact_theta(
-                per.get(pj, []), lg_k=lg_k
+                per.get((c, pj), []), lg_k=lg_k
             )
     return out, sorted(e["local_path"] for e in data)
 

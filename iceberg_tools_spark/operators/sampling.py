@@ -228,3 +228,49 @@ SELECT source, n_docs, n_tokens,
 FROM w, tot
 ORDER BY source
 """
+
+
+GROUP_SAMPLE_K = 25
+GROUP_SAMPLE_SALT = "gsample-v1"
+
+
+def group_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size per-group sample — the reservoir-
+    sample shape every dataset-inspection pipeline needs ("show me
+    K random docs per language"), made reproducible: rank docs
+    within each language by salted md5(doc_id) and keep the first
+    ``GROUP_SAMPLE_K``. Same sample across runs, engines, and
+    executor counts — no RNG, no seed-ordering hazard.
+
+    Scale: ONE shuffle on the group key; the window's per-group sort
+    is by an 8-byte hash (uniform — md5 — so group skew is the data's
+    own language skew, which a salted secondary key cannot fix and a
+    production run would cap per group anyway). Emitting rank + hash
+    keeps the certified surface exact-integer."""
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "lang"])
+    from pyspark.sql import Window
+
+    hk = md5_i64(F.col("doc_id").cast("string"), GROUP_SAMPLE_SALT)
+    w = Window.partitionBy("lang").orderBy(F.col("hk"), F.col("doc_id"))
+    return (
+        d.select("lang", "doc_id", hk.alias("hk"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= GROUP_SAMPLE_K)
+        .select("lang", "rk", "doc_id", "hk")
+        .orderBy("lang", "rk")
+    )
+
+
+_GS_HK = md5_i64_duck("doc_id::VARCHAR", GROUP_SAMPLE_SALT)
+
+GROUP_SAMPLE_SQL = f"""
+WITH ranked AS (
+  SELECT lang, doc_id, {_GS_HK} AS hk,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {_GS_HK}, doc_id)
+              AS BIGINT) AS rk
+  FROM documents)
+SELECT lang, rk, doc_id, hk
+FROM ranked
+WHERE rk <= {GROUP_SAMPLE_K}
+ORDER BY lang, rk
+"""

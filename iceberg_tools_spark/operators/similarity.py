@@ -501,3 +501,90 @@ ORDER BY qid, rk"""
 
 
 ANN_IVF_SQL = _ivf_oracle_sql()
+
+
+# ------------------------------- embedding-space decontamination
+
+EVAL_MOD = 97  # deterministic eval-set selector: vec_id % 97 == 0
+DECON_EMB_TOP = 50
+DECON_EMB_THRESHOLD = 0.90
+# Fewer planes than embedding_near_dup's 8: candidate volume here is
+# |corpus|·|eval| / 2^planes with a TINY eval side, so recall (not
+# pair count) is the binding constraint — 4 planes ≈ 16 buckets
+# keeps ~1/16 of cross pairs as candidates at bounded cost.
+DECON_N_PLANES = 4
+
+
+def decontaminate_embedding(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_planes: int = DECON_N_PLANES,
+    threshold: float = DECON_EMB_THRESHOLD,
+) -> DataFrame:
+    """Embedding-space decontamination — the third modality next to
+    `decontaminate_ngram` (exact n-grams) and `decontaminate_minhash`
+    (lexical fuzz): flag training vectors semantically too close to
+    a held-out evaluation set. Eval set here: ``vec_id % 97 == 0``
+    (a deterministic benchmark stand-in, ~1% of the corpus).
+
+    Scale shape (the part that must hold at 100 TB): the EVAL side
+    is benchmark-sized, so it broadcasts — the corpus is never
+    shuffled; each corpus vector joins only the eval vectors in its
+    own ``n_planes``-bit hyperplane sign bucket (the same LSH family
+    `embedding_near_dup` uses), paying |eval ∩ bucket| comparisons
+    per row instead of |eval|. Exact cosine re-scores candidates;
+    output = the top-``DECON_EMB_TOP`` (corpus, eval) pairs by
+    cosine with the ``contaminated`` verdict at ``threshold`` — the
+    ranking form keeps the certified surface non-empty on a corpus
+    with no true contamination (max cos ≈ 0.5 here) while the flag
+    is what a production pipeline filters on."""
+    e = load_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    b = _with_bucket(e, n_planes)
+    ev = b.filter(F.col("vec_id") % EVAL_MOD == 0).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("eemb"),
+        F.col("ss").alias("ess"),
+        "bucket",
+    )
+    corpus = b.filter(F.col("vec_id") % EVAL_MOD != 0)
+    cos = dot_fast("embedding", "eemb") / (
+        F.sqrt(F.col("ss")) * F.sqrt(F.col("ess"))
+    )
+    return (
+        corpus.join(F.broadcast(ev), "bucket")
+        .select(
+            "vec_id",
+            "eval_id",
+            cos.cast(D38_6).alias("cosine"),
+        )
+        .withColumn(
+            "contaminated", (F.col("cosine") >= F.lit(threshold)).cast("boolean")
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id", "eval_id")
+        .limit(DECON_EMB_TOP)
+    )
+
+
+_DECON_BUCKET_DUCK = " || ".join(
+    hyperplane_sign_duck("embedding", p) for p in range(DECON_N_PLANES)
+)
+_DECON_DOT = DOT_DUCK.format(a="c.embedding", b="e.embedding")
+_DECON_SS_C = SUM_SQUARES_DUCK.format(a="c.embedding")
+_DECON_SS_E = SUM_SQUARES_DUCK.format(a="e.embedding")
+
+DECONTAMINATE_EMB_SQL = f"""
+WITH bkt AS (SELECT vec_id, embedding, {_DECON_BUCKET_DUCK} AS bucket FROM embeddings),
+ev AS (SELECT * FROM bkt WHERE vec_id % {EVAL_MOD} = 0),
+corpus AS (SELECT * FROM bkt WHERE vec_id % {EVAL_MOD} <> 0),
+pairs AS (
+  SELECT c.vec_id AS vec_id, e.vec_id AS eval_id,
+         CAST({_DECON_DOT} / (sqrt({_DECON_SS_C}) * sqrt({_DECON_SS_E}))
+              AS DECIMAL(38,6)) AS cosine
+  FROM corpus c JOIN ev e ON c.bucket = e.bucket)
+SELECT vec_id, eval_id, cosine,
+       (cosine >= {DECON_EMB_THRESHOLD}) AS contaminated
+FROM pairs
+ORDER BY cosine DESC, vec_id, eval_id
+LIMIT {DECON_EMB_TOP}
+"""

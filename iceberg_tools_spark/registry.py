@@ -472,6 +472,15 @@ def _register_past_window() -> None:
     register("dataset_split", sampling.dataset_split, sampling.DATASET_SPLIT_SQL)
     register("stratified_sample", sampling.stratified_sample, sampling.STRATIFIED_SAMPLE_SQL)
     register("mixture_plan", sampling.mixture_plan, sampling.MIXTURE_PLAN_SQL)
+    # round-8 additions past the window (first driver row next
+    # round; two-SF local parity meanwhile): embedding-space
+    # decontamination + deterministic per-group sampling
+    register(
+        "decontaminate_embedding",
+        similarity.decontaminate_embedding,
+        similarity.DECONTAMINATE_EMB_SQL,
+    )
+    register("group_sample_topk", sampling.group_sample_topk, sampling.GROUP_SAMPLE_SQL)
     register("pack_sequences_check", packing.pack_sequences_check, packing.PACK_CHECK_SQL)
 
     # rows-only raw forms of the invariant-check queries

@@ -126,3 +126,29 @@ def test_mixture_plan_invariants(spark):
     # deterministic: same plan on re-run
     again = mixture_plan(spark, "/root/testdata/sf0.001").collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_group_sample_topk_mechanism(spark):
+    """Per-language cap at K, deterministic across runs, and
+    hash-ranked (not the first K doc_ids — the sample is spread
+    across the id space)."""
+    from iceberg_tools_spark.operators.sampling import (
+        GROUP_SAMPLE_K,
+        group_sample_topk,
+    )
+
+    sfd = "/root/testdata/sf0.01"
+    rows = group_sample_topk(spark, sfd).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["lang"], []).append(r)
+    for lang, rs in per.items():
+        assert len(rs) <= GROUP_SAMPLE_K
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+        hks = [r["hk"] for r in rs]
+        assert hks == sorted(hks)
+    again = group_sample_topk(spark, sfd).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+    # not a head-of-table sample: sampled ids span the id range
+    ids = [r["doc_id"] for r in rows]
+    assert max(ids) > 10 * GROUP_SAMPLE_K

@@ -210,3 +210,29 @@ def test_ivfpq_recall_and_scan_pruning(spark):
     a = [tuple(r) for r in ann_ivfpq_topk(spark, sfd).collect()]
     b = [tuple(r) for r in ann_ivfpq_topk(spark, sfd).collect()]
     assert a == b
+
+
+def test_decontaminate_embedding_mechanism(spark):
+    """Eval/corpus sides are disjoint, eval ids are exactly the
+    vec_id % 97 == 0 set, rankings are deterministic, and a wider
+    bucket family (fewer planes) can only find equal-or-better top
+    cosines (more candidate pairs survive the LSH gate)."""
+    from iceberg_tools_spark.operators.similarity import (
+        EVAL_MOD,
+        decontaminate_embedding,
+    )
+
+    sfd = "/root/testdata/sf0.01"
+    rows = decontaminate_embedding(spark, sfd).collect()
+    assert len(rows) == 50  # 4-plane default fills the top-50
+    assert all(r["vec_id"] % EVAL_MOD != 0 for r in rows)
+    assert all(r["eval_id"] % EVAL_MOD == 0 for r in rows)
+    # synthetic corpus has no true contamination; the flag is real
+    # logic over the ranking surface
+    assert all(r["contaminated"] == (float(r["cosine"]) >= 0.90) for r in rows)
+    again = decontaminate_embedding(spark, sfd).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+    # a NARROWER family (more planes) can only find equal-or-worse
+    # top cosines (strictly fewer candidate pairs survive the gate)
+    narrow = decontaminate_embedding(spark, sfd, n_planes=8).collect()
+    assert float(narrow[0]["cosine"]) <= float(rows[0]["cosine"]) + 1e-9
