@@ -267,6 +267,7 @@ def append_snapshot(
     timestamp_ms: int | None = None,
     spec_id: int | None = None,
     stage_ref: str | None = None,
+    extra_summary: dict[str, str] | None = None,
 ) -> dict[str, Any]:
     """Commit an append snapshot; returns the new commit's paths/ids.
 
@@ -290,6 +291,7 @@ def append_snapshot(
         timestamp_ms=timestamp_ms,
         spec_id=spec_id,
         stage_ref=stage_ref,
+        extra_summary=extra_summary,
     )
 
 
@@ -473,6 +475,7 @@ def _commit_files(
     spec_id: int | None = None,
     stage_ref: str | None = None,
     replace_dv_refs: set[str] | None = None,
+    extra_summary: dict[str, str] | None = None,
 ) -> dict[str, Any]:
     if not data_files:
         raise ValueError(f"{operation} commit with no data files (empty commits carry no manifest)")
@@ -664,6 +667,9 @@ def _commit_files(
                 **({"added-delete-files": str(n_delete_files)} if n_delete_files else {}),
                 "added-records": str(added_rows),
                 **_summary_totals(rows),
+                # caller-supplied summary properties (e.g. the
+                # streaming sink's exactly-once batch markers)
+                **(extra_summary or {}),
             },
             "manifest-list": f"{loc}/metadata/{list_name}",
             "schema-id": raw.get("current-schema-id", 0),

@@ -66,19 +66,27 @@ def plan_expire_snapshots(
     keep_last: int = 1,
     older_than_ms: int | None = None,
 ) -> list[dict]:
-    """Snapshot-expiry plan: always keep the current snapshot and the
-    `keep_last` most recent; optionally expire only those older than
+    """Snapshot-expiry plan: always keep the current snapshot, the
+    `keep_last` most recent, and every snapshot a named ref (tag or
+    branch head) pins — the protection Iceberg's ``RemoveSnapshots``
+    applies, without which expiry would strand a tag on a deleted
+    snapshot (round 8). Optionally expire only those older than
     `older_than_ms`. Returns [{snapshot_id, timestamp_ms, action,
     reason}] sorted by timestamp."""
     snaps = sorted(meta.snapshots, key=lambda s: (s.get("timestamp-ms") or 0, s.get("snapshot-id")))
     keep_ids = {s.get("snapshot-id") for s in snaps[-keep_last:]} if keep_last else set()
     if meta.current_snapshot_id is not None:
         keep_ids.add(meta.current_snapshot_id)
+    ref_ids = {
+        r.get("snapshot-id") for r in meta.raw.get("refs", {}).values()
+    }
     plan = []
     for s in snaps:
         sid, ts = s.get("snapshot-id"), s.get("timestamp-ms")
         if sid in keep_ids:
             action, reason = "keep", "current-or-recent"
+        elif sid in ref_ids:
+            action, reason = "keep", "ref-protected"
         elif older_than_ms is not None and (ts or 0) >= older_than_ms:
             action, reason = "keep", "newer-than-cutoff"
         else:

@@ -147,9 +147,15 @@ def _decimal_cols(name: str) -> tuple[str, ...]:
 #         and the equality-delete partition gate became null-safe
 #         (ADVICE r7 medium #2) — mor_live_rows,
 #         commit_eq_delete_roundtrip, mor_read_evolved traverse it;
-#   34-50 r5-evidence refresh: q1, q4-q7, q12-q17, q19, q21, q22,
-#         percentiles_order_value, customer_running_total,
-#         pivot_status_by_priority.
+#   29    NEW this round: the streaming Iceberg SINK
+#         (stream_ingest_roundtrip — foreachBatch staging +
+#         exactly-once batch markers + optimistic append commits);
+#   30-34 re-certs whose implementation changed THIS round (see the
+#         29-33 note above, shifted by one);
+#   35-50 r5-evidence refresh: q1, q4-q7, q12-q17, q19, q21, q22,
+#         percentiles_order_value, customer_running_total
+#         (pivot_status_by_priority slid past 50 to make room for
+#         the sink; its r5 row + two-SF local parity still stand).
 # Slid past 50 (evidence r6/r7-current; every one still re-verified
 # bit-exactly at TWO SFs by tests/test_oracle_parity.py each pytest
 # run): the whole r7 first-certification cohort (DV surface, both
@@ -178,6 +184,7 @@ from .operators import pq as pq_ops  # noqa: E402
 from .operators import stats as stats_ops  # noqa: E402
 from .streaming import cdc as stream_cdc  # noqa: E402
 from .streaming import incremental as stream_inc  # noqa: E402
+from .streaming import ingest as stream_ingest  # noqa: E402
 
 # ---------------------------------------- 1: canary probe (window)
 register("probe_double", probes.probe_double, probes.PROBE_DOUBLE_SQL, raw=True)
@@ -240,6 +247,13 @@ register(
 # IVF-PQ composition (rows-only: k-means; recall@5 >= 0.9 pinned by
 # pytest vs the exact baseline, monotone in nprobe)
 register("ann_ivfpq_topk", pq_ops.ann_ivfpq_topk, None)
+# streaming Iceberg SINK (foreachBatch staging + exactly-once batch
+# markers + optimistic append commits; golden oracle)
+register(
+    "stream_ingest_roundtrip",
+    stream_ingest.stream_ingest_roundtrip,
+    stream_ingest.STREAM_INGEST_SQL,
+)
 
 # ------------------- 29-33: changed-this-round re-certifications
 register(
@@ -277,7 +291,6 @@ register("q21_sole_fault_supplier", tpch_ext.q21_sole_fault_supplier, tpch_ext.Q
 register("q22_global_sales_opportunity", tpch.q22_global_sales_opportunity, tpch.Q22_SQL)
 register("percentiles_order_value", analytics.percentiles_order_value, analytics.PERCENTILES_SQL)
 register("customer_running_total", analytics.customer_running_total, analytics.RUNNING_TOTAL_SQL)
-register("pivot_status_by_priority", analytics.pivot_status_by_priority, analytics.PIVOT_SQL)
 
 # === PAST-50 MARKER ===============================================
 # Everything REGISTERED below sits past the driver's 50-entry window
@@ -481,6 +494,9 @@ def _register_past_window() -> None:
         similarity.DECONTAMINATE_EMB_SQL,
     )
     register("group_sample_topk", sampling.group_sample_topk, sampling.GROUP_SAMPLE_SQL)
+    # slid past 50 in round 8 to make window room for the streaming
+    # sink; r5 driver row + two-SF local parity still stand
+    register("pivot_status_by_priority", analytics.pivot_status_by_priority, analytics.PIVOT_SQL)
     register("pack_sequences_check", packing.pack_sequences_check, packing.PACK_CHECK_SQL)
 
     # rows-only raw forms of the invariant-check queries

@@ -578,3 +578,35 @@ def test_snapshot_summary_totals(spark, tmp_path):
     snap3 = parse_metadata(res3["metadata_path"]).snapshots[-1]
     assert snap3["summary"]["total-records"] == "330"  # 347 − 17 dead
     assert snap3["summary"]["total-delete-files"] == "0"
+
+
+def test_expire_protects_ref_pinned_snapshots(spark):
+    """Round 8: a snapshot pinned by a tag or branch must survive
+    expiry (Iceberg's RemoveSnapshots ref protection) — and the
+    time-travel read through the tag still works afterwards."""
+    from iceberg_tools_spark.iceberg.commit import (
+        _scratch_table,
+        expire_snapshots,
+        resolve_ref,
+        set_ref,
+    )
+    from iceberg_tools_spark.iceberg.maintenance import plan_expire_snapshots
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+    from iceberg_tools_spark.iceberg.snapshots import MS_DIR, files_at
+
+    root = _scratch_table("expire_ref_", MS_DIR)
+    mp = os.path.join(root, "v2.metadata.json")
+    tagged = set_ref(mp, "audit-1001", snapshot_id=1001, ref_type="tag")
+    plan = plan_expire_snapshots(
+        parse_metadata(tagged["metadata_path"]), keep_last=1
+    )
+    by_id = {p["snapshot_id"]: p for p in plan}
+    assert by_id[1001]["action"] == "keep"
+    assert by_id[1001]["reason"] == "ref-protected"
+    assert by_id[1002]["action"] == "expire"  # unpinned sibling ages out
+    res = expire_snapshots(tagged["metadata_path"], keep_last=1)
+    assert 1001 not in res["expired"] and 1002 in res["expired"]
+    meta = parse_metadata(res["metadata_path"])
+    assert any(s["snapshot-id"] == 1001 for s in meta.snapshots)
+    sid = resolve_ref(res["metadata_path"], "audit-1001")
+    assert files_at(spark, res["metadata_path"], sid, root).count() > 0

@@ -244,3 +244,107 @@ def test_cdc_replication_never_collects_row_keys(spark, tmp_path, monkeypatch):
     assert res["n_batches"] == 3
     assert ("id",) not in seen
     assert ("id", "category") not in seen
+
+
+# ------------------------------------------- streaming INGEST sink
+
+import os
+
+
+def test_stream_ingest_restart_is_exactly_once(spark, tmp_path):
+    """Round 8: re-running the ingest query over the same inbox +
+    checkpoint commits NOTHING new (batch replay hits the on-chain
+    markers), and adding a file then re-running commits exactly the
+    delta."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_tools_spark.iceberg.commit import _scratch_table
+    from iceberg_tools_spark.iceberg.deletes import MOR_DIR, read_mor
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+    from iceberg_tools_spark.streaming.ingest import (
+        ingest_stream_to_table,
+        latest_metadata_path,
+    )
+
+    root = _scratch_table("ingest_restart_", MOR_DIR)
+    mp = os.path.join(root, "v2.metadata.json")
+    inbox = os.path.join(root, "_inbox")
+    os.makedirs(inbox)
+
+    def drop(name, ids):
+        pq.write_table(
+            pa.table({"id": pa.array(ids, pa.int64()),
+                      "category": pa.array(["s"] * len(ids))}),
+            os.path.join(inbox, name),
+        )
+
+    def run():
+        stream = (
+            spark.readStream.schema("id long, category string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inbox)
+        )
+        return ingest_stream_to_table(
+            stream, mp, query_name="restart",
+            checkpoint_dir=os.path.join(root, "_ckpt"),
+            partition_cols=("category",), spec_id=0,
+        )
+
+    drop("a.parquet", [500, 501])
+    r1 = run()
+    assert r1["batches_committed"] == [0]
+    n_snaps_1 = len(parse_metadata(latest_metadata_path(mp)).snapshots)
+    r2 = run()  # nothing new: no commit, no snapshot
+    assert r2["batches_committed"] == [0]
+    assert len(parse_metadata(latest_metadata_path(mp)).snapshots) == n_snaps_1
+    drop("b.parquet", [600])
+    r3 = run()
+    assert r3["batches_committed"] == [0, 1]
+    head = latest_metadata_path(mp)
+    meta = parse_metadata(head)
+    assert read_mor(spark, head, meta.raw["current-snapshot-id"], root).count() == 326
+
+
+def test_stream_ingest_survives_concurrent_writer(spark):
+    """A maintenance/second-writer commit landing between micro-
+    batches just rebases the sink's next append (the optimistic-
+    concurrency path) — both writers' rows land."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_tools_spark.iceberg.commit import _scratch_table, append_snapshot
+    from iceberg_tools_spark.iceberg.deletes import MOR_DIR, read_mor
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+    from iceberg_tools_spark.streaming.ingest import (
+        latest_metadata_path,
+        make_batch_committer,
+    )
+
+    root = _scratch_table("ingest_conc_", MOR_DIR)
+    mp = os.path.join(root, "v2.metadata.json")
+    committer = make_batch_committer(
+        mp, query_name="conc", partition_cols=("category",), spec_id=0
+    )
+    r0 = committer(spark.createDataFrame([(700, "s")], "id long, category string"), 0)
+    assert r0 is not None and r0["retried"] is False
+    # external writer commits between batches
+    ext = os.path.join(root, "data", "ext.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([800], pa.int64()),
+                  "category": pa.array(["x"])}), ext)
+    append_snapshot(
+        latest_metadata_path(mp),
+        [{"path": "data/ext.parquet", "partition": {"category": "x"}}],
+        base_dir=root, spec_id=0,
+    )
+    r1 = committer(spark.createDataFrame([(701, "s")], "id long, category string"), 1)
+    assert r1 is not None
+    head = latest_metadata_path(mp)
+    meta = parse_metadata(head)
+    ids = {
+        r.id for r in read_mor(
+            spark, head, meta.raw["current-snapshot-id"], root
+        ).collect()
+    }
+    assert {700, 701, 800} <= ids and len(ids) == 326
