@@ -1,22 +1,28 @@
-"""Baseline JPEG codec — pure numpy/stdlib, from the public
-ITU-T T.81 spec (VERDICT r6 stretch #9: retire one ``fake_feature``
-fallback in the multimodal pipeline).
+"""JPEG codec — pure numpy/stdlib, from the public ITU-T T.81 spec
+(VERDICT r6 stretch #9 / r7 "missing" #4: retire the
+``fake_feature`` fallbacks in the multimodal pipeline).
 
 Scope (documented, enforced):
 
-* decoder: baseline sequential DCT, 8-bit precision, ANY integral
-  sampling-factor combination (4:4:4, 4:2:0, 4:2:2, 4:4:0,
-  grayscale — interleaved MCU order per T.81 A.2.3 with nearest-
-  neighbor chroma upsampling), tables from the file's own DQT/DHT
-  segments, 0xFF00 byte-unstuffing, 0xFF fill bytes and standalone
-  TEM/RSTn header markers skipped, no progressive / no restart
-  intervals (DRI raises);
-* encoder (fixture builder): 4:4:4, 4:2:0 (box-filtered chroma) or
-  grayscale, flat quantization
-  table scaled by ``quality``, custom VALID canonical Huffman
-  tables written to DHT (fixed 5-bit DC / 9-bit AC codes — spec-
-  legal since decoders read the tables from the stream; nothing
-  assumes the Annex K defaults).
+* decoder: baseline sequential (SOF0) AND progressive (SOF2) DCT,
+  8-bit precision, ANY integral sampling-factor combination
+  (4:4:4, 4:2:0, 4:2:2, 4:4:0, grayscale — interleaved MCU order
+  per T.81 A.2.3 with nearest-neighbor chroma upsampling),
+  multi-scan streams (spectral selection Ss..Se + successive
+  approximation Ah/Al with EOB-run coding, per T.81 G.2), restart
+  intervals (DRI + RSTn resync in every scan type), tables from
+  the file's own DQT/DHT segments, 0xFF00 byte-unstuffing, 0xFF
+  fill bytes and standalone TEM/RSTn header markers skipped;
+  arithmetic coding, 12-bit precision and hierarchical (SOF3+)
+  remain out of scope and raise;
+* encoder (fixture builder): baseline (optionally with restart
+  intervals) or progressive (DC-first / per-band AC-first /
+  DC-refine / per-band AC-refine scan script with EOB-run
+  coding), 4:4:4, 4:2:0 (box-filtered chroma) or grayscale, flat
+  quantization table scaled by ``quality``, custom VALID canonical
+  Huffman tables written to DHT (fixed 5-bit DC / 9-bit AC codes —
+  spec-legal since decoders read the tables from the stream;
+  nothing assumes the Annex K defaults).
 
 Everything is 8x8-block matrix math (DCT-II/IDCT as ``C @ B @ C.T``
 over a precomputed orthonormal basis), vectorized across blocks —
@@ -108,6 +114,13 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # 1-padding per spec
         return bytes(self.out)
 
+    def restart(self, m: int) -> None:
+        """Byte-align (1-padding) and emit the RSTm marker."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes((0xFF, 0xD0 + (m & 7)))
+
 
 class _BitReader:
     def __init__(self, data: bytes) -> None:
@@ -143,6 +156,20 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def restart(self) -> None:
+        """Resync at a restart interval: drop buffered bits, skip
+        the byte-aligned padding (which the encoder may have
+        stuffed to ``FF 00``), consume the RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        d, n = self.data, len(self.data)
+        while self.pos + 1 < n:
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("expected restart marker")
 
 
 def _extend(v: int, size: int) -> int:
@@ -261,13 +288,12 @@ def _write_block(bw: _BitWriter, zz: np.ndarray, prev_dc: int) -> int:
     return int(zz[0])
 
 
-def encode_jpeg(
-    arr: np.ndarray, *, quality: int = 85, subsampling: str = "444"
-) -> bytes:
-    """Baseline JPEG bytes for an ``(H, W, 3)`` or ``(H, W)`` uint8
-    array. ``subsampling``: ``"444"`` (1x1 on every component) or
-    ``"420"`` (Y at 2x2, box-filtered half-resolution chroma — the
-    dominant real-world form); grayscale ignores it."""
+def _prep_encode(arr: np.ndarray, quality: int, subsampling: str):
+    """Shared encoder front half: color transform, subsampling,
+    block DCT + quantization. Returns
+    ``(h, w, ncomp, samp, mcux, mcuy, qtab, comps)`` where
+    ``comps[i]`` is the (blocks_y, blocks_x, 8, 8) int64 quantized
+    coefficient array padded to the MCU grid."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, ncomp = arr.shape
@@ -292,13 +318,33 @@ def encode_jpeg(
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    qmat = qtab[_ZZ_IDX.argsort()].reshape(8, 8)  # natural order (flat anyway)
+    comps = []
+    for plane, (hi, vi) in zip(planes, samp):
+        blocks = _blocks_of(plane, mcuy * vi, mcux * hi) - 128.0
+        comps.append(np.round(_dct2(blocks) / qmat).astype(np.int64))
+    return h, w, ncomp, samp, mcux, mcuy, qtab, comps
 
+
+def _header_bytes(
+    h: int,
+    w: int,
+    ncomp: int,
+    samp: list[tuple[int, int]],
+    qtab: np.ndarray,
+    *,
+    sof_marker: int,
+    restart_interval: int = 0,
+) -> bytearray:
+    """SOI + DQT + SOF + DHT (+ DRI) — everything up to the first
+    SOS."""
     out = bytearray(b"\xff\xd8")  # SOI
     # DQT (one 8-bit table, id 0)
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
     out += bytes(int(qtab[i]) for i in range(64))  # zigzag order: flat ⇒ same
-    # SOF0
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    out += bytes([0xFF, sof_marker]) + struct.pack(
+        ">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp
+    )
     for cid in range(1, ncomp + 1):
         hi, vi = samp[cid - 1]
         out += bytes([cid, (hi << 4) | vi, 0])
@@ -306,43 +352,507 @@ def encode_jpeg(
     for tc, bits, vals in ((0, _DC_BITS, _DC_VALS), (1, _AC_BITS, _AC_VALS)):
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tc << 4])
         out += bytes(bits) + bytes(vals)
-    # SOS
-    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
-    for cid in range(1, ncomp + 1):
-        out += bytes([cid, 0x00])
-    out += b"\x00\x3f\x00"
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    return out
 
-    qmat = qtab[_ZZ_IDX.argsort()].reshape(8, 8)  # natural order (flat anyway)
-    comps = []
-    for plane, (hi, vi) in zip(planes, samp):
-        blocks = _blocks_of(plane, mcuy * vi, mcux * hi) - 128.0
-        comps.append(np.round(_dct2(blocks) / qmat).astype(np.int64))
+
+def _sos_bytes(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+    ns = len(comp_ids)
+    out = bytearray(b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns))
+    for cid in comp_ids:
+        out += bytes([cid, 0x00])  # DC table 0 / AC table 0
+    out += bytes([ss, se, (ah << 4) | al])
+    return bytes(out)
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    *,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JPEG bytes for an ``(H, W, 3)`` or ``(H, W)`` uint8
+    array. ``subsampling``: ``"444"`` (1x1 on every component) or
+    ``"420"`` (Y at 2x2, box-filtered half-resolution chroma — the
+    dominant real-world form); grayscale ignores it.
+    ``restart_interval`` > 0 writes DRI and emits RSTn markers every
+    that many MCUs (DC predictors reset, entropy stream re-aligned
+    — the error-resilience form many camera JPEGs use)."""
+    h, w, ncomp, samp, mcux, mcuy, qtab, comps = _prep_encode(arr, quality, subsampling)
+    out = _header_bytes(
+        h, w, ncomp, samp, qtab, sof_marker=0xC0, restart_interval=restart_interval
+    )
+    out += _sos_bytes(list(range(1, ncomp + 1)), 0, 63, 0, 0)
+
     bw = _BitWriter()
-    prev_dc = [0] * len(planes)
+    prev_dc = [0] * ncomp
     # interleaved MCU order: per MCU, each component contributes its
     # vi×hi block patch (T.81 A.2.3); 4:4:4 degenerates to the plain
     # per-block interleave
+    mcu_index = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                bw.restart((mcu_index // restart_interval - 1) % 8)
+                prev_dc = [0] * ncomp
             for ci, coef in enumerate(comps):
                 hi, vi = samp[ci]
                 for bv in range(vi):
                     for bh in range(hi):
                         zz = coef[my * vi + bv, mx * hi + bh].reshape(64)[_ZZ_IDX]
                         prev_dc[ci] = _write_block(bw, zz, prev_dc[ci])
+            mcu_index += 1
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
+# ---------------------------------------- progressive encoder side
+
+
+def _noninterleaved_grid(
+    h: int, w: int, comp_h: int, comp_v: int, hmax: int, vmax: int
+) -> tuple[int, int]:
+    """Block grid of a component in a NON-interleaved scan (T.81
+    A.2.2: ceil over the component's own sample dimensions, not the
+    MCU-padded frame)."""
+    ch = -(-h * comp_v // vmax)
+    cw = -(-w * comp_h // hmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _emit_eobrun(bw: _BitWriter, n: int, pending_bits: list[int]) -> None:
+    """EOBn symbol (T.81 G.1.2.2): run category + extension bits,
+    then any correction bits deferred with the run (refinement
+    scans)."""
+    rbits = n.bit_length() - 1
+    code, length = _AC_CODES[rbits << 4]
+    bw.write(code, length)
+    if rbits:
+        bw.write(n - (1 << rbits), rbits)
+    for b in pending_bits:
+        bw.write(b, 1)
+    pending_bits.clear()
+
+
+def _write_ac_first_scan(
+    bw: _BitWriter, coef: np.ndarray, nby: int, nbx: int, ss: int, se: int, al: int
+) -> None:
+    """AC first scan for one component: band Ss..Se, point transform
+    ``abs(v) >> Al`` (truncation toward zero), EOB-run coding across
+    all-zero-band blocks."""
+    eobrun = 0
+    none_: list[int] = []
+    for by in range(nby):
+        for bx in range(nbx):
+            zz = coef[by, bx].reshape(64)[_ZZ_IDX]
+            mag = np.abs(zz) >> al
+            t = np.where(zz < 0, -mag, mag)
+            nz = np.nonzero(t[ss : se + 1])[0]
+            if len(nz) == 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    _emit_eobrun(bw, eobrun, none_)
+                    eobrun = 0
+                continue
+            if eobrun:
+                _emit_eobrun(bw, eobrun, none_)
+                eobrun = 0
+            last = ss + nz[-1]
+            run = 0
+            for k in range(ss, last + 1):
+                v = int(t[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = _AC_CODES[0xF0]  # ZRL
+                    bw.write(code, length)
+                    run -= 16
+                s = _size_cat(v)
+                code, length = _AC_CODES[(run << 4) | s]
+                bw.write(code, length)
+                amp = v if v >= 0 else v + (1 << s) - 1
+                bw.write(amp, s)
+                run = 0
+            if last < se:
+                eobrun = 1
+    if eobrun:
+        _emit_eobrun(bw, eobrun, none_)
+
+
+def _write_ac_refine_scan(
+    bw: _BitWriter, coef: np.ndarray, nby: int, nbx: int, ss: int, se: int, al: int
+) -> None:
+    """AC refinement scan (T.81 G.1.2.3): one correction bit per
+    already-nonzero coefficient, newly-significant coefficients as
+    ±1<<Al with zero-history run lengths; correction bits ride
+    positionally after each symbol, EOB-deferred bits after the
+    EOBn symbol (the libjpeg-documented bit order)."""
+    eobrun = 0
+    ebits: list[int] = []  # correction bits deferred with the EOB run
+    for by in range(nby):
+        for bx in range(nbx):
+            zz = coef[by, bx].reshape(64)[_ZZ_IDX]
+            mag = np.abs(zz) >> al
+            newly = [k for k in range(ss, se + 1) if mag[k] == 1]
+            if not newly:
+                # whole band joins the EOB run; history corrections
+                # ride with it
+                for k in range(ss, se + 1):
+                    if mag[k] > 1:
+                        ebits.append(int(mag[k]) & 1)
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    _emit_eobrun(bw, eobrun, ebits)
+                    eobrun = 0
+                continue
+            if eobrun:
+                _emit_eobrun(bw, eobrun, ebits)
+                eobrun = 0
+            run = 0
+            pending: list[int] = []
+            last_new = newly[-1]
+            for k in range(ss, last_new + 1):
+                m = int(mag[k])
+                if m > 1:  # history-nonzero: correction bit
+                    pending.append(m & 1)
+                    continue
+                if m == 0:
+                    run += 1
+                    if run == 16:
+                        code, length = _AC_CODES[0xF0]  # ZRL
+                        bw.write(code, length)
+                        for b in pending:
+                            bw.write(b, 1)
+                        pending = []
+                        run = 0
+                    continue
+                # newly significant (±1 at this precision)
+                code, length = _AC_CODES[(run << 4) | 1]
+                bw.write(code, length)
+                bw.write(1 if zz[k] > 0 else 0, 1)
+                for b in pending:
+                    bw.write(b, 1)
+                pending = []
+                run = 0
+            # trailing band positions → EOB run for this block
+            for k in range(last_new + 1, se + 1):
+                if mag[k] > 1:
+                    pending.append(int(mag[k]) & 1)
+            if run or pending or last_new < se:
+                eobrun = 1
+                ebits = pending
+    if eobrun:
+        _emit_eobrun(bw, eobrun, ebits)
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    *,
+    quality: int = 85,
+    subsampling: str = "444",
+    spectral_split: int = 5,
+) -> bytes:
+    """Progressive JPEG (SOF2) bytes with the standard scan script
+    shape: interleaved DC-first (Al=1), per-component AC-first in
+    two spectral bands (1..split, split+1..63, Al=1), DC refinement,
+    then per-component AC refinement of both bands — exercising
+    spectral selection, successive approximation and EOB runs."""
+    h, w, ncomp, samp, mcux, mcuy, qtab, comps = _prep_encode(arr, quality, subsampling)
+    if not 1 <= spectral_split <= 62:
+        raise ValueError("spectral_split must be in 1..62")
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    out = _header_bytes(h, w, ncomp, samp, qtab, sof_marker=0xC2)
+
+    def dc_scan(al: int, refine: bool) -> bytes:
+        bw = _BitWriter()
+        prev = [0] * ncomp
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, coef in enumerate(comps):
+                    hi, vi = samp[ci]
+                    for bv in range(vi):
+                        for bh in range(hi):
+                            dc = int(coef[my * vi + bv, mx * hi + bh, 0, 0])
+                            if refine:
+                                bw.write((dc >> al) & 1, 1)
+                                continue
+                            val = dc >> al  # arithmetic shift per G.1.2.1
+                            diff = val - prev[ci]
+                            prev[ci] = val
+                            s = _size_cat(diff)
+                            code, length = _DC_CODES[s]
+                            bw.write(code, length)
+                            if s:
+                                amp = diff if diff >= 0 else diff + (1 << s) - 1
+                                bw.write(amp, s)
+        return bw.flush()
+
+    bands = [(1, spectral_split), (spectral_split + 1, 63)]
+    pieces = bytearray(out)
+    # 1. DC first, all components interleaved
+    pieces += _sos_bytes(list(range(1, ncomp + 1)), 0, 0, 0, 1)
+    pieces += dc_scan(1, refine=False)
+    # 2-3. AC first per component per band
+    for ss, se in bands:
+        for ci in range(ncomp):
+            nby, nbx = _noninterleaved_grid(h, w, samp[ci][0], samp[ci][1], hmax, vmax)
+            bw = _BitWriter()
+            _write_ac_first_scan(bw, comps[ci], nby, nbx, ss, se, 1)
+            pieces += _sos_bytes([ci + 1], ss, se, 0, 1)
+            pieces += bw.flush()
+    # 4. DC refinement
+    pieces += _sos_bytes(list(range(1, ncomp + 1)), 0, 0, 1, 0)
+    pieces += dc_scan(0, refine=True)
+    # 5-6. AC refinement per component per band
+    for ss, se in bands:
+        for ci in range(ncomp):
+            nby, nbx = _noninterleaved_grid(h, w, samp[ci][0], samp[ci][1], hmax, vmax)
+            bw = _BitWriter()
+            _write_ac_refine_scan(bw, comps[ci], nby, nbx, ss, se, 0)
+            pieces += _sos_bytes([ci + 1], ss, se, 1, 0)
+            pieces += bw.flush()
+    pieces += b"\xff\xd9"  # EOI
+    return bytes(pieces)
+
+
 # ---------------------------------------------------------- decode
 
 
+def _scan_end(payload: bytes, pos: int) -> int:
+    """Index just past the entropy-coded data starting at ``pos``:
+    the first 0xFF followed by a real marker (not a stuffed 0x00,
+    not an RSTn, not a 0xFF fill byte)."""
+    n = len(payload)
+    p = pos
+    while p + 1 < n:
+        if payload[p] == 0xFF:
+            nxt = payload[p + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                p += 2
+                continue
+            if nxt == 0xFF:  # fill byte — could precede the marker
+                p += 1
+                continue
+            return p
+        p += 1
+    raise ValueError("entropy-coded segment runs past end of stream")
+
+
+def _decode_sequential_scan(r, frame, sel, coefs, huff_dc, huff_ac, ri, geom):
+    """One baseline (DC+AC in one pass) scan — interleaved MCU order
+    when multiple components are selected, the component's own block
+    grid when one is (T.81 A.2)."""
+    h, w, hmax, vmax, mcux, mcuy = geom
+    comp_by_id = {c["id"]: i for i, c in enumerate(frame["comps"])}
+    order = [comp_by_id[s["cs"]] for s in sel]
+    prev_dc = {ci: 0 for ci in order}
+
+    def read_block(dc_dec, ac_dec, ci, by, bx):
+        s = dc_dec.decode(r)
+        diff = _extend(r.receive(s), s)
+        prev_dc[ci] += diff
+        blk = coefs[ci][by, bx].reshape(64)
+        blk[_ZZ_IDX[0]] = prev_dc[ci]
+        i = 1
+        while i < 64:
+            rs = ac_dec.decode(r)
+            run, size = rs >> 4, rs & 0xF
+            if size == 0:
+                if run == 15:  # ZRL
+                    i += 16
+                    continue
+                break  # EOB
+            i += run
+            if i > 63:
+                raise ValueError("AC run past block end")
+            blk[_ZZ_IDX[i]] = _extend(r.receive(size), size)
+            i += 1
+
+    unit = 0  # restart counting: MCUs (interleaved) / blocks (single)
+
+    def maybe_restart():
+        nonlocal unit
+        if ri and unit and unit % ri == 0:
+            r.restart()
+            for ci in prev_dc:
+                prev_dc[ci] = 0
+        unit += 1
+
+    if len(sel) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for si, ci in enumerate(order):
+                    comp = frame["comps"][ci]
+                    dc_dec = huff_dc[sel[si]["td"]]
+                    ac_dec = huff_ac[sel[si]["ta"]]
+                    for bv in range(comp["v"]):
+                        for bh in range(comp["h"]):
+                            read_block(
+                                dc_dec, ac_dec, ci,
+                                my * comp["v"] + bv, mx * comp["h"] + bh,
+                            )
+    else:
+        ci = order[0]
+        comp = frame["comps"][ci]
+        dc_dec = huff_dc[sel[0]["td"]]
+        ac_dec = huff_ac[sel[0]["ta"]]
+        nby, nbx = _noninterleaved_grid(h, w, comp["h"], comp["v"], hmax, vmax)
+        for by in range(nby):
+            for bx in range(nbx):
+                maybe_restart()
+                read_block(dc_dec, ac_dec, ci, by, bx)
+
+
+def _decode_progressive_scan(
+    r, frame, sel, ss, se, ah, al, coefs, huff_dc, huff_ac, ri, geom
+):
+    """One progressive scan (T.81 G.2): DC first/refine (possibly
+    interleaved), AC first/refine (single component, EOB-run
+    coding)."""
+    h, w, hmax, vmax, mcux, mcuy = geom
+    comp_by_id = {c["id"]: i for i, c in enumerate(frame["comps"])}
+    order = [comp_by_id[s["cs"]] for s in sel]
+
+    if ss == 0:  # ---------------- DC scan (se must be 0 per spec)
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        prev_dc = {ci: 0 for ci in order}
+        unit = 0
+
+        def maybe_restart():
+            nonlocal unit
+            if ri and unit and unit % ri == 0:
+                r.restart()
+                for ci in prev_dc:
+                    prev_dc[ci] = 0
+            unit += 1
+
+        def dc_block(ci, si, by, bx):
+            blk = coefs[ci][by, bx]
+            if ah == 0:  # first scan: diff-coded (value >> Al)
+                dc_dec = huff_dc[sel[si]["td"]]
+                s = dc_dec.decode(r)
+                prev_dc[ci] += _extend(r.receive(s), s)
+                blk[0, 0] = prev_dc[ci] << al
+            else:  # refinement: one raw bit per block
+                if r.read_bit():
+                    blk[0, 0] |= 1 << al
+
+        if len(sel) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart()
+                    for si, ci in enumerate(order):
+                        comp = frame["comps"][ci]
+                        for bv in range(comp["v"]):
+                            for bh in range(comp["h"]):
+                                dc_block(
+                                    ci, si,
+                                    my * comp["v"] + bv, mx * comp["h"] + bh,
+                                )
+        else:
+            ci = order[0]
+            comp = frame["comps"][ci]
+            nby, nbx = _noninterleaved_grid(h, w, comp["h"], comp["v"], hmax, vmax)
+            for by in range(nby):
+                for bx in range(nbx):
+                    maybe_restart()
+                    dc_block(ci, 0, by, bx)
+        return
+
+    # --------------------------------- AC scan: single component
+    if len(sel) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    ci = order[0]
+    comp = frame["comps"][ci]
+    ac_dec = huff_ac[sel[0]["ta"]]
+    nby, nbx = _noninterleaved_grid(h, w, comp["h"], comp["v"], hmax, vmax)
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    unit = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if ri and unit and unit % ri == 0:
+                r.restart()
+                eobrun = 0
+            unit += 1
+            blk = coefs[ci][by, bx].reshape(64)
+            if ah == 0:  # ---- AC first scan
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = ac_dec.decode(r)
+                    run, size = rs >> 4, rs & 0xF
+                    if size == 0:
+                        if run == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << run) - 1
+                        if run:
+                            eobrun += r.receive(run)
+                        break
+                    k += run
+                    if k > se:
+                        raise ValueError("AC run past band end")
+                    blk[_ZZ_IDX[k]] = _extend(r.receive(size), size) << al
+                    k += 1
+            else:  # ---- AC refinement scan (libjpeg-documented walk)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = ac_dec.decode(r)
+                        run, size = rs >> 4, rs & 0xF
+                        newval = 0
+                        if size == 0:
+                            if run != 15:
+                                eobrun = 1 << run
+                                if run:
+                                    eobrun += r.receive(run)
+                                break  # rest of band via EOB logic
+                            # run == 15: ZRL (skip 16 zero-history)
+                        else:
+                            if size != 1:
+                                raise ValueError("invalid AC refinement size")
+                            newval = p1 if r.read_bit() else m1
+                        while k <= se:
+                            idx = _ZZ_IDX[k]
+                            if blk[idx] != 0:
+                                if r.read_bit() and (blk[idx] & p1) == 0:
+                                    blk[idx] += p1 if blk[idx] > 0 else m1
+                            else:
+                                if run == 0:
+                                    break
+                                run -= 1
+                            k += 1
+                        if newval and k <= se:
+                            blk[_ZZ_IDX[k]] = newval
+                        k += 1
+                if eobrun > 0:
+                    # correction bits for the remainder of the band
+                    while k <= se:
+                        idx = _ZZ_IDX[k]
+                        if blk[idx] != 0:
+                            if r.read_bit() and (blk[idx] & p1) == 0:
+                                blk[idx] += p1 if blk[idx] > 0 else m1
+                        k += 1
+                    eobrun -= 1
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode baseline sequential 8-bit JPEG (any integral sampling
-    factors — 4:4:4, 4:2:0, 4:2:2, ... ) to ``(H, W, 3) uint8``.
-    Tables come from the file; progressive / restart-interval
-    streams raise."""
+    """Decode 8-bit huffman JPEG — baseline sequential (SOF0,
+    including multi-scan and restart intervals) or progressive
+    (SOF2: spectral selection + successive approximation, T.81
+    annex G) — with any integral sampling factors, to
+    ``(H, W, 3) uint8``. Tables come from the file; arithmetic
+    coding / 12-bit / hierarchical forms raise."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -350,7 +860,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_dc: dict[int, _HuffDecoder] = {}
     huff_ac: dict[int, _HuffDecoder] = {}
     frame = None
-    scan = None
+    progressive = False
+    ri = 0
+    coefs = None
+    geom = None
+    nscans = 0
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
@@ -366,6 +880,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if pos + 2 > len(payload):
             raise ValueError("truncated marker segment")
         (seglen,) = struct.unpack_from(">H", payload, pos)
+        if pos + seglen > len(payload):
+            raise ValueError("truncated marker segment")
         seg = payload[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
             p = 0
@@ -390,7 +906,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(seg[p : p + n])
                 p += n
                 (huff_ac if tc else huff_dc)[th] = _HuffDecoder(bits, vals)
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -402,84 +918,56 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ValueError(f"illegal sampling factors {hi}x{vi}")
                 comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
             frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError(f"unsupported SOF marker 0xFF{marker:02X} (non-baseline)")
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported SOF marker 0xFF{marker:02X} "
+                "(arithmetic/lossless/hierarchical)"
+            )
         elif marker == 0xDD:  # DRI
-            raise ValueError("restart intervals unsupported")
+            (ri,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
             sel = []
             for i in range(ns):
                 cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
                 sel.append({"cs": cs, "td": tables >> 4, "ta": tables & 0xF})
-            scan = sel
-            pos += seglen
-            break
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            axa = seg[3 + 2 * ns]
+            ah, al = axa >> 4, axa & 0xF
+            if coefs is None:
+                h, w = frame["h"], frame["w"]
+                hmax = max(c["h"] for c in frame["comps"])
+                vmax = max(c["v"] for c in frame["comps"])
+                for c in frame["comps"]:
+                    if hmax % c["h"] or vmax % c["v"]:
+                        raise ValueError("fractional sampling ratios unsupported")
+                mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+                geom = (h, w, hmax, vmax, mcux, mcuy)
+                coefs = [
+                    np.zeros((mcuy * c["v"], mcux * c["h"], 8, 8), dtype=np.int64)
+                    for c in frame["comps"]
+                ]
+            data_end = _scan_end(payload, pos + seglen)
+            r = _BitReader(payload[pos + seglen : data_end])
+            if progressive:
+                _decode_progressive_scan(
+                    r, frame, sel, ss, se, ah, al, coefs, huff_dc, huff_ac, ri, geom
+                )
+            else:
+                _decode_sequential_scan(
+                    r, frame, sel, coefs, huff_dc, huff_ac, ri, geom
+                )
+            nscans += 1
+            pos = data_end
+            continue
         pos += seglen
-    if frame is None or scan is None:
-        raise ValueError("JPEG missing SOF0/SOS")
-
-    # entropy-coded data runs from pos to the EOI marker
-    end = payload.rfind(b"\xff\xd9")
-    if end < 0:
-        raise ValueError("JPEG missing EOI")
-    r = _BitReader(payload[pos:end])
-
-    h, w = frame["h"], frame["w"]
+    if frame is None or coefs is None or nscans == 0:
+        raise ValueError("JPEG missing SOF/SOS")
+    h, w, hmax, vmax, mcux, mcuy = geom
     ncomp = len(frame["comps"])
-    if len(scan) != ncomp:
-        raise ValueError("multi-scan (non-interleaved) baseline unsupported")
-    hmax = max(c["h"] for c in frame["comps"])
-    vmax = max(c["v"] for c in frame["comps"])
-    for c in frame["comps"]:
-        if hmax % c["h"] or vmax % c["v"]:
-            raise ValueError("fractional sampling ratios unsupported")
-    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
-    coefs = [
-        np.zeros((mcuy * c["v"], mcux * c["h"], 8, 8), dtype=np.int64)
-        for c in frame["comps"]
-    ]
-    prev_dc = [0] * ncomp
-    comp_by_id = {c["id"]: i for i, c in enumerate(frame["comps"])}
-    order = [comp_by_id[s["cs"]] for s in scan]
-
-    def _read_block(dc_dec: _HuffDecoder, ac_dec: _HuffDecoder, ci: int):
-        s = dc_dec.decode(r)
-        diff = _extend(r.receive(s), s)
-        prev_dc[ci] += diff
-        zz = np.zeros(64, dtype=np.int64)
-        zz[0] = prev_dc[ci]
-        i = 1
-        while i < 64:
-            rs = ac_dec.decode(r)
-            run, size = rs >> 4, rs & 0xF
-            if size == 0:
-                if run == 15:  # ZRL
-                    i += 16
-                    continue
-                break  # EOB
-            i += run
-            if i > 63:
-                raise ValueError("AC run past block end")
-            zz[i] = _extend(r.receive(size), size)
-            i += 1
-        blk = np.zeros(64, dtype=np.int64)
-        blk[_ZZ_IDX] = zz
-        return blk.reshape(8, 8)
-
-    # interleaved MCU order (T.81 A.2.3); 1x1-everywhere degenerates
-    # to one block per component per MCU — the old 4:4:4 loop
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for si, ci in enumerate(order):
-                comp = frame["comps"][ci]
-                dc_dec = huff_dc[scan[si]["td"]]
-                ac_dec = huff_ac[scan[si]["ta"]]
-                for bv in range(comp["v"]):
-                    for bh in range(comp["h"]):
-                        coefs[ci][my * comp["v"] + bv, mx * comp["h"] + bh] = (
-                            _read_block(dc_dec, ac_dec, ci)
-                        )
 
     planes = []
     for ci, comp in enumerate(frame["comps"]):

@@ -12,16 +12,16 @@ genuinely do:
 
 * REAL pure-Python decoders (``decode_media``) for the container
   formats decodable with stdlib+numpy alone — BMP (24-bit
-  uncompressed), PPM (binary ``P6``), PNG (zlib), baseline
-  sequential JPEG incl. 4:2:0/4:2:2 subsampling (pure-numpy T.81
-  codec, ``operators/jpeg.py``),
+  uncompressed), PPM (binary ``P6``), PNG (zlib), huffman JPEG —
+  baseline AND progressive, incl. 4:2:0/4:2:2 subsampling and
+  restart intervals (pure-numpy T.81 codec, ``operators/jpeg.py``),
   WAV (PCM 8/16-bit via the stdlib ``wave`` module) — plus matching
   encoders for building fixtures. ``extract_features`` sniffs magic
   bytes and computes real 16-dim statistical features from decoded
   pixels/samples.
 * A clearly-marked deterministic fake (md5-driven,
   ``fake_feature``) for payloads in formats whose codecs are not in
-  this container (progressive JPEG, MP3, MP4…).
+  this container (MP3, MP4, arithmetic-coded JPEG…).
 """
 
 from __future__ import annotations
@@ -212,11 +212,11 @@ def decode_media(payload: bytes, modality: str):
     """REAL decode for sandbox-decodable containers.
 
     Returns ``(H, W, 3) uint8`` for images (BMP / P6 PPM / PNG via
-    stdlib zlib) and ``((n_samples, n_channels) float32,
-    sample_rate)`` for audio (PCM WAV). Codecs needing third-party
-    libs (JPEG/MP3/MP4…) are not available in this container — those
-    payloads raise ValueError and the pipeline falls back to the
-    deterministic fake kernel.
+    stdlib zlib / huffman JPEG via the pure-numpy T.81 codec) and
+    ``((n_samples, n_channels) float32, sample_rate)`` for audio
+    (PCM WAV). Codecs needing third-party libs (MP3/MP4…) are not
+    available in this container — those payloads raise ValueError
+    and the pipeline falls back to the deterministic fake kernel.
     """
     if modality == "image":
         if payload[:2] == b"BM":
@@ -226,9 +226,11 @@ def decode_media(payload: bytes, modality: str):
         if payload[:8] == _PNG_MAGIC:
             return _decode_png(payload)
         if payload[:2] == b"\xff\xd8":
-            # baseline sequential JPEG (4:4:4/4:2:0/4:2:2/gray) —
-            # pure-numpy T.81 decoder (operators/jpeg.py); progressive
-            # streams raise and fall back like any undecodable blob
+            # baseline AND progressive huffman JPEG, any sampling
+            # (4:4:4/4:2:0/4:2:2/gray), restart intervals — pure-
+            # numpy T.81 decoder (operators/jpeg.py); arithmetic/
+            # 12-bit/hierarchical raise and fall back like any
+            # undecodable blob
             from .jpeg import decode_jpeg
 
             return decode_jpeg(payload)
