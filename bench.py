@@ -156,6 +156,8 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "commit_conflict_roundtrip",
     "meta_stats_partition_scoped",
+    # round-8 (cont.): real MP4/MP3 container probing rollup
+    "media_probe_stats",
 ]
 
 

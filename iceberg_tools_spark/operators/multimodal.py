@@ -486,3 +486,228 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
             yield pdf
 
     return df.filter(F.col("modality") == "video").mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+# --------------------- container probing (REAL MP4/MP3 parsing, r8)
+
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("container", T.StringType(), False),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("n_units", T.LongType(), True),  # frames/samples
+        T.StructField("is_vbr", T.BooleanType(), True),
+    ]
+)
+
+
+def probe_one(payload: bytes, modality: str) -> dict:
+    """Container-level metadata for ONE payload — REAL parsing for
+    every format the sandbox can structurally read: ISO BMFF box
+    walk + sample tables for MP4, frame-header walk for MP3
+    (``operators/media_containers.py``), pixel-header decode for
+    BMP/PPM/PNG/JPEG, PCM header for WAV. Only the codec TRANSFORM
+    of compressed audio/video samples stays out-of-sandbox; the
+    container metadata a curation pipeline filters on is real."""
+    p = bytes(payload)
+    out = {"container": "unknown", "codec": None, "width": None,
+           "height": None, "duration_s": None, "n_units": None,
+           "is_vbr": None}
+    try:
+        if len(p) >= 8 and p[4:8] == b"ftyp":
+            from .media_containers import parse_mp4
+
+            meta = parse_mp4(p)
+            out["container"] = "mp4"
+            out["duration_s"] = meta["duration_s"]
+            vids = [t for t in meta["tracks"] if t["handler"] == "vide"]
+            if vids:
+                t = vids[0]
+                out["codec"] = t["codec"]
+                out["width"], out["height"] = t["width"], t["height"]
+                out["n_units"] = t["n_samples"]
+                if out["duration_s"] is None:
+                    out["duration_s"] = t["duration_s"]
+        elif p[:3] == b"ID3" or (len(p) >= 2 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0):
+            from .media_containers import parse_mp3
+
+            meta = parse_mp3(p)
+            out.update(
+                container="mp3", codec="mp3", duration_s=meta["duration_s"],
+                n_units=meta["n_frames"], is_vbr=meta["is_vbr"],
+            )
+        elif modality == "image":
+            arr = decode_media(p, "image")
+            fmt = ("bmp" if p[:2] == b"BM" else "ppm" if p[:2] == b"P6"
+                   else "png" if p[:8] == _PNG_MAGIC else "jpeg")
+            out.update(container=fmt, codec=fmt,
+                       width=int(arr.shape[1]), height=int(arr.shape[0]),
+                       n_units=1)
+        elif modality == "audio":
+            samples, rate = decode_media(p, "audio")
+            out.update(container="wav", codec="pcm",
+                       duration_s=len(samples) / rate if rate else None,
+                       n_units=len(samples))
+    except Exception:
+        out = {"container": "unknown", "codec": None, "width": None,
+               "height": None, "duration_s": None, "n_units": None,
+               "is_vbr": None}
+    return out
+
+
+def probe_media(df: DataFrame) -> DataFrame:
+    """Arrow-batched container probe over the payload column — the
+    metadata-extraction stage of a media curation pipeline (filter
+    by codec/duration/dimensions BEFORE any expensive decode)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            probed = [
+                probe_one(p, m)
+                for p, m in zip(pdf["payload"], pdf["modality"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "modality": pdf["modality"],
+                    **{
+                        k: [pr[k] for pr in probed]
+                        for k in ("container", "codec", "width", "height",
+                                  "duration_s", "n_units", "is_vbr")
+                    },
+                }
+            )
+
+    return df.mapInPandas(kernel, PROBE_SCHEMA)
+
+
+def sample_frames_mp4(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """REAL frame sampling for MP4 payloads: keep every Nth sample's
+    actual byte range (resolved through the parsed stsc/stco/stsz
+    sample table), concatenated into the output payload; non-BMFF
+    video payloads fall back to the proportional heuristic of
+    :func:`sample_frames`."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_containers import mp4_sample_bytes, parse_mp4
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads, counts = [], []
+            for p, nf in zip(pdf["payload"], pdf["n_frames"]):
+                p = bytes(p)
+                try:
+                    meta = parse_mp4(p)
+                    vids = [t for t in meta["tracks"] if t["handler"] == "vide"]
+                    kept = mp4_sample_bytes(p, vids[0], every_n=every_n)
+                    payloads.append(b"".join(b for _, b in kept))
+                    counts.append(len(kept))
+                except Exception:
+                    n = int(nf or 1)
+                    k = max(1, n // every_n)
+                    payloads.append(p[: max(8, len(p) // n * k)])
+                    counts.append(k)
+            pdf["payload"] = payloads
+            pdf["n_frames"] = pd.array(counts, dtype="int32")
+            yield pdf
+
+    return df.filter(F.col("modality") == "video").mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+def make_container_corpus(spark: SparkSession) -> DataFrame:
+    """Deterministic mixed-container fixture: REAL encodings across
+    every container the probe understands (BMP/PPM/PNG/WAV via this
+    module's encoders, MP4/MP3 via ``media_containers`` builders)
+    plus junk payloads that must land in the ``unknown`` bucket.
+    SF-independent by design so the driver oracle can be golden."""
+    from .media_containers import build_mp3, build_mp4
+
+    rows: list[tuple] = []
+
+    def add(modality: str, payload: bytes, w=None, h=None, sr=None, nf=None):
+        rows.append((len(rows), modality, payload, w, h, sr, nf))
+
+    for i in range(4):  # BMP
+        w, h = 8 + 2 * i, 6 + i
+        arr = np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3)
+        add("image", encode_bmp(arr), w, h)
+    for i in range(3):  # PNG
+        w, h = 5 + i, 4 + i
+        arr = ((np.arange(h * w * 3) * 7 + i) % 256).astype(np.uint8).reshape(h, w, 3)
+        add("image", encode_png(arr), w, h)
+    for i in range(2):  # PPM
+        w, h = 6 + i, 3 + i
+        arr = ((np.arange(h * w * 3) * 11) % 256).astype(np.uint8).reshape(h, w, 3)
+        add("image", encode_ppm(arr), w, h)
+    for i in range(3):  # WAV (PCM16)
+        n = 800 + 160 * i
+        samples = (np.sin(np.arange(n) * 0.05) * 12000).astype(np.int16)
+        add("audio", encode_wav(samples, 16000), sr=16000)
+    for i in range(3):  # MP4
+        add("video", build_mp4(n_samples=10 + 4 * i, width=32 * (i + 1),
+                               height=24 * (i + 1), fps=5 + i, seed=i),
+            32 * (i + 1), 24 * (i + 1), nf=10 + 4 * i)
+    add("audio", build_mp3(n_frames=24, bitrate_pattern=(9,), with_id3=True, seed=2))
+    add("audio", build_mp3(n_frames=30, bitrate_pattern=(5, 9, 12), seed=3))  # VBR
+    add("audio", build_mp3(n_frames=18, bitrate_pattern=(7,), seed=4))
+    for i in range(2):  # junk → unknown
+        add("image", hashlib.md5(f"junk{i}".encode()).digest() * 3)
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def media_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gateable rollup of :func:`probe_media` over the
+    deterministic mixed-container corpus (``sf_dir`` unused — the
+    fixture is SF-independent, so the oracle is golden VALUES).
+
+    Scale shape: the probe is one Arrow-batched ``mapInPandas`` pass
+    over the payload column — per-row container header parsing, no
+    shuffle; the rollup is a single partial-aggregated groupBy on a
+    handful of container keys. At 100 TB this is the cheap
+    filter-before-decode stage, and the aggregate output is KB."""
+    probed = probe_media(make_container_corpus(spark))
+    return (
+        probed.groupBy("container")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum(F.coalesce(F.col("n_units"), F.lit(0))).cast("long").alias("units_total"),
+            F.sum(F.coalesce(F.col("width"), F.lit(0))).cast("long").alias("width_total"),
+            F.sum(F.coalesce(F.col("height"), F.lit(0))).cast("long").alias("height_total"),
+            F.sum(
+                F.round(F.coalesce(F.col("duration_s"), F.lit(0.0)) * 1000)
+            ).cast("long").alias("duration_ms_total"),
+            F.sum(F.when(F.col("is_vbr"), 1).otherwise(0)).cast("long").alias("n_vbr"),
+        )
+        .orderBy("container")
+    )
+
+
+# Golden oracle for the SF-independent container-probe rollup: the
+# fixture is deterministic (no RNG, no clock), so expected values are
+# pinned literals — mp3 duration = round(frames*1152/44100*1000) per
+# item, mp4 = n_samples/fps, wav = n_samples/rate (hand-derived in
+# tests/test_media_containers.py as well).
+MEDIA_PROBE_SQL = """
+SELECT container,
+       CAST(n_items AS BIGINT) AS n_items,
+       CAST(units_total AS BIGINT) AS units_total,
+       CAST(width_total AS BIGINT) AS width_total,
+       CAST(height_total AS BIGINT) AS height_total,
+       CAST(duration_ms_total AS BIGINT) AS duration_ms_total,
+       CAST(n_vbr AS BIGINT) AS n_vbr
+FROM (VALUES
+  ('bmp',     4,    4,  44, 30,    0, 0),
+  ('mp3',     3,   72,   0,  0, 1881, 1),
+  ('mp4',     3,   42, 192, 144, 6904, 0),
+  ('png',     3,    3,  18, 15,    0, 0),
+  ('ppm',     2,    2,  13,  7,    0, 0),
+  ('unknown', 2,    0,   0,  0,    0, 0),
+  ('wav',     3, 2880,   0,  0,  180, 0)
+) t(container, n_items, units_total, width_total, height_total,
+    duration_ms_total, n_vbr)
+ORDER BY container
+"""

@@ -494,6 +494,11 @@ def _register_past_window() -> None:
         similarity.DECONTAMINATE_EMB_SQL,
     )
     register("group_sample_topk", sampling.group_sample_topk, sampling.GROUP_SAMPLE_SQL)
+    # real MP4/MP3 container probing rollup (golden SF-independent
+    # fixture; parser pinned by tests/test_media_containers.py)
+    from .operators import multimodal as mm_ops
+
+    register("media_probe_stats", mm_ops.media_probe_stats, mm_ops.MEDIA_PROBE_SQL)
     # slid past 50 in round 8 to make window room for the streaming
     # sink; r5 driver row + two-SF local parity still stand
     register("pivot_status_by_priority", analytics.pivot_status_by_priority, analytics.PIVOT_SQL)
