@@ -156,9 +156,117 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "commit_conflict_roundtrip",
     "meta_stats_partition_scoped",
-    # round-8 (cont.): real MP4/MP3 container probing rollup
+    # round-8 (cont.): real MP4/MP3 container probing rollup,
+    # bucketized range join, changelog-driven view maintenance
     "media_probe_stats",
+    "range_join_transit",
+    "changelog_agg_maintenance",
 ]
+
+
+def _rangejoin_scale_evidence(spark, sf_dir: str) -> dict:
+    """Bucketized range join vs the naive non-equi join (which Spark
+    plans as BroadcastNestedLoopJoin) on the SAME inputs, at two
+    point densities. The nested loop costs |points| x |intervals|
+    comparisons — linear in point count; the bucketized form joins
+    on a hash key, so its wall-time should stay near-flat as points
+    grow. This is the evidence the operator's 100 TB claim rests
+    on."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from iceberg_tools_spark.operators.rangejoin import point_in_interval_join
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(
+            F.col("l_shipdate").cast("date").alias("s"),
+            F.col("l_orderkey"),
+        )
+        .withColumn(
+            "e", F.date_add(F.col("s"), (F.lit(3) + F.col("l_orderkey") % 25).cast("int"))
+        )
+        .drop("l_orderkey")
+    )
+    months = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.trunc(F.col("o_orderdate").cast("date"), "MM").alias("p"))
+        .distinct()
+    )
+    days = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.col("o_orderdate").cast("date").alias("p"))
+        .distinct()
+    )
+    out = {}
+    for label, pts in (("monthly_points", months), ("daily_points", days)):
+        n_pts = pts.count()
+        t0 = _t.perf_counter()
+        n_b = point_in_interval_join(pts, li, "p", "s", "e", max_interval_days=28).count()
+        bucketized = round(_t.perf_counter() - t0, 3)
+        t0 = _t.perf_counter()
+        n_n = li.join(
+            F.broadcast(pts), (F.col("s") <= F.col("p")) & (F.col("p") < F.col("e"))
+        ).count()
+        naive = round(_t.perf_counter() - t0, 3)
+        out[label] = {
+            "points": n_pts,
+            "matches": n_b,
+            "bucketized_sec": bucketized,
+            "nested_loop_sec": naive,
+            "agree": n_b == n_n,
+        }
+    return out
+
+
+def _ivm_scale_evidence(spark) -> dict:
+    """Incremental view maintenance vs full recompute: a 2M-row base
+    aggregate refreshed by a 2k-row changelog. The maintain path
+    aggregates ONLY the changelog and joins one tiny delta per
+    group; recompute re-scans the base. The wall-time gap is the
+    whole point of ivm.py at 100 TB (here the base is in-memory
+    parquet-free range data, so the gap is conservative — a real
+    table adds a full scan's I/O to the recompute side only)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from iceberg_tools_spark.iceberg.ivm import grouped_agg, maintain_grouped_agg
+
+    base_rows = 2_000_000
+    base = spark.range(base_rows).select(
+        F.col("id"),
+        (F.col("id") % 1000).cast("string").alias("category"),
+    )
+    base_agg = grouped_agg(base, ["category"], ["id"]).cache()
+    base_agg.count()  # materialize: the maintained view pre-exists
+    # evens: INSERT brand-new ids; odds: DELETE rows that genuinely
+    # exist in the base (same id → same derived category)
+    new_or_old = F.when(
+        F.col("id") % 2 == 0, F.col("id") + base_rows
+    ).otherwise(F.col("id"))
+    changelog = spark.range(2000).select(
+        F.lit(2).alias("snapshot_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("INSERT")).otherwise(F.lit("DELETE")).alias("change_type"),
+        new_or_old.alias("id"),
+        (new_or_old % 1000).cast("string").alias("category"),
+    )
+    t0 = _t.perf_counter()
+    n_m = maintain_grouped_agg(base_agg, changelog, ["category"], ["id"]).count()
+    maintain_sec = round(_t.perf_counter() - t0, 3)
+    t0 = _t.perf_counter()
+    n_r = grouped_agg(base, ["category"], ["id"]).count()
+    recompute_sec = round(_t.perf_counter() - t0, 3)
+    base_agg.unpersist()
+    return {
+        "base_rows": base_rows,
+        "changelog_rows": 2000,
+        "groups": n_m,
+        "maintain_sec": maintain_sec,
+        "recompute_agg_only_sec": recompute_sec,
+        "recompute_counts_match": n_m == n_r,
+    }
 
 
 def _metadata_scale_evidence(spark) -> dict:
@@ -684,6 +792,8 @@ def main() -> None:
     dv_scale = None
     rewrite_scale = None
     stats_scale = None
+    rangejoin_scale = None
+    ivm_scale = None
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALE"):
         try:
             metadata_scale = _metadata_scale_evidence(spark)
@@ -701,6 +811,14 @@ def main() -> None:
             stats_scale = _stats_scale_evidence(spark)
         except Exception as exc:  # pragma: no cover - defensive
             stats_scale = {"error": f"{type(exc).__name__}: {exc}"}
+        try:
+            rangejoin_scale = _rangejoin_scale_evidence(spark, sf_dir)
+        except Exception as exc:  # pragma: no cover - defensive
+            rangejoin_scale = {"error": f"{type(exc).__name__}: {exc}"}
+        try:
+            ivm_scale = _ivm_scale_evidence(spark)
+        except Exception as exc:  # pragma: no cover - defensive
+            ivm_scale = {"error": f"{type(exc).__name__}: {exc}"}
 
     out = {
         "metric": "headline_total",
@@ -726,6 +844,8 @@ def main() -> None:
         "dv_scale": dv_scale,
         "rewrite_scale": rewrite_scale,
         "stats_scale": stats_scale,
+        "rangejoin_scale": rangejoin_scale,
+        "ivm_scale": ivm_scale,
     }
     # full metric JSON goes to a FILE (VERDICT r6 artifact bug: the
     # driver keeps only the tail of a giant stdout line, which lost

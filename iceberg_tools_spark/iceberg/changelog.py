@@ -189,8 +189,11 @@ _ABCD = ", ".join(
 )
 _F = f"'{MOR_DIR}/data/category=w/id_trunc=300/F.parquet'"
 
-CHANGELOG_SQL = f"""
-WITH
+# Shared CTE block: the visible row set of every fixture snapshot,
+# re-derived in pure SQL. Reused by ivm.py's oracle (which aggregates
+# vis4 = head state) so Spark-side incremental maintenance is judged
+# against a full recompute that shares NO code with it.
+VIS_CTES = f"""
 vis1 AS (SELECT id, category FROM read_parquet([{_AB}])),
 vis2 AS (SELECT id, category FROM read_parquet([{_ABCD}])),
 d3 AS (
@@ -223,7 +226,11 @@ vis4 AS (
   SELECT id, category FROM vis3
   UNION ALL
   SELECT id, category FROM read_parquet([{_F}])
-)
+)"""
+
+CHANGELOG_SQL = f"""
+WITH
+{VIS_CTES}
 SELECT CAST(snapshot_id AS BIGINT) AS snapshot_id, change_type, id, category
 FROM (
   SELECT 2002 AS snapshot_id, 'INSERT' AS change_type, id, category

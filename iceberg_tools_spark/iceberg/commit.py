@@ -1448,3 +1448,187 @@ SELECT CAST(pre_main_files AS BIGINT) AS pre_main_files,
 FROM (VALUES (5, 6, 6, 2005)) t(pre_main_files, staged_ref_files,
                                 post_main_files, published_snapshot)
 """
+
+
+def cherrypick_snapshot(
+    metadata_path: str,
+    snapshot_id: int,
+    *,
+    base_dir: str | None = None,
+    timestamp_ms: int | None = None,
+) -> dict[str, Any]:
+    """Cherry-pick an APPEND snapshot onto the CURRENT head — the
+    re-parenting :func:`publish_snapshot` declines: the staged (or
+    orphaned-branch) snapshot's ADDED files are re-applied as a NEW
+    append commit whose parent is the current snapshot, mirroring
+    Iceberg's ``manageSnapshots().cherrypick(...)`` for the append
+    case. Appends conflict with nothing, so no validation beyond:
+
+    * only ``append`` snapshots (an overwrite/delete replay needs
+      conflict detection this engine routes through
+      ``concurrency.py`` instead);
+    * a ``wap.id`` already published on the current ancestor chain
+      aborts (Iceberg's duplicate-WAP-publish guard);
+    * mixed partition specs in one cherry-pick abort (one append
+      commit carries one spec).
+
+    Driver-side cost: the staged snapshot's own manifests (KB).
+    """
+    from ..avro.reader import AvroContainerFile
+    from .snapshots import ancestor_chain, manifest_files_at, snapshot_by_id
+
+    base_dir = base_dir or os.path.dirname(metadata_path)
+    meta = parse_metadata(metadata_path)
+    snap = snapshot_by_id(meta, snapshot_id)
+    summary = snap.get("summary", {})
+    if summary.get("operation") != "append":
+        raise ValueError(
+            f"cherry-pick supports append snapshots; {snapshot_id} is "
+            f"{summary.get('operation')!r}"
+        )
+    wap_id = summary.get("wap.id")
+    current = meta.raw.get("current-snapshot-id")
+    if wap_id is not None and current is not None:
+        chain = set(ancestor_chain(meta, current))
+        for s in meta.snapshots:
+            if (
+                s["snapshot-id"] in chain
+                and s.get("summary", {}).get("wap.id") == wap_id
+            ):
+                raise ValueError(
+                    f"wap.id {wap_id!r} already published as snapshot "
+                    f"{s['snapshot-id']}; duplicate cherry-pick aborted"
+                )
+    added: list[dict[str, Any]] = []
+    specs: set[int] = set()
+    loc = meta.raw.get("location")
+    for mrow in manifest_files_at(meta, snapshot_id, base_dir):
+        if mrow.get("content", 0) != 0:
+            continue
+        with open(mrow["local_path"], "rb") as f:
+            records = list(AvroContainerFile(f.read()))
+        for rec in records:
+            if rec["status"] != 1 or rec.get("snapshot_id") not in (None, snapshot_id):
+                continue
+            df_ = rec["data_file"]
+            local = _local(df_["file_path"], base_dir, loc)
+            added.append(
+                {
+                    "path": os.path.relpath(local, base_dir),
+                    "partition": df_.get("partition") or {},
+                    "record_count": df_["record_count"],
+                    "file_size_in_bytes": df_.get("file_size_in_bytes"),
+                }
+            )
+            specs.add(mrow.get("partition_spec_id", 0))
+    if not added:
+        raise ValueError(f"snapshot {snapshot_id} added no data files")
+    if len(specs) > 1:
+        raise ValueError(
+            f"snapshot {snapshot_id} spans partition specs {sorted(specs)}; "
+            "cherry-pick one spec at a time"
+        )
+    extra = {"source-snapshot-id": str(snapshot_id)}
+    if wap_id is not None:
+        extra["wap.id"] = wap_id
+        extra["published-wap-id"] = wap_id
+    return append_snapshot(
+        metadata_path,
+        added,
+        base_dir=base_dir,
+        timestamp_ms=timestamp_ms,
+        spec_id=specs.pop(),
+        extra_summary=extra,
+    )
+
+
+def wap_cherrypick_roundtrip(spark, sf_dir):
+    """Driver gate for cherry-pick: stage append W (wap.id 'w42') on
+    head 2004; a second writer's append X lands first, so W parents
+    2004 while head is 2005 — publish_snapshot correctly REFUSES the
+    fast-forward; cherrypick re-applies W's file on top of X's head
+    (live rows 323 + 8 + 10 = 341, parent = X's snapshot), and a
+    second cherry-pick of the same wap.id aborts. Golden oracle.
+    (``sf_dir`` unused.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import types as T
+
+    from .deletes import MOR_DIR, read_mor
+
+    root = _scratch_table("cherry_gate_", MOR_DIR)
+    mpath = os.path.join(root, "v2.metadata.json")
+
+    def _write(rel: str, ids: list[int], category: str) -> None:
+        path = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(
+            pa.table({
+                "id": pa.array(ids, pa.int64()),
+                "category": pa.array([category] * len(ids), pa.string()),
+            }),
+            path,
+        )
+
+    _write("data/category=w/id_trunc=400/W.parquet", list(range(400, 410)), "w")
+    _write("data/category=w/id_trunc=500/X.parquet", list(range(500, 508)), "w")
+    staged = append_snapshot(
+        mpath,
+        [{"path": "data/category=w/id_trunc=400/W.parquet",
+          "partition": {"category": "w", "id_trunc": 400}}],
+        stage_ref="wap-2",
+        extra_summary={"wap.id": "w42"},
+    )
+    concurrent = append_snapshot(
+        staged["metadata_path"],
+        [{"path": "data/category=w/id_trunc=500/X.parquet",
+          "partition": {"category": "w", "id_trunc": 500}}],
+    )
+    ff_refused = 0
+    try:
+        publish_snapshot(concurrent["metadata_path"], "wap-2")
+    except ValueError:
+        ff_refused = 1
+    picked = cherrypick_snapshot(concurrent["metadata_path"], staged["snapshot_id"])
+    live = read_mor(
+        spark, picked["metadata_path"], picked["snapshot_id"], root
+    ).count()
+    picked_meta = parse_metadata(picked["metadata_path"])
+    parent = next(
+        s.get("parent-snapshot-id")
+        for s in picked_meta.snapshots
+        if s["snapshot-id"] == picked["snapshot_id"]
+    )
+    dup_refused = 0
+    try:
+        cherrypick_snapshot(picked["metadata_path"], staged["snapshot_id"])
+    except ValueError:
+        dup_refused = 1
+    schema = T.StructType(
+        [
+            T.StructField("ff_refused", T.LongType()),
+            T.StructField("live_rows", T.LongType()),
+            T.StructField("parent_is_concurrent", T.LongType()),
+            T.StructField("dup_refused", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(
+            ff_refused,
+            live,
+            1 if parent == concurrent["snapshot_id"] else 0,
+            dup_refused,
+        )],
+        schema,
+    )
+
+
+WAP_CHERRYPICK_SQL = """
+SELECT CAST(ff_refused AS BIGINT) AS ff_refused,
+       CAST(live_rows AS BIGINT) AS live_rows,
+       CAST(parent_is_concurrent AS BIGINT) AS parent_is_concurrent,
+       CAST(dup_refused AS BIGINT) AS dup_refused
+FROM (VALUES (1, 341, 1, 1)) t(ff_refused, live_rows,
+                               parent_is_concurrent, dup_refused)
+"""

@@ -1172,3 +1172,77 @@ FROM (VALUES
 ) t(data_file, data_seq, delete_file, delete_content, delete_seq, apply_rule)
 ORDER BY data_file, delete_file
 """
+
+
+# ------------------------------------- position_deletes metadata table
+
+
+def position_deletes_df(
+    spark: SparkSession,
+    metadata_path: str,
+    snapshot_id: int,
+    base_dir: str | None = None,
+) -> DataFrame:
+    """Iceberg's ``position_deletes`` metadata table: one row per
+    deleted (data file, position) pair live at the snapshot, sourced
+    from BOTH v2 positional delete files (parquet scan, executor-
+    side) and v3 deletion vectors (Arrow-batched puffin decode).
+    The driver touches only the per-file planning entries; position
+    lists never leave the executors — the same scale shape as
+    :func:`read_mor`."""
+    base_dir = base_dir or os.path.dirname(metadata_path)
+    meta = parse_metadata(metadata_path)
+    _, dels = mor_entries_at(meta, snapshot_id, base_dir)
+    frames = []
+    for e in dels:
+        if e["content"] != POSITION_DELETES:
+            continue
+        kind = "deletion-vector" if _is_dv(e) else "position-delete"
+        src = _rel(e["file_path"]) or os.path.basename(e["file_path"])
+        if _is_dv(e):
+            f = _dv_positions_frame(spark, [e])
+        else:
+            f = spark.read.parquet(e["local_path"]).select(
+                F.regexp_extract("file_path", _REL_RE, 0).alias("pd_rel"),
+                F.col("pos").alias("pd_pos"),
+                F.lit(e["sequence_number"]).cast("long").alias("pd_seq"),
+            )
+        frames.append(
+            f.select(
+                F.col("pd_rel").alias("file_path"),
+                F.col("pd_pos").cast("long").alias("pos"),
+                F.lit(src).alias("delete_file"),
+                F.lit(kind).alias("delete_kind"),
+                F.col("pd_seq").cast("long").alias("sequence_number"),
+            )
+        )
+    if not frames:
+        schema = (
+            "file_path string, pos long, delete_file string, "
+            "delete_kind string, sequence_number long"
+        )
+        return spark.createDataFrame([], schema)
+    return reduce(DataFrame.unionByName, frames)
+
+
+def meta_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate: the MoR fixture's position_deletes table at head
+    2004 — pd1.parquet's 15 positions (A rows 0-9, C rows 0-4) with
+    their referencing delete file and sequence number. The oracle
+    reads the SAME physical pd1.parquet directly in DuckDB; the
+    engine side goes through manifest planning (``mor_entries_at``)
+    instead of a hardcoded path. (``sf_dir`` unused.)"""
+    return position_deletes_df(spark, MOR_METADATA, 2004, MOR_DIR).orderBy(
+        "file_path", "pos"
+    )
+
+
+META_POSITION_DELETES_SQL = f"""
+SELECT regexp_extract(file_path, 'data/.*$') AS file_path,
+       CAST(pos AS BIGINT) AS pos,
+       'data/deletes/pd1.parquet' AS delete_file,
+       'position-delete' AS delete_kind,
+       CAST(3 AS BIGINT) AS sequence_number
+FROM read_parquet('{MOR_DIR}/data/deletes/pd1.parquet')
+ORDER BY file_path, pos
+"""

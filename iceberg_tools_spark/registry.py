@@ -499,6 +499,38 @@ def _register_past_window() -> None:
     from .operators import multimodal as mm_ops
 
     register("media_probe_stats", mm_ops.media_probe_stats, mm_ops.MEDIA_PROBE_SQL)
+    # incremental view maintenance from the CDC changelog (oracle =
+    # full DuckDB recompute of head state; zero shared code)
+    from .iceberg import ivm as meta_ivm
+
+    register(
+        "changelog_agg_maintenance",
+        meta_ivm.changelog_agg_maintenance,
+        meta_ivm.IVM_SQL,
+    )
+    # append cherry-pick (WAP publish onto a moved head — the
+    # re-parenting publish_snapshot refuses; golden oracle)
+    register(
+        "wap_cherrypick_roundtrip",
+        meta_commit.wap_cherrypick_roundtrip,
+        meta_commit.WAP_CHERRYPICK_SQL,
+    )
+    # position_deletes metadata table (engine side plans through the
+    # manifests; oracle reads the same physical parquet directly)
+    register(
+        "meta_position_deletes",
+        meta_del.meta_position_deletes,
+        meta_del.META_POSITION_DELETES_SQL,
+    )
+    # bucketized point-in-interval join (the non-equi join family,
+    # expressed as a Catalyst hash join; oracle = DuckDB range join)
+    from .operators import rangejoin
+
+    register(
+        "range_join_transit",
+        rangejoin.range_join_transit,
+        rangejoin.RANGE_JOIN_TRANSIT_SQL,
+    )
     # slid past 50 in round 8 to make window room for the streaming
     # sink; r5 driver row + two-SF local parity still stand
     register("pivot_status_by_priority", analytics.pivot_status_by_priority, analytics.PIVOT_SQL)

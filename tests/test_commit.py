@@ -610,3 +610,75 @@ def test_expire_protects_ref_pinned_snapshots(spark):
     assert any(s["snapshot-id"] == 1001 for s in meta.snapshots)
     sid = resolve_ref(res["metadata_path"], "audit-1001")
     assert files_at(spark, res["metadata_path"], sid, root).count() > 0
+
+
+def _scratch_mor(tmp_path):
+    root = tmp_path / "t"
+    shutil.copytree(MOR_DIR, root)
+    return root
+
+
+def _write_rows(root, rel, ids, category):
+    p = root / rel
+    p.parent.mkdir(parents=True, exist_ok=True)
+    pq.write_table(
+        pa.table({"id": pa.array(ids, pa.int64()),
+                  "category": pa.array([category] * len(ids))}), p
+    )
+
+
+def test_cherrypick_reparents_staged_append(spark, tmp_path):
+    from iceberg_tools_spark.iceberg.commit import cherrypick_snapshot
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+
+    root = _scratch_mor(tmp_path)
+    mpath = str(root / "v2.metadata.json")
+    _write_rows(root, "data/category=w/id_trunc=400/W.parquet", list(range(400, 405)), "w")
+    _write_rows(root, "data/category=w/id_trunc=500/X.parquet", list(range(500, 503)), "w")
+    staged = append_snapshot(
+        mpath,
+        [{"path": "data/category=w/id_trunc=400/W.parquet",
+          "partition": {"category": "w", "id_trunc": 400}}],
+        stage_ref="wap-y",
+    )
+    moved = append_snapshot(
+        staged["metadata_path"],
+        [{"path": "data/category=w/id_trunc=500/X.parquet",
+          "partition": {"category": "w", "id_trunc": 500}}],
+    )
+    picked = cherrypick_snapshot(moved["metadata_path"], staged["snapshot_id"])
+    live = read_mor(spark, picked["metadata_path"], picked["snapshot_id"], str(root))
+    ids = {r["id"] for r in live.collect()}
+    assert {400, 401, 402, 403, 404} <= ids and {500, 501, 502} <= ids
+    meta = parse_metadata(picked["metadata_path"])
+    snap = next(s for s in meta.snapshots if s["snapshot-id"] == picked["snapshot_id"])
+    assert snap["parent-snapshot-id"] == moved["snapshot_id"]
+    assert snap["summary"]["source-snapshot-id"] == str(staged["snapshot_id"])
+
+
+def test_cherrypick_refuses_non_append(tmp_path):
+    from iceberg_tools_spark.iceberg.commit import cherrypick_snapshot
+
+    root = _scratch_mor(tmp_path)
+    mpath = str(root / "v2.metadata.json")
+    # snapshot 2003 is the fixture's MoR delete commit
+    with pytest.raises(ValueError, match="supports append"):
+        cherrypick_snapshot(mpath, 2003)
+
+
+def test_cherrypick_wap_duplicate_publish_guard(tmp_path):
+    from iceberg_tools_spark.iceberg.commit import cherrypick_snapshot
+
+    root = _scratch_mor(tmp_path)
+    mpath = str(root / "v2.metadata.json")
+    _write_rows(root, "data/category=w/id_trunc=400/W.parquet", [400], "w")
+    staged = append_snapshot(
+        mpath,
+        [{"path": "data/category=w/id_trunc=400/W.parquet",
+          "partition": {"category": "w", "id_trunc": 400}}],
+        stage_ref="wap-z",
+        extra_summary={"wap.id": "dup-1"},
+    )
+    picked = cherrypick_snapshot(staged["metadata_path"], staged["snapshot_id"])
+    with pytest.raises(ValueError, match="already published"):
+        cherrypick_snapshot(picked["metadata_path"], staged["snapshot_id"])

@@ -657,3 +657,41 @@ def test_delete_where_dv_accepts_keys_dataframe(spark, tmp_path):
         for r in read_mor(spark, res["metadata_path"], res["snapshot_id"]).collect()
     }
     assert ids.isdisjoint(range(30, 40))
+
+
+def test_position_deletes_table_over_dv_fixture(spark):
+    # position_deletes metadata table sourced from a v3 DELETION
+    # VECTOR: the puffin blob's positions surface one row each,
+    # tagged deletion-vector, matching the decoded blob exactly
+    from iceberg_tools_spark.iceberg.deletes import (
+        DV_DIR,
+        DV_METADATA,
+        position_deletes_df,
+        mor_entries_at,
+        _dv_positions_frame,
+    )
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+
+    out = position_deletes_df(spark, DV_METADATA, 3003, DV_DIR).collect()
+    assert out and all(r["delete_kind"] == "deletion-vector" for r in out)
+    assert all(r["delete_file"].endswith(".puffin") for r in out)
+
+    meta = parse_metadata(DV_METADATA)
+    _, dels = mor_entries_at(meta, 3003, DV_DIR)
+    dv_rows = _dv_positions_frame(
+        spark, [e for e in dels if e.get("referenced_data_file")]
+    ).collect()
+    assert sorted((r["file_path"], r["pos"]) for r in out) == sorted(
+        (r["pd_rel"], r["pd_pos"]) for r in dv_rows
+    )
+
+
+def test_position_deletes_table_empty_when_no_deletes(spark):
+    from iceberg_tools_spark.iceberg.deletes import MOR_DIR, MOR_METADATA, position_deletes_df
+
+    # snapshot 2002 predates the delete commit: typed empty frame
+    df = position_deletes_df(spark, MOR_METADATA, 2002, MOR_DIR)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == [
+        "file_path", "pos", "delete_file", "delete_kind", "sequence_number",
+    ]
