@@ -157,10 +157,13 @@ HEADLINE = [
     "commit_conflict_roundtrip",
     "meta_stats_partition_scoped",
     # round-8 (cont.): real MP4/MP3 container probing rollup,
-    # bucketized range join, changelog-driven view maintenance
+    # bucketized range join, changelog-driven view maintenance,
+    # append cherry-pick, position_deletes metadata table
     "media_probe_stats",
     "range_join_transit",
     "changelog_agg_maintenance",
+    "wap_cherrypick_roundtrip",
+    "meta_position_deletes",
 ]
 
 
@@ -221,52 +224,69 @@ def _rangejoin_scale_evidence(spark, sf_dir: str) -> dict:
 
 
 def _ivm_scale_evidence(spark) -> dict:
-    """Incremental view maintenance vs full recompute: a 2M-row base
-    aggregate refreshed by a 2k-row changelog. The maintain path
-    aggregates ONLY the changelog and joins one tiny delta per
-    group; recompute re-scans the base. The wall-time gap is the
-    whole point of ivm.py at 100 TB (here the base is in-memory
-    parquet-free range data, so the gap is conservative — a real
-    table adds a full scan's I/O to the recompute side only)."""
+    """Incremental view maintenance vs full recompute at two base
+    sizes (2M and 20M parquet rows), refreshed by the same 2k-row
+    changelog. The claim under test is FLATNESS: maintain cost is a
+    function of changelog size only (it aggregates the changelog
+    and joins a tiny delta per group — base size never enters),
+    while recompute re-scans the pruned base columns and is linear
+    in scanned bytes. At these toy sizes recompute's linear term is
+    SMALLER than maintain's ~0.5-1 s fixed job overhead — the
+    honest reading is the slope, not the absolute: 10x base growth
+    leaves maintain flat while recompute's cost is bounded below by
+    the scan, which at table scale (TB of base vs KB of changelog)
+    dominates by orders of magnitude."""
+    import shutil
+    import tempfile
     import time as _t
 
     from pyspark.sql import functions as F
 
     from iceberg_tools_spark.iceberg.ivm import grouped_agg, maintain_grouped_agg
 
-    base_rows = 2_000_000
-    base = spark.range(base_rows).select(
-        F.col("id"),
-        (F.col("id") % 1000).cast("string").alias("category"),
-    )
-    base_agg = grouped_agg(base, ["category"], ["id"]).cache()
-    base_agg.count()  # materialize: the maintained view pre-exists
-    # evens: INSERT brand-new ids; odds: DELETE rows that genuinely
-    # exist in the base (same id → same derived category)
-    new_or_old = F.when(
-        F.col("id") % 2 == 0, F.col("id") + base_rows
-    ).otherwise(F.col("id"))
-    changelog = spark.range(2000).select(
-        F.lit(2).alias("snapshot_id"),
-        F.when(F.col("id") % 2 == 0, F.lit("INSERT")).otherwise(F.lit("DELETE")).alias("change_type"),
-        new_or_old.alias("id"),
-        (new_or_old % 1000).cast("string").alias("category"),
-    )
-    t0 = _t.perf_counter()
-    n_m = maintain_grouped_agg(base_agg, changelog, ["category"], ["id"]).count()
-    maintain_sec = round(_t.perf_counter() - t0, 3)
-    t0 = _t.perf_counter()
-    n_r = grouped_agg(base, ["category"], ["id"]).count()
-    recompute_sec = round(_t.perf_counter() - t0, 3)
-    base_agg.unpersist()
-    return {
-        "base_rows": base_rows,
-        "changelog_rows": 2000,
-        "groups": n_m,
-        "maintain_sec": maintain_sec,
-        "recompute_agg_only_sec": recompute_sec,
-        "recompute_counts_match": n_m == n_r,
-    }
+    out = {"changelog_rows": 2000, "rows": {}}
+    roots = []
+    for base_rows in (2_000_000, 20_000_000):
+        root = tempfile.mkdtemp(prefix=f"ivm_scale_{base_rows}_")
+        roots.append(root)
+        spark.range(base_rows).select(
+            F.col("id"),
+            (F.col("id") % 1000).cast("string").alias("category"),
+            # payload columns a real table carries (and a recompute
+            # scan must at least skip past)
+            F.sha1(F.col("id").cast("string")).alias("p1"),
+            (F.col("id") * 31 % 997).alias("p2"),
+        ).write.mode("overwrite").parquet(f"{root}/base")
+        base = spark.read.parquet(f"{root}/base")
+        base_agg = grouped_agg(base, ["category"], ["id"]).cache()
+        base_agg.count()  # materialize: the maintained view pre-exists
+        # evens: INSERT brand-new ids; odds: DELETE rows that
+        # genuinely exist in the base (same id → same category)
+        new_or_old = F.when(
+            F.col("id") % 2 == 0, F.col("id") + base_rows
+        ).otherwise(F.col("id"))
+        changelog = spark.range(2000).select(
+            F.lit(2).alias("snapshot_id"),
+            F.when(F.col("id") % 2 == 0, F.lit("INSERT")).otherwise(F.lit("DELETE")).alias("change_type"),
+            new_or_old.alias("id"),
+            (new_or_old % 1000).cast("string").alias("category"),
+        )
+        t0 = _t.perf_counter()
+        n_m = maintain_grouped_agg(base_agg, changelog, ["category"], ["id"]).count()
+        maintain_sec = round(_t.perf_counter() - t0, 3)
+        t0 = _t.perf_counter()
+        n_r = grouped_agg(base, ["category"], ["id"]).count()
+        recompute_sec = round(_t.perf_counter() - t0, 3)
+        base_agg.unpersist()
+        out["rows"][f"base_{base_rows}"] = {
+            "groups": n_m,
+            "maintain_sec": maintain_sec,
+            "recompute_from_parquet_sec": recompute_sec,
+            "recompute_counts_match": n_m == n_r,
+        }
+    for root in roots:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 def _metadata_scale_evidence(spark) -> dict:

@@ -428,3 +428,207 @@ def build_mp3(
             state = (1103515245 * state + 12345) % (1 << 31)
             out.append((state >> 7) & 0xFF)
     return bytes(out)
+
+
+# ------------------------------------------------------------ FLAC
+
+def parse_flac(payload: bytes) -> dict[str, Any]:
+    """FLAC container: ``fLaC`` magic, then metadata blocks
+    (1-byte last-flag<<7|type + 24-bit big-endian length). The
+    mandatory STREAMINFO block (type 0, 34 bytes) carries sample
+    rate (20 bits), channels-1 (3), bits-per-sample-1 (5) and the
+    36-bit total-samples count the duration derives from. Returns
+    ``{sample_rate, channels, bits_per_sample, total_samples,
+    duration_s, n_metadata_blocks}``; raises on malformed input."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos, n_blocks, info = 4, 0, None
+    while pos + 4 <= len(payload):
+        hdr = payload[pos]
+        btype, last = hdr & 0x7F, bool(hdr & 0x80)
+        blen = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + blen]
+        if len(body) < blen:
+            raise ValueError("truncated FLAC metadata block")
+        n_blocks += 1
+        if btype == 0:
+            if blen != 34:
+                raise ValueError(f"STREAMINFO must be 34 bytes, got {blen}")
+            bits = int.from_bytes(body, "big")
+            # layout after min/max blocksize (32) + min/max framesize (48)
+            sr = (bits >> (34 * 8 - 80 - 20)) & 0xFFFFF
+            ch = ((bits >> (34 * 8 - 100 - 3)) & 0x7) + 1
+            bps = ((bits >> (34 * 8 - 103 - 5)) & 0x1F) + 1
+            total = (bits >> (34 * 8 - 108 - 36)) & ((1 << 36) - 1)
+            if sr == 0:
+                raise ValueError("STREAMINFO sample rate 0")
+            info = {
+                "sample_rate": sr,
+                "channels": ch,
+                "bits_per_sample": bps,
+                "total_samples": total,
+                "duration_s": total / sr,
+            }
+        pos += 4 + blen
+        if last:
+            break
+    if info is None:
+        raise ValueError("no STREAMINFO block")
+    info["n_metadata_blocks"] = n_blocks
+    return info
+
+
+def build_flac(
+    *, sample_rate: int = 44100, channels: int = 2,
+    bits_per_sample: int = 16, total_samples: int = 88200, seed: int = 5
+) -> bytes:
+    """FLAC fixture: a valid fLaC + STREAMINFO (+ PADDING) header
+    over deterministic junk 'frame' bytes (unparsed by
+    :func:`parse_flac`, which stops at the last metadata block)."""
+    bits = 0
+    bits = (bits << 16) | 4096          # min blocksize
+    bits = (bits << 16) | 4096          # max blocksize
+    bits = (bits << 24) | 0             # min framesize (unknown)
+    bits = (bits << 24) | 0             # max framesize
+    bits = (bits << 20) | sample_rate
+    bits = (bits << 3) | (channels - 1)
+    bits = (bits << 5) | (bits_per_sample - 1)
+    bits = (bits << 36) | total_samples
+    bits = bits << 128                  # md5 of raw audio: zeros
+    body = bits.to_bytes(34, "big")
+    out = b"fLaC" + bytes([0x00]) + len(body).to_bytes(3, "big") + body
+    pad = b"\x00" * 16
+    out += bytes([0x80 | 0x01]) + len(pad).to_bytes(3, "big") + pad  # last: PADDING
+    state = seed or 1
+    junk = bytearray()
+    for _ in range(200):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        junk.append((state >> 11) & 0xFF)
+    return out + bytes(junk)
+
+
+# ------------------------------------------------------------- Ogg
+
+def _ogg_crc(data: bytes) -> int:
+    """Ogg page CRC32: poly 0x04c11db7, non-reflected, init/xorout
+    0 (NOT the zlib variant)."""
+    crc = 0
+    for b in data:
+        crc ^= b << 24
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x04C11DB7) if crc & 0x80000000 else (crc << 1)
+            crc &= 0xFFFFFFFF
+    return crc
+
+
+def parse_ogg(payload: bytes, *, check_crc: bool = True) -> dict[str, Any]:
+    """Ogg container: walk ``OggS`` pages (version 0), validating
+    each page's CRC, tracking packet boundaries from the segment
+    lacing table and the final granule position. Codec identified
+    from the first packet's magic: ``OpusHead`` (granule at 48 kHz
+    minus pre-skip) or ``\\x01vorbis`` (granule in sample-rate
+    units, rate at id-header offset 12). Returns ``{codec,
+    sample_rate, duration_s, n_pages, n_packets}``."""
+    pos, n_pages, n_packets = 0, 0, 0
+    first_packet = b""
+    last_granule = 0
+    while pos + 27 <= len(payload):
+        if payload[pos : pos + 4] != b"OggS":
+            raise ValueError(f"lost page sync at byte {pos}")
+        if payload[pos + 4] != 0:
+            raise ValueError("unsupported Ogg version")
+        granule = int.from_bytes(payload[pos + 6 : pos + 14], "little", signed=True)
+        crc_stored = int.from_bytes(payload[pos + 22 : pos + 26], "little")
+        nseg = payload[pos + 26]
+        lacing = payload[pos + 27 : pos + 27 + nseg]
+        if len(lacing) < nseg:
+            raise ValueError("truncated lacing table")
+        body_len = sum(lacing)
+        page_end = pos + 27 + nseg + body_len
+        if page_end > len(payload):
+            raise ValueError("truncated page body")
+        if check_crc:
+            page = bytearray(payload[pos:page_end])
+            page[22:26] = b"\x00\x00\x00\x00"
+            if _ogg_crc(bytes(page)) != crc_stored:
+                raise ValueError(f"page CRC mismatch at byte {pos}")
+        # packets end on lacing values < 255
+        n_packets += sum(1 for v in lacing if v < 255)
+        if n_pages == 0:
+            first_packet = payload[pos + 27 + nseg : pos + 27 + nseg + min(body_len, 64)]
+        if granule >= 0:
+            last_granule = granule
+        n_pages += 1
+        pos = page_end
+    if n_pages == 0:
+        raise ValueError("no Ogg pages")
+    codec, sr, dur = "unknown", None, None
+    if first_packet.startswith(b"OpusHead"):
+        codec = "opus"
+        pre_skip = int.from_bytes(first_packet[10:12], "little")
+        sr = int.from_bytes(first_packet[12:16], "little") or 48000
+        dur = max(0, last_granule - pre_skip) / 48000.0
+    elif first_packet.startswith(b"\x01vorbis"):
+        codec = "vorbis"
+        sr = int.from_bytes(first_packet[12:16], "little")
+        dur = last_granule / sr if sr else None
+    return {
+        "codec": codec,
+        "sample_rate": sr,
+        "duration_s": dur,
+        "n_pages": n_pages,
+        "n_packets": n_packets,
+    }
+
+
+def _ogg_page(
+    serial: int, seq: int, granule: int, packets: list[bytes], *,
+    header_type: int = 0
+) -> bytes:
+    lacing = bytearray()
+    body = bytearray()
+    for pkt in packets:
+        q, r = divmod(len(pkt), 255)
+        lacing += bytes([255] * q + [r])
+        body += pkt
+    page = bytearray(b"OggS")
+    page += bytes([0, header_type])
+    page += granule.to_bytes(8, "little", signed=True)
+    page += serial.to_bytes(4, "little")
+    page += seq.to_bytes(4, "little")
+    page += b"\x00\x00\x00\x00"  # CRC placeholder
+    page += bytes([len(lacing)]) + lacing + body
+    crc = _ogg_crc(bytes(page))
+    page[22:26] = crc.to_bytes(4, "little")
+    return bytes(page)
+
+
+def build_ogg_opus(
+    *, n_audio_packets: int = 10, samples_per_packet: int = 960,
+    pre_skip: int = 312, seed: int = 6
+) -> bytes:
+    """Ogg-Opus fixture: real page structure + CRCs + OpusHead/
+    OpusTags headers over deterministic junk audio packets. Granule
+    positions advance 48 kHz samples per spec, so the parsed
+    duration is exact."""
+    head = (
+        b"OpusHead" + bytes([1, 2])  # version 1, 2 channels
+        + pre_skip.to_bytes(2, "little")
+        + (48000).to_bytes(4, "little")
+        + (0).to_bytes(2, "little") + bytes([0])  # gain, mapping family
+    )
+    tags = b"OpusTags" + (4).to_bytes(4, "little") + b"test" + (0).to_bytes(4, "little")
+    out = _ogg_page(0x1234, 0, 0, [head], header_type=2)  # BOS
+    out += _ogg_page(0x1234, 1, 0, [tags])
+    state = seed or 1
+    granule = pre_skip
+    for i in range(n_audio_packets):
+        pkt = bytearray()
+        state = (1103515245 * state + 12345) % (1 << 31)
+        for j in range(40 + state % 40):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            pkt.append((state >> 9) & 0xFF)
+        granule += samples_per_packet
+        flag = 4 if i == n_audio_packets - 1 else 0  # EOS on the last
+        out += _ogg_page(0x1234, 2 + i, granule, [bytes(pkt)], header_type=flag)
+    return out

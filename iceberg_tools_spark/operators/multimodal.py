@@ -532,6 +532,23 @@ def probe_one(payload: bytes, modality: str) -> dict:
                 out["n_units"] = t["n_samples"]
                 if out["duration_s"] is None:
                     out["duration_s"] = t["duration_s"]
+        elif p[:4] == b"fLaC":
+            from .media_containers import parse_flac
+
+            meta = parse_flac(p)
+            out.update(
+                container="flac", codec="flac", duration_s=meta["duration_s"],
+                n_units=meta["total_samples"], is_vbr=None,
+            )
+        elif p[:4] == b"OggS":
+            from .media_containers import parse_ogg
+
+            meta = parse_ogg(p)
+            out.update(
+                container="ogg", codec=meta["codec"],
+                duration_s=meta["duration_s"], n_units=meta["n_packets"],
+                is_vbr=None,
+            )
         elif p[:3] == b"ID3" or (len(p) >= 2 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0):
             from .media_containers import parse_mp3
 
@@ -624,7 +641,7 @@ def make_container_corpus(spark: SparkSession) -> DataFrame:
     module's encoders, MP4/MP3 via ``media_containers`` builders)
     plus junk payloads that must land in the ``unknown`` bucket.
     SF-independent by design so the driver oracle can be golden."""
-    from .media_containers import build_mp3, build_mp4
+    from .media_containers import build_flac, build_mp3, build_mp4, build_ogg_opus
 
     rows: list[tuple] = []
 
@@ -654,6 +671,10 @@ def make_container_corpus(spark: SparkSession) -> DataFrame:
     add("audio", build_mp3(n_frames=24, bitrate_pattern=(9,), with_id3=True, seed=2))
     add("audio", build_mp3(n_frames=30, bitrate_pattern=(5, 9, 12), seed=3))  # VBR
     add("audio", build_mp3(n_frames=18, bitrate_pattern=(7,), seed=4))
+    add("audio", build_flac(sample_rate=44100, total_samples=88200, seed=5))
+    add("audio", build_flac(sample_rate=16000, channels=1, total_samples=24000, seed=6))
+    add("audio", build_ogg_opus(n_audio_packets=10, seed=7))
+    add("audio", build_ogg_opus(n_audio_packets=25, samples_per_packet=1920, seed=8))
     for i in range(2):  # junk → unknown
         add("image", hashlib.md5(f"junk{i}".encode()).digest() * 3)
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
@@ -700,14 +721,43 @@ SELECT container,
        CAST(duration_ms_total AS BIGINT) AS duration_ms_total,
        CAST(n_vbr AS BIGINT) AS n_vbr
 FROM (VALUES
-  ('bmp',     4,    4,  44, 30,    0, 0),
-  ('mp3',     3,   72,   0,  0, 1881, 1),
-  ('mp4',     3,   42, 192, 144, 6904, 0),
-  ('png',     3,    3,  18, 15,    0, 0),
-  ('ppm',     2,    2,  13,  7,    0, 0),
-  ('unknown', 2,    0,   0,  0,    0, 0),
-  ('wav',     3, 2880,   0,  0,  180, 0)
+  ('bmp',     4,      4,  44, 30,    0, 0),
+  ('flac',    2, 112200,   0,  0, 3500, 0),
+  ('mp3',     3,     72,   0,  0, 1881, 1),
+  ('mp4',     3,     42, 192, 144, 6904, 0),
+  ('ogg',     2,     39,   0,  0, 1200, 0),
+  ('png',     3,      3,  18, 15,    0, 0),
+  ('ppm',     2,      2,  13,  7,    0, 0),
+  ('unknown', 2,      0,   0,  0,    0, 0),
+  ('wav',     3,   2880,   0,  0,  180, 0)
 ) t(container, n_items, units_total, width_total, height_total,
     duration_ms_total, n_vbr)
 ORDER BY container
+"""
+
+
+def media_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for REAL MP4 frame sampling: every 3rd sample of
+    each fixture MP4 is sliced out of ``mdat`` via the parsed
+    stsc×stco×stsz table; the rollup pins how many samples were
+    kept and exactly how many payload bytes they cover (byte counts
+    come from the sample table, so a slicing bug shifts them).
+    Golden oracle — the fixture corpus is deterministic and
+    SF-independent (``sf_dir`` unused)."""
+    corpus = make_container_corpus(spark).filter(F.col("modality") == "video")
+    sampled = sample_frames_mp4(corpus, every_n=3)
+    return sampled.select(
+        "item_id",
+        F.col("n_frames").cast("long").alias("frames_kept"),
+        F.length("payload").cast("long").alias("payload_bytes"),
+    ).orderBy("item_id")
+
+
+MEDIA_FRAME_SAMPLE_SQL = """
+SELECT CAST(item_id AS BIGINT) AS item_id,
+       CAST(frames_kept AS BIGINT) AS frames_kept,
+       CAST(payload_bytes AS BIGINT) AS payload_bytes
+FROM (VALUES (12, 4, 150), (13, 5, 344), (14, 6, 335))
+  t(item_id, frames_kept, payload_bytes)
+ORDER BY item_id
 """

@@ -499,6 +499,13 @@ def _register_past_window() -> None:
     from .operators import multimodal as mm_ops
 
     register("media_probe_stats", mm_ops.media_probe_stats, mm_ops.MEDIA_PROBE_SQL)
+    # real MP4 frame sampling: every-Nth sample byte ranges sliced
+    # from mdat through the parsed sample table (golden byte counts)
+    register(
+        "media_frame_sample_stats",
+        mm_ops.media_frame_sample_stats,
+        mm_ops.MEDIA_FRAME_SAMPLE_SQL,
+    )
     # incremental view maintenance from the CDC changelog (oracle =
     # full DuckDB recompute of head state; zero shared code)
     from .iceberg import ivm as meta_ivm

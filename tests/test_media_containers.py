@@ -118,3 +118,61 @@ def test_sample_frames_mp4_uses_real_sample_table(spark):
     assert bytes(got[0].payload) == expected and got[0].n_frames == 4
     # non-BMFF video falls back to the proportional heuristic
     assert got[1].n_frames == 3
+
+
+def test_flac_streaminfo_round_trip():
+    from iceberg_tools_spark.operators.media_containers import build_flac, parse_flac
+
+    m = parse_flac(build_flac(sample_rate=22050, channels=1,
+                              bits_per_sample=24, total_samples=44100, seed=9))
+    assert m["sample_rate"] == 22050
+    assert m["channels"] == 1
+    assert m["bits_per_sample"] == 24
+    assert m["total_samples"] == 44100
+    assert m["duration_s"] == 2.0
+    assert m["n_metadata_blocks"] == 2
+
+
+def test_flac_malformed_raises():
+    import pytest
+
+    from iceberg_tools_spark.operators.media_containers import build_flac, parse_flac
+
+    with pytest.raises(ValueError):
+        parse_flac(b"fLaX" + b"\x00" * 40)
+    good = build_flac()
+    with pytest.raises(ValueError):  # truncated STREAMINFO body
+        parse_flac(good[:20])
+
+
+def test_ogg_opus_round_trip_and_crc():
+    import pytest
+
+    from iceberg_tools_spark.operators.media_containers import build_ogg_opus, parse_ogg
+
+    raw = build_ogg_opus(n_audio_packets=10, samples_per_packet=960, pre_skip=312)
+    m = parse_ogg(raw)
+    assert m["codec"] == "opus"
+    assert m["sample_rate"] == 48000
+    assert abs(m["duration_s"] - 0.2) < 1e-9  # 10*960/48000, pre-skip removed
+    assert m["n_pages"] == 12 and m["n_packets"] == 12
+    # one flipped body byte must trip the page CRC
+    bad = bytearray(raw)
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        parse_ogg(bytes(bad))
+    # ...and CRC checking can be bypassed explicitly
+    assert parse_ogg(bytes(bad), check_crc=False)["n_pages"] == 12
+
+
+def test_ogg_vorbis_identification():
+    from iceberg_tools_spark.operators.media_containers import _ogg_page, parse_ogg
+
+    ident = (b"\x01vorbis" + bytes(4) + b"\x02"
+             + (44100).to_bytes(4, "little") + bytes(12) + b"\x01")
+    raw = _ogg_page(7, 0, 0, [ident], header_type=2)
+    raw += _ogg_page(7, 1, 88200, [b"\x00" * 20], header_type=4)
+    m = parse_ogg(raw)
+    assert m["codec"] == "vorbis"
+    assert m["sample_rate"] == 44100
+    assert m["duration_s"] == 2.0
