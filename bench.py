@@ -164,6 +164,7 @@ HEADLINE = [
     "changelog_agg_maintenance",
     "wap_cherrypick_roundtrip",
     "meta_position_deletes",
+    "dedup_paragraph_stats",
 ]
 
 

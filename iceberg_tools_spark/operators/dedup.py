@@ -30,7 +30,7 @@ is md5-derived and reproduced 1:1 in the DuckDB oracle SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import norm_text, word_ngrams, word_set
@@ -812,4 +812,94 @@ FROM totals t
 LEFT JOIN involved i ON i.source = t.source
 LEFT JOIN pair_stats ps ON ps.source = t.source
 ORDER BY t.source
+"""
+
+
+# ------------------------------------ paragraph/chunk-level dedup (r8)
+
+
+def dedup_paragraph_stats(
+    spark: SparkSession, sf_dir: str, *, chunk_words: int = 8
+) -> DataFrame:
+    """Chunk-level (pseudo-paragraph) exact dedup — the C4/RefinedWeb
+    curation step that removes REPEATED PASSAGES across documents
+    rather than whole-document copies: each doc splits into
+    consecutive ``chunk_words``-word chunks, chunks are hashed, and
+    every doc reports how many of its chunks also appear elsewhere
+    in the corpus.
+
+    Scale shape: chunking is a pure expression tree
+    (``transform(sequence(...), i -> concat_ws(slice(words, ...)))``
+    + one explode — zero shuffle, no Python); the only shuffles are
+    a groupBy on the uniform md5 chunk key and the per-source
+    rollup. Per-source output keeps the result KB-scale regardless
+    of corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "source", "text"])
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / chunk_words).cast("int")
+    chunks = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            # guard: sequence(0, -1) would yield [0, -1] (Spark infers
+            # a NEGATIVE step when start > stop), not an empty list
+            F.when(n_chunks > 0, F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(words, i * chunk_words + 1, chunk_words)
+                ),
+            )).otherwise(F.array().cast("array<string>")),
+        ).alias("chunk_idx", "chunk"),
+    ).withColumn("chunk_hash", F.md5("chunk"))
+    # aggregate ONCE per (hash, source), then attach the corpus-wide
+    # occurrence count as a WINDOW sum over the already-reduced frame
+    # — one scan of the chunk explosion and three total shuffles
+    # ((hash, source) agg → hash window → source rollup), vs four
+    # plus a duplicated subplan for the groupBy + self-join form
+    # (measured 2x faster at sf0.1)
+    per = chunks.groupBy("chunk_hash", "source").agg(
+        F.count(F.lit(1)).alias("n_in_source")
+    )
+    tagged = per.withColumn(
+        "n_occurrences",
+        F.sum("n_in_source").over(Window.partitionBy("chunk_hash")),
+    )
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.sum("n_in_source").cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("n_occurrences") > 1, F.col("n_in_source")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_chunks"),
+        )
+        .orderBy("source")
+    )
+
+
+DEDUP_PARAGRAPH_SQL = """
+WITH docs AS (
+  SELECT doc_id, source, string_split(text, ' ') AS words
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, source,
+         md5(array_to_string(words[i * 8 + 1 : i * 8 + 8], ' ')) AS chunk_hash
+  FROM docs,
+       LATERAL (
+         SELECT unnest(range(CAST(ceil(len(words) / 8.0) AS BIGINT))) AS i
+       ) idx
+),
+counts AS (
+  SELECT chunk_hash, COUNT(*) AS n_occurrences FROM chunks GROUP BY 1
+)
+SELECT c.source,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN n.n_occurrences > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       CAST(COUNT(DISTINCT c.chunk_hash) AS BIGINT) AS n_distinct_chunks
+FROM chunks c JOIN counts n USING (chunk_hash)
+GROUP BY c.source
+ORDER BY c.source
 """

@@ -506,6 +506,11 @@ def _register_past_window() -> None:
         mm_ops.media_frame_sample_stats,
         mm_ops.MEDIA_FRAME_SAMPLE_SQL,
     )
+    # chunk-level (pseudo-paragraph) dedup — repeated-passage
+    # removal; chunking is a zero-shuffle expression tree
+    register(
+        "dedup_paragraph_stats", dedup.dedup_paragraph_stats, dedup.DEDUP_PARAGRAPH_SQL
+    )
     # incremental view maintenance from the CDC changelog (oracle =
     # full DuckDB recompute of head state; zero shared code)
     from .iceberg import ivm as meta_ivm
@@ -515,6 +520,11 @@ def _register_past_window() -> None:
         meta_ivm.changelog_agg_maintenance,
         meta_ivm.IVM_SQL,
     )
+    # the streaming dual: same view maintained commit-by-commit from
+    # the changelog STREAM, same independent recompute oracle
+    from .streaming import ivm as stream_ivm
+
+    register("stream_ivm_rows", stream_ivm.stream_ivm_rows, stream_ivm.STREAM_IVM_SQL)
     # append cherry-pick (WAP publish onto a moved head — the
     # re-parenting publish_snapshot refuses; golden oracle)
     register(

@@ -64,3 +64,22 @@ def test_group_dropout_and_birth(spark):
     )
     out = _rows(maintain_grouped_agg(base, changelog, ["category"], ["id"]))
     assert out == [("a", 2, 7), ("c", 1, 9)]
+
+
+def test_stream_maintained_view_equals_recompute(spark, tmp_path):
+    from iceberg_tools_spark.streaming.ivm import maintain_view_stream
+
+    res = maintain_view_stream(
+        spark,
+        MOR_METADATA,
+        2001,
+        2004,
+        str(tmp_path / "staging"),
+        str(tmp_path / "view"),
+        ["category"],
+        ["id"],
+        base_dir=MOR_DIR,
+    )
+    assert res["n_batches"] == 3  # one per source commit
+    got = _rows(spark.read.parquet(res["view_path"]))
+    assert got == _rows(_recompute(spark, 2004))
