@@ -53,12 +53,17 @@ def _kv(n: str, vtype: str) -> dict:
 
 
 def manifest_entry_schema(
-    partition_fields: list[tuple[str, str]], suffix: str, *, v3: bool = False
+    partition_fields: list[tuple[str, str]],
+    suffix: str,
+    *,
+    v3: bool = False,
+    lineage: bool = False,
 ) -> dict:
     """v2 ``manifest_entry`` record (the shape `mor_entries_at` and
     the reference's manifest reader consume). ``v3=True`` appends the
     v3 deletion-vector locator fields (``referenced_data_file`` +
-    ``content_offset``/``content_size_in_bytes``) — opt-in so v2
+    ``content_offset``/``content_size_in_bytes``); ``lineage=True``
+    appends the v3 row-lineage ``first_row_id`` — both opt-in so v2
     manifests stay byte-identical."""
     return {
         "type": "record",
@@ -112,6 +117,11 @@ def manifest_entry_schema(
                                 {"name": "content_size_in_bytes", "type": ["null", "long"], "default": None},
                             ]
                             if v3
+                            else []
+                        ),
+                        *(
+                            [{"name": "first_row_id", "type": ["null", "long"], "default": None}]
+                            if lineage
                             else []
                         ),
                     ],
@@ -514,6 +524,14 @@ def _commit_files(
         mc = 0 if fc == 0 else 1
         by_group.setdefault((mc, int(df.get("spec_id", spec_id))), []).append(df)
 
+    # v3 row lineage: every ADDED data file gets a first_row_id from
+    # the table's next-row-id counter; its rows' _row_id derive as
+    # first_row_id + position (spec v3 "Row Lineage"). Carried-
+    # forward EXISTING entries keep their original assignment.
+    lineage = int(raw.get("format-version", 2)) >= 3
+    row_counter = [int(raw.get("next-row-id", 0))]
+    snapshot_first_row_id = row_counter[0]
+
     def _build_entries(group: list[dict[str, Any]], gspec: int):
         part_fields = _spec_partition_fields(meta, gspec)
         want_fields = {fn for fn, _ in part_fields}
@@ -542,6 +560,10 @@ def _commit_files(
             if file_size is None:
                 file_size = os.path.getsize(local)
             rows_count += record_count
+            first_row_id = df.get("first_row_id")
+            if lineage and int(df.get("content", 0)) == 0 and first_row_id is None:
+                first_row_id = row_counter[0]
+                row_counter[0] += record_count
             entries.append(
                 {
                     "status": ADDED,
@@ -549,6 +571,7 @@ def _commit_files(
                     "sequence_number": None,  # v2 inheritance
                     "data_file": {
                         "content": int(df.get("content", 0)),
+                        "first_row_id": first_row_id,
                         "file_path": f"{loc}/{rel}",
                         "file_format": file_format,
                         "partition": part,
@@ -606,7 +629,10 @@ def _commit_files(
         any_v3 = any_v3 or group_v3
         man_blob = write_container(
             manifest_entry_schema(
-                part_fields, f"c{snapshot_id}m{mc}s{gspec}", v3=group_v3
+                part_fields,
+                f"c{snapshot_id}m{mc}s{gspec}",
+                v3=group_v3,
+                lineage=lineage and mc == 0,
             ),
             entries,
         )
@@ -646,6 +672,8 @@ def _commit_files(
         raw["format-version"] = max(int(raw.get("format-version", 2)), 3)
     raw["last-sequence-number"] = seq
     raw["last-updated-ms"] = timestamp_ms
+    if lineage and row_counter[0] != snapshot_first_row_id:
+        raw["next-row-id"] = row_counter[0]
     if stage_ref is None:
         raw["current-snapshot-id"] = snapshot_id
     else:
@@ -660,6 +688,11 @@ def _commit_files(
             "sequence-number": seq,
             "snapshot-id": snapshot_id,
             **({"parent-snapshot-id": parent_id} if parent_id is not None else {}),
+            **(
+                {"first-row-id": snapshot_first_row_id}
+                if lineage and row_counter[0] != snapshot_first_row_id
+                else {}
+            ),
             "timestamp-ms": timestamp_ms,
             "summary": {
                 "operation": operation,

@@ -170,6 +170,8 @@ def mor_entries_at(
                 "referenced_data_file": df_.get("referenced_data_file"),
                 "content_offset": df_.get("content_offset"),
                 "content_size_in_bytes": df_.get("content_size_in_bytes"),
+                # v3 row lineage (None on v2 / pre-lineage entries)
+                "first_row_id": df_.get("first_row_id"),
             }
             (data if entry["content"] == DATA else dels).append(entry)
     from collections import Counter
@@ -1245,4 +1247,129 @@ SELECT regexp_extract(file_path, 'data/.*$') AS file_path,
        CAST(3 AS BIGINT) AS sequence_number
 FROM read_parquet('{MOR_DIR}/data/deletes/pd1.parquet')
 ORDER BY file_path, pos
+"""
+
+
+# ------------------------------------------ v3 row lineage read path
+
+
+def read_mor_lineage(
+    spark: SparkSession,
+    metadata_path: str,
+    snapshot_id: int,
+    base_dir: str | None = None,
+) -> DataFrame:
+    """MoR scan that carries the v3 ROW LINEAGE metadata columns:
+    ``_row_id`` (the file's ``first_row_id`` + row position — stable
+    across MoR deletes, since surviving rows keep their file and
+    position) and ``_last_updated_sequence_number`` (the row's data
+    sequence number). Files written before lineage (no
+    ``first_row_id`` in their manifest entry) yield NULL ``_row_id``,
+    per the engine's documented no-retroactive-assignment stance.
+
+    Plan shape: identical to :func:`read_mor` plus one broadcast
+    join against a per-FILE (rel → first_row_id) map — KB metadata,
+    never row-scale."""
+    base_dir = base_dir or os.path.dirname(metadata_path)
+    meta = parse_metadata(metadata_path)
+    data, dels = mor_entries_at(meta, snapshot_id, base_dir)
+    if not data:
+        raise ValueError(f"snapshot {snapshot_id} has no live data files")
+    df = mor_frame(spark, data)
+    surv = apply_deletes(spark, meta, df, dels, mode="survivors")
+    lineage_map = spark.createDataFrame(
+        [(e["rel"], e.get("first_row_id")) for e in data],
+        "_rel string, _first_row_id long",
+    )
+    out_cols = [c for c in df.columns if c not in ("_rel", "_pos", "_seq")]
+    return (
+        surv.join(F.broadcast(lineage_map), "_rel")
+        .select(
+            *out_cols,
+            (F.col("_first_row_id") + F.col("_pos")).alias("_row_id"),
+            F.col("_seq").cast("long").alias("_last_updated_sequence_number"),
+        )
+    )
+
+
+def row_lineage_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for v3 ROW LINEAGE (``sf_dir`` unused): a fresh
+    format-version-3 table gets two appends (X: ids 100-104, Y: ids
+    200-202) — the commit path assigns ``first_row_id`` 0 and 5 from
+    the table's ``next-row-id`` counter — then a DV delete removes
+    id 102. The lineage read shows the 7 survivors with their
+    ORIGINAL row ids (0,1,3,4,5,6,7 — stable under MoR deletes, the
+    property row lineage exists for) and per-row
+    ``_last_updated_sequence_number``. Golden oracle."""
+    import json as _json
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .commit import append_snapshot
+    from .dml import delete_where_dv
+
+    root = tempfile.mkdtemp(prefix="row_lineage_")
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+    meta0 = {
+        "format-version": 3,
+        "table-uuid": "00000000-0000-0000-0000-00000000e001",
+        "location": "file:///tmp/row_lineage_table",
+        "last-sequence-number": 0,
+        "last-updated-ms": 1700000000000,
+        "last-column-id": 2,
+        "current-schema-id": 0,
+        "schemas": [{
+            "schema-id": 0, "type": "struct",
+            "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"},
+                {"id": 2, "name": "category", "required": False, "type": "string"},
+            ],
+        }],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {}, "snapshots": [], "snapshot-log": [],
+        "metadata-log": [],
+    }
+    mp = os.path.join(root, "v1.metadata.json")
+    with open(mp, "w") as f:
+        _json.dump(meta0, f, indent=2)
+
+    def _write(rel, ids, cat):
+        pq.write_table(
+            pa.table({
+                "id": pa.array(ids, pa.int64()),
+                "category": pa.array([cat] * len(ids), pa.string()),
+            }),
+            os.path.join(root, rel),
+        )
+
+    _write("data/X.parquet", list(range(100, 105)), "a")
+    _write("data/Y.parquet", list(range(200, 203)), "b")
+    s1 = append_snapshot(mp, [{"path": "data/X.parquet", "partition": {}}])
+    s2 = append_snapshot(s1["metadata_path"], [{"path": "data/Y.parquet", "partition": {}}])
+    s3 = delete_where_dv(spark, s2["metadata_path"], "id = 102")
+    return read_mor_lineage(
+        spark, s3["metadata_path"], s3["snapshot_id"], root
+    ).orderBy("id")
+
+
+ROW_LINEAGE_SQL = """
+SELECT CAST(id AS BIGINT) AS id, category,
+       CAST(row_id AS BIGINT) AS _row_id,
+       CAST(seq AS BIGINT) AS _last_updated_sequence_number
+FROM (VALUES
+  (100, 'a', 0, 1),
+  (101, 'a', 1, 1),
+  (103, 'a', 3, 1),
+  (104, 'a', 4, 1),
+  (200, 'b', 5, 2),
+  (201, 'b', 6, 2),
+  (202, 'b', 7, 2)
+) t(id, category, row_id, seq)
+ORDER BY id
 """

@@ -140,22 +140,27 @@ def _decimal_cols(name: str) -> tuple[str, ...]:
 #         maintenance (meta_stats_partition_scoped), and IVF-PQ ANN
 #         (ann_ivfpq_topk — rows-only: k-means; recall pinned by
 #         pytest);
-#   29-33 re-certs whose implementation changed THIS round: the
+#   29    NEW this round: the streaming Iceberg SINK
+#         (stream_ingest_roundtrip — foreachBatch staging +
+#         exactly-once batch markers + optimistic append commits);
+#   30-34 re-certs whose implementation changed THIS round: the
 #         theta serialization now writes p=1.0 / the SingleItem
 #         form (meta_table_stats), rewrite_data_files folds through
 #         field-id/name-mapping projection (ADVICE r7 medium #1),
 #         and the equality-delete partition gate became null-safe
 #         (ADVICE r7 medium #2) — mor_live_rows,
 #         commit_eq_delete_roundtrip, mor_read_evolved traverse it;
-#   29    NEW this round: the streaming Iceberg SINK
-#         (stream_ingest_roundtrip — foreachBatch staging +
-#         exactly-once batch markers + optimistic append commits);
-#   30-34 re-certs whose implementation changed THIS round (see the
-#         29-33 note above, shifted by one);
-#   35-50 r5-evidence refresh: q1, q4-q7, q12-q17, q19, q21, q22,
-#         percentiles_order_value, customer_running_total
-#         (pivot_status_by_priority slid past 50 to make room for
-#         the sink; its r5 row + two-SF local parity still stand).
+#   35-42 FIRST CERTIFICATION of every operator born this round
+#         (the r6/r7 lesson, twice flagged: newcomers must not wait
+#         a round for driver evidence): batch + streaming IVM,
+#         bucketized range join, paragraph dedup, append
+#         cherry-pick, position_deletes table, container probing,
+#         MP4 frame sampling;
+#   43-50 r5-evidence refresh: q1, q5, q7, q13, q15, q21,
+#         percentiles_order_value, customer_running_total (the
+#         rest of the r5 cohort — q4/q6/q12/q14/q16/q17/q19/q22,
+#         pivot_status_by_priority — slid past 50 to fund the
+#         newcomer slots; r5 rows + two-SF local parity stand).
 # Slid past 50 (evidence r6/r7-current; every one still re-verified
 # bit-exactly at TWO SFs by tests/test_oracle_parity.py each pytest
 # run): the whole r7 first-certification cohort (DV surface, both
@@ -274,23 +279,70 @@ register(
 )
 register("mor_read_evolved", meta_del.mor_read_evolved, meta_del.MOR_READ_EVOLVED_SQL)
 
-# ------------------- 34-50: r5-evidence refresh
+# ------------------- 34-42: FIRST CERTIFICATION of every operator
+# born THIS round (the r6/r7 lesson, twice flagged: newcomers must
+# not wait a round for driver evidence). All 9 also hold two-SF
+# local parity.
+from .iceberg import ivm as meta_ivm  # noqa: E402
+from .operators import multimodal as mm_ops  # noqa: E402
+from .operators import rangejoin  # noqa: E402
+from .streaming import ivm as stream_ivm_mod  # noqa: E402
+
+# incremental view maintenance from the CDC changelog (oracle = full
+# DuckDB recompute of head state; zero shared code)
+register(
+    "changelog_agg_maintenance",
+    meta_ivm.changelog_agg_maintenance,
+    meta_ivm.IVM_SQL,
+)
+# ...and its streaming dual (same independent recompute oracle)
+register("stream_ivm_rows", stream_ivm_mod.stream_ivm_rows, stream_ivm_mod.STREAM_IVM_SQL)
+# bucketized point-in-interval join (non-equi join family as a
+# Catalyst hash join; oracle = DuckDB range join)
+register(
+    "range_join_transit",
+    rangejoin.range_join_transit,
+    rangejoin.RANGE_JOIN_TRANSIT_SQL,
+)
+# chunk-level (pseudo-paragraph) dedup — repeated-passage removal
+register(
+    "dedup_paragraph_stats", dedup.dedup_paragraph_stats, dedup.DEDUP_PARAGRAPH_SQL
+)
+# append cherry-pick (WAP publish onto a moved head)
+register(
+    "wap_cherrypick_roundtrip",
+    meta_commit.wap_cherrypick_roundtrip,
+    meta_commit.WAP_CHERRYPICK_SQL,
+)
+# position_deletes metadata table (engine plans through manifests;
+# oracle reads the same physical parquet directly)
+register(
+    "meta_position_deletes",
+    meta_del.meta_position_deletes,
+    meta_del.META_POSITION_DELETES_SQL,
+)
+# real MP4/MP3/FLAC/Ogg container probing rollup (golden fixture)
+register("media_probe_stats", mm_ops.media_probe_stats, mm_ops.MEDIA_PROBE_SQL)
+# real MP4 frame sampling through the parsed sample table
+register(
+    "media_frame_sample_stats",
+    mm_ops.media_frame_sample_stats,
+    mm_ops.MEDIA_FRAME_SAMPLE_SQL,
+)
+# v3 ROW LINEAGE: commit-assigned first_row_id, _row_id stable
+# under MoR deletes (golden two-append + DV-delete scenario)
+register("row_lineage_rows", meta_del.row_lineage_rows, meta_del.ROW_LINEAGE_SQL)
+
+# ------------------- 43-50: r5-evidence refresh (the rest of the r5
+# cohort slid past 50 to make room for the newcomer certifications;
+# their r5 rows + two-SF local parity still stand)
 register("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL)
-register("q4_order_priority", tpch.q4_order_priority, tpch.Q4_SQL)
 register("q5_local_supplier_volume", tpch.q5_local_supplier_volume, tpch.Q5_SQL)
-register("q6_revenue_change", tpch.q6_revenue_change, tpch.Q6_SQL)
 register("q7_volume_shipping", tpch.q7_volume_shipping, tpch.Q7_SQL)
-register("q12_priority_shipping", tpch.q12_priority_shipping, tpch.Q12_SQL)
 register("q13_customer_distribution", tpch.q13_customer_distribution, tpch.Q13_SQL)
-register("q14_promo_effect", tpch.q14_promo_effect, tpch.Q14_SQL)
 register("q15_top_supplier", tpch_ext.q15_top_supplier, tpch_ext.Q15_SQL)
-register("q16_supplier_part_variety", tpch_ext.q16_supplier_part_variety, tpch_ext.Q16_SQL)
-register("q17_small_quantity_revenue", tpch_ext.q17_small_quantity_revenue, tpch_ext.Q17_SQL)
-register("q19_discounted_revenue", tpch.q19_discounted_revenue, tpch.Q19_SQL)
 register("q21_sole_fault_supplier", tpch_ext.q21_sole_fault_supplier, tpch_ext.Q21_SQL)
-register("q22_global_sales_opportunity", tpch.q22_global_sales_opportunity, tpch.Q22_SQL)
 register("percentiles_order_value", analytics.percentiles_order_value, analytics.PERCENTILES_SQL)
-register("customer_running_total", analytics.customer_running_total, analytics.RUNNING_TOTAL_SQL)
 
 # === PAST-50 MARKER ===============================================
 # Everything REGISTERED below sits past the driver's 50-entry window
@@ -494,60 +546,18 @@ def _register_past_window() -> None:
         similarity.DECONTAMINATE_EMB_SQL,
     )
     register("group_sample_topk", sampling.group_sample_topk, sampling.GROUP_SAMPLE_SQL)
-    # real MP4/MP3 container probing rollup (golden SF-independent
-    # fixture; parser pinned by tests/test_media_containers.py)
-    from .operators import multimodal as mm_ops
-
-    register("media_probe_stats", mm_ops.media_probe_stats, mm_ops.MEDIA_PROBE_SQL)
-    # real MP4 frame sampling: every-Nth sample byte ranges sliced
-    # from mdat through the parsed sample table (golden byte counts)
-    register(
-        "media_frame_sample_stats",
-        mm_ops.media_frame_sample_stats,
-        mm_ops.MEDIA_FRAME_SAMPLE_SQL,
-    )
-    # chunk-level (pseudo-paragraph) dedup — repeated-passage
-    # removal; chunking is a zero-shuffle expression tree
-    register(
-        "dedup_paragraph_stats", dedup.dedup_paragraph_stats, dedup.DEDUP_PARAGRAPH_SQL
-    )
-    # incremental view maintenance from the CDC changelog (oracle =
-    # full DuckDB recompute of head state; zero shared code)
-    from .iceberg import ivm as meta_ivm
-
-    register(
-        "changelog_agg_maintenance",
-        meta_ivm.changelog_agg_maintenance,
-        meta_ivm.IVM_SQL,
-    )
-    # the streaming dual: same view maintained commit-by-commit from
-    # the changelog STREAM, same independent recompute oracle
-    from .streaming import ivm as stream_ivm
-
-    register("stream_ivm_rows", stream_ivm.stream_ivm_rows, stream_ivm.STREAM_IVM_SQL)
-    # append cherry-pick (WAP publish onto a moved head — the
-    # re-parenting publish_snapshot refuses; golden oracle)
-    register(
-        "wap_cherrypick_roundtrip",
-        meta_commit.wap_cherrypick_roundtrip,
-        meta_commit.WAP_CHERRYPICK_SQL,
-    )
-    # position_deletes metadata table (engine side plans through the
-    # manifests; oracle reads the same physical parquet directly)
-    register(
-        "meta_position_deletes",
-        meta_del.meta_position_deletes,
-        meta_del.META_POSITION_DELETES_SQL,
-    )
-    # bucketized point-in-interval join (the non-equi join family,
-    # expressed as a Catalyst hash join; oracle = DuckDB range join)
-    from .operators import rangejoin
-
-    register(
-        "range_join_transit",
-        rangejoin.range_join_transit,
-        rangejoin.RANGE_JOIN_TRANSIT_SQL,
-    )
+    # r5-cohort keys slid past 50 to make window room for this
+    # round's newcomer certifications (r5 driver rows + two-SF
+    # local parity still stand)
+    register("customer_running_total", analytics.customer_running_total, analytics.RUNNING_TOTAL_SQL)
+    register("q4_order_priority", tpch.q4_order_priority, tpch.Q4_SQL)
+    register("q6_revenue_change", tpch.q6_revenue_change, tpch.Q6_SQL)
+    register("q12_priority_shipping", tpch.q12_priority_shipping, tpch.Q12_SQL)
+    register("q14_promo_effect", tpch.q14_promo_effect, tpch.Q14_SQL)
+    register("q16_supplier_part_variety", tpch_ext.q16_supplier_part_variety, tpch_ext.Q16_SQL)
+    register("q17_small_quantity_revenue", tpch_ext.q17_small_quantity_revenue, tpch_ext.Q17_SQL)
+    register("q19_discounted_revenue", tpch.q19_discounted_revenue, tpch.Q19_SQL)
+    register("q22_global_sales_opportunity", tpch.q22_global_sales_opportunity, tpch.Q22_SQL)
     # slid past 50 in round 8 to make window room for the streaming
     # sink; r5 driver row + two-SF local parity still stand
     register("pivot_status_by_priority", analytics.pivot_status_by_priority, analytics.PIVOT_SQL)

@@ -695,3 +695,122 @@ def test_position_deletes_table_empty_when_no_deletes(spark):
     assert [f.name for f in df.schema.fields] == [
         "file_path", "pos", "delete_file", "delete_kind", "sequence_number",
     ]
+
+
+def _fresh_v3_table(tmp_path):
+    import json
+
+    root = tmp_path / "t"
+    (root / "metadata").mkdir(parents=True)
+    (root / "data").mkdir()
+    meta0 = {
+        "format-version": 3,
+        "table-uuid": "00000000-0000-0000-0000-00000000e002",
+        "location": "file:///tmp/lineage_t",
+        "last-sequence-number": 0,
+        "last-updated-ms": 1700000000000,
+        "last-column-id": 2,
+        "current-schema-id": 0,
+        "schemas": [{
+            "schema-id": 0, "type": "struct",
+            "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"},
+                {"id": 2, "name": "category", "required": False, "type": "string"},
+            ],
+        }],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {}, "snapshots": [], "snapshot-log": [], "metadata-log": [],
+    }
+    mp = root / "v1.metadata.json"
+    mp.write_text(json.dumps(meta0))
+    return str(root), str(mp)
+
+
+def _pq_write(root, rel, ids, cat):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"id": pa.array(ids, pa.int64()),
+                  "category": pa.array([cat] * len(ids))}),
+        f"{root}/{rel}",
+    )
+
+
+def test_row_lineage_counter_continues_after_delete(spark, tmp_path):
+    import json
+
+    from iceberg_tools_spark.iceberg.commit import append_snapshot
+    from iceberg_tools_spark.iceberg.deletes import read_mor_lineage
+    from iceberg_tools_spark.iceberg.dml import delete_where_dv
+
+    root, mp = _fresh_v3_table(tmp_path)
+    _pq_write(root, "data/X.parquet", [1, 2, 3], "a")
+    s1 = append_snapshot(mp, [{"path": "data/X.parquet", "partition": {}}])
+    s2 = delete_where_dv(spark, s1["metadata_path"], "id = 2")
+    _pq_write(root, "data/Y.parquet", [4, 5], "b")
+    s3 = append_snapshot(s2["metadata_path"], [{"path": "data/Y.parquet", "partition": {}}])
+    got = {
+        r["id"]: (r["_row_id"], r["_last_updated_sequence_number"])
+        for r in read_mor_lineage(spark, s3["metadata_path"], s3["snapshot_id"], root).collect()
+    }
+    # X's survivors keep ids 0/2; Y continues at next-row-id 3
+    # (the DV delete commit added no data rows, so it consumed none)
+    assert got == {1: (0, 1), 3: (2, 1), 4: (3, 3), 5: (4, 3)}
+    raw = json.loads(open(s3["metadata_path"]).read())
+    assert raw["next-row-id"] == 5
+    snaps = {s["snapshot-id"]: s for s in raw["snapshots"]}
+    assert snaps[s1["snapshot_id"]]["first-row-id"] == 0
+    assert snaps[s3["snapshot_id"]]["first-row-id"] == 3
+    assert "first-row-id" not in snaps[s2["snapshot_id"]]  # delete-only
+
+
+def test_row_lineage_null_for_pre_lineage_files(spark, tmp_path):
+    # a v2 table upgraded mid-life: files committed before the
+    # upgrade have no first_row_id and read as NULL _row_id
+    import json
+    import shutil
+
+    from iceberg_tools_spark.iceberg.commit import append_snapshot
+    from iceberg_tools_spark.iceberg.deletes import MOR_DIR, read_mor_lineage
+
+    root = tmp_path / "t"
+    shutil.copytree(MOR_DIR, root)
+    mp = str(root / "v2.metadata.json")
+    raw = json.loads(open(mp).read())
+    raw["format-version"] = 3
+    open(mp, "w").write(json.dumps(raw))
+    _pq_write(str(root), "data/category=w/Z.parquet", [900, 901], "w")
+    s = append_snapshot(
+        mp, [{"path": "data/category=w/Z.parquet",
+              "partition": {"category": "w", "id_trunc": 900}}]
+    )
+    rows = read_mor_lineage(spark, s["metadata_path"], s["snapshot_id"], str(root)).collect()
+    by_id = {r["id"]: r["_row_id"] for r in rows}
+    assert by_id[900] == 0 and by_id[901] == 1  # new file: assigned
+    # pre-lineage files: no retroactive ids (id 20 survives the
+    # fixture's position deletes, which remove ids 1-10)
+    assert 20 in by_id and by_id[20] is None
+
+
+def test_v2_tables_get_no_lineage_fields(tmp_path):
+    import json
+    import shutil
+
+    from iceberg_tools_spark.iceberg.commit import append_snapshot
+    from iceberg_tools_spark.iceberg.deletes import MOR_DIR
+
+    root = tmp_path / "t"
+    shutil.copytree(MOR_DIR, root)
+    mp = str(root / "v2.metadata.json")
+    _pq_write(str(root), "data/category=w/Z.parquet", [900], "w")
+    s = append_snapshot(
+        mp, [{"path": "data/category=w/Z.parquet",
+              "partition": {"category": "w", "id_trunc": 900}}]
+    )
+    raw = json.loads(open(s["metadata_path"]).read())
+    assert "next-row-id" not in raw
+    assert all("first-row-id" not in sn for sn in raw["snapshots"])
