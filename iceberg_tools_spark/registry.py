@@ -546,6 +546,16 @@ def _register_past_window() -> None:
         similarity.DECONTAMINATE_EMB_SQL,
     )
     register("group_sample_topk", sampling.group_sample_topk, sampling.GROUP_SAMPLE_SQL)
+    # pure-Python Delta transaction-log reader (checkpoint +
+    # JSON-tail replay; oracle replays the same log in pure SQL)
+    from .sources import delta_log as delta_src
+
+    register("delta_log_rows", delta_src.delta_log_rows, delta_src.DELTA_LOG_SQL)
+    # Delta → Iceberg migration through the engine's own commit
+    # path; read back via read_mor, same pure-SQL delta-replay oracle
+    from .sources import migrate as migrate_src
+
+    register("delta_migrate_rows", migrate_src.delta_migrate_rows, delta_src.DELTA_LOG_SQL)
     # r5-cohort keys slid past 50 to make window room for this
     # round's newcomer certifications (r5 driver rows + two-SF
     # local parity still stand)

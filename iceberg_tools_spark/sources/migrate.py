@@ -1,0 +1,170 @@
+"""Cross-format table migration: snapshot a Delta Lake table into
+an Iceberg table through the engine's OWN commit path.
+
+The shape a real migration service uses:
+
+* the Delta side is METADATA work — ``delta_log.replay_log`` gives
+  the live file set + partition columns (KB of JSON/parquet log,
+  driver-side);
+* the data move is ONE Spark job — ``read_delta_log`` (which
+  restores the partition column Delta keeps only in its log) →
+  ``repartition(partition_cols)`` → ``partitionBy`` parquet write,
+  so each partition lands as its own file regardless of source
+  file layout;
+* the Iceberg side is an ordinary ``append_snapshot`` commit of
+  the written files with identity partition values — after which
+  every engine feature (MoR deletes, time travel, stats, CDC,
+  maintenance) applies to the migrated table.
+
+Correctness gate: ``read_mor(migrated) == read_delta_log(source)``
+row-for-row, certified by the ``delta_migrate_rows`` driver key
+whose DuckDB oracle replays the DELTA side in pure SQL — the two
+engines cross the format boundary by different code entirely.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from .delta_log import read_delta_log, replay_log
+
+_DELTA_TO_ICEBERG_TYPE = {
+    "long": "long", "integer": "int", "string": "string",
+    "double": "double", "float": "float", "boolean": "boolean",
+    "date": "date", "timestamp": "timestamptz", "binary": "binary",
+}
+
+
+def migrate_delta_to_iceberg(
+    spark: SparkSession,
+    delta_root: str,
+    target_root: str,
+    *,
+    version: int | None = None,
+    table_uuid: str = "00000000-0000-0000-0000-00000000f001",
+) -> dict[str, Any]:
+    """Materialize the Delta table's state at ``version`` as a fresh
+    Iceberg v2 table under ``target_root``. Returns the commit dict
+    plus ``n_files``/``n_rows``."""
+    from ..iceberg.commit import append_snapshot
+
+    adds, meta, eff_version = replay_log(delta_root, version)
+    schema_fields = json.loads(meta["schemaString"])["fields"]
+    part_cols = meta.get("partitionColumns") or []
+    ice_fields = []
+    for i, f in enumerate(schema_fields, start=1):
+        t = _DELTA_TO_ICEBERG_TYPE.get(f["type"])
+        if t is None:
+            raise ValueError(f"unsupported Delta type {f['type']!r} for {f['name']!r}")
+        ice_fields.append({"id": i, "name": f["name"], "required": False, "type": t})
+    by_name = {f["name"]: f["id"] for f in ice_fields}
+    spec_fields = [
+        {"name": c, "transform": "identity", "source-id": by_name[c],
+         "field-id": 1000 + i}
+        for i, c in enumerate(part_cols)
+    ]
+
+    os.makedirs(os.path.join(target_root, "metadata"))
+    os.makedirs(os.path.join(target_root, "data"))
+    meta0 = {
+        "format-version": 2,
+        "table-uuid": table_uuid,
+        "location": f"file://{os.path.abspath(target_root)}",
+        "last-sequence-number": 0,
+        "last-updated-ms": 1700000000000,
+        "last-column-id": len(ice_fields),
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": ice_fields}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {
+            "migrated-from": "delta",
+            "migrated-delta-version": str(eff_version),
+        },
+        "snapshots": [], "snapshot-log": [], "metadata-log": [],
+    }
+    mp = os.path.join(target_root, "v1.metadata.json")
+    with open(mp, "w") as f:
+        json.dump(meta0, f, indent=2)
+
+    # ---- ONE Spark job: restore partition cols, one file per
+    # partition directory. partitionBy EXCLUDES its columns from
+    # the parquet, so the write partitions on aliased DUPLICATES
+    # (`_p_<col>`) — the data files keep the real columns, which
+    # the Iceberg readers expect in-file.
+    import pyspark.sql.functions as F
+
+    df = read_delta_log(spark, delta_root, version)
+    tmp = os.path.join(target_root, "_migrate-tmp")
+    aliases = [f"_p_{c}" for c in part_cols]
+    for c, a in zip(part_cols, aliases):
+        df = df.withColumn(a, F.col(c))
+    writer = df.repartition(*aliases) if part_cols else df.coalesce(1)
+    w = writer.write.mode("overwrite")
+    if part_cols:
+        w = w.partitionBy(*aliases)
+    w.parquet(tmp)
+
+    files = []
+    if part_cols:
+        for pdir in sorted(glob.glob(os.path.join(tmp, "*=*"))):
+            parts = {}
+            segs = []
+            for seg in os.path.relpath(pdir, tmp).split(os.sep):
+                k, v = seg.split("=", 1)
+                k = k.removeprefix("_p_")
+                parts[k] = v
+                segs.append(f"{k}={v}")
+            for i, part in enumerate(sorted(glob.glob(os.path.join(pdir, "part-*.parquet")))):
+                rel = f"data/{'/'.join(segs)}/m{i:05d}.parquet"
+                os.makedirs(os.path.dirname(os.path.join(target_root, rel)), exist_ok=True)
+                os.replace(part, os.path.join(target_root, rel))
+                files.append({"path": rel, "partition": dict(parts)})
+    else:
+        for i, part in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))):
+            rel = f"data/m{i:05d}.parquet"
+            os.replace(part, os.path.join(target_root, rel))
+            files.append({"path": rel, "partition": {}})
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    res = append_snapshot(mp, files)
+    res["n_files"] = len(files)
+    return res
+
+
+# ------------------------------------------------ driver-gate query
+
+
+def delta_migrate_rows(spark: SparkSession, sf_dir: str):
+    """Driver gate: migrate the Delta fixture (head, v3) into a
+    scratch Iceberg table, then roll up the MIGRATED table through
+    ``read_mor`` — the engine's ordinary Iceberg reader. Oracle: the
+    pure-SQL Delta log replay (``DELTA_LOG_SQL``'s rollup) — the two
+    sides cross the format boundary through fully disjoint code.
+    (``sf_dir`` unused.)"""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from ..iceberg.deletes import read_mor
+    from .delta_log import DELTA_FIXTURE
+
+    target = os.path.join(tempfile.mkdtemp(prefix="delta_migrate_"), "t")
+    res = migrate_delta_to_iceberg(spark, DELTA_FIXTURE, target)
+    migrated = read_mor(spark, res["metadata_path"], res["snapshot_id"], target)
+    return (
+        migrated.groupBy("cat")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("id").cast("long").alias("id_sum"),
+        )
+        .orderBy("cat")
+    )

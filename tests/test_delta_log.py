@@ -1,0 +1,144 @@
+"""Pure-Python Delta transaction-log reader: replay, time travel,
+checkpoint path, and malformed-input behavior over the hand-built
+protocol-valid fixture (scripts/gen_delta_fixture.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from iceberg_tools_spark.sources.delta_log import (
+    DELTA_FIXTURE,
+    delta_live_files,
+    latest_checkpoint,
+    read_delta_log,
+    replay_log,
+)
+
+
+def _names(paths):
+    return sorted(os.path.basename(p) for p in paths)
+
+
+def test_replay_head_and_time_travel():
+    assert _names(delta_live_files(DELTA_FIXTURE)) == [
+        "f3.parquet", "f4.parquet", "f5.parquet",
+    ]
+    assert _names(delta_live_files(DELTA_FIXTURE, 0)) == ["f1.parquet", "f2.parquet"]
+    assert _names(delta_live_files(DELTA_FIXTURE, 1)) == ["f1.parquet", "f3.parquet"]
+    assert _names(delta_live_files(DELTA_FIXTURE, 2)) == [
+        "f1.parquet", "f3.parquet", "f4.parquet",
+    ]
+    with pytest.raises(ValueError, match="not in log"):
+        replay_log(DELTA_FIXTURE, 9)
+
+
+def test_checkpoint_alone_reconstructs_state(tmp_path):
+    # delete the JSON commits the checkpoint covers: replay must
+    # still produce the exact head state from checkpoint + tail
+    root = tmp_path / "t"
+    shutil.copytree(DELTA_FIXTURE, root)
+    for v in (0, 1, 2):
+        os.remove(root / "_delta_log" / f"{v:020d}.json")
+    assert _names(delta_live_files(str(root))) == [
+        "f3.parquet", "f4.parquet", "f5.parquet",
+    ]
+    # and the metaData (partition columns) survives via the checkpoint
+    _, meta, _ = replay_log(str(root))
+    assert meta["partitionColumns"] == ["cat"]
+
+
+def test_stale_checkpoint_pointer_falls_back(tmp_path):
+    root = tmp_path / "t"
+    shutil.copytree(DELTA_FIXTURE, root)
+    with open(root / "_delta_log" / "_last_checkpoint", "w") as f:
+        json.dump({"version": 99, "size": 1}, f)
+    v, path = latest_checkpoint(str(root))
+    assert v == 2 and path.endswith("00000000000000000002.checkpoint.parquet")
+    assert _names(delta_live_files(str(root))) == [
+        "f3.parquet", "f4.parquet", "f5.parquet",
+    ]
+
+
+def test_not_a_delta_table(tmp_path):
+    with pytest.raises(FileNotFoundError, match="_delta_log"):
+        replay_log(str(tmp_path))
+
+
+def test_read_injects_partition_columns(spark):
+    # Delta does NOT store partition columns in the parquet — the
+    # read must surface `cat` from the layout/log anyway
+    df = read_delta_log(spark, DELTA_FIXTURE)
+    assert set(df.columns) == {"id", "val", "cat"}
+    got = {(r["cat"], r["count"]) for r in df.groupBy("cat").count().collect()}
+    assert got == {("x", 10), ("y", 5), ("z", 20)}
+    # time travel through the same surface
+    assert read_delta_log(spark, DELTA_FIXTURE, version=1).count() == 60
+
+
+def test_non_hive_layout_injects_from_partition_values(spark, tmp_path):
+    # same log, but paths carry no key=value segments: the reader
+    # must fall back to explicit partitionValues injection
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "t"
+    (root / "_delta_log").mkdir(parents=True)
+    meta = {
+        "id": "x", "format": {"provider": "parquet", "options": {}},
+        "schemaString": "{}", "partitionColumns": ["cat"],
+        "configuration": {}, "createdTime": 0,
+    }
+    for i, (name, cat, ids) in enumerate(
+        [("a.parquet", "x", [1, 2]), ("b.parquet", "y", [3])]
+    ):
+        pq.write_table(pa.table({"id": pa.array(ids, pa.int64())}), root / name)
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": meta},
+        {"add": {"path": "a.parquet", "partitionValues": {"cat": "x"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "b.parquet", "partitionValues": {"cat": "y"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(root / "_delta_log" / f"{0:020d}.json", "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    rows = {(r["id"], r["cat"]) for r in read_delta_log(spark, str(root)).collect()}
+    assert rows == {(1, "x"), (2, "x"), (3, "y")}
+
+
+def test_migrate_delta_to_iceberg_row_for_row(spark, tmp_path):
+    from iceberg_tools_spark.iceberg.deletes import read_mor
+    from iceberg_tools_spark.sources.migrate import migrate_delta_to_iceberg
+
+    target = str(tmp_path / "ice")
+    res = migrate_delta_to_iceberg(spark, DELTA_FIXTURE, target)
+    migrated = read_mor(spark, res["metadata_path"], res["snapshot_id"], target)
+    src = read_delta_log(spark, DELTA_FIXTURE)
+    assert sorted(map(tuple, migrated.collect())) == sorted(map(tuple, src.collect()))
+    # one file per partition, identity-partitioned
+    assert res["n_files"] == 3
+    # the migrated table is a full citizen: time travel + metadata
+    import json as _json
+
+    raw = _json.loads(open(res["metadata_path"]).read())
+    assert raw["properties"]["migrated-from"] == "delta"
+    assert raw["properties"]["migrated-delta-version"] == "3"
+    spec = raw["partition-specs"][0]["fields"]
+    assert [(f["name"], f["transform"]) for f in spec] == [("cat", "identity")]
+
+
+def test_migrate_historical_version(spark, tmp_path):
+    from iceberg_tools_spark.iceberg.deletes import read_mor
+    from iceberg_tools_spark.sources.migrate import migrate_delta_to_iceberg
+
+    target = str(tmp_path / "ice1")
+    res = migrate_delta_to_iceberg(spark, DELTA_FIXTURE, target, version=1)
+    migrated = read_mor(spark, res["metadata_path"], res["snapshot_id"], target)
+    assert migrated.count() == 60  # f1 + f3 at delta v1
+    src = read_delta_log(spark, DELTA_FIXTURE, version=1)
+    assert sorted(map(tuple, migrated.collect())) == sorted(map(tuple, src.collect()))
