@@ -165,6 +165,11 @@ HEADLINE = [
     "wap_cherrypick_roundtrip",
     "meta_position_deletes",
     "dedup_paragraph_stats",
+    # round-8 (cont.): streaming IVM, v3 row lineage, Delta interop
+    "stream_ivm_rows",
+    "row_lineage_rows",
+    "delta_log_rows",
+    "delta_migrate_rows",
 ]
 
 

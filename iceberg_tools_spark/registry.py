@@ -556,6 +556,10 @@ def _register_past_window() -> None:
     from .sources import migrate as migrate_src
 
     register("delta_migrate_rows", migrate_src.delta_migrate_rows, delta_src.DELTA_LOG_SQL)
+    # Iceberg → Delta export (MoR head folded into a fresh Delta
+    # table, read back through the delta reader); oracle = the
+    # independent DuckDB full-materialization of the fixture head
+    register("delta_export_rows", migrate_src.delta_export_rows, meta_ivm.IVM_SQL)
     # r5-cohort keys slid past 50 to make window room for this
     # round's newcomer certifications (r5 driver rows + two-SF
     # local parity still stand)

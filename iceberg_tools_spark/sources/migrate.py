@@ -168,3 +168,150 @@ def delta_migrate_rows(spark: SparkSession, sf_dir: str):
         )
         .orderBy("cat")
     )
+
+
+# ------------------------------------- Iceberg → Delta (the reverse)
+
+_ICEBERG_TO_DELTA_TYPE = {v: k for k, v in _DELTA_TO_ICEBERG_TYPE.items()}
+
+
+def export_iceberg_to_delta(
+    spark: SparkSession,
+    metadata_path: str,
+    snapshot_id: int,
+    target_root: str,
+    *,
+    base_dir: str | None = None,
+) -> dict[str, Any]:
+    """Materialize an Iceberg snapshot (MoR deletes folded) as a
+    fresh Delta table: one Spark job writes the state hive-
+    partitioned on the table's identity partition columns (Delta
+    convention: partition columns live in the LOG, not the parquet
+    — plain ``partitionBy`` does exactly that), then commit 0 of a
+    protocol-valid ``_delta_log`` records protocol/metaData/adds.
+
+    Together with :func:`migrate_delta_to_iceberg` this closes the
+    interop circle — the round-trip equality is pytest-pinned."""
+    from ..iceberg.deletes import mor_entries_at, read_mor
+    from ..iceberg.metadata import parse_metadata
+
+    base_dir = base_dir or os.path.dirname(metadata_path)
+    meta = parse_metadata(metadata_path)
+    raw = meta.raw
+    schema = next(
+        s for s in raw.get("schemas", [])
+        if s.get("schema-id", 0) == raw.get("current-schema-id", 0)
+    )
+    spec = next(
+        s for s in raw.get("partition-specs", [])
+        if s.get("spec-id", 0) == raw.get("default-spec-id", 0)
+    )
+    by_id = {f["id"]: f["name"] for f in schema["fields"]}
+    # Delta has no transform partitioning (its closest analog is a
+    # generated column) — identity fields carry over as Delta
+    # partition columns; transform fields (bucket/truncate/temporal)
+    # export as ordinary DATA columns, losing only physical layout,
+    # never data.
+    part_cols = [
+        by_id[f["source-id"]]
+        for f in spec.get("fields", [])
+        if f.get("transform", "identity") == "identity"
+    ]
+    delta_fields = []
+    for f in schema["fields"]:
+        t = _ICEBERG_TO_DELTA_TYPE.get(f["type"])
+        if t is None:
+            raise ValueError(f"unsupported Iceberg type {f['type']!r} for Delta export")
+        delta_fields.append(
+            {"name": f["name"], "type": t, "nullable": True, "metadata": {}}
+        )
+
+    os.makedirs(os.path.join(target_root, "_delta_log"))
+    live = read_mor(spark, metadata_path, snapshot_id, base_dir)
+    tmp = os.path.join(target_root, "_export-tmp")
+    writer = live.repartition(*part_cols) if part_cols else live.coalesce(1)
+    w = writer.write.mode("overwrite")
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    w.parquet(tmp)
+
+    adds = []
+    if part_cols:
+        pdirs = sorted(
+            d for d in glob.glob(os.path.join(tmp, "**"), recursive=True)
+            if os.path.isdir(d) and "=" in os.path.basename(d)
+            and glob.glob(os.path.join(d, "part-*.parquet"))
+        )
+        for pdir in pdirs:
+            reldir = os.path.relpath(pdir, tmp)
+            values = dict(seg.split("=", 1) for seg in reldir.split(os.sep))
+            for i, part in enumerate(sorted(glob.glob(os.path.join(pdir, "part-*.parquet")))):
+                rel = f"{reldir}/e{i:05d}.parquet"
+                os.makedirs(os.path.dirname(os.path.join(target_root, rel)), exist_ok=True)
+                os.replace(part, os.path.join(target_root, rel))
+                adds.append((rel, values))
+    else:
+        for i, part in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))):
+            rel = f"e{i:05d}.parquet"
+            os.replace(part, os.path.join(target_root, rel))
+            adds.append((rel, {}))
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "00000000-0000-0000-0000-00000000f002",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": delta_fields}),
+            "partitionColumns": part_cols,
+            "configuration": {
+                "exported-from": "iceberg",
+                "exported-snapshot-id": str(snapshot_id),
+            },
+            "createdTime": 1700000000000,
+        }},
+    ]
+    for rel, values in adds:
+        actions.append({"add": {
+            "path": rel,
+            "partitionValues": values,
+            "size": os.path.getsize(os.path.join(target_root, rel)),
+            "modificationTime": 1700000001000,
+            "dataChange": True,
+        }})
+    actions.append({"commitInfo": {"operation": "WRITE", "timestamp": 1700000001000}})
+    with open(os.path.join(target_root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a, sort_keys=True) + "\n")
+    return {"table_root": target_root, "n_files": len(adds), "version": 0}
+
+
+def delta_export_rows(spark: SparkSession, sf_dir: str):
+    """Driver gate for Iceberg → Delta export: the MoR fixture's
+    head (323 live rows, positional + equality deletes folded)
+    exports to a fresh Delta table, which is then read back through
+    the DELTA reader and rolled up per category. Oracle: the
+    independent DuckDB full-materialization of the fixture's head
+    state (``VIS_CTES``) — the Spark side crosses Iceberg MoR →
+    parquet → Delta log; the oracle never leaves the original
+    physical files. (``sf_dir`` unused.)"""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from ..iceberg.deletes import MOR_DIR, MOR_METADATA
+    from .delta_log import read_delta_log
+
+    target = os.path.join(tempfile.mkdtemp(prefix="delta_export_"), "t")
+    export_iceberg_to_delta(spark, MOR_METADATA, 2004, target, base_dir=MOR_DIR)
+    return (
+        read_delta_log(spark, target)
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("id").cast("long").alias("id_sum"),
+        )
+        .orderBy("category")
+    )

@@ -142,3 +142,54 @@ def test_migrate_historical_version(spark, tmp_path):
     assert migrated.count() == 60  # f1 + f3 at delta v1
     src = read_delta_log(spark, DELTA_FIXTURE, version=1)
     assert sorted(map(tuple, migrated.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_export_then_migrate_round_trip(spark, tmp_path):
+    # Iceberg → Delta → Iceberg: full interop circle, row-for-row
+    from iceberg_tools_spark.iceberg.deletes import MOR_DIR, MOR_METADATA, read_mor
+    from iceberg_tools_spark.sources.migrate import (
+        export_iceberg_to_delta,
+        migrate_delta_to_iceberg,
+    )
+
+    delta_root = str(tmp_path / "delta")
+    export_iceberg_to_delta(spark, MOR_METADATA, 2004, delta_root, base_dir=MOR_DIR)
+    # partition columns survive only as identity (category); the
+    # truncate[100] field exports as a plain data column
+    _, meta, _ = replay_log(delta_root)
+    assert meta["partitionColumns"] == ["category"]
+
+    back_root = str(tmp_path / "ice")
+    res = migrate_delta_to_iceberg(spark, delta_root, back_root)
+    back = read_mor(spark, res["metadata_path"], res["snapshot_id"], back_root)
+    src = read_mor(spark, MOR_METADATA, 2004, MOR_DIR)
+    assert sorted(map(tuple, back.select("id", "category").collect())) == sorted(
+        map(tuple, src.select("id", "category").collect())
+    )
+
+
+def test_delta_adds_between():
+    from iceberg_tools_spark.sources.delta_log import delta_adds_between
+
+    per = delta_adds_between(DELTA_FIXTURE, 0, 3)
+    assert sorted(per) == [1, 2, 3]
+    assert [a["path"] for a in per[1]] == ["cat=x/f3.parquet"]
+    assert [a["path"] for a in per[3]] == ["cat=y/f5.parquet"]
+    with pytest.raises(ValueError, match="empty version range"):
+        delta_adds_between(DELTA_FIXTURE, 2, 2)
+
+
+def test_delta_incremental_stream_matches_batch(spark, tmp_path):
+    from iceberg_tools_spark.sources.delta_log import delta_incremental_stream
+    from iceberg_tools_spark.streaming.jobs import run_to_memory
+
+    stream, n = delta_incremental_stream(
+        spark, DELTA_FIXTURE, 0, 3, str(tmp_path / "staging")
+    )
+    assert n == 3  # one batch per version 1..3
+    rows = run_to_memory(stream, "delta_inc_test").collect()
+    got = sorted((r["id"], r["cat"], r["_delta_version"]) for r in rows)
+    # adds only: f3 (v1), f4 (v2), f5 (v3) — f2's remove is not an add
+    assert len(got) == 10 + 20 + 5
+    assert {v for _, _, v in got} == {1, 2, 3}
+    assert all(c == "z" for _, c, v in got if v == 2)
