@@ -853,6 +853,7 @@ def expire_snapshots(
     *,
     keep_last: int = 1,
     older_than_ms: int | None = None,
+    now_ms: int | None = None,
     base_dir: str | None = None,
     timestamp_ms: int | None = None,
     delete_files: bool = False,
@@ -875,12 +876,33 @@ def expire_snapshots(
     meta = parse_metadata(metadata_path)
     raw = json.loads(json.dumps(meta.raw))
     loc = raw.get("location")
-    from .maintenance import plan_expire_snapshots
+    from .maintenance import plan_expire_snapshots, plan_ref_retention
 
-    plan = plan_expire_snapshots(meta, keep_last=keep_last, older_than_ms=older_than_ms)
+    plan = plan_expire_snapshots(
+        meta, keep_last=keep_last, older_than_ms=older_than_ms, now_ms=now_ms
+    )
     expired = {p["snapshot_id"] for p in plan if p["action"] == "expire"}
+    removed_refs: list[str] = []
+    if now_ms is not None:
+        removed_refs = plan_ref_retention(meta, now_ms)["removed_refs"]
+        for name in removed_refs:
+            raw.get("refs", {}).pop(name, None)
     if not expired:
-        return {"metadata_path": metadata_path, "expired": [], "removable": []}
+        if removed_refs:
+            if timestamp_ms is None:
+                timestamp_ms = raw.get("last-updated-ms", 0) + 1000
+            raw["last-updated-ms"] = timestamp_ms
+            new_path = _next_metadata_path(metadata_path, 0)
+            with open(new_path, "w") as f:
+                json.dump(raw, f, indent=2)
+            return {
+                "metadata_path": new_path, "expired": [], "removable": [],
+                "removed_refs": removed_refs,
+            }
+        return {
+            "metadata_path": metadata_path, "expired": [], "removable": [],
+            "removed_refs": [],
+        }
 
     kept_snaps = [s for s in raw.get("snapshots", []) if s["snapshot-id"] not in expired]
     expired_snaps = [s for s in raw.get("snapshots", []) if s["snapshot-id"] in expired]
@@ -949,6 +971,7 @@ def expire_snapshots(
         "metadata_path": new_path,
         "expired": sorted(expired),
         "removable": removable,
+        "removed_refs": removed_refs,
     }
 
 

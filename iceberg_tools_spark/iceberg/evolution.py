@@ -171,16 +171,24 @@ def evolve_schema(
     last_col = raw.get(
         "last-column-id", max((f["id"] for f in cur["fields"]), default=0)
     )
-    for name, typ in add:
+    for spec_ in add:
+        # 2-tuple (name, type) adds a nullable column; a 3-tuple
+        # (name, type, default) also records the v3 initial-default
+        # + write-default (spec: pre-existing rows read the default
+        # instead of NULL; the field carries it in schema JSON)
+        name, typ = spec_[0], spec_[1]
+        default = spec_[2] if len(spec_) > 2 else None
         if name in final_names:
             raise ValueError(f"added column {name!r} already exists")
         if typ not in _ADDABLE_TYPES and not _DECIMAL_RE.fullmatch(typ):
             raise ValueError(f"unsupported added-column type {typ!r}")
         last_col += 1
         final_names.add(name)
-        new_fields.append(
-            {"id": last_col, "name": name, "required": False, "type": typ}
-        )
+        field = {"id": last_col, "name": name, "required": False, "type": typ}
+        if default is not None:
+            field["initial-default"] = default
+            field["write-default"] = default
+        new_fields.append(field)
 
     new_schema_id = max(s.get("schema-id", 0) for s in raw.get("schemas", [cur])) + 1
     raw.setdefault("schemas", [cur])
@@ -295,7 +303,16 @@ def read_table_projected(
     files = [e["local_path"] for e in data_entries if e["content"] == 0]
     if not files:
         return spark.createDataFrame([], spark_read_schema(meta))
-    return spark.read.schema(spark_read_schema(meta)).parquet(*files)
+    from functools import reduce
+
+    # one scan group per write-schema generation — this also applies
+    # v3 initial-defaults to files that predate an added column.
+    # Id-less files still fail loudly (name-mapping is the OTHER
+    # reader's explicit opt-in).
+    return reduce(
+        DataFrame.unionByName,
+        projected_scan_parts(spark, meta, files, allow_name_mapping=False),
+    )
 
 
 # ------------------------------------------------ metadata table
@@ -479,6 +496,7 @@ def projected_scan_parts(
     *,
     name_mapping: list[dict[str, Any]] | None = None,
     tag: bool = False,
+    allow_name_mapping: bool = True,
 ) -> list[DataFrame]:
     """The scan groups behind the projected readers: ONE id-resolved
     scan for id-bearing files plus one name-mapped scan per
@@ -499,8 +517,24 @@ def projected_scan_parts(
     names_of = {m["field-id"]: m["names"] for m in name_mapping}
     _enable_field_id_resolution(spark)
     cur_schema = spark_read_schema(meta)
+    # v3 initial-defaults: fields added with a default read that
+    # value from files written BEFORE the field existed (file-side
+    # absence decides — a post-add NULL stays NULL)
+    raw = meta.raw
+    ice_cur = next(
+        s for s in raw.get("schemas", [raw.get("schema", {})])
+        if s.get("schema-id", 0) == raw.get("current-schema-id", 0)
+    )
+    init_defaults = {
+        f["id"]: f["initial-default"]
+        for f in ice_cur.get("fields", [])
+        if "initial-default" in f
+    }
 
-    with_ids: list[str] = []
+    # with-ids files group by which DEFAULTED field ids their footer
+    # lacks (usually one group; splits only across an add-with-
+    # default boundary)
+    with_ids: dict[frozenset, list[str]] = {}
     # signature (ordered (current-name, physical-name) pairs) → files
     unmapped: dict[tuple, list[str]] = {}
     for path in files:
@@ -510,8 +544,19 @@ def projected_scan_parts(
             for f in pa_schema
         )
         if has_ids:
-            with_ids.append(path)
+            present = {
+                int((f.metadata or {}).get(b"PARQUET:field_id"))
+                for f in pa_schema
+            }
+            missing = frozenset(fid for fid in init_defaults if fid not in present)
+            with_ids.setdefault(missing, []).append(path)
             continue
+        if not allow_name_mapping:
+            raise ValueError(
+                f"{path!r} carries no parquet field ids; id-resolved "
+                "projection cannot place its columns (use the "
+                "name-mapping reader for id-less files)"
+            )
         cols = set(pa_schema.names)
         sig = []
         for f in cur_schema.fields:
@@ -529,9 +574,21 @@ def projected_scan_parts(
         else []
     )
     parts: list[DataFrame] = []
-    if with_ids:
-        df = spark.read.schema(cur_schema).parquet(*sorted(with_ids))
-        parts.append(df.select(*[F.col(f.name) for f in cur_schema.fields], *tags))
+    for missing, group in sorted(with_ids.items(), key=lambda kv: sorted(kv[0])):
+        df = spark.read.schema(cur_schema).parquet(*sorted(group))
+        parts.append(
+            df.select(
+                *[
+                    F.lit(init_defaults[f.metadata["parquet.field.id"]])
+                    .cast(f.dataType)
+                    .alias(f.name)
+                    if f.metadata["parquet.field.id"] in missing
+                    else F.col(f.name)
+                    for f in cur_schema.fields
+                ],
+                *tags,
+            )
+        )
     for sig, group in sorted(unmapped.items()):
         # name-based read schema: physical names, CURRENT (widened)
         # types — Spark's parquet reader applies the upcast in place
@@ -546,7 +603,9 @@ def projected_scan_parts(
                 *[
                     F.col(phys).alias(cname)
                     if phys is not None
-                    else F.lit(None).cast(f.dataType).alias(cname)
+                    else F.lit(
+                        init_defaults.get(f.metadata["parquet.field.id"])
+                    ).cast(f.dataType).alias(cname)
                     for (cname, phys), f in zip(sig, cur_schema.fields)
                 ],
                 *tags,

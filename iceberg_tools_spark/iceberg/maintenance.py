@@ -61,25 +61,71 @@ def plan_compaction(
     )
 
 
+def plan_ref_retention(meta: TableMetadata, now_ms: int) -> dict:
+    """Per-ref retention per the Iceberg spec's ref properties:
+
+    * ``max-ref-age-ms`` — a non-``main`` ref whose head snapshot is
+      older than this is REMOVED outright (tag or branch);
+    * ``min-snapshots-to-keep`` (branches, default 1) — that many
+      newest ancestors of the branch head stay protected;
+    * ``max-snapshot-age-ms`` (branches) — ancestors younger than
+      this stay protected.
+
+    Returns ``{"removed_refs": [name...], "protected": {snapshot_id:
+    reason}}`` — the inputs ``plan_expire_snapshots(now_ms=...)``
+    and the executor consume. Ref age is measured from the HEAD
+    snapshot's timestamp, matching ``RemoveSnapshots``."""
+    from .snapshots import ancestor_chain
+
+    by_id = {s.get("snapshot-id"): s for s in meta.snapshots}
+    removed: list[str] = []
+    protected: dict[int, str] = {}
+    for name, r in (meta.raw.get("refs") or {}).items():
+        sid = r.get("snapshot-id")
+        head_ts = (by_id.get(sid) or {}).get("timestamp-ms") or 0
+        max_ref_age = r.get("max-ref-age-ms")
+        if name != "main" and max_ref_age is not None and now_ms - head_ts > int(max_ref_age):
+            removed.append(name)
+            continue
+        protected.setdefault(sid, f"ref:{name}")
+        if r.get("type") == "branch":
+            chain = ancestor_chain(meta, sid) if sid in by_id else []
+            n_keep = int(r.get("min-snapshots-to-keep", 1))
+            max_age = r.get("max-snapshot-age-ms")
+            for i, aid in enumerate(chain):
+                ts = (by_id.get(aid) or {}).get("timestamp-ms") or 0
+                if i < n_keep or (max_age is not None and now_ms - ts <= int(max_age)):
+                    protected.setdefault(aid, f"branch-retention:{name}")
+    return {"removed_refs": sorted(removed), "protected": protected}
+
+
 def plan_expire_snapshots(
     meta: TableMetadata,
     keep_last: int = 1,
     older_than_ms: int | None = None,
+    now_ms: int | None = None,
 ) -> list[dict]:
     """Snapshot-expiry plan: always keep the current snapshot, the
     `keep_last` most recent, and every snapshot a named ref (tag or
     branch head) pins — the protection Iceberg's ``RemoveSnapshots``
     applies, without which expiry would strand a tag on a deleted
     snapshot (round 8). Optionally expire only those older than
-    `older_than_ms`. Returns [{snapshot_id, timestamp_ms, action,
+    `older_than_ms`. With ``now_ms`` the refs' own retention
+    properties apply instead of blanket head-pinning
+    (:func:`plan_ref_retention`): aged-out refs stop protecting
+    anything, and branch ancestors gain min-count/max-age
+    protection. Returns [{snapshot_id, timestamp_ms, action,
     reason}] sorted by timestamp."""
     snaps = sorted(meta.snapshots, key=lambda s: (s.get("timestamp-ms") or 0, s.get("snapshot-id")))
     keep_ids = {s.get("snapshot-id") for s in snaps[-keep_last:]} if keep_last else set()
     if meta.current_snapshot_id is not None:
         keep_ids.add(meta.current_snapshot_id)
-    ref_ids = {
-        r.get("snapshot-id") for r in meta.raw.get("refs", {}).values()
-    }
+    if now_ms is not None:
+        ref_ids = set(plan_ref_retention(meta, now_ms)["protected"])
+    else:
+        ref_ids = {
+            r.get("snapshot-id") for r in meta.raw.get("refs", {}).values()
+        }
     plan = []
     for s in snaps:
         sid, ts = s.get("snapshot-id"), s.get("timestamp-ms")

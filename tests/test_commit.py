@@ -682,3 +682,74 @@ def test_cherrypick_wap_duplicate_publish_guard(tmp_path):
     picked = cherrypick_snapshot(staged["metadata_path"], staged["snapshot_id"])
     with pytest.raises(ValueError, match="already published"):
         cherrypick_snapshot(picked["metadata_path"], staged["snapshot_id"])
+
+
+def test_ref_retention_policies(tmp_path):
+    # spec ref properties: max-ref-age-ms removes the ref;
+    # min-snapshots-to-keep / max-snapshot-age-ms protect branch
+    # ancestors beyond the head
+    import json
+
+    from iceberg_tools_spark.iceberg.commit import expire_snapshots
+    from iceberg_tools_spark.iceberg.maintenance import (
+        plan_expire_snapshots,
+        plan_ref_retention,
+    )
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+
+    root = _scratch_mor(tmp_path)
+    mpath = str(root / "v2.metadata.json")
+    raw = json.loads(open(mpath).read())
+    # fixture snapshots 2001..2004 at increasing timestamps; head 2004
+    ts = {s["snapshot-id"]: s["timestamp-ms"] for s in raw["snapshots"]}
+    now = max(ts.values()) + 10_000
+    raw["refs"] = {
+        "main": {"snapshot-id": 2004, "type": "branch",
+                 "min-snapshots-to-keep": 2},
+        "old-tag": {"snapshot-id": 2002, "type": "tag",
+                    "max-ref-age-ms": 1},          # aged out → removed
+        "audit": {"snapshot-id": 2003, "type": "branch",
+                  "max-ref-age-ms": 10_000_000,    # young enough
+                  "min-snapshots-to-keep": 1,
+                  "max-snapshot-age-ms": 1},       # ancestors too old
+    }
+    open(mpath, "w").write(json.dumps(raw))
+    meta = parse_metadata(mpath)
+
+    rr = plan_ref_retention(meta, now)
+    assert rr["removed_refs"] == ["old-tag"]
+    # main protects 2004+2003 (min 2); audit protects its head 2003
+    assert set(rr["protected"]) == {2004, 2003}
+
+    plan = {p["snapshot_id"]: p for p in plan_expire_snapshots(
+        meta, keep_last=1, now_ms=now
+    )}
+    assert plan[2002]["action"] == "expire"     # old-tag no longer pins it
+    assert plan[2003]["action"] == "keep"
+    assert plan[2003]["reason"] == "ref-protected"
+
+    res = expire_snapshots(mpath, keep_last=1, now_ms=now)
+    assert res["removed_refs"] == ["old-tag"]
+    assert 2002 in res["expired"] and 2001 in res["expired"]
+    raw2 = json.loads(open(res["metadata_path"]).read())
+    assert set(raw2["refs"]) == {"main", "audit"}
+    assert {s["snapshot-id"] for s in raw2["snapshots"]} == {2003, 2004}
+
+
+def test_ref_retention_without_now_keeps_legacy_behavior(tmp_path):
+    import json
+
+    from iceberg_tools_spark.iceberg.maintenance import plan_expire_snapshots
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+
+    root = _scratch_mor(tmp_path)
+    mpath = str(root / "v2.metadata.json")
+    raw = json.loads(open(mpath).read())
+    raw["refs"] = {"old-tag": {"snapshot-id": 2002, "type": "tag",
+                               "max-ref-age-ms": 1}}
+    open(mpath, "w").write(json.dumps(raw))
+    plan = {p["snapshot_id"]: p for p in plan_expire_snapshots(
+        parse_metadata(mpath), keep_last=1
+    )}
+    # no now_ms → blanket head-pinning, properties ignored
+    assert plan[2002]["action"] == "keep"

@@ -296,3 +296,53 @@ def test_name_mapping_scan_count_is_per_signature_not_per_file(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 2  # one per signature, not 3
     assert df.count() == 13
+
+
+def test_initial_default_fills_pre_add_files_only(spark, tmp_path):
+    # v3 initial-default: files written BEFORE the column exists
+    # read the default; files written after keep their values —
+    # including genuine NULLs (coalesce would get this wrong)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_tools_spark.iceberg.commit import append_snapshot
+    from iceberg_tools_spark.iceberg.evolution import (
+        evolve_schema,
+        read_table_projected,
+    )
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+
+    root = _scratch(tmp_path)
+    v5 = os.path.join(root, "v5.metadata.json")
+    res = evolve_schema(v5, add=[("priority", "long", 7)])
+    meta = parse_metadata(res["metadata_path"])
+    cur = next(
+        s for s in meta.raw["schemas"]
+        if s["schema-id"] == meta.raw["current-schema-id"]
+    )
+    fld = next(f for f in cur["fields"] if f["name"] == "priority")
+    assert fld["initial-default"] == 7 and fld["write-default"] == 7
+
+    # a post-add file with real values AND a genuine NULL, written
+    # with field ids so the id-resolved reader places it
+    pid = fld["id"]
+    id_f = next(f for f in cur["fields"] if f["name"] == "id")
+    schema = pa.schema([
+        pa.field("id", pa.int64(), metadata={b"PARQUET:field_id": str(id_f["id"]).encode()}),
+        pa.field("priority", pa.int64(), metadata={b"PARQUET:field_id": str(pid).encode()}),
+    ])
+    pq.write_table(
+        pa.table({"id": pa.array([900, 901], pa.int64()),
+                  "priority": pa.array([11, None], pa.int64())}, schema=schema),
+        os.path.join(root, "data", "fileP.parquet"),
+    )
+    res2 = append_snapshot(
+        res["metadata_path"], [{"path": "data/fileP.parquet", "partition": {}}]
+    )
+    df = read_table_projected(spark, res2["metadata_path"])
+    by_id = {r["id"]: r["priority"] for r in df.collect()}
+    assert by_id[900] == 11
+    assert by_id[901] is None          # post-add NULL stays NULL
+    # every pre-add row reads the default, not NULL
+    pre = [v for k, v in by_id.items() if k not in (900, 901)]
+    assert pre and all(v == 7 for v in pre)
