@@ -716,9 +716,25 @@ def _commit_files(
         {"timestamp-ms": timestamp_ms,
          "metadata-file": _canonical_metadata_uri(metadata_path, table_root, loc)}
     )
+    # spec metadata-log retention: `write.metadata.previous-versions-max`
+    # caps the log on every commit; `write.metadata.delete-after-
+    # commit.enabled` also deletes the dropped vN.metadata.json files
+    props = raw.get("properties", {})
+    vmax = int(props.get("write.metadata.previous-versions-max", 0) or 0)
+    dropped_meta: list[dict] = []
+    if vmax > 0 and len(raw["metadata-log"]) > vmax:
+        dropped_meta = raw["metadata-log"][:-vmax]
+        raw["metadata-log"] = raw["metadata-log"][-vmax:]
     new_path = _next_metadata_path(metadata_path, snapshot_id)
     with open(new_path, "w") as f:
         json.dump(raw, f, indent=2)
+    if dropped_meta and props.get(
+        "write.metadata.delete-after-commit.enabled"
+    ) == "true":
+        for e in dropped_meta:
+            p = _local(e["metadata-file"], base_dir, loc)
+            if os.path.exists(p) and os.path.abspath(p) != os.path.abspath(new_path):
+                os.remove(p)
 
     return {
         "metadata_path": new_path,

@@ -315,3 +315,89 @@ def delta_export_rows(spark: SparkSession, sf_dir: str):
         )
         .orderBy("category")
     )
+
+
+# ------------------- continuous Delta → Iceberg replication (stream)
+
+
+def replicate_delta_stream(
+    spark: SparkSession,
+    delta_root: str,
+    target_root: str,
+    from_version: int,
+    to_version: int,
+    work_dir: str,
+) -> dict[str, Any]:
+    """CONTINUOUS cross-format replication: every Delta version on
+    ``(from_version, to_version]`` lands in an Iceberg table as its
+    own exactly-once streaming commit — the composition of
+    :func:`delta_log.delta_incremental_stream` (one micro-batch per
+    Delta version) and :func:`streaming.ingest.ingest_stream_to_table`
+    (batch markers + optimistic append commits). The Iceberg side
+    is seeded EMPTY at ``from_version`` state when from_version > -1
+    has adds; here we replicate add-only histories (Delta removes
+    need the DML path, which ``migrate_delta_to_iceberg`` covers by
+    snapshotting)."""
+    import json as _json
+
+    from ..streaming.ingest import ingest_stream_to_table
+    from .delta_log import delta_incremental_stream, replay_log
+
+    _, meta, _ = replay_log(delta_root, to_version)
+    schema_fields = _json.loads(meta["schemaString"])["fields"]
+    part_cols = meta.get("partitionColumns") or []
+    ice_fields = []
+    for i, f in enumerate(schema_fields, start=1):
+        t = _DELTA_TO_ICEBERG_TYPE.get(f["type"])
+        if t is None:
+            raise ValueError(f"unsupported Delta type {f['type']!r}")
+        ice_fields.append({"id": i, "name": f["name"], "required": False, "type": t})
+    ice_fields.append({
+        "id": len(ice_fields) + 1, "name": "_delta_version",
+        "required": False, "type": "long",
+    })
+    by_name = {f["name"]: f["id"] for f in ice_fields}
+    os.makedirs(os.path.join(target_root, "metadata"))
+    os.makedirs(os.path.join(target_root, "data"))
+    meta0 = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-00000000f003",
+        "location": f"file://{os.path.abspath(target_root)}",
+        "last-sequence-number": 0,
+        "last-updated-ms": 1700000000000,
+        "last-column-id": len(ice_fields),
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": ice_fields}],
+        "default-spec-id": 0,
+        "partition-specs": [{
+            "spec-id": 0,
+            "fields": [
+                {"name": c, "transform": "identity", "source-id": by_name[c],
+                 "field-id": 1000 + i}
+                for i, c in enumerate(part_cols)
+            ],
+        }],
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {"replicated-from": "delta"},
+        "snapshots": [], "snapshot-log": [], "metadata-log": [],
+    }
+    mp = os.path.join(target_root, "v1.metadata.json")
+    with open(mp, "w") as f:
+        _json.dump(meta0, f, indent=2)
+
+    stream, n = delta_incremental_stream(
+        spark, delta_root, from_version, to_version,
+        os.path.join(work_dir, "staging"),
+    )
+    res = ingest_stream_to_table(
+        stream,
+        mp,
+        query_name="delta-replication",
+        checkpoint_dir=os.path.join(work_dir, "ckpt"),
+        partition_cols=tuple(part_cols),
+        spec_id=0,
+    )
+    res["n_versions"] = n
+    res["target_root"] = target_root
+    return res

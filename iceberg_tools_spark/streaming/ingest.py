@@ -107,9 +107,19 @@ def make_batch_committer(
             return None  # checkpoint replay: already committed
         rel_dir = os.path.join("data", "streaming", query_name, f"batch-{batch_id}")
         out_dir = os.path.join(table_root, rel_dir)
-        writer = batch_df.write.mode("overwrite")
+        # partitionBy EXCLUDES its columns from the parquet, which
+        # would make every later MoR read see NULL partition values
+        # on streamed rows (caught round 8) — partition on aliased
+        # DUPLICATES so the data files keep the real columns
+        from pyspark.sql import functions as F
+
+        staged = batch_df
+        aliases = tuple(f"_p_{c}" for c in partition_cols)
+        for c, a in zip(partition_cols, aliases):
+            staged = staged.withColumn(a, F.col(c))
+        writer = staged.write.mode("overwrite")
         if partition_cols:
-            writer = writer.partitionBy(*partition_cols)
+            writer = writer.partitionBy(*aliases)
         writer.parquet(out_dir)
         files = []
         for p in sorted(
@@ -122,23 +132,27 @@ def make_batch_committer(
             for seg in rel.split("/"):
                 if "=" in seg and not seg.endswith(".parquet"):
                     k, v = seg.split("=", 1)
+                    k = k.removeprefix("_p_")
                     if k in partition_cols:
                         part[k] = v
             files.append({"path": rel, "partition": part})
         if not files:
             return None  # empty micro-batch: nothing to commit
-        res = commit_append_concurrent(
-            head,
-            head,
-            files,
-            base_dir=base_dir,
-            spec_id=spec_id,
-            extra_summary={
-                STREAM_QUERY_PROP: query_name,
-                STREAM_BATCH_PROP: str(int(batch_id)),
-            },
+        extra = {
+            STREAM_QUERY_PROP: query_name,
+            STREAM_BATCH_PROP: str(int(batch_id)),
+        }
+        if parse_metadata(head).raw.get("current-snapshot-id") is None:
+            # first commit into an EMPTY table: nothing to rebase
+            # against — plain append (a fresh replication target)
+            from ..iceberg.commit import append_snapshot
+
+            return append_snapshot(
+                head, files, base_dir=base_dir, spec_id=spec_id, extra_summary=extra
+            )
+        return commit_append_concurrent(
+            head, head, files, base_dir=base_dir, spec_id=spec_id, extra_summary=extra
         )
-        return res
 
     return commit_batch
 

@@ -753,3 +753,51 @@ def test_ref_retention_without_now_keeps_legacy_behavior(tmp_path):
     )}
     # no now_ms → blanket head-pinning, properties ignored
     assert plan[2002]["action"] == "keep"
+
+
+def test_metadata_log_retention_properties(tmp_path):
+    import json
+
+    root = _scratch_mor(tmp_path)
+    mpath = str(root / "v2.metadata.json")
+    raw = json.loads(open(mpath).read())
+    raw["properties"]["write.metadata.previous-versions-max"] = "2"
+    raw["properties"]["write.metadata.delete-after-commit.enabled"] = "true"
+    open(mpath, "w").write(json.dumps(raw))
+
+    mp = mpath
+    paths = []
+    for i in range(4):
+        _write_rows(root, f"data/category=w/L{i}.parquet", [700 + i], "w")
+        res = append_snapshot(
+            mp, [{"path": f"data/category=w/L{i}.parquet",
+                  "partition": {"category": "w", "id_trunc": 700}}]
+        )
+        paths.append(res["metadata_path"])
+        mp = res["metadata_path"]
+
+    raw = json.loads(open(mp).read())
+    assert len(raw["metadata-log"]) == 2  # capped on every commit
+    # the newest predecessors survive; the oldest commit-written
+    # version files were physically deleted
+    import os
+
+    assert os.path.exists(paths[-2])
+    assert not os.path.exists(paths[0])
+
+
+def test_metadata_log_unbounded_without_property(tmp_path):
+    import json
+
+    root = _scratch_mor(tmp_path)
+    mp = str(root / "v2.metadata.json")
+    before = len(json.loads(open(mp).read()).get("metadata-log", []))
+    for i in range(3):
+        _write_rows(root, f"data/category=w/M{i}.parquet", [800 + i], "w")
+        res = append_snapshot(
+            mp, [{"path": f"data/category=w/M{i}.parquet",
+                  "partition": {"category": "w", "id_trunc": 800}}]
+        )
+        mp = res["metadata_path"]
+    raw = json.loads(open(mp).read())
+    assert len(raw["metadata-log"]) == before + 3  # default: unbounded

@@ -193,3 +193,35 @@ def test_delta_incremental_stream_matches_batch(spark, tmp_path):
     assert len(got) == 10 + 20 + 5
     assert {v for _, _, v in got} == {1, 2, 3}
     assert all(c == "z" for _, c, v in got if v == 2)
+
+
+def test_replicate_delta_stream_per_version_commits(spark, tmp_path):
+    # continuous Delta → Iceberg replication: one exactly-once
+    # Iceberg commit per Delta version; replica rows == the adds
+    from iceberg_tools_spark.iceberg.deletes import read_mor
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+    from iceberg_tools_spark.sources.migrate import replicate_delta_stream
+    from iceberg_tools_spark.streaming.ingest import (
+        STREAM_BATCH_PROP,
+        STREAM_QUERY_PROP,
+        latest_metadata_path,
+    )
+
+    target = str(tmp_path / "replica")
+    res = replicate_delta_stream(
+        spark, DELTA_FIXTURE, target, 0, 3, str(tmp_path / "work")
+    )
+    assert res["n_versions"] == 3
+    head = latest_metadata_path(str(tmp_path / "replica" / "v1.metadata.json"))
+    meta = parse_metadata(head)
+    stream_snaps = [
+        s for s in meta.snapshots
+        if s.get("summary", {}).get(STREAM_QUERY_PROP) == "delta-replication"
+    ]
+    assert len(stream_snaps) == 3  # one commit per Delta version
+    rows = read_mor(spark, head, meta.raw["current-snapshot-id"], target).collect()
+    # the replica carries ALL adds of v1..v3 (add-only replication)
+    got = sorted((r["id"], r["cat"], r["_delta_version"]) for r in rows)
+    assert len(got) == 35 and {v for _, _, v in got} == {1, 2, 3}
+    # partition column survives in-file through the sink
+    assert all(c in ("x", "y", "z") for _, c, _ in got)

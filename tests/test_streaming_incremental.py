@@ -348,3 +348,31 @@ def test_stream_ingest_survives_concurrent_writer(spark):
         ).collect()
     }
     assert {700, 701, 800} <= ids and len(ids) == 326
+
+
+def test_streamed_rows_keep_partition_column(spark):
+    # round-8 regression pin: the sink's staged parquet must carry
+    # the partition COLUMN in-file (partitionBy alone drops it and
+    # every later MoR read sees NULL partition values)
+    import os
+
+    from iceberg_tools_spark.iceberg.commit import _scratch_table
+    from iceberg_tools_spark.iceberg.deletes import MOR_DIR, read_mor
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+    from iceberg_tools_spark.streaming.ingest import (
+        latest_metadata_path,
+        make_batch_committer,
+    )
+
+    root = _scratch_table("sink_pin_", MOR_DIR)
+    mp = os.path.join(root, "v2.metadata.json")
+    committer = make_batch_committer(
+        mp, query_name="pin", partition_cols=("category",), spec_id=0
+    )
+    committer(spark.createDataFrame([(500, "s")], "id long, category string"), 0)
+    head = latest_metadata_path(mp)
+    meta = parse_metadata(head)
+    (row,) = read_mor(
+        spark, head, meta.raw["current-snapshot-id"], root
+    ).filter("id = 500").collect()
+    assert row["category"] == "s"
