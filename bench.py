@@ -737,6 +737,29 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover - defensive
         sweep["lm_top_v"] = {"error": f"{type(exc).__name__}: {exc}"}
 
+    # paragraph-dedup chunk width: duplication rate + cost vs the
+    # chunk size (smaller chunks → more, noisier matches; the knob a
+    # curation pipeline tunes against its repetition profile)
+    try:
+        from iceberg_tools_spark.operators.dedup import dedup_paragraph_stats
+
+        sweep["paragraph_chunk_words"] = []
+        for cw in (4, 8, 16):
+            t = time.perf_counter()
+            rows = dedup_paragraph_stats(spark, sf_dir, chunk_words=cw).collect()
+            n_chunks = sum(r["n_chunks"] for r in rows)
+            n_dup = sum(r["n_dup_chunks"] for r in rows)
+            sweep["paragraph_chunk_words"].append(
+                {
+                    "chunk_words": cw,
+                    "n_chunks": int(n_chunks),
+                    "dup_ratio": round(n_dup / n_chunks, 4) if n_chunks else None,
+                    "sec": round(time.perf_counter() - t, 3),
+                }
+            )
+    except Exception as exc:  # pragma: no cover - defensive
+        sweep["paragraph_chunk_words"] = {"error": f"{type(exc).__name__}: {exc}"}
+
     # drift-normalized reporting (VERDICT r5 #6): this run in
     # calibration units + per-query ratio vs the pinned baselines.
     # vs_baseline keeps the best-of-2 basis for round-over-round

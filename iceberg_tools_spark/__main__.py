@@ -1,18 +1,32 @@
 """Tool dispatch: ``python -m iceberg_tools_spark <tool> [args...]``.
 
-Mirrors the reference's `Main.java` registry (single registered
-tool, `manifest2json`)."""
+Mirrors the reference's `Main.java` registry (its single registered
+tool is `manifest2json`; the additions cover the by-hand steps its
+README assumes — resolving tables and inspecting Delta state)."""
 
 from __future__ import annotations
 
 import sys
 
+from .iceberg import cli_tools
 from .iceberg import manifest2json as m2j
 
 TOOLS = {
     "manifest2json": (
         m2j.main,
         "Dumps an Iceberg Manifest Avro data file as JSON, record per line or pretty.",
+    ),
+    "catalog-list": (
+        cli_tools.catalog_list_main,
+        "Lists tables under a Hadoop-style warehouse directory.",
+    ),
+    "catalog-resolve": (
+        cli_tools.catalog_resolve_main,
+        "Prints a table's current vN.metadata.json (version-hint honored).",
+    ),
+    "delta2json": (
+        cli_tools.delta2json_main,
+        "Dumps a Delta table's reconstructed live-file state as JSON.",
     ),
 }
 

@@ -82,3 +82,30 @@ def test_load_table_by_name(spark, tmp_path):
     # time travel through the same by-name surface (A+B+C+D, before
     # the 2003 delete commit: 300 rows)
     assert load_table(spark, wh, "db.events", snapshot_id=2002).count() == 300
+
+
+def test_cli_tools(tmp_path, capsys):
+    import json as _json
+
+    from iceberg_tools_spark.__main__ import main
+    from iceberg_tools_spark.sources.delta_log import DELTA_FIXTURE
+
+    wh = _mk_warehouse(tmp_path)
+    assert main(["catalog-list", wh]) == 0
+    assert capsys.readouterr().out.strip() == "db.events"
+    assert main(["catalog-resolve", wh, "db.events"]) == 0
+    assert capsys.readouterr().out.strip().endswith("v2.metadata.json")
+    assert main(["catalog-resolve", wh, "db.ghost"]) == 1
+    capsys.readouterr()
+
+    assert main(["delta2json", DELTA_FIXTURE]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    head = _json.loads(lines[0])
+    assert head == {"version": 3, "partitionColumns": ["cat"], "n_live_files": 3}
+    assert len(lines) == 4
+    assert main(["delta2json", "--version=0", DELTA_FIXTURE]) == 0
+    head0 = _json.loads(capsys.readouterr().out.splitlines()[0])
+    assert head0["n_live_files"] == 2
+    assert main(["delta2json", "--version=bad", DELTA_FIXTURE]) == 1
+    capsys.readouterr()
+    assert main(["nope"]) == 1
