@@ -611,13 +611,22 @@ def _commit_files(
     n_data_files = n_delete_files = 0
     any_v3 = False
     single = len(by_group) == 1
+    added_pos_deletes = added_eq_deletes = 0
     for (mc, gspec) in sorted(by_group):
         part_fields, entries, rows_count = _build_entries(by_group[(mc, gspec)], gspec)
-        added_rows += rows_count
         if mc == 0:
+            # "added-records" counts DATA rows only (Iceberg
+            # SnapshotSummary); delete-file rows go under the
+            # added-*-deletes keys below
+            added_rows += rows_count
             n_data_files += len(entries)
         else:
             n_delete_files += len(entries)
+            for e in entries:
+                if e["data_file"]["content"] == 2:
+                    added_eq_deletes += e["data_file"]["record_count"]
+                else:
+                    added_pos_deletes += e["data_file"]["record_count"]
         man_name = (
             f"manifest-{snapshot_id}.avro"
             if single
@@ -698,7 +707,17 @@ def _commit_files(
                 "operation": operation,
                 **({"added-data-files": str(n_data_files)} if n_data_files else {}),
                 **({"added-delete-files": str(n_delete_files)} if n_delete_files else {}),
-                "added-records": str(added_rows),
+                **({"added-records": str(added_rows)} if n_data_files else {}),
+                **(
+                    {"added-position-deletes": str(added_pos_deletes)}
+                    if added_pos_deletes
+                    else {}
+                ),
+                **(
+                    {"added-equality-deletes": str(added_eq_deletes)}
+                    if added_eq_deletes
+                    else {}
+                ),
                 **_summary_totals(rows),
                 # caller-supplied summary properties (e.g. the
                 # streaming sink's exactly-once batch markers)

@@ -469,6 +469,67 @@ def apply_deletes(
     return reduce(DataFrame.unionByName, victims).dropDuplicates(["_rel", "_pos"])
 
 
+_ICE_TO_SPARK = {
+    "int": "int", "long": "bigint", "float": "float", "double": "double",
+    "boolean": "boolean", "string": "string", "date": "date",
+}
+
+
+def attach_identity_partition_columns(
+    spark: SparkSession,
+    df: DataFrame,
+    data: list[dict[str, Any]],
+    meta: TableMetadata,
+) -> DataFrame:
+    """Re-attach identity-partition source columns that are absent
+    from the physical parquet (hive-imported tables keep them ONLY
+    in directory names / manifest partition tuples): per the spec,
+    an identity partition value is a constant for every row of the
+    file, so it joins in from the one-row-per-FILE entry list via
+    the same broadcast ``_rel`` key ``mor_frame`` uses for sequence
+    numbers — Iceberg's identity-partition constant folding. No-op
+    (zero extra plan nodes) when every source column is physical."""
+    raw = meta.raw
+    schema = next(
+        s for s in raw.get("schemas", [raw.get("schema", {})])
+        if s.get("schema-id", 0) == raw.get("current-schema-id", 0)
+    )
+    col_name = {f["id"]: f["name"] for f in schema.get("fields", [])}
+    col_type = {f["id"]: f["type"] for f in schema.get("fields", [])}
+    have = set(df.columns)
+    missing: list[tuple[str, str, str]] = []  # (field name, col, spark type)
+    for spec in raw.get("partition-specs", []):
+        for f in spec.get("fields", []):
+            if f.get("transform", "identity") != "identity":
+                continue
+            src = col_name.get(f["source-id"])
+            if src is None or src in have:
+                continue
+            spark_t = _ICE_TO_SPARK.get(col_type[f["source-id"]])
+            if spark_t is None:
+                raise ValueError(
+                    f"cannot attach partition column {src!r} of type "
+                    f"{col_type[f['source-id']]!r}"
+                )
+            if not any(m[1] == src for m in missing):
+                missing.append((f["name"], src, spark_t))
+    if not missing:
+        return df
+    rows = [
+        tuple([e["rel"]] + [e["partition"].get(fname) for fname, _, _ in missing])
+        for e in data
+    ]
+    part_df = spark.createDataFrame(
+        rows, ["_part_rel"] + [src for _, src, _ in missing]
+    ).select(
+        "_part_rel",
+        *[F.col(src).cast(t).alias(src) for _, src, t in missing],
+    )
+    return df.join(
+        F.broadcast(part_df), df["_rel"] == part_df["_part_rel"], "left"
+    ).drop("_part_rel")
+
+
 def read_mor(
     spark: SparkSession,
     metadata_path: str,
@@ -491,6 +552,7 @@ def read_mor(
     if not data:
         raise ValueError(f"snapshot {snapshot_id} has no live data files")
     df = mor_frame(spark, data)
+    df = attach_identity_partition_columns(spark, df, data, meta)
     out_cols = [c for c in df.columns if c not in ("_rel", "_pos", "_seq")]
     return apply_deletes(spark, meta, df, dels, mode="survivors").select(*out_cols)
 

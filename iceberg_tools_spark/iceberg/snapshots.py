@@ -337,6 +337,201 @@ ORDER BY file_path
 """
 
 
+def audit_snapshot_summaries(
+    spark: SparkSession, metadata_path: str, base_dir: str
+) -> DataFrame:
+    """Validate every snapshot's SUMMARY against its manifests: the
+    claimed ``added-data-files`` / ``added-records`` /
+    ``deleted-data-files`` / ``deleted-records`` vs the counts
+    actually recoverable from the snapshot's own manifest entries
+    (status ADDED/DELETED attributed to the snapshot that wrote
+    them). Summaries exist so engines can answer table-size
+    questions WITHOUT opening manifests — a writer that mis-states
+    them silently corrupts every downstream planner's estimate,
+    which is why real Iceberg audits them in its own test suite.
+
+    Driver-side KB metadata work, like all of this module: one
+    manifest parse per file (cached), one createDataFrame."""
+    meta = parse_metadata(metadata_path)
+    claimed = {
+        s["snapshot-id"]: s.get("summary", {}) for s in meta.snapshots
+    }
+    # one manifest parse per file regardless of how many snapshot
+    # lists reference it; per-manifest CONTENT distinguishes data
+    # from delete manifests (added-records counts DATA rows only)
+    cache: dict[str, list[dict]] = {}
+    actual: dict[int, dict[str, int]] = {
+        sid: {"af": 0, "ar": 0, "df": 0, "dr": 0, "delf": 0, "pd": 0, "ed": 0}
+        for sid in claimed
+    }
+    from ..avro.reader import AvroContainerFile
+
+    seen_manifests: set[str] = set()
+    for sid in claimed:
+        for m in manifest_files_at(meta, sid, base_dir):
+            p = m["local_path"]
+            if p in seen_manifests:
+                continue
+            seen_manifests.add(p)
+            if p not in cache:
+                with open(p, "rb") as f:
+                    cache[p] = list(AvroContainerFile(f.read()))
+            mcontent = m.get("content", 0)
+            for rec in cache[p]:
+                esid = rec.get("snapshot_id")
+                if esid not in actual:
+                    continue
+                a = actual[esid]
+                rc = rec["data_file"]["record_count"]
+                if mcontent == 0:
+                    if rec["status"] == 1:
+                        a["af"] += 1
+                        a["ar"] += rc
+                    elif rec["status"] == 2:
+                        a["df"] += 1
+                        a["dr"] += rc
+                elif rec["status"] == 1:
+                    a["delf"] += 1
+                    if rec["data_file"].get("content", 1) == 2:
+                        a["ed"] += rc
+                    else:
+                        a["pd"] += rc
+    rows = []
+    for sid in sorted(claimed):
+        c, a = claimed[sid], actual[sid]
+        vals = {
+            "added_files": (int(c.get("added-data-files", 0)), a["af"]),
+            "added_rows": (int(c.get("added-records", 0)), a["ar"]),
+            "deleted_files": (int(c.get("deleted-data-files", 0)), a["df"]),
+            "deleted_rows": (int(c.get("deleted-records", 0)), a["dr"]),
+        }
+        extra_ok = (
+            int(c.get("added-delete-files", 0)) == a["delf"]
+            and int(c.get("added-position-deletes", 0)) == a["pd"]
+            and int(c.get("added-equality-deletes", 0)) == a["ed"]
+        )
+        rows.append(
+            (
+                sid,
+                c.get("operation"),
+                *[v for pair in vals.values() for v in pair],
+                extra_ok and all(cl == ac for cl, ac in vals.values()),
+            )
+        )
+    schema = T.StructType(
+        [
+            T.StructField("snapshot_id", T.LongType()),
+            T.StructField("operation", T.StringType()),
+            T.StructField("added_files_claimed", T.LongType()),
+            T.StructField("added_files_actual", T.LongType()),
+            T.StructField("added_rows_claimed", T.LongType()),
+            T.StructField("added_rows_actual", T.LongType()),
+            T.StructField("deleted_files_claimed", T.LongType()),
+            T.StructField("deleted_files_actual", T.LongType()),
+            T.StructField("deleted_rows_claimed", T.LongType()),
+            T.StructField("deleted_rows_actual", T.LongType()),
+            T.StructField("consistent", T.BooleanType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema).orderBy("snapshot_id")
+
+
+def snapshot_summary_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate: summary-vs-manifest audit of the 4-snapshot
+    fixture — every snapshot's claims must reconcile exactly with
+    its manifests (golden oracle; the corrupted-summary leg lives in
+    pytest)."""
+    return audit_snapshot_summaries(spark, MS_METADATA, MS_DIR)
+
+
+SNAPSHOT_SUMMARY_AUDIT_SQL = """
+SELECT CAST(snapshot_id AS BIGINT) AS snapshot_id, operation,
+       CAST(afc AS BIGINT) AS added_files_claimed,
+       CAST(afa AS BIGINT) AS added_files_actual,
+       CAST(arc AS BIGINT) AS added_rows_claimed,
+       CAST(ara AS BIGINT) AS added_rows_actual,
+       CAST(dfc AS BIGINT) AS deleted_files_claimed,
+       CAST(dfa AS BIGINT) AS deleted_files_actual,
+       CAST(drc AS BIGINT) AS deleted_rows_claimed,
+       CAST(dra AS BIGINT) AS deleted_rows_actual,
+       consistent
+FROM (VALUES
+  (1001, 'append',    2, 2, 150, 150, 0, 0, 0, 0, TRUE),
+  (1002, 'append',    2, 2, 150, 150, 0, 0, 0, 0, TRUE),
+  (1003, 'overwrite', 0, 0, 0, 0, 1, 1, 50, 50, TRUE),
+  (1004, 'append',    1, 1, 20, 20, 0, 0, 0, 0, TRUE)
+) t(snapshot_id, operation, afc, afa, arc, ara, dfc, dfa, drc, dra, consistent)
+ORDER BY snapshot_id
+"""
+
+
+def meta_all_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$all_manifests: every manifest referenced by ANY snapshot's
+    manifest list, deduplicated by path, with the snapshot that
+    added it, how many snapshot lists carry it, and its entry
+    counts — the manifest-level dual of $all_files."""
+    meta = parse_metadata(MS_METADATA)
+    rows = []
+    for s in meta.snapshots:
+        sid = s["snapshot-id"]
+        for m in manifest_files_at(meta, sid, MS_DIR):
+            rows.append(
+                (
+                    sid,
+                    os.path.basename(m["manifest_path"]),
+                    m["added_snapshot_id"],
+                    m["sequence_number"],
+                    m["added_files_count"],
+                    m["existing_files_count"],
+                    m["deleted_files_count"],
+                    m["added_rows_count"],
+                )
+            )
+    schema = T.StructType(
+        [
+            T.StructField("view_snapshot_id", T.LongType()),
+            T.StructField("manifest_name", T.StringType()),
+            T.StructField("added_snapshot_id", T.LongType()),
+            T.StructField("sequence_number", T.LongType()),
+            T.StructField("added_files_count", T.LongType()),
+            T.StructField("existing_files_count", T.LongType()),
+            T.StructField("deleted_files_count", T.LongType()),
+            T.StructField("added_rows_count", T.LongType()),
+        ]
+    )
+    return (
+        spark.createDataFrame(rows, schema)
+        .groupBy(
+            "manifest_name", "added_snapshot_id", "sequence_number",
+            "added_files_count", "existing_files_count",
+            "deleted_files_count", "added_rows_count",
+        )
+        .agg(F.countDistinct("view_snapshot_id").alias("n_referencing_snapshots"))
+        .orderBy("manifest_name")
+    )
+
+
+META_ALL_MANIFESTS_SQL = """
+SELECT manifest_name,
+       CAST(added_snapshot_id AS BIGINT) AS added_snapshot_id,
+       CAST(sequence_number AS BIGINT) AS sequence_number,
+       CAST(added_files_count AS BIGINT) AS added_files_count,
+       CAST(existing_files_count AS BIGINT) AS existing_files_count,
+       CAST(deleted_files_count AS BIGINT) AS deleted_files_count,
+       CAST(added_rows_count AS BIGINT) AS added_rows_count,
+       CAST(n_referencing_snapshots AS BIGINT) AS n_referencing_snapshots
+FROM (VALUES
+  ('m1.avro', 1001, 1, 2, 0, 0, 150, 3),
+  ('m2.avro', 1002, 2, 2, 0, 0, 150, 2),
+  ('m3.avro', 1003, 4, 0, 3, 1, 0,   1),
+  ('m4.avro', 1004, 3, 1, 0, 0, 20,  1)
+) t(manifest_name, added_snapshot_id, sequence_number, added_files_count,
+    existing_files_count, deleted_files_count, added_rows_count,
+    n_referencing_snapshots)
+ORDER BY manifest_name
+"""
+
+
 def files_at_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel across the fixture's whole history: the live
     file set AT each of the 4 snapshots (B visible until the 1003

@@ -1,0 +1,217 @@
+"""Byte-level BPE tokenizer over the corpus — train on a BOUNDED
+word histogram, encode DISTRIBUTED.
+
+The LLM-pipeline operator the token-count heuristics approximate:
+an actual trained subword vocabulary. The 100 TB shape mirrors how
+real tokenizers are produced:
+
+* the corpus-wide **word histogram** is one Spark ``groupBy`` (the
+  only data-scale pass — shuffle keys are words, uniform enough,
+  and the downstream cap means partial aggregation does almost all
+  of the work map-side);
+* **training** consumes only the top-``max_words`` (count, word)
+  rows — a driver-side, scale-independent O(words × merges) loop,
+  the same bounded-input pattern as PQ codebook training
+  (`operators/pq.py:51`) and theta's k-smallest
+  (`iceberg/table_stats.py:117`);
+* **encoding** broadcasts the merge table (KB) and runs one
+  Arrow-batched pandas UDF over the documents — embarrassingly
+  parallel, no shuffle.
+
+Byte-level (ids 0-255 = raw bytes, merge *i* = id 256+*i*) so ANY
+unicode text round-trips exactly: decode(encode(x)) == x is a
+certified driver gate (`bpe_roundtrip_check`), not an aspiration.
+Text splits into ``\\S+`` words AND ``\\s+`` whitespace runs, both
+BPE-merged, so no character is dropped.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+N_MERGES = 384
+MAX_WORDS = 8192
+_SPLIT_RE = r"(\S+|\s+)"
+
+
+def word_histogram(docs: DataFrame, max_words: int = MAX_WORDS) -> list[tuple[str, int]]:
+    """Top-``max_words`` (word, count) rows by (count desc, word) —
+    the bounded training input. One distributed agg; ties broken
+    deterministically."""
+    # SQL string literals eat single backslashes — double them so
+    # the JVM regex sees \S / \s
+    sql_re = _SPLIT_RE.replace("\\", "\\\\")
+    counted = (
+        docs.select(
+            F.explode(F.expr(f"regexp_extract_all(text, '{sql_re}', 1)")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows = counted.orderBy(F.col("n").desc(), F.col("w")).limit(max_words).collect()
+    return [(r.w, r.n) for r in rows]
+
+
+def train_bpe(
+    hist: list[tuple[str, int]], n_merges: int = N_MERGES
+) -> list[tuple[int, int]]:
+    """Classic BPE merge learning over a word histogram: repeatedly
+    merge the most frequent adjacent symbol pair (ties → smallest
+    pair, so training is fully deterministic). Returns the ordered
+    merge list; merge i creates symbol id 256+i."""
+    words: list[tuple[list[int], int]] = [
+        (list(w.encode("utf-8")), n) for w, n in hist
+    ]
+    merges: list[tuple[int, int]] = []
+    for mi in range(n_merges):
+        pair_counts: dict[tuple[int, int], int] = {}
+        for syms, n in words:
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + n
+        if not pair_counts:
+            break
+        best = max(pair_counts.items(), key=lambda kv: (kv[1], (-kv[0][0], -kv[0][1])))
+        if best[1] < 2:
+            break  # nothing left worth merging
+        pair = best[0]
+        new_id = 256 + mi
+        merges.append(pair)
+        for syms, _ in words:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == pair[0] and syms[i + 1] == pair[1]:
+                    syms[i : i + 2] = [new_id]
+                else:
+                    i += 1
+    return merges
+
+
+def _expand(sym: int, merges: list[tuple[int, int]]) -> bytes:
+    if sym < 256:
+        return bytes([sym])
+    a, b = merges[sym - 256]
+    return _expand(a, merges) + _expand(b, merges)
+
+
+def decode_tokens(tokens: list[int], merges: list[tuple[int, int]]) -> str:
+    return b"".join(_expand(t, merges) for t in tokens).decode("utf-8")
+
+
+def _make_encoder(merges: list[tuple[int, int]]):
+    rank = {p: i for i, p in enumerate(merges)}
+
+    @lru_cache(maxsize=65536)
+    def enc_word(w: str) -> tuple[int, ...]:
+        syms = list(w.encode("utf-8"))
+        while len(syms) > 1:
+            best_rank, best_i = None, -1
+            for i, p in enumerate(zip(syms, syms[1:])):
+                r = rank.get(p)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            syms[best_i : best_i + 2] = [256 + best_rank]
+        return tuple(syms)
+
+    import re
+
+    split = re.compile(_SPLIT_RE)
+
+    def enc_text(text: str) -> list[int]:
+        out: list[int] = []
+        for w in split.findall(text):
+            out.extend(enc_word(w))
+        return out
+
+    return enc_text
+
+
+def encode_stats(
+    docs: DataFrame, merges: list[tuple[int, int]]
+) -> DataFrame:
+    """documents + (n_tokens, roundtrip_ok) via ONE Arrow-batched
+    ``mapInPandas`` (merge table rides the closure — KB)."""
+    out_schema = (
+        "doc_id long, source string, n_chars long, n_tokens long, "
+        "roundtrip_ok boolean"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        enc = _make_encoder(merges)
+        for b in batches:
+            toks = [enc(t) for t in b["text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "source": b["source"],
+                    "n_chars": b["n_chars"],
+                    "n_tokens": [len(t) for t in toks],
+                    "roundtrip_ok": [
+                        decode_tokens(t, merges) == txt
+                        for t, txt in zip(toks, b["text"])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "source", "n_chars", "text").mapInPandas(
+        kernel, schema=out_schema
+    )
+
+
+def _trained_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents",
+                      ["doc_id", "text", "source", "n_chars"])
+    merges = train_bpe(word_histogram(docs))
+    return encode_stats(docs, merges)
+
+
+# ------------------------------------------------ driver-gate queries
+
+
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token accounting under the corpus-trained BPE:
+    docs, tokens, bytes-per-token compression. Rows-only (no SQL
+    engine can replicate the trained vocabulary); the certified
+    twin is `bpe_roundtrip_check`, and distributed-vs-local-
+    reference equality is pytest-pinned."""
+    stats = _trained_stats(spark, sf_dir)
+    return (
+        stats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            (F.sum("n_chars") / F.sum("n_tokens")).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )
+
+
+def bpe_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified invariant gate: every document must decode back to
+    itself, and every document must produce at least one token.
+    Output (n_docs, n_roundtrip_ok, n_tokenized) — all three equal
+    COUNT(*) iff the tokenizer is lossless, which is what the
+    DuckDB oracle asserts."""
+    stats = _trained_stats(spark, sf_dir)
+    return stats.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("roundtrip_ok").cast("long")).cast("long").alias("n_roundtrip_ok"),
+        F.sum((F.col("n_tokens") > 0).cast("long")).cast("long").alias("n_tokenized"),
+    )
+
+
+BPE_ROUNDTRIP_SQL = """
+SELECT COUNT(*) AS n_docs,
+       COUNT(*) AS n_roundtrip_ok,
+       COUNT(*) AS n_tokenized
+FROM documents
+"""

@@ -1,0 +1,189 @@
+"""Semantic deduplication (SemDeDup, Abbas et al. 2023, public):
+k-means cells as candidate buckets, within-cell cosine pairs,
+keep-one-per-component survivors.
+
+The embedding-space dual of MinHash dedup: near-duplicate *meaning*
+(paraphrases, templated rewrites) that text shingles miss. The
+published recipe — cluster the corpus with k-means, compare pairs
+ONLY within a cluster, drop all but one of each ε-similar group —
+is exactly an LSH-style bucketed join where the buckets are learned
+instead of random, so the whole existing scale machinery applies:
+
+* **training is bounded**: the same single-task Arrow Lloyd kernel
+  as IVF (`similarity.train_centroids` — md5-ranked 50·k sample,
+  deterministic, no RNG);
+* **assignment is one broadcast crossJoin + min-of-struct partial
+  agg** (`similarity._ivf_assign` — only N reduced rows shuffle);
+* **pair volume is capped**: cells above ``max_cell`` are skipped
+  via the census+broadcast guard every LSH path carries
+  (VERDICT r6 #4) — worst case max_cell²/2 pairs per cell at ANY
+  corpus size;
+* **survivors** come from the existing Shiloach–Vishkin connected
+  components (`components.connected_components`) over the
+  thresholded pair list — keep = min vec_id per component.
+
+Correctness: the certified gate (`dedup_semantic_pairs`) re-runs
+k-means training, assignment, the cell-size cap AND the pair
+ranking in pure DuckDB SQL (reusing `similarity.ivf_training_ctes`
+— the determinism argument lives there); the survivor path is
+pinned by planted-duplicate pytests (recall/precision on known
+dupes), since iterative CC is not SQL-expressible.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import dot_fast, sum_squares
+from ..sources.readers import load_table
+from .components import connected_components
+from .similarity import (
+    DOT_DUCK,
+    _ivf_assign,
+    corpus_size,
+    ivf_training_ctes,
+    train_centroids,
+)
+
+SEM_MAX_CELL = 400
+SEM_TOP_PAIRS = 30
+SEM_TAU = 0.95
+
+
+def _assigned_capped(
+    spark: SparkSession, sf_dir: str, max_cell: int
+) -> DataFrame:
+    """(vec_id, embedding, ss, cell) for every vector in a cell of
+    size ≤ max_cell (k = ⌈√N⌉ cells, trained deterministically)."""
+    e = load_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    base = e.select("vec_id", "embedding", sum_squares("embedding").alias("ss"))
+    k = math.ceil(math.sqrt(corpus_size(spark, sf_dir)))
+    cents = train_centroids(base, k)
+    assigned = _ivf_assign(base, cents)
+    ok = (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("csz"))
+        .filter(F.col("csz") <= max_cell)
+        .select("cell")
+    )
+    return assigned.join(F.broadcast(ok), "cell")
+
+
+def _cell_pairs(assigned: DataFrame) -> DataFrame:
+    """(va, vb, cos) for va < vb within one cell."""
+    a = assigned.select(
+        "cell",
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("ss").alias("ssa"),
+    )
+    b = assigned.select(
+        "cell",
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("ss").alias("ssb"),
+    )
+    cos = dot_fast("ea", "eb") / (F.sqrt(F.col("ssa")) * F.sqrt(F.col("ssb")))
+    return (
+        a.join(b, "cell")
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb", cos.alias("cos"))
+    )
+
+
+def semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    tau: float = SEM_TAU,
+    max_cell: int = SEM_MAX_CELL,
+) -> DataFrame:
+    """(vec_id, component, kept): every vector labeled with its
+    ε-similar component (cosine ≥ tau within a cell, transitively);
+    ``kept`` = the min-id survivor of each component. Vectors with
+    no similar neighbor keep themselves."""
+    assigned = _assigned_capped(spark, sf_dir, max_cell)
+    edges = _cell_pairs(assigned).filter(F.col("cos") >= tau).select("va", "vb")
+    comp = connected_components(edges, "va", "vb")
+    out = assigned.select("vec_id").join(
+        comp, assigned["vec_id"] == comp["vertex"], "left"
+    )
+    component = F.coalesce(F.col("component"), F.col("vec_id"))
+    return out.select(
+        "vec_id",
+        component.alias("component"),
+        (component == F.col("vec_id")).alias("kept"),
+    )
+
+
+# ------------------------------------------------ driver-gate queries
+
+
+def dedup_semantic_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_cell: int = SEM_MAX_CELL,
+    top: int = SEM_TOP_PAIRS,
+) -> DataFrame:
+    """Certified gate: the ``top`` most-similar within-cell pairs
+    (rank only — the ordering exercises the exact cosines without
+    putting floats in the output). The oracle re-runs k-means
+    training, assignment, the cell cap and this ranking in pure
+    DuckDB SQL."""
+    from pyspark.sql import Window
+
+    pairs = _cell_pairs(_assigned_capped(spark, sf_dir, max_cell))
+    w = Window.orderBy(F.col("cos").desc(), "va", "vb")
+    return (
+        pairs.select("va", "vb", F.row_number().over(w).cast("bigint").alias("rk"))
+        .filter(F.col("rk") <= top)
+        .orderBy("rk")
+    )
+
+
+def _pairs_oracle_sql() -> str:
+    parts, _ = ivf_training_ctes()
+    dot_ab = DOT_DUCK.format(a="a.embedding", b="b.embedding")
+    parts.append(
+        f"""ok AS (
+  SELECT cell FROM full_assign GROUP BY cell HAVING COUNT(*) <= {SEM_MAX_CELL}),
+capped AS (
+  SELECT f.* FROM full_assign f JOIN ok USING (cell)),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         {dot_ab} / (sqrt(a.ss) * sqrt(b.ss)) AS cos
+  FROM capped a JOIN capped b USING (cell)
+  WHERE a.vec_id < b.vec_id),
+ranked_pairs AS (
+  SELECT va, vb,
+         ROW_NUMBER() OVER (ORDER BY cos DESC, va, vb) AS rk
+  FROM pairs)
+SELECT va, vb, CAST(rk AS BIGINT) AS rk
+FROM ranked_pairs WHERE rk <= {SEM_TOP_PAIRS}
+ORDER BY rk"""
+    )
+    return ",\n".join(parts)
+
+
+DEDUP_SEMANTIC_PAIRS_SQL = _pairs_oracle_sql()
+
+
+def dedup_semantic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only summary of the full survivor path at the default
+    threshold: (n_vectors, n_kept, n_dropped, n_multi_components).
+    The synthetic corpus has no true semantic dupes (max cosine
+    ≈ 0.5), so drops are 0 here; the planted-duplicate behavior is
+    pytest-pinned."""
+    d = semantic_dedup(spark, sf_dir)
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(F.col("kept").cast("long")).cast("long").alias("n_kept"),
+        F.sum((~F.col("kept")).cast("long")).cast("long").alias("n_dropped"),
+        F.countDistinct(
+            F.when(~F.col("kept"), F.col("component"))
+        ).cast("long").alias("n_multi_components"),
+    )

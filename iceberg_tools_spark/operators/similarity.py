@@ -422,14 +422,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str, k: int | None = None) -> Data
     )
 
 
-def _ivf_oracle_sql() -> str:
-    """The identical IVF computation unrolled as DuckDB CTEs (see
-    module doc for the determinism argument step by step)."""
+def ivf_training_ctes() -> tuple[list[str], str]:
+    """The IVF k-means training + full-corpus assignment as DuckDB
+    CTE blocks, shared by the ANN oracle and the semantic-dedup
+    oracle (`operators/semdedup.py`). Returns (cte_parts,
+    final_centroid_cte_name); the caller appends its own
+    ``full_assign`` consumers."""
     s = f"{_QSCALE!r}"
     dot_tc = DOT_DUCK.format(a="t.embedding", b="c.cemb")
     dot_bc = DOT_DUCK.format(a="b.embedding", b="c.cemb")
-    dot_qc = DOT_DUCK.format(a="q.qemb", b="c.cemb")
-    dot_fq = DOT_DUCK.format(a="f.embedding", b="p.qemb")
     ss_cemb = SUM_SQUARES_DUCK.format(a="cemb")
     parts = [
         f"""WITH base AS (
@@ -476,8 +477,19 @@ cents{r} AS (SELECT cell, cemb, {ss_cemb} AS css FROM c{r}raw)"""
            ROW_NUMBER() OVER (PARTITION BY b.vec_id
                               ORDER BY b.ss - 2 * {dot_bc} + c.css, c.cell) AS rn
     FROM base b, {prev} c) x
-  WHERE rn = 1),
-q AS (
+  WHERE rn = 1)"""
+    )
+    return parts, prev
+
+
+def _ivf_oracle_sql() -> str:
+    """The identical IVF computation unrolled as DuckDB CTEs (see
+    module doc for the determinism argument step by step)."""
+    parts, prev = ivf_training_ctes()
+    dot_qc = DOT_DUCK.format(a="q.qemb", b="c.cemb")
+    dot_fq = DOT_DUCK.format(a="f.embedding", b="p.qemb")
+    parts.append(
+        f"""q AS (
   SELECT vec_id AS qid, embedding AS qemb, ss AS qss FROM base
   WHERE vec_id < {N_QUERIES}),
 probes AS (

@@ -556,6 +556,58 @@ def _register_past_window() -> None:
     from .sources import migrate as migrate_src
 
     register("delta_migrate_rows", migrate_src.delta_migrate_rows, delta_src.DELTA_LOG_SQL)
+    # in-place parquet → Iceberg import (add_files analog): footer
+    # stats, hive partition re-attach, hard-linked data
+    from .sources import parquet_import as pq_import_src
+
+    register(
+        "parquet_import_rows",
+        pq_import_src.parquet_import_rows,
+        pq_import_src.PARQUET_IMPORT_SQL,
+    )
+    # Iceberg view spec v1: create → replace → resolve CURRENT
+    # through the metadata roundtrip; oracle = the stored SQL itself
+    from .iceberg import views as meta_views
+
+    register(
+        "view_roundtrip_rows",
+        meta_views.view_roundtrip_rows,
+        meta_views.VIEW_ROUNDTRIP_SQL,
+    )
+    # snapshot-summary audit (manifest-vs-summary reconciliation;
+    # the corrupted-summary + engine-own-commits legs are pytest)
+    register(
+        "snapshot_summary_audit",
+        meta_snap.snapshot_summary_audit,
+        meta_snap.SNAPSHOT_SUMMARY_AUDIT_SQL,
+    )
+    # $all_manifests (manifest-level dual of $all_files)
+    register(
+        "meta_all_manifests",
+        meta_snap.meta_all_manifests,
+        meta_snap.META_ALL_MANIFESTS_SQL,
+    )
+    # corpus-trained byte-level BPE: lossless-roundtrip certified
+    # gate + rows-only per-source token stats (distributed ==
+    # local-reference equality is pytest-pinned)
+    from .operators import bpe as bpe_ops
+
+    register(
+        "bpe_roundtrip_check", bpe_ops.bpe_roundtrip_check, bpe_ops.BPE_ROUNDTRIP_SQL
+    )
+    register("bpe_token_stats", bpe_ops.bpe_token_stats, None)
+    # SemDeDup-style semantic dedup: k-means cells as learned LSH
+    # buckets; the certified gate re-runs training + assignment +
+    # cap + pair ranking in pure DuckDB SQL; survivor path (CC) is
+    # planted-duplicate pytest-pinned
+    from .operators import semdedup as semdedup_ops
+
+    register(
+        "dedup_semantic_pairs",
+        semdedup_ops.dedup_semantic_pairs,
+        semdedup_ops.DEDUP_SEMANTIC_PAIRS_SQL,
+    )
+    register("dedup_semantic_stats", semdedup_ops.dedup_semantic_stats, None)
     # Iceberg → Delta export (MoR head folded into a fresh Delta
     # table, read back through the delta reader); oracle = the
     # independent DuckDB full-materialization of the fixture head

@@ -1,0 +1,138 @@
+"""In-place parquet → Iceberg import (add_files analog): losslessness,
+hive partition-column re-attach, footer-stat bounds driving scan
+pruning, metadata-only cost (hard links, no rewrite)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from iceberg_tools_spark.iceberg.deletes import read_mor
+from iceberg_tools_spark.iceberg.snapshots import plan_scan
+from iceberg_tools_spark.sources.parquet_import import import_parquet_table
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def hive_lake(spark, tmp_path_factory):
+    """Hive-partitioned copy of sf0.001 orders (priority dirs, the
+    partition column absent from the parquet files) + its import."""
+    root = tmp_path_factory.mktemp("pq_import")
+    lake = str(root / "lake")
+    (
+        spark.read.parquet(os.path.join(SF_SMOKE, "orders.parquet"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .repartition("o_orderpriority")
+        .write.partitionBy("o_orderpriority")
+        .parquet(lake)
+    )
+    res = import_parquet_table(spark, lake, str(root / "table"))
+    return lake, res
+
+
+def test_import_lossless_and_partition_attach(spark, hive_lake):
+    lake, res = hive_lake
+    src = spark.read.parquet(lake)  # spark re-infers the hive column
+    imported = read_mor(spark, res["metadata_path"], res["snapshot_id"])
+    assert set(imported.columns) == set(src.columns)
+    a = sorted(map(tuple, src.select(*sorted(src.columns)).collect()))
+    b = sorted(map(tuple, imported.select(*sorted(src.columns)).collect()))
+    assert a == b
+    assert res["n_rows"] == len(a)
+
+
+def test_import_is_metadata_only(hive_lake):
+    """No data rewrite: every table data file is a hard link to (or
+    byte-identical twin of) a source file — same inode."""
+    lake, res = hive_lake
+    data_dir = os.path.join(
+        os.path.dirname(res["metadata_path"]).removesuffix("/metadata"), "data"
+    )
+    src_inodes = set()
+    for r, _, names in os.walk(lake):
+        src_inodes.update(os.stat(os.path.join(r, n)).st_ino
+                          for n in names if n.endswith(".parquet"))
+    linked = [os.path.join(data_dir, n) for n in os.listdir(data_dir)]
+    assert linked and all(os.stat(p).st_ino in src_inodes for p in linked)
+
+
+def test_import_partition_pred_prunes(spark, hive_lake):
+    _, res = hive_lake
+    plan = plan_scan(
+        spark, res["metadata_path"], res["snapshot_id"],
+        partition_pred={"o_orderpriority": "1-URGENT"},
+    )
+    rows = plan.collect()
+    sel = [r for r in rows if r.selected]
+    assert 0 < len(sel) < len(rows)
+    # the selected files really are the 1-URGENT ones
+    live = read_mor(spark, res["metadata_path"], res["snapshot_id"])
+    n_urgent = live.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert sum(r.record_count for r in sel) == n_urgent
+
+
+def test_import_footer_bounds_prune_flat_layout(spark, tmp_path):
+    """Flat (unpartitioned) import of a range-partitioned write: the
+    footer min/max bounds land in manifests, and a point predicate
+    plans a strict subset of files WITHOUT any data read."""
+    lake = str(tmp_path / "flat")
+    (
+        spark.read.parquet(os.path.join(SF_SMOKE, "orders.parquet"))
+        .select("o_orderkey", "o_totalprice")
+        .repartitionByRange(4, "o_orderkey")
+        .write.parquet(lake)
+    )
+    res = import_parquet_table(spark, lake, str(tmp_path / "table"))
+    assert res["n_files"] == 4 and res["partition_columns"] == []
+    # field id 1 = o_orderkey; probe one known key
+    some_key = (
+        spark.read.parquet(lake).agg(F.min("o_orderkey")).collect()[0][0]
+    )
+    plan = plan_scan(
+        spark, res["metadata_path"], res["snapshot_id"],
+        field_id=1, lo=some_key, hi=some_key,
+    )
+    rows = plan.collect()
+    sel = [r for r in rows if r.selected]
+    assert len(rows) == 4 and len(sel) == 1
+
+
+def test_import_long_typed_hive_partition(spark, tmp_path):
+    """All-integer hive values type the partition column long, and
+    the re-attached column comes back as bigint."""
+    lake = str(tmp_path / "intlake")
+    (
+        spark.read.parquet(os.path.join(SF_SMOKE, "orders.parquet"))
+        .select("o_orderkey", (F.col("o_custkey") % 4).alias("bucket"))
+        .repartition("bucket")
+        .write.partitionBy("bucket")
+        .parquet(lake)
+    )
+    res = import_parquet_table(spark, lake, str(tmp_path / "t2"))
+    imported = read_mor(spark, res["metadata_path"], res["snapshot_id"])
+    assert dict(imported.dtypes)["bucket"] == "bigint"
+    src = spark.read.parquet(lake)
+    assert (
+        sorted(map(tuple, imported.groupBy("bucket").count().collect()))
+        == sorted(map(tuple, src.groupBy("bucket").count().collect()))
+    )
+
+
+def test_import_writes_name_mapping(hive_lake):
+    _, res = hive_lake
+    meta = json.load(open(res["metadata_path"]))
+    nm = json.loads(meta["properties"]["schema.name-mapping.default"])
+    names = {m["names"][0] for m in nm}
+    assert "o_orderkey" in names and "o_orderpriority" in names
+
+
+def test_import_rejects_non_hive_dirs(spark, tmp_path):
+    os.makedirs(tmp_path / "bad" / "notkv")
+    with open(tmp_path / "bad" / "notkv" / "x.parquet", "wb") as f:
+        f.write(b"")
+    with pytest.raises(ValueError, match="non-hive"):
+        import_parquet_table(spark, str(tmp_path / "bad"), str(tmp_path / "t3"))
