@@ -23,7 +23,7 @@ from __future__ import annotations
 import os
 import re
 
-_V_RE = re.compile(r"v(\d+)\.metadata\.json$")
+_V_RE = re.compile(r"v(\d+)\.metadata\.json(\.gz)?$")
 
 
 def table_location(warehouse: str, identifier: str) -> str:

@@ -154,6 +154,9 @@ def mor_entries_at(
                     )
             entry = {
                 "content": df_.get("content", 0),
+                # the snapshot that wrote this entry (WAP audits use
+                # it to scope added-data checks to the staged commit)
+                "snapshot_id": rec.get("snapshot_id"),
                 "file_path": df_["file_path"],
                 "local_path": _local(df_["file_path"], base_dir, loc),
                 "rel": _rel(df_["file_path"]),

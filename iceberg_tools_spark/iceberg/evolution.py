@@ -54,6 +54,7 @@ import re
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .commit import _canonical_metadata_uri, _next_metadata_path
@@ -650,3 +651,187 @@ def schema_evolution_name_mapping(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 SCHEMA_EVOLUTION_NAME_MAPPING_SQL = SCHEMA_EVOLUTION_READ_SQL
+
+
+# ------------------------------------------------ partition-spec
+# evolution WRITE path
+
+
+def evolve_partition_spec(
+    metadata_path: str,
+    *,
+    add: list[tuple[str, str, str]] = (),
+    remove: list[str] = (),
+    timestamp_ms: int | None = None,
+) -> dict[str, Any]:
+    """Commit a partition-spec evolution: a NEW spec (spec-id =
+    max+1) derived from the current default — ``add`` fields as
+    ``(field_name, transform, source_column_name)`` with fresh
+    partition field-ids continuing from ``last-partition-id``,
+    ``remove`` drops fields by name. Data files are untouched (the
+    spec-per-manifest model is the whole point: old manifests keep
+    their spec, new writes use the new default — the read/plan side
+    already resolves per-spec). Returns {metadata_path, spec_id}.
+
+    This is the WRITE half of the spec-evolution story the engine
+    previously only read (fixtures were hand-built); with it, the
+    full lifecycle — write unpartitioned, evolve, write partitioned,
+    plan through both specs — runs end-to-end through engine code.
+    """
+    if not (add or remove):
+        raise ValueError("evolve_partition_spec with no changes")
+    meta = parse_metadata(metadata_path)
+    raw = json.loads(json.dumps(meta.raw))
+    specs = raw.get("partition-specs", [])
+    cur = next(
+        s for s in specs if s.get("spec-id", 0) == raw.get("default-spec-id", 0)
+    )
+    schema = next(
+        s for s in raw.get("schemas", [raw.get("schema", {})])
+        if s.get("schema-id", 0) == raw.get("current-schema-id", 0)
+    )
+    by_name = {f["name"]: f for f in schema.get("fields", [])}
+
+    fields = [dict(f) for f in cur.get("fields", []) if f["name"] not in set(remove)]
+    if len(fields) == len(cur.get("fields", [])) and remove:
+        raise ValueError(f"remove names {list(remove)} not in current spec")
+    last_pid = raw.get(
+        "last-partition-id",
+        max((f["field-id"] for s in specs for f in s.get("fields", [])), default=999),
+    )
+    from .transforms import transform_result_type
+
+    for fname, transform, source in add:
+        src = by_name.get(source)
+        if src is None:
+            raise ValueError(f"unknown source column {source!r}")
+        if any(f["name"] == fname for f in fields):
+            raise ValueError(f"partition field {fname!r} already in spec")
+        transform_result_type(transform, src["type"])  # validates the pair
+        last_pid += 1
+        fields.append(
+            {
+                "name": fname,
+                "transform": transform,
+                "source-id": src["id"],
+                "field-id": last_pid,
+            }
+        )
+    new_id = max((s.get("spec-id", 0) for s in specs), default=-1) + 1
+    specs.append({"spec-id": new_id, "fields": fields})
+    raw["partition-specs"] = specs
+    raw["default-spec-id"] = new_id
+    raw["last-partition-id"] = last_pid
+    if timestamp_ms is None:
+        timestamp_ms = raw.get("last-updated-ms", 0) + 1000
+    raw["last-updated-ms"] = timestamp_ms
+    from .commit import _next_metadata_path
+
+    new_path = _next_metadata_path(metadata_path, 0)
+    with open(new_path, "w") as f:
+        json.dump(raw, f, indent=2)
+    return {"metadata_path": new_path, "spec_id": new_id}
+
+
+def spec_evolution_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for the spec-evolution WRITE path: build a table
+    unpartitioned THROUGH ENGINE COMMITS, evolve the default spec to
+    identity(category) + bucket[4](id), append per-partition files
+    under the new spec, then plan a category predicate — the spec-0
+    file must survive unpruned (it may contain matching rows), the
+    spec-1 files must prune to the matching partition, and the full
+    MoR read must see every row. Golden oracle over deterministic
+    file names. (``sf_dir`` unused: scratch-table gate.)"""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .commit import append_snapshot
+    from .deletes import read_mor
+    from .snapshots import plan_scan
+    from .transforms import bucket_value
+
+    root = os.path.join(tempfile.mkdtemp(prefix="spec_evo_"), "t")
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+    meta0 = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-0000000000e2",
+        "location": f"file://{root}",
+        "last-sequence-number": 0, "last-updated-ms": 0, "last-column-id": 2,
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "category", "required": False, "type": "string"},
+        ]}],
+        "default-spec-id": 0, "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-sort-order-id": 0, "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {}, "snapshots": [], "snapshot-log": [], "metadata-log": [],
+    }
+    mp = os.path.join(root, "v1.metadata.json")
+    with open(mp, "w") as f:
+        json.dump(meta0, f, indent=2)
+
+    def _write(rel: str, ids: list[int], cats: list[str]) -> None:
+        p = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        pq.write_table(
+            pa.table({"id": pa.array(ids, pa.int64()),
+                      "category": pa.array(cats, pa.string())}), p
+        )
+
+    # snapshot 1: one unpartitioned file, mixed categories
+    _write("data/base.parquet", list(range(8)),
+           ["x", "y"] * 4)
+    res = append_snapshot(mp, [{"path": "data/base.parquet", "partition": {}}])
+
+    # evolve the DEFAULT spec through the engine
+    evo = evolve_partition_spec(
+        res["metadata_path"],
+        add=[("category", "identity", "category"),
+             ("id_bucket", "bucket[4]", "id")],
+    )
+
+    # snapshot 2: per-(category, bucket) files under the new spec
+    files = []
+    groups: dict[tuple[str, int], list[int]] = {}
+    for i in range(100, 112):
+        cat = "x" if i % 2 else "y"
+        groups.setdefault((cat, bucket_value(i, "long", 4)), []).append(i)
+    for (cat, bkt), ids in sorted(groups.items()):
+        rel = f"data/evo-{cat}-{bkt}.parquet"
+        _write(rel, ids, [cat] * len(ids))
+        files.append(
+            {"path": rel, "partition": {"category": cat, "id_bucket": bkt},
+             "spec_id": evo["spec_id"]}
+        )
+    res2 = append_snapshot(evo["metadata_path"], files)
+
+    plan = plan_scan(
+        spark, res2["metadata_path"], res2["snapshot_id"],
+        source_pred={"category": "x"}, debug=True,
+    )
+    n_total = read_mor(spark, res2["metadata_path"], res2["snapshot_id"]).count()
+    out = plan.select(
+        F.element_at(F.split("file_path", "/"), -1).alias("file_name"),
+        "record_count",
+        "selected",
+    ).withColumn("total_rows", F.lit(n_total).cast("long"))
+    return out.orderBy("file_name")
+
+
+SPEC_EVOLUTION_WRITE_SQL = """
+SELECT file_name, CAST(record_count AS BIGINT) AS record_count,
+       selected, CAST(total_rows AS BIGINT) AS total_rows
+FROM (VALUES
+  ('base.parquet',    8, TRUE,  20),
+  ('evo-x-0.parquet', 2, TRUE,  20),
+  ('evo-x-1.parquet', 2, TRUE,  20),
+  ('evo-x-2.parquet', 1, TRUE,  20),
+  ('evo-x-3.parquet', 1, TRUE,  20),
+  ('evo-y-0.parquet', 4, FALSE, 20),
+  ('evo-y-2.parquet', 2, FALSE, 20)
+) t(file_name, record_count, selected, total_rows)
+ORDER BY file_name
+"""

@@ -211,6 +211,8 @@ def delete_orphan_files(
     *,
     base_dir: str | None = None,
     dry_run: bool = False,
+    older_than_ms: int | None = None,
+    now_ms: int | None = None,
 ) -> dict:
     """Orphan-file REMOVAL (the executor behind the
     `orphan_files_current` planner): list the table's data
@@ -219,6 +221,13 @@ def delete_orphan_files(
     snapshot references survives until that snapshot expires — and
     unlink what remains. Returns ``{"orphans": [...], "removed":
     n}``; ``dry_run`` plans without deleting.
+
+    ``older_than_ms`` is the race guard real `remove_orphan_files`
+    actions REQUIRE: a file an in-flight writer just staged is
+    unreferenced *until its commit lands*, so only files whose
+    mtime is at least that many ms before ``now_ms`` qualify —
+    younger unreferenced files are reported under ``too_young`` and
+    left alone.
 
     Scale shape: the listing and anti-join run as DataFrames (at
     100 TB the FS listing is the big side and shuffles against a
@@ -255,10 +264,22 @@ def delete_orphan_files(
         r["file_path"]
         for r in find_orphan_files(listing_df, ref_df).collect()
     )
+    too_young: list[str] = []
+    if older_than_ms is not None:
+        import time as _time
+
+        cutoff = (now_ms if now_ms is not None else _time.time() * 1000) - older_than_ms
+        young = [p for p in orphans if os.stat(p).st_mtime * 1000 > cutoff]
+        too_young = sorted(young)
+        orphans = [p for p in orphans if p not in set(young)]
     if not dry_run:
         for p in orphans:
             os.remove(p)
-    return {"orphans": orphans, "removed": 0 if dry_run else len(orphans)}
+    return {
+        "orphans": orphans,
+        "removed": 0 if dry_run else len(orphans),
+        "too_young": too_young,
+    }
 
 
 def orphan_delete_roundtrip(spark, sf_dir):
@@ -298,3 +319,99 @@ SELECT CAST(n_removed AS INTEGER) AS n_removed,
        CAST(live_rows AS BIGINT) AS live_rows
 FROM (VALUES (2, 7, 323)) t(n_removed, n_files_left, live_rows)
 """
+
+
+def run_maintenance(
+    spark,
+    metadata_path: str,
+    *,
+    base_dir: str | None = None,
+    keep_last: int = 2,
+    older_than_ms: int | None = None,
+    now_ms: int | None = None,
+    delete_orphans: bool = True,
+    dry_run: bool = False,
+) -> dict:
+    """ONE-CALL table maintenance: the ops composition every real
+    deployment schedules, in the order that makes each step feed
+    the next —
+
+    1. **rewrite data files** carrying any applicable positional
+       delete (folds deletes in; the old files become history —
+       per-file dead-fraction thresholds are
+       ``delete_compaction_plan``'s refinement, applied by passing
+       explicit targets to ``rewrite_data_files`` instead);
+    2. **expire snapshots** (``keep_last`` / ``older_than_ms``) —
+       rewriting FIRST means the pre-rewrite snapshots are
+       immediately expirable, and expiry reclaims their metadata;
+    3. **delete orphan files** — run LAST because expiry is what
+       turns old-only data files into orphans.
+
+    Returns a report dict with each step's outcome and the final
+    ``metadata_path``. ``dry_run`` plans steps 1 and 3 without
+    mutating anything (expiry is skipped entirely — its planner
+    output is included instead).
+
+    Scale: steps 1 is the only data-touching job (one Spark job per
+    call, see `rewrite_data.rewrite_data_files`); 2 is driver-side
+    KB metadata; 3 is a directory listing anti-join.
+    """
+    import os as _os
+
+    from .deletes import mor_entries_at
+    from .metadata import parse_metadata as _parse
+    from .rewrite_data import _plan_rewrite_targets
+
+    base_dir = base_dir or _os.path.dirname(metadata_path)
+    report: dict = {"steps": []}
+    mp = metadata_path
+
+    # ---- 1: fold deletes into delete-bearing files
+    meta = _parse(mp)
+    data, dels = mor_entries_at(meta, meta.current_snapshot_id, base_dir)
+    targets = _plan_rewrite_targets(spark, data, dels)
+    if targets and not dry_run:
+        from .rewrite_data import rewrite_data_files
+
+        res = rewrite_data_files(spark, mp, targets, base_dir=base_dir)
+        mp = res["metadata_path"]
+        report["steps"].append(
+            {"step": "rewrite_data_files", "targets": sorted(targets),
+             "snapshot_id": res["snapshot_id"]}
+        )
+    else:
+        report["steps"].append(
+            {"step": "rewrite_data_files", "targets": sorted(targets),
+             "skipped": bool(dry_run or not targets)}
+        )
+
+    # ---- 2: expire history
+    if dry_run:
+        exp_plan = plan_expire_snapshots(
+            _parse(mp), keep_last=keep_last, older_than_ms=older_than_ms,
+            now_ms=now_ms,
+        )
+        report["steps"].append({"step": "expire_snapshots", "plan": exp_plan,
+                                "skipped": True})
+    else:
+        from .commit import expire_snapshots
+
+        exp = expire_snapshots(
+            mp, keep_last=keep_last, older_than_ms=older_than_ms,
+            now_ms=now_ms, base_dir=base_dir, delete_files=True,
+        )
+        mp = exp["metadata_path"]
+        report["steps"].append(
+            {"step": "expire_snapshots", "expired": exp["expired"],
+             "removed_metadata_files": len(exp.get("removable", []))}
+        )
+
+    # ---- 3: reclaim orphans
+    if delete_orphans:
+        orph = delete_orphan_files(spark, mp, base_dir=base_dir, dry_run=dry_run)
+        report["steps"].append(
+            {"step": "delete_orphan_files", "orphans": sorted(orph["orphans"]),
+             "removed": orph["removed"], "skipped": bool(dry_run)}
+        )
+    report["metadata_path"] = mp
+    return report

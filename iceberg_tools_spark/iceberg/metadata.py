@@ -61,9 +61,20 @@ def parse_metadata(src: str | bytes | dict[str, Any]) -> TableMetadata:
     if isinstance(src, dict):
         meta = src
     elif isinstance(src, (bytes, bytearray)):
+        # spec-legal gzip metadata (TableProperties
+        # METADATA_COMPRESSION=gzip writes .metadata.json.gz)
+        if src[:2] == b"\x1f\x8b":
+            import gzip
+
+            src = gzip.decompress(bytes(src))
         meta = json.loads(src)
     elif src.lstrip().startswith("{"):
         meta = json.loads(src)
+    elif src.endswith(".gz"):
+        import gzip
+
+        with gzip.open(src, "rt", encoding="utf-8") as f:
+            meta = json.load(f)
     else:
         with open(src, encoding="utf-8") as f:
             meta = json.load(f)

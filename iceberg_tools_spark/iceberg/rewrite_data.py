@@ -290,6 +290,34 @@ def rewrite_data_files(
             }
         )
 
+    return _replace_commit(
+        metadata_path, meta, raw, base_dir, targets, new_entries,
+        snapshot_id, seq, timestamp_ms,
+    )
+
+
+def _replace_commit(
+    metadata_path: str,
+    meta,
+    raw: dict,
+    base_dir: str,
+    targets: dict[str, dict[str, Any]],
+    new_entries: list[dict[str, Any]],
+    snapshot_id: int,
+    seq: int,
+    timestamp_ms: int,
+    extra_summary: dict[str, str] | None = None,
+) -> dict[str, Any]:
+    """REPLACE-snapshot commit shared by the delete-folding rewrite
+    and the binpack compactor: drop ``targets`` from the live set
+    (untouched manifests carried forward VERBATIM, touched ones
+    rebuilt with EXISTING survivors), add ``new_entries`` in fresh
+    ADDED manifests, write manifest list + metadata.json."""
+    loc = raw.get("location")
+    table_root = base_dir if os.path.isdir(os.path.join(base_dir, "metadata")) else os.path.dirname(base_dir)
+    meta_dir = os.path.join(table_root, "metadata")
+    parent_id = raw.get("current-snapshot-id")
+
     # ---- parent manifests: carry untouched ones forward VERBATIM
     # (their list rows re-used as-is — zero Avro churn, stable
     # names); only manifests actually containing a replaced file
@@ -415,6 +443,7 @@ def rewrite_data_files(
                 "rewritten-data-files": str(len(targets)),
                 "added-data-files": str(len(new_entries)),
                 **_summary_totals(list_rows),
+                **(extra_summary or {}),
             },
             "manifest-list": f"{loc}/metadata/{list_name}",
             "schema-id": raw.get("current-schema-id", 0),

@@ -238,7 +238,15 @@ def decode_media(payload: bytes, modality: str):
     if modality == "audio":
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return _decode_wav(payload)
-        raise ValueError("undecodable audio format (only PCM WAV in-sandbox)")
+        if payload[:4] == b"fLaC":
+            # full-vocabulary pure-Python FLAC decoder (CONSTANT/
+            # VERBATIM/FIXED/LPC subframes, rice+rice2 residuals,
+            # L-S/R-S/M-S decorrelation, CRC-verified) —
+            # operators/flac.py
+            from .flac import decode_flac
+
+            return decode_flac(payload)
+        raise ValueError("undecodable audio format (only PCM WAV / FLAC in-sandbox)")
     raise ValueError(f"no in-sandbox decoder for modality {modality!r}")
 
 

@@ -89,17 +89,26 @@ def stream_ivm_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     work = tempfile.mkdtemp(prefix="stream_ivm_")
-    res = maintain_view_stream(
-        spark,
-        MOR_METADATA,
-        2001,
-        2004,
-        os.path.join(work, "staging"),
-        os.path.join(work, "view"),
-        ["category"],
-        ["id"],
-        base_dir=MOR_DIR,
-    )
+    # size shuffle partitions to the micro-batch volume (KB
+    # changelogs), not the session's CPU count — the same
+    # deliberate stream-start knob as stream_join_rows; measured
+    # ~14 s → ~6 s across the 3 micro-batches at the default 32
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        res = maintain_view_stream(
+            spark,
+            MOR_METADATA,
+            2001,
+            2004,
+            os.path.join(work, "staging"),
+            os.path.join(work, "view"),
+            ["category"],
+            ["id"],
+            base_dir=MOR_DIR,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     out = spark.read.parquet(res["view_path"]).orderBy("category")
     # materialize before the temp dir can go away with the session
     rows = out.collect()

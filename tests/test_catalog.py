@@ -109,3 +109,29 @@ def test_cli_tools(tmp_path, capsys):
     assert main(["delta2json", "--version=bad", DELTA_FIXTURE]) == 1
     capsys.readouterr()
     assert main(["nope"]) == 1
+
+
+def test_gzip_metadata_parse_and_resolution(tmp_path):
+    """Spec-legal gzip table metadata (.metadata.json.gz) parses and
+    resolves through the catalog."""
+    import gzip
+    import json
+
+    from iceberg_tools_spark.iceberg.catalog import current_metadata_path
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+
+    src = json.load(open("tests/fixtures/multi_snapshot/v2.metadata.json"))
+    mdir = tmp_path / "db" / "t" / "metadata"
+    mdir.mkdir(parents=True)
+    gz = mdir / "v2.metadata.json.gz"
+    with gzip.open(gz, "wt", encoding="utf-8") as f:
+        json.dump(src, f)
+    meta = parse_metadata(str(gz))
+    assert meta.table_uuid == src["table-uuid"]
+    assert [s["snapshot-id"] for s in meta.snapshots] == [
+        s["snapshot-id"] for s in src["snapshots"]
+    ]
+    # bytes form with gzip magic
+    assert parse_metadata(gz.read_bytes()).table_uuid == src["table-uuid"]
+    # catalog resolution sees the gz version
+    assert current_metadata_path(str(tmp_path), "db.t") == str(gz)

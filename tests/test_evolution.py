@@ -346,3 +346,71 @@ def test_initial_default_fills_pre_add_files_only(spark, tmp_path):
     # every pre-add row reads the default, not NULL
     pre = [v for k, v in by_id.items() if k not in (900, 901)]
     assert pre and all(v == 7 for v in pre)
+
+
+# ---------------------------------------- partition-spec evolution
+
+
+def test_evolve_partition_spec_validation(tmp_path):
+    import json as _json
+
+    from iceberg_tools_spark.iceberg.evolution import evolve_partition_spec
+
+    root = tmp_path / "t"
+    (root / "metadata").mkdir(parents=True)
+    meta0 = {
+        "format-version": 2, "table-uuid": "u", "location": f"file://{root}",
+        "last-sequence-number": 0, "last-updated-ms": 0, "last-column-id": 2,
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "cat", "required": False, "type": "string"},
+        ]}],
+        "default-spec-id": 0, "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-sort-order-id": 0, "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {}, "snapshots": [], "snapshot-log": [], "metadata-log": [],
+    }
+    mp = str(root / "v1.metadata.json")
+    _json.dump(meta0, open(mp, "w"))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no changes"):
+        evolve_partition_spec(mp)
+    with _pytest.raises(ValueError, match="unknown source column"):
+        evolve_partition_spec(mp, add=[("x", "identity", "nope")])
+
+    r1 = evolve_partition_spec(mp, add=[("cat", "identity", "cat")])
+    raw = _json.load(open(r1["metadata_path"]))
+    assert raw["default-spec-id"] == 1
+    assert raw["last-partition-id"] == 1000
+    assert raw["partition-specs"][1]["fields"][0]["field-id"] == 1000
+
+    with _pytest.raises(ValueError, match="already in spec"):
+        evolve_partition_spec(r1["metadata_path"], add=[("cat", "identity", "cat")])
+
+    # add then remove: field-ids keep growing, removed field gone
+    r2 = evolve_partition_spec(
+        r1["metadata_path"], add=[("b", "bucket[4]", "id")], remove=["cat"]
+    )
+    raw2 = _json.load(open(r2["metadata_path"]))
+    spec2 = raw2["partition-specs"][2]
+    assert [f["name"] for f in spec2["fields"]] == ["b"]
+    assert spec2["fields"][0]["field-id"] == 1001
+
+    with _pytest.raises(ValueError, match="not in current spec"):
+        evolve_partition_spec(r2["metadata_path"], remove=["cat"])
+
+
+def test_spec_evolution_write_roundtrip_plan(spark):
+    from iceberg_tools_spark.iceberg.evolution import (
+        spec_evolution_write_roundtrip,
+    )
+
+    rows = {r.file_name: r for r in spec_evolution_write_roundtrip(spark, "").collect()}
+    assert rows["base.parquet"].selected  # spec-0 file not prunable
+    assert all(
+        r.selected == name.startswith(("base", "evo-x"))
+        for name, r in rows.items()
+    )
+    assert rows["base.parquet"].total_rows == 20

@@ -39,6 +39,29 @@ def test_streaming_dedup_passthrough(spark):
     assert n_stream == n_batch  # no duplicates in the synthetic feed
 
 
+def test_stream_stream_join_equals_batch(spark):
+    """The watermarked stream-stream interval join must produce the
+    same pair set as the IDENTICAL plan run in batch."""
+    s = jobs.events_stream(spark, SF_SMOKE)
+    streamed = jobs.run_to_memory(
+        jobs.view_purchase_join(s), "t_ssjoin", mode="append"
+    )
+    got = sorted(map(tuple, streamed.collect()))
+    batch_src = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .withColumn("ts", jobs.F.col("ts").cast("timestamp"))
+    )
+    want = sorted(map(tuple, jobs.view_purchase_join(batch_src).collect()))
+    assert got == want and len(got) > 0
+    spark.catalog.dropTempView("t_ssjoin")
+
+
+def test_stream_join_delay_within_horizon(spark):
+    rows = jobs.stream_join_rows(spark, SF_SMOKE).collect()[0]
+    assert rows.n_pairs >= rows.n_users > 0
+    assert 0 <= rows.max_delay_micros <= 3_600_000_000
+
+
 # --------------------------------------------------------- multimodal
 
 
