@@ -126,6 +126,8 @@ _R8_RAW = {
     "snapshot_summary_audit": 0.685,
     "stream_join_rows": 3.188,
     "wap_audit_publish_roundtrip": 6.5,
+    "binpack_rewrite_roundtrip": 7.0,
+    "spec_evolution_write": 1.6,
 }
 BASELINE_CAL.update(
     {k: round(v / _R8_CALIBRATION, 3) for k, v in _R8_RAW.items()}
@@ -215,7 +217,55 @@ HEADLINE = [
     "stream_join_rows",
     "snapshot_summary_audit",
     "wap_audit_publish_roundtrip",
+    "binpack_rewrite_roundtrip",
+    "spec_evolution_write",
 ]
+
+
+def _import_scale_evidence(spark, sf_dir: str) -> dict:
+    """In-place parquet import at file-count scale: a 50-file
+    range-partitioned lake imports with METADATA-ONLY cost (one
+    footer read + one hard link per file, no Spark job), and the
+    footer-derived bounds immediately prune a point predicate to
+    1/50 files. The 100 TB posture is the SLOPE: import cost is
+    linear in file count and independent of row count."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from iceberg_tools_spark.iceberg.snapshots import plan_scan
+    from iceberg_tools_spark.sources.parquet_import import import_parquet_table
+
+    scratch = tempfile.mkdtemp(prefix="import_scale_")
+    try:
+        lake = os.path.join(scratch, "lake")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_totalprice"
+        )
+        orders.repartitionByRange(50, "o_orderkey").write.parquet(lake)
+        t0 = _t.perf_counter()
+        res = import_parquet_table(spark, lake, os.path.join(scratch, "t"))
+        import_sec = _t.perf_counter() - t0
+        probe = orders.agg(F.min("o_orderkey")).collect()[0][0]
+        t0 = _t.perf_counter()
+        plan = plan_scan(
+            spark, res["metadata_path"], res["snapshot_id"],
+            field_id=1, lo=probe, hi=probe,
+        ).collect()
+        plan_sec = _t.perf_counter() - t0
+        return {
+            "n_files": res["n_files"],
+            "n_rows": res["n_rows"],
+            "import_sec": round(import_sec, 3),
+            "import_sec_per_file": round(import_sec / res["n_files"], 4),
+            "plan_sec": round(plan_sec, 3),
+            "files_selected": sum(1 for r in plan if r.selected),
+            "files_pruned": sum(1 for r in plan if not r.selected),
+        }
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 def _rangejoin_scale_evidence(spark, sf_dir: str) -> dict:
@@ -805,6 +855,75 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover - defensive
         sweep["paragraph_chunk_words"] = {"error": f"{type(exc).__name__}: {exc}"}
 
+    # BPE merge count: compression (chars/token) and lossless
+    # roundtrip vs vocabulary size — the train-budget knob
+    try:
+        from iceberg_tools_spark.operators.bpe import (
+            encode_stats,
+            train_bpe,
+            word_histogram,
+        )
+        from iceberg_tools_spark.sources.readers import load_table as _lt
+
+        docs = _lt(spark, sf_dir, "documents",
+                   ["doc_id", "text", "source", "n_chars"])
+        hist = word_histogram(docs)
+        sweep["bpe_n_merges"] = []
+        for nm in (64, 384, 1024):
+            t = time.perf_counter()
+            merges = train_bpe(hist, n_merges=nm)
+            agg = (
+                encode_stats(docs, merges)
+                .selectExpr(
+                    "sum(n_chars) AS c", "sum(n_tokens) AS t",
+                    "min(cast(roundtrip_ok as int)) AS ok",
+                )
+                .collect()[0]
+            )
+            sweep["bpe_n_merges"].append(
+                {
+                    "n_merges": nm,
+                    "learned": len(merges),
+                    "chars_per_token": round(agg["c"] / agg["t"], 3),
+                    "all_roundtrip": bool(agg["ok"]),
+                    "sec": round(time.perf_counter() - t, 3),
+                }
+            )
+    except Exception as exc:  # pragma: no cover - defensive
+        sweep["bpe_n_merges"] = {"error": f"{type(exc).__name__}: {exc}"}
+
+    # SemDeDup cell cap: candidate-pair volume vs the cap — the
+    # bound that keeps learned-bucket pair generation from going
+    # quadratic on a skewed embedding space
+    try:
+        from pyspark.sql import functions as F
+
+        from iceberg_tools_spark.operators.semdedup import _assigned_capped
+
+        sweep["semdedup_max_cell"] = []
+        for cap in (100, 400, 1600):
+            t = time.perf_counter()
+            sizes = (
+                _assigned_capped(spark, sf_dir, cap)
+                .groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .agg(
+                    F.count(F.lit(1)).alias("cells"),
+                    F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pairs"),
+                )
+                .collect()[0]
+            )
+            sweep["semdedup_max_cell"].append(
+                {
+                    "max_cell": cap,
+                    "kept_cells": int(sizes["cells"]),
+                    "candidate_pairs": int(sizes["pairs"] or 0),
+                    "sec": round(time.perf_counter() - t, 3),
+                }
+            )
+    except Exception as exc:  # pragma: no cover - defensive
+        sweep["semdedup_max_cell"] = {"error": f"{type(exc).__name__}: {exc}"}
+
     # drift-normalized reporting (VERDICT r5 #6): this run in
     # calibration units + per-query ratio vs the pinned baselines.
     # vs_baseline keeps the best-of-2 basis for round-over-round
@@ -888,6 +1007,7 @@ def main() -> None:
     stats_scale = None
     rangejoin_scale = None
     ivm_scale = None
+    import_scale = None
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALE"):
         try:
             metadata_scale = _metadata_scale_evidence(spark)
@@ -913,6 +1033,10 @@ def main() -> None:
             ivm_scale = _ivm_scale_evidence(spark)
         except Exception as exc:  # pragma: no cover - defensive
             ivm_scale = {"error": f"{type(exc).__name__}: {exc}"}
+        try:
+            import_scale = _import_scale_evidence(spark, sf_dir)
+        except Exception as exc:  # pragma: no cover - defensive
+            import_scale = {"error": f"{type(exc).__name__}: {exc}"}
 
     out = {
         "metric": "headline_total",
@@ -940,6 +1064,7 @@ def main() -> None:
         "stats_scale": stats_scale,
         "rangejoin_scale": rangejoin_scale,
         "ivm_scale": ivm_scale,
+        "import_scale": import_scale,
     }
     # full metric JSON goes to a FILE (VERDICT r6 artifact bug: the
     # driver keeps only the tail of a giant stdout line, which lost

@@ -506,3 +506,250 @@ FROM (VALUES
 ) t(file_path, record_count, partition_json, snapshot_id)
 ORDER BY file_path
 """
+
+
+# ------------------------------------------------ binpack compaction
+
+
+def binpack_rewrite(
+    spark: SparkSession,
+    metadata_path: str,
+    *,
+    target_size_bytes: int = 128 * 1024 * 1024,
+    min_group_files: int = 2,
+    base_dir: str | None = None,
+    snapshot_id: int | None = None,
+    timestamp_ms: int | None = None,
+) -> dict[str, Any]:
+    """Small-file compaction for ICEBERG tables (the executor behind
+    ``maintenance.plan_compaction``; Iceberg's binpack
+    rewrite_data_files strategy): greedy-pack sub-target live files
+    within each (spec, partition) into ≈``target_size_bytes``
+    groups, rewrite every group into ONE file in ONE Spark job, and
+    commit a REPLACE snapshot through the same machinery as the
+    delete-folding rewrite (untouched manifests carried forward
+    verbatim).
+
+    Files with APPLICABLE positional deletes are excluded and
+    reported (a naive repack would write them at a sequence number
+    PAST their deletes, resurrecting deleted rows) — fold those via
+    :func:`rewrite_data_files` first, the order
+    ``maintenance.run_maintenance`` encodes.
+
+    Scale: grouping is driver-side KB metadata; the rewrite reads
+    only packed files and shuffles each row once on its group token
+    (executor-parallel across groups, identical plan shape to
+    `_fold_and_write`).
+    """
+    base_dir = base_dir or os.path.dirname(metadata_path)
+    meta = parse_metadata(metadata_path)
+    raw = json.loads(json.dumps(meta.raw))
+    loc = raw.get("location")
+    table_root = base_dir if os.path.isdir(os.path.join(base_dir, "metadata")) else os.path.dirname(base_dir)
+    parent_id = raw.get("current-snapshot-id")
+    data, dels = mor_entries_at(meta, parent_id, base_dir)
+
+    delete_bearing = set(_plan_rewrite_targets(spark, data, dels)) if dels else set()
+    candidates = [
+        e for e in data
+        if e["rel"] not in delete_bearing
+        and (e.get("file_size_in_bytes") or 0) < target_size_bytes
+    ]
+
+    # greedy first-fit per (spec, partition): largest-first, cut a
+    # group when adding the next file would pass the target
+    groups: list[list[dict[str, Any]]] = []
+    by_part: dict[tuple[int, str], list[dict[str, Any]]] = {}
+    for e in candidates:
+        key = (e["spec_id"], json.dumps(e["partition"], sort_keys=True))
+        by_part.setdefault(key, []).append(e)
+    for key in sorted(by_part):
+        cur: list[dict[str, Any]] = []
+        size = 0
+        for e in sorted(
+            by_part[key],
+            key=lambda x: (-(x.get("file_size_in_bytes") or 0), x["rel"]),
+        ):
+            fsz = e.get("file_size_in_bytes") or 0
+            if cur and size + fsz > target_size_bytes:
+                groups.append(cur)
+                cur, size = [], 0
+            cur.append(e)
+            size += fsz
+        if cur:
+            groups.append(cur)
+    groups = [g for g in groups if len(g) >= min_group_files]
+    if not groups:
+        raise ValueError(
+            "nothing to compact (no partition has "
+            f"{min_group_files}+ sub-target delete-free files)"
+        )
+
+    if snapshot_id is None:
+        snapshot_id = max(s["snapshot-id"] for s in raw["snapshots"]) + 1
+    seq = raw.get("last-sequence-number", 0) + 1
+    if timestamp_ms is None:
+        timestamp_ms = raw.get("last-updated-ms", 0) + 1000
+
+    # ---- ONE Spark job: scan all packed files, shuffle each row to
+    # its group token, one output file per group
+    from .deletes import mor_frame
+
+    rel_to_group = {e["rel"]: gi for gi, g in enumerate(groups) for e in g}
+    token_df = spark.createDataFrame(
+        [(r, g) for r, g in sorted(rel_to_group.items())], ["_bp_rel", "_bp"]
+    )
+    all_entries = [e for g in groups for e in g]
+    df = mor_frame(spark, all_entries)
+    out_cols = [c for c in df.columns if c not in ("_rel", "_pos", "_seq")]
+    tagged = (
+        df.join(F.broadcast(token_df), df["_rel"] == token_df["_bp_rel"])
+        .select(*out_cols, "_bp")
+    )
+    tmp = os.path.join(table_root, f"_binpack-{snapshot_id}")
+    (
+        tagged.repartition("_bp")
+        .write.partitionBy("_bp")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    new_entries = []
+    targets: dict[str, dict[str, Any]] = {}
+    for gi, g in enumerate(groups):
+        parts = _glob.glob(os.path.join(tmp, f"_bp={gi}", "*.parquet"))
+        if len(parts) != 1:
+            raise RuntimeError(f"group {gi}: expected 1 part file, got {len(parts)}")
+        new_rel = f"data/binpack-{snapshot_id}-g{gi:04d}.parquet"
+        dst = os.path.join(table_root, new_rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.replace(parts[0], dst)
+        spec_id = g[0]["spec_id"]
+        new_entries.append(
+            {
+                "spec_id": spec_id,
+                "spec_fields": _spec_partition_fields(meta, spec_id),
+                "entry": {
+                    "status": ADDED,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": None,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": f"{loc}/{new_rel}",
+                        "file_format": "PARQUET",
+                        "partition": g[0]["partition"],
+                        "record_count": pq.read_metadata(dst).num_rows,
+                        "file_size_in_bytes": os.path.getsize(dst),
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                        "equality_ids": None,
+                        "sort_order_id": None,
+                    },
+                },
+            }
+        )
+        for e in g:
+            targets[e["rel"]] = e
+    import shutil as _shutil
+
+    _shutil.rmtree(tmp, ignore_errors=True)
+
+    res = _replace_commit(
+        metadata_path, meta, raw, base_dir, targets, new_entries,
+        snapshot_id, seq, timestamp_ms,
+        extra_summary={"compacted-groups": str(len(groups))},
+    )
+    res["groups"] = [sorted(e["rel"] for e in g) for g in groups]
+    res["skipped_delete_bearing"] = sorted(delete_bearing)
+    return res
+
+
+def binpack_rewrite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate: scratch table with 6 small files across 2
+    partitions (plus one delete-bearing file that must be excluded)
+    → binpack → the new snapshot's listing + live-row preservation.
+    Golden oracle over deterministic names/counts."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from .commit import append_snapshot
+    from .deletes import read_mor
+    from .snapshots import files_at
+
+    root = os.path.join(tempfile.mkdtemp(prefix="binpack_"), "t")
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+    meta0 = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-0000000000c3",
+        "location": f"file://{root}",
+        "last-sequence-number": 0, "last-updated-ms": 0, "last-column-id": 2,
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "cat", "required": False, "type": "string"},
+        ]}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": "cat", "transform": "identity", "source-id": 2,
+             "field-id": 1000},
+        ]}],
+        "default-sort-order-id": 0, "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {}, "snapshots": [], "snapshot-log": [], "metadata-log": [],
+    }
+    mp = os.path.join(root, "v1.metadata.json")
+    with open(mp, "w") as f:
+        json.dump(meta0, f, indent=2)
+
+    import pyarrow.parquet as _pq
+
+    files = []
+    n = 0
+    for cat, k in (("a", 3), ("b", 3), ("c", 1)):
+        for i in range(k):
+            rel = f"data/small-{cat}{i}.parquet"
+            ids = list(range(n, n + 10))
+            n += 10
+            _pq.write_table(
+                pa.table({"id": pa.array(ids, pa.int64()),
+                          "cat": pa.array([cat] * 10, pa.string())}),
+                os.path.join(root, rel),
+            )
+            files.append({"path": rel, "partition": {"cat": cat}})
+    res0 = append_snapshot(mp, files)
+    # a positional delete on the c-partition file makes it
+    # delete-bearing: binpack must leave it alone (repacking would
+    # outrun its delete's sequence gate and resurrect the row)
+    from .dml import delete_where
+
+    resd = delete_where(spark, res0["metadata_path"], "id = 60")
+    res = binpack_rewrite(
+        spark, resd["metadata_path"], target_size_bytes=1 << 20
+    )
+    assert res["skipped_delete_bearing"] == ["data/small-c0.parquet"]
+    listing = files_at(spark, res["metadata_path"], res["snapshot_id"]).select(
+        F.element_at(F.split("file_path", "/"), -1).alias("file_name"),
+        "record_count",
+        "partition_json",
+    )
+    total = read_mor(spark, res["metadata_path"], res["snapshot_id"]).count()
+    return listing.withColumn("total_rows", F.lit(total).cast("long")).orderBy(
+        "file_name"
+    )
+
+
+BINPACK_REWRITE_SQL = """
+SELECT file_name, CAST(record_count AS BIGINT) AS record_count,
+       partition_json, CAST(total_rows AS BIGINT) AS total_rows
+FROM (VALUES
+  ('binpack-3-g0000.parquet', 30, '{"cat": "a"}', 69),
+  ('binpack-3-g0001.parquet', 30, '{"cat": "b"}', 69),
+  ('small-c0.parquet',        10, '{"cat": "c"}', 69)
+) t(file_name, record_count, partition_json, total_rows)
+ORDER BY file_name
+"""

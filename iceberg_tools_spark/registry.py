@@ -213,7 +213,13 @@ register("q20_promo_part_shippers", tpch_ext.q20_promo_part_shippers, tpch_ext.Q
 register("rollup_revenue", analytics.rollup_revenue, analytics.ROLLUP_SQL)
 register("cube_status_priority", analytics.cube_status_priority, analytics.CUBE_SQL)
 register("meta_typed_bounds", meta_tables.meta_typed_bounds, meta_tables.META_TYPED_BOUNDS_SQL)
-register("funnel_view_click_purchase", events.funnel_view_click_purchase, events.FUNNEL_SQL)
+# binpack small-file compaction executor (took
+# funnel_view_click_purchase's slot — r4 row + two-SF parity stand)
+register(
+    "binpack_rewrite_roundtrip",
+    meta_rwdata.binpack_rewrite_roundtrip,
+    meta_rwdata.BINPACK_REWRITE_SQL,
+)
 # partition-spec evolution WRITE path (took retention_day_n's slot
 # — that key's r4 row + two-SF parity stand): unpartitioned →
 # evolve default spec → partitioned appends → cross-spec planning
@@ -581,6 +587,7 @@ def _register_past_window() -> None:
     register("meta_partitions", meta_tables.meta_partitions, meta_tables.META_PARTITIONS_SQL)
     register("meta_snapshots", meta_tables.meta_snapshots, meta_tables.META_SNAPSHOTS_SQL)
     register("meta_history", meta_tables.meta_history, meta_tables.META_HISTORY_SQL)
+    register("funnel_view_click_purchase", events.funnel_view_click_purchase, events.FUNNEL_SQL)
     register("retention_day_n", events.retention_day_n, events.RETENTION_SQL)
     register("dedup_ngram_jaccard", dedup.dedup_ngram_jaccard, dedup.DEDUP_NGRAM_SQL)
     register("embedding_norm_stats", similarity.embedding_norm_stats, similarity.NORM_STATS_SQL)
