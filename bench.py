@@ -112,9 +112,6 @@ _R8_RAW = {
     "wap_cherrypick_roundtrip": 0.999,
     "meta_position_deletes": 0.232,
     "dedup_paragraph_stats": 1.165,
-    # measured 5.708 at the 32-partition default; re-pinned after
-    # the state-volume partition sizing fix (~2x)
-    "stream_ivm_rows": 4.0,
     "row_lineage_rows": 1.747,
     "delta_log_rows": 0.349,
     "delta_migrate_rows": 0.843,
@@ -124,13 +121,30 @@ _R8_RAW = {
     "bpe_token_stats": 1.293,
     "dedup_semantic_pairs": 2.517,
     "snapshot_summary_audit": 0.685,
-    "stream_join_rows": 3.188,
-    "wap_audit_publish_roundtrip": 6.5,
-    "binpack_rewrite_roundtrip": 7.0,
-    "spec_evolution_write": 1.6,
 }
 BASELINE_CAL.update(
     {k: round(v / _R8_CALIBRATION, 3) for k, v in _R8_RAW.items()}
+)
+
+# Late-round-8 gates, pinned from the FINAL round-8 in-bench run
+# (calibration 0.770) — standalone-session measurements
+# under-estimated the in-bench cost of the streaming gates, so
+# their pins come from a real bench context like everything else.
+# stream_ivm_rows is re-pinned here too (the state-volume partition
+# sizing landed between the two runs).
+_R8B_CALIBRATION = 0.770
+_R8B_RAW = {
+    "stream_join_rows": 4.263,
+    "stream_ivm_rows": 5.345,
+    "wap_audit_publish_roundtrip": 4.386,
+    "binpack_rewrite_roundtrip": 3.531,
+    "spec_evolution_write": 1.178,
+    # standalone estimate (warm 4.5 s, cold 10.4 s); first real
+    # in-bench raw lands next round
+    "dedup_substring_coverage": 5.5,
+}
+BASELINE_CAL.update(
+    {k: round(v / _R8B_CALIBRATION, 3) for k, v in _R8B_RAW.items()}
 )
 
 # headline set: one representative per operator family; grows as
@@ -219,6 +233,7 @@ HEADLINE = [
     "wap_audit_publish_roundtrip",
     "binpack_rewrite_roundtrip",
     "spec_evolution_write",
+    "dedup_substring_coverage",
 ]
 
 

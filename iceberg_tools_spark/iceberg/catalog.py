@@ -101,15 +101,31 @@ def list_tables(warehouse: str, namespace: str | None = None) -> list[str]:
     return sorted(out)
 
 
-def load_table(spark, warehouse: str, identifier: str, snapshot_id: int | None = None):
+def load_table(
+    spark,
+    warehouse: str,
+    identifier: str,
+    snapshot_id: int | None = None,
+    *,
+    as_of_ms: int | None = None,
+):
     """By-name MoR read: resolve the identifier through the catalog
     and read the (optionally time-traveled) snapshot via the
-    engine's own reader."""
+    engine's own reader. ``as_of_ms`` resolves ``AS OF TIMESTAMP``
+    through the snapshot log (mutually exclusive with
+    ``snapshot_id``)."""
     from .deletes import read_mor
     from .metadata import parse_metadata
 
     mpath = current_metadata_path(warehouse, identifier)
+    meta = parse_metadata(mpath)
+    if as_of_ms is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id OR as_of_ms, not both")
+        from .snapshots import snapshot_as_of
+
+        snapshot_id = snapshot_as_of(meta, as_of_ms)
     if snapshot_id is None:
-        snapshot_id = parse_metadata(mpath).current_snapshot_id
+        snapshot_id = meta.current_snapshot_id
     base_dir = os.path.dirname(os.path.dirname(mpath))  # table root
     return read_mor(spark, mpath, snapshot_id, base_dir)

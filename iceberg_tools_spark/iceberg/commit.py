@@ -1723,3 +1723,71 @@ SELECT CAST(ff_refused AS BIGINT) AS ff_refused,
 FROM (VALUES (1, 341, 1, 1)) t(ff_refused, live_rows,
                                parent_is_concurrent, dup_refused)
 """
+
+
+def create_table(
+    table_root: str,
+    fields: list[tuple[str, str] | dict[str, Any]],
+    *,
+    partition_by: list[tuple[str, str, str]] = (),
+    format_version: int = 2,
+    properties: dict[str, str] | None = None,
+    table_uuid: str = "00000000-0000-0000-0000-0000000000f0",
+    location: str | None = None,
+) -> str:
+    """CREATE TABLE: write version-1 metadata for a fresh table and
+    return the metadata path. ``fields`` are (name, iceberg-type)
+    pairs (or full field dicts with explicit ids); ``partition_by``
+    entries are (field_name, transform, source_column) like
+    :func:`..iceberg.evolution.evolve_partition_spec`. Makes the
+    ``metadata/`` and ``data/`` directories; every other engine
+    operation (append, DML, evolution, maintenance) composes on the
+    result — the public entry point the scratch-table gates and a
+    real user share."""
+    ice_fields: list[dict[str, Any]] = []
+    for i, f in enumerate(fields, start=1):
+        if isinstance(f, dict):
+            ice_fields.append(dict(f))
+        else:
+            name, typ = f
+            ice_fields.append(
+                {"id": i, "name": name, "required": False, "type": typ}
+            )
+    by_name = {f["name"]: f for f in ice_fields}
+    spec_fields = []
+    for j, (fname, transform, source) in enumerate(partition_by):
+        src = by_name.get(source)
+        if src is None:
+            raise ValueError(f"partition source column {source!r} not in schema")
+        from .transforms import transform_result_type
+
+        transform_result_type(transform, src["type"])  # validate the pair
+        spec_fields.append(
+            {"name": fname, "transform": transform, "source-id": src["id"],
+             "field-id": 1000 + j}
+        )
+    os.makedirs(os.path.join(table_root, "metadata"))
+    os.makedirs(os.path.join(table_root, "data"), exist_ok=True)
+    meta0 = {
+        "format-version": int(format_version),
+        "table-uuid": table_uuid,
+        "location": location or f"file://{os.path.abspath(table_root)}",
+        "last-sequence-number": 0,
+        "last-updated-ms": 0,
+        "last-column-id": max(f["id"] for f in ice_fields),
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": ice_fields}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        **({"last-partition-id": 1000 + len(spec_fields) - 1} if spec_fields else {}),
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": dict(properties or {}),
+        "snapshots": [], "snapshot-log": [], "metadata-log": [],
+    }
+    if format_version >= 3:
+        meta0["next-row-id"] = 0
+    path = os.path.join(table_root, "v1.metadata.json")
+    with open(path, "w") as f:
+        json.dump(meta0, f, indent=2)
+    return path

@@ -84,6 +84,28 @@ def _local(uri: str, base_dir: str, location: str | None = None) -> str:
     return os.path.join(base_dir, os.path.basename(uri))
 
 
+def snapshot_as_of(meta: TableMetadata, timestamp_ms: int) -> int:
+    """``AS OF TIMESTAMP`` resolution per the spec: the snapshot the
+    table's MAIN history (``snapshot-log``) made current at or
+    before ``timestamp_ms``. Branch-staged snapshots never enter
+    the log, so they are invisible to timestamp travel — exactly
+    Iceberg's ``snapshotIdAsOfTime``. Raises when the timestamp
+    predates the first commit."""
+    log = sorted(
+        meta.raw.get("snapshot-log", []), key=lambda e: e["timestamp-ms"]
+    )
+    best = None
+    for e in log:
+        if e["timestamp-ms"] <= timestamp_ms:
+            best = e["snapshot-id"]
+    if best is None:
+        raise ValueError(
+            f"no snapshot in the main history at or before {timestamp_ms} "
+            f"(first commit: {log[0]['timestamp-ms'] if log else 'none'})"
+        )
+    return best
+
+
 def snapshot_by_id(meta: TableMetadata, snapshot_id: int) -> dict[str, Any]:
     for s in meta.snapshots:
         if s.get("snapshot-id") == snapshot_id:

@@ -93,6 +93,25 @@ def train_bpe(
     return merges
 
 
+def save_vocab(merges: list[tuple[int, int]], path: str) -> None:
+    """Persist a trained vocabulary (train once on the big corpus,
+    reuse everywhere — the deployment shape for tokenizers)."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump({"format": "bpe-merges-v1", "merges": merges}, f)
+
+
+def load_vocab(path: str) -> list[tuple[int, int]]:
+    import json
+
+    with open(path) as f:
+        doc = json.load(f)
+    if doc.get("format") != "bpe-merges-v1":
+        raise ValueError(f"not a bpe-merges-v1 file: {path}")
+    return [tuple(p) for p in doc["merges"]]
+
+
 def _expand(sym: int, merges: list[tuple[int, int]]) -> bytes:
     if sym < 256:
         return bytes([sym])

@@ -903,3 +903,94 @@ FROM chunks c JOIN counts n USING (chunk_hash)
 GROUP BY c.source
 ORDER BY c.source
 """
+
+
+# -------------------------------------- cross-doc substring coverage
+
+
+def dedup_substring_coverage(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n: int = 16,
+    stride: int = 4,
+    cap: int = 1000,
+) -> DataFrame:
+    """Cross-document SUBSTRING coverage — the exact-substring dedup
+    signal (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", public): per source, what fraction of documents'
+    char ``n``-grams also appear in at least one OTHER document,
+    plus how many docs are majority-covered (2·dup ≥ total — the
+    docs an exact-substring dedup pass would cut or trim).
+
+    Completes the dedup family's granularity ladder: whole-doc
+    (exact), chunk (paragraph), shingle-set (MinHash/Jaccard/
+    SimHash), semantic (embedding) — and now raw substring overlap,
+    which catches long verbatim spans embedded in otherwise-unique
+    documents that set-level sketches dilute.
+
+    Scale shape: ``char_ngram_hashes`` caps work at ``cap/stride``
+    hashes per doc (same knob as text_fingerprint); the global
+    document-frequency aggregate and the join back both key on
+    md5-uniform hashes (no skew); everything downstream is exact
+    integers, so the gate is hash-exact cross-engine (per-source
+    single division avoided entirely)."""
+    from ..functions.text import char_ngram_hashes
+
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "source", "text"])
+    d = d.withColumn("nt", norm_text("text"))
+    grams = d.select(
+        "doc_id", "source",
+        F.explode(char_ngram_hashes("nt", n, cap, stride)).alias("h"),
+    )
+    df_per_hash = grams.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("docs_with")
+    )
+    per_doc = (
+        grams.join(df_per_hash, "h")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum((F.col("docs_with") >= 2).cast("long")).alias("dup"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("total").cast("long").alias("total_grams"),
+            F.sum("dup").cast("long").alias("dup_grams"),
+            F.sum((2 * F.col("dup") >= F.col("total")).cast("long"))
+            .cast("long")
+            .alias("n_majority_covered"),
+        )
+        .orderBy("source")
+    )
+
+
+DEDUP_SUBSTRING_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         substring(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 1000) AS nt
+  FROM documents),
+g AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, greatest(length(nt) - 15, 1) + 1, 4),
+                               i -> md5(substring(nt, i, 16)))) AS h
+  FROM t),
+dfh AS (SELECT h, COUNT(DISTINCT doc_id) AS docs_with FROM g GROUP BY h),
+pd AS (
+  SELECT doc_id, source, COUNT(*) AS total,
+         SUM(CASE WHEN docs_with >= 2 THEN 1 ELSE 0 END) AS dup
+  FROM g JOIN dfh USING (h)
+  GROUP BY doc_id, source)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(total) AS BIGINT) AS total_grams,
+       CAST(SUM(dup) AS BIGINT) AS dup_grams,
+       CAST(SUM(CASE WHEN 2 * dup >= total THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_majority_covered
+FROM pd
+GROUP BY source
+ORDER BY source
+"""

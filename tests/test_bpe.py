@@ -89,3 +89,20 @@ def test_distributed_matches_local_reference(spark, trained):
 def test_driver_gate_all_green(spark):
     row = bpe_roundtrip_check(spark, SF_SMOKE).collect()[0]
     assert row.n_docs == row.n_roundtrip_ok == row.n_tokenized > 0
+
+
+def test_vocab_save_load_roundtrip(trained, tmp_path):
+    import pytest
+
+    from iceberg_tools_spark.operators.bpe import load_vocab, save_vocab
+
+    _, merges = trained
+    p = str(tmp_path / "vocab.json")
+    save_vocab(merges, p)
+    loaded = load_vocab(p)
+    assert loaded == merges
+    enc_a, enc_b = _make_encoder(merges), _make_encoder(loaded)
+    assert enc_a("the quick brown fox") == enc_b("the quick brown fox")
+    (tmp_path / "bad.json").write_text('{"format": "other"}')
+    with pytest.raises(ValueError, match="bpe-merges-v1"):
+        load_vocab(str(tmp_path / "bad.json"))

@@ -135,3 +135,22 @@ def test_gzip_metadata_parse_and_resolution(tmp_path):
     assert parse_metadata(gz.read_bytes()).table_uuid == src["table-uuid"]
     # catalog resolution sees the gz version
     assert current_metadata_path(str(tmp_path), "db.t") == str(gz)
+
+
+def test_as_of_timestamp_travel(spark):
+    """AS OF TIMESTAMP resolves through the snapshot log; staged
+    (branch-only) snapshots are invisible to it."""
+    import pytest
+
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+    from iceberg_tools_spark.iceberg.snapshots import MS_METADATA, snapshot_as_of
+
+    meta = parse_metadata(MS_METADATA)
+    log = sorted(meta.raw["snapshot-log"], key=lambda e: e["timestamp-ms"])
+    first, last = log[0], log[-1]
+    assert snapshot_as_of(meta, first["timestamp-ms"]) == first["snapshot-id"]
+    # between the first two commits → still the first snapshot
+    assert snapshot_as_of(meta, log[1]["timestamp-ms"] - 1) == first["snapshot-id"]
+    assert snapshot_as_of(meta, last["timestamp-ms"] + 10_000) == last["snapshot-id"]
+    with pytest.raises(ValueError, match="no snapshot"):
+        snapshot_as_of(meta, first["timestamp-ms"] - 1)

@@ -801,3 +801,48 @@ def test_metadata_log_unbounded_without_property(tmp_path):
         mp = res["metadata_path"]
     raw = json.loads(open(mp).read())
     assert len(raw["metadata-log"]) == before + 3  # default: unbounded
+
+
+def test_create_table_api(spark, tmp_path):
+    """create_table → append → evolve spec → read: the public
+    CREATE TABLE entry point composes with the whole write path."""
+    import glob
+    import json
+    import os
+
+    import pyspark.sql.functions as F
+
+    from iceberg_tools_spark.iceberg.commit import append_snapshot, create_table
+    from iceberg_tools_spark.iceberg.deletes import read_mor
+    from iceberg_tools_spark.iceberg.evolution import evolve_partition_spec
+
+    root = str(tmp_path / "ct")
+    mp = create_table(
+        root, [("id", "long"), ("cat", "string")],
+        partition_by=[("cat", "identity", "cat")],
+        properties={"owner": "tests"},
+    )
+    raw = json.load(open(mp))
+    assert raw["partition-specs"][0]["fields"][0]["field-id"] == 1000
+    assert raw["last-partition-id"] == 1000
+    assert raw["properties"]["owner"] == "tests"
+
+    spark.range(10).select(F.col("id"), F.lit("x").alias("cat")).coalesce(
+        1
+    ).write.parquet(root + "/stage")
+    part = glob.glob(root + "/stage/part-*.parquet")[0]
+    os.replace(part, root + "/data/f.parquet")
+    res = append_snapshot(mp, [{"path": "data/f.parquet", "partition": {"cat": "x"}}])
+    assert read_mor(spark, res["metadata_path"], res["snapshot_id"]).count() == 10
+    # spec evolution continues partition field ids from the created spec
+    evo = evolve_partition_spec(
+        res["metadata_path"], add=[("id_bucket", "bucket[4]", "id")]
+    )
+    raw2 = json.load(open(evo["metadata_path"]))
+    assert raw2["last-partition-id"] == 1001
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not in schema"):
+        create_table(str(tmp_path / "bad"),
+                     [("id", "long")], partition_by=[("x", "identity", "nope")])
