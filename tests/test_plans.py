@@ -175,3 +175,76 @@ def test_corpus_funnel_single_pass(spark):
     p = checks.plan_string(df, "simple")
     assert "CartesianProduct" not in p  # scalar cross is broadcast-NL
     assert checks.no_python_eval(df)
+
+
+def test_substring_coverage_no_cartesian_scan_pruned(spark):
+    df = dedup.dedup_substring_coverage(spark, SF_ORACLE)
+    assert checks.cartesian_joins(df) == 0
+    cols = checks.scan_columns(df)
+    assert all(c <= {"doc_id", "source", "text"} for c in cols), cols
+    assert checks.no_python_eval(df), "n-gram path must stay JVM-side"
+
+
+def test_semdedup_pairs_broadcasts_centroids_equi_cell_join(spark):
+    from iceberg_tools_spark.operators import semdedup
+
+    df = semdedup.dedup_semantic_pairs(spark, SF_ORACLE)
+    plan = checks.plan_string(df)
+    # centroid assignment is the ONE deliberate broadcast nested
+    # loop (corpus x k-centroids, k bounded); the pair join itself
+    # must be an equi join on the cell id, never all-pairs
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("CartesianProduct") == 0
+    import re
+
+    joins = re.findall(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan)
+    assert joins, "within-cell pair generation must be an equi join"
+
+
+def test_bpe_stats_scan_reads_only_needed_columns(spark):
+    from iceberg_tools_spark.operators import bpe
+
+    docs_cols = {"doc_id", "text", "source", "n_chars"}
+    merges = bpe.train_bpe(
+        bpe.word_histogram(
+            spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+                "doc_id", "text", "source", "n_chars"
+            )
+        )
+    )
+    df = bpe.encode_stats(
+        spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+            "doc_id", "text", "source", "n_chars"
+        ),
+        merges,
+    )
+    cols = checks.scan_columns(df)
+    assert all(c <= docs_cols for c in cols), cols
+
+
+def test_parquet_import_read_is_one_scan_with_broadcasts(spark, tmp_path):
+    import os
+
+    from iceberg_tools_spark.iceberg.deletes import read_mor
+    from iceberg_tools_spark.sources.parquet_import import import_parquet_table
+
+    lake = str(tmp_path / "lake")
+    (
+        spark.read.parquet(os.path.join(SF_ORACLE, "orders.parquet"))
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .repartition("o_orderpriority")
+        .write.partitionBy("o_orderpriority")
+        .parquet(lake)
+    )
+    res = import_parquet_table(spark, lake, str(tmp_path / "t"))
+    df = read_mor(spark, res["metadata_path"], res["snapshot_id"])
+    plan = checks.plan_string(df)
+    # partition-constant attach must be a broadcast per-file join,
+    # and the data side ONE parquet scan
+    assert checks.has_broadcast_join(df)
+    import re
+
+    # the formatted plan lists each node in the tree AND the detail
+    # section — count detail entries "(N) Scan parquet"
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert checks.cartesian_joins(df) == 0
