@@ -939,6 +939,32 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover - defensive
         sweep["semdedup_max_cell"] = {"error": f"{type(exc).__name__}: {exc}"}
 
+    # substring-coverage n-gram width: shorter grams match more
+    # aggressively (higher dup mass, more false-positive overlap),
+    # longer grams only catch long verbatim spans — the
+    # precision-vs-recall knob of exact-substring dedup
+    try:
+        from iceberg_tools_spark.operators.dedup import dedup_substring_coverage
+
+        sweep["substring_ngram"] = []
+        for ng in (8, 16, 32):
+            t = time.perf_counter()
+            rows = dedup_substring_coverage(spark, sf_dir, n=ng).collect()
+            tot = sum(r["total_grams"] for r in rows)
+            dup = sum(r["dup_grams"] for r in rows)
+            sweep["substring_ngram"].append(
+                {
+                    "n": ng,
+                    "dup_mass": round(dup / tot, 4) if tot else None,
+                    "majority_covered_docs": int(
+                        sum(r["n_majority_covered"] for r in rows)
+                    ),
+                    "sec": round(time.perf_counter() - t, 3),
+                }
+            )
+    except Exception as exc:  # pragma: no cover - defensive
+        sweep["substring_ngram"] = {"error": f"{type(exc).__name__}: {exc}"}
+
     # drift-normalized reporting (VERDICT r5 #6): this run in
     # calibration units + per-query ratio vs the pinned baselines.
     # vs_baseline keeps the best-of-2 basis for round-over-round
