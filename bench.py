@@ -484,7 +484,7 @@ def _metadata_scale_evidence(spark) -> dict:
         manifests = {r["manifest_name"] for r in plan}
         pruned = {r["manifest_name"] for r in plan if r["manifest_pruned"]}
         selected = [r for r in prod if r["selected"]]
-        return {
+        out = {
             "n_snapshots": n_snapshots,
             "n_files": n_snapshots * files_per,
             "commit_sec_total": commit_sec,
@@ -494,6 +494,158 @@ def _metadata_scale_evidence(spark) -> dict:
             "manifests_total": len(manifests),
             "manifests_pruned": len(pruned),
             "files_selected": len(selected),
+        }
+        out["unselective_20k"] = _metadata_scale_unselective(spark)
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _metadata_scale_unselective(spark) -> dict:
+    """VERDICT r8 #1 'Done' leg: an UNSELECTIVE scan plan (no
+    predicate — every manifest must open) over a ≥20k-file table,
+    through the executor-parallel manifest parse vs the old
+    driver-sequential path. The distributed wall must stay roughly
+    flat as manifest count grows 10× (2k → 20k files here), because
+    the pure-Python Avro decode fans out instead of serializing on
+    the driver."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from iceberg_tools_spark.iceberg import manifest_io
+    from iceberg_tools_spark.iceberg.commit import append_snapshot
+    from iceberg_tools_spark.iceberg.snapshots import plan_scan
+
+    def build(n_snapshots: int, files_per: int) -> tuple[str, str]:
+        root = tempfile.mkdtemp(prefix="meta_scale_unsel_")
+        os.makedirs(os.path.join(root, "metadata"))
+        meta0 = {
+            "format-version": 2,
+            "table-uuid": "00000000-0000-0000-0000-00000000b002",
+            "location": f"file://{root}",
+            "last-sequence-number": 0,
+            "last-updated-ms": 1700000000000,
+            "last-column-id": 2,
+            "current-schema-id": 0,
+            "schemas": [{
+                "schema-id": 0, "type": "struct",
+                "fields": [
+                    {"id": 1, "name": "k", "required": False, "type": "int"},
+                    {"id": 2, "name": "payload", "required": False, "type": "string"},
+                ],
+            }],
+            "default-spec-id": 0,
+            "partition-specs": [{
+                "spec-id": 0,
+                "fields": [{"name": "k", "transform": "identity",
+                            "source-id": 1, "field-id": 1000}],
+            }],
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": {}, "snapshots": [], "snapshot-log": [],
+            "metadata-log": [],
+        }
+        mp = os.path.join(root, "v1.metadata.json")
+        with open(mp, "w") as f:
+            _json.dump(meta0, f)
+        for i in range(n_snapshots):
+            files = [
+                {"path": f"data/s{i}/f{j}.parquet",
+                 "partition": {"k": i * files_per + j},
+                 "record_count": 1000, "file_size_in_bytes": 1 << 20}
+                for j in range(files_per)
+            ]
+            mp = append_snapshot(mp, files, snapshot_id=9000 + i)["metadata_path"]
+        return root, mp
+
+    out: dict = {}
+    old = manifest_io.PARALLEL_THRESHOLD
+    for label, n_snaps, files_per in (("2k", 40, 50), ("20k", 100, 200)):
+        root, mp = build(n_snaps, files_per)
+        try:
+            sid = 9000 + n_snaps - 1
+            row = {"n_manifests": n_snaps, "n_files": n_snaps * files_per}
+            # warm-up once so neither path pays session setup
+            plan_scan(spark, mp, sid).count()
+            for mode, thresh in (("driver", 10**9), ("distributed", 1)):
+                manifest_io.PARALLEL_THRESHOLD = thresh
+                t0 = time.perf_counter()
+                n = plan_scan(spark, mp, sid).count()
+                row[f"plan_sec_{mode}"] = round(time.perf_counter() - t0, 3)
+                row["files_planned"] = n
+            out[label] = row
+        finally:
+            manifest_io.PARALLEL_THRESHOLD = old
+            shutil.rmtree(root, ignore_errors=True)
+    big, small = out["20k"], out["2k"]
+    out["distributed_flat_ratio"] = round(
+        big["plan_sec_distributed"] / max(small["plan_sec_distributed"], 1e-9), 2
+    )
+    out["speedup_at_20k"] = round(
+        big["plan_sec_driver"] / max(big["plan_sec_distributed"], 1e-9), 2
+    )
+    return out
+
+
+def _orphan_scale_evidence(spark) -> dict:
+    """VERDICT r8 #2 'Done' leg: list a ≥50k-file tree AS A SPARK
+    JOB (driver shards directories, executors walk + stat) and
+    anti-join it against a referenced set — the orphan-removal
+    shape with the listing distributed. The driver os.walk wall is
+    reported alongside for the honest comparison (at local-FS scale
+    the syscalls dominate either way; the point is that the listing
+    no longer serializes on the driver at object-store latencies)."""
+    import shutil
+    import tempfile
+
+    from iceberg_tools_spark.iceberg.maintenance import (
+        distributed_listing,
+        find_orphan_files,
+    )
+
+    n_dirs, files_per = 256, 200  # 51,200 files
+    root = tempfile.mkdtemp(prefix="orphan_scale_")
+    try:
+        t0 = time.perf_counter()
+        for d in range(n_dirs):
+            dp = os.path.join(root, f"p={d:04d}")
+            os.makedirs(dp)
+            for i in range(files_per):
+                with open(os.path.join(dp, f"f{i:04d}.parquet"), "wb"):
+                    pass
+        build_sec = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        n_walk = sum(len(fns) for _, _, fns in os.walk(root))
+        walk_sec = round(time.perf_counter() - t0, 3)
+
+        listing = distributed_listing(spark, root)
+        t0 = time.perf_counter()
+        n_listed = listing.count()
+        list_sec = round(time.perf_counter() - t0, 3)
+
+        # referenced set = every even-numbered file; the odd half is
+        # the orphan population the anti-join must isolate
+        ref = spark.createDataFrame(
+            [
+                (os.path.abspath(os.path.join(root, f"p={d:04d}", f"f{i:04d}.parquet")),)
+                for d in range(n_dirs)
+                for i in range(0, files_per, 2)
+            ],
+            "file_path string",
+        )
+        t0 = time.perf_counter()
+        n_orphans = find_orphan_files(distributed_listing(spark, root), ref).count()
+        antijoin_sec = round(time.perf_counter() - t0, 3)
+        return {
+            "n_files": n_dirs * files_per,
+            "build_sec": build_sec,
+            "driver_walk_sec": walk_sec,
+            "distributed_list_sec": list_sec,
+            "listing_matches_walk": n_listed == n_walk,
+            "antijoin_sec": antijoin_sec,
+            "n_orphans": n_orphans,
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -1012,15 +1164,25 @@ def main() -> None:
             from iceberg_tools_spark.operators.components import dedup_clusters
             from iceberg_tools_spark.operators.dedup import (
                 dedup_exact,
+                dedup_paragraph_stats,
                 dedup_simhash,
+                dedup_substring_coverage,
                 minhash_pairs,
             )
+            from iceberg_tools_spark.operators.semdedup import dedup_semantic_pairs
 
+            # the round-8 ladder members joined the sweep in r9
+            # (VERDICT r8 #8): paragraph chunking, substring
+            # coverage, and SemDeDup (the scale dir now carries a
+            # perturbed 10× embeddings table for the latter)
             scale_ops = {
                 "dedup_exact": lambda sp, d: dedup_exact(sp, d),
                 "dedup_minhash_pairs": lambda sp, d: minhash_pairs(sp, d),
                 "dedup_simhash": lambda sp, d: dedup_simhash(sp, d),
                 "dedup_clusters": lambda sp, d: dedup_clusters(sp, d),
+                "dedup_paragraph_stats": lambda sp, d: dedup_paragraph_stats(sp, d),
+                "dedup_substring_coverage": lambda sp, d: dedup_substring_coverage(sp, d),
+                "dedup_semantic_pairs": lambda sp, d: dedup_semantic_pairs(sp, d),
             }
             scale_evidence = {
                 "replicas": REPLICAS,
@@ -1049,11 +1211,16 @@ def main() -> None:
     rangejoin_scale = None
     ivm_scale = None
     import_scale = None
+    orphan_scale = None
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALE"):
         try:
             metadata_scale = _metadata_scale_evidence(spark)
         except Exception as exc:  # pragma: no cover - defensive
             metadata_scale = {"error": f"{type(exc).__name__}: {exc}"}
+        try:
+            orphan_scale = _orphan_scale_evidence(spark)
+        except Exception as exc:  # pragma: no cover - defensive
+            orphan_scale = {"error": f"{type(exc).__name__}: {exc}"}
         try:
             dv_scale = _dv_scale_evidence()
         except Exception as exc:  # pragma: no cover - defensive
@@ -1100,6 +1267,7 @@ def main() -> None:
         "knob_sweep": sweep,
         "scale_evidence": scale_evidence,
         "metadata_scale": metadata_scale,
+        "orphan_scale": orphan_scale,
         "dv_scale": dv_scale,
         "rewrite_scale": rewrite_scale,
         "stats_scale": stats_scale,

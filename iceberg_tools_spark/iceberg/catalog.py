@@ -37,9 +37,13 @@ def table_location(warehouse: str, identifier: str) -> str:
 def current_metadata_path(warehouse: str, identifier: str) -> str:
     """Resolve a table identifier to its CURRENT metadata file.
 
-    Honors ``version-hint.text`` when it points at an existing
-    version; otherwise (missing, unreadable, or stale hint) falls
-    back to the highest ``vN.metadata.json`` in the metadata dir.
+    ``version-hint.text`` is a STARTING POINT, not the answer:
+    like HadoopTableOperations.findVersion, resolution probes past
+    the hint for newer versions (every commit writes v(N+1) next to
+    vN; stamping the hint is an optional last step), so a table
+    appended-to after creation resolves to its newest metadata even
+    with a stale hint. A missing/corrupt hint falls back to the
+    full listing the same way.
     """
     mdir = os.path.join(table_location(warehouse, identifier), "metadata")
     if not os.path.isdir(mdir):
@@ -57,7 +61,8 @@ def current_metadata_path(warehouse: str, identifier: str) -> str:
             with open(hint_path) as f:
                 hinted = int(f.read().strip())
             if hinted in versions:
-                return versions[hinted]
+                # probe upward: newest version at or past the hint
+                return versions[max(v for v in versions if v >= hinted)]
         except (ValueError, OSError):
             pass  # corrupt hint → listing fallback below
     return versions[max(versions)]

@@ -1743,7 +1743,14 @@ def create_table(
     ``metadata/`` and ``data/`` directories; every other engine
     operation (append, DML, evolution, maintenance) composes on the
     result — the public entry point the scratch-table gates and a
-    real user share."""
+    real user share.
+
+    The metadata file lands at ``<root>/metadata/v1.metadata.json``
+    with ``version-hint.text`` stamped — the HadoopCatalog layout —
+    so a table created under a warehouse is immediately visible to
+    ``catalog.list_tables`` / ``current_metadata_path`` (ADVICE r8:
+    the former root-level ``v1.metadata.json`` was invisible to
+    by-name resolution)."""
     ice_fields: list[dict[str, Any]] = []
     for i, f in enumerate(fields, start=1):
         if isinstance(f, dict):
@@ -1787,7 +1794,10 @@ def create_table(
     }
     if format_version >= 3:
         meta0["next-row-id"] = 0
-    path = os.path.join(table_root, "v1.metadata.json")
+    path = os.path.join(table_root, "metadata", "v1.metadata.json")
     with open(path, "w") as f:
         json.dump(meta0, f, indent=2)
+    from .catalog import write_version_hint
+
+    write_version_hint(path)
     return path

@@ -114,3 +114,201 @@ FROM vis4
 GROUP BY category
 ORDER BY category
 """
+
+
+# --------------------------------------- materialized views (r9)
+# The capstone of the r8 views + IVM pair (VERDICT r8 "Next round"
+# #6): an Iceberg VIEW whose result is MATERIALIZED as a state
+# table and kept current INCREMENTALLY from the base table's CDC
+# changelog — never by re-scanning the base table after the seed.
+#
+# Layout (under view_root):
+#   metadata/vN.metadata.json   — the view spec v1 metadata
+#                                 (views.py), whose PROPERTIES carry
+#                                 the refresh state:
+#       ivm.base-uuid            base table-uuid (refresh validates)
+#       ivm.refresh-snapshot-id  base snapshot the state reflects
+#       ivm.state-path           state parquet, view-root-relative
+#       ivm.keys / ivm.sums      the grouped_agg shape
+#   data/state-<snapshot>/      — the materialized COUNT/SUM state
+#
+# A refresh is write-then-swap: the new state lands in a NEW
+# directory named for the base snapshot it reflects, and only then
+# does a new view metadata version (with updated properties) become
+# current — a crashed refresh leaves the old state referenced and
+# intact. Old state dirs are retired like superseded snapshots.
+
+
+def _view_props(view_metadata_path: str) -> dict[str, str]:
+    import json as _json
+
+    with open(view_metadata_path) as f:
+        return _json.load(f)["properties"]
+
+
+def create_materialized_view(
+    spark: SparkSession,
+    view_root: str,
+    base_metadata_path: str,
+    *,
+    keys: list[str],
+    sums: list[str],
+    base_dir: str | None = None,
+    snapshot_id: int | None = None,
+) -> dict:
+    """Materialize COUNT/SUM-per-group over the base table at a
+    snapshot and store it as an Iceberg VIEW (stored SQL = the
+    GROUP BY a recompute would run) + state parquet + refresh
+    marker. One full scan HERE — every later refresh is
+    changelog-sized."""
+    import os as _os
+
+    from .metadata import parse_metadata
+    from .views import create_view
+
+    base_dir = base_dir or _os.path.dirname(base_metadata_path)
+    meta = parse_metadata(base_metadata_path)
+    sid = snapshot_id if snapshot_id is not None else meta.current_snapshot_id
+    sql = (
+        "SELECT "
+        + ", ".join(keys)
+        + ", COUNT(*) AS n_rows"
+        + "".join(f", SUM({c}) AS {c}_sum" for c in sums)
+        + " FROM base GROUP BY "
+        + ", ".join(keys)
+    )
+    state_rel = f"data/state-{sid}"
+    state = grouped_agg(read_mor(spark, base_metadata_path, sid, base_dir), keys, sums)
+    state.write.mode("errorifexists").parquet(_os.path.join(view_root, state_rel))
+    vmp = create_view(
+        view_root,
+        sql,
+        properties={
+            "ivm.base-uuid": meta.raw.get("table-uuid", ""),
+            "ivm.refresh-snapshot-id": str(sid),
+            "ivm.state-path": state_rel,
+            "ivm.keys": ",".join(keys),
+            "ivm.sums": ",".join(sums),
+        },
+    )
+    return {"view_metadata_path": vmp, "state_path": state_rel, "snapshot_id": sid}
+
+
+def refresh_materialized_view(
+    spark: SparkSession,
+    view_metadata_path: str,
+    base_metadata_path: str,
+    *,
+    base_dir: str | None = None,
+    to_snapshot: int | None = None,
+) -> dict:
+    """Advance the materialized state to ``to_snapshot`` (default:
+    the base table's current) by folding ONLY the changelog of the
+    covered range — zero base-table re-scan. No-op (no new state,
+    no new metadata) when already current. Returns the (possibly
+    unchanged) view metadata path plus the covered range."""
+    import json as _json
+    import os as _os
+
+    from .metadata import parse_metadata
+
+    view_root = _os.path.dirname(_os.path.dirname(view_metadata_path))
+    props = _view_props(view_metadata_path)
+    base_dir = base_dir or _os.path.dirname(base_metadata_path)
+    meta = parse_metadata(base_metadata_path)
+    if props.get("ivm.base-uuid") and props["ivm.base-uuid"] != meta.raw.get(
+        "table-uuid"
+    ):
+        raise ValueError(
+            f"view tracks base table {props['ivm.base-uuid']}, got "
+            f"{meta.raw.get('table-uuid')!r}"
+        )
+    from_id = int(props["ivm.refresh-snapshot-id"])
+    to_id = to_snapshot if to_snapshot is not None else meta.current_snapshot_id
+    if to_id == from_id:
+        return {
+            "view_metadata_path": view_metadata_path,
+            "from_snapshot": from_id,
+            "to_snapshot": to_id,
+            "refreshed": False,
+        }
+    keys = props["ivm.keys"].split(",")
+    sums = [c for c in props["ivm.sums"].split(",") if c]
+    state = spark.read.parquet(_os.path.join(view_root, props["ivm.state-path"]))
+    delta = changelog_between(spark, base_metadata_path, from_id, to_id, base_dir)
+    new_state = maintain_grouped_agg(state, delta, keys, sums)
+    new_rel = f"data/state-{to_id}"
+    new_state.write.mode("errorifexists").parquet(_os.path.join(view_root, new_rel))
+    # swap: new metadata version with updated refresh properties
+    # (same stored SQL — a refresh is not a view redefinition)
+    with open(view_metadata_path) as f:
+        vmeta = _json.load(f)
+    vmeta["properties"] = {
+        **vmeta["properties"],
+        "ivm.refresh-snapshot-id": str(to_id),
+        "ivm.state-path": new_rel,
+    }
+    mdir = _os.path.dirname(view_metadata_path)
+    n = len([x for x in _os.listdir(mdir) if x.endswith(".metadata.json")]) + 1
+    new_vmp = _os.path.join(mdir, f"v{n}.metadata.json")
+    with open(new_vmp, "w") as f:
+        _json.dump(vmeta, f, indent=2)
+    with open(_os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write(str(n))
+    return {
+        "view_metadata_path": new_vmp,
+        "from_snapshot": from_id,
+        "to_snapshot": to_id,
+        "refreshed": True,
+    }
+
+
+def read_materialized_view(spark: SparkSession, view_metadata_path: str) -> DataFrame:
+    """The current materialized state (a parquet scan — no base
+    table access, the entire point)."""
+    import os as _os
+
+    props = _view_props(view_metadata_path)
+    view_root = _os.path.dirname(_os.path.dirname(view_metadata_path))
+    return spark.read.parquet(_os.path.join(view_root, props["ivm.state-path"]))
+
+
+def view_ivm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate (``sf_dir`` unused): materialize the
+    per-category COUNT/SUM(id) view at MoR snapshot 2001, refresh
+    it incrementally through the insert/MoR-delete/insert chain to
+    2004 (changelog only — the base is never re-scanned), and read
+    the state back THROUGH the view metadata. Oracle: full DuckDB
+    recompute of head state from the physical parquet + v2
+    sequence rules, plus the refresh range as constants."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="view_ivm_") + "/mv"
+    res = create_materialized_view(
+        spark, root, MOR_METADATA,
+        keys=["category"], sums=["id"],
+        base_dir=MOR_DIR, snapshot_id=2001,
+    )
+    ref = refresh_materialized_view(
+        spark, res["view_metadata_path"], MOR_METADATA, base_dir=MOR_DIR
+    )
+    out = read_materialized_view(spark, ref["view_metadata_path"])
+    return (
+        out.withColumn("from_snap", F.lit(ref["from_snapshot"]).cast("long"))
+        .withColumn("to_snap", F.lit(ref["to_snapshot"]).cast("long"))
+        .orderBy("category")
+    )
+
+
+VIEW_IVM_SQL = f"""
+WITH
+{VIS_CTES}
+SELECT category,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(id) AS BIGINT) AS id_sum,
+       CAST(2001 AS BIGINT) AS from_snap,
+       CAST(2004 AS BIGINT) AS to_snap
+FROM vis4
+GROUP BY category
+ORDER BY category
+"""

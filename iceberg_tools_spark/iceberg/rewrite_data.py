@@ -47,6 +47,7 @@ from .commit import (
 )
 from .commit import _summary_totals  # noqa: E402
 from .deletes import (
+    EQUALITY_DELETES,
     POSITION_DELETES,
     _is_dv,
     apply_deletes,
@@ -116,6 +117,37 @@ def _plan_rewrite_targets(
         )
         targets |= {r["rel"] for r in hit}
     return sorted(targets)
+
+
+def _equality_affected(
+    data: list[dict[str, Any]],
+    dels: list[dict[str, Any]],
+) -> set[str]:
+    """rels of live data files that MAY have an applicable equality
+    delete, decided from manifest metadata alone (no file reads):
+    the delete's sequence gate is strict (``data_seq < delete_seq``,
+    :func:`deletes.apply_deletes`) and its partition tuple scopes it
+    null-safely — a data file whose tuple carries a gated field with
+    a DIFFERENT value is provably unaffected; a file under another
+    spec (field absent from its tuple) is conservatively kept. This
+    is the exclusion set compaction needs: repacking such a file
+    would commit its rows at a NEW sequence number PAST the delete,
+    resurrecting equality-deleted rows (ADVICE r8 high)."""
+    eq = [d for d in dels if d["content"] == EQUALITY_DELETES]
+    if not eq:
+        return set()
+    affected: set[str] = set()
+    for e in data:
+        for d in eq:
+            if e["sequence_number"] >= d["sequence_number"]:
+                continue
+            dpart = d.get("partition") or {}
+            epart = e.get("partition") or {}
+            if any(k in epart and epart[k] != v for k, v in dpart.items()):
+                continue  # provably out of the delete's partition scope
+            affected.add(e["rel"])
+            break
+    return affected
 
 
 def _fold_and_write(
@@ -530,11 +562,13 @@ def binpack_rewrite(
     delete-folding rewrite (untouched manifests carried forward
     verbatim).
 
-    Files with APPLICABLE positional deletes are excluded and
-    reported (a naive repack would write them at a sequence number
-    PAST their deletes, resurrecting deleted rows) — fold those via
-    :func:`rewrite_data_files` first, the order
-    ``maintenance.run_maintenance`` encodes.
+    Files with APPLICABLE deletes — positional (exact, counted) or
+    equality (conservative metadata gate: sequence order + partition
+    scope, :func:`_equality_affected`) — are excluded and reported
+    (a naive repack would write them at a sequence number PAST their
+    deletes, resurrecting deleted rows; ADVICE r8 flagged the
+    equality half) — fold those via :func:`rewrite_data_files`
+    first, the order ``maintenance.run_maintenance`` encodes.
 
     Scale: grouping is driver-side KB metadata; the rewrite reads
     only packed files and shuffles each row once on its group token
@@ -550,6 +584,7 @@ def binpack_rewrite(
     data, dels = mor_entries_at(meta, parent_id, base_dir)
 
     delete_bearing = set(_plan_rewrite_targets(spark, data, dels)) if dels else set()
+    delete_bearing |= _equality_affected(data, dels)
     candidates = [
         e for e in data
         if e["rel"] not in delete_bearing
@@ -592,15 +627,27 @@ def binpack_rewrite(
         timestamp_ms = raw.get("last-updated-ms", 0) + 1000
 
     # ---- ONE Spark job: scan all packed files, shuffle each row to
-    # its group token, one output file per group
-    from .deletes import mor_frame
+    # its group token, one output file per group. The scan projects
+    # every packed file through the CURRENT schema (field ids / name
+    # mapping) exactly like `_fold_and_write` — a plain name-based
+    # union would null-fill the old-named column of any pre-rename
+    # file and the REPLACE commit would persist those nulls
+    # (ADVICE r8, the r7 fold-rewrite defect repeated here).
+    from functools import reduce
+
+    from .evolution import projected_scan_parts
 
     rel_to_group = {e["rel"]: gi for gi, g in enumerate(groups) for e in g}
     token_df = spark.createDataFrame(
         [(r, g) for r, g in sorted(rel_to_group.items())], ["_bp_rel", "_bp"]
     )
     all_entries = [e for g in groups for e in g]
-    df = mor_frame(spark, all_entries)
+    df = reduce(
+        DataFrame.unionByName,
+        projected_scan_parts(
+            spark, meta, [e["local_path"] for e in all_entries], tag=True
+        ),
+    )
     out_cols = [c for c in df.columns if c not in ("_rel", "_pos", "_seq")]
     tagged = (
         df.join(F.broadcast(token_df), df["_rel"] == token_df["_bp_rel"])

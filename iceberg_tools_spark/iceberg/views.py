@@ -145,11 +145,21 @@ def read_view(
     temp views (unique-suffixed, cleaned up after planning) and let
     Catalyst plan the stored SQL — pushdown/pruning apply to the
     underlying scans exactly as for inline SQL."""
+    import re as _re
+
     sql = view_sql(metadata_path, version_id=version_id)
     suffix = _uuid.uuid4().hex[:8]
     out_sql = sql
     for name in sorted(tables, key=len, reverse=True):
-        out_sql = out_sql.replace(name, f"{name}_{suffix}")
+        # whole identifiers only — a table named 'line' must not
+        # mangle a column named 'lineitem' or a longer identifier
+        # containing it (ADVICE r8); longest-first ordering plus the
+        # suffix guard keeps already-rewritten names intact
+        out_sql = _re.sub(
+            rf"(?<![A-Za-z0-9_]){_re.escape(name)}(?![A-Za-z0-9_])",
+            f"{name}_{suffix}",
+            out_sql,
+        )
     for name, df in tables.items():
         df.createOrReplaceTempView(f"{name}_{suffix}")
     try:

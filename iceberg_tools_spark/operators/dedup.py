@@ -939,10 +939,14 @@ def dedup_substring_coverage(
 
     d = load_table(spark, sf_dir, "documents", ["doc_id", "source", "text"])
     d = d.withColumn("nt", norm_text("text"))
+    # the exploded grams feed TWO consumers (the document-frequency
+    # aggregate and the join back); localCheckpoint materializes the
+    # explode once instead of evaluating the normalize+hash subtree
+    # twice (VERDICT r8 #9 — the dedup_clusters edge-DAG lesson)
     grams = d.select(
         "doc_id", "source",
         F.explode(char_ngram_hashes("nt", n, cap, stride)).alias("h"),
-    )
+    ).localCheckpoint()
     df_per_hash = grams.groupBy("h").agg(
         F.countDistinct("doc_id").alias("docs_with")
     )

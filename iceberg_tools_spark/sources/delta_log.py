@@ -87,6 +87,20 @@ def latest_checkpoint(table_root: str) -> tuple[int, str] | None:
     return None
 
 
+def _pairs_to_maps(v: Any) -> Any:
+    """pyarrow ``to_pylist`` renders MAP columns as lists of (k, v)
+    tuples; normalize them back to dicts so checkpoint-sourced
+    actions look exactly like JSON-sourced ones (``partitionValues``
+    consumers call ``.get``)."""
+    if isinstance(v, list) and v and all(
+        isinstance(e, tuple) and len(e) == 2 for e in v
+    ):
+        return dict(v)
+    if isinstance(v, dict):
+        return {k: _pairs_to_maps(x) for k, x in v.items()}
+    return v
+
+
 def _apply_action(state: dict[str, dict], meta: dict, action: dict[str, Any]) -> None:
     if "metaData" in action and action["metaData"]:
         meta.update(action["metaData"])
@@ -122,7 +136,11 @@ def replay_log(
         import pyarrow.parquet as pq
 
         for row in pq.read_table(cp[1]).to_pylist():
-            _apply_action(state, meta, {k: v for k, v in row.items() if v is not None})
+            _apply_action(
+                state,
+                meta,
+                {k: _pairs_to_maps(v) for k, v in row.items() if v is not None},
+            )
         start_after = cp[0]
     for v, path in commits:
         if v <= start_after or v > target:
@@ -319,3 +337,185 @@ def delta_incremental_stream(
         .parquet(staging_dir)
     )
     return stream, n
+
+
+# ------------------------------- checkpoint WRITE (VERDICT r8 #7)
+# PROTOCOL.md "Checkpoints": every N commits a writer may serialize
+# the reconstructed state (protocol + metaData + live adds) as ONE
+# parquet file `<v>.checkpoint.parquet` and point `_last_checkpoint`
+# at it, so a reader opens the table with one parquet read + the
+# JSON tail instead of replaying every version since 0. The reader
+# half (`latest_checkpoint` / `replay_log`) already consumes these;
+# this is the producer half a long-running replica needs.
+
+CHECKPOINT_INTERVAL = 10
+
+
+def _checkpoint_schema():
+    import pyarrow as pa
+
+    protocol_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    format_t = pa.struct(
+        [("provider", pa.string()), ("options", pa.map_(pa.string(), pa.string()))]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", format_t),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    remove_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("deletionTimestamp", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    import pyarrow as pa2
+
+    return pa2.schema(
+        [
+            ("protocol", protocol_t),
+            ("metaData", meta_t),
+            ("add", add_t),
+            ("remove", remove_t),
+        ]
+    )
+
+
+def _maps_to_pairs_meta(m: dict[str, Any]) -> dict[str, Any]:
+    out = dict(m)
+    fmt = dict(out.get("format") or {"provider": "parquet", "options": {}})
+    opts = fmt.get("options") or {}
+    fmt["options"] = sorted(opts.items()) if isinstance(opts, dict) else opts
+    out["format"] = fmt
+    cfg = out.get("configuration") or {}
+    out["configuration"] = sorted(cfg.items()) if isinstance(cfg, dict) else cfg
+    return out
+
+
+def _maps_to_pairs_add(a: dict[str, Any]) -> dict[str, Any]:
+    out = {
+        "path": a["path"],
+        "partitionValues": a.get("partitionValues") or {},
+        "size": a.get("size"),
+        "modificationTime": a.get("modificationTime"),
+        "dataChange": a.get("dataChange", True),
+    }
+    pv = out["partitionValues"]
+    if isinstance(pv, dict):
+        out["partitionValues"] = sorted(pv.items())
+    return out
+
+
+def _current_protocol(table_root: str, version: int) -> dict[str, Any]:
+    """Latest protocol action at or below ``version`` (replay_log
+    tracks only file state + metaData; the checkpoint must carry the
+    protocol row per spec)."""
+    proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+    cp = latest_checkpoint(table_root)
+    start_after = -1
+    if cp is not None and cp[0] <= version:
+        import pyarrow.parquet as pq
+
+        for row in pq.read_table(cp[1], columns=["protocol"]).to_pylist():
+            if row.get("protocol") is not None:
+                proto = {
+                    k: v for k, v in row["protocol"].items() if v is not None
+                } or proto
+        start_after = cp[0]
+    for v, path in list_commits(table_root):
+        if v <= start_after or v > version:
+            continue
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    p = json.loads(line).get("protocol")
+                    if p:
+                        proto = p
+    return proto
+
+
+def write_delta_checkpoint(table_root: str, version: int | None = None) -> dict[str, Any]:
+    """Serialize the table state at ``version`` (default: head) as a
+    ``<v>.checkpoint.parquet`` + ``_last_checkpoint`` pointer. The
+    state rows come from the same replay readers use, so a
+    checkpoint-opened table is bit-identical to a full JSON replay
+    (pytest-pinned)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    adds, meta, v = replay_log(table_root, version)
+    proto = _current_protocol(table_root, v)
+    rows: list[dict[str, Any]] = [
+        {"protocol": proto, "metaData": None, "add": None, "remove": None},
+    ]
+    if meta:
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": _maps_to_pairs_meta(meta),
+                "add": None,
+                "remove": None,
+            }
+        )
+    for a in sorted(adds, key=lambda x: x["path"]):
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": _maps_to_pairs_add(a),
+                "remove": None,
+            }
+        )
+    d = _log_dir(table_root)
+    path = os.path.join(d, f"{v:020d}.checkpoint.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=_checkpoint_schema()), path)
+    tmp = os.path.join(d, "_last_checkpoint.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"version": v, "size": len(rows)}, f)
+    os.replace(tmp, os.path.join(d, "_last_checkpoint"))
+    return {"version": v, "path": path, "size": len(rows)}
+
+
+def append_delta_commit(
+    table_root: str,
+    actions: list[dict[str, Any]],
+    *,
+    checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
+) -> dict[str, Any]:
+    """Append ONE commit (`<v+1>.json`, newline-delimited actions)
+    and auto-checkpoint when the new version is a multiple of
+    ``checkpoint_interval`` — the writer-side cadence PROTOCOL.md
+    describes, so a replica accumulating versions stays cheap to
+    open (VERDICT r8 #7: JSON-only replication replayed every
+    version on each open)."""
+    commits = list_commits(table_root)
+    v = commits[-1][0] + 1 if commits else 0
+    d = _log_dir(table_root)
+    tmp = os.path.join(d, f".{v:020d}.json.tmp")
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a, sort_keys=True) + "\n")
+    os.replace(tmp, os.path.join(d, f"{v:020d}.json"))
+    out = {"version": v, "checkpointed": False}
+    if checkpoint_interval and v > 0 and v % checkpoint_interval == 0:
+        write_delta_checkpoint(table_root, v)
+        out["checkpointed"] = True
+    return out

@@ -401,3 +401,135 @@ def replicate_delta_stream(
     res["n_versions"] = n
     res["target_root"] = target_root
     return res
+
+
+# --------------------- continuous Iceberg → Delta replication (r9)
+
+
+def replicate_iceberg_to_delta(
+    spark: SparkSession,
+    metadata_path: str,
+    target_root: str,
+    *,
+    base_dir: str | None = None,
+    from_snapshot: int | None = None,
+    to_snapshot: int | None = None,
+    checkpoint_interval: int | None = None,
+) -> dict[str, Any]:
+    """Replicate an APPEND-ONLY Iceberg snapshot range into a Delta
+    table, ONE Delta commit per Iceberg snapshot: the seed snapshot
+    exports wholesale (version 0), then each later snapshot's added
+    data files copy over verbatim (parquet is parquet) under a new
+    ``add``-only JSON commit — and every ``checkpoint_interval``
+    commits the replica writes a parquet checkpoint +
+    ``_last_checkpoint`` (VERDICT r8 #7: a long-running JSON-only
+    replica replayed every version on each open). A snapshot that
+    removes or rewrites files raises — replicating deletes needs the
+    DML path, which :func:`migrate_delta_to_iceberg` covers by
+    snapshotting (same caveat as :func:`replicate_delta_stream`).
+
+    The replica is an UNPARTITIONED Delta table: Iceberg data files
+    carry every column physically, so partition columns replicate as
+    ordinary data (physical layout is a compaction concern, not a
+    data one)."""
+    import shutil
+
+    from ..iceberg.deletes import mor_entries_at
+    from ..iceberg.metadata import parse_metadata
+    from ..iceberg.snapshots import ancestor_chain
+    from .delta_log import CHECKPOINT_INTERVAL, append_delta_commit
+
+    if checkpoint_interval is None:
+        checkpoint_interval = CHECKPOINT_INTERVAL
+    base_dir = base_dir or os.path.dirname(metadata_path)
+    meta = parse_metadata(metadata_path)
+    raw = meta.raw
+    to_id = to_snapshot if to_snapshot is not None else raw.get("current-snapshot-id")
+    chain = ancestor_chain(meta, to_id)
+    from_id = from_snapshot if from_snapshot is not None else chain[-1]
+    if from_id not in chain:
+        raise ValueError(f"snapshot {from_id} is not an ancestor of {to_id}")
+    rng = list(reversed(chain[: chain.index(from_id)]))  # (from, to] oldest-first
+
+    # ---- seed: full export at from_id, version 0 (unpartitioned)
+    schema = next(
+        s for s in raw.get("schemas", [])
+        if s.get("schema-id", 0) == raw.get("current-schema-id", 0)
+    )
+    delta_fields = []
+    for f in schema["fields"]:
+        t = _ICEBERG_TO_DELTA_TYPE.get(f["type"])
+        if t is None:
+            raise ValueError(f"unsupported Iceberg type {f['type']!r} for Delta export")
+        delta_fields.append(
+            {"name": f["name"], "type": t, "nullable": True, "metadata": {}}
+        )
+    os.makedirs(os.path.join(target_root, "_delta_log"))
+    seed_data, seed_dels = mor_entries_at(meta, from_id, base_dir)
+    if seed_dels:
+        raise ValueError("append-only replication: seed snapshot carries deletes")
+    actions: list[dict[str, Any]] = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "00000000-0000-0000-0000-00000000f004",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": delta_fields}),
+            "partitionColumns": [],
+            "configuration": {
+                "replicated-from": "iceberg",
+                "replicated-table-uuid": raw.get("table-uuid", ""),
+            },
+            "createdTime": 1700000000000,
+        }},
+    ]
+
+    def _copy_in(entries, snap_id):
+        adds = []
+        for i, e in enumerate(sorted(entries, key=lambda x: x["rel"])):
+            rel = f"r{snap_id}-{i:05d}.parquet"
+            shutil.copyfile(e["local_path"], os.path.join(target_root, rel))
+            adds.append({"add": {
+                "path": rel,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(target_root, rel)),
+                "modificationTime": 1700000001000,
+                "dataChange": True,
+            }})
+        return adds
+
+    actions.extend(_copy_in(seed_data, from_id))
+    actions.append({"commitInfo": {"operation": "WRITE", "timestamp": 1700000001000}})
+    append_delta_commit(target_root, actions, checkpoint_interval=checkpoint_interval)
+
+    # ---- one commit per later snapshot: its added files only
+    prev_rels = {e["rel"] for e in seed_data}
+    n_checkpoints = 0
+    last = {"version": 0}
+    for sid in rng:
+        data_s, dels_s = mor_entries_at(meta, sid, base_dir)
+        cur_rels = {e["rel"] for e in data_s}
+        if dels_s or (prev_rels - cur_rels):
+            raise ValueError(
+                f"snapshot {sid} removes files or carries deletes; "
+                "append-only replication cannot express it"
+            )
+        added = [e for e in data_s if e["rel"] not in prev_rels]
+        acts = _copy_in(added, sid)
+        acts.append({"commitInfo": {
+            "operation": "WRITE",
+            "timestamp": 1700000001000,
+            "icebergSnapshotId": sid,
+        }})
+        last = append_delta_commit(
+            target_root, acts, checkpoint_interval=checkpoint_interval
+        )
+        if last.get("checkpointed"):
+            n_checkpoints += 1
+        prev_rels = cur_rels
+    return {
+        "table_root": target_root,
+        "from_snapshot": from_id,
+        "to_snapshot": to_id,
+        "n_versions": last["version"] + 1,
+        "n_checkpoints": n_checkpoints,
+    }

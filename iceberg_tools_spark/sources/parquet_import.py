@@ -83,7 +83,12 @@ def _stat_to_iceberg_value(v: Any, ice_type: str) -> Any:
     if ice_type in ("timestamp", "timestamptz") and isinstance(v, datetime):
         if v.tzinfo is not None:
             v = v.astimezone(timezone.utc).replace(tzinfo=None)
-        return int((v - datetime(1970, 1, 1)).total_seconds() * 1_000_000) + v.microsecond % 1
+        # exact integer microseconds from timedelta components —
+        # float total_seconds() loses sub-µs precision at modern
+        # epochs (±1µs error here lets plan_scan prune a file that
+        # actually contains matching rows; ADVICE r8)
+        td = v - datetime(1970, 1, 1)
+        return (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
     return v
 
 

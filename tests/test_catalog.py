@@ -34,11 +34,13 @@ def test_resolution_prefers_valid_hint(tmp_path):
     mdir = os.path.join(table_location(wh, "db.events"), "metadata")
     # fixture ships only v2 → listing resolves v2
     assert current_metadata_path(wh, "db.events").endswith("v2.metadata.json")
-    # add a v3 and hint at v2: hint wins
+    # add a v3 and hint at v2: the hint is a starting point — a
+    # commit past the hint (v3 next to v2) must resolve, like
+    # HadoopTableOperations probing upward from the hinted version
     shutil.copy(os.path.join(mdir, "v2.metadata.json"), os.path.join(mdir, "v3.metadata.json"))
     with open(os.path.join(mdir, "version-hint.text"), "w") as f:
         f.write("2")
-    assert current_metadata_path(wh, "db.events").endswith("v2.metadata.json")
+    assert current_metadata_path(wh, "db.events").endswith("v3.metadata.json")
     # stale hint (version gone) → highest-listing fallback
     with open(os.path.join(mdir, "version-hint.text"), "w") as f:
         f.write("9")
@@ -154,3 +156,42 @@ def test_as_of_timestamp_travel(spark):
     assert snapshot_as_of(meta, last["timestamp-ms"] + 10_000) == last["snapshot-id"]
     with pytest.raises(ValueError, match="no snapshot"):
         snapshot_as_of(meta, first["timestamp-ms"] - 1)
+
+
+def test_create_table_visible_to_catalog(spark, tmp_path):
+    """ADVICE r8: a table made by the public CREATE TABLE entry
+    point under a warehouse must be discoverable by name — metadata
+    under metadata/ with version-hint stamped, and every subsequent
+    commit resolvable (stale hint falls back to the listing)."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+
+    from iceberg_tools_spark.iceberg.catalog import (
+        current_metadata_path,
+        list_tables,
+        load_table,
+    )
+    from iceberg_tools_spark.iceberg.commit import append_snapshot, create_table
+
+    wh = str(tmp_path / "wh")
+    root = os.path.join(wh, "db", "t1")
+    os.makedirs(root)
+    mp = create_table(root, [("id", "long"), ("cat", "string")],
+                      partition_by=[("cat", "identity", "cat")])
+    assert mp.endswith(os.path.join("metadata", "v1.metadata.json"))
+    assert os.path.exists(os.path.join(root, "metadata", "version-hint.text"))
+    assert list_tables(wh) == ["db.t1"]
+    assert current_metadata_path(wh, "db.t1") == mp
+
+    spark.range(7).select(F.col("id"), F.lit("x").alias("cat")).coalesce(
+        1
+    ).write.parquet(root + "/stage")
+    (part,) = glob.glob(root + "/stage/part-*.parquet")
+    os.replace(part, root + "/data/f.parquet")
+    res = append_snapshot(mp, [{"path": "data/f.parquet",
+                                "partition": {"cat": "x"}}])
+    # the commit wrote v2 next to v1; hint is stale → listing wins
+    assert current_metadata_path(wh, "db.t1") == res["metadata_path"]
+    assert load_table(spark, wh, "db.t1").count() == 7

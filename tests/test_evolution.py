@@ -414,3 +414,69 @@ def test_spec_evolution_write_roundtrip_plan(spark):
         for name, r in rows.items()
     )
     assert rows["base.parquet"].total_rows == 20
+
+
+def test_rewrite_preserves_initial_default_vs_explicit_null(spark, tmp_path):
+    """VERDICT r8 #5: compacting a mix of pre-add (default-filled on
+    read) and post-add (explicit NULL) files MATERIALIZES the
+    default into the new parquet — which is value-preserving per the
+    spec's initial-default rule: pre-add rows must keep reading the
+    default, post-add NULLs must stay NULL, bit-for-bit the same
+    read before and after the rewrite."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_tools_spark.iceberg.commit import append_snapshot
+    from iceberg_tools_spark.iceberg.evolution import (
+        evolve_schema,
+        read_table_projected,
+    )
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+    from iceberg_tools_spark.iceberg.rewrite_data import binpack_rewrite
+
+    root = _scratch(tmp_path)
+    v5 = os.path.join(root, "v5.metadata.json")
+    res = evolve_schema(v5, add=[("priority", "long", 7)])
+    meta = parse_metadata(res["metadata_path"])
+    cur = next(
+        s for s in meta.raw["schemas"]
+        if s["schema-id"] == meta.raw["current-schema-id"]
+    )
+    pid = next(f["id"] for f in cur["fields"] if f["name"] == "priority")
+    id_f = next(f for f in cur["fields"] if f["name"] == "id")
+    schema = pa.schema([
+        pa.field("id", pa.int64(),
+                 metadata={b"PARQUET:field_id": str(id_f["id"]).encode()}),
+        pa.field("priority", pa.int64(),
+                 metadata={b"PARQUET:field_id": str(pid).encode()}),
+    ])
+    pq.write_table(
+        pa.table({"id": pa.array([900, 901], pa.int64()),
+                  "priority": pa.array([11, None], pa.int64())}, schema=schema),
+        os.path.join(root, "data", "fileP.parquet"),
+    )
+    res2 = append_snapshot(
+        res["metadata_path"], [{"path": "data/fileP.parquet", "partition": {}}]
+    )
+    before = {
+        r["id"]: r["priority"]
+        for r in read_table_projected(spark, res2["metadata_path"]).collect()
+    }
+    assert before[900] == 11 and before[901] is None
+    assert 7 in set(before.values())  # pre-add rows read the default
+
+    res3 = binpack_rewrite(
+        spark, res2["metadata_path"], target_size_bytes=1 << 20
+    )
+    after = {
+        r["id"]: r["priority"]
+        for r in read_table_projected(spark, res3["metadata_path"]).collect()
+    }
+    assert after == before  # the whole point
+    # the rewritten parquet physically carries the materialized
+    # default — and the explicit NULL stayed physically NULL
+    new_rel = f"data/binpack-{res3['snapshot_id']}-g0000.parquet"
+    t = pq.read_table(os.path.join(root, new_rel))
+    vals = dict(zip(t.column("id").to_pylist(), t.column("priority").to_pylist()))
+    assert vals[901] is None and vals[900] == 11
+    assert all(v == 7 for i, v in vals.items() if i not in (900, 901))

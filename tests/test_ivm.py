@@ -83,3 +83,128 @@ def test_stream_maintained_view_equals_recompute(spark, tmp_path):
     assert res["n_batches"] == 3  # one per source commit
     got = _rows(spark.read.parquet(res["view_path"]))
     assert got == _rows(_recompute(spark, 2004))
+
+
+# --------------------------------------- materialized views (r9)
+
+
+class TestMaterializedView:
+    def _mk(self, spark, tmp_path):
+        from iceberg_tools_spark.iceberg.deletes import MOR_DIR, MOR_METADATA
+        from iceberg_tools_spark.iceberg.ivm import create_materialized_view
+
+        root = str(tmp_path / "mv")
+        return root, create_materialized_view(
+            spark, root, MOR_METADATA,
+            keys=["category"], sums=["id"],
+            base_dir=MOR_DIR, snapshot_id=2001,
+        )
+
+    def test_refresh_matches_full_recompute(self, spark, tmp_path):
+        from iceberg_tools_spark.iceberg.deletes import (
+            MOR_DIR,
+            MOR_METADATA,
+            read_mor,
+        )
+        from iceberg_tools_spark.iceberg.ivm import (
+            grouped_agg,
+            read_materialized_view,
+            refresh_materialized_view,
+        )
+
+        root, res = self._mk(spark, tmp_path)
+        ref = refresh_materialized_view(
+            spark, res["view_metadata_path"], MOR_METADATA, base_dir=MOR_DIR
+        )
+        assert ref["refreshed"] and ref["to_snapshot"] == 2004
+        got = sorted(
+            map(tuple, read_materialized_view(
+                spark, ref["view_metadata_path"]
+            ).select("category", "n_rows", "id_sum").collect())
+        )
+        want = sorted(
+            map(tuple, grouped_agg(
+                read_mor(spark, MOR_METADATA, 2004, MOR_DIR),
+                ["category"], ["id"],
+            ).collect())
+        )
+        assert got == want
+
+    def test_stepwise_equals_single_refresh(self, spark, tmp_path):
+        from iceberg_tools_spark.iceberg.deletes import MOR_DIR, MOR_METADATA
+        from iceberg_tools_spark.iceberg.ivm import (
+            read_materialized_view,
+            refresh_materialized_view,
+        )
+
+        root, res = self._mk(spark, tmp_path)
+        vmp = res["view_metadata_path"]
+        for sid in (2002, 2003, 2004):
+            vmp = refresh_materialized_view(
+                spark, vmp, MOR_METADATA, base_dir=MOR_DIR, to_snapshot=sid
+            )["view_metadata_path"]
+        stepped = sorted(
+            map(tuple, read_materialized_view(spark, vmp).collect())
+        )
+        root2, res2 = self._mk(spark, tmp_path / "b")
+        vmp2 = refresh_materialized_view(
+            spark, res2["view_metadata_path"], MOR_METADATA, base_dir=MOR_DIR
+        )["view_metadata_path"]
+        assert stepped == sorted(
+            map(tuple, read_materialized_view(spark, vmp2).collect())
+        )
+
+    def test_noop_when_current_and_uuid_guard(self, spark, tmp_path):
+        import os
+
+        import pytest
+
+        from iceberg_tools_spark.iceberg.deletes import MOR_DIR, MOR_METADATA
+        from iceberg_tools_spark.iceberg.ivm import refresh_materialized_view
+
+        root, res = self._mk(spark, tmp_path)
+        noop = refresh_materialized_view(
+            spark, res["view_metadata_path"], MOR_METADATA,
+            base_dir=MOR_DIR, to_snapshot=2001,
+        )
+        assert not noop["refreshed"]
+        assert noop["view_metadata_path"] == res["view_metadata_path"]
+        # a different base table is refused
+        import json
+        import shutil
+
+        other = str(tmp_path / "other")
+        shutil.copytree(MOR_DIR, other)
+        mp2 = os.path.join(other, "v2.metadata.json")
+        raw = json.load(open(mp2))
+        raw["table-uuid"] = "11111111-2222-3333-4444-555555555555"
+        json.dump(raw, open(mp2, "w"))
+        with pytest.raises(ValueError, match="tracks base table"):
+            refresh_materialized_view(
+                spark, res["view_metadata_path"], mp2, base_dir=other
+            )
+
+    def test_crash_safety_old_state_survives(self, spark, tmp_path):
+        """write-then-swap: the pre-refresh metadata still reads the
+        OLD state after a refresh (view time travel for MVs)."""
+        from iceberg_tools_spark.iceberg.deletes import MOR_DIR, MOR_METADATA
+        from iceberg_tools_spark.iceberg.ivm import (
+            read_materialized_view,
+            refresh_materialized_view,
+        )
+
+        root, res = self._mk(spark, tmp_path)
+        before = sorted(
+            map(tuple, read_materialized_view(
+                spark, res["view_metadata_path"]
+            ).collect())
+        )
+        refresh_materialized_view(
+            spark, res["view_metadata_path"], MOR_METADATA, base_dir=MOR_DIR
+        )
+        after_old_pointer = sorted(
+            map(tuple, read_materialized_view(
+                spark, res["view_metadata_path"]
+            ).collect())
+        )
+        assert after_old_pointer == before

@@ -1,0 +1,229 @@
+"""Executor-parallel manifest parsing (VERDICT r8 #1): the
+distributed path must produce bit-identical results to the
+driver-sequential path for every consumer — plan_scan, MoR entry
+listing, and the $entries/$files metadata tables."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from iceberg_tools_spark.iceberg import manifest_io
+from iceberg_tools_spark.iceberg.commit import append_snapshot, create_table
+from iceberg_tools_spark.iceberg.deletes import mor_entries_at
+from iceberg_tools_spark.iceberg.metadata import parse_metadata
+from iceberg_tools_spark.iceberg.snapshots import manifest_files_at, plan_scan
+from iceberg_tools_spark.iceberg.tables import manifest_entries_df
+
+N_COMMITS = 20  # ≥ default PARALLEL_THRESHOLD manifests
+
+
+@pytest.fixture(scope="module")
+def many_manifest_table(spark, tmp_path_factory):
+    """A table with one manifest per commit — enough manifests to
+    cross the parallel threshold."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path_factory.mktemp("mio") / "t")
+    os.makedirs(root)
+    mp = create_table(
+        root, [("id", "long"), ("cat", "string")],
+        partition_by=[("cat", "identity", "cat")],
+    )
+    for i in range(N_COMMITS):
+        cat = f"c{i % 4}"
+        rel = f"data/f{i:03d}.parquet"
+        pq.write_table(
+            pa.table({
+                "id": pa.array(range(i * 10, i * 10 + 10), pa.int64()),
+                "cat": pa.array([cat] * 10, pa.string()),
+            }),
+            os.path.join(root, rel),
+        )
+        mp = append_snapshot(mp, [{"path": rel, "partition": {"cat": cat}}])[
+            "metadata_path"
+        ]
+    return root, mp
+
+
+def _force_threshold(monkeypatch, value):
+    monkeypatch.setattr(manifest_io, "PARALLEL_THRESHOLD", value)
+
+
+def test_fixture_crosses_threshold(many_manifest_table):
+    root, mp = many_manifest_table
+    meta = parse_metadata(mp)
+    mrows = manifest_files_at(meta, meta.current_snapshot_id, os.path.dirname(mp))
+    assert len(mrows) >= manifest_io.PARALLEL_THRESHOLD
+
+
+def test_mor_entries_parallel_equals_sequential(
+    spark, many_manifest_table, monkeypatch
+):
+    root, mp = many_manifest_table
+    meta = parse_metadata(mp)
+    sid = meta.current_snapshot_id
+    bd = os.path.dirname(mp)
+    _force_threshold(monkeypatch, 10**9)  # force driver path
+    seq_data, seq_dels = mor_entries_at(meta, sid, bd)
+    _force_threshold(monkeypatch, 1)  # force executor path
+    par_data, par_dels = mor_entries_at(meta, sid, bd)
+    assert par_data == seq_data  # identical dicts, identical ORDER
+    assert par_dels == seq_dels
+    assert len(par_data) == N_COMMITS
+
+
+def test_plan_scan_parallel_equals_sequential(
+    spark, many_manifest_table, monkeypatch
+):
+    root, mp = many_manifest_table
+    meta = parse_metadata(mp)
+    sid = meta.current_snapshot_id
+
+    def rows(threshold):
+        _force_threshold(monkeypatch, threshold)
+        return sorted(
+            map(tuple, plan_scan(spark, mp, sid).collect())
+        )
+
+    assert rows(1) == rows(10**9)
+    # and the pruned form agrees too (level-1 pruning stays driver-side)
+    def pruned(threshold):
+        _force_threshold(monkeypatch, threshold)
+        return sorted(
+            r.file_path
+            for r in plan_scan(
+                spark, mp, sid, partition_pred={"cat": "c1"}
+            ).collect()
+            if r.selected
+        )
+
+    p1, p2 = pruned(1), pruned(10**9)
+    assert p1 == p2 and len(p1) == N_COMMITS // 4
+
+
+def test_entries_df_parallel_equals_sequential(
+    spark, many_manifest_table, monkeypatch
+):
+    root, mp = many_manifest_table
+    meta = parse_metadata(mp)
+    mrows = manifest_files_at(meta, meta.current_snapshot_id, os.path.dirname(mp))
+    paths = [m["local_path"] for m in mrows]
+
+    _force_threshold(monkeypatch, 10**9)
+    seq = sorted(map(tuple, manifest_entries_df(spark, paths, meta.raw).collect()))
+    _force_threshold(monkeypatch, 1)
+    par = sorted(map(tuple, manifest_entries_df(spark, paths, meta.raw).collect()))
+    assert par == seq
+    assert len(par) >= N_COMMITS
+
+
+def test_map_manifests_preserves_task_order(spark, tmp_path):
+    """flatMap keeps partition order: rows come back exactly in task
+    order, so parallel consumers see the sequential shape."""
+    paths = []
+    for i in range(6):
+        p = str(tmp_path / f"blob{i}")
+        with open(p, "wb") as f:
+            f.write(bytes([i]))
+        paths.append(p)
+
+    def worker(ctx, blob):
+        return [(ctx, blob[0])]
+
+    tasks = [(i, p) for i, p in enumerate(paths)]
+    out = manifest_io.map_manifests(spark, tasks, worker, threshold=1)
+    assert out == [(i, i) for i in range(6)]
+    # driver path agrees
+    assert manifest_io.map_manifests(None, tasks, worker) == out
+
+
+# ---- distributed orphan listing (VERDICT r8 #2) ----------------
+
+
+def test_distributed_listing_matches_walk(spark, tmp_path):
+    """The executor-sharded listing returns exactly the files a
+    driver os.walk finds, at any tree shape (deep hive dirs, files
+    at the surface, empty dirs)."""
+    import os
+
+    from iceberg_tools_spark.iceberg.maintenance import distributed_listing
+
+    root = str(tmp_path / "data")
+    made = []
+    for rel in (
+        "surface.parquet",
+        "a=1/f1.parquet",
+        "a=1/b=x/f2.parquet",
+        "a=1/b=y/deep/f3.parquet",
+        "a=2/f4.parquet",
+    ):
+        p = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(b"x")
+        made.append(os.path.abspath(p))
+    os.makedirs(os.path.join(root, "a=3/empty"), exist_ok=True)
+
+    for fanout in (1, 2, 100):
+        got = distributed_listing(spark, root, fanout_target=fanout)
+        assert sorted(r.file_path for r in got.collect()) == sorted(made)
+        assert all(r.mtime_ms > 0 for r in got.collect())
+
+
+def test_orphan_delete_distributed_batch(spark, tmp_path, monkeypatch):
+    """Above the threshold, the unlink itself runs in executors —
+    same result, orphans gone, referenced files intact."""
+    import os
+    import shutil
+
+    from iceberg_tools_spark.iceberg import maintenance as M
+    from iceberg_tools_spark.iceberg.deletes import MOR_DIR, read_mor
+
+    root = str(tmp_path / "t")
+    shutil.copytree(MOR_DIR, root)
+    strays = []
+    for i in range(12):
+        p = os.path.join(root, "data", f"stray={i % 3}", f"s{i}.parquet")
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(b"junk")
+        strays.append(os.path.abspath(p))
+    monkeypatch.setattr(M, "DISTRIBUTED_DELETE_THRESHOLD", 4)
+    res = M.delete_orphan_files(spark, os.path.join(root, "v2.metadata.json"))
+    assert res["removed"] == 12
+    assert sorted(res["orphans"]) == sorted(strays)
+    assert not any(os.path.exists(p) for p in strays)
+    assert read_mor(spark, os.path.join(root, "v2.metadata.json"), 2004).count() == 323
+
+
+def test_orphan_age_gate_uses_walk_mtime(spark, tmp_path):
+    """older_than_ms gates on the mtime captured during the listing
+    — young strays are reported, not removed."""
+    import os
+    import shutil
+    import time
+
+    from iceberg_tools_spark.iceberg.maintenance import delete_orphan_files
+
+    root = str(tmp_path / "t")
+    shutil.copytree(MOR_DIR_IMPORT := __import__(
+        "iceberg_tools_spark.iceberg.deletes", fromlist=["MOR_DIR"]
+    ).MOR_DIR, root)
+    old = os.path.join(root, "data", "old-stray.parquet")
+    young = os.path.join(root, "data", "young-stray.parquet")
+    for p in (old, young):
+        with open(p, "wb") as f:
+            f.write(b"junk")
+    past = time.time() - 3600
+    os.utime(old, (past, past))
+    res = delete_orphan_files(
+        spark, os.path.join(root, "v2.metadata.json"),
+        older_than_ms=60_000,
+    )
+    assert res["orphans"] == [os.path.abspath(old)]
+    assert res["too_young"] == [os.path.abspath(young)]
+    assert os.path.exists(young) and not os.path.exists(old)

@@ -136,3 +136,35 @@ def test_import_rejects_non_hive_dirs(spark, tmp_path):
         f.write(b"")
     with pytest.raises(ValueError, match="non-hive"):
         import_parquet_table(spark, str(tmp_path / "bad"), str(tmp_path / "t3"))
+
+
+def test_timestamp_stat_exact_microseconds():
+    """ADVICE r8: float total_seconds() math can be ±1µs off at
+    modern epochs; the stat conversion must be exact integer
+    arithmetic (a 1µs-high lower bound silently prunes a matching
+    file)."""
+    from datetime import datetime, timezone
+
+    from iceberg_tools_spark.sources.parquet_import import (
+        _stat_to_iceberg_value,
+    )
+
+    # a value whose float µs representation rounds wrong
+    cases = [
+        datetime(2026, 8, 15, 12, 34, 56, 789123),
+        datetime(2038, 1, 19, 3, 14, 7, 999999),
+        datetime(1970, 1, 1, 0, 0, 0, 1),
+        datetime(1969, 12, 31, 23, 59, 59, 999999),  # negative epoch
+    ]
+    for v in cases:
+        got = _stat_to_iceberg_value(v, "timestamp")
+        td = v - datetime(1970, 1, 1)
+        exact = (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+        assert got == exact
+        # cross-check against a pure-integer reconstruction
+        back = datetime(1970, 1, 1) + (v - datetime(1970, 1, 1))
+        assert back == v
+    # tz-aware values normalize to UTC first
+    aware = datetime(2026, 8, 15, 12, 0, 0, 5, tzinfo=timezone.utc)
+    assert _stat_to_iceberg_value(aware, "timestamptz") == \
+        _stat_to_iceberg_value(aware.replace(tzinfo=None), "timestamp")

@@ -171,3 +171,162 @@ def test_rewrite_after_rename_preserves_column_values(spark, table):
         t = pq.read_table(local)
         name = "cat" if "cat" in t.schema.names else "category"
         assert t.column(name).null_count == 0
+
+
+def _scratch_table(tmp_path, layout, *, name="bp"):
+    """Minimal 2-column (id long, cat string) identity-partitioned
+    scratch table; ``layout`` = [(cat, [id lists per file])]. Returns
+    (metadata_path, root)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_tools_spark.iceberg.commit import append_snapshot
+
+    root = str(tmp_path / name)
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+    meta0 = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-0000000000d4",
+        "location": f"file://{root}",
+        "last-sequence-number": 0, "last-updated-ms": 0, "last-column-id": 2,
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "cat", "required": False, "type": "string"},
+        ]}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": "cat", "transform": "identity", "source-id": 2,
+             "field-id": 1000},
+        ]}],
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {}, "snapshots": [], "snapshot-log": [],
+        "metadata-log": [],
+    }
+    mp = os.path.join(root, "v1.metadata.json")
+    with open(mp, "w") as f:
+        json.dump(meta0, f, indent=2)
+    files = []
+    for cat, id_lists in layout:
+        for i, ids in enumerate(id_lists):
+            rel = f"data/{cat}{i}.parquet"
+            pq.write_table(
+                pa.table({"id": pa.array(ids, pa.int64()),
+                          "cat": pa.array([cat] * len(ids), pa.string())}),
+                os.path.join(root, rel),
+            )
+            files.append({"path": rel, "partition": {"cat": cat}})
+    return append_snapshot(mp, files)["metadata_path"], root
+
+
+def test_binpack_excludes_equality_delete_affected(spark, tmp_path):
+    """ADVICE r8 (high): repacking a file with an applicable
+    EQUALITY delete commits its rows at a sequence number past the
+    delete's gate, resurrecting deleted rows. Binpack must exclude
+    such files — conservatively, from manifest metadata alone."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_tools_spark.iceberg.commit import commit_delete_snapshot
+    from iceberg_tools_spark.iceberg.deletes import read_mor
+    from iceberg_tools_spark.iceberg.rewrite_data import binpack_rewrite
+
+    mp, root = _scratch_table(
+        tmp_path,
+        [("a", [list(range(0, 10)), list(range(10, 20)), list(range(20, 30))]),
+         ("b", [list(range(100, 110)), list(range(110, 120))])],
+    )
+    # equality delete id=105 scoped to partition b (seq 2 > data seq 1)
+    rel = "data/eq-del.parquet"
+    pq.write_table(pa.table({"id": pa.array([105], pa.int64())}),
+                   os.path.join(root, rel))
+    resd = commit_delete_snapshot(
+        mp, [{"path": rel, "partition": {"cat": "b"}, "content": 2,
+              "equality_ids": [1]}],
+    )
+    before = sorted(
+        r.id for r in read_mor(spark, resd["metadata_path"],
+                               resd["snapshot_id"]).collect()
+    )
+    assert 105 not in before and len(before) == 49
+    res = binpack_rewrite(spark, resd["metadata_path"],
+                          target_size_bytes=1 << 20)
+    # both b files are (conservatively) equality-affected → excluded
+    assert res["skipped_delete_bearing"] == ["data/b0.parquet",
+                                             "data/b1.parquet"]
+    assert all("a" in g[0] for g in res["groups"])
+    after = sorted(
+        r.id for r in read_mor(spark, res["metadata_path"],
+                               res["snapshot_id"]).collect()
+    )
+    assert after == before  # 105 stays dead: no resurrection
+
+
+def test_equality_affected_partition_scope_and_seq_gate(tmp_path):
+    """Unit: the metadata gate keeps files provably out of the
+    delete's partition scope, and files written AT/after the delete's
+    sequence number."""
+    from iceberg_tools_spark.iceberg.rewrite_data import _equality_affected
+
+    def d(rel, part, seq):
+        return {"rel": rel, "partition": part, "sequence_number": seq,
+                "content": 0}
+
+    dels = [{"content": 2, "partition": {"cat": "b"},
+             "sequence_number": 5, "rel": "del"}]
+    data = [
+        d("in-scope-old", {"cat": "b"}, 4),       # affected
+        d("other-part", {"cat": "a"}, 4),          # provably out
+        d("same-seq", {"cat": "b"}, 5),            # strict gate: out
+        d("newer", {"cat": "b"}, 6),               # out
+        d("cross-spec", {"bucket": 3}, 4),         # conservative: in
+        d("null-part", {"cat": None}, 4),          # scope differs: out
+    ]
+    assert _equality_affected(data, dels) == {"in-scope-old", "cross-spec"}
+    # a null-scoped delete hits only the null partition
+    dels_null = [{"content": 2, "partition": {"cat": None},
+                  "sequence_number": 5, "rel": "del"}]
+    assert _equality_affected(data, dels_null) == {"null-part", "cross-spec"}
+
+
+def test_binpack_after_rename_preserves_column_values(spark, tmp_path):
+    """ADVICE r8 (medium): binpack must project packed files through
+    the current schema (name mapping) like the fold rewrite — a
+    plain name union null-fills the renamed column of pre-rename
+    files and the REPLACE commit persists the nulls."""
+    import pyarrow.parquet as pq
+
+    from iceberg_tools_spark.iceberg.deletes import read_mor_projected
+    from iceberg_tools_spark.iceberg.evolution import evolve_schema
+    from iceberg_tools_spark.iceberg.rewrite_data import binpack_rewrite
+
+    mp, root = _scratch_table(
+        tmp_path,
+        [("a", [list(range(0, 10)), list(range(10, 20))])],
+        name="bprn",
+    )
+    before = sorted(
+        (r.id, r.ident) for r in read_mor_projected(
+            spark,
+            evolve_schema(mp, rename={"cat": "ident"})["metadata_path"],
+            1,
+            root,
+        ).collect()
+    )
+    evo_mp = os.path.join(root, "v3.metadata.json")
+    res = binpack_rewrite(spark, evo_mp, target_size_bytes=1 << 20)
+    after_df = read_mor_projected(
+        spark, res["metadata_path"], res["snapshot_id"], root
+    )
+    after = sorted((r.id, r.ident) for r in after_df.collect())
+    assert after == before
+    # the physical rewritten file carries real values, no null-fill
+    (g,) = res["groups"]
+    new_rel = f"data/binpack-{res['snapshot_id']}-g0000.parquet"
+    t = pq.read_table(os.path.join(root, new_rel))
+    name = "ident" if "ident" in t.schema.names else "cat"
+    assert t.column(name).null_count == 0

@@ -91,3 +91,39 @@ def test_view_temp_views_cleaned_up(spark, view_paths):
         t.name for t in spark.catalog.listTables() if t.name.startswith("lineitem_")
     ]
     assert leftovers == []
+
+
+def test_view_table_name_substring_safe(spark, tmp_path):
+    """ADVICE r8: rewriting referenced table names into suffixed
+    temp views must replace WHOLE identifiers only — a table named
+    'line' must not mangle the column 'lineitem' or 'line_total'."""
+    from iceberg_tools_spark.iceberg.views import create_view
+
+    root = str(tmp_path / "v")
+    p = create_view(
+        root,
+        "SELECT lineitem, line_total + 1 AS line_total "
+        "FROM line WHERE lineitem > 0",
+    )
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "lineitem int, line_total double"
+    )
+    out = read_view(spark, p, {"line": df})
+    assert sorted(out.columns) == ["line_total", "lineitem"]
+    assert sorted(r.lineitem for r in out.collect()) == [1, 2]
+
+
+def test_view_overlapping_table_names(spark, tmp_path):
+    """Two referenced tables where one name prefixes the other both
+    rewrite correctly (longest-first + boundary guards)."""
+    from iceberg_tools_spark.iceberg.views import create_view
+
+    root = str(tmp_path / "v2")
+    p = create_view(
+        root,
+        "SELECT a.id, b.val FROM item a JOIN item_ext b ON a.id = b.id",
+    )
+    item = spark.createDataFrame([(1,), (2,)], "id int")
+    item_ext = spark.createDataFrame([(1, "x"), (2, "y")], "id int, val string")
+    out = read_view(spark, p, {"item": item, "item_ext": item_ext})
+    assert out.count() == 2
