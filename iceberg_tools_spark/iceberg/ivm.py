@@ -312,3 +312,37 @@ FROM vis4
 GROUP BY category
 ORDER BY category
 """
+
+
+def expire_materialized_view_states(
+    view_metadata_path: str, *, keep_last: int = 2
+) -> dict:
+    """Garbage-collect superseded MV state directories — the MV
+    analogue of snapshot expiry: every ``data/state-*`` dir not
+    referenced by the ``keep_last`` newest view metadata versions is
+    deleted (the CURRENT state is always kept). Returns the removed
+    and kept state paths."""
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+
+    mdir = _os.path.dirname(view_metadata_path)
+    view_root = _os.path.dirname(mdir)
+    vre = _re.compile(r"v(\d+)\.metadata\.json$")
+    versions = sorted(
+        (int(m.group(1)), _os.path.join(mdir, n))
+        for n in _os.listdir(mdir)
+        if (m := vre.fullmatch(n))
+    )
+    keep: set[str] = set()
+    for _, p in versions[-max(keep_last, 1):]:
+        keep.add(_view_props(p)["ivm.state-path"])
+    keep.add(_view_props(view_metadata_path)["ivm.state-path"])
+    removed = []
+    data_dir = _os.path.join(view_root, "data")
+    for name in sorted(_os.listdir(data_dir)) if _os.path.isdir(data_dir) else []:
+        rel = f"data/{name}"
+        if name.startswith("state-") and rel not in keep:
+            _shutil.rmtree(_os.path.join(data_dir, name))
+            removed.append(rel)
+    return {"removed": removed, "kept": sorted(keep)}

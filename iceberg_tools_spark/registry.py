@@ -320,6 +320,25 @@ register("dataset_split", sampling.dataset_split, sampling.DATASET_SPLIT_SQL)
 # Registrations below keep every other key alive (overwrites never
 # move a key); their old window comments describe rounds ≤8.
 
+# r9 newcomer PAST the window (window oversubscribed; golden-oracle
+# local parity runs every pytest; first driver certification r10):
+# continuous Iceberg→Delta replication with checkpoint WRITE
+from .sources import migrate as _w_migrate  # noqa: E402
+
+register(
+    "delta_replicate_rows",
+    _w_migrate.delta_replicate_rows,
+    _w_migrate.DELTA_REPLICATE_SQL,
+)
+# ...and FULL-FIDELITY Delta→Iceberg replication (removes included;
+# oracle = DuckDB's pure-SQL replay of the DELTA transaction log,
+# compared against the replica head read through the ICEBERG reader)
+register(
+    "delta_replicate_full_rows",
+    _w_migrate.delta_replicate_full_rows,
+    _w_delta.DELTA_LOG_SQL,
+)
+
 # ------------------- 2-3: FIRST CERTIFICATION of the r7 newcomers
 # incremental statistics maintenance: theta union over ONLY the
 # appended files, byte-identical to a recompute (pytest-pinned)

@@ -533,3 +533,255 @@ def replicate_iceberg_to_delta(
         "n_versions": last["version"] + 1,
         "n_checkpoints": n_checkpoints,
     }
+
+
+def delta_replicate_rows(spark: SparkSession, sf_dir: str):
+    """Driver gate for continuous Iceberg→Delta replication +
+    checkpoint WRITE (``sf_dir`` unused): a 12-commit scratch
+    Iceberg table replicates one-Delta-commit-per-snapshot with
+    ``checkpoint_interval=5`` (parquet checkpoints at v5/v10 +
+    ``_last_checkpoint``), and the replica is read back THROUGH the
+    newest checkpoint. Golden oracle over the deterministic ids."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from ..iceberg.commit import append_snapshot, create_table
+    from .delta_log import latest_checkpoint, read_delta_log
+
+    work = tempfile.mkdtemp(prefix="delta_repl_")
+    ice_root = os.path.join(work, "ice")
+    os.makedirs(ice_root)
+    mp = create_table(ice_root, [("id", "long"), ("cat", "string")])
+    for i in range(12):
+        rel = f"data/f{i:03d}.parquet"
+        pq.write_table(
+            pa.table({
+                "id": pa.array(range(i * 5, i * 5 + 5), pa.int64()),
+                "cat": pa.array([f"c{i % 3}"] * 5, pa.string()),
+            }),
+            os.path.join(ice_root, rel),
+        )
+        mp = append_snapshot(mp, [{"path": rel, "partition": {}}])["metadata_path"]
+    target = os.path.join(work, "delta")
+    res = replicate_iceberg_to_delta(spark, mp, target, checkpoint_interval=5)
+    cp = latest_checkpoint(target)
+    return (
+        read_delta_log(spark, target)
+        .groupBy("cat")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("id").cast("long").alias("id_sum"),
+        )
+        .withColumn("n_versions", F.lit(res["n_versions"]).cast("long"))
+        .withColumn("n_checkpoints", F.lit(res["n_checkpoints"]).cast("long"))
+        .withColumn(
+            "checkpoint_version", F.lit(cp[0] if cp else -1).cast("long")
+        )
+        .orderBy("cat")
+    )
+
+
+DELTA_REPLICATE_SQL = """
+SELECT cat, CAST(n_rows AS BIGINT) AS n_rows, CAST(id_sum AS BIGINT) AS id_sum,
+       CAST(12 AS BIGINT) AS n_versions, CAST(2 AS BIGINT) AS n_checkpoints,
+       CAST(10 AS BIGINT) AS checkpoint_version
+FROM (VALUES ('c0', 20, 490), ('c1', 20, 590), ('c2', 20, 690))
+     t(cat, n_rows, id_sum)
+ORDER BY cat
+"""
+
+
+# ------------- FULL-FIDELITY Delta → Iceberg replication (r9):
+# one Iceberg commit per Delta version, REMOVES INCLUDED
+
+
+def replicate_delta_versions(
+    spark: SparkSession,
+    delta_root: str,
+    target_root: str,
+    *,
+    to_version: int | None = None,
+    table_uuid: str = "00000000-0000-0000-0000-00000000f005",
+) -> dict[str, Any]:
+    """Replay EVERY Delta version as its own Iceberg commit —
+    including versions that REMOVE files (the add-only limitation
+    `replicate_delta_stream` documents is gone here): a version's
+    ``add`` actions copy the parquet VERBATIM under the same
+    relative path (Delta keeps partition columns only in the log;
+    the Iceberg entry carries them as the identity-partition tuple
+    and `read_mor` restores them by constant folding — the
+    hive-import path), and its ``remove`` actions become the replace
+    commit's dropped targets. Mixed MERGE versions (add + remove)
+    land as ONE Iceberg snapshot, like the Delta commit they mirror.
+
+    The result preserves TIME TRAVEL fidelity: Iceberg snapshot
+    ``8000 + v`` reads exactly Delta version ``v`` (pytest pins
+    every version pair). Each snapshot's summary records its
+    ``delta-version``."""
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from ..iceberg.commit import append_snapshot
+    from ..iceberg.deletes import mor_entries_at
+    from ..iceberg.metadata import parse_metadata
+    from ..iceberg.rewrite_data import _replace_commit
+    from .delta_log import list_commits, replay_log
+
+    _, meta, head = replay_log(delta_root, to_version)
+    schema_fields = json.loads(meta["schemaString"])["fields"]
+    part_cols = meta.get("partitionColumns") or []
+    ice_fields = []
+    for i, f in enumerate(schema_fields, start=1):
+        t = _DELTA_TO_ICEBERG_TYPE.get(f["type"])
+        if t is None:
+            raise ValueError(f"unsupported Delta type {f['type']!r}")
+        ice_fields.append({"id": i, "name": f["name"], "required": False, "type": t})
+    by_name = {f["name"]: f["id"] for f in ice_fields}
+    spec_fields = [
+        {"name": c, "transform": "identity", "source-id": by_name[c],
+         "field-id": 1000 + i}
+        for i, c in enumerate(part_cols)
+    ]
+    os.makedirs(os.path.join(target_root, "metadata"))
+    os.makedirs(os.path.join(target_root, "data"))
+    meta0 = {
+        "format-version": 2,
+        "table-uuid": table_uuid,
+        "location": f"file://{os.path.abspath(target_root)}",
+        "last-sequence-number": 0,
+        "last-updated-ms": 1700000000000,
+        "last-column-id": len(ice_fields),
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": ice_fields}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {"replicated-from": "delta", "replication": "full-fidelity"},
+        "snapshots": [], "snapshot-log": [], "metadata-log": [],
+    }
+    mp = os.path.join(target_root, "v1.metadata.json")
+    with open(mp, "w") as f:
+        json.dump(meta0, f, indent=2)
+
+    def _copy_add(a: dict[str, Any]) -> dict[str, Any]:
+        rel = f"data/{a['path']}"
+        dst = os.path.join(target_root, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copyfile(os.path.join(delta_root, a["path"]), dst)
+        part = {c: (a.get("partitionValues") or {}).get(c) for c in part_cols}
+        return {"path": rel, "partition": part}
+
+    n_removed = 0
+    versions = [(v, p) for v, p in list_commits(delta_root) if v <= head]
+    for v, path in versions:
+        adds, removes = [], []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if action.get("add"):
+                    adds.append(action["add"])
+                if action.get("remove"):
+                    removes.append(action["remove"])
+        sid, ts = 8000 + v, 1700000000000 + (v + 1) * 1000
+        summary = {"delta-version": str(v)}
+        if removes:
+            imeta = parse_metadata(mp)
+            raw = json.loads(json.dumps(imeta.raw))
+            data, _dels = mor_entries_at(imeta, raw["current-snapshot-id"],
+                                         os.path.dirname(mp))
+            by_rel = {e["rel"]: e for e in data}
+            targets = {}
+            for r in removes:
+                rel = f"data/{r['path']}"
+                if rel not in by_rel:
+                    raise ValueError(
+                        f"Delta v{v} removes {r['path']!r}, not live in replica"
+                    )
+                targets[rel] = by_rel[rel]
+            new_entries = []
+            for a in adds:
+                e = _copy_add(a)
+                local = os.path.join(target_root, e["path"])
+                new_entries.append({
+                    "spec_id": 0,
+                    "spec_fields": _spec_fields_of(imeta),
+                    "entry": {
+                        "status": 1,
+                        "snapshot_id": sid,
+                        "sequence_number": None,
+                        "data_file": {
+                            "content": 0,
+                            "file_path": f"{raw['location']}/{e['path']}",
+                            "file_format": "PARQUET",
+                            "partition": e["partition"],
+                            "record_count": _pq.read_metadata(local).num_rows,
+                            "file_size_in_bytes": os.path.getsize(local),
+                            "lower_bounds": None,
+                            "upper_bounds": None,
+                            "equality_ids": None,
+                            "sort_order_id": None,
+                        },
+                    },
+                })
+            seq = raw.get("last-sequence-number", 0) + 1
+            res = _replace_commit(
+                mp, imeta, raw, os.path.dirname(mp), targets, new_entries,
+                sid, seq, ts, extra_summary=summary,
+            )
+            mp = res["metadata_path"]
+            n_removed += len(targets)
+        elif adds:
+            files = [_copy_add(a) for a in adds]
+            mp = append_snapshot(
+                mp, files, snapshot_id=sid, timestamp_ms=ts,
+                extra_summary=summary,
+            )["metadata_path"]
+    return {
+        "metadata_path": mp,
+        "table_root": target_root,
+        "n_versions": len(versions),
+        "n_removed_files": n_removed,
+        "head_delta_version": head,
+    }
+
+
+def _spec_fields_of(meta) -> list[tuple[str, int, str, str]]:
+    from ..iceberg.commit import _spec_partition_fields
+
+    return _spec_partition_fields(meta, meta.raw.get("default-spec-id", 0))
+
+
+def delta_replicate_full_rows(spark: SparkSession, sf_dir: str):
+    """Driver gate for FULL-FIDELITY replication (``sf_dir``
+    unused): replay the hand-built Delta fixture — adds, a MERGE
+    remove, a checkpointed version, a head remove — version-by-
+    version into an Iceberg replica, then roll up the replica HEAD
+    through the ICEBERG reader. Oracle: DuckDB replays the DELTA
+    transaction log in pure SQL (``DELTA_LOG_SQL``) — the two
+    engines cross the format boundary by entirely different code."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from ..iceberg.deletes import read_mor
+    from .delta_log import DELTA_FIXTURE
+
+    tgt = os.path.join(tempfile.mkdtemp(prefix="fullrepl_gate_"), "t")
+    res = replicate_delta_versions(spark, DELTA_FIXTURE, tgt)
+    return (
+        read_mor(spark, res["metadata_path"], 8000 + res["head_delta_version"])
+        .groupBy("cat")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("id").cast("long").alias("id_sum"),
+        )
+        .orderBy("cat")
+    )

@@ -365,3 +365,41 @@ def test_append_delta_commit_auto_checkpoint(tmp_path):
     assert latest_checkpoint(root)[0] == 6
     adds, _, v = replay_log(root)
     assert v == 6 and len(adds) == 7
+
+
+def test_full_fidelity_replication_every_version(spark, tmp_path):
+    """replicate_delta_versions: Iceberg snapshot 8000+v reads
+    exactly Delta version v — adds, the MERGE remove, and the head
+    remove all preserved; removed-file count and per-snapshot
+    delta-version summaries recorded."""
+    import json
+    import os
+
+    from iceberg_tools_spark.iceberg.deletes import read_mor
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+    from iceberg_tools_spark.sources.delta_log import (
+        DELTA_FIXTURE,
+        read_delta_log,
+    )
+    from iceberg_tools_spark.sources.migrate import replicate_delta_versions
+
+    tgt = str(tmp_path / "t")
+    res = replicate_delta_versions(spark, DELTA_FIXTURE, tgt)
+    assert res["n_versions"] == 4 and res["n_removed_files"] == 2
+    mp = res["metadata_path"]
+    for v in range(4):
+        delta = sorted(
+            (r.id, r.cat)
+            for r in read_delta_log(spark, DELTA_FIXTURE, v).collect()
+        )
+        ice = sorted(
+            (r.id, r.cat) for r in read_mor(spark, mp, 8000 + v).collect()
+        )
+        assert ice == delta, f"version {v} diverged"
+    raw = parse_metadata(mp).raw
+    summaries = {
+        s["snapshot-id"]: s.get("summary", {}) for s in raw["snapshots"]
+    }
+    assert summaries[8001]["delta-version"] == "1"
+    # replica files live under data/ mirroring the Delta rel paths
+    assert os.path.exists(os.path.join(tgt, "data", "cat=x", "f1.parquet"))

@@ -208,3 +208,27 @@ class TestMaterializedView:
             ).collect())
         )
         assert after_old_pointer == before
+
+    def test_state_expiry_keeps_referenced(self, spark, tmp_path):
+        """Superseded MV states GC like expired snapshots; the
+        states the newest metadata versions reference survive."""
+        import os
+
+        from iceberg_tools_spark.iceberg.deletes import MOR_DIR, MOR_METADATA
+        from iceberg_tools_spark.iceberg.ivm import (
+            expire_materialized_view_states,
+            read_materialized_view,
+            refresh_materialized_view,
+        )
+
+        root, res = self._mk(spark, tmp_path)
+        vmp = res["view_metadata_path"]
+        for sid in (2002, 2003, 2004):
+            vmp = refresh_materialized_view(
+                spark, vmp, MOR_METADATA, base_dir=MOR_DIR, to_snapshot=sid
+            )["view_metadata_path"]
+        out = expire_materialized_view_states(vmp, keep_last=2)
+        assert out["removed"] == ["data/state-2001", "data/state-2002"]
+        assert "data/state-2004" in out["kept"]
+        assert read_materialized_view(spark, vmp).count() > 0
+        assert not os.path.exists(os.path.join(root, "data", "state-2001"))

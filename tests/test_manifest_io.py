@@ -227,3 +227,31 @@ def test_orphan_age_gate_uses_walk_mtime(spark, tmp_path):
     assert res["orphans"] == [os.path.abspath(old)]
     assert res["too_young"] == [os.path.abspath(young)]
     assert os.path.exists(young) and not os.path.exists(old)
+
+
+def test_round9_window_order_pinned():
+    """The driver adjudicates the FIRST 50 registry entries; pin the
+    round-9 window head + size so an import reshuffle can't silently
+    spend the slots elsewhere."""
+    from iceberg_tools_spark import registry
+
+    keys = list(registry._REGISTRY)
+    assert keys[0] == "probe_double"
+    assert keys[1:6] == [
+        "view_ivm_roundtrip", "ann_pq_recall_check", "ann_ivfpq_recall_check",
+        "bpe_token_check", "dedup_semantic_check",
+    ]
+    assert keys[6:14] == [
+        "binpack_rewrite_roundtrip", "orphan_delete_roundtrip",
+        "scan_plan_pruned", "mor_live_rows", "view_roundtrip_rows",
+        "parquet_import_rows", "delta_log_rows", "dedup_substring_coverage",
+    ]
+    r4_cohort = {
+        "meta_files", "meta_manifest_entries", "meta_partitions",
+        "meta_snapshots", "meta_history", "q20_promo_part_shippers",
+        "funnel_view_click_purchase", "retention_day_n",
+        "dedup_ngram_jaccard", "embedding_norm_stats",
+        "token_count_histogram",
+    }
+    assert set(keys[14:25]) == r4_cohort
+    assert "delta_replicate_rows" not in keys[:50]  # past-window by design
