@@ -147,6 +147,28 @@ BASELINE_CAL.update(
     {k: round(v / _R8B_CALIBRATION, 3) for k, v in _R8B_RAW.items()}
 )
 
+# Round-9 pins: the queries that joined the headline set in round 9,
+# from the clean end-of-round-9 bench run's FIRST-RUN raws at that
+# run's calibration (0.968 s). dedup_substring_coverage is RE-pinned
+# at its post-localCheckpoint level (VERDICT r8 #9: the grams
+# subtree no longer evaluates twice — 5.5 → 4.0 s raw), and
+# orphan_delete_roundtrip gets its first pin (it predates r9 but
+# never sat in the headline set; its listing is now a Spark job).
+_R9_CALIBRATION = 0.968
+_R9_RAW = {
+    "view_ivm_roundtrip": 3.880,
+    "ann_ivfpq_recall_check": 6.280,
+    "bpe_token_check": 1.532,
+    "dedup_semantic_check": 3.403,
+    "delta_replicate_rows": 0.572,
+    "delta_replicate_full_rows": 0.872,
+    "orphan_delete_roundtrip": 1.850,
+    "dedup_substring_coverage": 4.045,
+}
+BASELINE_CAL.update(
+    {k: round(v / _R9_CALIBRATION, 3) for k, v in _R9_RAW.items()}
+)
+
 # headline set: one representative per operator family; grows as
 # batteries land. Every name must exist in registry.queries().
 HEADLINE = [
@@ -234,6 +256,17 @@ HEADLINE = [
     "binpack_rewrite_roundtrip",
     "spec_evolution_write",
     "dedup_substring_coverage",
+    # round-9 breadth: materialized-view IVM, the rows-only quality
+    # gates' certified companions, Delta checkpointed replication
+    # (both directions), orphan execution over the distributed
+    # listing
+    "view_ivm_roundtrip",
+    "ann_ivfpq_recall_check",
+    "bpe_token_check",
+    "dedup_semantic_check",
+    "delta_replicate_rows",
+    "delta_replicate_full_rows",
+    "orphan_delete_roundtrip",
 ]
 
 

@@ -1801,3 +1801,53 @@ def create_table(
 
     write_version_hint(path)
     return path
+
+
+def update_table_properties(
+    metadata_path: str,
+    *,
+    set_props: dict[str, str] | None = None,
+    unset: list[str] | None = None,
+    base_dir: str | None = None,
+    timestamp_ms: int | None = None,
+) -> dict[str, Any]:
+    """ALTER TABLE SET/UNSET TBLPROPERTIES: a properties-only
+    metadata commit — no snapshot, the previous metadata file is
+    logged in ``metadata-log`` and a stale ``version-hint.text`` is
+    refreshed, exactly like a data commit's metadata tail. Returns
+    ``{"metadata_path", "properties"}``."""
+    if not set_props and not unset:
+        raise ValueError("update_table_properties with no changes")
+    base_dir = base_dir or os.path.dirname(metadata_path)
+    meta = parse_metadata(metadata_path)
+    raw = json.loads(json.dumps(meta.raw))
+    loc = raw.get("location")
+    table_root = (
+        base_dir
+        if os.path.isdir(os.path.join(base_dir, "metadata"))
+        else os.path.dirname(base_dir)
+    )
+    props = dict(raw.get("properties") or {})
+    for k in unset or []:
+        props.pop(k, None)
+    props.update(set_props or {})
+    raw["properties"] = props
+    if timestamp_ms is None:
+        timestamp_ms = raw.get("last-updated-ms", 0) + 1000
+    raw["last-updated-ms"] = timestamp_ms
+    raw.setdefault("metadata-log", []).append(
+        {"timestamp-ms": timestamp_ms,
+         "metadata-file": _canonical_metadata_uri(metadata_path, table_root, loc)}
+    )
+    new_path = _next_metadata_path(metadata_path, 0)
+    with open(new_path, "w") as f:
+        json.dump(raw, f, indent=2)
+    hint = os.path.join(os.path.dirname(new_path), "version-hint.text")
+    if os.path.exists(hint):
+        from .catalog import write_version_hint
+
+        try:
+            write_version_hint(new_path)
+        except ValueError:
+            pass  # non-vN layout: the listing fallback resolves it
+    return {"metadata_path": new_path, "properties": props}

@@ -494,3 +494,109 @@ SELECT made_current_at, snapshot_id,
 FROM log
 ORDER BY made_current_at
 """
+
+
+METADATA_LOG_SCHEMA = T.StructType([
+    T.StructField("timestamp_ms", T.LongType()),
+    T.StructField("file_name", T.StringType()),
+    T.StructField("latest_snapshot_id", T.LongType()),
+    T.StructField("latest_schema_id", T.LongType()),
+    T.StructField("latest_sequence_number", T.LongType()),
+    T.StructField("is_current", T.BooleanType()),
+])
+
+
+def metadata_log_df(
+    spark: SparkSession, metadata_path: str, base_dir: str | None = None
+) -> DataFrame:
+    """$metadata_log_entries metadata-table analog: one row per
+    ``metadata-log`` entry plus the CURRENT file, each logged
+    metadata file parsed for the state it froze (current snapshot /
+    schema / sequence number at that version) — KB driver metadata,
+    like real Iceberg's MetadataLogEntriesTable."""
+    import os as _os
+
+    from .metadata import parse_metadata
+    from .snapshots import _local
+
+    base_dir = base_dir or _os.path.dirname(metadata_path)
+    meta = parse_metadata(metadata_path)
+    raw = meta.raw
+    loc = raw.get("location")
+
+    def state(path: str):
+        try:
+            r = parse_metadata(path).raw
+        except (OSError, ValueError):
+            return (None, None, None)
+        return (
+            r.get("current-snapshot-id"),
+            r.get("current-schema-id", 0),
+            r.get("last-sequence-number", 0),
+        )
+
+    rows = []
+    for e in raw.get("metadata-log", []):
+        local = _local(e["metadata-file"], base_dir, loc)
+        sid, sch, seq = state(local)
+        rows.append(
+            (e.get("timestamp-ms"), _os.path.basename(e["metadata-file"]),
+             sid, sch, seq, False)
+        )
+    rows.append(
+        (raw.get("last-updated-ms"), _os.path.basename(metadata_path),
+         raw.get("current-snapshot-id"), raw.get("current-schema-id", 0),
+         raw.get("last-sequence-number", 0), True)
+    )
+    return spark.createDataFrame(rows, METADATA_LOG_SCHEMA)
+
+
+def meta_metadata_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate (``sf_dir`` unused): CREATE TABLE → three appends
+    → SET TBLPROPERTIES → UNSET — the $metadata_log_entries view of
+    the resulting five-version chain, deterministic timestamps.
+    Golden oracle."""
+    import os as _os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .commit import append_snapshot, create_table, update_table_properties
+
+    root = _os.path.join(tempfile.mkdtemp(prefix="meta_log_"), "t")
+    _os.makedirs(root)
+    mp = create_table(root, [("id", "long"), ("cat", "string")])
+    for i in range(3):
+        rel = f"data/f{i}.parquet"
+        pq.write_table(
+            pa.table({"id": pa.array(range(i * 5, i * 5 + 5), pa.int64()),
+                      "cat": pa.array(["x"] * 5, pa.string())}),
+            _os.path.join(root, rel),
+        )
+        mp = append_snapshot(mp, [{"path": rel, "partition": {}}])["metadata_path"]
+    mp = update_table_properties(mp, set_props={"owner": "gate", "k": "v"})[
+        "metadata_path"
+    ]
+    mp = update_table_properties(mp, unset=["k"])["metadata_path"]
+    return metadata_log_df(spark, mp).orderBy("timestamp_ms", "file_name")
+
+
+META_METADATA_LOG_SQL = """
+SELECT * FROM (VALUES
+  (CAST(1000 AS BIGINT), 'v1.metadata.json', CAST(NULL AS BIGINT),
+   CAST(0 AS BIGINT), CAST(0 AS BIGINT), FALSE),
+  (CAST(2000 AS BIGINT), 'v2.metadata.json', CAST(1 AS BIGINT),
+   CAST(0 AS BIGINT), CAST(1 AS BIGINT), FALSE),
+  (CAST(3000 AS BIGINT), 'v3.metadata.json', CAST(2 AS BIGINT),
+   CAST(0 AS BIGINT), CAST(2 AS BIGINT), FALSE),
+  (CAST(4000 AS BIGINT), 'v4.metadata.json', CAST(3 AS BIGINT),
+   CAST(0 AS BIGINT), CAST(3 AS BIGINT), FALSE),
+  (CAST(5000 AS BIGINT), 'v5.metadata.json', CAST(3 AS BIGINT),
+   CAST(0 AS BIGINT), CAST(3 AS BIGINT), FALSE),
+  (CAST(5000 AS BIGINT), 'v6.metadata.json', CAST(3 AS BIGINT),
+   CAST(0 AS BIGINT), CAST(3 AS BIGINT), TRUE)
+) t(timestamp_ms, file_name, latest_snapshot_id, latest_schema_id,
+    latest_sequence_number, is_current)
+ORDER BY timestamp_ms, file_name
+"""

@@ -338,6 +338,17 @@ register(
     _w_migrate.delta_replicate_full_rows,
     _w_delta.DELTA_LOG_SQL,
 )
+# BM25 retrieval scoring (r9 newcomer past the window; certified
+# surface is integer-exact rank/tf/dl — the double score stays
+# internal because cross-engine float SUMS are ULP-order-dependent)
+from .operators import bm25 as _bm25_ops  # noqa: E402
+
+register("bm25_topk", _bm25_ops.bm25_topk, _bm25_ops.BM25_TOPK_SQL)
+# $metadata_log_entries over a create→append×3→SET/UNSET
+# TBLPROPERTIES chain (r9 newcomer past the window)
+register(
+    "meta_metadata_log", _w_tables.meta_metadata_log, _w_tables.META_METADATA_LOG_SQL
+)
 
 # ------------------- 2-3: FIRST CERTIFICATION of the r7 newcomers
 # incremental statistics maintenance: theta union over ONLY the

@@ -846,3 +846,35 @@ def test_create_table_api(spark, tmp_path):
     with pytest.raises(ValueError, match="not in schema"):
         create_table(str(tmp_path / "bad"),
                      [("id", "long")], partition_by=[("x", "identity", "nope")])
+
+
+def test_update_table_properties_roundtrip(spark, tmp_path):
+    """SET/UNSET TBLPROPERTIES: properties-only metadata commits —
+    no snapshot added, metadata-log extended, catalog resolution
+    follows the new version."""
+    import json
+    import os
+
+    from iceberg_tools_spark.iceberg.catalog import current_metadata_path
+    from iceberg_tools_spark.iceberg.commit import (
+        create_table,
+        update_table_properties,
+    )
+
+    wh = str(tmp_path / "wh")
+    root = os.path.join(wh, "db", "t")
+    os.makedirs(root)
+    mp = create_table(root, [("id", "long")], properties={"a": "1"})
+    r1 = update_table_properties(mp, set_props={"b": "2"})
+    assert r1["properties"] == {"a": "1", "b": "2"}
+    r2 = update_table_properties(r1["metadata_path"], unset=["a"])
+    assert r2["properties"] == {"b": "2"}
+    raw = json.load(open(r2["metadata_path"]))
+    assert raw["snapshots"] == []  # properties commits add no snapshot
+    assert len(raw["metadata-log"]) == 2
+    assert current_metadata_path(wh, "db.t") == r2["metadata_path"]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="no changes"):
+        update_table_properties(r2["metadata_path"])

@@ -72,3 +72,63 @@ def test_flac_garbage_rejected_not_crashed(payload):
             continue
         except Exception as e:  # pragma: no cover
             pytest.fail(f"unexpected {type(e).__name__}: {e}")
+
+
+# ---- Avro container round-trip (r9): the writer/reader pair that
+# every manifest in the engine flows through
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.one_of(st.none(), st.text(max_size=40)),
+            st.one_of(st.none(), st.binary(max_size=32)),
+            st.booleans(),
+        ),
+        max_size=25,
+    ),
+)
+def test_avro_container_roundtrip_property(rows):
+    """write_container(reader(write_container(x))) is the identity
+    for a schema shaped like a manifest entry (long + nullable
+    string + nullable bytes + bool), at any row count including 0."""
+    from iceberg_tools_spark.avro.reader import AvroContainerFile
+    from iceberg_tools_spark.avro.writer import write_container
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"], "default": None},
+            {"name": "c", "type": ["null", "bytes"], "default": None},
+            {"name": "d", "type": "boolean"},
+        ],
+    }
+    recs = [{"a": a, "b": b, "c": c, "d": d} for a, b, c, d in rows]
+    blob = write_container(schema, recs)
+    got = list(AvroContainerFile(blob))
+    assert got == recs
+    # byte-determinism: same records → same container bytes
+    assert write_container(schema, recs) == blob
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=2**31 - 1),
+                  min_size=0, max_size=200),
+)
+def test_roaring_python_equals_numpy_property(vals):
+    """The portable Roaring u64 codec round-trips arbitrary
+    position sets (duplicates collapse, order-free)."""
+    from iceberg_tools_spark.iceberg.roaring import (
+        deserialize_u64,
+        serialize_u64,
+    )
+
+    positions = sorted(set(vals))
+    blob = serialize_u64(positions)
+    got, _ = deserialize_u64(blob)
+    assert got == positions
