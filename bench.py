@@ -267,6 +267,12 @@ HEADLINE = [
     "delta_replicate_rows",
     "delta_replicate_full_rows",
     "orphan_delete_roundtrip",
+    # round-9 (cont.): perceptual image/audio dedup over the real
+    # decoders, BM25 retrieval, $metadata_log_entries
+    "dedup_images_dhash",
+    "dedup_audio_afp",
+    "bm25_topk",
+    "meta_metadata_log",
 ]
 
 

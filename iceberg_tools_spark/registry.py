@@ -349,6 +349,19 @@ register("bm25_topk", _bm25_ops.bm25_topk, _bm25_ops.BM25_TOPK_SQL)
 register(
     "meta_metadata_log", _w_tables.meta_metadata_log, _w_tables.META_METADATA_LOG_SQL
 )
+# perceptual IMAGE dedup: dHash over really-decoded pixels (BMP/PNG
+# re-encode at Hamming 0, patched copy within threshold), banded
+# Hamming join — the SimHash shape on the multimodal battery
+from .operators import image_dedup as _img_dedup  # noqa: E402
+
+register(
+    "dedup_images_dhash", _img_dedup.dedup_images_dhash, _img_dedup.DEDUP_IMAGES_SQL
+)
+# perceptual AUDIO dedup: spectral-band fingerprint over really-
+# decoded WAV/FLAC samples, same banded Hamming join
+from .operators import audio_dedup as _aud_dedup  # noqa: E402
+
+register("dedup_audio_afp", _aud_dedup.dedup_audio_afp, _aud_dedup.DEDUP_AUDIO_SQL)
 
 # ------------------- 2-3: FIRST CERTIFICATION of the r7 newcomers
 # incremental statistics maintenance: theta union over ONLY the

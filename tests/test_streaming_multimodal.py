@@ -622,3 +622,83 @@ def test_jpeg_420_subsampled_roundtrip_is_real():
     # 4:2:2 (2x1) decodes too: hand-build via the generic encoder
     # path is 444/420 only, so pin the decoder contract on 420 MCU
     # geometry instead: odd dims exercise partial MCUs above.
+
+
+# ---- perceptual image dedup (r9) ---------------------------------
+
+
+def test_dhash_invariant_under_reencode_and_patch(spark):
+    """dHash collapses a PNG re-encode to Hamming 0 and keeps a
+    localized patch within the near-dup threshold, while distinct
+    md5-noise images stay far apart (no cross-group pairs)."""
+    from iceberg_tools_spark.operators.image_dedup import (
+        HAMMING_NEAR_DUP,
+        image_dhash_df,
+        make_image_corpus,
+        near_dup_image_pairs,
+    )
+
+    corpus = make_image_corpus(spark, n_groups=8)
+    hashed = image_dhash_df(corpus).localCheckpoint()
+    rows = {(r.group_id, r.variant): r.dhash for r in hashed.collect()}
+    for g in range(8):
+        assert rows[(g, "bmp")] == rows[(g, "png")]  # re-encode: identical
+        patch_ham = bin(rows[(g, "bmp")] ^ rows[(g, "patch")]).count("1")
+        assert patch_ham <= HAMMING_NEAR_DUP
+    pairs = near_dup_image_pairs(hashed)
+    by_group = {r.item_id: r.group_id for r in hashed.select(
+        "item_id", "group_id").collect()}
+    for r in pairs.collect():
+        assert by_group[r.ia] == by_group[r.ib]  # zero cross-group
+
+
+def test_dhash_kernel_deterministic_and_pure_numpy():
+    """Same pixels → same hash; different pixels → different hash
+    (whp); the kernel is integer-only numpy."""
+    import numpy as np
+
+    from iceberg_tools_spark.operators.image_dedup import _md5_pixels, dhash64
+
+    a = _md5_pixels("x", 24, 32)
+    b = _md5_pixels("y", 24, 32)
+    assert dhash64(a) == dhash64(a.copy())
+    assert dhash64(a) != dhash64(b)
+    # brightness-invariance: a uniform shift flips no comparison
+    shifted = np.clip(a.astype(np.int16) + 5, 0, 250).astype(np.uint8)
+    ham = bin(dhash64(a) ^ dhash64(np.clip(a.astype(np.int16) + 5, 0, 255).astype(np.uint8))).count("1")
+    assert ham <= 6
+
+
+def test_audio_fingerprint_invariances(spark):
+    """Spectral fingerprint: lossless FLAC re-encode hashes
+    identically, uniform gain is (near-)invariant, additive noise
+    stays within the near-dup threshold, different melodies are far
+    apart."""
+    import numpy as np
+
+    from iceberg_tools_spark.operators.audio_dedup import (
+        AUDIO_HAMMING_NEAR_DUP,
+        afp64,
+        audio_fingerprint_df,
+        make_audio_corpus,
+    )
+
+    corpus = make_audio_corpus(spark, n_groups=6)
+    hashed = {(r.group_id, r.variant): r.afp
+              for r in audio_fingerprint_df(corpus).collect()}
+    for g in range(6):
+        assert hashed[(g, "wav")] == hashed[(g, "flac")]
+        ham = bin(hashed[(g, "wav")] ^ hashed[(g, "halfgain")]).count("1")
+        assert ham <= AUDIO_HAMMING_NEAR_DUP
+    # a non-integer float gain (0.77×) is also fingerprint-invariant
+    # — the derivative SIGNS survive any uniform scale
+    rate, n = 16000, 4096
+    t = np.arange(n, dtype=np.float64) / rate
+    base = (0.3 * np.sin(2 * np.pi * 440 * t)
+            + 0.2 * np.sin(2 * np.pi * 1313 * t)).astype(np.float32)[:, None]
+    ham = bin(afp64(base, rate) ^ afp64(base * np.float32(0.77), rate)).count("1")
+    assert ham <= AUDIO_HAMMING_NEAR_DUP
+    # two different corpora members are far apart
+    a = hashed[(0, "wav")]
+    b = hashed[(1, "wav")]
+    assert bin(a ^ b).count("1") > AUDIO_HAMMING_NEAR_DUP
