@@ -169,6 +169,20 @@ BASELINE_CAL.update(
     {k: round(v / _R9_CALIBRATION, 3) for k, v in _R9_RAW.items()}
 )
 
+# Late-round-9 gates (perceptual image/audio dedup, BM25,
+# $metadata_log_entries), pinned from the FINAL round-9 idle bench
+# run's first-run raws at that run's calibration (0.868 s).
+_R9B_CALIBRATION = 0.868
+_R9B_RAW = {
+    "dedup_images_dhash": 1.189,
+    "dedup_audio_afp": 1.245,
+    "bm25_topk": 2.180,
+    "meta_metadata_log": 0.627,
+}
+BASELINE_CAL.update(
+    {k: round(v / _R9B_CALIBRATION, 3) for k, v in _R9B_RAW.items()}
+)
+
 # headline set: one representative per operator family; grows as
 # batteries land. Every name must exist in registry.queries().
 HEADLINE = [
