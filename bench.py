@@ -285,6 +285,7 @@ HEADLINE = [
     # decoders, BM25 retrieval, $metadata_log_entries
     "dedup_images_dhash",
     "dedup_audio_afp",
+    "dedup_videos_framehash",
     "bm25_topk",
     "meta_metadata_log",
 ]

@@ -99,12 +99,19 @@ def banded_hamming_pairs(
     hash_col: str = "dhash",
     id_col: str = "item_id",
     max_hamming: int = HAMMING_NEAR_DUP,
+    n_bands: int = N_BANDS,
 ) -> DataFrame:
     """(ia, ib, hamming) candidate pairs over any 64-bit
-    fingerprint column: 4 × 16-bit bands as JVM expressions,
-    candidates only within a matching band's bucket, verified with
-    exact ``bit_count(a ^ b)`` — the dedup_simhash join shape,
-    shared by the image (dHash) and audio (spectral) dedupers."""
+    fingerprint column: ``n_bands`` equal-width bands as JVM
+    expressions, candidates only within a matching band's bucket,
+    verified with exact ``bit_count(a ^ b)`` — the dedup_simhash
+    join shape, shared by the image (dHash), audio (spectral), and
+    video (frame-vote) dedupers. Pigeonhole guarantees a candidate
+    up to ``n_bands - 1`` differing bits; pick more, narrower bands
+    when the near-dup threshold admits wider flips (video uses
+    8 × 8-bit)."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
     bands = hashed.select(
         F.col(id_col).alias("_id"),
         F.col(hash_col).alias("_h"),
@@ -113,11 +120,11 @@ def banded_hamming_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright(hash_col, 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(hash_col, width * i)
+                        .bitwiseAND(F.lit(mask))
                         .alias("bval"),
                     )
-                    for i in range(N_BANDS)
+                    for i in range(n_bands)
                 ]
             )
         ).alias("bb"),

@@ -214,25 +214,33 @@ def build_mp4(
     fps: int = 6,
     codec: str = "avc1",
     seed: int = 0,
+    samples: list[bytes] | None = None,
 ) -> bytes:
     """Minimal VALID single-video-track MP4 fixture: real box
-    structure + sample tables over an ``mdat`` of deterministic
-    fake sample payloads (md5-free: a seeded LCG keeps it cheap).
+    structure + sample tables over an ``mdat``. Sample payloads are
+    deterministic LCG fakes by default; pass ``samples`` to carry
+    REAL frame payloads instead (e.g. JPEG frames → an MJPEG-style
+    track whose samples decode for real — `video_dedup` uses this).
     Two chunks with different samples-per-chunk exercise the stsc
     run expansion."""
 
     def box(fourcc: bytes, body: bytes) -> bytes:
         return struct.pack(">I", 8 + len(body)) + fourcc + body
 
-    # deterministic sample payloads of varying size
-    state = seed * 2654435761 % (1 << 32) or 1
-    sizes = []
-    blobs = []
-    for i in range(n_samples):
-        state = (1103515245 * state + 12345) % (1 << 31)
-        size = 20 + state % 60
-        sizes.append(size)
-        blobs.append(bytes((state >> (j % 13)) & 0xFF for j in range(size)))
+    if samples is not None:
+        n_samples = len(samples)
+        blobs = [bytes(s) for s in samples]
+        sizes = [len(b) for b in blobs]
+    else:
+        # deterministic fake sample payloads of varying size
+        state = seed * 2654435761 % (1 << 32) or 1
+        sizes = []
+        blobs = []
+        for i in range(n_samples):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            size = 20 + state % 60
+            sizes.append(size)
+            blobs.append(bytes((state >> (j % 13)) & 0xFF for j in range(size)))
     # chunk 1: 2 samples per chunk for the first 2 chunks; rest 3/chunk
     chunking = []
     i = 0

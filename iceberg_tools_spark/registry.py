@@ -362,6 +362,15 @@ register(
 from .operators import audio_dedup as _aud_dedup  # noqa: E402
 
 register("dedup_audio_afp", _aud_dedup.dedup_audio_afp, _aud_dedup.DEDUP_AUDIO_SQL)
+# perceptual VIDEO dedup: per-frame dHash over an MJPEG-style MP4
+# track (real box walk + real JPEG decode), frame-vote clip pairs
+from .operators import video_dedup as _vid_dedup  # noqa: E402
+
+register(
+    "dedup_videos_framehash",
+    _vid_dedup.dedup_videos_framehash,
+    _vid_dedup.DEDUP_VIDEOS_SQL,
+)
 
 # ------------------- 2-3: FIRST CERTIFICATION of the r7 newcomers
 # incremental statistics maintenance: theta union over ONLY the

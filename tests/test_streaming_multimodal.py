@@ -643,7 +643,7 @@ def test_dhash_invariant_under_reencode_and_patch(spark):
     rows = {(r.group_id, r.variant): r.dhash for r in hashed.collect()}
     for g in range(8):
         assert rows[(g, "bmp")] == rows[(g, "png")]  # re-encode: identical
-        patch_ham = bin(rows[(g, "bmp")] ^ rows[(g, "patch")]).count("1")
+        patch_ham = bin((rows[(g, "bmp")] ^ rows[(g, "patch")]) & ((1 << 64) - 1)).count("1")
         assert patch_ham <= HAMMING_NEAR_DUP
     pairs = near_dup_image_pairs(hashed)
     by_group = {r.item_id: r.group_id for r in hashed.select(
@@ -664,8 +664,9 @@ def test_dhash_kernel_deterministic_and_pure_numpy():
     assert dhash64(a) == dhash64(a.copy())
     assert dhash64(a) != dhash64(b)
     # brightness-invariance: a uniform shift flips no comparison
-    shifted = np.clip(a.astype(np.int16) + 5, 0, 250).astype(np.uint8)
-    ham = bin(dhash64(a) ^ dhash64(np.clip(a.astype(np.int16) + 5, 0, 255).astype(np.uint8))).count("1")
+    m64 = (1 << 64) - 1
+    ham = bin((dhash64(a) ^ dhash64(
+        np.clip(a.astype(np.int16) + 5, 0, 255).astype(np.uint8))) & m64).count("1")
     assert ham <= 6
 
 
@@ -688,7 +689,7 @@ def test_audio_fingerprint_invariances(spark):
               for r in audio_fingerprint_df(corpus).collect()}
     for g in range(6):
         assert hashed[(g, "wav")] == hashed[(g, "flac")]
-        ham = bin(hashed[(g, "wav")] ^ hashed[(g, "halfgain")]).count("1")
+        ham = bin((hashed[(g, "wav")] ^ hashed[(g, "halfgain")]) & ((1 << 64) - 1)).count("1")
         assert ham <= AUDIO_HAMMING_NEAR_DUP
     # a non-integer float gain (0.77×) is also fingerprint-invariant
     # — the derivative SIGNS survive any uniform scale
@@ -696,9 +697,60 @@ def test_audio_fingerprint_invariances(spark):
     t = np.arange(n, dtype=np.float64) / rate
     base = (0.3 * np.sin(2 * np.pi * 440 * t)
             + 0.2 * np.sin(2 * np.pi * 1313 * t)).astype(np.float32)[:, None]
-    ham = bin(afp64(base, rate) ^ afp64(base * np.float32(0.77), rate)).count("1")
+    ham = bin((afp64(base, rate) ^ afp64(base * np.float32(0.77), rate))
+              & ((1 << 64) - 1)).count("1")
     assert ham <= AUDIO_HAMMING_NEAR_DUP
     # two different corpora members are far apart
     a = hashed[(0, "wav")]
     b = hashed[(1, "wav")]
-    assert bin(a ^ b).count("1") > AUDIO_HAMMING_NEAR_DUP
+    assert bin((a ^ b) & ((1 << 64) - 1)).count("1") > AUDIO_HAMMING_NEAR_DUP
+
+
+def test_video_framehash_invariances(spark):
+    """Per-frame dHash over MJPEG-MP4: a container re-box of the
+    same frame bytes hashes identically frame-for-frame; a JPEG
+    quality re-compress stays within the frame threshold for ≥60%
+    of frames in every group; frame-vote pairs never cross groups."""
+    from iceberg_tools_spark.operators.video_dedup import (
+        FRAME_HAMMING,
+        MIN_FRAME_MATCH_FRAC,
+        N_FRAMES,
+        make_video_corpus,
+        near_dup_video_pairs,
+        video_frame_hashes,
+    )
+
+    corpus = make_video_corpus(spark, n_groups=4)
+    frames = video_frame_hashes(corpus).localCheckpoint()
+    byk = {(r.group_id, r.variant, r.frame_idx): r.fhash
+           for r in frames.collect()}
+    M = (1 << 64) - 1
+    for g in range(4):
+        matched = 0
+        for i in range(N_FRAMES):
+            assert byk[(g, "orig", i)] == byk[(g, "rebox", i)]
+            ham = bin((byk[(g, "orig", i)] ^ byk[(g, "requal", i)]) & M).count("1")
+            matched += ham <= FRAME_HAMMING
+        assert matched >= MIN_FRAME_MATCH_FRAC * N_FRAMES
+    pairs = near_dup_video_pairs(frames)
+    grp = {r.item_id: r.group_id
+           for r in frames.select("item_id", "group_id").distinct().collect()}
+    got = pairs.collect()
+    assert got and all(grp[r.ia] == grp[r.ib] for r in got)
+
+
+def test_build_mp4_real_samples_roundtrip():
+    """build_mp4(samples=...) carries caller payloads byte-exactly
+    through the sample tables."""
+    from iceberg_tools_spark.operators.media_containers import (
+        build_mp4,
+        mp4_sample_bytes,
+        parse_mp4,
+    )
+
+    blobs = [bytes([i]) * (10 + i) for i in range(7)]
+    p = build_mp4(codec="jpeg", width=8, height=8, samples=blobs)
+    meta = parse_mp4(p)
+    (track,) = [t for t in meta["tracks"] if t["handler"] == "vide"]
+    got = [b for _, b in mp4_sample_bytes(p, track, every_n=1)]
+    assert got == blobs
