@@ -179,6 +179,10 @@ _R9B_RAW = {
     "bm25_topk": 2.180,
     "meta_metadata_log": 0.627,
 }
+# video frame-hash voting joined last (measured at calibration
+# 0.893 in the final end-of-round run; normalized to this block's
+# basis for one fewer constant)
+_R9B_RAW["dedup_videos_framehash"] = round(1.921 * _R9B_CALIBRATION / 0.893, 3)
 BASELINE_CAL.update(
     {k: round(v / _R9B_CALIBRATION, 3) for k, v in _R9B_RAW.items()}
 )
@@ -639,6 +643,41 @@ def _metadata_scale_unselective(spark) -> dict:
     out["speedup_at_20k"] = round(
         big["plan_sec_driver"] / max(big["plan_sec_distributed"], 1e-9), 2
     )
+    return out
+
+
+def _perceptual_scale_evidence(spark) -> dict:
+    """Scale posture of the round-9 perceptual dedupers: the image
+    corpus at 1× (16 groups / 48 images) and 8× (128 groups / 384
+    images) — pair counts must stay exactly 3-per-group (the banded
+    join generates candidates within buckets only; no quadratic
+    blow-up) and wall should grow near-linearly (the Arrow
+    decode+hash pass dominates and is embarrassingly parallel)."""
+    from iceberg_tools_spark.operators.image_dedup import (
+        dhash64,  # noqa: F401 (import check)
+        image_dhash_df,
+        make_image_corpus,
+        near_dup_image_pairs,
+    )
+
+    # warm-up: the first pass pays one-time Arrow/python-worker AND
+    # join-codegen setup that is not hashing cost — run the full 1×
+    # pipeline once untimed
+    near_dup_image_pairs(
+        image_dhash_df(make_image_corpus(spark, 16)).localCheckpoint()
+    ).count()
+    out = {}
+    for label, n_groups in (("1x", 16), ("8x", 128)):
+        t0 = time.perf_counter()
+        hashed = image_dhash_df(make_image_corpus(spark, n_groups)).localCheckpoint()
+        pairs = near_dup_image_pairs(hashed).count()
+        out[label] = {
+            "n_images": n_groups * 3,
+            "n_pairs": pairs,
+            "pairs_per_group_exact": pairs == n_groups * 3,
+            "sec": round(time.perf_counter() - t0, 3),
+        }
+    out["wall_ratio_at_8x"] = round(out["8x"]["sec"] / max(out["1x"]["sec"], 1e-9), 2)
     return out
 
 
@@ -1266,6 +1305,7 @@ def main() -> None:
     ivm_scale = None
     import_scale = None
     orphan_scale = None
+    perceptual_scale = None
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALE"):
         try:
             metadata_scale = _metadata_scale_evidence(spark)
@@ -1275,6 +1315,10 @@ def main() -> None:
             orphan_scale = _orphan_scale_evidence(spark)
         except Exception as exc:  # pragma: no cover - defensive
             orphan_scale = {"error": f"{type(exc).__name__}: {exc}"}
+        try:
+            perceptual_scale = _perceptual_scale_evidence(spark)
+        except Exception as exc:  # pragma: no cover - defensive
+            perceptual_scale = {"error": f"{type(exc).__name__}: {exc}"}
         try:
             dv_scale = _dv_scale_evidence()
         except Exception as exc:  # pragma: no cover - defensive
@@ -1322,6 +1366,7 @@ def main() -> None:
         "scale_evidence": scale_evidence,
         "metadata_scale": metadata_scale,
         "orphan_scale": orphan_scale,
+        "perceptual_scale": perceptual_scale,
         "dv_scale": dv_scale,
         "rewrite_scale": rewrite_scale,
         "stats_scale": stats_scale,
