@@ -371,6 +371,15 @@ register(
     _vid_dedup.dedup_videos_framehash,
     _vid_dedup.DEDUP_VIDEOS_SQL,
 )
+# streaming × multimodal: dHash intake dedup over an image STREAM
+# (stream == batch pinned in-query; min-id survivor aggregation)
+from .streaming import media as _stream_media  # noqa: E402
+
+register(
+    "media_stream_dedup_rows",
+    _stream_media.media_stream_dedup_rows,
+    _stream_media.MEDIA_STREAM_DEDUP_SQL,
+)
 
 # ------------------- 2-3: FIRST CERTIFICATION of the r7 newcomers
 # incremental statistics maintenance: theta union over ONLY the

@@ -754,3 +754,29 @@ def test_build_mp4_real_samples_roundtrip():
     (track,) = [t for t in meta["tracks"] if t["handler"] == "vide"]
     got = [b for _, b in mp4_sample_bytes(p, track, every_n=1)]
     assert got == blobs
+
+
+def test_media_stream_intake_equals_batch(spark, tmp_path):
+    """The streaming dHash intake produces the identical survivor
+    set as the same plan run in batch, across several micro-batches."""
+    from iceberg_tools_spark.streaming.media import (
+        media_intake_survivors,
+        media_stream,
+        stage_image_corpus,
+    )
+
+    staging = stage_image_corpus(spark, str(tmp_path), n_groups=6, n_shards=3)
+    q = (
+        media_intake_survivors(media_stream(spark, staging))
+        .writeStream.format("memory")
+        .queryName("t_media_intake")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.table("t_media_intake").collect()))
+    want = sorted(map(tuple, media_intake_survivors(
+        spark.read.parquet(staging)).collect()))
+    assert got == want and len(got) >= 6
+    spark.catalog.dropTempView("t_media_intake")
