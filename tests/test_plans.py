@@ -316,3 +316,43 @@ def test_plan_scan_distributed_is_rdd_scan(spark, monkeypatch):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ExistingRDD" in plan
     assert df.count() > 0
+
+
+def test_perceptual_dedup_plans_no_cartesian(spark):
+    """The image/audio/video dedupers must join only through band
+    buckets (equi-join) — never a cartesian — and keep exactly one
+    Arrow eval (the decode+hash kernel) in the plan."""
+    from iceberg_tools_spark.operators.image_dedup import (
+        image_dhash_df,
+        make_image_corpus,
+        near_dup_image_pairs,
+    )
+
+    # the gates localCheckpoint the hash frame so the Arrow
+    # decode+hash kernel evaluates ONCE and the self-join reads the
+    # materialized hashes (the dedup_clusters edge-DAG lesson)
+    hashed = image_dhash_df(make_image_corpus(spark, n_groups=4)).localCheckpoint()
+    pairs = near_dup_image_pairs(hashed)
+    assert checks.cartesian_joins(pairs) == 0
+    plan = checks.plan_string(pairs)
+    assert "MapInPandas" not in plan  # kernel ran at checkpoint time
+
+
+def test_image_dedup_survivors_composition(spark):
+    """The perceptual pairs compose with the existing connected-
+    components survivor machinery: one keeper per near-dup group."""
+    from iceberg_tools_spark.operators.components import connected_components
+    from iceberg_tools_spark.operators.image_dedup import (
+        image_dhash_df,
+        make_image_corpus,
+        near_dup_image_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    hashed = image_dhash_df(make_image_corpus(spark, n_groups=6)).localCheckpoint()
+    pairs = near_dup_image_pairs(hashed)
+    comp = connected_components(pairs.select("ia", "ib"), "ia", "ib")
+    keepers = comp.groupBy("component").agg(F.min("vertex").alias("keeper"))
+    got = sorted(r.keeper for r in keepers.collect())
+    # every group collapses to its min item id (g*10)
+    assert got == [g * 10 for g in range(6)]
