@@ -1210,6 +1210,40 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover - defensive
         sweep["substring_ngram"] = {"error": f"{type(exc).__name__}: {exc}"}
 
+    # video frame-Hamming threshold: the precision/recall knob of
+    # frame-vote dedup, measured on the labeled corpus — pairs found
+    # vs same-group pairs (ground truth 24) at each threshold; a
+    # loose threshold starts admitting cross-group frame collisions
+    try:
+        from iceberg_tools_spark.operators.video_dedup import (
+            make_video_corpus,
+            near_dup_video_pairs,
+            video_frame_hashes,
+        )
+
+        frames = video_frame_hashes(make_video_corpus(spark)).localCheckpoint()
+        grp = {
+            r["item_id"]: r["group_id"]
+            for r in frames.select("item_id", "group_id").distinct().collect()
+        }
+        sweep["video_frame_hamming"] = []
+        for th in (2, 6, 10, 14):
+            t = time.perf_counter()
+            prs = near_dup_video_pairs(frames, frame_hamming=th).collect()
+            same = sum(1 for r in prs if grp[r["ia"]] == grp[r["ib"]])
+            sweep["video_frame_hamming"].append(
+                {
+                    "frame_hamming": th,
+                    "pairs": len(prs),
+                    "same_group_pairs": same,
+                    "cross_group_pairs": len(prs) - same,
+                    "recall_vs_24": round(same / 24, 3),
+                    "sec": round(time.perf_counter() - t, 3),
+                }
+            )
+    except Exception as exc:  # pragma: no cover - defensive
+        sweep["video_frame_hamming"] = {"error": f"{type(exc).__name__}: {exc}"}
+
     # drift-normalized reporting (VERDICT r5 #6): this run in
     # calibration units + per-query ratio vs the pinned baselines.
     # vs_baseline keeps the best-of-2 basis for round-over-round
