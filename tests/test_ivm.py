@@ -232,3 +232,19 @@ class TestMaterializedView:
         assert "data/state-2004" in out["kept"]
         assert read_materialized_view(spark, vmp).count() > 0
         assert not os.path.exists(os.path.join(root, "data", "state-2001"))
+
+    def test_refresh_to_non_ancestor_raises(self, spark, tmp_path):
+        """A refresh target off the tracked ancestor chain raises
+        (changelog undefined across branches) instead of silently
+        corrupting the state."""
+        import pytest
+
+        from iceberg_tools_spark.iceberg.deletes import MOR_DIR, MOR_METADATA
+        from iceberg_tools_spark.iceberg.ivm import refresh_materialized_view
+
+        root, res = self._mk(spark, tmp_path)
+        with pytest.raises(ValueError, match="ancestor|not in log|undefined"):
+            refresh_materialized_view(
+                spark, res["view_metadata_path"], MOR_METADATA,
+                base_dir=MOR_DIR, to_snapshot=999999,
+            )

@@ -255,3 +255,37 @@ def test_round9_window_order_pinned():
     }
     assert set(keys[14:25]) == r4_cohort
     assert "delta_replicate_rows" not in keys[:50]  # past-window by design
+
+
+def test_map_manifests_empty_tasks(spark):
+    """Zero manifests (an empty snapshot's plan) short-circuits on
+    both paths."""
+    from iceberg_tools_spark.iceberg.manifest_io import map_manifests
+
+    def worker(ctx, blob):
+        raise AssertionError("must not be called")
+
+    assert map_manifests(spark, [], worker) == []
+    assert map_manifests(None, [], worker) == []
+    rdd = map_manifests(spark, [], worker, collect=False)
+    assert rdd.isEmpty()
+
+
+def test_map_manifests_worker_error_propagates(spark, tmp_path):
+    """A worker exception surfaces (wrapped by Spark on the parallel
+    path) instead of silently dropping a manifest."""
+    import pytest
+
+    from iceberg_tools_spark.iceberg.manifest_io import map_manifests
+
+    p = str(tmp_path / "blob")
+    with open(p, "wb") as f:
+        f.write(b"xx")
+
+    def worker(ctx, blob):
+        raise ValueError("boom-manifest")
+
+    with pytest.raises(ValueError, match="boom-manifest"):
+        map_manifests(None, [(0, p)], worker)
+    with pytest.raises(Exception, match="boom-manifest"):
+        map_manifests(spark, [(0, p)], worker, threshold=1)
