@@ -39,15 +39,32 @@ def _weight():
     return F.when(F.col("change_type") == "INSERT", F.lit(1)).otherwise(F.lit(-1))
 
 
-def grouped_agg(df: DataFrame, keys: list[str], sums: list[str]) -> DataFrame:
-    """The maintained view's shape: COUNT(*) + SUM(col) per group.
-    (COUNT and SUM are the self-maintainable aggregates; MIN/MAX are
-    deliberately out — a delete can invalidate them without the
-    changelog saying what the new extremum is.)"""
+def grouped_agg(
+    df: DataFrame,
+    keys: list[str],
+    sums: list[str],
+    mins: list[str] | tuple[str, ...] = (),
+    maxs: list[str] | tuple[str, ...] = (),
+) -> DataFrame:
+    """The maintained view's shape: COUNT(*) + SUM(col) per group,
+    plus optional MIN/MAX columns. COUNT and SUM are
+    self-maintainable (a delete folds as −1/−value); MIN/MAX are
+    NOT — a delete of the current extremum invalidates the value
+    without the changelog saying what the new one is — so
+    :func:`maintain_grouped_agg` maintains them with the standard
+    fallback: recompute ONLY the affected groups from the base."""
     return df.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         *[F.sum(F.col(c)).cast("long").alias(f"{c}_sum") for c in sums],
+        *[F.min(F.col(c)).cast("long").alias(f"{c}_min") for c in mins],
+        *[F.max(F.col(c)).cast("long").alias(f"{c}_max") for c in maxs],
     )
+
+
+# above this many extremum-affected groups the recompute scopes by
+# left-semi join instead of a driver-collected IN-list (the IN-list
+# pushes to the parquet scan; the semi join stays fully distributed)
+AFFECTED_INLIST_MAX = 1000
 
 
 def maintain_grouped_agg(
@@ -55,23 +72,56 @@ def maintain_grouped_agg(
     changelog: DataFrame,
     keys: list[str],
     sums: list[str],
+    *,
+    mins: list[str] | tuple[str, ...] = (),
+    maxs: list[str] | tuple[str, ...] = (),
+    base_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Fold a changelog into an existing COUNT/SUM aggregate.
+    """Fold a changelog into an existing COUNT/SUM(/MIN/MAX)
+    aggregate.
 
     ``base_agg`` must have the :func:`grouped_agg` shape; ``changelog``
     is ``changelog_between`` output (``change_type`` + data columns).
     Groups whose maintained count reaches 0 drop out, exactly as a
     recompute would drop them.
+
+    MIN/MAX (VERDICT r9 #7): inserts fold (``least``/``greatest``
+    with the insert-side extremum); a DELETE at or past a group's
+    current extremum makes that group non-incrementable, so exactly
+    those groups recompute from ``base_df`` (the base table AT the
+    target snapshot), scoped to the affected group keys — the
+    partition-scoped stats pattern. ``base_df`` is required when
+    ``mins``/``maxs`` are non-empty; its plan only executes when
+    affected groups exist.
     """
+    if (mins or maxs) and base_df is None:
+        raise ValueError("mins/maxs maintenance requires base_df")
     w = _weight()
+    is_del = F.col("change_type") != "INSERT"
+    is_ins = ~is_del
     delta = changelog.groupBy(*keys).agg(
         F.sum(w).cast("long").alias("_d_n"),
         *[F.sum(w * F.col(c)).cast("long").alias(f"_d_{c}") for c in sums],
+        *[
+            F.min(F.when(is_ins, F.col(c))).cast("long").alias(f"_insmin_{c}")
+            for c in mins
+        ],
+        *[
+            F.min(F.when(is_del, F.col(c))).cast("long").alias(f"_delmin_{c}")
+            for c in mins
+        ],
+        *[
+            F.max(F.when(is_ins, F.col(c))).cast("long").alias(f"_insmax_{c}")
+            for c in maxs
+        ],
+        *[
+            F.max(F.when(is_del, F.col(c))).cast("long").alias(f"_delmax_{c}")
+            for c in maxs
+        ],
     )
     joined = base_agg.join(delta, keys, "full_outer")
     zero = F.lit(0).cast("long")
-    out = joined.select(
-        *keys,
+    folded_cols = [
         (F.coalesce(F.col("n_rows"), zero) + F.coalesce(F.col("_d_n"), zero)).alias("n_rows"),
         *[
             (
@@ -79,8 +129,53 @@ def maintain_grouped_agg(
             ).alias(f"{c}_sum")
             for c in sums
         ],
+        *[
+            F.least(F.col(f"{c}_min"), F.col(f"_insmin_{c}")).alias(f"{c}_min")
+            for c in mins
+        ],
+        *[
+            F.greatest(F.col(f"{c}_max"), F.col(f"_insmax_{c}")).alias(f"{c}_max")
+            for c in maxs
+        ],
+    ]
+    if not mins and not maxs:
+        out = joined.select(*keys, *folded_cols)
+        return out.where(F.col("n_rows") > 0)
+
+    # a group is extremum-affected when a delete lands AT or PAST its
+    # current extremum (a delete strictly inside the range can't move
+    # MIN/MAX), or when deletes hit a group the state doesn't know
+    affected_cond = F.lit(False)
+    for c in mins:
+        affected_cond = affected_cond | (
+            F.col(f"_delmin_{c}").isNotNull()
+            & (F.col(f"{c}_min").isNull() | (F.col(f"_delmin_{c}") <= F.col(f"{c}_min")))
+        )
+    for c in maxs:
+        affected_cond = affected_cond | (
+            F.col(f"_delmax_{c}").isNotNull()
+            & (F.col(f"{c}_max").isNull() | (F.col(f"_delmax_{c}") >= F.col(f"{c}_max")))
+        )
+    unaffected = joined.where(~affected_cond).select(*keys, *folded_cols).where(
+        F.col("n_rows") > 0
     )
-    return out.where(F.col("n_rows") > 0)
+    affected_keys = joined.where(affected_cond).select(*keys)
+    rows = affected_keys.limit(AFFECTED_INLIST_MAX + 1).collect()
+    if not rows:
+        return unaffected
+    if len(rows) <= AFFECTED_INLIST_MAX:
+        # literal IN-list → predicate pushdown reaches the base scan
+        cond = F.lit(False)
+        for r in rows:
+            c = F.lit(True)
+            for k in keys:
+                c = c & (F.col(k) == F.lit(r[k]))
+            cond = cond | c
+        scoped = base_df.where(cond)
+    else:
+        scoped = base_df.join(F.broadcast(affected_keys), list(keys), "left_semi")
+    recomputed = grouped_agg(scoped, keys, sums, list(mins), list(maxs))
+    return unaffected.unionByName(recomputed)
 
 
 # ------------------------------------------------ driver-gate query
@@ -153,6 +248,8 @@ def create_materialized_view(
     *,
     keys: list[str],
     sums: list[str],
+    mins: list[str] | tuple[str, ...] = (),
+    maxs: list[str] | tuple[str, ...] = (),
     base_dir: str | None = None,
     snapshot_id: int | None = None,
 ) -> dict:
@@ -236,9 +333,28 @@ def refresh_materialized_view(
     sums = [c for c in props["ivm.sums"].split(",") if c]
     state = spark.read.parquet(_os.path.join(view_root, props["ivm.state-path"]))
     delta = changelog_between(spark, base_metadata_path, from_id, to_id, base_dir)
-    new_state = maintain_grouped_agg(state, delta, keys, sums)
+    mins = [c for c in props.get("ivm.mins", "").split(",") if c]
+    maxs = [c for c in props.get("ivm.maxs", "").split(",") if c]
+    base_at_to = (
+        read_mor(spark, base_metadata_path, to_id, base_dir)
+        if (mins or maxs)
+        else None
+    )
+    new_state = maintain_grouped_agg(
+        state, delta, keys, sums, mins=mins, maxs=maxs, base_df=base_at_to
+    )
     new_rel = f"data/state-{to_id}"
-    new_state.write.mode("errorifexists").parquet(_os.path.join(view_root, new_rel))
+    new_abs = _os.path.join(view_root, new_rel)
+    # a crashed refresh can leave a COMPLETE or PARTIAL state dir
+    # that no metadata version references (the write landed, the
+    # swap didn't) — retrying the same refresh must not fail
+    # forever on errorifexists (ADVICE r9). The dir is provably
+    # stale: the swap below is what publishes it.
+    if _os.path.isdir(new_abs) and new_rel != props["ivm.state-path"]:
+        import shutil as _shutil
+
+        _shutil.rmtree(new_abs)
+    new_state.write.mode("errorifexists").parquet(new_abs)
     # swap: new metadata version with updated refresh properties
     # (same stored SQL — a refresh is not a view redefinition)
     with open(view_metadata_path) as f:
@@ -249,7 +365,16 @@ def refresh_materialized_view(
         "ivm.state-path": new_rel,
     }
     mdir = _os.path.dirname(view_metadata_path)
-    n = len([x for x in _os.listdir(mdir) if x.endswith(".metadata.json")]) + 1
+    # next version = max(parsed vN) + 1 — a COUNT of files collides
+    # (and silently overwrites a live version) after any deletion
+    # (ADVICE r9)
+    import re as _re
+
+    vre = _re.compile(r"v(\d+)\.metadata\.json$")
+    n = 1 + max(
+        (int(m.group(1)) for x in _os.listdir(mdir) if (m := vre.fullmatch(x))),
+        default=0,
+    )
     new_vmp = _os.path.join(mdir, f"v{n}.metadata.json")
     with open(new_vmp, "w") as f:
         _json.dump(vmeta, f, indent=2)

@@ -11,8 +11,10 @@ Spark-first shape, built for 100 TB:
   postings (the probe vocabulary is tiny, so the idf frame is
   KB-scale and BROADCASTS);
 * scoring is a broadcast equi-join postings ⋈ probe terms — the
-  corpus never shuffles on anything but the final per-query top-k
-  window (bounded probe set; rank filter cuts each partition to k);
+  corpus never shuffles on anything but the top-k, which is TWO
+  windows (`topk.top_k_per_group_salted`): scored rows rank within
+  (query_id, salt-of-doc_id) first, so no stage ever sorts
+  corpus-scale rows into |queries| partitions (VERDICT r9 #2);
 * the CERTIFIED surface is integer-exact (rank, tf_sum, dl): the
   double score stays internal because cross-engine float SUMS are
   order-dependent at the ULP — ranks only flip on sub-1e-15
@@ -27,10 +29,11 @@ k1 = 1.2, b = 0.75 (the textbook defaults), idf in the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
+from .topk import top_k_per_group_salted
 
 K1 = 1.2
 B = 0.75
@@ -109,12 +112,21 @@ def bm25_topk(spark: SparkSession, sf_dir: str, *, k: int = TOP_K) -> DataFrame:
         F.sum("tf").cast("long").alias("tf_sum"),
         F.sum("s").alias("score"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_id")
+    # two-stage salted top-k (VERDICT r9 #2): query_id has a handful
+    # of values, so a single window here would sort every scored
+    # (query, doc) row on |queries| reducers; stage 1 ranks within
+    # (query_id, hash(doc_id) mod 32) and stage 2 re-ranks only the
+    # ≤ 32·k survivors per query — exact, since each global top-k
+    # row wins its salt partition too
+    ranked = top_k_per_group_salted(
+        per_doc,
+        ["query_id"],
+        [F.col("score").desc(), F.col("doc_id")],
+        k,
+        salt_col="doc_id",
     )
     return (
-        per_doc.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= k)
+        ranked
         .select("query_id", "rk", "doc_id", "tf_sum", F.col("dl").cast("long").alias("dl"))
         .orderBy("query_id", "rk")
     )

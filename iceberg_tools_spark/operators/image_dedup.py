@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .dedup import MAX_BUCKET
 from .multimodal import decode_media, encode_bmp, encode_png
 
 HAMMING_NEAR_DUP = 10  # ≤ this many differing bits = near-duplicate
@@ -100,6 +101,7 @@ def banded_hamming_pairs(
     id_col: str = "item_id",
     max_hamming: int = HAMMING_NEAR_DUP,
     n_bands: int = N_BANDS,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """(ia, ib, hamming) candidate pairs over any 64-bit
     fingerprint column: ``n_bands`` equal-width bands as JVM
@@ -109,18 +111,47 @@ def banded_hamming_pairs(
     video (frame-vote) dedupers. Pigeonhole guarantees a candidate
     up to ``n_bands - 1`` differing bits; pick more, narrower bands
     when the near-dup threshold admits wider flips (video uses
-    8 × 8-bit)."""
+    8 × 8-bit).
+
+    Scale guards (VERDICT r9 #1 — the r2 MinHash lesson applied
+    here):
+
+    * **Exact-duplicate collapse.** The band self-join runs over
+      DISTINCT fingerprints, one representative per hash value: a
+      crawl's 10⁵ exact re-encodes of one logo contribute ONE row
+      to every bucket instead of making every bucket they touch
+      quadratic. Equal-hash pairs come from a plain groupBy count
+      (hamming 0 by identity — no banding involved), so the collapse
+      costs zero exact-dupe recall; the expansion back to item
+      pairs is two equi-joins on the hash, output-bound work only.
+    * **Bucket census cap.** Buckets with more than ``max_bucket``
+      DISTINCT hashes are dropped from the pairwise join — a bucket
+      that large is a near-identical cluster and pairwise LSH is
+      the wrong tool for it (`dedup.MAX_BUCKET`, same constant).
+      The ok-bucket set is bounded by band cardinality
+      (``n_bands × 2^width`` ≤ 256 Ki rows at 4 × 16-bit), so the
+      broadcast is always safe regardless of corpus size.
+    """
     width = 64 // n_bands
     mask = (1 << width) - 1
-    bands = hashed.select(
-        F.col(id_col).alias("_id"),
-        F.col(hash_col).alias("_h"),
+    items = hashed.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
+    # one row per DISTINCT fingerprint + its member count; three
+    # consumers (band explode, self-pair source, both expansion
+    # sides read `items`, not this) — localCheckpoint materializes
+    # the distinct once
+    reps = (
+        items.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_csz"))
+        .localCheckpoint()
+    )
+    bands = reps.select(
+        "_h",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright(hash_col, width * i)
+                        F.shiftright("_h", width * i)
                         .bitwiseAND(F.lit(mask))
                         .alias("bval"),
                     )
@@ -128,24 +159,52 @@ def banded_hamming_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("_id", "_h", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    ).select("_h", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    ok_buckets = (
+        bands.groupBy("band", "bval")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") <= max_bucket)
+        .select("band", "bval")
+    )
+    bands = bands.join(F.broadcast(ok_buckets), ["band", "bval"])
     a = bands.alias("a")
     b = bands.alias("b")
-    ham = F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h")))
-    return (
+    ham = F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h"))).cast("int")
+    near = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bval") == F.col("b.bval"))
-            & (F.col("a._id") < F.col("b._id")),
+            & (F.col("a._h") < F.col("b._h")),
         )
         .select(
-            F.col("a._id").alias("ia"),
-            F.col("b._id").alias("ib"),
+            F.col("a._h").alias("ha"),
+            F.col("b._h").alias("hb"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+    self_pairs = reps.filter(F.col("_csz") >= 2).select(
+        F.col("_h").alias("ha"),
+        F.col("_h").alias("hb"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
+    rep_pairs = near.unionByName(self_pairs)
+    ma = items.select(F.col("_id").alias("_ida"), F.col("_h").alias("ha"))
+    mb = items.select(F.col("_id").alias("_idb"), F.col("_h").alias("hb"))
+    # expansion: each unordered item pair appears exactly once —
+    # distinct-hash rep pairs are ordered ha < hb, equal-hash pairs
+    # by the id inequality — so no final distinct is needed
+    return (
+        rep_pairs.join(ma, "ha")
+        .join(mb, "hb")
+        .filter((F.col("ha") != F.col("hb")) | (F.col("_ida") < F.col("_idb")))
+        .select(
+            F.least("_ida", "_idb").alias("ia"),
+            F.greatest("_ida", "_idb").alias("ib"),
+            "hamming",
+        )
     )
 
 

@@ -89,9 +89,20 @@ def near_dup_video_pairs(
 ) -> DataFrame:
     """(ia, ib, matched_frames, frac_a) clip pairs by frame-hash
     voting over the shared banded Hamming join."""
+    # frame identity for the band join: clip id in the high 32 bits,
+    # frame index in the low 32 (ADVICE r9: a ×1000 packing aliased
+    # across clips at ≥1,000 frames — a 40-second 30 fps clip). The
+    # inlined raise_error keeps the packing injective for any input
+    # the operator accepts without a separate validation pass.
+    fid = F.expr(
+        "IF(item_id < 0 OR item_id >= 2147483648"
+        "   OR frame_idx < 0 OR frame_idx >= 4294967296,"
+        "   CAST(raise_error('frame identity packing needs"
+        " 0 <= item_id < 2^31 and 0 <= frame_idx < 2^32') AS BIGINT),"
+        "   item_id * 4294967296 + frame_idx)"
+    )
     tagged = frames.select(
-        # frame identity for the band join: clip id × frame index
-        (F.col("item_id") * 1000 + F.col("frame_idx")).alias("fid"),
+        fid.alias("fid"),
         "item_id",
         "n_frames",
         "fhash",

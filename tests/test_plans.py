@@ -356,3 +356,48 @@ def test_image_dedup_survivors_composition(spark):
     got = sorted(r.keeper for r in keepers.collect())
     # every group collapses to its min item id (g*10)
     assert got == [g * 10 for g in range(6)]
+
+
+def test_bm25_topk_two_stage_salted_window(spark):
+    """VERDICT r9 #2: the bm25 final ranking must never sort
+    corpus-scale rows into |queries| partitions. Contract: two
+    Window nodes — stage 1 partitioned by (query_id, _salt), the
+    final one fed only by stage-1 survivors (its WindowGroupLimit
+    sits above the salted rank filter)."""
+    import re
+
+    from iceberg_tools_spark.operators.bm25 import bm25_topk
+
+    df = bm25_topk(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    wins = [ln for ln in plan.splitlines() if re.search(r"\bWindow \[", ln)]
+    assert len(wins) == 2
+    # physical order is outermost-first: final window partitions by
+    # query_id alone, the inner (stage-1) one by (query_id, _salt)
+    assert "_salt" not in wins[0]
+    assert "_salt" in wins[1]
+    # (the plan's two BroadcastNestedLoopJoins are the sanctioned
+    # one-row scalar crossJoins: corpus stats and probe-term idf)
+
+
+def test_salted_topk_equals_plain_topk(spark):
+    """top_k_per_group_salted is exact: identical rows and ranks to
+    the single-window top-k on a skewed low-cardinality key."""
+    from pyspark.sql import functions as F
+
+    from iceberg_tools_spark.operators.topk import (
+        top_k_per_group,
+        top_k_per_group_salted,
+    )
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 3).alias("g"),
+        ((F.col("id") * 2654435761) % 1000).alias("v"),
+        F.col("id"),
+    )
+    order = [F.col("v").desc(), F.col("id")]
+    plain = top_k_per_group(df, ["g"], order, 7).orderBy("g", "rk")
+    salted = top_k_per_group_salted(
+        df, ["g"], order, 7, salt_col="id", n_salts=8
+    ).orderBy("g", "rk")
+    assert plain.collect() == salted.select(plain.columns).collect()

@@ -780,3 +780,113 @@ def test_media_stream_intake_equals_batch(spark, tmp_path):
         spark.read.parquet(staging)).collect()))
     assert got == want and len(got) >= 6
     spark.catalog.dropTempView("t_media_intake")
+
+
+# ---- banded-join scale guards (r10: VERDICT r9 #1 + ADVICE fid) --
+
+
+def test_banded_join_mega_cluster_collapses_to_one_rep(spark):
+    """A duplicate-heavy corpus (500 exact copies of one fingerprint)
+    must NOT blow up the band self-join: the join runs over DISTINCT
+    hashes, so the cluster is one rep and the bucket census never
+    trips — yet every exact pair AND every member×near-neighbor pair
+    is still emitted (output-bound expansion, the VERDICT r9 #1
+    contract)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_tools_spark.operators.image_dedup import banded_hamming_pairs
+
+    big = 0x5A5A_1234_9876_0F0F
+    rows = [(i, big) for i in range(500)] + [(999, big ^ 0b1)]
+    df = spark.createDataFrame(rows, "item_id long, dhash long")
+    # max_bucket=100 < cluster size: with a member-granularity census
+    # (the bug this pins against) every bucket the cluster touches
+    # would be dropped and the near-neighbor pair lost
+    pairs = banded_hamming_pairs(df, max_hamming=2, max_bucket=100)
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("hamming") == 0).cast("long")).alias("exact"),
+        F.sum((F.col("hamming") == 1).cast("long")).alias("near"),
+    ).collect()[0]
+    assert agg.exact == 500 * 499 // 2  # all exact pairs survive
+    assert agg.near == 500  # 999 pairs with every cluster member
+    assert agg.n == agg.exact + agg.near
+
+
+def test_banded_join_bucket_census_cap(spark):
+    """Buckets with more than max_bucket DISTINCT hashes are dropped
+    from the pairwise join: a pair reachable only through the
+    degenerate bucket disappears; a pair that also shares a small
+    bucket is still found."""
+    from iceberg_tools_spark.operators.image_dedup import banded_hamming_pairs
+
+    def h(b0, b1, b2, b3):
+        v = b0 | (b1 << 16) | (b2 << 32) | (b3 << 48)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rows = []
+    # 150 distinct filler hashes all sharing band0 = 0 (the
+    # degenerate bucket), bands 1-3 distinct
+    for i in range(150):
+        rows.append((i, h(0, i + 1, i + 1, i + 1)))
+    # pair A: shares the capped band0 AND small band1/band2 buckets
+    rows.append((500, h(0, 777, 777, 0b1100_0000)))
+    rows.append((501, h(0, 777, 777, 0b1100_0011)))  # 2 bits off, band3
+    # pair B: hamming 3 but every shared band is the capped band0
+    rows.append((600, h(0, 901, 902, 903)))
+    rows.append((601, h(0, 900, 903, 902)))  # 1 bit off in each of bands 1-3
+    df = spark.createDataFrame(rows, "item_id long, dhash long")
+
+    capped = banded_hamming_pairs(df, max_hamming=3, max_bucket=100)
+    got = {(r.ia, r.ib) for r in capped.collect()}
+    assert (500, 501) in got  # found via the small band1/band2 buckets
+    assert (600, 601) not in got  # only route was the capped bucket
+    assert got == {(500, 501)}  # filler shares nothing but band0
+
+    uncapped = banded_hamming_pairs(df, max_hamming=3, max_bucket=10**9)
+    got_unc = {(r.ia, r.ib) for r in uncapped.collect()}
+    assert {(500, 501), (600, 601)} <= got_unc
+
+
+def test_video_fid_packing_no_collision_at_1000_frames(spark):
+    """ADVICE r9: the old item_id*1000+frame_idx packing aliased
+    clip 1 frame 1000 with clip 2 frame 0. Two 1001-frame clips with
+    identical frame hashes must vote to exactly one full-match pair
+    under the 2^32 packing."""
+    import hashlib
+
+    from iceberg_tools_spark.operators.video_dedup import near_dup_video_pairs
+
+    def fh(i):
+        v = int.from_bytes(hashlib.md5(f"vf{i}".encode()).digest()[:8], "big")
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    n = 1001
+    rows = []
+    for clip in (1, 2):
+        for i in range(n):
+            rows.append((clip, 0, "v", n, i, fh(i)))
+    frames = spark.createDataFrame(
+        rows,
+        "item_id long, group_id long, variant string, "
+        "n_frames long, frame_idx long, fhash long",
+    )
+    got = near_dup_video_pairs(frames).collect()
+    assert len(got) == 1
+    assert (got[0].ia, got[0].ib, got[0].matched_frames) == (1, 2, n)
+
+
+def test_video_fid_packing_guard_raises(spark):
+    """item_id past 2^31 trips the inlined raise_error guard instead
+    of silently wrapping the packed long."""
+    import pytest as _pytest
+
+    from iceberg_tools_spark.operators.video_dedup import near_dup_video_pairs
+
+    frames = spark.createDataFrame(
+        [(1 << 31, 0, "v", 1, 0, 42), ((1 << 31) + 1, 0, "v", 1, 0, 43)],
+        "item_id long, group_id long, variant string, "
+        "n_frames long, frame_idx long, fhash long",
+    )
+    with _pytest.raises(Exception, match="frame identity packing"):
+        near_dup_video_pairs(frames).collect()
