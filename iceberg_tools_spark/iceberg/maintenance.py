@@ -359,24 +359,24 @@ def delete_orphan_files(
         T.StructType([T.StructField("file_path", T.StringType())]),
     )
     orphan_df = find_orphan_files(listing_df, ref_df)
+    # ONE collect of (path, mtime) — the anti-join reduces to the
+    # ORPHAN list, the one set that is small by definition (it's
+    # about to be unlinked); this is the same driver hand-off a real
+    # remove_orphan_files action makes. The age split happens
+    # driver-side on the collected rows: a second .collect() would
+    # re-run the distributed listing + anti-join and could observe a
+    # different filesystem state between the two passes (ADVICE r9).
+    collected = orphan_df.select("file_path", "mtime_ms").collect()
     too_young: list[str] = []
     if older_than_ms is not None:
         import time as _time
 
         cutoff = (now_ms if now_ms is not None else _time.time() * 1000) - older_than_ms
-        # the age gate filters executor-side on the walk-time mtime —
-        # no second stat pass, no stat-after-delete race
-        too_young = sorted(
-            r["file_path"]
-            for r in orphan_df.filter(F.col("mtime_ms") > F.lit(float(cutoff)))
-            .select("file_path")
-            .collect()
-        )
-        orphan_df = orphan_df.filter(F.col("mtime_ms") <= F.lit(float(cutoff)))
-    # the anti-join reduces to the ORPHAN list — the one set that is
-    # small by definition (it's about to be unlinked); this is the
-    # same driver hand-off a real remove_orphan_files action makes
-    orphans = sorted(r["file_path"] for r in orphan_df.select("file_path").collect())
+        # the age gate uses the walk-time mtime captured executor-side
+        # — no second stat pass, no stat-after-delete race
+        too_young = sorted(r["file_path"] for r in collected if r["mtime_ms"] > cutoff)
+        collected = [r for r in collected if r["mtime_ms"] <= cutoff]
+    orphans = sorted(r["file_path"] for r in collected)
     if not dry_run:
         if len(orphans) >= DISTRIBUTED_DELETE_THRESHOLD:
             sc = spark.sparkContext

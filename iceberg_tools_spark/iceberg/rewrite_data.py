@@ -129,10 +129,15 @@ def _equality_affected(
     :func:`deletes.apply_deletes`) and its partition tuple scopes it
     null-safely — a data file whose tuple carries a gated field with
     a DIFFERENT value is provably unaffected; a file under another
-    spec (field absent from its tuple) is conservatively kept. This
-    is the exclusion set compaction needs: repacking such a file
-    would commit its rows at a NEW sequence number PAST the delete,
-    resurrecting equality-deleted rows (ADVICE r8 high)."""
+    spec is conservatively kept. The value-based exclusion applies
+    ONLY when the data entry's spec_id matches the delete's
+    (ADVICE r9: a field NAME reused across specs with a different
+    transform makes values differ spuriously — same source column,
+    different bucket count — and a spec-blind compare would repack
+    the file past the delete, resurrecting deleted rows). This is
+    the exclusion set compaction needs: repacking an affected file
+    would commit its rows at a NEW sequence number PAST the delete
+    (ADVICE r8 high)."""
     eq = [d for d in dels if d["content"] == EQUALITY_DELETES]
     if not eq:
         return set()
@@ -143,7 +148,10 @@ def _equality_affected(
                 continue
             dpart = d.get("partition") or {}
             epart = e.get("partition") or {}
-            if any(k in epart and epart[k] != v for k, v in dpart.items()):
+            if (
+                e.get("spec_id") == d.get("spec_id")
+                and any(k in epart and epart[k] != v for k, v in dpart.items())
+            ):
                 continue  # provably out of the delete's partition scope
             affected.add(e["rel"])
             break

@@ -452,17 +452,89 @@ def _current_protocol(table_root: str, version: int) -> dict[str, Any]:
     return proto
 
 
-def write_delta_checkpoint(table_root: str, version: int | None = None) -> dict[str, Any]:
+# PROTOCOL.md: remove tombstones stay in checkpoints until they are
+# older than the table's deletedFileRetentionDuration (default one
+# week) so VACUUM and incremental readers can still see them
+DELETED_FILE_RETENTION_MS = 7 * 24 * 3600 * 1000
+
+
+def replay_tombstones(
+    table_root: str, version: int | None = None
+) -> dict[str, dict[str, Any]]:
+    """path → latest ``remove`` action still standing at ``version``
+    (a later re-``add`` of the same path drops its tombstone, exactly
+    as the per-path latest-action rule reconstructs state). Starts
+    from the newest checkpoint at or below the target — checkpoints
+    carry unexpired tombstones — with JSON commits replayed on top."""
+    commits = list_commits(table_root)
+    if not commits:
+        raise FileNotFoundError(f"{table_root!r} has an empty _delta_log")
+    head = commits[-1][0]
+    target = head if version is None else int(version)
+    tomb: dict[str, dict[str, Any]] = {}
+    start_after = -1
+    cp = latest_checkpoint(table_root)
+    if cp is not None and cp[0] <= target:
+        import pyarrow.parquet as pq
+
+        for row in pq.read_table(cp[1], columns=["add", "remove"]).to_pylist():
+            rem = row.get("remove")
+            if rem is not None:
+                r = {k: v for k, v in rem.items() if v is not None}
+                tomb[r["path"]] = r
+            add = row.get("add")
+            if add is not None:
+                tomb.pop(add["path"], None)
+        start_after = cp[0]
+    for v, path in commits:
+        if v <= start_after or v > target:
+            continue
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                rem = a.get("remove")
+                if rem:
+                    tomb[rem["path"]] = rem
+                elif a.get("add"):
+                    tomb.pop(a["add"]["path"], None)
+    return tomb
+
+
+def write_delta_checkpoint(
+    table_root: str,
+    version: int | None = None,
+    *,
+    retention_ms: int = DELETED_FILE_RETENTION_MS,
+    now_ms: int | None = None,
+) -> dict[str, Any]:
     """Serialize the table state at ``version`` (default: head) as a
     ``<v>.checkpoint.parquet`` + ``_last_checkpoint`` pointer. The
     state rows come from the same replay readers use, so a
     checkpoint-opened table is bit-identical to a full JSON replay
-    (pytest-pinned)."""
+    (pytest-pinned). Remove tombstones younger than ``retention_ms``
+    ride along (ADVICE r9: PROTOCOL.md requires them, or VACUUM and
+    incremental readers watch deletes vanish at every checkpoint
+    boundary)."""
+    import time as _time
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     adds, meta, v = replay_log(table_root, version)
     proto = _current_protocol(table_root, v)
+    cutoff = (now_ms if now_ms is not None else _time.time() * 1000) - retention_ms
+    tombstones = [
+        r
+        for r in sorted(replay_tombstones(table_root, v).values(),
+                        key=lambda x: x["path"])
+        # a tombstone with no timestamp never expires (conservative:
+        # VACUUM safety beats checkpoint size)
+        if r.get("deletionTimestamp") is None
+        or r["deletionTimestamp"] >= cutoff
+    ]
     rows: list[dict[str, Any]] = [
         {"protocol": proto, "metaData": None, "add": None, "remove": None},
     ]
@@ -482,6 +554,19 @@ def write_delta_checkpoint(table_root: str, version: int | None = None) -> dict[
                 "metaData": None,
                 "add": _maps_to_pairs_add(a),
                 "remove": None,
+            }
+        )
+    for r in tombstones:
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": None,
+                "remove": {
+                    "path": r["path"],
+                    "deletionTimestamp": r.get("deletionTimestamp"),
+                    "dataChange": r.get("dataChange", True),
+                },
             }
         )
     d = _log_dir(table_root)

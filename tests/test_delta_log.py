@@ -403,3 +403,109 @@ def test_full_fidelity_replication_every_version(spark, tmp_path):
     assert summaries[8001]["delta-version"] == "1"
     # replica files live under data/ mirroring the Delta rel paths
     assert os.path.exists(os.path.join(tgt, "data", "cat=x", "f1.parquet"))
+
+
+def test_checkpoint_carries_unexpired_remove_tombstones(tmp_path):
+    """ADVICE r9 / PROTOCOL.md: checkpoints must carry remove
+    tombstones younger than the retention window; a re-added path
+    drops its tombstone; expired tombstones are pruned."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_tools_spark.sources.delta_log import (
+        append_delta_commit,
+        latest_checkpoint,
+        replay_log,
+        replay_tombstones,
+        write_delta_checkpoint,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    meta_action = {"metaData": {
+        "id": "x", "format": {"provider": "parquet", "options": {}},
+        "schemaString": "{\"type\":\"struct\",\"fields\":[]}",
+        "partitionColumns": [], "configuration": {},
+        "createdTime": 0,
+    }}
+
+    def add(rel):
+        pq.write_table(pa.table({"id": pa.array([1], pa.int64())}),
+                       os.path.join(root, rel))
+        return {"add": {"path": rel, "partitionValues": {}, "size": 1,
+                        "modificationTime": 0, "dataChange": True}}
+
+    t0 = 1_700_000_000_000
+    append_delta_commit(root, [meta_action, add("a.parquet"),
+                               add("b.parquet")], checkpoint_interval=None)
+    append_delta_commit(
+        root,
+        [{"remove": {"path": "a.parquet", "deletionTimestamp": t0,
+                     "dataChange": True}},
+         {"remove": {"path": "b.parquet", "deletionTimestamp": t0 - 10,
+                     "dataChange": True}}],
+        checkpoint_interval=None,
+    )
+    append_delta_commit(root, [add("c.parquet")], checkpoint_interval=None)
+    # retention window: a.parquet (t0) is young, b.parquet (t0-10)
+    # already expired
+    res = write_delta_checkpoint(root, retention_ms=5, now_ms=t0 + 4)
+    cp = latest_checkpoint(root)
+    assert cp[0] == res["version"] == 2
+    rows = pq.read_table(cp[1]).to_pylist()
+    removes = [r["remove"]["path"] for r in rows if r["remove"] is not None]
+    assert removes == ["a.parquet"]
+
+    # a reader opening THROUGH the checkpoint (JSON commits gone)
+    # still sees the tombstone and the live state
+    for v in (0, 1):
+        os.remove(os.path.join(root, "_delta_log", f"{v:020d}.json"))
+    adds, _, v = replay_log(root)
+    assert sorted(a["path"] for a in adds) == ["c.parquet"]
+    assert list(replay_tombstones(root)) == ["a.parquet"]
+
+    # re-adding the path drops its tombstone from the next checkpoint
+    append_delta_commit(root, [add("a.parquet")], checkpoint_interval=None)
+    write_delta_checkpoint(root, retention_ms=10**12, now_ms=t0 + 4)
+    rows = pq.read_table(latest_checkpoint(root)[1]).to_pylist()
+    assert [r["remove"] for r in rows if r["remove"] is not None] == []
+    adds, _, _ = replay_log(root)
+    assert sorted(a["path"] for a in adds) == ["a.parquet", "c.parquet"]
+
+
+def test_replicate_iceberg_to_delta_with_removes_and_mor_fold(spark, tmp_path):
+    """VERDICT r9 #8: a delete-bearing Iceberg chain replicates to
+    Delta with remove tombstones and MoR-folded rewrites — every
+    replica version reads equal to the Iceberg table at the matching
+    snapshot."""
+    import os
+
+    from iceberg_tools_spark.iceberg.deletes import MOR_DIR, MOR_METADATA, read_mor
+    from iceberg_tools_spark.iceberg.snapshots import ancestor_chain
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+    from iceberg_tools_spark.sources.delta_log import read_delta_log, replay_tombstones
+    from iceberg_tools_spark.sources.migrate import replicate_iceberg_to_delta
+
+    tgt = str(tmp_path / "replica")
+    res = replicate_iceberg_to_delta(spark, MOR_METADATA, tgt, base_dir=MOR_DIR)
+    meta = parse_metadata(MOR_METADATA)
+    chain = list(reversed(ancestor_chain(meta, res["to_snapshot"])))
+    assert res["n_versions"] == len(chain)
+    # the MoR delete commit folded at least one file and tombstoned
+    # its pre-fold copy
+    assert res["n_folded_files"] >= 1
+    assert res["n_removed_files"] >= 1
+    for v, sid in enumerate(chain):
+        ice = sorted(
+            map(tuple, read_mor(spark, MOR_METADATA, sid, MOR_DIR).collect())
+        )
+        delta = sorted(map(tuple, read_delta_log(spark, tgt, v).collect()))
+        assert delta == ice, f"replica v{v} != iceberg snapshot {sid}"
+    # tombstones are replayable (remove actions made it into the log)
+    assert len(replay_tombstones(tgt)) == res["n_removed_files"]
+    # the folded copies physically exist; the stale ones were only
+    # tombstoned, never unlinked (Delta semantics: VACUUM's job)
+    fold = [f for f in os.listdir(tgt) if "-fold-" in f]
+    assert len(fold) == res["n_folded_files"]

@@ -289,3 +289,38 @@ def test_map_manifests_worker_error_propagates(spark, tmp_path):
         map_manifests(None, [(0, p)], worker)
     with pytest.raises(Exception, match="boom-manifest"):
         map_manifests(spark, [(0, p)], worker, threshold=1)
+
+
+def test_orphan_age_split_single_listing_job(spark, tmp_path, monkeypatch):
+    """ADVICE r9: the young/old split happens driver-side on ONE
+    collected orphan list — the distributed listing + anti-join must
+    execute exactly once regardless of older_than_ms."""
+    import os
+
+    from iceberg_tools_spark.iceberg import maintenance as m
+
+    calls = {"n": 0}
+    real = m.distributed_listing
+
+    def counting(spark_, data_root, **kw):
+        calls["n"] += 1
+        # force materialization per call-site action by checkpointing:
+        # each ACTION on the returned frame would re-enter the RDD scan,
+        # so pin the frame and count entries into the builder instead
+        return real(spark_, data_root, **kw).localCheckpoint()
+
+    monkeypatch.setattr(m, "distributed_listing", counting)
+
+    from iceberg_tools_spark.iceberg.commit import _scratch_table
+    from iceberg_tools_spark.iceberg.deletes import MOR_DIR
+
+    root = _scratch_table("orphan_once_", MOR_DIR)
+    mp = os.path.join(root, "v2.metadata.json")
+    stray = os.path.join(root, "data", "stray.bin")
+    with open(stray, "wb") as f:
+        f.write(b"x")
+    res = m.delete_orphan_files(
+        spark, mp, older_than_ms=0, dry_run=True
+    )
+    assert calls["n"] == 1
+    assert [os.path.basename(p) for p in res["orphans"]] == ["stray.bin"]

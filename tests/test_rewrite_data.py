@@ -293,6 +293,33 @@ def test_equality_affected_partition_scope_and_seq_gate(tmp_path):
     assert _equality_affected(data, dels_null) == {"null-part", "cross-spec"}
 
 
+def test_equality_affected_spec_id_gates_value_exclusion():
+    """ADVICE r9: a partition field NAME reused across specs (same
+    source column, different transform) makes values differ
+    spuriously — the value-based exclusion must apply only when the
+    data entry's spec_id matches the delete's; cross-spec files stay
+    conservatively affected."""
+    from iceberg_tools_spark.iceberg.rewrite_data import _equality_affected
+
+    dels = [{"content": 2, "partition": {"cat": "b"}, "spec_id": 1,
+             "sequence_number": 5, "rel": "del"}]
+    data = [
+        # same spec, different value: provably out of scope
+        {"rel": "same-spec-out", "partition": {"cat": "a"}, "spec_id": 1,
+         "sequence_number": 4, "content": 0},
+        # same NAME, different spec (e.g. bucket[4] vs bucket[8] of
+        # the same column): values are incomparable — keep affected
+        {"rel": "cross-spec-same-name", "partition": {"cat": "a"},
+         "spec_id": 2, "sequence_number": 4, "content": 0},
+        # same spec, matching value: affected
+        {"rel": "same-spec-in", "partition": {"cat": "b"}, "spec_id": 1,
+         "sequence_number": 4, "content": 0},
+    ]
+    assert _equality_affected(data, dels) == {
+        "cross-spec-same-name", "same-spec-in"
+    }
+
+
 def test_binpack_after_rename_preserves_column_values(spark, tmp_path):
     """ADVICE r8 (medium): binpack must project packed files through
     the current schema (name mapping) like the fold rewrite — a
