@@ -647,11 +647,11 @@ def _metadata_scale_unselective(spark) -> dict:
 
 
 def _perceptual_scale_evidence(spark) -> dict:
-    """Scale posture of the round-9 perceptual dedupers: the image
-    corpus at 1× (16 groups / 48 images) and 8× (128 groups / 384
-    images) — pair counts must stay exactly 3-per-group (the banded
-    join generates candidates within buckets only; no quadratic
-    blow-up) and wall should grow near-linearly (the Arrow
+    """Scale posture of the perceptual dedupers: the image corpus at
+    1× (16 groups / 64 images) and 8× (128 groups / 512 images) —
+    pair counts must stay exactly 6-per-group (the banded join
+    generates candidates within distinct-hash buckets only; no
+    quadratic blow-up) and wall should grow near-linearly (the Arrow
     decode+hash pass dominates and is embarrassingly parallel)."""
     from iceberg_tools_spark.operators.image_dedup import (
         dhash64,  # noqa: F401 (import check)
@@ -672,9 +672,11 @@ def _perceptual_scale_evidence(spark) -> dict:
         hashed = image_dhash_df(make_image_corpus(spark, n_groups)).localCheckpoint()
         pairs = near_dup_image_pairs(hashed).count()
         out[label] = {
-            "n_images": n_groups * 3,
+            # r10 corpus: 4 variants (bmp/png/jpeg/patch) → C(4,2)=6
+            # within-group pairs per group
+            "n_images": n_groups * 4,
             "n_pairs": pairs,
-            "pairs_per_group_exact": pairs == n_groups * 3,
+            "pairs_per_group_exact": pairs == n_groups * 6,
             "sec": round(time.perf_counter() - t0, 3),
         }
     out["wall_ratio_at_8x"] = round(out["8x"]["sec"] / max(out["1x"]["sec"], 1e-9), 2)
@@ -1243,6 +1245,41 @@ def main() -> None:
             )
     except Exception as exc:  # pragma: no cover - defensive
         sweep["video_frame_hamming"] = {"error": f"{type(exc).__name__}: {exc}"}
+
+    # image Hamming threshold (r10: VERDICT r9 #6): the JPEG-variant
+    # corpus's precision/recall curve — ground truth 96 within-group
+    # pairs (16 groups × C(4,2); bmp/png/jpeg-q85/patch variants) vs
+    # cross-group admissions as the threshold loosens. The measured
+    # margin: within-group max Hamming 9, cross-group min 13.
+    try:
+        from iceberg_tools_spark.operators.image_dedup import (
+            image_dhash_df,
+            make_image_corpus,
+            near_dup_image_pairs,
+        )
+
+        hashed = image_dhash_df(make_image_corpus(spark)).localCheckpoint()
+        igrp = {
+            r["item_id"]: r["group_id"]
+            for r in hashed.select("item_id", "group_id").collect()
+        }
+        sweep["image_jpeg_hamming"] = []
+        for th in (2, 6, 10, 13):
+            t = time.perf_counter()
+            prs = near_dup_image_pairs(hashed, max_hamming=th).collect()
+            same = sum(1 for r in prs if igrp[r["ia"]] == igrp[r["ib"]])
+            sweep["image_jpeg_hamming"].append(
+                {
+                    "max_hamming": th,
+                    "pairs": len(prs),
+                    "same_group_pairs": same,
+                    "cross_group_pairs": len(prs) - same,
+                    "recall_vs_96": round(same / 96, 3),
+                    "sec": round(time.perf_counter() - t, 3),
+                }
+            )
+    except Exception as exc:  # pragma: no cover - defensive
+        sweep["image_jpeg_hamming"] = {"error": f"{type(exc).__name__}: {exc}"}
 
     # drift-normalized reporting (VERDICT r5 #6): this run in
     # calibration units + per-query ratio vs the pinned baselines.

@@ -211,7 +211,13 @@ def banded_hamming_pairs(
 def near_dup_image_pairs(
     hashed: DataFrame, *, max_hamming: int = HAMMING_NEAR_DUP
 ) -> DataFrame:
-    return banded_hamming_pairs(hashed, hash_col="dhash", max_hamming=max_hamming)
+    # 8 × 8-bit bands (the video lesson, VERDICT r9 #6): a lossy JPEG
+    # re-encode flips a handful of SCATTERED bits, and pigeonhole only
+    # guarantees a clean band up to n_bands − 1 flips — 4 × 16 missed
+    # re-encodes whose flips spread across all four bands
+    return banded_hamming_pairs(
+        hashed, hash_col="dhash", max_hamming=max_hamming, n_bands=8
+    )
 
 
 # ------------------------------------------------ corpus + gate
@@ -230,22 +236,60 @@ def _md5_pixels(seed: str, h: int, w: int) -> np.ndarray:
     return np.frombuffer(bytes(out[:need]), dtype=np.uint8).reshape(h, w, 3)
 
 
+def smooth_texture(seed: str, h: int = 48, w: int = 64) -> np.ndarray:
+    """(h, w, 3) uint8: a 4×5 md5 control grid bilinearly upsampled
+    — deterministic smooth gradients. The control grid is quantized
+    to two far-apart levels so adjacent dHash samples differ by wide
+    margins: near-equal neighbors are the one place a lossy
+    re-encode can flip a comparison bit. A deterministic dither ramp
+    keeps flat regions from tying (a tie's comparison bit would be
+    decided by ±2-level JPEG ringing — coin-flip fragile). Natural
+    images carry this texture for free; synthetic flats must add it.
+    Raw md5 NOISE is JPEG's worst case and diverges at any quality
+    change — the r9 video-corpus lesson, now shared by the image
+    gate's JPEG variant."""
+    grid = np.where(_md5_pixels(seed, 4, 5) < 128, 24.0, 232.0)
+    ys = np.linspace(0, 3, h)
+    xs = np.linspace(0, 4, w)
+    y0 = np.floor(ys).astype(np.int64).clip(0, 2)
+    x0 = np.floor(xs).astype(np.int64).clip(0, 3)
+    fy = (ys - y0)[:, None, None]
+    fx = (xs - x0)[None, :, None]
+    g00 = grid[y0][:, x0]
+    g01 = grid[y0][:, x0 + 1]
+    g10 = grid[y0 + 1][:, x0]
+    g11 = grid[y0 + 1][:, x0 + 1]
+    out = (
+        g00 * (1 - fy) * (1 - fx)
+        + g01 * (1 - fy) * fx
+        + g10 * fy * (1 - fx)
+        + g11 * fy * fx
+    )
+    ramp = (3.0 * (np.arange(w) % 9))[None, :, None]
+    return np.clip(np.round(out + ramp), 0, 255).astype(np.uint8)
+
+
 def make_image_corpus(spark: SparkSession, n_groups: int = 16) -> DataFrame:
-    """Deterministic REAL-image corpus: per group, one 32×24 RGB
-    md5-noise image in THREE variants — the original as BMP, the
-    same pixels re-encoded as PNG (dHash-identical), and a copy
-    with a 6×6 constant patch at the top-left (a localized edit —
-    only the grid comparisons near the patch flip, the canonical
-    near-dup). No RNG anywhere."""
+    """Deterministic REAL-image corpus: per group, one 48×64 RGB
+    smooth-textured image (`smooth_texture` — lossy-survivable, the
+    r9 video lesson) in FOUR variants — the original as BMP, the
+    same pixels re-encoded as PNG (dHash-identical), a JPEG q=85
+    re-encode (lossy: a few scattered comparison bits flip — the
+    canonical web near-dup, VERDICT r9 #6), and a copy with a 12×12
+    constant patch at the top-left (a localized edit). No RNG
+    anywhere."""
+    from .jpeg import encode_jpeg
+
     rows = []
     for g in range(n_groups):
-        base = _md5_pixels(f"imgdedup-{g}", 24, 32).copy()
+        base = smooth_texture(f"imgdedup-{g}").copy()
         patched = base.copy()
-        patched[:6, :6, :] = 128
+        patched[:12, :12, :] = 128
         for v, (variant, payload) in enumerate(
             (
                 ("bmp", encode_bmp(base)),
                 ("png", encode_png(base)),
+                ("jpeg", encode_jpeg(base, quality=85)),
                 ("patch", encode_bmp(patched)),
             )
         ):
@@ -256,12 +300,13 @@ def make_image_corpus(spark: SparkSession, n_groups: int = 16) -> DataFrame:
 
 
 def dedup_images_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver gate (``sf_dir`` unused): 16 groups × 3 variants of
-    REAL encoded images (BMP + PNG re-encode + brightness shift) →
-    dHash → banded Hamming join. The oracle pins the exact
-    accounting: every within-group pair found (re-encodes at
-    Hamming 0, brightness variants within the threshold), zero
-    cross-group pairs."""
+    """Driver gate (``sf_dir`` unused): 16 groups × 4 variants of
+    REAL encoded images (BMP + PNG re-encode + lossy JPEG q=85
+    re-encode + localized patch) → dHash → 8-band Hamming join. The
+    oracle pins the exact accounting: ALL 96 within-group pairs
+    found (lossless re-encodes at Hamming 0, the JPEG re-encode's
+    scattered flips within the threshold — measured max 9 vs
+    cross-group min 13), zero cross-group pairs."""
     corpus = make_image_corpus(spark)
     hashed = image_dhash_df(corpus).localCheckpoint()  # hash once, 2 consumers
     pairs = near_dup_image_pairs(hashed)
@@ -289,10 +334,10 @@ def dedup_images_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_IMAGES_SQL = """
-SELECT CAST(48 AS BIGINT) AS n_images,
-       CAST(48 AS BIGINT) AS n_pairs,
-       CAST(48 AS BIGINT) AS same_group_pairs,
-       CAST(28 AS BIGINT) AS exact_hash_pairs,
-       CAST(4 AS BIGINT) AS max_hamming
+SELECT CAST(64 AS BIGINT) AS n_images,
+       CAST(96 AS BIGINT) AS n_pairs,
+       CAST(96 AS BIGINT) AS same_group_pairs,
+       CAST(20 AS BIGINT) AS exact_hash_pairs,
+       CAST(9 AS BIGINT) AS max_hamming
 FROM (VALUES (1)) t(x)
 """

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .image_dedup import _md5_pixels, banded_hamming_pairs, dhash64
+from .image_dedup import banded_hamming_pairs, dhash64, smooth_texture
 from .jpeg import decode_jpeg, encode_jpeg
 from .media_containers import build_mp4, mp4_sample_bytes, parse_mp4
 
@@ -144,38 +144,11 @@ def near_dup_video_pairs(
 N_FRAMES = 6
 
 
+# _smooth_frame moved to image_dedup.smooth_texture (r10: the image
+# gate's JPEG variant needs the same lossy-survivable texture); this
+# alias keeps the video corpus reading as before
 def _smooth_frame(seed: str, h: int = 48, w: int = 64) -> np.ndarray:
-    """(h, w, 3) uint8: a 4×5 md5 control grid bilinearly upsampled
-    — deterministic smooth gradients. The control grid is quantized
-    to two far-apart levels so adjacent dHash samples differ by wide
-    margins: near-equal neighbors are the one place a lossy
-    re-encode can flip a comparison bit."""
-    grid = np.where(_md5_pixels(seed, 4, 5) < 128, 24.0, 232.0)
-    ys = np.linspace(0, 3, h)
-    xs = np.linspace(0, 4, w)
-    y0 = np.floor(ys).astype(np.int64).clip(0, 2)
-    x0 = np.floor(xs).astype(np.int64).clip(0, 3)
-    fy = (ys - y0)[:, None, None]
-    fx = (xs - x0)[None, :, None]
-    g00 = grid[y0][:, x0]
-    g01 = grid[y0][:, x0 + 1]
-    g10 = grid[y0 + 1][:, x0]
-    g11 = grid[y0 + 1][:, x0 + 1]
-    out = (
-        g00 * (1 - fy) * (1 - fx)
-        + g01 * (1 - fy) * fx
-        + g10 * fy * (1 - fx)
-        + g11 * fy * fx
-    )
-    # deterministic dither ramp: flat regions make adjacent dHash
-    # samples EXACTLY equal, and a tie's comparison bit is decided
-    # by ±2-level JPEG ringing (coin-flip fragile). The ramp's slope
-    # between samples (~3 px apart → ~9 luma units) exceeds typical
-    # ringing, so every comparison has a stable margin. Natural
-    # images carry this texture for free; synthetic flats must add
-    # it.
-    ramp = (3.0 * (np.arange(w) % 9))[None, :, None]
-    return np.clip(np.round(out + ramp), 0, 255).astype(np.uint8)
+    return smooth_texture(seed, h, w)
 
 
 def make_video_corpus(spark: SparkSession, n_groups: int = 8) -> DataFrame:

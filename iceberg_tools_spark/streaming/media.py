@@ -68,12 +68,12 @@ def media_stream_dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus through the intake in per-file micro-batches and count
     survivors — re-encodes (same dHash) collapse to one survivor
     per distinct fingerprint, exactly as the batch plan does.
-    Golden oracle: 8 groups × 3 variants = 24 images, 13 distinct
-    fingerprints (bmp == png per group; the 6×6 patch happens to
-    leave the dHash unchanged for 3 of these 8 groups — the
-    patched samples' comparisons don't flip — so those groups
-    collapse to ONE fingerprint; consistent with the image gate's
-    exact_hash_pairs accounting)."""
+    Golden oracle over the r10 corpus (4 variants: bmp/png/jpeg/
+    patch): 8 groups × 4 = 32 images, 24 distinct fingerprints —
+    bmp == png per group always; in these 8 groups the JPEG
+    re-encode and the 12×12 patch each flip at least one comparison
+    (3 distinct fingerprints per group; consistent with the image
+    gate's exact_hash_pairs accounting)."""
     import tempfile
 
     work = tempfile.mkdtemp(prefix="media_stream_")
@@ -102,7 +102,7 @@ def media_stream_dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MEDIA_STREAM_DEDUP_SQL = """
-SELECT CAST(13 AS BIGINT) AS n_survivors,
+SELECT CAST(24 AS BIGINT) AS n_survivors,
        CAST(1 AS INTEGER) AS stream_equals_batch
 FROM (VALUES (1)) t(x)
 """

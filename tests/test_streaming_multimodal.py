@@ -645,6 +645,10 @@ def test_dhash_invariant_under_reencode_and_patch(spark):
         assert rows[(g, "bmp")] == rows[(g, "png")]  # re-encode: identical
         patch_ham = bin((rows[(g, "bmp")] ^ rows[(g, "patch")]) & ((1 << 64) - 1)).count("1")
         assert patch_ham <= HAMMING_NEAR_DUP
+        # the lossy JPEG q=85 re-encode stays within threshold on the
+        # textured corpus (VERDICT r9 #6 — the dHash fragility case)
+        jpeg_ham = bin((rows[(g, "bmp")] ^ rows[(g, "jpeg")]) & ((1 << 64) - 1)).count("1")
+        assert jpeg_ham <= HAMMING_NEAR_DUP
     pairs = near_dup_image_pairs(hashed)
     by_group = {r.item_id: r.group_id for r in hashed.select(
         "item_id", "group_id").collect()}
