@@ -187,25 +187,26 @@ from .streaming import cdc as stream_cdc  # noqa: E402
 from .streaming import incremental as stream_inc  # noqa: E402
 from .streaming import ingest as stream_ingest  # noqa: E402
 
-# ============================= ROUND-9 WINDOW (the driver's first
+# ============================= ROUND-10 WINDOW (the driver's first
 # 50 registry entries; register() overwrites never move a key, so
 # this block alone fixes the window and the legacy registrations
 # below keep every key alive with identical (fn, sql)).
 #
-# Budget: 1 canary; 2-6 r9 FIRST CERTIFICATION (materialized-view
-# IVM + the four SQL-checkable companions of the rows-only quality
-# gates, VERDICT r8 #4/#6); 7-14 re-certification of keys whose
-# implementation changed this round (equality-aware binpack +
-# projected binpack scan, distributed orphan listing, distributed
-# manifest parse behind scan_plan/mor/meta_files, view identifier
-# rewrite, import timestamp math, Delta checkpoint-read
-# normalization, substring-coverage localCheckpoint); 15-25 the
-# FULL r4-evidence cohort (VERDICT r8 #3 — after this round no key's
-# newest driver row predates r5); 26-50 the oldest r5 keys
-# (§2.2 q-series + analytics + text + 2 events). Still r5 after
-# this round (next refresh wave): the remaining events suite,
-# stratified_sample, expire/orphan plans, the two *_multi metadata
-# keys, probe_string.
+# Budget: 1 canary; 2-9 FIRST CERTIFICATION of the 8 past-window r9
+# newcomers (VERDICT r9 #2 — the only oracle-checkable keys without
+# a driver row): the perceptual trio (now bucket-census-capped +
+# JPEG-variant corpus, VERDICT r9 #1/#6), streaming media intake,
+# bm25 (now two-stage salted top-k, #3), both replication
+# directions, $metadata_log_entries; 10 NEW r10 first cert
+# (MIN/MAX materialized view, #7); 11-13 re-certification of keys
+# whose implementation changed this round (MV refresh crash-safety
+# + version numbering, spec-gated binpack equality exclusion,
+# single-collect orphan listing); 14-26 the FULL r5-evidence cohort
+# (VERDICT r9 #5 — after this round no key's newest driver row
+# predates r6); 27-43 the FULL r6 cohort; 44-50 the oldest r7 keys
+# (asof, exact dedup, q9, generic top-k, bruteforce ANN, CDC rows,
+# append commit). Still r7 after this round: 35 keys, next refresh
+# wave.
 from .iceberg import ivm as _w_ivm  # noqa: E402
 from .iceberg import maintenance as _w_maint  # noqa: E402
 from .iceberg import rewrite_data as _w_rwdata  # noqa: E402
@@ -213,25 +214,45 @@ from .iceberg import snapshots as _w_snap  # noqa: E402
 from .iceberg import tables as _w_tables  # noqa: E402
 from .iceberg import views as _w_views  # noqa: E402
 from .iceberg import deletes as _w_del  # noqa: E402
+from .operators import bm25 as _w_bm25  # noqa: E402
 from .operators import bpe as _w_bpe  # noqa: E402
+from .operators import audio_dedup as _w_aud  # noqa: E402
+from .operators import image_dedup as _w_img  # noqa: E402
 from .operators import pq as _w_pq  # noqa: E402
 from .operators import semdedup as _w_sem  # noqa: E402
+from .operators import video_dedup as _w_vid  # noqa: E402
 from .sources import delta_log as _w_delta  # noqa: E402
+from .sources import migrate as _w_mig  # noqa: E402
 from .sources import parquet_import as _w_pqimp  # noqa: E402
+from .streaming import media as _w_media  # noqa: E402
 
 # 1: canary probe
 register("probe_double", probes.probe_double, probes.PROBE_DOUBLE_SQL, raw=True)
-# 2-6: r9 first certification
+# 2-9: FIRST CERTIFICATION — the 8 past-window r9 newcomers
+register("dedup_images_dhash", _w_img.dedup_images_dhash, _w_img.DEDUP_IMAGES_SQL)
+register("dedup_audio_afp", _w_aud.dedup_audio_afp, _w_aud.DEDUP_AUDIO_SQL)
+register(
+    "dedup_videos_framehash", _w_vid.dedup_videos_framehash, _w_vid.DEDUP_VIDEOS_SQL
+)
+register(
+    "media_stream_dedup_rows",
+    _w_media.media_stream_dedup_rows,
+    _w_media.MEDIA_STREAM_DEDUP_SQL,
+)
+register("bm25_topk", _w_bm25.bm25_topk, _w_bm25.BM25_TOPK_SQL)
+register("delta_replicate_rows", _w_mig.delta_replicate_rows, _w_mig.DELTA_REPLICATE_SQL)
+register(
+    "delta_replicate_full_rows",
+    _w_mig.delta_replicate_full_rows,
+    _w_delta.DELTA_LOG_SQL,
+)
+register(
+    "meta_metadata_log", _w_tables.meta_metadata_log, _w_tables.META_METADATA_LOG_SQL
+)
+# 10: NEW r10 — MIN/MAX materialized view (group-scoped recompute)
+register("view_ivm_minmax", _w_ivm.view_ivm_minmax, _w_ivm.VIEW_IVM_MINMAX_SQL)
+# 11-13: changed-this-round re-certification
 register("view_ivm_roundtrip", _w_ivm.view_ivm_roundtrip, _w_ivm.VIEW_IVM_SQL)
-register("ann_pq_recall_check", _w_pq.ann_pq_recall_check, _w_pq.ANN_RECALL_CHECK_SQL)
-register(
-    "ann_ivfpq_recall_check", _w_pq.ann_ivfpq_recall_check, _w_pq.ANN_RECALL_CHECK_SQL
-)
-register("bpe_token_check", _w_bpe.bpe_token_check, _w_bpe.BPE_TOKEN_CHECK_SQL)
-register(
-    "dedup_semantic_check", _w_sem.dedup_semantic_check, _w_sem.DEDUP_SEMANTIC_CHECK_SQL
-)
-# 7-14: changed-this-round re-certification
 register(
     "binpack_rewrite_roundtrip",
     _w_rwdata.binpack_rewrite_roundtrip,
@@ -242,81 +263,63 @@ register(
     _w_maint.orphan_delete_roundtrip,
     _w_maint.ORPHAN_DELETE_SQL,
 )
-register("scan_plan_pruned", _w_snap.scan_plan_pruned, _w_snap.SCAN_PLAN_PRUNED_SQL)
-register("mor_live_rows", _w_del.mor_live_rows, _w_del.MOR_LIVE_ROWS_SQL)
-register("view_roundtrip_rows", _w_views.view_roundtrip_rows, _w_views.VIEW_ROUNDTRIP_SQL)
+# 14-26: the full r5-evidence cohort
+register("decile_value_customers", analytics.decile_value_customers, analytics.DECILE_SQL)
+register("events_dedup_exact", events.events_dedup_exact, events.EVENTS_DEDUP_SQL)
+register("events_props_stats", events.events_props_stats, events.EVENTS_PROPS_SQL)
 register(
-    "parquet_import_rows", _w_pqimp.parquet_import_rows, _w_pqimp.PARQUET_IMPORT_SQL
+    "expire_snapshots_plan", _w_snap.expire_snapshots_plan, _w_snap.EXPIRE_SNAPSHOTS_PLAN_SQL
 )
-register("delta_log_rows", _w_delta.delta_log_rows, _w_delta.DELTA_LOG_SQL)
+register("funnel_windowed", events.funnel_windowed, events.FUNNEL_WINDOWED_SQL)
+register("meta_history_multi", _w_snap.meta_history_multi, _w_snap.META_HISTORY_MULTI_SQL)
 register(
-    "dedup_substring_coverage", dedup.dedup_substring_coverage, dedup.DEDUP_SUBSTRING_SQL
+    "meta_snapshots_multi", _w_snap.meta_snapshots_multi, _w_snap.META_SNAPSHOTS_MULTI_SQL
 )
-# 15-25: the full r4-evidence cohort
-register("meta_files", _w_tables.meta_files, _w_tables.META_FILES_SQL)
+register("orders_cume_dist", analytics.orders_cume_dist, analytics.CUME_DIST_SQL)
+register("orphan_files_current", _w_snap.orphan_files_current, _w_snap.ORPHAN_FILES_SQL)
+register("probe_string", probes.probe_string, probes.PROBE_STRING_SQL, raw=True)
+register("retention_matrix", events.retention_matrix, events.RETENTION_MATRIX_SQL)
+register("sliding_window_agg", events.sliding_window_agg, events.SLIDING_WINDOW_SQL)
+register("stratified_sample", sampling.stratified_sample, sampling.STRATIFIED_SAMPLE_SQL)
+# 27-43: the full r6-evidence cohort
+register("ann_ivf_topk", similarity.ann_ivf_topk, similarity.ANN_IVF_SQL)
+register("compaction_plan", _w_snap.compaction_plan, _w_snap.COMPACTION_PLAN_SQL)
+register("corpus_filter_funnel", text_ops.corpus_filter_funnel, text_ops.CORPUS_FUNNEL_SQL)
 register(
-    "meta_manifest_entries",
-    _w_tables.meta_manifest_entries,
-    _w_tables.META_MANIFEST_ENTRIES_SQL,
+    "decontaminate_minhash", dedup.decontaminate_minhash, dedup.DECONTAMINATE_MINHASH_SQL
 )
-register("meta_partitions", _w_tables.meta_partitions, _w_tables.META_PARTITIONS_SQL)
-register("meta_snapshots", _w_tables.meta_snapshots, _w_tables.META_SNAPSHOTS_SQL)
-register("meta_history", _w_tables.meta_history, _w_tables.META_HISTORY_SQL)
-register("q20_promo_part_shippers", tpch_ext.q20_promo_part_shippers, tpch_ext.Q20_SQL)
+register("decontaminate_ngram", dedup.decontaminate_ngram, dedup.DECONTAMINATE_SQL)
+register("dedup_clusters", components.dedup_clusters, components.DEDUP_CLUSTERS_SQL)
+register("dedup_minhash_lsh", dedup.dedup_minhash_lsh, dedup.DEDUP_MINHASH_SQL)
+register("dedup_simhash", dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL)
+register("doc_repetition_stats", text_ops.doc_repetition_stats, text_ops.DOC_REPETITION_SQL)
 register(
-    "funnel_view_click_purchase", events.funnel_view_click_purchase, events.FUNNEL_SQL
+    "files_added_between", _w_snap.files_added_between_q, _w_snap.FILES_ADDED_BETWEEN_SQL
 )
-register("retention_day_n", events.retention_day_n, events.RETENTION_SQL)
-register("dedup_ngram_jaccard", dedup.dedup_ngram_jaccard, dedup.DEDUP_NGRAM_SQL)
+register("files_at_snapshot", _w_snap.files_at_snapshot, _w_snap.FILES_AT_SNAPSHOT_SQL)
 register(
-    "embedding_norm_stats", similarity.embedding_norm_stats, similarity.NORM_STATS_SQL
+    "meta_entry_status_dist",
+    _w_snap.meta_entry_status_dist,
+    _w_snap.META_ENTRY_STATUS_DIST_SQL,
 )
+register("meta_manifests", _w_snap.meta_manifests, _w_snap.META_MANIFESTS_SQL)
 register(
-    "token_count_histogram", sampling.token_count_histogram, sampling.TOKEN_HISTOGRAM_SQL
+    "meta_rewritten_files", _w_snap.meta_rewritten_files, _w_snap.META_REWRITTEN_FILES_SQL
 )
-# 26-50: oldest r5 keys
-register("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL)
-register("q4_order_priority", tpch.q4_order_priority, tpch.Q4_SQL)
-register("q5_local_supplier_volume", tpch.q5_local_supplier_volume, tpch.Q5_SQL)
-register("q6_revenue_change", tpch.q6_revenue_change, tpch.Q6_SQL)
-register("q7_volume_shipping", tpch.q7_volume_shipping, tpch.Q7_SQL)
-register("q12_priority_shipping", tpch.q12_priority_shipping, tpch.Q12_SQL)
-register("q13_customer_distribution", tpch.q13_customer_distribution, tpch.Q13_SQL)
-register("q14_promo_effect", tpch.q14_promo_effect, tpch.Q14_SQL)
-register("q15_top_supplier", tpch_ext.q15_top_supplier, tpch_ext.Q15_SQL)
+register("mixture_plan", sampling.mixture_plan, sampling.MIXTURE_PLAN_SQL)
+register("pii_scrub_stats", text_ops.pii_scrub_stats, text_ops.PII_SCRUB_SQL)
+register("source_dup_stats", text_ops.source_dup_stats, text_ops.SOURCE_DUP_SQL)
+# 44-50: the oldest r7 keys (first wave of the r7 refresh)
+register("asof_join_events_orders", events.asof_join_events_orders, events.ASOF_SQL)
+register("dedup_exact", dedup.dedup_exact, dedup.DEDUP_EXACT_SQL)
+register("q9_product_type_profit", tpch.q9_product_type_profit, tpch.Q9_SQL)
+register("top_k_per_group", analytics.top_k_per_group, analytics.TOP_K_SQL)
+register("ann_topk_bruteforce", similarity.ann_topk_bruteforce, similarity.ANN_BRUTE_SQL)
+register("changelog_rows", meta_changelog.changelog_rows, meta_changelog.CHANGELOG_SQL)
 register(
-    "q16_supplier_part_variety", tpch_ext.q16_supplier_part_variety, tpch_ext.Q16_SQL
+    "commit_append_files", meta_commit.commit_append_files, meta_commit.COMMIT_APPEND_SQL
 )
-register(
-    "q17_small_quantity_revenue", tpch_ext.q17_small_quantity_revenue, tpch_ext.Q17_SQL
-)
-register("q19_discounted_revenue", tpch.q19_discounted_revenue, tpch.Q19_SQL)
-register("q21_sole_fault_supplier", tpch_ext.q21_sole_fault_supplier, tpch_ext.Q21_SQL)
-register(
-    "q22_global_sales_opportunity", tpch.q22_global_sales_opportunity, tpch.Q22_SQL
-)
-register(
-    "percentiles_order_value", analytics.percentiles_order_value, analytics.PERCENTILES_SQL
-)
-register(
-    "approx_percentiles_check", analytics.approx_percentiles_check, analytics.APPROX_CHECK_SQL
-)
-register("pack_sequences_check", packing.pack_sequences_check, packing.PACK_CHECK_SQL)
-register(
-    "customer_running_total", analytics.customer_running_total, analytics.RUNNING_TOTAL_SQL
-)
-register(
-    "monthly_revenue_delta", analytics.monthly_revenue_delta, analytics.MONTHLY_DELTA_SQL
-)
-register(
-    "pivot_status_by_priority", analytics.pivot_status_by_priority, analytics.PIVOT_SQL
-)
-register("sessionize_events", events.sessionize_events, events.SESSIONIZE_SQL)
-register("session_window_agg", events.session_window_agg, events.SESSION_WINDOW_SQL)
-register("text_stats", text_ops.text_stats, text_ops.TEXT_STATS_SQL)
-register("text_quality", text_ops.text_quality, text_ops.TEXT_QUALITY_SQL)
-register("dataset_split", sampling.dataset_split, sampling.DATASET_SPLIT_SQL)
-# ========================== END ROUND-9 WINDOW ====================
+# ========================= END ROUND-10 WINDOW ====================
 # Registrations below keep every other key alive (overwrites never
 # move a key); their old window comments describe rounds ≤8.
 

@@ -229,32 +229,47 @@ def test_orphan_age_gate_uses_walk_mtime(spark, tmp_path):
     assert os.path.exists(young) and not os.path.exists(old)
 
 
-def test_round9_window_order_pinned():
+def test_round10_window_order_pinned():
     """The driver adjudicates the FIRST 50 registry entries; pin the
-    round-9 window head + size so an import reshuffle can't silently
+    round-10 window head + size so an import reshuffle can't silently
     spend the slots elsewhere."""
     from iceberg_tools_spark import registry
 
     keys = list(registry._REGISTRY)
     assert keys[0] == "probe_double"
-    assert keys[1:6] == [
-        "view_ivm_roundtrip", "ann_pq_recall_check", "ann_ivfpq_recall_check",
-        "bpe_token_check", "dedup_semantic_check",
+    # 2-9: first certification of the 8 past-window r9 newcomers
+    assert keys[1:9] == [
+        "dedup_images_dhash", "dedup_audio_afp", "dedup_videos_framehash",
+        "media_stream_dedup_rows", "bm25_topk", "delta_replicate_rows",
+        "delta_replicate_full_rows", "meta_metadata_log",
     ]
-    assert keys[6:14] == [
+    # 10-13: new r10 key + changed-this-round re-certs
+    assert keys[9:13] == [
+        "view_ivm_minmax", "view_ivm_roundtrip",
         "binpack_rewrite_roundtrip", "orphan_delete_roundtrip",
-        "scan_plan_pruned", "mor_live_rows", "view_roundtrip_rows",
-        "parquet_import_rows", "delta_log_rows", "dedup_substring_coverage",
     ]
-    r4_cohort = {
-        "meta_files", "meta_manifest_entries", "meta_partitions",
-        "meta_snapshots", "meta_history", "q20_promo_part_shippers",
-        "funnel_view_click_purchase", "retention_day_n",
-        "dedup_ngram_jaccard", "embedding_norm_stats",
-        "token_count_histogram",
+    r5_cohort = {
+        "decile_value_customers", "events_dedup_exact", "events_props_stats",
+        "expire_snapshots_plan", "funnel_windowed", "meta_history_multi",
+        "meta_snapshots_multi", "orders_cume_dist", "orphan_files_current",
+        "probe_string", "retention_matrix", "sliding_window_agg",
+        "stratified_sample",
     }
-    assert set(keys[14:25]) == r4_cohort
-    assert "delta_replicate_rows" not in keys[:50]  # past-window by design
+    assert set(keys[13:26]) == r5_cohort
+    r6_cohort = {
+        "ann_ivf_topk", "compaction_plan", "corpus_filter_funnel",
+        "decontaminate_minhash", "decontaminate_ngram", "dedup_clusters",
+        "dedup_minhash_lsh", "dedup_simhash", "doc_repetition_stats",
+        "files_added_between", "files_at_snapshot", "meta_entry_status_dist",
+        "meta_manifests", "meta_rewritten_files", "mixture_plan",
+        "pii_scrub_stats", "source_dup_stats",
+    }
+    assert set(keys[26:43]) == r6_cohort
+    assert set(keys[43:50]) == {
+        "asof_join_events_orders", "dedup_exact", "q9_product_type_profit",
+        "top_k_per_group", "ann_topk_bruteforce", "changelog_rows",
+        "commit_append_files",
+    }
 
 
 def test_map_manifests_empty_tasks(spark):
