@@ -867,6 +867,13 @@ def _register_past_window() -> None:
 
 _register_past_window()
 
+# r10 newcomer PAST the window (the r10 window spends its slots on
+# the 8 r9 first-certs + the two cohort refreshes; first driver
+# certification r11): Delta DELETION VECTORS — positional
+# merge-on-read via the shared framed-Roaring codec, descriptors
+# surviving the checkpoint round-trip
+register("delta_dv_rows", _w_delta.delta_dv_rows, _w_delta.DELTA_DV_SQL)
+
 
 def queries() -> dict[str, QueryFn]:
     return {k: (fn if raw else _wrap_fn(k, fn)) for k, (fn, _, raw) in _REGISTRY.items()}

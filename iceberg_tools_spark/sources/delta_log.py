@@ -159,6 +159,35 @@ def delta_live_files(table_root: str, version: int | None = None) -> list[str]:
     return sorted(os.path.join(table_root, a["path"]) for a in adds)
 
 
+def _apply_delta_dvs(
+    spark: SparkSession, df: DataFrame, table_root: str, dv_adds: list[dict[str, Any]]
+) -> DataFrame:
+    """MoR-apply deletion vectors to a scan frame: decode each
+    descriptor's positions (KB-scale bitmaps, driver-side like all
+    log metadata), broadcast the (rel, pos) victim frame, and
+    anti-join on (file suffix, ``_metadata.row_index``) — the same
+    plan shape `iceberg.deletes` runs for position deletes."""
+    import pyspark.sql.functions as F
+
+    rows = [
+        (a["path"], int(p))
+        for a in dv_adds
+        for p in dv_positions(table_root, a["deletionVector"])
+    ]
+    if not rows:
+        return df.drop("_dv_path", "_dv_pos")
+    victims = spark.createDataFrame(rows, "dv_rel string, dv_pos long")
+    tagged = df.withColumn("_dv_path", F.col("_metadata.file_path")).withColumn(
+        "_dv_pos", F.col("_metadata.row_index")
+    )
+    cond = tagged["_dv_path"].endswith(
+        F.concat(F.lit("/"), victims["dv_rel"])
+    ) & (tagged["_dv_pos"] == victims["dv_pos"])
+    return tagged.join(F.broadcast(victims), cond, "left_anti").drop(
+        "_dv_path", "_dv_pos"
+    )
+
+
 def read_delta_log(
     spark: SparkSession, table_root: str, version: int | None = None
 ) -> DataFrame:
@@ -166,7 +195,9 @@ def read_delta_log(
     ``version``). Partitioned tables: hive-style ``key=value`` path
     segments go through Spark's own directory inference
     (``basePath``); non-hive layouts inject the log's
-    ``partitionValues`` per file group explicitly."""
+    ``partitionValues`` per file group explicitly. Files whose
+    ``add`` carries a deletionVector read merge-on-read: their
+    deleted positions anti-join out (r10)."""
     from functools import reduce
 
     import pyspark.sql.functions as F
@@ -176,12 +207,18 @@ def read_delta_log(
         raise ValueError(f"Delta table {table_root!r} has no live files")
     part_cols = meta.get("partitionColumns") or []
     paths = [os.path.join(table_root, a["path"]) for a in adds]
+    dv_adds = [a for a in adds if a.get("deletionVector")]
     hive = all(
         all(f"{c}=" in a["path"] for c in part_cols) for a in adds
     )
     if not part_cols or hive:
         reader = spark.read.option("basePath", table_root) if part_cols else spark.read
-        return reader.parquet(*paths)
+        df = reader.parquet(*paths)
+        return _apply_delta_dvs(spark, df, table_root, dv_adds) if dv_adds else df
+    if dv_adds:
+        raise NotImplementedError(
+            "deletion vectors on a non-hive partition layout are not supported"
+        )
     groups: dict[tuple, list[str]] = {}
     for a in adds:
         key = tuple((a.get("partitionValues") or {}).get(c) for c in part_cols)
@@ -370,6 +407,15 @@ def _checkpoint_schema():
             ("createdTime", pa.int64()),
         ]
     )
+    dv_t = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
     add_t = pa.struct(
         [
             ("path", pa.string()),
@@ -377,6 +423,7 @@ def _checkpoint_schema():
             ("size", pa.int64()),
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
+            ("deletionVector", dv_t),
         ]
     )
     remove_t = pa.struct(
@@ -416,6 +463,7 @@ def _maps_to_pairs_add(a: dict[str, Any]) -> dict[str, Any]:
         "size": a.get("size"),
         "modificationTime": a.get("modificationTime"),
         "dataChange": a.get("dataChange", True),
+        "deletionVector": a.get("deletionVector"),
     }
     pv = out["partitionValues"]
     if isinstance(pv, dict):
@@ -604,3 +652,267 @@ def append_delta_commit(
         write_delta_checkpoint(table_root, v)
         out["checkpointed"] = True
     return out
+
+
+# ------------------- deletion vectors (r10; PROTOCOL.md "Deletion
+# Vectors"). A DV marks rows of a data file as deleted WITHOUT
+# rewriting the file — Delta's merge-on-read. The serialized bitmap
+# is the same framed Roaring blob Iceberg v3 adopted (length + magic
+# + portable 64-bit Roaring + CRC: `iceberg.puffin.encode_dv_blob`),
+# so both formats share one codec here. The descriptor rides on the
+# `add` action: storageType "u" (UUID-named .bin file under the
+# table root; pathOrInlineDv = optional prefix + Z85 of the 16-byte
+# UUID), "p" (absolute path), or "i" (inline; pathOrInlineDv = Z85
+# of the UNFRAMED magic+bitmap body, sizeInBytes = its length).
+
+_Z85 = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INV = {c: i for i, c in enumerate(_Z85)}
+
+
+def z85_encode(data: bytes) -> str:
+    """ZeroMQ Z85 (spec 32/Z85): 4 bytes → 5 chars; len % 4 == 0."""
+    if len(data) % 4:
+        raise ValueError(f"Z85 needs len % 4 == 0, got {len(data)}")
+    out = []
+    for i in range(0, len(data), 4):
+        v = int.from_bytes(data[i : i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            v, rem = divmod(v, 85)
+            chunk.append(_Z85[rem])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def z85_decode(s: str) -> bytes:
+    if len(s) % 5:
+        raise ValueError(f"Z85 needs len % 5 == 0, got {len(s)}")
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        v = 0
+        for c in s[i : i + 5]:
+            if c not in _Z85_INV:
+                raise ValueError(f"invalid Z85 character {c!r}")
+            v = v * 85 + _Z85_INV[c]
+        out.extend(v.to_bytes(4, "big"))
+    return bytes(out)
+
+
+def write_delta_dv_file(
+    table_root: str, positions_by_path: dict[str, list[int]]
+) -> dict[str, dict[str, Any]]:
+    """Write ONE on-disk deletion-vector ``.bin`` file carrying the
+    DV of every given data file (version byte 1, then per DV the
+    framed blob), named ``deletion_vector_<uuid>.bin`` with a
+    DETERMINISTIC uuid (md5 of the content layout — no RNG, same
+    fixture bytes every run). Returns per data-file descriptors
+    ready to ride an ``add`` action."""
+    import hashlib
+    import uuid as _uuid
+
+    from ..iceberg.puffin import encode_dv_blob
+
+    blobs: dict[str, bytes] = {
+        p: encode_dv_blob(sorted(set(v))) for p, v in sorted(positions_by_path.items())
+    }
+    digest = hashlib.md5(
+        b"|".join(p.encode() + b":" + b for p, b in blobs.items())
+    ).digest()
+    u = _uuid.UUID(bytes=digest)
+    rel = f"deletion_vector_{u}.bin"
+    descriptors: dict[str, dict[str, Any]] = {}
+    buf = bytearray(b"\x01")  # format version
+    for p, blob in blobs.items():
+        off = len(buf)
+        buf.extend(blob)
+        descriptors[p] = {
+            "storageType": "u",
+            "pathOrInlineDv": z85_encode(digest),
+            "offset": off,
+            # per the protocol, sizeInBytes counts the DV body (the
+            # magic + bitmap the 4-byte length prefix declares)
+            "sizeInBytes": len(blob) - 8,
+            "cardinality": len(set(positions_by_path[p])),
+        }
+    with open(os.path.join(table_root, rel), "wb") as f:
+        f.write(bytes(buf))
+    return descriptors
+
+
+def dv_positions(table_root: str, dv: dict[str, Any]) -> list[int]:
+    """Deleted row positions from a deletionVector descriptor."""
+    import struct as _struct
+
+    from ..iceberg.puffin import decode_dv_blob
+
+    st = dv.get("storageType")
+    if st == "i":
+        body = z85_decode(dv["pathOrInlineDv"])
+        # inline carries the UNFRAMED body; reframe for the codec
+        import zlib as _zlib
+
+        framed = (
+            _struct.pack(">I", len(body)) + body + _struct.pack(">I", _zlib.crc32(body))
+        )
+        return decode_dv_blob(framed)
+    if st == "u":
+        enc = dv["pathOrInlineDv"]
+        prefix, z = enc[:-20], enc[-20:]
+        import uuid as _uuid
+
+        u = _uuid.UUID(bytes=z85_decode(z))
+        path = os.path.join(table_root, prefix, f"deletion_vector_{u}.bin")
+    elif st == "p":
+        path = dv["pathOrInlineDv"]
+    else:
+        raise ValueError(f"unknown deletionVector storageType {st!r}")
+    with open(path, "rb") as f:
+        data = f.read()
+    off = int(dv["offset"])
+    (blen,) = _struct.unpack_from(">I", data, off)
+    if blen != int(dv["sizeInBytes"]):
+        raise ValueError(
+            f"DV length mismatch at offset {off}: {blen} != {dv['sizeInBytes']}"
+        )
+    return decode_dv_blob(data[off : off + 4 + blen + 4])
+
+
+def commit_delta_dv(
+    table_root: str,
+    deletes: dict[str, list[int]],
+    *,
+    checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
+) -> dict[str, Any]:
+    """DELETE rows by position without rewriting data files: merge
+    the given positions into each target file's existing DV (DVs
+    replace, never stack — the protocol's invariant), write one new
+    ``.bin``, and commit ``remove``+``add`` pairs re-adding each
+    target with its new descriptor (`dataChange` false on the
+    re-add's remove: rows leave the table via the DV, not the file).
+    """
+    adds, _, _ = replay_log(table_root)
+    by_path = {a["path"]: a for a in adds}
+    merged: dict[str, list[int]] = {}
+    for p, pos in deletes.items():
+        if p not in by_path:
+            raise ValueError(f"{p!r} is not a live file")
+        old = by_path[p].get("deletionVector")
+        prev = dv_positions(table_root, old) if old else []
+        merged[p] = sorted(set(prev) | set(pos))
+    descriptors = write_delta_dv_file(table_root, merged)
+    actions: list[dict[str, Any]] = []
+    for p in sorted(merged):
+        old_add = by_path[p]
+        actions.append({"remove": {
+            "path": p,
+            "deletionTimestamp": 1700000002000,
+            "dataChange": False,
+        }})
+        actions.append({"add": {
+            **{k: v for k, v in old_add.items() if k != "deletionVector"},
+            "dataChange": False,
+            "deletionVector": descriptors[p],
+        }})
+    actions.append({"commitInfo": {"operation": "DELETE", "timestamp": 1700000002000}})
+    return append_delta_commit(
+        table_root, actions, checkpoint_interval=checkpoint_interval
+    )
+
+
+def delta_dv_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for Delta deletion vectors (``sf_dir`` unused):
+    a scratch 2-file table of ids 0..99 (cat = id % 4) takes TWO
+    positional DV commits — the second extends the first file's DV,
+    exercising the replace-not-stack invariant — then a checkpoint,
+    and the table re-opens THROUGH the checkpoint (descriptors must
+    survive the columnar round-trip). Oracle: DuckDB recomputes the
+    live set from the same generation rule minus the deleted id
+    list (rows were written id-ascending, so position == id offset
+    within its file — an independent derivation, not a golden)."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    root = tempfile.mkdtemp(prefix="delta_dv_")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    meta_action = {"metaData": {
+        "id": "00000000-0000-0000-0000-0000000000dv",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({"type": "struct", "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "cat", "type": "string", "nullable": True, "metadata": {}},
+        ]}),
+        "partitionColumns": [], "configuration": {},
+        "createdTime": 1700000000000,
+    }}
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
+        meta_action,
+    ]
+    for i, lo in enumerate((0, 50)):
+        rel = f"f{i}.parquet"
+        ids = list(range(lo, lo + 50))
+        pq.write_table(
+            pa.table({
+                "id": pa.array(ids, pa.int64()),
+                "cat": pa.array([str(v % 4) for v in ids]),
+            }),
+            os.path.join(root, rel),
+        )
+        actions.append({"add": {
+            "path": rel, "partitionValues": {},
+            "size": os.path.getsize(os.path.join(root, rel)),
+            "modificationTime": 1700000001000, "dataChange": True,
+        }})
+    append_delta_commit(root, actions, checkpoint_interval=None)
+    # v1: delete positions 3..9 of f0 and 0,49 of f1
+    commit_delta_dv(
+        root,
+        {"f0.parquet": list(range(3, 10)), "f1.parquet": [0, 49]},
+        checkpoint_interval=None,
+    )
+    # v2: EXTEND f0's DV (merge 40..44 into 3..9) — replace, not stack
+    commit_delta_dv(root, {"f0.parquet": list(range(40, 45))}, checkpoint_interval=None)
+    write_delta_checkpoint(root)
+    # drop the JSON commits the checkpoint covers: the read below can
+    # only succeed through the checkpointed descriptors
+    for v in (0, 1):
+        os.remove(os.path.join(root, "_delta_log", f"{v:020d}.json"))
+    return (
+        read_delta_log(spark, root)
+        .groupBy("cat")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("id").cast("long").alias("id_sum"),
+            F.min("id").cast("long").alias("id_min"),
+            F.max("id").cast("long").alias("id_max"),
+        )
+        .orderBy("cat")
+    )
+
+
+_DV_DELETED = sorted(
+    list(range(3, 10)) + list(range(40, 45)) + [50, 99]
+)
+
+DELTA_DV_SQL = f"""
+WITH deleted(id) AS (VALUES {", ".join(f"({i})" for i in _DV_DELETED)}),
+live AS (
+  SELECT r.range AS id, CAST(r.range % 4 AS VARCHAR) AS cat
+  FROM range(100) r
+  WHERE r.range NOT IN (SELECT id FROM deleted)
+)
+SELECT cat,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(id) AS BIGINT) AS id_sum,
+       CAST(MIN(id) AS BIGINT) AS id_min,
+       CAST(MAX(id) AS BIGINT) AS id_max
+FROM live
+GROUP BY cat
+ORDER BY cat
+"""

@@ -726,11 +726,41 @@ def replicate_delta_versions(
     with open(mp, "w") as f:
         json.dump(meta0, f, indent=2)
 
-    def _copy_add(a: dict[str, Any]) -> dict[str, Any]:
-        rel = f"data/{a['path']}"
-        dst = os.path.join(target_root, rel)
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        shutil.copyfile(os.path.join(delta_root, a["path"]), dst)
+    def _copy_add(a: dict[str, Any], v: int = 0) -> dict[str, Any]:
+        dv = a.get("deletionVector")
+        if dv:
+            # a DV-bearing add is Delta merge-on-read: copying the
+            # file verbatim would resurrect its deleted rows in the
+            # replica, so FOLD — materialize the survivors under a
+            # VERSIONED name (the original copy stays untouched for
+            # the replica's own time travel) (r10)
+            from .delta_log import dv_positions
+
+            import pyspark.sql.functions as F
+
+            rel = f"data/dv{v}-{a['path'].replace('/', '_')}"
+            dst = os.path.join(target_root, rel)
+            pos = set(dv_positions(delta_root, dv))
+            src = os.path.join(delta_root, a["path"])
+            surv = (
+                spark.read.parquet(src)
+                .withColumn("_pos", F.col("_metadata.row_index"))
+                .filter(~F.col("_pos").isin(sorted(pos)) if pos else F.lit(True))
+                .drop("_pos")
+            )
+            tmpdir = dst + ".tmp"
+            surv.coalesce(1).write.mode("errorifexists").parquet(tmpdir)
+            part_file = next(
+                p for p in sorted(os.listdir(tmpdir)) if p.endswith(".parquet")
+            )
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(os.path.join(tmpdir, part_file), dst)
+            shutil.rmtree(tmpdir)
+        else:
+            rel = f"data/{a['path']}"
+            dst = os.path.join(target_root, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copyfile(os.path.join(delta_root, a["path"]), dst)
         part = {c: (a.get("partitionValues") or {}).get(c) for c in part_cols}
         return {"path": rel, "partition": part}
 
@@ -766,7 +796,7 @@ def replicate_delta_versions(
                 targets[rel] = by_rel[rel]
             new_entries = []
             for a in adds:
-                e = _copy_add(a)
+                e = _copy_add(a, v)
                 local = os.path.join(target_root, e["path"])
                 new_entries.append({
                     "spec_id": 0,
@@ -797,7 +827,7 @@ def replicate_delta_versions(
             mp = res["metadata_path"]
             n_removed += len(targets)
         elif adds:
-            files = [_copy_add(a) for a in adds]
+            files = [_copy_add(a, v) for a in adds]
             mp = append_snapshot(
                 mp, files, snapshot_id=sid, timestamp_ms=ts,
                 extra_summary=summary,
