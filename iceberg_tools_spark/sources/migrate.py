@@ -423,13 +423,16 @@ def replicate_iceberg_to_delta(
     parquet) as ``add``; files a replace/delete snapshot drops emit
     ``remove`` tombstones (VERDICT r9 #8 — the previous version
     raised on any non-append commit); and a file acquiring MoR
-    deletes (positional or equality) is FOLDED: its survivors
-    rewrite into a fresh parquet, the old replica copy gets a
-    ``remove``, the folded copy an ``add`` — Delta has no
-    merge-on-read sidecar, so the fold happens at replication time,
-    re-running whenever the file's applicable-delete signature
-    changes (`plan_scan_tasks` is the signature source, the same
-    FileScanTask planning the MoR reader trusts). Every
+    deletes maps to Delta's OWN merge-on-read when it can: purely
+    POSITIONAL deletes become a Delta deletion vector on the
+    verbatim copy (no rewrite — a DV update is the protocol's
+    remove+re-add of the same path), while equality-delete-bearing
+    files FOLD (survivors rewrite into a fresh parquet, old copy
+    tombstoned) — Delta has no equality deletes, so the fold is the
+    only faithful mapping; both re-run whenever the file's
+    applicable-delete signature changes (`plan_scan_tasks` is the
+    signature source, the same FileScanTask planning the MoR reader
+    trusts). Every
     ``checkpoint_interval`` commits the replica writes a parquet
     checkpoint + ``_last_checkpoint`` (VERDICT r8 #7), now including
     unexpired remove tombstones.
@@ -441,6 +444,7 @@ def replicate_iceberg_to_delta(
     import shutil
 
     from ..iceberg.deletes import (
+        _pos_delete_frame,
         apply_deletes,
         mor_entries_at,
         mor_frame,
@@ -448,7 +452,11 @@ def replicate_iceberg_to_delta(
     )
     from ..iceberg.metadata import parse_metadata
     from ..iceberg.snapshots import ancestor_chain
-    from .delta_log import CHECKPOINT_INTERVAL, append_delta_commit
+    from .delta_log import (
+        CHECKPOINT_INTERVAL,
+        append_delta_commit,
+        write_delta_dv_file,
+    )
 
     if checkpoint_interval is None:
         checkpoint_interval = CHECKPOINT_INTERVAL
@@ -491,9 +499,31 @@ def replicate_iceberg_to_delta(
         shutil.move(os.path.join(tmpdir, part), out_abs)
         shutil.rmtree(tmpdir)
 
-    # iceberg rel → (replica rel, applicable-delete signature)
-    replica: dict[str, tuple[str, tuple]] = {}
-    n_checkpoints = n_removed = n_folded = 0
+    def _positional_victims(entry, dels, s):
+        """Seq-gated deleted positions of ONE data file, from its
+        applicable positional delete files (parquet or v3 DV) — the
+        KB-scale bitmap a Delta deletionVector serializes."""
+        import pyspark.sql.functions as F
+
+        applicable_paths = {p for (p, _sq, _k) in s}
+        applicable = [d for d in dels if d["file_path"] in applicable_paths]
+        pf = _pos_delete_frame(spark, applicable)
+        if pf is None:
+            return []
+        rows = (
+            pf.filter(
+                (F.col("pd_rel") == entry["rel"])
+                & (F.lit(entry["sequence_number"]) <= F.col("pd_seq"))
+            )
+            .select("pd_pos")
+            .distinct()
+            .collect()
+        )
+        return sorted(int(r["pd_pos"]) for r in rows)
+
+    # iceberg rel → (replica rel, applicable-delete signature, mode)
+    replica: dict[str, tuple[str, tuple, str]] = {}
+    n_checkpoints = n_removed = n_folded = n_dvs = 0
     last: dict[str, Any] = {"version": -1}
     for vi, sid in enumerate(rng):
         data_s, dels_s = mor_entries_at(meta, sid, base_dir)
@@ -529,7 +559,7 @@ def replicate_iceberg_to_delta(
             ]
         # files gone from the live set → tombstones
         for rel in sorted(set(replica) - set(by_rel)):
-            drel, _ = replica.pop(rel)
+            drel = replica.pop(rel)[0]
             acts.append({"remove": {
                 "path": drel,
                 "deletionTimestamp": 1700000001000,
@@ -542,6 +572,52 @@ def replicate_iceberg_to_delta(
             s = sig[rel]
             if old is not None and old[1] == s:
                 continue  # replica copy still faithful
+            e = by_rel[rel]
+            i = len(adds)
+            kinds = {k for (_p, _sq, k) in s}
+            if s and kinds == {"POSITION_DELETES"}:
+                # purely-positional deletes map to a Delta DELETION
+                # VECTOR on the verbatim copy — no rewrite (r10): the
+                # descriptor recomputes from the FULL applicable set
+                # each time the signature changes, and when the copy
+                # already exists the update is the protocol's
+                # remove+re-add of the SAME path (dataChange false)
+                positions = _positional_victims(e, dels_s, s)
+                if positions:
+                    if old is not None and old[2] == "copy":
+                        drel = old[0]
+                        acts.append({"remove": {
+                            "path": drel,
+                            "deletionTimestamp": 1700000001000,
+                            "dataChange": False,
+                        }})
+                    else:
+                        if old is not None:
+                            acts.append({"remove": {
+                                "path": old[0],
+                                "deletionTimestamp": 1700000001000,
+                                "dataChange": True,
+                            }})
+                            n_removed += 1
+                        drel = f"r{sid}-{i:05d}.parquet"
+                        shutil.copyfile(
+                            e["local_path"], os.path.join(target_root, drel)
+                        )
+                    desc = write_delta_dv_file(target_root, {drel: positions})[drel]
+                    replica[rel] = (drel, s, "copy")
+                    adds.append({"add": {
+                        "path": drel,
+                        "partitionValues": {},
+                        "size": os.path.getsize(os.path.join(target_root, drel)),
+                        "modificationTime": 1700000001000,
+                        "dataChange": old is None,
+                        "deletionVector": desc,
+                    }})
+                    n_dvs += 1
+                    continue
+                # bounds-gated to zero victims: fall through to the
+                # plain verbatim copy below
+                s = ()
             if old is not None:
                 # delete signature changed → the old copy's rows are
                 # stale; re-fold
@@ -551,8 +627,6 @@ def replicate_iceberg_to_delta(
                     "dataChange": True,
                 }})
                 n_removed += 1
-            e = by_rel[rel]
-            i = len(adds)
             out_rel = f"r{sid}-fold-{i:05d}.parquet" if s else f"r{sid}-{i:05d}.parquet"
             out_abs = os.path.join(target_root, out_rel)
             if s:
@@ -564,7 +638,7 @@ def replicate_iceberg_to_delta(
                 n_folded += 1
             else:
                 shutil.copyfile(e["local_path"], out_abs)
-            replica[rel] = (out_rel, s)
+            replica[rel] = (out_rel, sig[rel], "fold" if s else "copy")
             adds.append({"add": {
                 "path": out_rel,
                 "partitionValues": {},
@@ -590,6 +664,7 @@ def replicate_iceberg_to_delta(
         "n_checkpoints": n_checkpoints,
         "n_removed_files": n_removed,
         "n_folded_files": n_folded,
+        "n_dv_files": n_dvs,
     }
 
 

@@ -69,10 +69,11 @@ def media_stream_dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors — re-encodes (same dHash) collapse to one survivor
     per distinct fingerprint, exactly as the batch plan does.
     Golden oracle over the r10 corpus (4 variants: bmp/png/jpeg/
-    patch): 8 groups × 4 = 32 images, 24 distinct fingerprints —
-    bmp == png per group always; in these 8 groups the JPEG
-    re-encode and the 12×12 patch each flip at least one comparison
-    (3 distinct fingerprints per group; consistent with the image
+    patch): 8 groups × 4 = 32 images, 20 distinct fingerprints —
+    bmp == png per group always; in 4 of these 8 groups the JPEG
+    re-encode or the 16×16 patch leaves the dHash unchanged (their
+    comparisons don't flip), so those groups collapse to 2 distinct
+    fingerprints and the rest to 3 (consistent with the image
     gate's exact_hash_pairs accounting)."""
     import tempfile
 
@@ -102,7 +103,7 @@ def media_stream_dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MEDIA_STREAM_DEDUP_SQL = """
-SELECT CAST(24 AS BIGINT) AS n_survivors,
+SELECT CAST(20 AS BIGINT) AS n_survivors,
        CAST(1 AS INTEGER) AS stream_equals_batch
 FROM (VALUES (1)) t(x)
 """

@@ -493,9 +493,12 @@ def test_replicate_iceberg_to_delta_with_removes_and_mor_fold(spark, tmp_path):
     meta = parse_metadata(MOR_METADATA)
     chain = list(reversed(ancestor_chain(meta, res["to_snapshot"])))
     assert res["n_versions"] == len(chain)
-    # the MoR delete commit folded at least one file and tombstoned
-    # its pre-fold copy
-    assert res["n_folded_files"] >= 1
+    # the MoR delete commit maps each delete kind to its Delta dual:
+    # the two positionally-deleted files (A, C) take deletion
+    # vectors on their verbatim copies, the equality-deleted file
+    # (D) folds and tombstones its pre-fold copy
+    assert res["n_dv_files"] == 2
+    assert res["n_folded_files"] == 1
     assert res["n_removed_files"] >= 1
     for v, sid in enumerate(chain):
         ice = sorted(
