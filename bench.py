@@ -187,6 +187,27 @@ BASELINE_CAL.update(
     {k: round(v / _R9B_CALIBRATION, 3) for k, v in _R9B_RAW.items()}
 )
 
+# Round-10 pins, from the clean end-of-round-10 idle run's FIRST-RUN
+# raws at that run's calibration (1.142 s). First pins: the three
+# r10 headline newcomers. RE-pins: the four keys whose
+# implementation deliberately changed this round — the perceptual
+# trio (exact-collapse + census-capped banded join; the image gate
+# additionally moved to the 4-variant 64×96 entropy-fixed corpus,
+# ~2× the pixels per image) and bm25 (two-stage salted top-k).
+_R10_CALIBRATION = 1.142
+_R10_RAW = {
+    "media_stream_dedup_rows": 6.395,
+    "view_ivm_minmax": 5.068,
+    "delta_dv_rows": 0.645,
+    "dedup_images_dhash": 1.784,
+    "dedup_audio_afp": 1.567,
+    "dedup_videos_framehash": 2.350,
+    "bm25_topk": 2.325,
+}
+BASELINE_CAL.update(
+    {k: round(v / _R10_CALIBRATION, 3) for k, v in _R10_RAW.items()}
+)
+
 # headline set: one representative per operator family; grows as
 # batteries land. Every name must exist in registry.queries().
 HEADLINE = [
