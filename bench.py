@@ -319,6 +319,7 @@ HEADLINE = [
     "media_stream_dedup_rows",
     "view_ivm_minmax",
     "delta_dv_rows",
+    "delta_cdf_rows",
 ]
 
 

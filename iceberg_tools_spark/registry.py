@@ -873,6 +873,9 @@ _register_past_window()
 # merge-on-read via the shared framed-Roaring codec, descriptors
 # surviving the checkpoint round-trip
 register("delta_dv_rows", _w_delta.delta_dv_rows, _w_delta.DELTA_DV_SQL)
+# ...and Change Data Feed: explicit cdc change files from
+# CDF-emitting DV commits + add/remove reconstruction otherwise
+register("delta_cdf_rows", _w_delta.delta_cdf_rows, _w_delta.DELTA_CDF_SQL)
 
 
 def queries() -> dict[str, QueryFn]:

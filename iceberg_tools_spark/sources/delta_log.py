@@ -785,6 +785,7 @@ def commit_delta_dv(
     deletes: dict[str, list[int]],
     *,
     checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
+    write_cdf: bool = False,
 ) -> dict[str, Any]:
     """DELETE rows by position without rewriting data files: merge
     the given positions into each target file's existing DV (DVs
@@ -792,18 +793,50 @@ def commit_delta_dv(
     ``.bin``, and commit ``remove``+``add`` pairs re-adding each
     target with its new descriptor (`dataChange` false on the
     re-add's remove: rows leave the table via the DV, not the file).
+
+    ``write_cdf``: a DV commit's actions are all dataChange-false,
+    so Change Data Feed readers would see NOTHING from it —
+    PROTOCOL.md requires writers with CDF enabled to emit explicit
+    change files. When set, the NEWLY deleted rows (merged minus
+    previously-deleted) land as a ``_change_data/`` parquet with
+    ``_change_type = 'delete'`` plus the matching ``cdc`` action
+    (KB-scale driver-side pyarrow — the same class of work as the
+    bitmap itself).
     """
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
     adds, _, _ = replay_log(table_root)
     by_path = {a["path"]: a for a in adds}
     merged: dict[str, list[int]] = {}
+    newly: dict[str, list[int]] = {}
     for p, pos in deletes.items():
         if p not in by_path:
             raise ValueError(f"{p!r} is not a live file")
         old = by_path[p].get("deletionVector")
-        prev = dv_positions(table_root, old) if old else []
-        merged[p] = sorted(set(prev) | set(pos))
+        prev = set(dv_positions(table_root, old)) if old else set()
+        merged[p] = sorted(prev | set(pos))
+        newly[p] = sorted(set(pos) - prev)
     descriptors = write_delta_dv_file(table_root, merged)
     actions: list[dict[str, Any]] = []
+    if write_cdf:
+        chunks = []
+        for p in sorted(newly):
+            if not newly[p]:
+                continue
+            t = _pq.read_table(os.path.join(table_root, p))
+            t = t.take(newly[p])
+            chunks.append(t.append_column(
+                "_change_type", pa.array(["delete"] * len(t))
+            ))
+        if chunks:
+            commits = list_commits(table_root)
+            next_v = commits[-1][0] + 1 if commits else 0
+            actions.append(
+                write_delta_cdf_file(
+                    table_root, next_v, pa.concat_tables(chunks)
+                )
+            )
     for p in sorted(merged):
         old_add = by_path[p]
         actions.append({"remove": {
@@ -915,4 +948,218 @@ SELECT cat,
 FROM live
 GROUP BY cat
 ORDER BY cat
+"""
+
+
+# ------------------- Change Data Feed (r10; PROTOCOL.md "Add CDC
+# File" / "Change Data Files"). CDF makes a Delta table's row-level
+# changes queryable per commit: a version that wrote explicit
+# change files carries ``cdc`` actions pointing under
+# ``_change_data/`` (parquet of the table schema + ``_change_type``,
+# never part of table state); a version WITHOUT cdc actions
+# reconstructs its changes from the data-changing add/remove
+# actions — an added file's rows are inserts, a removed file's rows
+# are deletes (readable because tombstoned files outlive the commit
+# until VACUUM). This is the Delta dual of `iceberg/changelog.py`.
+
+CDF_TYPES = ("insert", "delete", "update_preimage", "update_postimage")
+
+
+def write_delta_cdf_file(
+    table_root: str, version: int, rows: "pa.Table"
+) -> dict[str, Any]:
+    """Write one ``_change_data/`` parquet (table columns +
+    ``_change_type``) and return its ``cdc`` action."""
+    import pyarrow.parquet as pq
+
+    rel = f"_change_data/cdc-{version:010d}.parquet"
+    path = os.path.join(table_root, rel)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(rows, path)
+    return {"cdc": {
+        "path": rel,
+        "partitionValues": {},
+        "size": os.path.getsize(path),
+        "dataChange": False,
+    }}
+
+
+def _version_actions(table_root: str, version: int) -> list[dict[str, Any]]:
+    d = _log_dir(table_root)
+    path = os.path.join(d, f"{version:020d}.json")
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                out.append(json.loads(line))
+    return out
+
+
+def read_delta_cdf(
+    spark: SparkSession,
+    table_root: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level changes over ``[from_version, to_version]`` with
+    ``_change_type`` and ``_commit_version`` — explicit ``cdc``
+    files when a commit wrote them, add/remove reconstruction
+    otherwise. Versions whose commits only shuffle metadata
+    (``dataChange`` false everywhere, e.g. a DV re-add alongside
+    its cdc file) contribute nothing from the reconstruction path.
+    Requires the JSON commits for the range (CDF is about recent
+    changes; checkpointed-away history has no change files)."""
+    from functools import reduce
+
+    import pyspark.sql.functions as F
+
+    commits = dict(list_commits(table_root))
+    head = max(commits)
+    to_v = head if to_version is None else int(to_version)
+    _, meta, _ = replay_log(table_root, to_v)
+    part_cols = meta.get("partitionColumns") or []
+
+    def _file_rows(action: dict[str, Any], change: str) -> DataFrame:
+        # Delta keeps partition columns in the LOG, not the parquet —
+        # reconstruction injects them from the action's
+        # partitionValues, exactly like the live-set reader
+        df = spark.read.parquet(os.path.join(table_root, action["path"]))
+        pv = dict(action.get("partitionValues") or {})
+        # remove actions MAY omit partitionValues (optional per the
+        # protocol) — hive-style path segments are the fallback
+        for seg in action["path"].split("/")[:-1]:
+            if "=" in seg:
+                k, _, val = seg.partition("=")
+                pv.setdefault(k, val)
+        for c in part_cols:
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(pv.get(c)))
+        return df.withColumn("_change_type", F.lit(change))
+
+    frames = []
+    for v in range(int(from_version), to_v + 1):
+        if v not in commits:
+            raise ValueError(f"version {v} not in the JSON log (CDF needs it)")
+        actions = _version_actions(table_root, v)
+        cdc = [a["cdc"] for a in actions if a.get("cdc")]
+        if cdc:
+            df = spark.read.parquet(
+                *[os.path.join(table_root, c["path"]) for c in cdc]
+            )
+        else:
+            parts = []
+            for a in actions:
+                add = a.get("add")
+                if add and add.get("dataChange", True):
+                    parts.append(_file_rows(add, "insert"))
+                rem = a.get("remove")
+                if rem and rem.get("dataChange", True):
+                    parts.append(_file_rows(rem, "delete"))
+            if not parts:
+                continue
+            df = reduce(DataFrame.unionByName, parts)
+        frames.append(df.withColumn("_commit_version", F.lit(v).cast("long")))
+    if not frames:
+        raise ValueError(
+            f"no changes in versions [{from_version}, {to_v}] of {table_root!r}"
+        )
+    return reduce(DataFrame.unionByName, frames)
+
+
+def delta_cdf_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for Change Data Feed (``sf_dir`` unused): a
+    scratch table takes an append (v0, changes RECONSTRUCTED from
+    its data-changing adds), a CDF-emitting DV delete (v1, explicit
+    ``cdc`` change file — the DV commit itself is all
+    dataChange-false), another append (v2), and a second DV delete
+    overlapping the first (v3 — only the NEWLY deleted rows appear,
+    the replace-not-stack accounting). Output: per
+    (_commit_version, _change_type) row counts + id sums. Oracle:
+    DuckDB derives every version's change set from the same
+    generation rule + the deleted-position lists."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    root = tempfile.mkdtemp(prefix="delta_cdf_")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    meta_action = {"metaData": {
+        "id": "00000000-0000-0000-0000-000000000cdf",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({"type": "struct", "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        ]}),
+        "partitionColumns": [],
+        "configuration": {"delta.enableChangeDataFeed": "true"},
+        "createdTime": 1700000000000,
+    }}
+
+    def _add(rel, ids):
+        pq.write_table(
+            pa.table({"id": pa.array(ids, pa.int64())}),
+            os.path.join(root, rel),
+        )
+        return {"add": {
+            "path": rel, "partitionValues": {},
+            "size": os.path.getsize(os.path.join(root, rel)),
+            "modificationTime": 1700000001000, "dataChange": True,
+        }}
+
+    append_delta_commit(root, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+        meta_action,
+        _add("f0.parquet", list(range(0, 50))),
+        _add("f1.parquet", list(range(50, 100))),
+    ], checkpoint_interval=None)
+    commit_delta_dv(
+        root,
+        {"f0.parquet": list(range(3, 10)), "f1.parquet": [0, 49]},
+        checkpoint_interval=None, write_cdf=True,
+    )
+    append_delta_commit(
+        root, [_add("f2.parquet", list(range(100, 120)))],
+        checkpoint_interval=None,
+    )
+    commit_delta_dv(
+        root,
+        {"f0.parquet": [3] + list(range(40, 45))},
+        checkpoint_interval=None, write_cdf=True,
+    )
+    return (
+        read_delta_cdf(spark, root, 0)
+        .groupBy("_commit_version", "_change_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("id").cast("long").alias("id_sum"),
+        )
+        .orderBy("_commit_version", "_change_type")
+    )
+
+
+def _cdf_expected_sql() -> str:
+    v1 = sorted(set(range(3, 10)) | {50, 99})
+    v3 = sorted(range(40, 45))  # 3 already deleted at v1 — not NEW
+    rows = (
+        [(0, "insert", i) for i in range(100)]
+        + [(1, "delete", i) for i in v1]
+        + [(2, "insert", i) for i in range(100, 120)]
+        + [(3, "delete", i) for i in v3]
+    )
+    return ", ".join(f"({v}, '{t}', {i})" for v, t, i in rows)
+
+
+DELTA_CDF_SQL = f"""
+WITH changes(_commit_version, _change_type, id) AS (
+  VALUES {_cdf_expected_sql()}
+)
+SELECT CAST(_commit_version AS BIGINT) AS _commit_version,
+       _change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(id) AS BIGINT) AS id_sum
+FROM changes
+GROUP BY _commit_version, _change_type
+ORDER BY _commit_version, _change_type
 """

@@ -661,3 +661,75 @@ def test_full_fidelity_replication_folds_dvs(spark, tmp_path):
     # verbatim copy survives for the pre-DV snapshot
     assert os.path.exists(os.path.join(tgt, "data", "dv1-f.parquet"))
     assert os.path.exists(os.path.join(tgt, "data", "f.parquet"))
+
+
+# ---- Change Data Feed (r10) --------------------------------------
+
+
+def test_cdf_reconstruction_matches_live_set_diff(spark):
+    """A version with no cdc actions reconstructs its changes from
+    data-changing add/remove actions; on the fixture's v3 (one add +
+    one remove) the reconstructed inserts/deletes equal the live-set
+    difference between v2 and v3 — an independent derivation."""
+    from iceberg_tools_spark.sources.delta_log import (
+        DELTA_FIXTURE,
+        read_delta_cdf,
+        read_delta_log,
+    )
+
+    cdf = read_delta_cdf(spark, DELTA_FIXTURE, 3, 3)
+    got_ins = sorted(
+        (r.id, r.cat) for r in cdf.filter("_change_type = 'insert'").collect()
+    )
+    got_del = sorted(
+        (r.id, r.cat) for r in cdf.filter("_change_type = 'delete'").collect()
+    )
+    v2 = {(r.id, r.cat) for r in read_delta_log(spark, DELTA_FIXTURE, 2).collect()}
+    v3 = {(r.id, r.cat) for r in read_delta_log(spark, DELTA_FIXTURE, 3).collect()}
+    assert got_ins == sorted(v3 - v2) and got_ins
+    assert got_del == sorted(v2 - v3) and got_del
+    assert set(r._commit_version for r in cdf.collect()) == {3}
+
+
+def test_cdf_dv_commit_without_change_file_is_silent(spark, tmp_path):
+    """A DV commit with write_cdf=False is all dataChange-false: the
+    CDF read contributes nothing for that version (the documented
+    writer obligation — PROTOCOL.md requires CDF-enabled writers to
+    emit change files)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from iceberg_tools_spark.sources.delta_log import (
+        append_delta_commit,
+        commit_delta_dv,
+        read_delta_cdf,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    pq.write_table(pa.table({"id": pa.array([1, 2, 3], pa.int64())}),
+                   os.path.join(root, "f.parquet"))
+    append_delta_commit(root, [
+        {"metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}}]}),
+            "partitionColumns": [], "configuration": {}, "createdTime": 0,
+        }},
+        {"add": {"path": "f.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    commit_delta_dv(root, {"f.parquet": [1]}, checkpoint_interval=None)
+    got = read_delta_cdf(spark, root, 0).collect()
+    assert {r._commit_version for r in got} == {0}
+    # an all-silent range raises rather than returning an empty frame
+    with _pytest.raises(ValueError, match="no changes"):
+        read_delta_cdf(spark, root, 1, 1)
+    # re-deleting the same position with CDF on emits NOTHING new
+    commit_delta_dv(root, {"f.parquet": [1]}, checkpoint_interval=None,
+                    write_cdf=True)
+    with _pytest.raises(ValueError, match="no changes"):
+        read_delta_cdf(spark, root, 2, 2)
