@@ -415,6 +415,7 @@ def replicate_iceberg_to_delta(
     from_snapshot: int | None = None,
     to_snapshot: int | None = None,
     checkpoint_interval: int | None = None,
+    write_cdf: bool = False,
 ) -> dict[str, Any]:
     """Replicate an Iceberg snapshot range into a Delta table, ONE
     Delta commit per Iceberg snapshot: the seed snapshot exports
@@ -523,7 +524,8 @@ def replicate_iceberg_to_delta(
 
     # iceberg rel → (replica rel, applicable-delete signature, mode)
     replica: dict[str, tuple[str, tuple, str]] = {}
-    n_checkpoints = n_removed = n_folded = n_dvs = 0
+    dv_positions_seen: dict[str, set] = {}  # iceberg rel → positions
+    n_checkpoints = n_removed = n_folded = n_dvs = n_cdf = 0
     last: dict[str, Any] = {"version": -1}
     for vi, sid in enumerate(rng):
         data_s, dels_s = mor_entries_at(meta, sid, base_dir)
@@ -558,6 +560,7 @@ def replicate_iceberg_to_delta(
                 }},
             ]
         # files gone from the live set → tombstones
+        dropped_parts: list[tuple[str, str, list[int]]] = []
         for rel in sorted(set(replica) - set(by_rel)):
             drel = replica.pop(rel)[0]
             acts.append({"remove": {
@@ -565,8 +568,18 @@ def replicate_iceberg_to_delta(
                 "deletionTimestamp": 1700000001000,
                 "dataChange": True,
             }})
+            dropped_parts.append((
+                "delete_but",
+                os.path.join(target_root, drel),
+                sorted(dv_positions_seen.pop(rel, set())),
+            ))
             n_removed += 1
         adds: list[dict[str, Any]] = []
+        # per-commit CDF contributions: ("delete_at"|"insert_but"|
+        # "delete_but", abs path, positions) — "at" takes exactly the
+        # positions, "but" takes everything except them
+        cdf_parts: list[tuple[str, str, list[int]]] = []
+        cdf_required = False  # a dataChange-false (DV) change exists
         for rel in sorted(by_rel):
             old = replica.get(rel)
             s = sig[rel]
@@ -583,6 +596,8 @@ def replicate_iceberg_to_delta(
                 # already exists the update is the protocol's
                 # remove+re-add of the SAME path (dataChange false)
                 positions = _positional_victims(e, dels_s, s)
+                old_positions = dv_positions_seen.get(rel, set())
+                dv_positions_seen[rel] = set(positions)
                 if positions:
                     if old is not None and old[2] == "copy":
                         drel = old[0]
@@ -604,6 +619,18 @@ def replicate_iceberg_to_delta(
                             e["local_path"], os.path.join(target_root, drel)
                         )
                     desc = write_delta_dv_file(target_root, {drel: positions})[drel]
+                    if write_cdf:
+                        # the DV branch's actions are all dataChange-
+                        # false — CDF readers of the replica need the
+                        # newly-deleted rows as an explicit change
+                        # file (the commit_delta_dv writer obligation)
+                        cdf_required = True
+                        newly = sorted(set(positions) - old_positions)
+                        abs_p = os.path.join(target_root, drel)
+                        if newly:
+                            cdf_parts.append(("delete_at", abs_p, newly))
+                        if old is None:
+                            cdf_parts.append(("insert_but", abs_p, positions))
                     replica[rel] = (drel, s, "copy")
                     adds.append({"add": {
                         "path": drel,
@@ -626,7 +653,14 @@ def replicate_iceberg_to_delta(
                     "deletionTimestamp": 1700000001000,
                     "dataChange": True,
                 }})
+                if write_cdf:
+                    cdf_parts.append((
+                        "delete_but",
+                        os.path.join(target_root, old[0]),
+                        sorted(dv_positions_seen.get(rel, set())),
+                    ))
                 n_removed += 1
+            dv_positions_seen.pop(rel, None)  # fold/copy carries no DV
             out_rel = f"r{sid}-fold-{i:05d}.parquet" if s else f"r{sid}-{i:05d}.parquet"
             out_abs = os.path.join(target_root, out_rel)
             if s:
@@ -639,6 +673,8 @@ def replicate_iceberg_to_delta(
             else:
                 shutil.copyfile(e["local_path"], out_abs)
             replica[rel] = (out_rel, sig[rel], "fold" if s else "copy")
+            if write_cdf:
+                cdf_parts.append(("insert_but", out_abs, []))
             adds.append({"add": {
                 "path": out_rel,
                 "partitionValues": {},
@@ -647,6 +683,33 @@ def replicate_iceberg_to_delta(
                 "dataChange": True,
             }})
         acts.extend(adds)
+        if write_cdf and cdf_required:
+            # per the protocol, a commit WITH cdc actions is read
+            # from them ALONE — so the change file carries every
+            # change of the commit, not just the DV-masked ones
+            import pyarrow as _pa
+            import pyarrow.parquet as _papq
+
+            from .delta_log import write_delta_cdf_file
+
+            chunks = []
+            for kind, path_abs, positions in cdf_parts + dropped_parts:
+                t = _papq.read_table(path_abs)
+                if kind == "delete_at":
+                    t, change = t.take(positions), "delete"
+                else:
+                    keep = [i for i in range(len(t)) if i not in set(positions)]
+                    t = t.take(keep)
+                    change = "insert" if kind == "insert_but" else "delete"
+                if len(t):
+                    chunks.append(t.append_column(
+                        "_change_type", _pa.array([change] * len(t))
+                    ))
+            if chunks:
+                acts.append(write_delta_cdf_file(
+                    target_root, last["version"] + 1, _pa.concat_tables(chunks)
+                ))
+                n_cdf += 1
         ci: dict[str, Any] = {"operation": "WRITE", "timestamp": 1700000001000}
         if vi > 0:
             ci["icebergSnapshotId"] = sid
@@ -665,6 +728,7 @@ def replicate_iceberg_to_delta(
         "n_removed_files": n_removed,
         "n_folded_files": n_folded,
         "n_dv_files": n_dvs,
+        "n_cdf_files": n_cdf,
     }
 
 

@@ -733,3 +733,39 @@ def test_cdf_dv_commit_without_change_file_is_silent(spark, tmp_path):
                     write_cdf=True)
     with _pytest.raises(ValueError, match="no changes"):
         read_delta_cdf(spark, root, 2, 2)
+
+
+def test_replication_cdf_nets_to_iceberg_changelog(spark, tmp_path):
+    """Cross-format changelog equality: replicate the MoR fixture
+    with CDF emission, then for EVERY replicated snapshot the
+    replica's CDF — netted (a fold reads as delete-old + insert-new;
+    EXCEPT-ALL both ways cancels the carried-over rows) — equals the
+    Iceberg row-level changelog of that snapshot."""
+    from iceberg_tools_spark.iceberg.changelog import changelog_between
+    from iceberg_tools_spark.iceberg.deletes import MOR_DIR, MOR_METADATA
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+    from iceberg_tools_spark.iceberg.snapshots import ancestor_chain
+    from iceberg_tools_spark.sources.delta_log import read_delta_cdf
+    from iceberg_tools_spark.sources.migrate import replicate_iceberg_to_delta
+
+    tgt = str(tmp_path / "replica")
+    res = replicate_iceberg_to_delta(
+        spark, MOR_METADATA, tgt, base_dir=MOR_DIR, write_cdf=True
+    )
+    assert res["n_cdf_files"] >= 1  # the MoR delete snapshot
+    meta = parse_metadata(MOR_METADATA)
+    chain = list(reversed(ancestor_chain(meta, res["to_snapshot"])))
+    cols = ["id", "category"]
+    for v in range(1, len(chain)):
+        cdf = read_delta_cdf(spark, tgt, v, v).select(*cols, "_change_type")
+        ins = cdf.filter("_change_type = 'insert'").select(*cols)
+        dels = cdf.filter("_change_type = 'delete'").select(*cols)
+        net_ins = sorted(map(tuple, ins.exceptAll(dels).collect()))
+        net_del = sorted(map(tuple, dels.exceptAll(ins).collect()))
+        cl = changelog_between(spark, MOR_METADATA, chain[v - 1], chain[v], MOR_DIR)
+        want_ins = sorted(map(tuple, cl.filter(
+            "change_type = 'INSERT'").select(*cols).collect()))
+        want_del = sorted(map(tuple, cl.filter(
+            "change_type = 'DELETE'").select(*cols).collect()))
+        assert net_ins == want_ins, f"v{v} inserts diverge"
+        assert net_del == want_del, f"v{v} deletes diverge"
