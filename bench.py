@@ -208,6 +208,14 @@ BASELINE_CAL.update(
     {k: round(v / _R10_CALIBRATION, 3) for k, v in _R10_RAW.items()}
 )
 
+# Late-round-10 addendum: Change Data Feed joined the headline set
+# after the v5 pins (final end-of-round run, calibration 0.818).
+_R10B_CALIBRATION = 0.818
+_R10B_RAW = {"delta_cdf_rows": 0.717}
+BASELINE_CAL.update(
+    {k: round(v / _R10B_CALIBRATION, 3) for k, v in _R10B_RAW.items()}
+)
+
 # headline set: one representative per operator family; grows as
 # batteries land. Every name must exist in registry.queries().
 HEADLINE = [
