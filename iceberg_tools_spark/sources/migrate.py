@@ -588,7 +588,14 @@ def replicate_iceberg_to_delta(
             e = by_rel[rel]
             i = len(adds)
             kinds = {k for (_p, _sq, k) in s}
-            if s and kinds == {"POSITION_DELETES"}:
+            # a previously-FOLDED copy can't take a DV: its row
+            # positions no longer match the original file's, and the
+            # CDF delta vs the folded rows isn't position-expressible
+            # — re-fold conservatively (only reachable when equality
+            # deletes leave the applicable set, e.g. after delete
+            # compaction upstream)
+            was_folded = old is not None and old[2] == "fold"
+            if s and kinds == {"POSITION_DELETES"} and not was_folded:
                 # purely-positional deletes map to a Delta DELETION
                 # VECTOR on the verbatim copy — no rewrite (r10): the
                 # descriptor recomputes from the FULL applicable set
