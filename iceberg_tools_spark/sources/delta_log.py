@@ -159,30 +159,45 @@ def delta_live_files(table_root: str, version: int | None = None) -> list[str]:
     return sorted(os.path.join(table_root, a["path"]) for a in adds)
 
 
+def _scan_path_col():
+    """``_metadata.file_path`` with its URI scheme stripped (local
+    scans render ``file:///abs/path``), so log-derived absolute
+    paths equi-join against it — an EXACT match (ADVICE r10: the
+    old ``endswith('/'+rel)`` suffix test could cross-match files
+    whose relative path is a path-suffix of another's, and forced a
+    nested-loop join where a broadcast HASH join belongs)."""
+    import pyspark.sql.functions as F
+
+    return F.regexp_replace(
+        F.col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*://", ""
+    )
+
+
 def _apply_delta_dvs(
     spark: SparkSession, df: DataFrame, table_root: str, dv_adds: list[dict[str, Any]]
 ) -> DataFrame:
     """MoR-apply deletion vectors to a scan frame: decode each
     descriptor's positions (KB-scale bitmaps, driver-side like all
-    log metadata), broadcast the (rel, pos) victim frame, and
-    anti-join on (file suffix, ``_metadata.row_index``) — the same
-    plan shape `iceberg.deletes` runs for position deletes."""
+    log metadata), broadcast the (abs path, pos) victim frame, and
+    anti-join on the exact (file path, ``_metadata.row_index``) key
+    — the same plan shape `iceberg.deletes` runs for position
+    deletes, as a broadcast hash join."""
     import pyspark.sql.functions as F
 
     rows = [
-        (a["path"], int(p))
+        (os.path.join(table_root, a["path"]), int(p))
         for a in dv_adds
         for p in dv_positions(table_root, a["deletionVector"])
     ]
     if not rows:
-        return df.drop("_dv_path", "_dv_pos")
-    victims = spark.createDataFrame(rows, "dv_rel string, dv_pos long")
-    tagged = df.withColumn("_dv_path", F.col("_metadata.file_path")).withColumn(
+        return df
+    victims = spark.createDataFrame(rows, "dv_path string, dv_pos long")
+    tagged = df.withColumn("_dv_path", _scan_path_col()).withColumn(
         "_dv_pos", F.col("_metadata.row_index")
     )
-    cond = tagged["_dv_path"].endswith(
-        F.concat(F.lit("/"), victims["dv_rel"])
-    ) & (tagged["_dv_pos"] == victims["dv_pos"])
+    cond = (tagged["_dv_path"] == victims["dv_path"]) & (
+        tagged["_dv_pos"] == victims["dv_pos"]
+    )
     return tagged.join(F.broadcast(victims), cond, "left_anti").drop(
         "_dv_path", "_dv_pos"
     )
@@ -195,11 +210,12 @@ def read_delta_log(
     ``version``). Partitioned tables: hive-style ``key=value`` path
     segments go through Spark's own directory inference
     (``basePath``); non-hive layouts inject the log's
-    ``partitionValues`` per file group explicitly. Files whose
-    ``add`` carries a deletionVector read merge-on-read: their
-    deleted positions anti-join out (r10)."""
-    from functools import reduce
-
+    ``partitionValues`` through ONE scan plus a broadcast per-file
+    constant join (r11 — the former per-partition-group union grew
+    the plan linearly with partition count, and DVs compose with it
+    now, closing the protocol-legal gap the old path raised on).
+    Files whose ``add`` carries a deletionVector read merge-on-read:
+    their deleted positions anti-join out (r10)."""
     import pyspark.sql.functions as F
 
     adds, meta, _ = replay_log(table_root, version)
@@ -214,22 +230,31 @@ def read_delta_log(
     if not part_cols or hive:
         reader = spark.read.option("basePath", table_root) if part_cols else spark.read
         df = reader.parquet(*paths)
-        return _apply_delta_dvs(spark, df, table_root, dv_adds) if dv_adds else df
-    if dv_adds:
-        raise NotImplementedError(
-            "deletion vectors on a non-hive partition layout are not supported"
+    else:
+        # Delta keeps partition values only in the log: attach them
+        # as per-file constants via a broadcast equi-join on the
+        # exact scan path — one parquet scan node however many
+        # partitions (the `attach_identity_partition_columns` shape)
+        from pyspark.sql import types as T
+
+        df = spark.read.parquet(*paths)
+        pv_rows = [
+            tuple(
+                [os.path.join(table_root, a["path"])]
+                + [(a.get("partitionValues") or {}).get(c) for c in part_cols]
+            )
+            for a in adds
+        ]
+        pv_schema = T.StructType(
+            [T.StructField("_pv_path", T.StringType())]
+            + [T.StructField(c, T.StringType()) for c in part_cols]
         )
-    groups: dict[tuple, list[str]] = {}
-    for a in adds:
-        key = tuple((a.get("partitionValues") or {}).get(c) for c in part_cols)
-        groups.setdefault(key, []).append(os.path.join(table_root, a["path"]))
-    frames = []
-    for key, gpaths in sorted(groups.items()):
-        df = spark.read.parquet(*gpaths)
-        for c, val in zip(part_cols, key):
-            df = df.withColumn(c, F.lit(val))
-        frames.append(df)
-    return reduce(DataFrame.unionByName, frames)
+        pv = spark.createDataFrame(pv_rows, pv_schema)
+        df = df.withColumn("_pv_scan", _scan_path_col())
+        df = df.join(
+            F.broadcast(pv), df["_pv_scan"] == pv["_pv_path"], "left"
+        ).drop("_pv_scan", "_pv_path")
+    return _apply_delta_dvs(spark, df, table_root, dv_adds) if dv_adds else df
 
 
 # ------------------------------------------------ driver-gate query
@@ -1008,58 +1033,136 @@ def read_delta_cdf(
     otherwise. Versions whose commits only shuffle metadata
     (``dataChange`` false everywhere, e.g. a DV re-add alongside
     its cdc file) contribute nothing from the reconstruction path.
+
+    Plan shape (r11, VERDICT r10 #5): TWO parquet scans total for
+    the whole range — one over every explicit change file, one over
+    every reconstruction file — each decorated via a broadcast
+    per-action constant join (change type, commit version,
+    partition values), replacing the former one-DataFrame-per-action
+    union whose plan grew linearly with action count. Reconstruction
+    is DV-aware (ADVICE r10): an add carrying a deletionVector
+    reports only its LIVE rows as inserts, and a remove carrying the
+    descriptor of the DV the file had when dropped reports only the
+    still-live rows as deletes — both via a broadcast (action, pos)
+    anti-join keyed per action.
+
     Requires the JSON commits for the range (CDF is about recent
-    changes; checkpointed-away history has no change files)."""
+    changes; checkpointed-away history has no change files) — a
+    missing commit raises naming the earliest READABLE version so a
+    consumer can resume (VERDICT r10 #7)."""
     from functools import reduce
 
     import pyspark.sql.functions as F
+    from pyspark.sql import types as T
 
     commits = dict(list_commits(table_root))
+    if not commits:
+        raise FileNotFoundError(f"{table_root!r} has an empty _delta_log")
     head = max(commits)
     to_v = head if to_version is None else int(to_version)
     _, meta, _ = replay_log(table_root, to_v)
     part_cols = meta.get("partitionColumns") or []
 
-    def _file_rows(action: dict[str, Any], change: str) -> DataFrame:
-        # Delta keeps partition columns in the LOG, not the parquet —
-        # reconstruction injects them from the action's
-        # partitionValues, exactly like the live-set reader
-        df = spark.read.parquet(os.path.join(table_root, action["path"]))
-        pv = dict(action.get("partitionValues") or {})
-        # remove actions MAY omit partitionValues (optional per the
-        # protocol) — hive-style path segments are the fallback
-        for seg in action["path"].split("/")[:-1]:
-            if "=" in seg:
-                k, _, val = seg.partition("=")
-                pv.setdefault(k, val)
-        for c in part_cols:
-            if c not in df.columns:
-                df = df.withColumn(c, F.lit(pv.get(c)))
-        return df.withColumn("_change_type", F.lit(change))
-
-    frames = []
+    cdc_files: list[tuple[str, int]] = []  # (abs path, version)
+    # one row per reconstruction ACTION: the same file may be added
+    # in one version and removed in another — the constant join fans
+    # each scanned row out to every action referencing its path,
+    # which is exactly the rows the per-action union produced
+    recon: list[dict[str, Any]] = []
+    dv_victims: list[tuple[int, int]] = []  # (action idx, deleted pos)
     for v in range(int(from_version), to_v + 1):
         if v not in commits:
-            raise ValueError(f"version {v} not in the JSON log (CDF needs it)")
+            earliest = min(commits)
+            raise ValueError(
+                f"version {v} of {table_root!r} is not in the JSON log "
+                f"(CDF needs the commit file; earliest readable version "
+                f"is {earliest})"
+            )
         actions = _version_actions(table_root, v)
         cdc = [a["cdc"] for a in actions if a.get("cdc")]
         if cdc:
-            df = spark.read.parquet(
-                *[os.path.join(table_root, c["path"]) for c in cdc]
+            cdc_files += [(os.path.join(table_root, c["path"]), v) for c in cdc]
+            continue
+        for a in actions:
+            for key, change in (("add", "insert"), ("remove", "delete")):
+                act = a.get(key)
+                if not act or not act.get("dataChange", True):
+                    continue
+                # Delta keeps partition columns in the LOG, not the
+                # parquet — reconstruction injects them from the
+                # action's partitionValues; remove actions MAY omit
+                # them (optional per the protocol), so hive-style
+                # path segments are the fallback
+                pv = dict(act.get("partitionValues") or {})
+                for seg in act["path"].split("/")[:-1]:
+                    if "=" in seg:
+                        k, _, val = seg.partition("=")
+                        pv.setdefault(k, val)
+                idx = len(recon)
+                dv = act.get("deletionVector")
+                if dv:
+                    dv_victims += [
+                        (idx, int(p)) for p in dv_positions(table_root, dv)
+                    ]
+                recon.append({
+                    "path": os.path.join(table_root, act["path"]),
+                    "version": v,
+                    "change": change,
+                    "pv": pv,
+                    "idx": idx,
+                })
+
+    frames: list[DataFrame] = []
+    if cdc_files:
+        df = spark.read.parquet(*sorted({p for p, _ in cdc_files}))
+        vmap = spark.createDataFrame(
+            cdc_files, "_cdc_path string, _commit_version long"
+        )
+        df = df.withColumn("_cdc_scan", _scan_path_col())
+        frames.append(
+            df.join(
+                F.broadcast(vmap), df["_cdc_scan"] == vmap["_cdc_path"], "inner"
+            ).drop("_cdc_scan", "_cdc_path")
+        )
+    if recon:
+        df = spark.read.parquet(*sorted({r["path"] for r in recon}))
+        inject = [c for c in part_cols if c not in df.columns]
+        act_schema = T.StructType(
+            [
+                T.StructField("_act_path", T.StringType()),
+                T.StructField("_act_idx", T.LongType()),
+                T.StructField("_commit_version", T.LongType()),
+                T.StructField("_change_type", T.StringType()),
+            ]
+            + [T.StructField(c, T.StringType()) for c in inject]
+        )
+        acts = spark.createDataFrame(
+            [
+                tuple(
+                    [r["path"], r["idx"], r["version"], r["change"]]
+                    + [r["pv"].get(c) for c in inject]
+                )
+                for r in recon
+            ],
+            act_schema,
+        )
+        tagged = df.withColumn("_act_scan", _scan_path_col()).withColumn(
+            "_act_pos", F.col("_metadata.row_index")
+        )
+        out = tagged.join(
+            F.broadcast(acts), tagged["_act_scan"] == acts["_act_path"], "inner"
+        )
+        if dv_victims:
+            victims = spark.createDataFrame(
+                dv_victims, "dv_idx long, dv_pos long"
             )
-        else:
-            parts = []
-            for a in actions:
-                add = a.get("add")
-                if add and add.get("dataChange", True):
-                    parts.append(_file_rows(add, "insert"))
-                rem = a.get("remove")
-                if rem and rem.get("dataChange", True):
-                    parts.append(_file_rows(rem, "delete"))
-            if not parts:
-                continue
-            df = reduce(DataFrame.unionByName, parts)
-        frames.append(df.withColumn("_commit_version", F.lit(v).cast("long")))
+            out = out.join(
+                F.broadcast(victims),
+                (out["_act_idx"] == victims["dv_idx"])
+                & (out["_act_pos"] == victims["dv_pos"]),
+                "left_anti",
+            )
+        frames.append(out.drop("_act_scan", "_act_pos", "_act_path", "_act_idx"))
     if not frames:
         raise ValueError(
             f"no changes in versions [{from_version}, {to_v}] of {table_root!r}"
