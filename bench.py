@@ -216,6 +216,16 @@ BASELINE_CAL.update(
     {k: round(v / _R10B_CALIBRATION, 3) for k, v in _R10B_RAW.items()}
 )
 
+# Round-12 newcomer: CDF-driven Delta→Iceberg replication. Pinned
+# from the r12 mid-round run (calibration 0.944) AFTER the
+# one-write-per-version optimization (partitionBy on _change_type
+# replaced the separate insert/delete spill jobs: 4.15 → ~3.3 s).
+_R12_CALIBRATION = 0.944
+_R12_RAW = {"delta_cdf_replicate_rows": 3.3}
+BASELINE_CAL.update(
+    {k: round(v / _R12_CALIBRATION, 3) for k, v in _R12_RAW.items()}
+)
+
 # headline set: one representative per operator family; grows as
 # batteries land. Every name must exist in registry.queries().
 HEADLINE = [
@@ -328,7 +338,83 @@ HEADLINE = [
     "view_ivm_minmax",
     "delta_dv_rows",
     "delta_cdf_rows",
+    # round-12: CDF-driven Delta→Iceberg replication (row-level
+    # changes land as equality-delete commits — changelog cost)
+    "delta_cdf_replicate_rows",
 ]
+
+
+def _replication_scale_evidence(spark) -> dict:
+    """Iceberg→Delta replication at file-count scale (VERDICT r10/
+    r11 #2d): a snapshot adding N data files + a pos-delete touching
+    EVERY one of them makes all N deletion-vector candidates — the
+    r11 rework computes every candidate's victims in ONE Spark job
+    per version and moves copies off the driver, so the SPARK JOB
+    COUNT must stay ~flat as N grows (the r10 per-file form ran one
+    job per changed file: jobs ∝ N). Wall time still grows with N
+    (N files get linked/written), which is the honest part of the
+    curve; the flat job count is the 100 TB claim."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_tools_spark.iceberg.commit import (
+        append_snapshot,
+        commit_delete_snapshot,
+        create_table,
+    )
+    from iceberg_tools_spark.sources.migrate import replicate_iceberg_to_delta
+
+    sc = spark.sparkContext
+    out = {"legs": []}
+    for n_files in (8, 32, 128):
+        root = os.path.join(
+            tempfile.mkdtemp(prefix=f"repl_scale_{n_files}_"), "ice"
+        )
+        os.makedirs(root)
+        mp = create_table(root, [("id", "long")])
+        loc = json.load(open(mp))["location"]
+        files = []
+        for i in range(n_files):
+            rel = f"data/f{i:04d}.parquet"
+            pq.write_table(
+                pa.table({"id": pa.array(range(i * 5, i * 5 + 5), pa.int64())}),
+                os.path.join(root, rel),
+            )
+            files.append({"path": rel, "partition": {}})
+        mp = append_snapshot(mp, files)["metadata_path"]
+        # one pos-delete row per data file → N DV candidates at once
+        drel = "data/deletes/d.parquet"
+        os.makedirs(os.path.join(root, "data/deletes"))
+        pq.write_table(
+            pa.table({
+                "file_path": pa.array([f"{loc}/{f['path']}" for f in files]),
+                "pos": pa.array([0] * n_files, pa.int64()),
+            }),
+            os.path.join(root, drel),
+        )
+        mp = commit_delete_snapshot(
+            mp, [{"path": drel, "partition": {}, "content": 1}]
+        )["metadata_path"]
+        group = f"repl_scale_{n_files}"
+        sc.setJobGroup(group, "replication scale evidence")
+        t0 = time.perf_counter()
+        res = replicate_iceberg_to_delta(
+            spark, mp, os.path.join(os.path.dirname(root), "delta"),
+            now_ms=1700000001000,
+        )
+        sec = round(time.perf_counter() - t0, 3)
+        jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+        sc.setJobGroup("", "")
+        out["legs"].append({
+            "n_files": n_files,
+            "spark_jobs": jobs,
+            "sec": sec,
+            "n_dv_files": res["n_dv_files"],
+            "n_versions": res["n_versions"],
+        })
+    return out
 
 
 def _import_scale_evidence(spark, sf_dir: str) -> dict:
@@ -1444,6 +1530,7 @@ def main() -> None:
     import_scale = None
     orphan_scale = None
     perceptual_scale = None
+    replication_scale = None
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALE"):
         try:
             metadata_scale = _metadata_scale_evidence(spark)
@@ -1481,6 +1568,10 @@ def main() -> None:
             import_scale = _import_scale_evidence(spark, sf_dir)
         except Exception as exc:  # pragma: no cover - defensive
             import_scale = {"error": f"{type(exc).__name__}: {exc}"}
+        try:
+            replication_scale = _replication_scale_evidence(spark)
+        except Exception as exc:  # pragma: no cover - defensive
+            replication_scale = {"error": f"{type(exc).__name__}: {exc}"}
 
     out = {
         "metric": "headline_total",
@@ -1511,6 +1602,7 @@ def main() -> None:
         "rangejoin_scale": rangejoin_scale,
         "ivm_scale": ivm_scale,
         "import_scale": import_scale,
+        "replication_scale": replication_scale,
     }
     # full metric JSON goes to a FILE (VERDICT r6 artifact bug: the
     # driver keeps only the tail of a giant stdout line, which lost

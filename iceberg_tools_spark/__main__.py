@@ -28,6 +28,14 @@ TOOLS = {
         cli_tools.delta2json_main,
         "Dumps a Delta table's reconstructed live-file state as JSON.",
     ),
+    "delta-vacuum": (
+        cli_tools.delta_vacuum_main,
+        "Plans (default) or executes retention-gated physical file removal.",
+    ),
+    "delta-log-cleanup": (
+        cli_tools.delta_log_cleanup_main,
+        "Plans (default) or executes checkpoint-gated log retention cleanup.",
+    ),
 }
 
 

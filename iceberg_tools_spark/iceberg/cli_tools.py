@@ -79,3 +79,103 @@ def delta2json_main(argv: list[str]) -> int:
             "size": a.get("size"),
         }, sort_keys=True) + "\n")
     return 0
+
+
+def _parse_flags(argv: list[str], flags: dict[str, type]) -> tuple[dict, list[str]]:
+    """--name=value flags (typed) + positional args; unknown flags
+    are an error the caller reports via the returned None."""
+    out: dict = {}
+    args: list[str] = []
+    for a in argv:
+        if a.startswith("--"):
+            name, _, val = a[2:].partition("=")
+            if name not in flags:
+                raise ValueError(f"unknown flag --{name}")
+            out[name] = flags[name](val) if val else True
+        else:
+            args.append(a)
+    return out, args
+
+
+def delta_vacuum_main(argv: list[str]) -> int:
+    """delta-vacuum [--retention-ms=N] [--now-ms=N] [--execute]
+    <table_root> — DRY RUN by default (prints the removal plan);
+    ``--execute`` unlinks. Spins up a local SparkSession for the
+    distributed listing."""
+    try:
+        flags, args = _parse_flags(
+            argv, {"retention-ms": int, "now-ms": int, "execute": bool}
+        )
+    except ValueError as exc:
+        sys.stderr.write(f"{exc}\n")
+        return 1
+    if len(args) != 1:
+        sys.stderr.write(
+            "usage: delta-vacuum [--retention-ms=N] [--now-ms=N] "
+            "[--execute] <table_root>\n"
+        )
+        return 1
+    from ..session import get_spark
+    from ..sources.delta_log import DELETED_FILE_RETENTION_MS, vacuum_delta
+
+    try:
+        res = vacuum_delta(
+            get_spark("delta-vacuum"),
+            args[0],
+            retention_ms=flags.get("retention-ms", DELETED_FILE_RETENTION_MS),
+            now_ms=flags.get("now-ms"),
+            dry_run=not flags.get("execute", False),
+        )
+    except (FileNotFoundError, ValueError) as exc:
+        sys.stderr.write(f"{exc}\n")
+        return 1
+    sys.stdout.write(json.dumps({
+        "dry_run": res["dry_run"],
+        "removed": res["removed"],
+        "n_candidates": len(res["candidates"]),
+        "n_too_young": len(res["too_young"]),
+        "n_live_protected": res["n_live_protected"],
+        "n_tombstone_protected": res["n_tombstone_protected"],
+    }) + "\n")
+    for p in res["candidates"]:
+        sys.stdout.write(p + "\n")
+    return 0
+
+
+def delta_log_cleanup_main(argv: list[str]) -> int:
+    """delta-log-cleanup [--retention-ms=N] [--now-ms=N] [--execute]
+    <table_root> — DRY RUN by default. Pure metadata; no Spark."""
+    try:
+        flags, args = _parse_flags(
+            argv, {"retention-ms": int, "now-ms": int, "execute": bool}
+        )
+    except ValueError as exc:
+        sys.stderr.write(f"{exc}\n")
+        return 1
+    if len(args) != 1:
+        sys.stderr.write(
+            "usage: delta-log-cleanup [--retention-ms=N] [--now-ms=N] "
+            "[--execute] <table_root>\n"
+        )
+        return 1
+    from ..sources.delta_log import LOG_RETENTION_MS, cleanup_delta_log
+
+    try:
+        res = cleanup_delta_log(
+            args[0],
+            retention_ms=flags.get("retention-ms", LOG_RETENTION_MS),
+            now_ms=flags.get("now-ms"),
+            dry_run=not flags.get("execute", False),
+        )
+    except (FileNotFoundError, ValueError) as exc:
+        sys.stderr.write(f"{exc}\n")
+        return 1
+    sys.stdout.write(json.dumps({
+        "dry_run": res.get("dry_run", True),
+        "n_removed_commits": len(res["removed_commits"]),
+        "n_removed_checkpoints": len(res["removed_checkpoints"]),
+        "kept_from_version": res.get("kept_from_version"),
+    }) + "\n")
+    for p in res["removed_commits"] + res["removed_checkpoints"]:
+        sys.stdout.write(p + "\n")
+    return 0

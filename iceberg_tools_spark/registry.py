@@ -965,6 +965,13 @@ register("delta_dv_rows", _w_delta.delta_dv_rows, _w_delta.DELTA_DV_SQL)
 # CDF-emitting DV commits + add/remove reconstruction otherwise
 register("delta_cdf_rows", _w_delta.delta_cdf_rows, _w_delta.DELTA_CDF_SQL)
 
+# r12 newcomer PAST the window (the r12 window spends its slots on
+# the broken-key first-certs + the r7/r8 refresh; two-SF local
+# parity every pytest run): Delta VACUUM — retention-gated physical
+# removal with live/DV-bin/recent-tombstone/cdc protection and the
+# in-flight mtime race guard
+register("delta_vacuum_rows", _w_delta.delta_vacuum_rows, _w_delta.DELTA_VACUUM_SQL)
+
 
 def queries() -> dict[str, QueryFn]:
     return {k: (fn if raw else _wrap_fn(k, fn)) for k, (fn, _, raw) in _REGISTRY.items()}

@@ -159,6 +159,44 @@ def delta_live_files(table_root: str, version: int | None = None) -> list[str]:
     return sorted(os.path.join(table_root, a["path"]) for a in adds)
 
 
+def commit_timestamps(table_root: str) -> list[tuple[int, int]]:
+    """(version, timestamp_ms) per JSON commit, ascending — the
+    ``commitInfo.timestamp`` when the commit wrote one, the log
+    file's mtime otherwise (the same fallback real readers use for
+    logs from writers that skipped commitInfo)."""
+    out: list[tuple[int, int]] = []
+    for v, path in list_commits(table_root):
+        ts = None
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                ci = json.loads(line).get("commitInfo")
+                if ci and ci.get("timestamp") is not None:
+                    ts = int(ci["timestamp"])
+                    break
+        if ts is None:
+            ts = int(os.stat(path).st_mtime * 1000)
+        out.append((v, ts))
+    return out
+
+
+def version_at_timestamp(table_root: str, timestamp_ms: int) -> int:
+    """Timestamp time travel (the ``timestampAsOf`` contract): the
+    LATEST version whose commit timestamp is at or before
+    ``timestamp_ms`` — a point before the table existed is a guided
+    error naming the earliest available commit time."""
+    stamps = commit_timestamps(table_root)
+    eligible = [v for v, ts in stamps if ts <= int(timestamp_ms)]
+    if not eligible:
+        raise ValueError(
+            f"timestamp {timestamp_ms} precedes the earliest commit of "
+            f"{table_root!r} (version {stamps[0][0]} at {stamps[0][1]})"
+        )
+    return max(eligible)
+
+
 # URI scheme prefix as Spark/Hadoop render it on `_metadata.file_path`:
 # `file:/abs/path` (SINGLE slash — this Spark build), `file:///abs/path`
 # (triple), or `s3://bucket/key`. The `(//)?` is load-bearing: requiring
@@ -229,11 +267,64 @@ def _apply_delta_dvs(
     )
 
 
+# reader features this module actually implements; a protocol action
+# demanding more must FAIL LOUDLY, not silently misread (r12 — the
+# spec's forward-compat contract: v2Checkpoint, for one, changes
+# checkpoint discovery entirely)
+_SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping", "timestampNtz"}
+
+
+def check_reader_support(table_root: str, version: int) -> dict[str, Any]:
+    """Guided protocol gate: raise when the table's protocol action
+    demands reader capabilities this module lacks; return the
+    protocol otherwise."""
+    proto = _current_protocol(table_root, version)
+    mrv = int(proto.get("minReaderVersion", 1))
+    if mrv > 3:
+        raise ValueError(
+            f"table requires minReaderVersion {mrv}; this reader "
+            f"implements up to 3 (features {sorted(_SUPPORTED_READER_FEATURES)})"
+        )
+    if mrv == 3:
+        unsupported = set(proto.get("readerFeatures") or []) - _SUPPORTED_READER_FEATURES
+        if unsupported:
+            raise ValueError(
+                f"table requires unsupported reader features "
+                f"{sorted(unsupported)}; this reader implements "
+                f"{sorted(_SUPPORTED_READER_FEATURES)}"
+            )
+    return proto
+
+
+def _column_mapping(meta: dict[str, Any]) -> dict[str, str] | None:
+    """physical → logical TOP-LEVEL column map when
+    ``delta.columnMapping.mode`` is active ("name" or "id" — files
+    written under either mode carry ``physicalName``s, which is the
+    resolution path this reader uses; nested-field mapping is out of
+    scope and documented so)."""
+    mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
+    if mode in (None, "", "none"):
+        return None
+    out: dict[str, str] = {}
+    for f in json.loads(meta["schemaString"])["fields"]:
+        phys = (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        out[phys] = f["name"]
+    return out
+
+
 def read_delta_log(
-    spark: SparkSession, table_root: str, version: int | None = None
+    spark: SparkSession,
+    table_root: str,
+    version: int | None = None,
+    *,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Distributed read of the live file set (time travel via
-    ``version``). Partitioned tables: hive-style ``key=value`` path
+    ``version``, or via ``timestamp_ms`` — the ``timestampAsOf``
+    resolution of :func:`version_at_timestamp`; passing both is an
+    error, like the real option pair). Partitioned tables: hive-style ``key=value`` path
     segments go through Spark's own directory inference
     (``basePath``); non-hive layouts inject the log's
     ``partitionValues`` through ONE scan plus a broadcast per-file
@@ -244,14 +335,23 @@ def read_delta_log(
     their deleted positions anti-join out (r10)."""
     import pyspark.sql.functions as F
 
-    adds, meta, _ = replay_log(table_root, version)
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp_ms, not both")
+        version = version_at_timestamp(table_root, timestamp_ms)
+    adds, meta, eff_v = replay_log(table_root, version)
+    check_reader_support(table_root, eff_v)
     if not adds:
         raise ValueError(f"Delta table {table_root!r} has no live files")
     part_cols = meta.get("partitionColumns") or []
+    mapping = _column_mapping(meta)
+    # under column mapping, path segments and partitionValues keys
+    # carry PHYSICAL names while partitionColumns stays logical
+    phys_of = {v: k for k, v in (mapping or {}).items()}
     paths = [os.path.join(table_root, a["path"]) for a in adds]
     dv_adds = [a for a in adds if a.get("deletionVector")]
     hive = all(
-        all(f"{c}=" in a["path"] for c in part_cols) for a in adds
+        all(f"{phys_of.get(c, c)}=" in a["path"] for c in part_cols) for a in adds
     )
     if not part_cols or hive:
         reader = spark.read.option("basePath", table_root) if part_cols else spark.read
@@ -267,7 +367,12 @@ def read_delta_log(
         pv_rows = [
             tuple(
                 [_strip_scheme(os.path.join(table_root, a["path"]))]
-                + [(a.get("partitionValues") or {}).get(c) for c in part_cols]
+                + [
+                    (a.get("partitionValues") or {}).get(
+                        phys_of.get(c, c), (a.get("partitionValues") or {}).get(c)
+                    )
+                    for c in part_cols
+                ]
             )
             for a in adds
         ]
@@ -280,7 +385,14 @@ def read_delta_log(
         df = df.join(
             F.broadcast(pv), df["_pv_scan"] == pv["_pv_path"], "left"
         ).drop("_pv_scan", "_pv_path")
-    return _apply_delta_dvs(spark, df, table_root, dv_adds) if dv_adds else df
+    if dv_adds:
+        df = _apply_delta_dvs(spark, df, table_root, dv_adds)
+    if mapping:
+        # physical → logical rename LAST: the joins above key on
+        # `_metadata`/paths, never on data-column names, and injected
+        # partition columns already carry logical names (pass-through)
+        df = df.select([F.col(c).alias(mapping.get(c, c)) for c in df.columns])
+    return df
 
 
 # ------------------------------------------------ driver-gate query
@@ -602,6 +714,163 @@ def replay_tombstones(
     return tomb
 
 
+def vacuum_delta(
+    spark: SparkSession,
+    table_root: str,
+    *,
+    retention_ms: int = DELETED_FILE_RETENTION_MS,
+    now_ms: int | None = None,
+    dry_run: bool = False,
+) -> dict[str, Any]:
+    """VACUUM: physically remove files no reader can reach — the
+    maintenance dual of the Iceberg side's ``delete_orphan_files``,
+    with Delta's retention semantics. Protected:
+
+    * everything under ``_delta_log/`` (log cleanup is a separate,
+      checkpoint-gated concern);
+    * the CURRENT live set and the ``.bin`` files its deletion
+      vectors resolve to;
+    * tombstoned files whose ``deletionTimestamp`` is younger than
+      ``retention_ms`` (stale readers / time travelers may still
+      scan them), plus the DV bins their removes carry;
+    * ``_change_data/`` files referenced by any RETAINED JSON
+      commit (CDF readers of the retained range).
+
+    Everything else — expired tombstones, failed-write strays —
+    is removable, gated by the same mtime race guard as the orphan
+    executor: a file younger than the cutoff may belong to an
+    in-flight commit and is reported ``too_young``, not unlinked.
+
+    Scale shape: the listing is the DISTRIBUTED
+    ``maintenance.distributed_listing`` job (driver shards
+    directories, executors walk, mtimes captured in-pass); the
+    protected set is log-derived KB metadata; unlinks batch to
+    executors past ``DISTRIBUTED_DELETE_THRESHOLD`` exactly like
+    the Iceberg orphan remover. After a (non-dry) vacuum, time
+    travel to versions whose files were reaped raises on read —
+    the documented VACUUM trade, same as the real command."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from ..iceberg.maintenance import (
+        DISTRIBUTED_DELETE_THRESHOLD,
+        _unlink_batch,
+        distributed_listing,
+    )
+
+    cutoff = (now_ms if now_ms is not None else _time.time() * 1000) - retention_ms
+    adds, _, head = replay_log(table_root)
+    protected: set[str] = set()
+    for a in adds:
+        protected.add(os.path.abspath(os.path.join(table_root, a["path"])))
+        dv = a.get("deletionVector")
+        if dv:
+            p = dv_storage_path(table_root, dv)
+            if p:
+                protected.add(os.path.abspath(p))
+    n_live = len(protected)
+    n_tomb_protected = 0
+    for rem in replay_tombstones(table_root, head).values():
+        ts = rem.get("deletionTimestamp")
+        if ts is None or ts >= cutoff:
+            protected.add(os.path.abspath(os.path.join(table_root, rem["path"])))
+            n_tomb_protected += 1
+            dv = rem.get("deletionVector")
+            if dv:
+                p = dv_storage_path(table_root, dv)
+                if p:
+                    protected.add(os.path.abspath(p))
+    for v, cpath in list_commits(table_root):
+        with open(cpath) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                cdc = json.loads(line).get("cdc")
+                if cdc:
+                    protected.add(
+                        os.path.abspath(os.path.join(table_root, cdc["path"]))
+                    )
+
+    listing = distributed_listing(spark, table_root).filter(
+        ~F.col("file_path").contains(os.sep + "_delta_log" + os.sep)
+    )
+    ref_df = spark.createDataFrame(
+        [(p,) for p in sorted(protected)], "file_path string"
+    )
+    candidates = listing.join(F.broadcast(ref_df), "file_path", "left_anti")
+    collected = candidates.select("file_path", "mtime_ms").collect()
+    too_young = sorted(r["file_path"] for r in collected if r["mtime_ms"] > cutoff)
+    victims = sorted(r["file_path"] for r in collected if r["mtime_ms"] <= cutoff)
+    if not dry_run and victims:
+        if len(victims) >= DISTRIBUTED_DELETE_THRESHOLD:
+            sc = spark.sparkContext
+            sc.parallelize(
+                victims, max(1, min(len(victims) // 256, sc.defaultParallelism * 2))
+            ).foreachPartition(_unlink_batch)
+        else:
+            for p in victims:
+                os.remove(p)
+    return {
+        "removed": 0 if dry_run else len(victims),
+        "candidates": victims,
+        "too_young": too_young,
+        "n_live_protected": n_live,
+        "n_tombstone_protected": n_tomb_protected,
+        "dry_run": dry_run,
+    }
+
+
+LOG_RETENTION_MS = 30 * 24 * 3600 * 1000
+
+
+def cleanup_delta_log(
+    table_root: str,
+    *,
+    retention_ms: int = LOG_RETENTION_MS,
+    now_ms: int | None = None,
+    dry_run: bool = False,
+) -> dict[str, Any]:
+    """Log cleanup (``delta.logRetentionDuration`` semantics): remove
+    JSON commits and superseded checkpoint parquets the NEWEST
+    checkpoint makes redundant, once their commit timestamp (or file
+    mtime for checkpoints) falls past the retention window. Nothing
+    at or after the newest checkpoint is ever touched — state replay
+    stays exact; the cost is CDF/time-travel history, whose readers
+    get the guided earliest-readable-version error rather than
+    silence. Driver-side os work: the log is KB metadata."""
+    import time as _time
+
+    cp = latest_checkpoint(table_root)
+    if cp is None:
+        return {"removed_commits": [], "removed_checkpoints": [],
+                "reason": "no checkpoint — every commit is load-bearing"}
+    cutoff = (now_ms if now_ms is not None else _time.time() * 1000) - retention_ms
+    d = _log_dir(table_root)
+    removed_commits: list[str] = []
+    for v, ts in commit_timestamps(table_root):
+        if v < cp[0] and ts < cutoff:
+            removed_commits.append(os.path.join(d, f"{v:020d}.json"))
+    removed_checkpoints: list[str] = []
+    for name in sorted(os.listdir(d)):
+        m = _CHECKPOINT_RE.match(name)
+        if not m:
+            continue
+        p = os.path.join(d, name)
+        if int(m.group(1)) < cp[0] and os.stat(p).st_mtime * 1000 < cutoff:
+            removed_checkpoints.append(p)
+    if not dry_run:
+        for p in removed_commits + removed_checkpoints:
+            os.remove(p)
+    return {
+        "removed_commits": removed_commits,
+        "removed_checkpoints": removed_checkpoints,
+        "kept_from_version": cp[0],
+        "dry_run": dry_run,
+    }
+
+
 def write_delta_checkpoint(
     table_root: str,
     version: int | None = None,
@@ -797,14 +1066,32 @@ def write_delta_dv_file(
     return descriptors
 
 
+def dv_storage_path(table_root: str, dv: dict[str, Any]) -> str | None:
+    """On-disk path a deletionVector descriptor resolves to — None
+    for inline ("i") storage, which keeps nothing on disk. Shared by
+    the position decoder and VACUUM's referenced-file protection."""
+    st = dv.get("storageType")
+    if st == "i":
+        return None
+    if st == "u":
+        enc = dv["pathOrInlineDv"]
+        prefix, z = enc[:-20], enc[-20:]
+        import uuid as _uuid
+
+        u = _uuid.UUID(bytes=z85_decode(z))
+        return os.path.join(table_root, prefix, f"deletion_vector_{u}.bin")
+    if st == "p":
+        return dv["pathOrInlineDv"]
+    raise ValueError(f"unknown deletionVector storageType {st!r}")
+
+
 def dv_positions(table_root: str, dv: dict[str, Any]) -> list[int]:
     """Deleted row positions from a deletionVector descriptor."""
     import struct as _struct
 
     from ..iceberg.puffin import decode_dv_blob
 
-    st = dv.get("storageType")
-    if st == "i":
+    if dv.get("storageType") == "i":
         body = z85_decode(dv["pathOrInlineDv"])
         # inline carries the UNFRAMED body; reframe for the codec
         import zlib as _zlib
@@ -813,17 +1100,7 @@ def dv_positions(table_root: str, dv: dict[str, Any]) -> list[int]:
             _struct.pack(">I", len(body)) + body + _struct.pack(">I", _zlib.crc32(body))
         )
         return decode_dv_blob(framed)
-    if st == "u":
-        enc = dv["pathOrInlineDv"]
-        prefix, z = enc[:-20], enc[-20:]
-        import uuid as _uuid
-
-        u = _uuid.UUID(bytes=z85_decode(z))
-        path = os.path.join(table_root, prefix, f"deletion_vector_{u}.bin")
-    elif st == "p":
-        path = dv["pathOrInlineDv"]
-    else:
-        raise ValueError(f"unknown deletionVector storageType {st!r}")
+    path = dv_storage_path(table_root, dv)
     with open(path, "rb") as f:
         data = f.read()
     off = int(dv["offset"])
@@ -1006,6 +1283,98 @@ ORDER BY cat
 """
 
 
+def delta_vacuum_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for VACUUM (``sf_dir`` unused): a scratch table
+    where v1 drops a file with an EXPIRED tombstone (reapable), v2
+    drops another with a RECENT one (protected), a never-committed
+    stray sits past the age cutoff (reapable) and another inside it
+    (in-flight guard). The vacuum must remove exactly the two
+    reapable files and the head must still read. Oracle: live set
+    re-derived from the generation rule, vacuum counters golden."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    now = 1700000000000
+    day = 24 * 3600 * 1000
+    root = tempfile.mkdtemp(prefix="delta_vacuum_")
+    os.makedirs(os.path.join(root, "_delta_log"))
+
+    def write(rel, lo, n, mtime=now - 30 * day):
+        ids = list(range(lo, lo + n))
+        pq.write_table(
+            pa.table({
+                "id": pa.array(ids, pa.int64()),
+                "cat": pa.array([str(v % 4) for v in ids]),
+            }),
+            os.path.join(root, rel),
+        )
+        os.utime(os.path.join(root, rel), (mtime / 1000, mtime / 1000))
+
+    write("f0.parquet", 0, 50)
+    write("f1.parquet", 50, 50)
+    append_delta_commit(root, [
+        {"metaData": {
+            "id": "00000000-0000-0000-0000-0000000000vc",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "cat", "type": "string", "nullable": True, "metadata": {}},
+            ]}),
+            "partitionColumns": [], "configuration": {},
+            "createdTime": now - 30 * day,
+        }},
+        {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "f1.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    write("f2.parquet", 100, 20)
+    append_delta_commit(root, [
+        {"remove": {"path": "f1.parquet", "deletionTimestamp": now - 10 * day,
+                    "dataChange": True}},
+        {"add": {"path": "f2.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    append_delta_commit(root, [
+        {"remove": {"path": "f2.parquet", "deletionTimestamp": now - 1000,
+                    "dataChange": True}},
+    ], checkpoint_interval=None)
+    write("stray_old.parquet", 900, 3)
+    write("stray_new.parquet", 910, 3, mtime=now - 1000)
+    res = vacuum_delta(spark, root, now_ms=now)
+    return (
+        read_delta_log(spark, root)
+        .groupBy("cat")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("id").cast("long").alias("id_sum"),
+        )
+        .withColumn("n_removed", F.lit(res["removed"]).cast("long"))
+        .withColumn("n_too_young", F.lit(len(res["too_young"])).cast("long"))
+        .withColumn(
+            "n_tomb_protected",
+            F.lit(res["n_tombstone_protected"]).cast("long"),
+        )
+        .orderBy("cat")
+    )
+
+
+DELTA_VACUUM_SQL = """
+SELECT CAST(r.range % 4 AS VARCHAR) AS cat,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(r.range) AS BIGINT) AS id_sum,
+       CAST(2 AS BIGINT) AS n_removed,
+       CAST(1 AS BIGINT) AS n_too_young,
+       CAST(1 AS BIGINT) AS n_tomb_protected
+FROM range(50) r
+GROUP BY cat
+ORDER BY cat
+"""
+
+
 # ------------------- Change Data Feed (r10; PROTOCOL.md "Add CDC
 # File" / "Change Data Files"). CDF makes a Delta table's row-level
 # changes queryable per commit: a version that wrote explicit
@@ -1091,7 +1460,9 @@ def read_delta_cdf(
     head = max(commits)
     to_v = head if to_version is None else int(to_version)
     _, meta, _ = replay_log(table_root, to_v)
+    check_reader_support(table_root, to_v)
     part_cols = meta.get("partitionColumns") or []
+    mapping = _column_mapping(meta)
 
     cdc_files: list[tuple[str, int]] = []  # (abs path, version)
     # one row per reconstruction ACTION: the same file may be added
@@ -1128,6 +1499,11 @@ def read_delta_cdf(
                     if "=" in seg:
                         k, _, val = seg.partition("=")
                         pv.setdefault(k, val)
+                if mapping:
+                    # partitionValues / path segments carry PHYSICAL
+                    # names under column mapping; downstream lookups
+                    # are by the logical partitionColumns
+                    pv = {mapping.get(k, k): val for k, val in pv.items()}
                 idx = len(recon)
                 dv = act.get("deletionVector")
                 if dv:
@@ -1190,12 +1566,14 @@ def read_delta_cdf(
         out = tagged.join(
             F.broadcast(acts), tagged["_act_scan"] == acts["_act_path"], "inner"
         )
+        phys_of = {v: k for k, v in (mapping or {}).items()}
         for c in part_cols:
-            if c in df.columns:
+            pc = phys_of.get(c, c)  # files carry PHYSICAL names
+            if pc in df.columns:
                 out = out.withColumn(
-                    c,
+                    pc,
                     F.coalesce(
-                        F.col(c), F.col(f"_pv_{c}").cast(df.schema[c].dataType)
+                        F.col(pc), F.col(f"_pv_{c}").cast(df.schema[pc].dataType)
                     ),
                 )
             else:
@@ -1216,6 +1594,14 @@ def read_delta_cdf(
         raise ValueError(
             f"no changes in versions [{from_version}, {to_v}] of {table_root!r}"
         )
+    if mapping:
+        # physical → logical rename PER FRAME (cdc parquet and
+        # reconstruction scans carry physical names; injected
+        # partition columns are already logical) so the union lines up
+        frames = [
+            f.select([F.col(c).alias(mapping.get(c, c)) for c in f.columns])
+            for f in frames
+        ]
     return reduce(DataFrame.unionByName, frames)
 
 

@@ -1268,29 +1268,43 @@ def replicate_delta_cdf(
     with open(mp, "w") as f:
         json.dump(meta0, f, indent=2)
 
-    def _spill(df, rel_prefix: str) -> list[str]:
-        # distributed write straight into the replica's data dir —
-        # each part file becomes its own Iceberg entry (no
-        # driver-side coalesce: at 100 TB a version's changed rows
-        # are themselves data-scale)
-        tmpdir = os.path.join(target_root, f"{rel_prefix}.tmp")
-        df.write.mode("errorifexists").parquet(tmpdir)
-        rels = []
-        for i, part in enumerate(
-            sorted(p for p in os.listdir(tmpdir) if p.endswith(".parquet"))
-        ):
-            rel = f"{rel_prefix}-{i:04d}.parquet"
-            dst = os.path.join(target_root, rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            shutil.move(os.path.join(tmpdir, part), dst)
-            import pyarrow.parquet as _papq
+    def _spill(cdf_v, v: int) -> tuple[list[str], list[str]]:
+        # ONE distributed write per version, split by change type
+        # via partitionBy — each part file becomes its own Iceberg
+        # entry (no driver-side coalesce: at 100 TB a version's
+        # changed rows are themselves data-scale; and no second job
+        # for the delete side)
+        import pyarrow.parquet as _papq
 
-            if _papq.read_metadata(dst).num_rows:
-                rels.append(rel)
-            else:
-                os.remove(dst)
+        tmpdir = os.path.join(target_root, f"data/cdf{v}.tmp")
+        (
+            cdf_v.filter(F.col("_change_type").isin("insert", "delete"))
+            .select(*casts, F.col("_change_type"))
+            .write.partitionBy("_change_type")
+            .mode("errorifexists")
+            .parquet(tmpdir)
+        )
+        out: dict[str, list[str]] = {"insert": [], "delete": []}
+        for change, prefix in (
+            ("insert", f"data/cdf{v}-i"),
+            ("delete", f"data/deletes/cdf{v}-d"),
+        ):
+            sub = os.path.join(tmpdir, f"_change_type={change}")
+            if not os.path.isdir(sub):
+                continue
+            for i, part in enumerate(
+                sorted(p for p in os.listdir(sub) if p.endswith(".parquet"))
+            ):
+                rel = f"{prefix}-{i:04d}.parquet"
+                dst = os.path.join(target_root, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.move(os.path.join(sub, part), dst)
+                if _papq.read_metadata(dst).num_rows:
+                    out[change].append(rel)
+                else:
+                    os.remove(dst)
         shutil.rmtree(tmpdir)
-        return rels
+        return out["insert"], out["delete"]
 
     n_inserted = n_deleted = n_snapshots = 0
     versions = [v for v, _p in list_commits(delta_root) if v <= head]
@@ -1301,10 +1315,7 @@ def replicate_delta_cdf(
             if "no changes" in str(exc):
                 continue  # metadata-only version: no replica snapshot
             raise
-        ins = cdf.filter(F.col("_change_type") == "insert").select(*casts)
-        dels = cdf.filter(F.col("_change_type") == "delete").select(*casts)
-        ins_rels = _spill(ins, f"data/cdf{v}-i")
-        del_rels = _spill(dels, f"data/deletes/cdf{v}-d")
+        ins_rels, del_rels = _spill(cdf, v)
         sid, ts = 8000 + v, 1700000000000 + (v + 1) * 1000
         data_files = [{"path": r, "partition": {}} for r in ins_rels]
         del_files = [

@@ -1,0 +1,219 @@
+"""Delta protocol completeness (round 12): column mapping reads,
+reader-feature gating, and checkpoint-gated log cleanup."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from iceberg_tools_spark.sources.delta_log import (
+    append_delta_commit,
+    check_reader_support,
+    cleanup_delta_log,
+    read_delta_cdf,
+    read_delta_log,
+    write_delta_checkpoint,
+    write_delta_dv_file,
+)
+
+NOW = 1_700_000_000_000
+DAY = 24 * 3600 * 1000
+
+
+def _mapped_meta():
+    """Schema with column-mapping metadata: logical (id, cat),
+    physical (col-aaa, col-bbb); cat is the partition column."""
+    fields = [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-aaa"}},
+        {"name": "cat", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-bbb"}},
+    ]
+    return {"metaData": {
+        "id": "cm", "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({"type": "struct", "fields": fields}),
+        "partitionColumns": ["cat"],
+        "configuration": {"delta.columnMapping.mode": "name"},
+        "createdTime": 0,
+    }}
+
+
+def _write_physical(root, name, ids):
+    # data files carry the PHYSICAL column name; partition column is
+    # log-only, per Delta layout
+    pq.write_table(
+        pa.table({"col-aaa": pa.array(ids, pa.int64())}),
+        os.path.join(root, name),
+    )
+
+
+def test_column_mapping_read(spark, tmp_path):
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    _write_physical(root, "a.parquet", [1, 2])
+    _write_physical(root, "b.parquet", [3])
+    append_delta_commit(root, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        _mapped_meta(),
+        # partitionValues keyed by the PHYSICAL name
+        {"add": {"path": "a.parquet", "partitionValues": {"col-bbb": "x"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "b.parquet", "partitionValues": {"col-bbb": "y"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    df = read_delta_log(spark, root)
+    assert set(df.columns) == {"id", "cat"}  # logical names surface
+    rows = {(r["id"], r["cat"]) for r in df.collect()}
+    assert rows == {(1, "x"), (2, "x"), (3, "y")}
+
+
+def test_column_mapping_read_with_dv(spark, tmp_path):
+    # mapping composes with merge-on-read: the DV anti-join keys on
+    # paths/row-index, never on column names
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    _write_physical(root, "a.parquet", [1, 2, 3, 4])
+    desc = write_delta_dv_file(root, {"a.parquet": [1, 2]})["a.parquet"]
+    append_delta_commit(root, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors", "columnMapping"],
+                      "writerFeatures": ["deletionVectors", "columnMapping"]}},
+        _mapped_meta(),
+        {"add": {"path": "a.parquet", "partitionValues": {"col-bbb": "x"},
+                 "size": 1, "modificationTime": 0, "dataChange": True,
+                 "deletionVector": desc}},
+    ], checkpoint_interval=None)
+    rows = {(r["id"], r["cat"]) for r in read_delta_log(spark, root).collect()}
+    assert rows == {(1, "x"), (4, "x")}
+
+
+def test_column_mapping_cdf(spark, tmp_path):
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    _write_physical(root, "a.parquet", [1, 2])
+    append_delta_commit(root, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        _mapped_meta(),
+        {"add": {"path": "a.parquet", "partitionValues": {"col-bbb": "x"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    cdf = read_delta_cdf(spark, root, 0, 0)
+    got = sorted((r.id, r.cat, r._change_type) for r in cdf.collect())
+    assert got == [(1, "x", "insert"), (2, "x", "insert")]
+
+
+def test_reader_feature_gating(spark, tmp_path):
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    pq.write_table(pa.table({"id": pa.array([1], pa.int64())}),
+                   os.path.join(root, "a.parquet"))
+    append_delta_commit(root, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["v2Checkpoint"],
+                      "writerFeatures": ["v2Checkpoint"]}},
+        {"metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}}]}),
+            "partitionColumns": [], "configuration": {}, "createdTime": 0,
+        }},
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    # silently misreading a v2Checkpoint table would be wrong —
+    # the gate names the missing capability instead
+    with pytest.raises(ValueError, match="v2Checkpoint"):
+        read_delta_log(spark, root)
+    with pytest.raises(ValueError, match="v2Checkpoint"):
+        read_delta_cdf(spark, root, 0)
+    with pytest.raises(ValueError, match="minReaderVersion 4"):
+        check_reader_support_at(root, {"minReaderVersion": 4})
+
+
+def check_reader_support_at(root, proto):
+    # helper: inject a protocol action then gate
+    append_delta_commit(root, [{"protocol": proto}], checkpoint_interval=None)
+    from iceberg_tools_spark.sources.delta_log import list_commits
+    return check_reader_support(root, list_commits(root)[-1][0])
+
+
+def _three_commits(root):
+    os.makedirs(os.path.join(root, "_delta_log"))
+    for v in range(3):
+        pq.write_table(pa.table({"id": pa.array([v], pa.int64())}),
+                       os.path.join(root, f"f{v}.parquet"))
+        acts = []
+        if v == 0:
+            acts.append({"metaData": {
+                "id": "x", "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps({"type": "struct", "fields": [
+                    {"name": "id", "type": "long", "nullable": True,
+                     "metadata": {}}]}),
+                "partitionColumns": [], "configuration": {}, "createdTime": 0,
+            }})
+        acts.append({"add": {"path": f"f{v}.parquet", "partitionValues": {},
+                             "size": 1, "modificationTime": 0,
+                             "dataChange": True}})
+        acts.append({"commitInfo": {"operation": "WRITE",
+                                    "timestamp": NOW - (40 - v) * DAY}})
+        append_delta_commit(root, acts, checkpoint_interval=None)
+
+
+def test_log_cleanup_requires_checkpoint_and_respects_retention(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _three_commits(root)
+    # no checkpoint: every commit is load-bearing, nothing removable
+    res = cleanup_delta_log(root, now_ms=NOW)
+    assert res["removed_commits"] == []
+    write_delta_checkpoint(root, 2, now_ms=NOW)
+    plan = cleanup_delta_log(root, now_ms=NOW, dry_run=True)
+    # v0 (40d old) and v1 (39d) are past the 30d retention; v2 is
+    # the checkpoint version and never touched
+    assert [os.path.basename(p) for p in plan["removed_commits"]] == [
+        f"{0:020d}.json", f"{1:020d}.json"]
+    assert os.path.exists(plan["removed_commits"][0])  # dry run
+    res = cleanup_delta_log(root, now_ms=NOW)
+    assert len(res["removed_commits"]) == 2
+    # state still replays exactly through the checkpoint
+    assert sorted(r.id for r in read_delta_log(spark, root).collect()) == [0, 1, 2]
+    # CDF of the cleaned range gives the guided resume error
+    with pytest.raises(ValueError, match="earliest readable version is 2"):
+        read_delta_cdf(spark, root, 0)
+
+
+def test_log_cleanup_retention_keeps_recent_commits(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _three_commits(root)
+    write_delta_checkpoint(root, 2, now_ms=NOW)
+    # a 60-day retention keeps everything
+    res = cleanup_delta_log(root, retention_ms=60 * DAY, now_ms=NOW)
+    assert res["removed_commits"] == [] and res["removed_checkpoints"] == []
+
+
+def test_column_mapping_preserves_filter_pushdown(spark, tmp_path):
+    """The physical→logical rename is a projection LAST in the plan;
+    a filter on the LOGICAL name must still push down to the parquet
+    scan under the PHYSICAL name — the 100 TB contract that aliasing
+    never turns scans into full reads."""
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    _write_physical(root, "a.parquet", list(range(100)))
+    append_delta_commit(root, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        _mapped_meta(),
+        {"add": {"path": "a.parquet", "partitionValues": {"col-bbb": "x"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    df = read_delta_log(spark, root).filter("id > 90")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and any("col-aaa" in ln and "GreaterThan" in ln
+                          for ln in pushed), plan
+    assert sorted(r.id for r in df.collect()) == list(range(91, 100))
