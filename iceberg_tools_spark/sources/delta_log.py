@@ -42,6 +42,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+# multi-part form per the protocol: <v>.checkpoint.<part>.<total>.parquet
+_CHECKPOINT_PART_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
+)
 
 
 def _log_dir(table_root: str) -> str:
@@ -62,16 +66,37 @@ def list_commits(table_root: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
-def latest_checkpoint(table_root: str) -> tuple[int, str] | None:
-    """(version, path) of the newest checkpoint, preferring the
-    ``_last_checkpoint`` pointer and falling back to a listing (the
-    pointer is an optimization; the listing is the truth)."""
+def latest_checkpoint_parts(table_root: str) -> tuple[int, list[str]] | None:
+    """(version, ordered part paths) of the newest COMPLETE
+    checkpoint — single-file (``<v>.checkpoint.parquet``) or
+    multi-part (``<v>.checkpoint.<part>.<total>.parquet``; complete
+    means every part 1..total is present). Prefers the
+    ``_last_checkpoint`` pointer and falls back to a listing (the
+    pointer is an optimization; the listing is the truth). An
+    INCOMPLETE multi-part group — a writer died mid-checkpoint — is
+    never selected."""
     d = _log_dir(table_root)
-    cands: dict[int, str] = {}
+    cands: dict[int, list[str]] = {}
+    multi: dict[int, dict[int, tuple[int, str]]] = {}
     for name in os.listdir(d):
         m = _CHECKPOINT_RE.match(name)
         if m:
-            cands[int(m.group(1))] = os.path.join(d, name)
+            cands[int(m.group(1))] = [os.path.join(d, name)]
+            continue
+        m = _CHECKPOINT_PART_RE.match(name)
+        if m:
+            v, part, total = int(m.group(1)), int(m.group(2)), int(m.group(3))
+            multi.setdefault(v, {})[part] = (total, os.path.join(d, name))
+    for v, parts in multi.items():
+        totals = {t for t, _p in parts.values()}
+        if len(totals) == 1:
+            (total,) = totals
+            if set(parts) == set(range(1, total + 1)):
+                # a complete multi-part group; a same-version single
+                # file (if any) wins as the simpler artifact
+                cands.setdefault(
+                    v, [parts[i][1] for i in range(1, total + 1)]
+                )
     ptr = os.path.join(d, "_last_checkpoint")
     if os.path.exists(ptr):
         try:
@@ -85,6 +110,14 @@ def latest_checkpoint(table_root: str) -> tuple[int, str] | None:
         v = max(cands)
         return v, cands[v]
     return None
+
+
+def latest_checkpoint(table_root: str) -> tuple[int, str] | None:
+    """(version, path) of the newest complete checkpoint — the FIRST
+    part for a multi-part checkpoint (state readers use
+    :func:`latest_checkpoint_parts` and read every part)."""
+    r = latest_checkpoint_parts(table_root)
+    return None if r is None else (r[0], r[1][0])
 
 
 def _pairs_to_maps(v: Any) -> Any:
@@ -131,16 +164,17 @@ def replay_log(
     state: dict[str, dict] = {}
     meta: dict[str, Any] = {}
     start_after = -1
-    cp = latest_checkpoint(table_root)
+    cp = latest_checkpoint_parts(table_root)
     if cp is not None and cp[0] <= target:
         import pyarrow.parquet as pq
 
-        for row in pq.read_table(cp[1]).to_pylist():
-            _apply_action(
-                state,
-                meta,
-                {k: _pairs_to_maps(v) for k, v in row.items() if v is not None},
-            )
+        for part in cp[1]:
+            for row in pq.read_table(part).to_pylist():
+                _apply_action(
+                    state,
+                    meta,
+                    {k: _pairs_to_maps(v) for k, v in row.items() if v is not None},
+                )
         start_after = cp[0]
     for v, path in commits:
         if v <= start_after or v > target:
@@ -452,13 +486,23 @@ ORDER BY cat
 
 
 def delta_adds_between(
-    table_root: str, from_version: int, to_version: int
+    table_root: str,
+    from_version: int,
+    to_version: int,
+    *,
+    data_change_only: bool = True,
 ) -> dict[int, list[dict[str, Any]]]:
     """Incremental file listing: the ``add`` actions committed by
     each version on ``(from_version, to_version]`` — the "what's new
     since checkpoint X" primitive an ingest pipeline consumes.
     Replays ONLY the JSON commits in range (KB metadata; no
-    checkpoint needed — the range is explicit)."""
+    checkpoint needed — the range is explicit).
+
+    ``data_change_only`` (the default) skips ``dataChange: false``
+    adds — a deletion-vector update or compaction re-adds a path
+    whose ROWS already streamed; re-emitting it would duplicate
+    every row downstream (r12 — the public streaming sources skip
+    these for exactly this reason). Pass False for raw log listing."""
     out: dict[int, list[dict[str, Any]]] = {}
     commits = dict(list_commits(table_root))
     if from_version >= to_version:
@@ -472,7 +516,7 @@ def delta_adds_between(
                 line = line.strip()
                 if line:
                     a = json.loads(line).get("add")
-                    if a:
+                    if a and (not data_change_only or a.get("dataChange", True)):
                         adds.append(a)
         out[v] = adds
     return out
@@ -484,6 +528,8 @@ def delta_incremental_stream(
     from_version: int,
     to_version: int,
     staging_dir: str,
+    *,
+    ignore_deletes: bool = False,
 ):
     """Streaming DataFrame over the rows ADDED per version on
     ``(from_version, to_version]`` — one micro-batch per version
@@ -491,13 +537,35 @@ def delta_incremental_stream(
     the same local stand-in for a log-tailing source that
     ``streaming/incremental.py`` and ``streaming/cdc.py`` use).
     Each staged file carries a ``_delta_version`` column. Returns
-    ``(stream, n_batches)``."""
+    ``(stream, n_batches)``.
+
+    An add-only stream CANNOT express deletes: a version containing
+    a ``dataChange: true`` remove raises naming the version (the
+    public sources' ``ignoreDeletes`` contract — r12) unless the
+    caller opts in; dataChange-false reorganization (DV updates,
+    compaction) is silently and correctly skipped either way."""
     import shutil
 
     import pyspark.sql.functions as F
 
     _, meta, _ = replay_log(table_root, to_version)
     part_cols = meta.get("partitionColumns") or []
+    if not ignore_deletes:
+        commits = dict(list_commits(table_root))
+        for v in range(from_version + 1, to_version + 1):
+            with open(commits[v]) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    rem = json.loads(line).get("remove")
+                    if rem and rem.get("dataChange", True):
+                        raise ValueError(
+                            f"version {v} of {table_root!r} deletes data "
+                            f"({rem['path']!r}); an add-only incremental "
+                            f"stream cannot express it — pass "
+                            f"ignore_deletes=True to skip delete versions"
+                        )
     per_version = delta_adds_between(table_root, from_version, to_version)
     if os.path.isdir(staging_dir):
         shutil.rmtree(staging_dir)
@@ -639,16 +707,17 @@ def _current_protocol(table_root: str, version: int) -> dict[str, Any]:
     tracks only file state + metaData; the checkpoint must carry the
     protocol row per spec)."""
     proto = {"minReaderVersion": 1, "minWriterVersion": 2}
-    cp = latest_checkpoint(table_root)
+    cp = latest_checkpoint_parts(table_root)
     start_after = -1
     if cp is not None and cp[0] <= version:
         import pyarrow.parquet as pq
 
-        for row in pq.read_table(cp[1], columns=["protocol"]).to_pylist():
-            if row.get("protocol") is not None:
-                proto = {
-                    k: v for k, v in row["protocol"].items() if v is not None
-                } or proto
+        for part in cp[1]:
+            for row in pq.read_table(part, columns=["protocol"]).to_pylist():
+                if row.get("protocol") is not None:
+                    proto = {
+                        k: v for k, v in row["protocol"].items() if v is not None
+                    } or proto
         start_after = cp[0]
     for v, path in list_commits(table_root):
         if v <= start_after or v > version:
@@ -684,18 +753,19 @@ def replay_tombstones(
     target = head if version is None else int(version)
     tomb: dict[str, dict[str, Any]] = {}
     start_after = -1
-    cp = latest_checkpoint(table_root)
+    cp = latest_checkpoint_parts(table_root)
     if cp is not None and cp[0] <= target:
         import pyarrow.parquet as pq
 
-        for row in pq.read_table(cp[1], columns=["add", "remove"]).to_pylist():
-            rem = row.get("remove")
-            if rem is not None:
-                r = {k: v for k, v in rem.items() if v is not None}
-                tomb[r["path"]] = r
-            add = row.get("add")
-            if add is not None:
-                tomb.pop(add["path"], None)
+        for part in cp[1]:
+            for row in pq.read_table(part, columns=["add", "remove"]).to_pylist():
+                rem = row.get("remove")
+                if rem is not None:
+                    r = {k: v for k, v in rem.items() if v is not None}
+                    tomb[r["path"]] = r
+                add = row.get("add")
+                if add is not None:
+                    tomb.pop(add["path"], None)
         start_after = cp[0]
     for v, path in commits:
         if v <= start_after or v > target:
@@ -854,7 +924,7 @@ def cleanup_delta_log(
             removed_commits.append(os.path.join(d, f"{v:020d}.json"))
     removed_checkpoints: list[str] = []
     for name in sorted(os.listdir(d)):
-        m = _CHECKPOINT_RE.match(name)
+        m = _CHECKPOINT_RE.match(name) or _CHECKPOINT_PART_RE.match(name)
         if not m:
             continue
         p = os.path.join(d, name)
@@ -877,6 +947,7 @@ def write_delta_checkpoint(
     *,
     retention_ms: int = DELETED_FILE_RETENTION_MS,
     now_ms: int | None = None,
+    max_actions_per_part: int | None = None,
 ) -> dict[str, Any]:
     """Serialize the table state at ``version`` (default: head) as a
     ``<v>.checkpoint.parquet`` + ``_last_checkpoint`` pointer. The
@@ -938,13 +1009,33 @@ def write_delta_checkpoint(
             }
         )
     d = _log_dir(table_root)
-    path = os.path.join(d, f"{v:020d}.checkpoint.parquet")
-    pq.write_table(pa.Table.from_pylist(rows, schema=_checkpoint_schema()), path)
+    pointer: dict[str, Any] = {"version": v, "size": len(rows)}
+    if max_actions_per_part and len(rows) > max_actions_per_part:
+        # multi-part form (<v>.checkpoint.<part>.<total>.parquet) —
+        # at real scale a checkpoint is millions of actions and one
+        # parquet becomes the open-latency bottleneck; parts split
+        # round-robin-free (contiguous chunks keep row order)
+        n = -(-len(rows) // max_actions_per_part)
+        paths = []
+        for i in range(n):
+            chunk = rows[i * max_actions_per_part:(i + 1) * max_actions_per_part]
+            path = os.path.join(
+                d, f"{v:020d}.checkpoint.{i + 1:010d}.{n:010d}.parquet"
+            )
+            pq.write_table(
+                pa.Table.from_pylist(chunk, schema=_checkpoint_schema()), path
+            )
+            paths.append(path)
+        pointer["parts"] = n
+    else:
+        path = os.path.join(d, f"{v:020d}.checkpoint.parquet")
+        pq.write_table(pa.Table.from_pylist(rows, schema=_checkpoint_schema()), path)
+        paths = [path]
     tmp = os.path.join(d, "_last_checkpoint.tmp")
     with open(tmp, "w") as f:
-        json.dump({"version": v, "size": len(rows)}, f)
+        json.dump(pointer, f)
     os.replace(tmp, os.path.join(d, "_last_checkpoint"))
-    return {"version": v, "path": path, "size": len(rows)}
+    return {"version": v, "path": paths[0], "paths": paths, "size": len(rows)}
 
 
 def append_delta_commit(

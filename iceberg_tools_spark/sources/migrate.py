@@ -386,9 +386,12 @@ def replicate_delta_stream(
     with open(mp, "w") as f:
         _json.dump(meta0, f, indent=2)
 
+    # add-only replication is this function's DOCUMENTED limitation
+    # (replicate_delta_versions is the removes-included path), so it
+    # opts in to skipping delete versions rather than raising (r12)
     stream, n = delta_incremental_stream(
         spark, delta_root, from_version, to_version,
-        os.path.join(work_dir, "staging"),
+        os.path.join(work_dir, "staging"), ignore_deletes=True,
     )
     res = ingest_stream_to_table(
         stream,

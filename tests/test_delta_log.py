@@ -183,8 +183,15 @@ def test_delta_incremental_stream_matches_batch(spark, tmp_path):
     from iceberg_tools_spark.sources.delta_log import delta_incremental_stream
     from iceberg_tools_spark.streaming.jobs import run_to_memory
 
+    # the fixture range contains data-changing removes: an add-only
+    # stream refuses by default (the ignoreDeletes contract, r12)
+    with pytest.raises(ValueError, match="ignore_deletes"):
+        delta_incremental_stream(
+            spark, DELTA_FIXTURE, 0, 3, str(tmp_path / "staging")
+        )
     stream, n = delta_incremental_stream(
-        spark, DELTA_FIXTURE, 0, 3, str(tmp_path / "staging")
+        spark, DELTA_FIXTURE, 0, 3, str(tmp_path / "staging"),
+        ignore_deletes=True,
     )
     assert n == 3  # one batch per version 1..3
     rows = run_to_memory(stream, "delta_inc_test").collect()

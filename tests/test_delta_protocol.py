@@ -217,3 +217,124 @@ def test_column_mapping_preserves_filter_pushdown(spark, tmp_path):
     assert pushed and any("col-aaa" in ln and "GreaterThan" in ln
                           for ln in pushed), plan
     assert sorted(r.id for r in df.collect()) == list(range(91, 100))
+
+
+def test_multipart_checkpoint_roundtrip(spark, tmp_path):
+    """Multi-part checkpoints (<v>.checkpoint.<part>.<total>.parquet):
+    the writer splits past max_actions_per_part, the reader opens
+    through ALL parts, and an incomplete part group is never
+    selected — at real scale one parquet of millions of actions is
+    the open-latency bottleneck."""
+    from iceberg_tools_spark.sources.delta_log import (
+        latest_checkpoint,
+        latest_checkpoint_parts,
+        read_delta_log,
+        replay_log,
+        write_delta_checkpoint,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    acts = [{"metaData": {
+        "id": "x", "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({"type": "struct", "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}}]}),
+        "partitionColumns": [], "configuration": {}, "createdTime": 0,
+    }}]
+    for i in range(8):
+        pq.write_table(pa.table({"id": pa.array([i], pa.int64())}),
+                       os.path.join(root, f"f{i}.parquet"))
+        acts.append({"add": {"path": f"f{i}.parquet", "partitionValues": {},
+                             "size": 1, "modificationTime": 0,
+                             "dataChange": True}})
+    append_delta_commit(root, acts, checkpoint_interval=None)
+    pq.write_table(pa.table({"id": pa.array([8], pa.int64())}),
+                   os.path.join(root, "f8.parquet"))
+    append_delta_commit(root, [
+        {"add": {"path": "f8.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    res = write_delta_checkpoint(root, max_actions_per_part=4)
+    # 11 rows (protocol + metaData + 9 adds) → 3 parts of ≤4
+    assert len(res["paths"]) == 3
+    v, parts = latest_checkpoint_parts(root)
+    assert v == 1 and len(parts) == 3
+    assert latest_checkpoint(root) == (1, parts[0])
+    # replay THROUGH the parts alone: delete the covered JSON commit
+    os.remove(os.path.join(root, "_delta_log", f"{0:020d}.json"))
+    adds, meta, _ = replay_log(root)
+    assert len(adds) == 9 and meta["partitionColumns"] == []
+    # an append on top still replays (checkpoint + JSON tail)
+    pq.write_table(pa.table({"id": pa.array([100], pa.int64())}),
+                   os.path.join(root, "g.parquet"))
+    append_delta_commit(root, [
+        {"add": {"path": "g.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    got = sorted(r.id for r in read_delta_log(spark, root).collect())
+    assert got == list(range(9)) + [100]
+
+
+def test_incomplete_multipart_checkpoint_never_selected(tmp_path):
+    from iceberg_tools_spark.sources.delta_log import (
+        latest_checkpoint_parts,
+        write_delta_checkpoint,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    append_delta_commit(root, [
+        {"metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": "{}", "partitionColumns": [],
+            "configuration": {}, "createdTime": 0,
+        }},
+        {"add": {"path": "f.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    res = write_delta_checkpoint(root, max_actions_per_part=1)
+    assert len(res["paths"]) == 3  # protocol + metaData + 1 add
+    # simulate a writer dying mid-checkpoint: part 2 of 3 vanishes
+    os.remove(res["paths"][1])
+    assert latest_checkpoint_parts(root) is None
+    # ...and with a complete SINGLE checkpoint alongside, that wins
+    res2 = write_delta_checkpoint(root)
+    v, parts = latest_checkpoint_parts(root)
+    assert v == 0 and parts == [res2["path"]]
+
+
+def test_incremental_stream_skips_datachange_false_adds(spark, tmp_path):
+    """A DV update re-adds a path whose rows already streamed
+    (dataChange false) — re-emitting it would duplicate every row
+    downstream. The incremental listing skips it by default; the
+    raw listing still shows it."""
+    from iceberg_tools_spark.sources.delta_log import (
+        commit_delta_dv,
+        delta_adds_between,
+        delta_incremental_stream,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    pq.write_table(pa.table({"id": pa.array([1, 2, 3], pa.int64())}),
+                   os.path.join(root, "f.parquet"))
+    append_delta_commit(root, [
+        {"metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}}]}),
+            "partitionColumns": [], "configuration": {}, "createdTime": 0,
+        }},
+        {"add": {"path": "f.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    commit_delta_dv(root, {"f.parquet": [0]}, checkpoint_interval=None)
+    assert delta_adds_between(root, 0, 1) == {1: []}
+    raw = delta_adds_between(root, 0, 1, data_change_only=False)
+    assert [a["path"] for a in raw[1]] == ["f.parquet"]
+    # the DV-only range carries no NEW rows: the stream refuses to
+    # fabricate a batch (and the DV's remove is dataChange-false, so
+    # the delete guard stays quiet)
+    with pytest.raises(ValueError, match="no adds in range"):
+        delta_incremental_stream(spark, root, 0, 1, str(tmp_path / "stage"))

@@ -229,46 +229,42 @@ def test_orphan_age_gate_uses_walk_mtime(spark, tmp_path):
     assert os.path.exists(young) and not os.path.exists(old)
 
 
-def test_round10_window_order_pinned():
+def test_round12_window_order_pinned():
     """The driver adjudicates the FIRST 50 registry entries; pin the
-    round-10 window head + size so an import reshuffle can't silently
-    spend the slots elsewhere."""
+    round-12 window head + size so an import reshuffle can't silently
+    spend the slots elsewhere (VERDICT r11 #2: the round-11 window
+    was never reshuffled and the two broken keys sat outside it)."""
     from iceberg_tools_spark import registry
 
     keys = list(registry._REGISTRY)
     assert keys[0] == "probe_double"
-    # 2-9: first certification of the 8 past-window r9 newcomers
-    assert keys[1:9] == [
-        "dedup_images_dhash", "dedup_audio_afp", "dedup_videos_framehash",
-        "media_stream_dedup_rows", "bm25_topk", "delta_replicate_rows",
-        "delta_replicate_full_rows", "meta_metadata_log",
+    # 2-3: FIRST CERTIFICATION of the keys the r11 regression broke;
+    # 4: the r12 CDF-replication capstone; 5-7: changed-this-round
+    assert keys[1:7] == [
+        "delta_dv_rows", "delta_cdf_rows", "delta_cdf_replicate_rows",
+        "delta_log_rows", "delta_replicate_rows", "delta_replicate_full_rows",
     ]
-    # 10-13: new r10 key + changed-this-round re-certs
-    assert keys[9:13] == [
-        "view_ivm_minmax", "view_ivm_roundtrip",
-        "binpack_rewrite_roundtrip", "orphan_delete_roundtrip",
-    ]
-    r5_cohort = {
-        "decile_value_customers", "events_dedup_exact", "events_props_stats",
-        "expire_snapshots_plan", "funnel_windowed", "meta_history_multi",
-        "meta_snapshots_multi", "orders_cume_dist", "orphan_files_current",
-        "probe_string", "retention_matrix", "sliding_window_agg",
-        "stratified_sample",
+    r7_cohort = {
+        "cdc_replicate_roundtrip", "changelog_stream_rows",
+        "column_stats_orders", "commit_delete_roundtrip", "dedup_survivors",
+        "delete_compaction_plan", "delete_where_dv_roundtrip",
+        "delete_where_roundtrip", "embedding_near_dup",
+        "expire_execute_roundtrip", "files_at_snapshot_mor", "files_at_tag",
+        "incremental_stream_rows", "merge_into_roundtrip",
+        "merge_transform_partitions", "meta_all_files", "meta_delete_files",
+        "meta_dv_blobs", "meta_partition_stats", "meta_refs", "meta_schemas",
+        "mor_live_rows_dv", "near_dup_rate_by_source", "quality_score_linear",
+        "rewrite_pos_deletes_roundtrip", "rollback_roundtrip",
+        "scan_plan_evolved", "scan_plan_mor", "scan_plan_tasks_dv",
+        "scan_plan_transforms", "schema_evolution_name_mapping",
+        "schema_evolution_read", "sorted_rewrite_prunes",
+        "update_where_roundtrip", "wap_publish_roundtrip",
     }
-    assert set(keys[13:26]) == r5_cohort
-    r6_cohort = {
-        "ann_ivf_topk", "compaction_plan", "corpus_filter_funnel",
-        "decontaminate_minhash", "decontaminate_ngram", "dedup_clusters",
-        "dedup_minhash_lsh", "dedup_simhash", "doc_repetition_stats",
-        "files_added_between", "files_at_snapshot", "meta_entry_status_dist",
-        "meta_manifests", "meta_rewritten_files", "mixture_plan",
-        "pii_scrub_stats", "source_dup_stats",
-    }
-    assert set(keys[26:43]) == r6_cohort
-    assert set(keys[43:50]) == {
-        "asof_join_events_orders", "dedup_exact", "q9_product_type_profit",
-        "top_k_per_group", "ann_topk_bruteforce", "changelog_rows",
-        "commit_append_files",
+    assert set(keys[7:42]) == r7_cohort
+    assert set(keys[42:50]) == {
+        "delta_export_rows", "delta_migrate_rows", "mor_read_evolved",
+        "commit_eq_delete_roundtrip", "rewrite_datafiles_roundtrip",
+        "meta_position_deletes", "meta_typed_bounds", "row_lineage_rows",
     }
 
 
