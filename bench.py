@@ -226,6 +226,16 @@ BASELINE_CAL.update(
     {k: round(v / _R12_CALIBRATION, 3) for k, v in _R12_RAW.items()}
 )
 
+# Second r12 addendum: Delta VACUUM joined the headline set
+# (pinned from the mid-round skip-scale run, calibration 0.907 —
+# scratch table build + two tombstone generations + the distributed
+# listing + head read-back).
+_R12B_CALIBRATION = 0.907
+_R12B_RAW = {"delta_vacuum_rows": 0.973}
+BASELINE_CAL.update(
+    {k: round(v / _R12B_CALIBRATION, 3) for k, v in _R12B_RAW.items()}
+)
+
 # headline set: one representative per operator family; grows as
 # batteries land. Every name must exist in registry.queries().
 HEADLINE = [
@@ -339,8 +349,10 @@ HEADLINE = [
     "delta_dv_rows",
     "delta_cdf_rows",
     # round-12: CDF-driven Delta→Iceberg replication (row-level
-    # changes land as equality-delete commits — changelog cost)
+    # changes land as equality-delete commits — changelog cost) +
+    # Delta VACUUM (the maintenance dual of orphan_delete_roundtrip)
     "delta_cdf_replicate_rows",
+    "delta_vacuum_rows",
 ]
 
 

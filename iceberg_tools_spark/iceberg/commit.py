@@ -315,6 +315,7 @@ def commit_row_delta(
     timestamp_ms: int | None = None,
     spec_id: int | None = None,
     replace_dv_refs: set[str] | None = None,
+    extra_summary: dict[str, str] | None = None,
 ) -> dict[str, Any]:
     """Commit a ROW DELTA — new data files and delete files in ONE
     snapshot (Iceberg's ``RowDelta`` operation, the shape UPDATE /
@@ -344,6 +345,7 @@ def commit_row_delta(
         timestamp_ms=timestamp_ms,
         spec_id=spec_id,
         replace_dv_refs=replace_dv_refs,
+        extra_summary=extra_summary,
     )
 
 
@@ -356,6 +358,7 @@ def commit_delete_snapshot(
     timestamp_ms: int | None = None,
     spec_id: int | None = None,
     replace_dv_refs: set[str] | None = None,
+    extra_summary: dict[str, str] | None = None,
 ) -> dict[str, Any]:
     """Commit a DELETE snapshot carrying v2 delete files (the MoR
     write half): a content=1 manifest whose entries reference
@@ -397,6 +400,7 @@ def commit_delete_snapshot(
         timestamp_ms=timestamp_ms,
         spec_id=spec_id,
         replace_dv_refs=replace_dv_refs,
+        extra_summary=extra_summary,
     )
 
 

@@ -137,6 +137,13 @@ def _pairs_to_maps(v: Any) -> Any:
 def _apply_action(state: dict[str, dict], meta: dict, action: dict[str, Any]) -> None:
     if "metaData" in action and action["metaData"]:
         meta.update(action["metaData"])
+    if action.get("protocol"):
+        # tracked in the SAME replay pass so readers gate without a
+        # second walk over the log (r12: check_reader_support used
+        # to re-read checkpoint + every commit per read call)
+        meta["__protocol__"] = {
+            k: v for k, v in action["protocol"].items() if v is not None
+        }
     add = action.get("add")
     if add:
         state[add["path"]] = add
@@ -308,11 +315,16 @@ def _apply_delta_dvs(
 _SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping", "timestampNtz"}
 
 
-def check_reader_support(table_root: str, version: int) -> dict[str, Any]:
+def check_reader_support(
+    table_root: str, version: int, *, proto: dict[str, Any] | None = None
+) -> dict[str, Any]:
     """Guided protocol gate: raise when the table's protocol action
     demands reader capabilities this module lacks; return the
-    protocol otherwise."""
-    proto = _current_protocol(table_root, version)
+    protocol otherwise. Callers that already replayed the log pass
+    the tracked ``proto`` (``meta["__protocol__"]``) so the gate
+    costs no second log walk."""
+    if proto is None:
+        proto = _current_protocol(table_root, version)
     mrv = int(proto.get("minReaderVersion", 1))
     if mrv > 3:
         raise ValueError(
@@ -374,7 +386,10 @@ def read_delta_log(
             raise ValueError("pass version OR timestamp_ms, not both")
         version = version_at_timestamp(table_root, timestamp_ms)
     adds, meta, eff_v = replay_log(table_root, version)
-    check_reader_support(table_root, eff_v)
+    check_reader_support(
+        table_root, eff_v,
+        proto=meta.get("__protocol__") or {"minReaderVersion": 1},
+    )
     if not adds:
         raise ValueError(f"Delta table {table_root!r} has no live files")
     part_cols = meta.get("partitionColumns") or []
@@ -607,6 +622,59 @@ def delta_incremental_stream(
     return stream, n
 
 
+def delta_cdf_stream(
+    spark: SparkSession,
+    table_root: str,
+    from_version: int,
+    to_version: int,
+    staging_dir: str,
+):
+    """Streaming Change Data Feed: one micro-batch per version on
+    ``[from_version, to_version]``, rows carrying
+    ``_change_type`` / ``_commit_version`` — the streaming dual of
+    :func:`read_delta_cdf` and the closure of
+    :func:`delta_incremental_stream`'s documented add-only
+    limitation: DELETES are first-class rows here, so a downstream
+    CDC apply (e.g. `streaming/cdc.py`'s maintain shapes) consumes
+    DML-heavy sources without the ``ignore_deletes`` trade. Versions
+    that changed no rows contribute no batch. Returns
+    ``(stream, n_batches)``."""
+    import shutil
+
+    to_v = int(to_version)
+    if os.path.isdir(staging_dir):
+        shutil.rmtree(staging_dir)
+    os.makedirs(staging_dir)
+    schema = None
+    n = 0
+    for v in range(int(from_version), to_v + 1):
+        try:
+            batch = read_delta_cdf(spark, table_root, v, v)
+        except ValueError as exc:
+            if "no changes" in str(exc):
+                continue
+            raise
+        schema = batch.schema
+        stage = os.path.join(staging_dir, f"_stage-{v}")
+        batch.coalesce(1).write.mode("overwrite").parquet(stage)
+        import glob as _glob
+
+        (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
+        os.replace(part, os.path.join(staging_dir, f"{n:05d}-v{v}.parquet"))
+        shutil.rmtree(stage, ignore_errors=True)
+        n += 1
+    if schema is None:
+        raise ValueError(
+            f"no changes in versions [{from_version}, {to_v}] of {table_root!r}"
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging_dir)
+    )
+    return stream, n
+
+
 # ------------------------------- checkpoint WRITE (VERDICT r8 #7)
 # PROTOCOL.md "Checkpoints": every N commits a writer may serialize
 # the reconstructed state (protocol + metaData + live adds) as ONE
@@ -678,6 +746,7 @@ def _checkpoint_schema():
 
 def _maps_to_pairs_meta(m: dict[str, Any]) -> dict[str, Any]:
     out = dict(m)
+    out.pop("__protocol__", None)  # replay-tracked, not metaData
     fmt = dict(out.get("format") or {"provider": "parquet", "options": {}})
     opts = fmt.get("options") or {}
     fmt["options"] = sorted(opts.items()) if isinstance(opts, dict) else opts
@@ -1551,7 +1620,10 @@ def read_delta_cdf(
     head = max(commits)
     to_v = head if to_version is None else int(to_version)
     _, meta, _ = replay_log(table_root, to_v)
-    check_reader_support(table_root, to_v)
+    check_reader_support(
+        table_root, to_v,
+        proto=meta.get("__protocol__") or {"minReaderVersion": 1},
+    )
     part_cols = meta.get("partitionColumns") or []
     mapping = _column_mapping(meta)
 

@@ -1194,6 +1194,44 @@ _ICEBERG_TO_SPARK_CAST = {
 }
 
 
+def _init_cdf_replica(
+    delta_root: str, target_root: str, to_version: int | None, table_uuid: str
+) -> tuple[str, list[dict[str, Any]], int]:
+    """Schema-translated EMPTY unpartitioned Iceberg replica for a
+    CDF-driven replication: (metadata_path, iceberg fields, head
+    Delta version). Shared by the batch and streaming appliers."""
+    _, meta, head = replay_log(delta_root, to_version)
+    schema_fields = json.loads(meta["schemaString"])["fields"]
+    ice_fields = []
+    for i, f in enumerate(schema_fields, start=1):
+        t = _DELTA_TO_ICEBERG_TYPE.get(f["type"])
+        if t is None:
+            raise ValueError(f"unsupported Delta type {f['type']!r}")
+        ice_fields.append({"id": i, "name": f["name"], "required": False, "type": t})
+    os.makedirs(os.path.join(target_root, "metadata"))
+    os.makedirs(os.path.join(target_root, "data"))
+    meta0 = {
+        "format-version": 2,
+        "table-uuid": table_uuid,
+        "location": f"file://{os.path.abspath(target_root)}",
+        "last-sequence-number": 0,
+        "last-updated-ms": 1700000000000,
+        "last-column-id": len(ice_fields),
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": ice_fields}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {"replicated-from": "delta", "replication": "cdf"},
+        "snapshots": [], "snapshot-log": [], "metadata-log": [],
+    }
+    mp = os.path.join(target_root, "v1.metadata.json")
+    with open(mp, "w") as f:
+        json.dump(meta0, f, indent=2)
+    return mp, ice_fields, head
+
+
 def replicate_delta_cdf(
     spark: SparkSession,
     delta_root: str,
@@ -1235,41 +1273,15 @@ def replicate_delta_cdf(
     )
     from .delta_log import list_commits, read_delta_cdf
 
-    _, meta, head = replay_log(delta_root, to_version)
-    schema_fields = json.loads(meta["schemaString"])["fields"]
-    ice_fields = []
-    for i, f in enumerate(schema_fields, start=1):
-        t = _DELTA_TO_ICEBERG_TYPE.get(f["type"])
-        if t is None:
-            raise ValueError(f"unsupported Delta type {f['type']!r}")
-        ice_fields.append({"id": i, "name": f["name"], "required": False, "type": t})
+    mp, ice_fields, head = _init_cdf_replica(
+        delta_root, target_root, to_version, table_uuid
+    )
     col_names = [f["name"] for f in ice_fields]
     casts = [
         F.col(f["name"]).cast(_ICEBERG_TO_SPARK_CAST[f["type"]]).alias(f["name"])
         for f in ice_fields
     ]
     all_ids = [f["id"] for f in ice_fields]
-    os.makedirs(os.path.join(target_root, "metadata"))
-    os.makedirs(os.path.join(target_root, "data"))
-    meta0 = {
-        "format-version": 2,
-        "table-uuid": table_uuid,
-        "location": f"file://{os.path.abspath(target_root)}",
-        "last-sequence-number": 0,
-        "last-updated-ms": 1700000000000,
-        "last-column-id": len(ice_fields),
-        "current-schema-id": 0,
-        "schemas": [{"schema-id": 0, "type": "struct", "fields": ice_fields}],
-        "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "default-sort-order-id": 0,
-        "sort-orders": [{"order-id": 0, "fields": []}],
-        "properties": {"replicated-from": "delta", "replication": "cdf"},
-        "snapshots": [], "snapshot-log": [], "metadata-log": [],
-    }
-    mp = os.path.join(target_root, "v1.metadata.json")
-    with open(mp, "w") as f:
-        json.dump(meta0, f, indent=2)
 
     def _spill(cdf_v, v: int) -> tuple[list[str], list[str]]:
         # ONE distributed write per version, split by change type
@@ -1353,6 +1365,144 @@ def replicate_delta_cdf(
         "n_delete_files": n_deleted,
         "head_delta_version": head,
         "columns": col_names,
+    }
+
+
+def replicate_delta_cdf_stream(
+    spark: SparkSession,
+    delta_root: str,
+    target_root: str,
+    from_version: int,
+    to_version: int,
+    work_dir: str,
+    *,
+    table_uuid: str = "00000000-0000-0000-0000-00000000f007",
+) -> dict[str, Any]:
+    """STREAMING twin of :func:`replicate_delta_cdf`: the CDF stream
+    (one micro-batch per Delta version, deletes as first-class rows)
+    drives a ``foreachBatch`` CDC apply into the Iceberg replica —
+    each batch lands as ONE row-delta / delete / append commit with
+    the exactly-once streaming summary props, so a checkpoint replay
+    of an already-committed batch SKIPS (the `streaming/ingest.py`
+    contract, now for a DML-carrying stream — the append-only sink
+    cannot express the delete rows this stream carries). Pytest pins
+    the streamed replica row-equal to the batch applier's at head
+    and the replay skip."""
+    import pyspark.sql.functions as F
+
+    from ..iceberg.commit import (
+        append_snapshot,
+        commit_delete_snapshot,
+        commit_row_delta,
+    )
+    from ..streaming.ingest import (
+        STREAM_BATCH_PROP,
+        STREAM_QUERY_PROP,
+        committed_batch_ids,
+        latest_metadata_path,
+    )
+    from .delta_log import delta_cdf_stream
+
+    mp, ice_fields, head = _init_cdf_replica(
+        delta_root, target_root, to_version, table_uuid
+    )
+    casts = [
+        F.col(f["name"]).cast(_ICEBERG_TO_SPARK_CAST[f["type"]]).alias(f["name"])
+        for f in ice_fields
+    ]
+    all_ids = [f["id"] for f in ice_fields]
+    query_name = "delta-cdf-replication"
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        import shutil
+
+        import pyarrow.parquet as _papq
+
+        head_mp = latest_metadata_path(mp)
+        if int(batch_id) in committed_batch_ids(head_mp, query_name):
+            return  # checkpoint replay: already committed
+        tmpdir = os.path.join(
+            target_root, "data", "streaming", query_name, f"batch-{batch_id}.tmp"
+        )
+        (
+            batch_df.filter(F.col("_change_type").isin("insert", "delete"))
+            .select(*casts, F.col("_change_type"), F.col("_commit_version"))
+            .write.partitionBy("_change_type")
+            .mode("overwrite")
+            .parquet(tmpdir)
+        )
+        rels: dict[str, list[str]] = {"insert": [], "delete": []}
+        delta_v = None
+        for change in ("insert", "delete"):
+            sub = os.path.join(tmpdir, f"_change_type={change}")
+            if not os.path.isdir(sub):
+                continue
+            tag = "i" if change == "insert" else "d"
+            base = "data" if change == "insert" else "data/deletes"
+            for i, part in enumerate(
+                sorted(p for p in os.listdir(sub) if p.endswith(".parquet"))
+            ):
+                t = _papq.read_table(
+                    os.path.join(sub, part), columns=["_commit_version"]
+                )
+                if not len(t):
+                    continue
+                vs = t["_commit_version"].to_pylist()
+                delta_v = max(vs) if delta_v is None else max(delta_v, *vs)
+                rel = f"{base}/cdfs{batch_id}-{tag}-{i:04d}.parquet"
+                dst = os.path.join(target_root, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                # strip the carrier columns: the replica's files hold
+                # exactly the table schema
+                _papq.write_table(
+                    _papq.read_table(
+                        os.path.join(sub, part),
+                        columns=[f["name"] for f in ice_fields],
+                    ),
+                    dst,
+                )
+                rels[change].append(rel)
+        shutil.rmtree(tmpdir, ignore_errors=True)
+        data_files = [{"path": r, "partition": {}} for r in rels["insert"]]
+        del_files = [
+            {"path": r, "partition": {}, "content": 2, "equality_ids": all_ids}
+            for r in rels["delete"]
+        ]
+        if not data_files and not del_files:
+            return
+        extra = {
+            STREAM_QUERY_PROP: query_name,
+            STREAM_BATCH_PROP: str(int(batch_id)),
+            "delta-version": str(delta_v),
+        }
+        if data_files and del_files:
+            commit_row_delta(
+                head_mp, data_files, del_files, extra_summary=extra
+            )
+        elif del_files:
+            commit_delete_snapshot(head_mp, del_files, extra_summary=extra)
+        else:
+            append_snapshot(head_mp, data_files, extra_summary=extra)
+
+    stream, n = delta_cdf_stream(
+        spark, delta_root, from_version, to_version,
+        os.path.join(work_dir, "staging"),
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(work_dir, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    head_mp = latest_metadata_path(mp)
+    return {
+        "metadata_path": head_mp,
+        "table_root": target_root,
+        "n_batches": n,
+        "batches_committed": sorted(committed_batch_ids(head_mp, query_name)),
+        "apply_batch": apply_batch,  # exposed for the replay-skip pytest
+        "head_delta_version": head,
     }
 
 

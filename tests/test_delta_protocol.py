@@ -338,3 +338,91 @@ def test_incremental_stream_skips_datachange_false_adds(spark, tmp_path):
     # the delete guard stays quiet)
     with pytest.raises(ValueError, match="no adds in range"):
         delta_incremental_stream(spark, root, 0, 1, str(tmp_path / "stage"))
+
+
+def test_cdf_stream_matches_batch_and_carries_deletes(spark, tmp_path):
+    """The streaming CDF source: stream rows == the batch change
+    feed, per version, INCLUDING delete rows — the closure of the
+    add-only stream's documented limitation."""
+    from iceberg_tools_spark.sources.delta_log import (
+        commit_delta_dv,
+        delta_cdf_stream,
+        read_delta_cdf,
+    )
+    from iceberg_tools_spark.streaming.jobs import run_to_memory
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    pq.write_table(pa.table({"id": pa.array([1, 2, 3, 4], pa.int64())}),
+                   os.path.join(root, "f.parquet"))
+    append_delta_commit(root, [
+        {"metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}}]}),
+            "partitionColumns": [], "configuration": {}, "createdTime": 0,
+        }},
+        {"add": {"path": "f.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    # v1: silent DV (no batch); v2: CDF-emitting DV delete
+    commit_delta_dv(root, {"f.parquet": [0]}, checkpoint_interval=None)
+    commit_delta_dv(root, {"f.parquet": [2]}, checkpoint_interval=None,
+                    write_cdf=True)
+    stream, n = delta_cdf_stream(spark, root, 0, 2, str(tmp_path / "stage"))
+    assert n == 2  # v0 inserts + v2 delete; v1 contributed nothing
+    got = sorted(
+        (r["id"], r["_change_type"], r["_commit_version"])
+        for r in run_to_memory(stream, "cdf_stream_test").collect()
+    )
+    want = sorted(
+        (r["id"], r["_change_type"], r["_commit_version"])
+        for v in (0, 2)
+        for r in read_delta_cdf(spark, root, v, v).collect()
+    )
+    assert got == want
+    assert (3, "delete", 2) in got  # deletes are first-class rows
+
+
+def test_cdf_plan_is_two_scans(spark, tmp_path):
+    """Plan contract (VERDICT r10 #5's design, pinned): however many
+    versions the range spans, the CDF plan holds exactly ONE parquet
+    scan per branch — one over all explicit change files, one over
+    all reconstruction files — not one per action."""
+    from iceberg_tools_spark.sources.delta_log import (
+        commit_delta_dv,
+        read_delta_cdf,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    acts = [{"metaData": {
+        "id": "x", "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({"type": "struct", "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {}}]}),
+        "partitionColumns": [], "configuration": {}, "createdTime": 0,
+    }}]
+    append_delta_commit(root, acts + [
+        {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    pq.write_table(pa.table({"id": pa.array(list(range(6)), pa.int64())}),
+                   os.path.join(root, "f0.parquet"))
+    # four more reconstruction versions + two CDF-emitting DV commits
+    for i in range(1, 5):
+        pq.write_table(pa.table({"id": pa.array([10 * i], pa.int64())}),
+                       os.path.join(root, f"f{i}.parquet"))
+        append_delta_commit(root, [
+            {"add": {"path": f"f{i}.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+        ], checkpoint_interval=None)
+    commit_delta_dv(root, {"f0.parquet": [1]}, checkpoint_interval=None,
+                    write_cdf=True)
+    commit_delta_dv(root, {"f0.parquet": [3]}, checkpoint_interval=None,
+                    write_cdf=True)
+    df = read_delta_cdf(spark, root, 0, 6)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("Scan parquet")
+    assert n_scans == 2, f"expected 2 parquet scans, got {n_scans}:\n{plan}"

@@ -135,3 +135,38 @@ def test_cdf_replication_skips_metadata_only_versions(spark, tmp_path):
     got = sorted(r.id for r in read_mor(
         spark, res["metadata_path"], 8000).collect())
     assert got == [1, 2]
+
+
+def test_cdf_stream_replica_equals_batch_replica(spark, tmp_path):
+    """The streaming CDC apply (foreachBatch, one commit per Delta
+    version, exactly-once summary props) lands the same replica as
+    the batch applier — deletes included."""
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+    from iceberg_tools_spark.sources.delta_log import read_delta_cdf
+    from iceberg_tools_spark.sources.migrate import replicate_delta_cdf_stream
+
+    src = str(tmp_path / "src")
+    head = _dml_heavy_source(src)
+    batch = replicate_delta_cdf(spark, src, str(tmp_path / "cdf"))
+    res = replicate_delta_cdf_stream(
+        spark, src, str(tmp_path / "stream"), 0, head, str(tmp_path / "work")
+    )
+    assert res["n_batches"] == head + 1
+    assert res["batches_committed"] == list(range(head + 1))
+    cols = ["id", "cat"]
+    want = sorted(map(tuple, read_mor(
+        spark, batch["metadata_path"], 8000 + head).select(*cols).collect()))
+    meta = parse_metadata(res["metadata_path"])
+    got = sorted(map(tuple, read_mor(
+        spark, res["metadata_path"], meta.raw["current-snapshot-id"]
+    ).select(*cols).collect()))
+    assert got == want
+    # source head too — the full three-way agreement
+    src_rows = sorted(map(tuple, read_delta_log(spark, src, head)
+                          .select(*cols).collect()))
+    assert got == src_rows
+    # exactly-once: replaying an already-committed batch id SKIPS
+    n_snaps = len(meta.raw["snapshots"])
+    res["apply_batch"](read_delta_cdf(spark, src, 1, 1), 1)
+    meta2 = parse_metadata(res["metadata_path"])
+    assert len(meta2.raw["snapshots"]) == n_snaps
