@@ -353,6 +353,9 @@ HEADLINE = [
     # Delta VACUUM (the maintenance dual of orphan_delete_roundtrip)
     "delta_cdf_replicate_rows",
     "delta_vacuum_rows",
+    # round-12 (cont.): cross-format IVM — the Iceberg MV kernel
+    # maintained from a Delta change feed
+    "delta_ivm_rows",
 ]
 
 

@@ -971,6 +971,11 @@ register("delta_cdf_rows", _w_delta.delta_cdf_rows, _w_delta.DELTA_CDF_SQL)
 # removal with live/DV-bin/recent-tombstone/cdc protection and the
 # in-flight mtime race guard
 register("delta_vacuum_rows", _w_delta.delta_vacuum_rows, _w_delta.DELTA_VACUUM_SQL)
+# ...and cross-format IVM: the per-cat COUNT/SUM state maintained
+# from the Delta fixture's CHANGE FEED must equal DuckDB's
+# independent full replay of the same transaction log — maintenance
+# vs recompute, two engines, two formats
+register("delta_ivm_rows", _w_mig.delta_ivm_rows, _w_delta.DELTA_LOG_SQL)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -29,6 +29,14 @@ integration path when a real runtime is present; this reader is
 its sandbox-honest dual, fixture-pinned against a hand-built
 protocol-valid log (including a checkpoint) in
 ``tests/fixtures/delta``.
+
+Round-12 surface, all per the public protocol: deletion-vector
+merge-on-read, Change Data Feed (batch ``read_delta_cdf`` +
+streaming ``delta_cdf_stream``), timestampAsOf time travel, column
+mapping, reader-feature gating, single- AND multi-part checkpoints
+(read + write), VACUUM, log-retention cleanup, and incremental
+consumption with the ignoreDeletes / dataChange-false-skip
+semantics real streaming sources enforce.
 """
 
 from __future__ import annotations

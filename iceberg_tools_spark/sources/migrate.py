@@ -1239,25 +1239,33 @@ def replicate_delta_cdf(
     *,
     to_version: int | None = None,
     table_uuid: str = "00000000-0000-0000-0000-00000000f006",
+    key_columns: list[str] | None = None,
 ) -> dict[str, Any]:
     """Replay every Delta version into an Iceberg replica from its
     CHANGE DATA FEED instead of its file set: each version's
     row-level inserts land as fresh parquet (distributed write, one
     Spark job per version), its row-level deletes land as Iceberg
-    EQUALITY-delete files over all data columns — so a DML-heavy
-    source (DV deletes, merges) replicates at changelog cost: bytes
-    moved scale with CHANGED ROWS, not with the touched files
+    EQUALITY-delete files — so a DML-heavy source (DV deletes,
+    merges) replicates at changelog cost: bytes moved scale with
+    CHANGED ROWS, not with the touched files
     `replicate_delta_versions` copies verbatim. Snapshot ``8000+v``
     reads exactly Delta version ``v`` (the same time-travel contract
     as the full-fidelity path; pytest pins the two replicas equal at
     every version).
 
-    Semantics contract (the CDF by-value apply): rows are unique per
-    value-tuple while live — an equality delete kills EVERY matching
-    older row. Versions whose commits change no rows (pure metadata,
-    or a DV commit from a writer that ignored its PROTOCOL.md CDF
-    obligation) produce no replica snapshot; ``read_delta_cdf``'s
-    guided errors surface the missing-commit case.
+    Semantics contract (the CDF by-value apply): an equality delete
+    kills EVERY matching older row, so the matched tuple must be a
+    ROW IDENTITY. Default = all data columns (requires live rows
+    unique per full tuple); ``key_columns`` narrows the match to a
+    declared identity (e.g. a primary-key column) — correct for
+    sources whose non-key columns repeat across rows. The delete
+    files still carry the full deleted rows (spec-legal: equality
+    applies on ``equality_ids`` only; the extra columns double as an
+    audit trail). Versions whose commits
+    change no rows (pure metadata, or a DV commit from a writer that
+    ignored its PROTOCOL.md CDF obligation) produce no replica
+    snapshot; ``read_delta_cdf``'s guided errors surface the
+    missing-commit case.
 
     The replica is UNPARTITIONED with every column physical
     (partition values arrive through the CDF frame itself), matching
@@ -1281,7 +1289,17 @@ def replicate_delta_cdf(
         F.col(f["name"]).cast(_ICEBERG_TO_SPARK_CAST[f["type"]]).alias(f["name"])
         for f in ice_fields
     ]
-    all_ids = [f["id"] for f in ice_fields]
+    if key_columns is not None:
+        by_name = {f["name"]: f["id"] for f in ice_fields}
+        missing = [c for c in key_columns if c not in by_name]
+        if missing:
+            raise ValueError(
+                f"key_columns {missing} not in the table schema "
+                f"{sorted(by_name)}"
+            )
+        all_ids = [by_name[c] for c in key_columns]
+    else:
+        all_ids = [f["id"] for f in ice_fields]
 
     def _spill(cdf_v, v: int) -> tuple[list[str], list[str]]:
         # ONE distributed write per version, split by change type
@@ -1504,6 +1522,86 @@ def replicate_delta_cdf_stream(
         "apply_batch": apply_batch,  # exposed for the replay-skip pytest
         "head_delta_version": head,
     }
+
+
+def delta_grouped_ivm(
+    spark: SparkSession,
+    delta_root: str,
+    keys: list[str],
+    sums: list[str],
+    *,
+    mins: list[str] | tuple[str, ...] = (),
+    maxs: list[str] | tuple[str, ...] = (),
+    from_version: int = 0,
+    to_version: int | None = None,
+):
+    """CROSS-FORMAT incremental view maintenance: maintain an
+    Iceberg-IVM-shaped grouped aggregate (COUNT/SUM, optional
+    MIN/MAX) OVER A DELTA TABLE from its change feed — seed once at
+    ``from_version`` (the only full scan), then fold each later
+    version's CDF through the SAME `maintain_grouped_agg` kernel the
+    Iceberg materialized views use. At 100 TB the fold touches
+    changelog-sized frames; MIN/MAX versions additionally scope
+    their extremum-affected-group recompute to the Delta table read
+    AT that version (the `read_delta_log` time travel). Versions
+    that changed no rows fold nothing. Returns the maintained
+    DataFrame at ``to_version`` — pytest pins it equal to a full
+    recompute at EVERY intermediate version."""
+    import pyspark.sql.functions as F
+
+    from ..iceberg.ivm import grouped_agg, maintain_grouped_agg
+    from .delta_log import list_commits, read_delta_cdf, read_delta_log
+
+    commits = dict(list_commits(delta_root))
+    head = max(commits)
+    to_v = head if to_version is None else int(to_version)
+    state = grouped_agg(
+        read_delta_log(spark, delta_root, from_version), keys, sums, mins, maxs
+    )
+    for v in range(int(from_version) + 1, to_v + 1):
+        try:
+            cdf = read_delta_cdf(spark, delta_root, v, v)
+        except ValueError as exc:
+            if "no changes" in str(exc):
+                continue
+            raise
+        changelog = (
+            cdf.filter(F.col("_change_type").isin("insert", "delete"))
+            .withColumn(
+                "change_type",
+                F.when(F.col("_change_type") == "insert", "INSERT").otherwise(
+                    "DELETE"
+                ),
+            )
+            .drop("_change_type", "_commit_version")
+        )
+        state = maintain_grouped_agg(
+            state,
+            changelog,
+            keys,
+            sums,
+            mins=mins,
+            maxs=maxs,
+            base_df=(
+                read_delta_log(spark, delta_root, v) if (mins or maxs) else None
+            ),
+        )
+        # cut the plan per fold: the maintained state is group-sized,
+        # and without this the lineage grows linearly in versions
+        state = state.localCheckpoint(eager=True)
+    return state
+
+
+def delta_ivm_rows(spark: SparkSession, sf_dir: str):
+    """Driver gate for cross-format IVM (``sf_dir`` unused): seed
+    the per-cat COUNT/SUM state at fixture v0 and maintain it
+    through the change feed of v1..v3 (one add + removes, all
+    reconstruction). The maintained state must equal DuckDB's
+    INDEPENDENT full replay of the same transaction log
+    (``DELTA_LOG_SQL``) — maintenance vs recompute, two engines."""
+    from .delta_log import DELTA_FIXTURE
+
+    return delta_grouped_ivm(spark, DELTA_FIXTURE, ["cat"], ["id"]).orderBy("cat")
 
 
 def delta_cdf_replicate_rows(spark: SparkSession, sf_dir: str):

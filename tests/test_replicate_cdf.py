@@ -170,3 +170,88 @@ def test_cdf_stream_replica_equals_batch_replica(spark, tmp_path):
     res["apply_batch"](read_delta_cdf(spark, src, 1, 1), 1)
     meta2 = parse_metadata(res["metadata_path"])
     assert len(meta2.raw["snapshots"]) == n_snaps
+
+
+def test_cdf_replication_key_columns(spark, tmp_path):
+    """A declared row identity: deletes match on key_columns only,
+    so a source whose NON-key columns repeat across rows still
+    replicates correctly (the all-columns default would also work
+    here, but the key-scoped equality_ids are what land in the
+    replica's delete files)."""
+    from iceberg_tools_spark.iceberg.deletes import mor_entries_at
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+
+    src = str(tmp_path / "src")
+    head = _dml_heavy_source(src)
+    res = replicate_delta_cdf(
+        spark, src, str(tmp_path / "cdf"), key_columns=["id"]
+    )
+    cols = ["id", "cat"]
+    for v in range(head + 1):
+        want = sorted(map(tuple, read_delta_log(spark, src, v)
+                          .select(*cols).collect()))
+        got = sorted(map(tuple, read_mor(
+            spark, res["metadata_path"], 8000 + v).select(*cols).collect()))
+        assert got == want, f"version {v} diverged"
+    # the committed equality_ids are the KEY subset (field id 1)
+    meta = parse_metadata(res["metadata_path"])
+    _, dels = mor_entries_at(
+        meta, meta.raw["current-snapshot-id"],
+        os.path.dirname(res["metadata_path"]),
+    )
+    assert dels and all(e["equality_ids"] == [1] for e in dels)
+    # unknown key column: guided error
+    with pytest.raises(ValueError, match="key_columns"):
+        replicate_delta_cdf(
+            spark, src, str(tmp_path / "cdf2"), key_columns=["ghost"]
+        )
+
+
+def test_delta_grouped_ivm_equals_recompute_every_version(spark, tmp_path):
+    """Cross-format IVM: the CDF-maintained COUNT/SUM state equals a
+    full recompute at EVERY version of the DML-heavy source."""
+    from iceberg_tools_spark.iceberg.ivm import grouped_agg
+    from iceberg_tools_spark.sources.migrate import delta_grouped_ivm
+
+    src = str(tmp_path / "src")
+    head = _dml_heavy_source(src)
+    for v in range(head + 1):
+        got = sorted(map(tuple, delta_grouped_ivm(
+            spark, src, ["cat"], ["id"], to_version=v).collect()))
+        want = sorted(map(tuple, grouped_agg(
+            read_delta_log(spark, src, v), ["cat"], ["id"]).collect()))
+        assert got == want, f"version {v} diverged"
+
+
+def test_delta_grouped_ivm_minmax_recomputes_from_time_travel(spark, tmp_path):
+    """A DV delete of the current group MIN forces the non-
+    incrementable path: the affected group recomputes from the DELTA
+    table read AT that version — cross-format time travel feeding
+    the Iceberg IVM kernel."""
+    from iceberg_tools_spark.iceberg.ivm import grouped_agg
+    from iceberg_tools_spark.sources.migrate import delta_grouped_ivm
+
+    src = str(tmp_path / "src")
+    _dml_heavy_source(src)  # v1 DV-deletes positions 1,3 of a (ids 1,3)
+    got = sorted(map(tuple, delta_grouped_ivm(
+        spark, src, ["cat"], ["id"], mins=["id"], maxs=["id"],
+        to_version=1).collect()))
+    want = sorted(map(tuple, grouped_agg(
+        read_delta_log(spark, src, 1), ["cat"], ["id"],
+        ["id"], ["id"]).collect()))
+    assert got == want
+    # the x-group min moved off a deleted value: 0 stays the min
+    # (position 0 wasn't deleted) but id 1's removal is visible in
+    # the count/sum; delete id 0 next and the min must recompute
+    from iceberg_tools_spark.sources.delta_log import commit_delta_dv
+
+    commit_delta_dv(src, {"a.parquet": [0]}, checkpoint_interval=None,
+                    write_cdf=True)
+    head = 5
+    got = sorted(map(tuple, delta_grouped_ivm(
+        spark, src, ["cat"], ["id"], mins=["id"], maxs=["id"],
+        to_version=head).collect()))
+    want = sorted(map(tuple, grouped_agg(
+        read_delta_log(spark, src, head), ["cat"], ["id"],
+        ["id"], ["id"]).collect()))
+    assert got == want
