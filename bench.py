@@ -236,6 +236,15 @@ BASELINE_CAL.update(
     {k: round(v / _R12B_CALIBRATION, 3) for k, v in _R12B_RAW.items()}
 )
 
+# Third r12 addendum: cross-format IVM joined the headline set
+# (pinned from the end-of-round full run, calibration 0.763 —
+# fixture seed + three CDF folds through the Iceberg MV kernel).
+_R12C_CALIBRATION = 0.763
+_R12C_RAW = {"delta_ivm_rows": 1.704}
+BASELINE_CAL.update(
+    {k: round(v / _R12C_CALIBRATION, 3) for k, v in _R12C_RAW.items()}
+)
+
 # headline set: one representative per operator family; grows as
 # batteries land. Every name must exist in registry.queries().
 HEADLINE = [

@@ -1280,6 +1280,55 @@ def dv_positions(table_root: str, dv: dict[str, Any]) -> list[int]:
     return decode_dv_blob(data[off : off + 4 + blen + 4])
 
 
+# features implied by the LEGACY protocol versions (PROTOCOL.md
+# "Table Features"): upgrading a legacy table to the table-features
+# form must enumerate what the old version numbers implied
+_LEGACY_READER_FEATURES = {2: {"columnMapping"}}
+_LEGACY_WRITER_FEATURES = {
+    2: {"appendOnly", "invariants"},
+    3: {"checkConstraints"},
+    4: {"changeDataFeed", "generatedColumns"},
+    5: {"columnMapping"},
+    6: {"identityColumns"},
+}
+
+
+def protocol_upgrade_action(
+    current: dict[str, Any] | None,
+    *,
+    reader_features: set[str] = frozenset(),
+    writer_features: set[str] = frozenset(),
+) -> dict[str, Any] | None:
+    """The ``protocol`` action upgrading ``current`` to grant the
+    given features — or None when it already does. A commit that
+    INTRODUCES deletion vectors (or change files) into a legacy
+    table MUST carry this (r12): without it, a reader honoring the
+    declared ``minReaderVersion: 1`` ignores the deletionVector
+    field entirely and resurrects every masked row. Legacy-implied
+    features are enumerated per the spec's upgrade rule."""
+    proto = dict(current or {"minReaderVersion": 1, "minWriterVersion": 2})
+    mrv = int(proto.get("minReaderVersion", 1))
+    mwv = int(proto.get("minWriterVersion", 2))
+    rf = set(proto.get("readerFeatures") or set())
+    wf = set(proto.get("writerFeatures") or set())
+    if mrv < 3:
+        for v, feats in _LEGACY_READER_FEATURES.items():
+            if mrv >= v:
+                rf |= feats
+    if mwv < 7:
+        for v, feats in _LEGACY_WRITER_FEATURES.items():
+            if mwv >= v:
+                wf |= feats
+    if not (set(reader_features) - rf) and not (set(writer_features) - wf):
+        return None  # already granted (explicitly or legacy-implied)
+    return {"protocol": {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": sorted(rf | set(reader_features)),
+        "writerFeatures": sorted(wf | set(writer_features)),
+    }}
+
+
 def commit_delta_dv(
     table_root: str,
     deletes: dict[str, list[int]],
@@ -1306,7 +1355,7 @@ def commit_delta_dv(
     import pyarrow as pa
     import pyarrow.parquet as _pq
 
-    adds, _, _ = replay_log(table_root)
+    adds, meta, _ = replay_log(table_root)
     by_path = {a["path"]: a for a in adds}
     merged: dict[str, list[int]] = {}
     newly: dict[str, list[int]] = {}
@@ -1319,6 +1368,17 @@ def commit_delta_dv(
         newly[p] = sorted(set(pos) - prev)
     descriptors = write_delta_dv_file(table_root, merged)
     actions: list[dict[str, Any]] = []
+    up = protocol_upgrade_action(
+        meta.get("__protocol__"),
+        reader_features={"deletionVectors"},
+        writer_features=(
+            {"deletionVectors", "changeDataFeed"}
+            if write_cdf
+            else {"deletionVectors"}
+        ),
+    )
+    if up:
+        actions.append(up)
     if write_cdf:
         chunks = []
         for p in sorted(newly):

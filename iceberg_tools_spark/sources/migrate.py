@@ -553,6 +553,7 @@ def replicate_iceberg_to_delta(
     from .delta_log import (
         CHECKPOINT_INTERVAL,
         append_delta_commit,
+        protocol_upgrade_action,
         write_delta_dv_file,
     )
 
@@ -611,6 +612,7 @@ def replicate_iceberg_to_delta(
     dv_positions_seen: dict[str, set] = {}  # iceberg rel → positions
     dv_descriptors: dict[str, dict] = {}  # iceberg rel → DV descriptor
     n_checkpoints = n_removed = n_folded = n_dvs = n_cdf = 0
+    cur_proto = {"minReaderVersion": 1, "minWriterVersion": 2}  # the seed's
     last: dict[str, Any] = {"version": -1}
     for vi, sid in enumerate(rng):
         data_s, dels_s = mor_entries_at(meta, sid, base_dir)
@@ -865,6 +867,28 @@ def replicate_iceberg_to_delta(
                     target_root, last["version"] + 1, _pa.concat_tables(chunks)
                 ))
                 n_cdf += 1
+        # a commit that INTRODUCES deletion vectors or change files
+        # into the replica must upgrade the declared protocol in the
+        # SAME commit (r12): a real reader honoring the seed's
+        # minReaderVersion 1 would otherwise ignore deletionVector
+        # fields entirely and resurrect every masked row
+        needed_reader, needed_writer = set(), set()
+        for a in acts:
+            if (a.get("add") or {}).get("deletionVector") or (
+                a.get("remove") or {}
+            ).get("deletionVector"):
+                needed_reader.add("deletionVectors")
+                needed_writer.add("deletionVectors")
+            if a.get("cdc"):
+                needed_writer.add("changeDataFeed")
+        up = protocol_upgrade_action(
+            cur_proto,
+            reader_features=needed_reader,
+            writer_features=needed_writer,
+        ) if (needed_reader or needed_writer) else None
+        if up:
+            acts.append(up)
+            cur_proto = up["protocol"]
         ci: dict[str, Any] = {"operation": "WRITE", "timestamp": 1700000001000}
         if vi > 0:
             ci["icebergSnapshotId"] = sid

@@ -426,3 +426,94 @@ def test_cdf_plan_is_two_scans(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_scans = plan.count("Scan parquet")
     assert n_scans == 2, f"expected 2 parquet scans, got {n_scans}:\n{plan}"
+
+
+def test_dv_commit_upgrades_legacy_protocol(spark, tmp_path):
+    """A DV commit into a minReaderVersion-1 table must upgrade the
+    protocol IN THE SAME COMMIT — a real reader honoring the legacy
+    declaration would ignore the deletionVector field and resurrect
+    every masked row."""
+    from iceberg_tools_spark.sources.delta_log import (
+        _current_protocol,
+        commit_delta_dv,
+        list_commits,
+        protocol_upgrade_action,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    pq.write_table(pa.table({"id": pa.array([1, 2, 3], pa.int64())}),
+                   os.path.join(root, "f.parquet"))
+    append_delta_commit(root, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}}]}),
+            "partitionColumns": [], "configuration": {}, "createdTime": 0,
+        }},
+        {"add": {"path": "f.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    commit_delta_dv(root, {"f.parquet": [1]}, checkpoint_interval=None,
+                    write_cdf=True)
+    v = list_commits(root)[-1][0]
+    proto = _current_protocol(root, v)
+    assert proto["minReaderVersion"] == 3
+    assert "deletionVectors" in proto["readerFeatures"]
+    assert {"deletionVectors", "changeDataFeed"} <= set(proto["writerFeatures"])
+    # legacy-implied writer features enumerated per the upgrade rule
+    assert {"appendOnly", "invariants"} <= set(proto["writerFeatures"])
+    # idempotent: a second DV commit adds no further protocol action
+    commit_delta_dv(root, {"f.parquet": [2]}, checkpoint_interval=None)
+    with open(list_commits(root)[-1][1]) as f:
+        assert not any("protocol" in json.loads(ln) for ln in f if ln.strip())
+    # and the pure upgrade-computation contract
+    assert protocol_upgrade_action(
+        proto, reader_features={"deletionVectors"}
+    ) is None
+
+
+def test_replication_upgrades_protocol_on_first_dv(spark, tmp_path):
+    """Iceberg→Delta replication: the commit that first maps a
+    positional delete onto a Delta DV carries the protocol upgrade;
+    append-only replicas stay legacy."""
+    from iceberg_tools_spark.iceberg.commit import (
+        append_snapshot,
+        commit_delete_snapshot,
+        create_table,
+    )
+    from iceberg_tools_spark.sources.delta_log import (
+        _current_protocol,
+        list_commits,
+    )
+    from iceberg_tools_spark.sources.migrate import replicate_iceberg_to_delta
+
+    root = str(tmp_path / "ice")
+    os.makedirs(root)
+    mp = create_table(root, [("id", "long")])
+    loc = json.load(open(mp))["location"]
+    pq.write_table(pa.table({"id": pa.array(list(range(5)), pa.int64())}),
+                   os.path.join(root, "data/f.parquet"))
+    mp = append_snapshot(mp, [{"path": "data/f.parquet", "partition": {}}])[
+        "metadata_path"]
+    os.makedirs(os.path.join(root, "data/deletes"))
+    pq.write_table(
+        pa.table({"file_path": pa.array([f"{loc}/data/f.parquet"]),
+                  "pos": pa.array([1], pa.int64())}),
+        os.path.join(root, "data/deletes/d.parquet"),
+    )
+    mp = commit_delete_snapshot(
+        mp, [{"path": "data/deletes/d.parquet", "partition": {}, "content": 1}]
+    )["metadata_path"]
+    tgt = str(tmp_path / "delta")
+    replicate_iceberg_to_delta(spark, mp, tgt, now_ms=1700000001000)
+    # v0 (append-only seed) stays legacy; v1 (the DV) upgrades
+    assert _current_protocol(tgt, 0)["minReaderVersion"] == 1
+    proto = _current_protocol(tgt, list_commits(tgt)[-1][0])
+    assert proto["minReaderVersion"] == 3
+    assert "deletionVectors" in proto["readerFeatures"]
+    # our own gate accepts the upgraded replica
+    got = sorted(r.id for r in read_delta_log(spark, tgt).collect())
+    assert got == [0, 2, 3, 4]
