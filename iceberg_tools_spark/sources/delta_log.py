@@ -573,6 +573,8 @@ def delta_incremental_stream(
 
     _, meta, _ = replay_log(table_root, to_version)
     part_cols = meta.get("partitionColumns") or []
+    mapping = _column_mapping(meta)
+    phys_of = {v: k for k, v in (mapping or {}).items()}
     if not ignore_deletes:
         commits = dict(list_commits(table_root))
         for v in range(from_version + 1, to_version + 1):
@@ -602,8 +604,16 @@ def delta_incremental_stream(
         frames = []
         for a in adds:
             df = spark.read.parquet(os.path.join(table_root, a["path"]))
+            if mapping:
+                # files carry PHYSICAL names under column mapping
+                df = df.select(
+                    [F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+                )
+            pv = a.get("partitionValues") or {}
             for c in part_cols:
-                df = df.withColumn(c, F.lit((a.get("partitionValues") or {}).get(c)))
+                df = df.withColumn(
+                    c, F.lit(pv.get(phys_of.get(c, c), pv.get(c)))
+                )
             frames.append(df)
         from functools import reduce
 

@@ -1010,9 +1010,20 @@ def replicate_delta_versions(
     from ..iceberg.deletes import mor_entries_at
     from ..iceberg.metadata import parse_metadata
     from ..iceberg.rewrite_data import _replace_commit
-    from .delta_log import list_commits, replay_log
+    from .delta_log import _column_mapping, list_commits, replay_log
 
     _, meta, head = replay_log(delta_root, to_version)
+    if _column_mapping(meta):
+        # the verbatim-copy path would pair PHYSICAL-named parquet
+        # with a LOGICAL-named Iceberg schema — every read of the
+        # replica would miss the columns. The CDF path rewrites rows
+        # under logical names, so it's the correct mapping here.
+        raise ValueError(
+            f"{delta_root!r} uses delta.columnMapping — verbatim file "
+            f"copies can't carry its physical column names into an "
+            f"Iceberg schema; use replicate_delta_cdf (row-level, "
+            f"logical names) instead"
+        )
     schema_fields = json.loads(meta["schemaString"])["fields"]
     part_cols = meta.get("partitionColumns") or []
     ice_fields = []

@@ -517,3 +517,53 @@ def test_replication_upgrades_protocol_on_first_dv(spark, tmp_path):
     # our own gate accepts the upgraded replica
     got = sorted(r.id for r in read_delta_log(spark, tgt).collect())
     assert got == [0, 2, 3, 4]
+
+
+def test_verbatim_replication_refuses_column_mapping(spark, tmp_path):
+    """The verbatim-copy replication can't carry physical column
+    names into an Iceberg schema — guided refusal pointing at the
+    CDF path, which rewrites rows under logical names and works."""
+    from iceberg_tools_spark.iceberg.deletes import read_mor
+    from iceberg_tools_spark.sources.migrate import (
+        replicate_delta_cdf,
+        replicate_delta_versions,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    _write_physical(root, "a.parquet", [1, 2])
+    append_delta_commit(root, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        _mapped_meta(),
+        {"add": {"path": "a.parquet", "partitionValues": {"col-bbb": "x"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    with pytest.raises(ValueError, match="replicate_delta_cdf"):
+        replicate_delta_versions(spark, root, str(tmp_path / "full"))
+    res = replicate_delta_cdf(spark, root, str(tmp_path / "cdf"))
+    got = sorted(map(tuple, read_mor(
+        spark, res["metadata_path"], 8000).select("id", "cat").collect()))
+    assert got == [(1, "x"), (2, "x")]
+
+
+def test_incremental_stream_renames_mapped_columns(spark, tmp_path):
+    from iceberg_tools_spark.sources.delta_log import delta_incremental_stream
+    from iceberg_tools_spark.streaming.jobs import run_to_memory
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    append_delta_commit(root, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        _mapped_meta(),
+    ], checkpoint_interval=None)
+    _write_physical(root, "a.parquet", [1, 2])
+    append_delta_commit(root, [
+        {"add": {"path": "a.parquet", "partitionValues": {"col-bbb": "x"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    stream, n = delta_incremental_stream(
+        spark, root, 0, 1, str(tmp_path / "stage"))
+    assert n == 1
+    rows = run_to_memory(stream, "cm_inc_test").collect()
+    got = sorted((r["id"], r["cat"], r["_delta_version"]) for r in rows)
+    assert got == [(1, "x", 1), (2, "x", 1)]
