@@ -71,6 +71,14 @@ def delta2json_main(argv: list[str]) -> int:
         "version": eff,
         "partitionColumns": meta.get("partitionColumns") or [],
         "n_live_files": len(adds),
+        # what a reader needs to know before touching the files:
+        # the protocol it must satisfy and whether column names in
+        # the parquet are physical (r12)
+        "protocol": meta.get("__protocol__")
+        or {"minReaderVersion": 1, "minWriterVersion": 2},
+        "columnMapping": (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        ),
     }) + "\n")
     for a in sorted(adds, key=lambda x: x["path"]):
         sys.stdout.write(json.dumps({

@@ -103,7 +103,11 @@ def test_cli_tools(tmp_path, capsys):
     assert main(["delta2json", DELTA_FIXTURE]) == 0
     lines = capsys.readouterr().out.strip().splitlines()
     head = _json.loads(lines[0])
-    assert head == {"version": 3, "partitionColumns": ["cat"], "n_live_files": 3}
+    assert head == {
+        "version": 3, "partitionColumns": ["cat"], "n_live_files": 3,
+        "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+        "columnMapping": "none",
+    }
     assert len(lines) == 4
     assert main(["delta2json", "--version=0", DELTA_FIXTURE]) == 0
     head0 = _json.loads(capsys.readouterr().out.splitlines()[0])
