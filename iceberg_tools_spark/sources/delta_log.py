@@ -572,6 +572,10 @@ def delta_incremental_stream(
     import pyspark.sql.functions as F
 
     _, meta, _ = replay_log(table_root, to_version)
+    check_reader_support(
+        table_root, int(to_version),
+        proto=meta.get("__protocol__") or {"minReaderVersion": 1},
+    )
     part_cols = meta.get("partitionColumns") or []
     mapping = _column_mapping(meta)
     phys_of = {v: k for k, v in (mapping or {}).items()}

@@ -1010,9 +1010,19 @@ def replicate_delta_versions(
     from ..iceberg.deletes import mor_entries_at
     from ..iceberg.metadata import parse_metadata
     from ..iceberg.rewrite_data import _replace_commit
-    from .delta_log import _column_mapping, list_commits, replay_log
+    from .delta_log import (
+        _column_mapping,
+        check_reader_support,
+        list_commits,
+        replay_log,
+    )
 
     _, meta, head = replay_log(delta_root, to_version)
+    # this path consumes data files DIRECTLY (verbatim copies + DV
+    # folds), so it owes the same protocol gate the readers run
+    check_reader_support(
+        delta_root, head, proto=meta.get("__protocol__") or {"minReaderVersion": 1}
+    )
     if _column_mapping(meta):
         # the verbatim-copy path would pair PHYSICAL-named parquet
         # with a LOGICAL-named Iceberg schema — every read of the

@@ -567,3 +567,36 @@ def test_incremental_stream_renames_mapped_columns(spark, tmp_path):
     rows = run_to_memory(stream, "cm_inc_test").collect()
     got = sorted((r["id"], r["cat"], r["_delta_version"]) for r in rows)
     assert got == [(1, "x", 1), (2, "x", 1)]
+
+
+def test_direct_file_consumers_gate_on_protocol(spark, tmp_path):
+    """The incremental stream and the verbatim replication consume
+    data files directly — they owe the same guided refusal the
+    readers give on an unsupported protocol."""
+    from iceberg_tools_spark.sources.delta_log import delta_incremental_stream
+    from iceberg_tools_spark.sources.migrate import replicate_delta_versions
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    pq.write_table(pa.table({"id": pa.array([1], pa.int64())}),
+                   os.path.join(root, "a.parquet"))
+    append_delta_commit(root, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["v2Checkpoint"],
+                      "writerFeatures": ["v2Checkpoint"]}},
+        {"metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}}]}),
+            "partitionColumns": [], "configuration": {}, "createdTime": 0,
+        }},
+    ], checkpoint_interval=None)
+    append_delta_commit(root, [
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    with pytest.raises(ValueError, match="v2Checkpoint"):
+        delta_incremental_stream(spark, root, 0, 1, str(tmp_path / "stage"))
+    with pytest.raises(ValueError, match="v2Checkpoint"):
+        replicate_delta_versions(spark, root, str(tmp_path / "full"))
