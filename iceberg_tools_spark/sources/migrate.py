@@ -514,6 +514,7 @@ def replicate_iceberg_to_delta(
     checkpoint_interval: int | None = None,
     write_cdf: bool = False,
     now_ms: int | None = None,
+    partition_by: str | tuple = "auto",
 ) -> dict[str, Any]:
     """Replicate an Iceberg snapshot range into a Delta table, ONE
     Delta commit per Iceberg snapshot: the seed snapshot exports
@@ -536,10 +537,20 @@ def replicate_iceberg_to_delta(
     checkpoint + ``_last_checkpoint`` (VERDICT r8 #7), now including
     unexpired remove tombstones.
 
-    The replica is an UNPARTITIONED Delta table: Iceberg data files
-    carry every column physically, so partition columns replicate as
-    ordinary data (physical layout is a compaction concern, not a
-    data one)."""
+    ``partition_by`` (VERDICT r12 #7): ``"auto"`` carries the source
+    table's IDENTITY partition fields into the replica — the
+    metaData declares ``partitionColumns`` and every ``add`` stamps
+    its entry's partition tuple into ``partitionValues`` — so Delta
+    consumers prune on the log exactly like the source pruned on its
+    manifests (``read_delta_log(..., partition_filter=...)`` plans a
+    scan over only the matching files; plan-pinned). Non-identity
+    transforms (bucket, day/month/year) have no Delta partition
+    equivalent and are skipped. Data files still copy VERBATIM, so
+    the partition column also exists physically in the parquet —
+    spec-tolerated (readers take log values; this reader prefers the
+    physical copy, identical by construction) and what preserves the
+    changelog-cost model: layout never forces a rewrite. Pass ``()``
+    for an unpartitioned replica."""
     import shutil
 
     from ..iceberg.deletes import (
@@ -591,6 +602,36 @@ def replicate_iceberg_to_delta(
         delta_fields.append(
             {"name": f["name"], "type": t, "nullable": True, "metadata": {}}
         )
+    # identity-partition layout for the replica (VERDICT r12 #7)
+    specs = raw.get("partition-specs") or []
+    default_spec = next(
+        (s for s in specs if s.get("spec-id") == raw.get("default-spec-id", 0)),
+        {"fields": []},
+    )
+    identity_cols = [
+        f["name"] for f in default_spec.get("fields", [])
+        if f.get("transform") == "identity"
+    ]
+    if partition_by == "auto":
+        part_cols = identity_cols
+    else:
+        part_cols = list(partition_by)
+        bad = [c for c in part_cols if c not in identity_cols]
+        if bad:
+            raise ValueError(
+                f"partition_by {bad} are not identity partition fields of "
+                f"the source (identity fields: {identity_cols}) — only "
+                f"identity transforms map onto Delta partition columns"
+            )
+
+    def _pv(entry: dict[str, Any]) -> dict[str, Any]:
+        # Delta partitionValues serialize as strings (null for null)
+        return {
+            c: (None if entry["partition"].get(c) is None
+                else str(entry["partition"][c]))
+            for c in part_cols
+        }
+
     os.makedirs(os.path.join(target_root, "_delta_log"))
 
     def _write_folded(entry, applicable, out_abs):
@@ -638,7 +679,7 @@ def replicate_iceberg_to_delta(
                     "schemaString": json.dumps(
                         {"type": "struct", "fields": delta_fields}
                     ),
-                    "partitionColumns": [],
+                    "partitionColumns": part_cols,
                     "configuration": {
                         "replicated-from": "iceberg",
                         "replicated-table-uuid": raw.get("table-uuid", ""),
@@ -774,7 +815,7 @@ def replicate_iceberg_to_delta(
                     replica[rel] = (drel, s, "copy")
                     adds.append({"add": {
                         "path": drel,
-                        "partitionValues": {},
+                        "partitionValues": _pv(e),
                         "size": size,
                         "modificationTime": ts,
                         "dataChange": old is None,
@@ -823,7 +864,7 @@ def replicate_iceberg_to_delta(
                 cdf_parts.append(("insert_but", out_abs, []))
             adds.append({"add": {
                 "path": out_rel,
-                "partitionValues": {},
+                "partitionValues": _pv(e),
                 "size": size,
                 "modificationTime": ts,
                 "dataChange": True,
@@ -1354,9 +1395,14 @@ def replicate_delta_cdf(
         # for the delete side)
         import pyarrow.parquet as _papq
 
+        from .delta_log import cdf_change_expr
+
         tmpdir = os.path.join(target_root, f"data/cdf{v}.tmp")
         (
-            cdf_v.filter(F.col("_change_type").isin("insert", "delete"))
+            # update_postimage folds as insert, update_preimage as
+            # delete; unknown change types raise per-row (ADVICE r12
+            # — isin('insert','delete') silently dropped updates)
+            cdf_v.withColumn("_change_type", cdf_change_expr())
             .select(*casts, F.col("_change_type"))
             .write.partitionBy("_change_type")
             .mode("errorifexists")
@@ -1386,6 +1432,20 @@ def replicate_delta_cdf(
 
     n_inserted = n_deleted = n_snapshots = 0
     versions = [v for v, _p in list_commits(delta_root) if v <= head]
+    # ADVICE r12: a cleaned log (checkpoint present, commits 0..k
+    # deleted) must NOT silently replay only the surviving tail —
+    # the checkpointed pre-cleanup state would be missing from the
+    # replica with no error. CDF replication needs EVERY commit.
+    if versions != list(range(0, head + 1)):
+        missing = sorted(set(range(0, head + 1)) - set(versions))
+        raise ValueError(
+            f"CDF replication replays every commit from version 0, but "
+            f"commit(s) {missing[:10]}{'...' if len(missing) > 10 else ''} "
+            f"of {delta_root!r} were cleaned from the log; earliest "
+            f"readable version is {versions[0] if versions else head}. "
+            f"Seed the replica with replicate_delta_versions (full scan) "
+            f"before folding CDF."
+        )
     for v in versions:
         try:
             cdf = read_delta_cdf(spark, delta_root, v, v)
@@ -1484,11 +1544,14 @@ def replicate_delta_cdf_stream(
         head_mp = latest_metadata_path(mp)
         if int(batch_id) in committed_batch_ids(head_mp, query_name):
             return  # checkpoint replay: already committed
+        from .delta_log import cdf_change_expr
+
         tmpdir = os.path.join(
             target_root, "data", "streaming", query_name, f"batch-{batch_id}.tmp"
         )
         (
-            batch_df.filter(F.col("_change_type").isin("insert", "delete"))
+            # same UPDATE mapping as the batch applier (ADVICE r12)
+            batch_df.withColumn("_change_type", cdf_change_expr())
             .select(*casts, F.col("_change_type"), F.col("_commit_version"))
             .write.partitionBy("_change_type")
             .mode("overwrite")
@@ -1610,14 +1673,13 @@ def delta_grouped_ivm(
             if "no changes" in str(exc):
                 continue
             raise
+        from .delta_log import cdf_change_expr
+
+        # update_postimage folds as INSERT, update_preimage as DELETE
+        # (ADVICE r12 — the isin filter silently dropped updates and
+        # the maintained aggregate diverged); unknown types raise
         changelog = (
-            cdf.filter(F.col("_change_type").isin("insert", "delete"))
-            .withColumn(
-                "change_type",
-                F.when(F.col("_change_type") == "insert", "INSERT").otherwise(
-                    "DELETE"
-                ),
-            )
+            cdf.withColumn("change_type", F.upper(cdf_change_expr()))
             .drop("_change_type", "_commit_version")
         )
         state = maintain_grouped_agg(

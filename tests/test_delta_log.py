@@ -698,11 +698,14 @@ def test_cdf_reconstruction_matches_live_set_diff(spark):
     assert set(r._commit_version for r in cdf.collect()) == {3}
 
 
-def test_cdf_dv_commit_without_change_file_is_silent(spark, tmp_path):
-    """A DV commit with write_cdf=False is all dataChange-false: the
-    CDF read contributes nothing for that version (the documented
-    writer obligation — PROTOCOL.md requires CDF-enabled writers to
-    emit change files)."""
+def test_cdf_dv_commit_without_change_file_reconstructs(spark, tmp_path):
+    """A DV commit's remove+re-add pair is dataChange-TRUE (upstream
+    semantics — ADVICE r12: false made the delete invisible to every
+    change consumer). Without a cdc file the version reads through
+    reconstruction: the newly-dead row as a delete plus a
+    delete+re-insert churn of the survivors — net-correct for an
+    insert/delete fold. A fully-redundant re-delete is a no-op
+    commit and stays change-silent."""
     import os
 
     import pyarrow as pa
@@ -731,11 +734,15 @@ def test_cdf_dv_commit_without_change_file_is_silent(spark, tmp_path):
     ], checkpoint_interval=None)
     commit_delta_dv(root, {"f.parquet": [1]}, checkpoint_interval=None)
     got = read_delta_cdf(spark, root, 0).collect()
-    assert {r._commit_version for r in got} == {0}
-    # an all-silent range raises rather than returning an empty frame
-    with _pytest.raises(ValueError, match="no changes"):
-        read_delta_cdf(spark, root, 1, 1)
-    # re-deleting the same position with CDF on emits NOTHING new
+    assert {r._commit_version for r in got} == {0, 1}
+    # v1 reconstruction: deletes of the 3 then-live rows, re-inserts
+    # of the 2 survivors — id 2 (position 1) nets out deleted
+    v1 = sorted((r.id, r._change_type)
+                for r in read_delta_cdf(spark, root, 1, 1).collect())
+    assert v1 == [(1, "delete"), (1, "insert"), (2, "delete"),
+                  (3, "delete"), (3, "insert")]
+    # re-deleting the same position is a NO-OP commit: no churn, no
+    # new DV bin, and the CDF range is change-silent
     commit_delta_dv(root, {"f.parquet": [1]}, checkpoint_interval=None,
                     write_cdf=True)
     with _pytest.raises(ValueError, match="no changes"):

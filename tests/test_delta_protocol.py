@@ -115,8 +115,8 @@ def test_reader_feature_gating(spark, tmp_path):
                    os.path.join(root, "a.parquet"))
     append_delta_commit(root, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["v2Checkpoint"],
-                      "writerFeatures": ["v2Checkpoint"]}},
+                      "readerFeatures": ["typeWidening"],
+                      "writerFeatures": ["typeWidening"]}},
         {"metaData": {
             "id": "x", "format": {"provider": "parquet", "options": {}},
             "schemaString": json.dumps({"type": "struct", "fields": [
@@ -127,11 +127,13 @@ def test_reader_feature_gating(spark, tmp_path):
         {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
                  "modificationTime": 0, "dataChange": True}},
     ], checkpoint_interval=None)
-    # silently misreading a v2Checkpoint table would be wrong —
-    # the gate names the missing capability instead
-    with pytest.raises(ValueError, match="v2Checkpoint"):
+    # silently misreading a feature-gated table would be wrong —
+    # the gate names the missing capability instead (typeWidening is
+    # a real future feature this reader does not implement;
+    # v2Checkpoint moved to the SUPPORTED set in r13)
+    with pytest.raises(ValueError, match="typeWidening"):
         read_delta_log(spark, root)
-    with pytest.raises(ValueError, match="v2Checkpoint"):
+    with pytest.raises(ValueError, match="typeWidening"):
         read_delta_cdf(spark, root, 0)
     with pytest.raises(ValueError, match="minReaderVersion 4"):
         check_reader_support_at(root, {"minReaderVersion": 4})
@@ -303,11 +305,13 @@ def test_incomplete_multipart_checkpoint_never_selected(tmp_path):
     assert v == 0 and parts == [res2["path"]]
 
 
-def test_incremental_stream_skips_datachange_false_adds(spark, tmp_path):
-    """A DV update re-adds a path whose rows already streamed
-    (dataChange false) — re-emitting it would duplicate every row
-    downstream. The incremental listing skips it by default; the
-    raw listing still shows it."""
+def test_incremental_stream_skips_dv_readds(spark, tmp_path):
+    """A DV delete re-adds a path whose rows already streamed —
+    re-emitting it would duplicate every surviving row downstream.
+    The incremental listing skips same-commit re-adds by default
+    (the pair is dataChange-TRUE per upstream — ADVICE r12); the
+    raw listing still shows it, and the add-only stream now sees the
+    delete and refuses without the ignore_deletes opt-in."""
     from iceberg_tools_spark.sources.delta_log import (
         commit_delta_dv,
         delta_adds_between,
@@ -333,11 +337,15 @@ def test_incremental_stream_skips_datachange_false_adds(spark, tmp_path):
     assert delta_adds_between(root, 0, 1) == {1: []}
     raw = delta_adds_between(root, 0, 1, data_change_only=False)
     assert [a["path"] for a in raw[1]] == ["f.parquet"]
-    # the DV-only range carries no NEW rows: the stream refuses to
-    # fabricate a batch (and the DV's remove is dataChange-false, so
-    # the delete guard stays quiet)
-    with pytest.raises(ValueError, match="no adds in range"):
+    # the DV delete is dataChange-true: the add-only stream raises
+    # without the opt-in...
+    with pytest.raises(ValueError, match="ignore_deletes"):
         delta_incremental_stream(spark, root, 0, 1, str(tmp_path / "stage"))
+    # ...and WITH it, the re-add is skipped (rows already streamed),
+    # so the range carries no new rows at all
+    with pytest.raises(ValueError, match="no adds in range"):
+        delta_incremental_stream(spark, root, 0, 1, str(tmp_path / "stage"),
+                                 ignore_deletes=True)
 
 
 def test_cdf_stream_matches_batch_and_carries_deletes(spark, tmp_path):
@@ -366,19 +374,20 @@ def test_cdf_stream_matches_batch_and_carries_deletes(spark, tmp_path):
         {"add": {"path": "f.parquet", "partitionValues": {}, "size": 1,
                  "modificationTime": 0, "dataChange": True}},
     ], checkpoint_interval=None)
-    # v1: silent DV (no batch); v2: CDF-emitting DV delete
+    # v1: reconstruction-read DV delete (no cdc file); v2:
+    # CDF-emitting DV delete (cdc read alone)
     commit_delta_dv(root, {"f.parquet": [0]}, checkpoint_interval=None)
     commit_delta_dv(root, {"f.parquet": [2]}, checkpoint_interval=None,
                     write_cdf=True)
     stream, n = delta_cdf_stream(spark, root, 0, 2, str(tmp_path / "stage"))
-    assert n == 2  # v0 inserts + v2 delete; v1 contributed nothing
+    assert n == 3  # every version changed rows (v1 via reconstruction)
     got = sorted(
         (r["id"], r["_change_type"], r["_commit_version"])
         for r in run_to_memory(stream, "cdf_stream_test").collect()
     )
     want = sorted(
         (r["id"], r["_change_type"], r["_commit_version"])
-        for v in (0, 2)
+        for v in (0, 1, 2)
         for r in read_delta_cdf(spark, root, v, v).collect()
     )
     assert got == want
@@ -582,8 +591,8 @@ def test_direct_file_consumers_gate_on_protocol(spark, tmp_path):
                    os.path.join(root, "a.parquet"))
     append_delta_commit(root, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["v2Checkpoint"],
-                      "writerFeatures": ["v2Checkpoint"]}},
+                      "readerFeatures": ["typeWidening"],
+                      "writerFeatures": ["typeWidening"]}},
         {"metaData": {
             "id": "x", "format": {"provider": "parquet", "options": {}},
             "schemaString": json.dumps({"type": "struct", "fields": [
@@ -596,7 +605,110 @@ def test_direct_file_consumers_gate_on_protocol(spark, tmp_path):
         {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
                  "modificationTime": 0, "dataChange": True}},
     ], checkpoint_interval=None)
-    with pytest.raises(ValueError, match="v2Checkpoint"):
+    with pytest.raises(ValueError, match="typeWidening"):
         delta_incremental_stream(spark, root, 0, 1, str(tmp_path / "stage"))
-    with pytest.raises(ValueError, match="v2Checkpoint"):
+    with pytest.raises(ValueError, match="typeWidening"):
         replicate_delta_versions(spark, root, str(tmp_path / "full"))
+
+def _nested_mapped_meta():
+    """Column mapping with a NESTED schema: logical
+    (id, info struct<score:long, tags:array<string>>, cat), physical
+    names col-aaa / col-sss {col-xxx, col-yyy} / col-bbb at EVERY
+    level — what a real column-mapped writer emits (VERDICT r12 #6:
+    struct-internal physical names used to pass through unmapped)."""
+    fields = [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-aaa"}},
+        {"name": "info", "nullable": True,
+         "type": {"type": "struct", "fields": [
+             {"name": "score", "type": "long", "nullable": True,
+              "metadata": {"delta.columnMapping.id": 3,
+                           "delta.columnMapping.physicalName": "col-xxx"}},
+             {"name": "tags", "type": {"type": "array",
+                                       "elementType": "string",
+                                       "containsNull": True},
+              "nullable": True,
+              "metadata": {"delta.columnMapping.id": 4,
+                           "delta.columnMapping.physicalName": "col-yyy"}},
+         ]},
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-sss"}},
+        {"name": "cat", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 5,
+                      "delta.columnMapping.physicalName": "col-bbb"}},
+    ]
+    return {"metaData": {
+        "id": "cmn", "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({"type": "struct", "fields": fields}),
+        "partitionColumns": ["cat"],
+        "configuration": {"delta.columnMapping.mode": "name"},
+        "createdTime": 0,
+    }}
+
+
+def _write_nested_physical(root, name, ids):
+    pq.write_table(
+        pa.table({
+            "col-aaa": pa.array(ids, pa.int64()),
+            "col-sss": pa.array(
+                [{"col-xxx": i * 10, "col-yyy": [f"t{i}"]} for i in ids],
+                pa.struct([("col-xxx", pa.int64()),
+                           ("col-yyy", pa.list_(pa.string()))]),
+            ),
+        }),
+        os.path.join(root, name),
+    )
+
+
+def test_nested_column_mapping_read(spark, tmp_path):
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    _write_nested_physical(root, "a.parquet", [1, 2])
+    append_delta_commit(root, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        _nested_mapped_meta(),
+        {"add": {"path": "a.parquet", "partitionValues": {"col-bbb": "x"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    df = read_delta_log(spark, root)
+    assert set(df.columns) == {"id", "info", "cat"}
+    # struct-INTERNAL fields surface under their logical names
+    assert [f.name for f in df.schema["info"].dataType.fields] == \
+        ["score", "tags"]
+    rows = sorted(
+        (r["id"], r["info"]["score"], tuple(r["info"]["tags"]), r["cat"])
+        for r in df.collect()
+    )
+    assert rows == [(1, 10, ("t1",), "x"), (2, 20, ("t2",), "x")]
+    # and a query addressing the nested logical name works end to end
+    got = sorted(r[0] for r in df.select("info.score").collect())
+    assert got == [10, 20]
+
+
+def test_nested_column_mapping_composes_with_dv_and_cdf(spark, tmp_path):
+    """mapping × DV × nested schema: the DV anti-join keys on paths/
+    row-index (physical-name-free), then the nested rename lands —
+    and the CDF read renames nested fields per frame."""
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    _write_nested_physical(root, "a.parquet", [1, 2, 3, 4])
+    desc = write_delta_dv_file(root, {"a.parquet": [1, 2]})["a.parquet"]
+    append_delta_commit(root, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors", "columnMapping"],
+                      "writerFeatures": ["deletionVectors", "columnMapping"]}},
+        _nested_mapped_meta(),
+        {"add": {"path": "a.parquet", "partitionValues": {"col-bbb": "x"},
+                 "size": 1, "modificationTime": 0, "dataChange": True,
+                 "deletionVector": desc}},
+    ], checkpoint_interval=None)
+    rows = sorted(
+        (r["id"], r["info"]["score"], r["cat"])
+        for r in read_delta_log(spark, root).collect()
+    )
+    assert rows == [(1, 10, "x"), (4, 40, "x")]
+    cdf = read_delta_cdf(spark, root, 0, 0)
+    got = sorted((r["id"], r["info"]["score"], r["_change_type"])
+                 for r in cdf.collect())
+    assert got == [(1, 10, "insert"), (4, 40, "insert")]

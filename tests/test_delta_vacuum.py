@@ -133,6 +133,120 @@ def test_vacuum_protects_dv_bins_and_cdc_files(spark, tmp_path):
     assert [r.id for r in cdf.collect()] == [1]
 
 
+def test_vacuum_checkpointed_table_protects_via_spark_read(spark, tmp_path):
+    """VERDICT r12 #3: with a checkpoint present, the protected set's
+    bulk derives from a SPARK read of the checkpoint parquet (the
+    old path replayed it driver-side and broadcast the frame). The
+    checkpoint's live files, their DV bins, its unexpired tombstones
+    — and post-checkpoint state overriding checkpoint state — all
+    protect correctly after the pre-checkpoint commits are gone."""
+    from iceberg_tools_spark.sources.delta_log import write_delta_checkpoint
+
+    root = str(tmp_path / "t")
+    _base_table(root)  # v0: f1 (1,2) + f2 (3,4)
+    # v1: DV-delete position 0 of f1 (recent delete: bin + tombstone)
+    commit_delta_dv(root, {"f1.parquet": [0]}, checkpoint_interval=None)
+    # v2: drop f2 with a RECENT deletionTimestamp
+    append_delta_commit(root, [
+        {"remove": {"path": "f2.parquet", "deletionTimestamp": NOW - 1000,
+                    "dataChange": True}},
+        {"commitInfo": {"operation": "DELETE", "timestamp": NOW - 1000}},
+    ], checkpoint_interval=None)
+    write_delta_checkpoint(root, now_ms=NOW)
+    for v in (0, 1):
+        os.remove(os.path.join(root, "_delta_log", f"{v:020d}.json"))
+    # v3 (post-checkpoint): append f3, then age EVERYTHING so only
+    # protection can save a file
+    _write(root, "f3.parquet", [5])
+    append_delta_commit(root, [
+        {"add": {"path": "f3.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+        {"commitInfo": {"operation": "WRITE", "timestamp": NOW - 500}},
+    ], checkpoint_interval=None)
+    stray = _write(root, "stray.parquet", [9])
+    for dp, _dns, fns in os.walk(root):
+        if "_delta_log" in dp:
+            continue
+        for fn in fns:
+            p = os.path.join(dp, fn)
+            t = (NOW - 30 * DAY) / 1000
+            os.utime(p, (t, t))
+    res = vacuum_delta(spark, root, now_ms=NOW)
+    assert res["candidates"] == [stray] and res["removed"] == 1
+    assert res["n_tombstone_protected"] >= 1  # f2's recent tombstone
+    # live head = f1 minus DV position 0 (id 2) + f3 (id 5); f1 and
+    # its DV bin survived via the checkpoint-side protection
+    assert sorted(r.id for r in read_delta_log(spark, root).collect()) == [2, 5]
+    # f2 is no longer live but its RECENT tombstone protects the file
+    assert os.path.exists(os.path.join(root, "f2.parquet"))
+
+
+def test_vacuum_single_log_walk(spark, tmp_path, monkeypatch):
+    """VERDICT r12 #8: vacuum makes ONE pass over the JSON log — no
+    replay_log / replay_tombstones / separate cdc walk."""
+    import iceberg_tools_spark.sources.delta_log as dl
+
+    root = str(tmp_path / "t")
+    _base_table(root)
+    calls = {"list_commits": 0, "replay_log": 0, "replay_tombstones": 0}
+    orig = dl.list_commits
+    monkeypatch.setattr(dl, "list_commits", lambda r: (
+        calls.__setitem__("list_commits", calls["list_commits"] + 1)
+        or orig(r)
+    ))
+    monkeypatch.setattr(dl, "replay_log", lambda *a, **k: (
+        calls.__setitem__("replay_log", calls["replay_log"] + 1)
+        or (_ for _ in ()).throw(AssertionError("replay_log called"))
+    ))
+    monkeypatch.setattr(dl, "replay_tombstones", lambda *a, **k: (
+        calls.__setitem__("replay_tombstones", calls["replay_tombstones"] + 1)
+        or (_ for _ in ()).throw(AssertionError("replay_tombstones called"))
+    ))
+    res = dl.vacuum_delta(spark, root, now_ms=NOW, dry_run=True)
+    assert res["dry_run"] is True
+    assert calls == {"list_commits": 1, "replay_log": 0,
+                     "replay_tombstones": 0}
+
+
+def test_replay_gap_after_partial_cleanup_raises(spark, tmp_path):
+    """ADVICE r12: cleanup_delta_log age-gates pre-checkpoint commits
+    INDIVIDUALLY, so commits 0..k can be gone while k+1..cp-1 survive.
+    A time-travel read into that window must raise naming the
+    earliest readable version — not silently replay the tail (wrong
+    live set, missing metaData)."""
+    from iceberg_tools_spark.sources.delta_log import write_delta_checkpoint
+
+    root = str(tmp_path / "t")
+    _base_table(root)  # v0: f1 + f2
+    for i, name in enumerate(["f3.parquet", "f4.parquet", "f5.parquet"]):
+        _write(root, name, [10 + i])
+        append_delta_commit(root, [
+            {"add": {"path": name, "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ], checkpoint_interval=None)
+    write_delta_checkpoint(root)  # checkpoint at v3
+    # partial cleanup: v0 gone, v1/v2 retained
+    os.remove(os.path.join(root, "_delta_log", f"{0:020d}.json"))
+    # head and the checkpoint version still read exactly
+    assert sorted(r.id for r in read_delta_log(spark, root).collect()) == \
+        [1, 2, 3, 4, 10, 11, 12]
+    # the gap window raises with guidance, for every version in it
+    for v in (1, 2):
+        with pytest.raises(ValueError, match="earliest readable version is 3"):
+            read_delta_log(spark, root, v)
+    # no checkpoint at all + a missing base commit = unreadable, said aloud
+    root2 = str(tmp_path / "t2")
+    _base_table(root2)
+    _write(root2, "g.parquet", [9])
+    append_delta_commit(root2, [
+        {"add": {"path": "g.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    os.remove(os.path.join(root2, "_delta_log", f"{0:020d}.json"))
+    with pytest.raises(ValueError, match="no checkpoint covers the gap"):
+        read_delta_log(spark, root2)
+
+
 def test_timestamp_time_travel(spark, tmp_path):
     root = str(tmp_path / "t")
     _base_table(root)  # v0 at NOW - 20d
@@ -185,3 +299,36 @@ def test_vacuum_and_cleanup_cli(spark, tmp_path, capsys):
     # usage errors
     assert main(["delta-vacuum"]) == 1
     assert main(["delta-log-cleanup", "--bogus=1", root]) == 1
+
+
+def test_cli_flag_parsing_booleans_and_empty_values(tmp_path, capsys):
+    """ADVICE r12: ``--execute=false`` must be an opt-OUT (bool("false")
+    is True in Python — the old parse turned it into a destructive
+    execute), and an empty typed value is a usage error, not a
+    literal True that TypeErrors later."""
+    from iceberg_tools_spark.iceberg.cli_tools import _parse_flags
+    from iceberg_tools_spark.__main__ import main
+
+    flags, args = _parse_flags(
+        ["--execute=false", "t"], {"execute": bool, "retention-ms": int}
+    )
+    assert flags == {"execute": False} and args == ["t"]
+    flags, _ = _parse_flags(["--execute=true"], {"execute": bool})
+    assert flags == {"execute": True}
+    flags, _ = _parse_flags(["--execute"], {"execute": bool})
+    assert flags == {"execute": True}
+    with pytest.raises(ValueError, match="true/false"):
+        _parse_flags(["--execute=maybe"], {"execute": bool})
+    with pytest.raises(ValueError, match="requires a value"):
+        _parse_flags(["--retention-ms="], {"retention-ms": int})
+
+    # end-to-end: --execute=false stays a dry run
+    root = str(tmp_path / "t")
+    _base_table(root)
+    stray = _write(root, "stray.parquet", [9], mtime_ms=NOW - 10 * DAY)
+    assert main(["delta-vacuum", f"--now-ms={NOW}", "--execute=false",
+                 root]) == 0
+    head = json.loads(capsys.readouterr().out.splitlines()[0])
+    assert head["dry_run"] is True and os.path.exists(stray)
+    # and an empty typed flag is a reported usage error, exit 1
+    assert main(["delta-vacuum", "--retention-ms=", root]) == 1

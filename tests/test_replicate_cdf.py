@@ -127,14 +127,23 @@ def test_cdf_replication_skips_metadata_only_versions(spark, tmp_path):
         {"add": {"path": "f.parquet", "partitionValues": {}, "size": 1,
                  "modificationTime": 0, "dataChange": True}},
     ], checkpoint_interval=None)
-    # a dataChange-false DV commit WITHOUT a change file is silent
+    # v1: a pure-metadata commit (no file actions) is silent
+    append_delta_commit(src, [
+        {"commitInfo": {"operation": "SET TBLPROPERTIES", "timestamp": 0}},
+    ], checkpoint_interval=None)
+    # v2: a DV delete WITHOUT a cdc file reads through reconstruction
+    # (its remove+re-add pair is dataChange-true per upstream) and
+    # MUST land in the replica — ADVICE r12's invisibility bug
     commit_delta_dv(src, {"f.parquet": [0]}, checkpoint_interval=None,
                     write_cdf=False)
     res = replicate_delta_cdf(spark, src, str(tmp_path / "cdf"))
-    assert res["n_versions"] == 2 and res["n_snapshots"] == 1
+    assert res["n_versions"] == 3 and res["n_snapshots"] == 2
     got = sorted(r.id for r in read_mor(
         spark, res["metadata_path"], 8000).collect())
     assert got == [1, 2]
+    got = sorted(r.id for r in read_mor(
+        spark, res["metadata_path"], 8002).collect())
+    assert got == [2]
 
 
 def test_cdf_stream_replica_equals_batch_replica(spark, tmp_path):
@@ -205,6 +214,134 @@ def test_cdf_replication_key_columns(spark, tmp_path):
         replicate_delta_cdf(
             spark, src, str(tmp_path / "cdf2"), key_columns=["ghost"]
         )
+
+
+def _update_carrying_source(root: str) -> int:
+    """v0 append of ids 0..4, v1 an UPDATE (id 2 → 12) as a real
+    Delta writer commits it: rewritten data file + an explicit cdc
+    file carrying update_preimage / update_postimage rows. Returns
+    the head version."""
+    from iceberg_tools_spark.sources.delta_log import write_delta_cdf_file
+
+    os.makedirs(os.path.join(root, "_delta_log"))
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "cat", "type": "string", "nullable": True, "metadata": {}},
+    ]})
+    def write(name, ids):
+        pq.write_table(
+            pa.table({"id": pa.array(ids, pa.int64()),
+                      "cat": pa.array(["x"] * len(ids))}),
+            os.path.join(root, name),
+        )
+    write("a.parquet", range(5))
+    append_delta_commit(root, [
+        {"metaData": {
+            "id": "src", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema, "partitionColumns": [],
+            "configuration": {}, "createdTime": 0,
+        }},
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    write("a2.parquet", [0, 1, 12, 3, 4])
+    cdc_action = write_delta_cdf_file(root, 1, pa.table({
+        "id": pa.array([2, 12], pa.int64()),
+        "cat": pa.array(["x", "x"]),
+        "_change_type": pa.array(["update_preimage", "update_postimage"]),
+    }))
+    append_delta_commit(root, [
+        cdc_action,
+        {"remove": {"path": "a.parquet", "deletionTimestamp": 0,
+                    "dataChange": True}},
+        {"add": {"path": "a2.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+        {"commitInfo": {"operation": "UPDATE", "timestamp": 0}},
+    ], checkpoint_interval=None)
+    return 1
+
+
+def test_cdf_consumers_fold_update_rows(spark, tmp_path):
+    """ADVICE r12: update_postimage folds as insert and
+    update_preimage as delete in the CDF replica, the streaming
+    replica, and the cross-format IVM — the old isin filter silently
+    dropped both and an UPDATE-carrying source diverged."""
+    from iceberg_tools_spark.iceberg.ivm import grouped_agg
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+    from iceberg_tools_spark.sources.migrate import (
+        delta_grouped_ivm,
+        replicate_delta_cdf_stream,
+    )
+
+    src = str(tmp_path / "src")
+    head = _update_carrying_source(src)
+    want = sorted(map(tuple, read_delta_log(spark, src, head)
+                      .select("id", "cat").collect()))
+    assert sorted(t[0] for t in want) == [0, 1, 3, 4, 12]
+
+    res = replicate_delta_cdf(spark, src, str(tmp_path / "cdf"))
+    got = sorted(map(tuple, read_mor(
+        spark, res["metadata_path"], 8000 + head)
+        .select("id", "cat").collect()))
+    assert got == want
+
+    sres = replicate_delta_cdf_stream(
+        spark, src, str(tmp_path / "stream"), 0, head, str(tmp_path / "work")
+    )
+    meta = parse_metadata(sres["metadata_path"])
+    got_s = sorted(map(tuple, read_mor(
+        spark, sres["metadata_path"], meta.raw["current-snapshot-id"]
+    ).select("id", "cat").collect()))
+    assert got_s == want
+
+    got_ivm = sorted(map(tuple, delta_grouped_ivm(
+        spark, src, ["cat"], ["id"]).collect()))
+    want_ivm = sorted(map(tuple, grouped_agg(
+        read_delta_log(spark, src, head), ["cat"], ["id"]).collect()))
+    assert got_ivm == want_ivm
+
+
+def test_cdf_consumers_raise_on_unknown_change_type(spark, tmp_path):
+    """An unrecognized _change_type must fail the fold loudly, not
+    vanish from the replica."""
+    from iceberg_tools_spark.sources.delta_log import write_delta_cdf_file
+
+    src = str(tmp_path / "src")
+    os.makedirs(os.path.join(src, "_delta_log"))
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}}]})
+    pq.write_table(pa.table({"id": pa.array([1], pa.int64())}),
+                   os.path.join(src, "f.parquet"))
+    append_delta_commit(src, [
+        {"metaData": {
+            "id": "src", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema, "partitionColumns": [],
+            "configuration": {}, "createdTime": 0,
+        }},
+        {"add": {"path": "f.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    cdc_action = write_delta_cdf_file(src, 1, pa.table({
+        "id": pa.array([9], pa.int64()),
+        "_change_type": pa.array(["mutate"]),
+    }))
+    append_delta_commit(src, [cdc_action], checkpoint_interval=None)
+    with pytest.raises(Exception, match="unhandled _change_type"):
+        replicate_delta_cdf(spark, src, str(tmp_path / "cdf"))
+
+
+def test_cdf_replication_refuses_cleaned_log(spark, tmp_path):
+    """ADVICE r12: a checkpointed table whose early commits were
+    cleaned must refuse CDF replication (the checkpointed state would
+    silently be missing from the replica) with the guided error."""
+    src = str(tmp_path / "src")
+    _dml_heavy_source(src)
+    from iceberg_tools_spark.sources.delta_log import write_delta_checkpoint
+
+    write_delta_checkpoint(src)
+    os.remove(os.path.join(src, "_delta_log", f"{0:020d}.json"))
+    with pytest.raises(ValueError, match="earliest readable version"):
+        replicate_delta_cdf(spark, src, str(tmp_path / "cdf"))
 
 
 def test_delta_grouped_ivm_equals_recompute_every_version(spark, tmp_path):
