@@ -441,6 +441,114 @@ def _replication_scale_evidence(spark) -> dict:
     return out
 
 
+def _cdf_scale_evidence(spark) -> dict:
+    """Delta CDF surface at 10× version count (VERDICT r12 #9): a
+    source with V versions (appends interleaved with CDF-emitting DV
+    deletes) is read as ONE change feed and replicated from it.
+
+    The 100 TB claims, each measured:
+    * the CDF READ plans exactly TWO parquet scans however many
+      versions the range spans (the r11 plan contract — one scan
+      over all explicit change files, one over all reconstruction
+      files), so read jobs stay ~FLAT at 10× versions;
+    * CDF REPLICATION is one commit per source version by design
+      (its jobs grow with V — the honest axis), but the bytes moved
+      scale with CHANGED ROWS, not with table size: the delete files
+      it lands stay 2-rows-each however many rows the table holds.
+    """
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_tools_spark.sources.delta_log import (
+        append_delta_commit,
+        commit_delta_dv,
+        read_delta_cdf,
+    )
+    from iceberg_tools_spark.sources.migrate import replicate_delta_cdf
+
+    sc = spark.sparkContext
+    out = {"legs": []}
+    for n_versions in (4, 40):
+        work = tempfile.mkdtemp(prefix=f"cdf_scale_{n_versions}_")
+        root = os.path.join(work, "src")
+        os.makedirs(os.path.join(root, "_delta_log"))
+        acts = [{"metaData": {
+            "id": "cdfscale", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}}]}),
+            "partitionColumns": [], "configuration": {}, "createdTime": 0,
+        }}]
+        rows_per_file = 200
+        n_files = 0
+
+        def _add(i):
+            nonlocal n_files
+            rel = f"f{i:04d}.parquet"
+            lo = i * rows_per_file
+            pq.write_table(
+                pa.table({"id": pa.array(range(lo, lo + rows_per_file),
+                                         pa.int64())}),
+                os.path.join(root, rel),
+            )
+            n_files += 1
+            return {"add": {"path": rel, "partitionValues": {}, "size": 1,
+                            "modificationTime": 0, "dataChange": True}}
+
+        append_delta_commit(root, acts + [_add(0)], checkpoint_interval=None)
+        v = 1
+        while v < n_versions:
+            if v % 2:
+                append_delta_commit(root, [_add(v)], checkpoint_interval=None)
+            else:
+                commit_delta_dv(
+                    root, {f"f{v - 1:04d}.parquet": [0, 1]},
+                    checkpoint_interval=None, write_cdf=True,
+                )
+            v += 1
+        head = n_versions - 1
+
+        group = f"cdf_read_{n_versions}"
+        sc.setJobGroup(group, "cdf scale read")
+        t0 = time.perf_counter()
+        df = read_delta_cdf(spark, root, 0, head)
+        n_change_rows = df.count()
+        read_sec = round(time.perf_counter() - t0, 3)
+        read_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_scans = plan.count("Scan parquet")
+        sc.setJobGroup("", "")
+
+        group = f"cdf_repl_{n_versions}"
+        sc.setJobGroup(group, "cdf scale replication")
+        t0 = time.perf_counter()
+        res = replicate_delta_cdf(spark, root, os.path.join(work, "replica"))
+        repl_sec = round(time.perf_counter() - t0, 3)
+        repl_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+        sc.setJobGroup("", "")
+        del_bytes = 0
+        del_dir = os.path.join(work, "replica", "data", "deletes")
+        if os.path.isdir(del_dir):
+            del_bytes = sum(
+                os.path.getsize(os.path.join(del_dir, f))
+                for f in os.listdir(del_dir)
+            )
+        out["legs"].append({
+            "n_versions": n_versions,
+            "n_change_rows": n_change_rows,
+            "read_parquet_scans": n_scans,  # contract: 2 at ANY V
+            "read_jobs": read_jobs,
+            "read_sec": read_sec,
+            "repl_jobs": repl_jobs,  # ∝ versions by design (1 commit/v)
+            "repl_sec": repl_sec,
+            "repl_delete_files": res["n_delete_files"],
+            "repl_delete_bytes": del_bytes,  # ∝ changed rows, not rows
+        })
+    return out
+
+
 def _import_scale_evidence(spark, sf_dir: str) -> dict:
     """In-place parquet import at file-count scale: a 50-file
     range-partitioned lake imports with METADATA-ONLY cost (one
@@ -1555,6 +1663,7 @@ def main() -> None:
     orphan_scale = None
     perceptual_scale = None
     replication_scale = None
+    cdf_scale = None
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALE"):
         try:
             metadata_scale = _metadata_scale_evidence(spark)
@@ -1596,6 +1705,10 @@ def main() -> None:
             replication_scale = _replication_scale_evidence(spark)
         except Exception as exc:  # pragma: no cover - defensive
             replication_scale = {"error": f"{type(exc).__name__}: {exc}"}
+        try:
+            cdf_scale = _cdf_scale_evidence(spark)
+        except Exception as exc:  # pragma: no cover - defensive
+            cdf_scale = {"error": f"{type(exc).__name__}: {exc}"}
 
     out = {
         "metric": "headline_total",
@@ -1627,6 +1740,7 @@ def main() -> None:
         "ivm_scale": ivm_scale,
         "import_scale": import_scale,
         "replication_scale": replication_scale,
+        "cdf_scale": cdf_scale,
     }
     # full metric JSON goes to a FILE (VERDICT r6 artifact bug: the
     # driver keeps only the tail of a giant stdout line, which lost
