@@ -65,7 +65,7 @@ def stage_image_corpus(
 
 def media_stream_dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver gate (``sf_dir`` unused): stream the 8-group image
-    corpus through the intake in per-file micro-batches and count
+    corpus through the intake in two micro-batches and count
     survivors — re-encodes (same dHash) collapse to one survivor
     per distinct fingerprint, exactly as the batch plan does.
     Golden oracle over the r10 corpus (4 variants: bmp/png/jpeg/
@@ -79,7 +79,12 @@ def media_stream_dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="media_stream_")
     staging = stage_image_corpus(spark, work, n_groups=8)
-    stream = media_stream(spark, staging)
+    # two files per trigger: still a MULTI-batch streaming proof
+    # (2 micro-batches over 4 shards) at half the availableNow
+    # scheduling overhead — the r12 bench read showed the wall is
+    # micro-batch machinery, not the hash kernel (VERDICT r12 #4);
+    # per-file granularity stays covered by the stream==batch pytest
+    stream = media_stream(spark, staging, max_files_per_trigger=2)
     q = (
         media_intake_survivors(stream)
         .writeStream.format("memory")
