@@ -1702,8 +1702,16 @@ def append_delta_commit(
     if checkpoint_interval and v > 0 and v % checkpoint_interval == 0:
         # callers replicating with a fixed clock (determinism) thread
         # it through so tombstone retention prunes against the SAME
-        # clock that stamped the tombstones (VERDICT r11 #4)
-        write_delta_checkpoint(table_root, v, now_ms=now_ms)
+        # clock that stamped the tombstones (VERDICT r11 #4).
+        # A table that declares the v2Checkpoint feature gets V2
+        # checkpoints from the writer cadence too (r13 — the spec's
+        # expectation once the feature is active; classic remains
+        # for legacy-protocol tables)
+        proto = _current_protocol(table_root, v)
+        if "v2Checkpoint" in (proto.get("writerFeatures") or []):
+            write_delta_checkpoint_v2(table_root, v, now_ms=now_ms)
+        else:
+            write_delta_checkpoint(table_root, v, now_ms=now_ms)
         out["checkpointed"] = True
     return out
 

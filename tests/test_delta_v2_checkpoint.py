@@ -228,3 +228,34 @@ def test_protocol_features_survive_classic_checkpoint(tmp_path):
     proto = _current_protocol(root, head)
     assert proto["minReaderVersion"] == 3
     assert "deletionVectors" in proto["readerFeatures"]
+
+def test_auto_checkpoint_cadence_writes_v2_when_featured(spark, tmp_path):
+    """append_delta_commit's checkpoint cadence dispatches on the
+    table's protocol: a v2Checkpoint-featured table gets V2
+    checkpoints (the spec's expectation once the feature is active);
+    legacy tables keep classic ones."""
+    root = str(tmp_path / "t")
+    _make_table(root)
+    enable_v2_checkpoints(root)  # v1
+    # v2..: append commits with a cadence of 3 → checkpoint at v3
+    for i in range(3, 6):
+        rel = f"g{i}.parquet"
+        pq.write_table(pa.table({"id": pa.array([100 + i], pa.int64())}),
+                       os.path.join(root, rel))
+        res = append_delta_commit(root, [
+            {"add": {"path": rel, "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ], checkpoint_interval=3, now_ms=NOW)
+    assert res["version"] == 4
+    d = os.path.join(root, "_delta_log")
+    v2_tops = [n for n in os.listdir(d)
+               if n.startswith(f"{3:020d}.checkpoint.") and "v2-" in n]
+    assert v2_tops, sorted(os.listdir(d))
+    assert os.path.isdir(os.path.join(d, "_sidecars"))
+    cp = latest_checkpoint_parts(root)
+    assert cp is not None and cp[0] == 3 and len(cp[1]) >= 2
+    # state replays exactly through it after dropping covered commits
+    for v in range(3):
+        os.remove(os.path.join(d, f"{v:020d}.json"))
+    got = sorted(r.id for r in read_delta_log(spark, root).collect())
+    assert got == list(range(30)) + [103, 104, 105]
