@@ -1298,26 +1298,41 @@ def vacuum_delta(
                 cp_df = cp_df.join(touched_df, "owner", "left_anti")
             ref_df = ref_df.unionByName(cp_df.drop("owner"))
 
-    # metadata-scale frame reused by the counts and the anti-join —
-    # pin it so the checkpoint parquet is read once
-    ref_df = ref_df.distinct().cache()
-    counts = {
-        r["kind"]: r["n"]
-        for r in ref_df.groupBy("kind")
-        .agg(F.countDistinct("file_path").alias("n"))
-        .collect()
-    }
-    n_live = counts.get("live", 0) + counts.get("live_dv", 0)
-    n_tomb_protected = counts.get("tomb", 0)
+    cached = False
+    if start_after >= 0:
+        # metadata-scale frame reused by the counts and the anti-join
+        # — pin it so the checkpoint parquet is read once
+        ref_df = ref_df.distinct().cache()
+        cached = True
+        counts = {
+            r["kind"]: r["n"]
+            for r in ref_df.groupBy("kind")
+            .agg(F.countDistinct("file_path").alias("n"))
+            .collect()
+        }
+        n_live = counts.get("live", 0) + counts.get("live_dv", 0)
+        n_tomb_protected = counts.get("tomb", 0)
+        ref_side = ref_df.select("file_path").distinct()
+    else:
+        # no checkpoint → the whole protected set is already driver-
+        # side: count AND dedup it in Python, saving the count jobs
+        # and the distinct shuffle on the small-table fast path (the
+        # bench watch this guards: delta_vacuum_rows read 1.65× after
+        # the r13 rework before this branch existed)
+        n_live = len({p for k, p in driver_rows if k in ("live", "live_dv")})
+        n_tomb_protected = len({p for k, p in driver_rows if k == "tomb"})
+        ref_side = spark.createDataFrame(
+            [(p,) for p in sorted({p for _k, p in driver_rows})],
+            "file_path string",
+        )
 
     listing = distributed_listing(spark, table_root).filter(
         ~F.col("file_path").contains(os.sep + "_delta_log" + os.sep)
     )
-    candidates = listing.join(
-        ref_df.select("file_path").distinct(), "file_path", "left_anti"
-    )
+    candidates = listing.join(ref_side, "file_path", "left_anti")
     collected = candidates.select("file_path", "mtime_ms").collect()
-    ref_df.unpersist()
+    if cached:
+        ref_df.unpersist()
     too_young = sorted(r["file_path"] for r in collected if r["mtime_ms"] > cutoff)
     victims = sorted(r["file_path"] for r in collected if r["mtime_ms"] <= cutoff)
     if not dry_run and victims:
