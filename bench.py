@@ -365,6 +365,10 @@ HEADLINE = [
     # round-12 (cont.): cross-format IVM — the Iceberg MV kernel
     # maintained from a Delta change feed
     "delta_ivm_rows",
+    # round-13: V2 (UUID-named, sidecar) checkpoints — multi-sidecar
+    # write, every covered commit deleted, read only through v2
+    # discovery + sidecar resolution
+    "delta_v2_checkpoint_rows",
 ]
 
 

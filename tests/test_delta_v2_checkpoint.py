@@ -259,3 +259,71 @@ def test_auto_checkpoint_cadence_writes_v2_when_featured(spark, tmp_path):
         os.remove(os.path.join(d, f"{v:020d}.json"))
     got = sorted(r.id for r in read_delta_log(spark, root).collect())
     assert got == list(range(30)) + [103, 104, 105]
+
+@pytest.mark.parametrize("form", ["classic", "v2"])
+def test_dv_bin_protection_through_checkpoints(spark, tmp_path, form):
+    """DV bin lifecycle under VACUUM, through both checkpoint forms:
+    the LIVE descriptor's bin survives even when aged past retention
+    (protected set), a SUPERSEDED bin inside the retention window
+    survives via the mtime race gate, and once aged past retention it
+    reaps — the documented time-travel trade. A whole-file remove
+    whose tombstone carries the dropped DV protects that bin for the
+    tombstone's retention window (descriptor round-trips the
+    checkpoint's columnar remove struct)."""
+    from iceberg_tools_spark.sources.delta_log import (
+        dv_storage_path,
+        vacuum_delta,
+    )
+
+    root = str(tmp_path / "t")
+    _make_table(root, n_files=2)
+    enable_v2_checkpoints(root)
+    commit_delta_dv(root, {"f0.parquet": [0]}, checkpoint_interval=None)
+    adds, _, _ = replay_log(root)
+    old_desc = next(a for a in adds if a["path"] == "f0.parquet")[
+        "deletionVector"]
+    old_bin = dv_storage_path(root, old_desc)
+    # supersede f0's DV, then drop f1 with a tombstone CARRYING a DV
+    commit_delta_dv(root, {"f0.parquet": [1]}, checkpoint_interval=None)
+    commit_delta_dv(root, {"f1.parquet": [0]}, checkpoint_interval=None)
+    adds, _, _ = replay_log(root)
+    f1_desc = next(a for a in adds if a["path"] == "f1.parquet")[
+        "deletionVector"]
+    f1_bin = dv_storage_path(root, f1_desc)
+    live_desc = next(a for a in adds if a["path"] == "f0.parquet")[
+        "deletionVector"]
+    live_bin = dv_storage_path(root, live_desc)
+    append_delta_commit(root, [
+        {"remove": {"path": "f1.parquet", "deletionTimestamp": NOW - 1000,
+                    "dataChange": True, "deletionVector": f1_desc}},
+        {"commitInfo": {"operation": "DELETE", "timestamp": NOW - 1000}},
+    ], checkpoint_interval=None)
+    if form == "classic":
+        write_delta_checkpoint(root, now_ms=NOW)
+    else:
+        write_delta_checkpoint_v2(root, now_ms=NOW)
+    head = max(
+        int(n[:20]) for n in os.listdir(os.path.join(root, "_delta_log"))
+        if n.endswith(".json") and n[:20].isdigit()
+    )
+    for v in range(head):
+        os.remove(os.path.join(root, "_delta_log", f"{v:020d}.json"))
+    # the tombstone's DV descriptor survived the columnar round-trip
+    tomb = replay_tombstones(root)["f1.parquet"]
+    assert tomb.get("deletionVector", {}).get("storageType")
+    # age every data-plane file past retention: only the protected
+    # set can save them now
+    for dp, _dns, fns in os.walk(root):
+        if "_delta_log" in dp:
+            continue
+        for fn in fns:
+            os.utime(os.path.join(dp, fn), ((NOW - 30 * DAY) / 1000,) * 2)
+    out = vacuum_delta(spark, root, now_ms=NOW)
+    assert os.path.exists(live_bin)        # live descriptor: protected
+    assert os.path.exists(f1_bin)          # recent tombstone's DV bin
+    if old_bin not in (live_bin, f1_bin):
+        # superseded bin past retention: reapable (the documented
+        # time-travel trade; within retention the mtime gate holds it)
+        assert old_bin in out["candidates"] or not os.path.exists(old_bin)
+    assert sorted(r.id for r in read_delta_log(spark, root).collect()) == \
+        list(range(2, 10))
