@@ -245,6 +245,32 @@ BASELINE_CAL.update(
     {k: round(v / _R12C_CALIBRATION, 3) for k, v in _R12C_RAW.items()}
 )
 
+# Round-13 block (mid-round skip-scale run, calibration 0.744).
+# FIRST pin: V2 (sidecar) checkpoints. RE-pins for implementations
+# that deliberately changed this round: media_stream_dedup_rows
+# moves DOWN 6.395 → 3.509 (two files per availableNow trigger —
+# the r12 wall was micro-batch scheduling, VERDICT r12 #4; the new
+# pin makes regressions from the cheaper form detectable);
+# delta_cdf_rows / delta_dv_rows re-pin on the upstream dataChange
+# semantics (DV commits now carry dataChange-true remove+re-add
+# pairs with pre-delete descriptors — reconstruction-visible
+# commits, more actions per gate build) plus checkpoint protocol
+# feature lists; delta_vacuum_rows re-pins on the distributed
+# reference side (Spark-read checkpoints + single log walk — the
+# no-checkpoint fast path keeps the toy-table cost near the old
+# driver-side form).
+_R13_CALIBRATION = 0.744
+_R13_RAW = {
+    "delta_v2_checkpoint_rows": 0.551,
+    "media_stream_dedup_rows": 3.509,
+    "delta_cdf_rows": 1.036,
+    "delta_dv_rows": 0.622,
+    "delta_vacuum_rows": 0.92,
+}
+BASELINE_CAL.update(
+    {k: round(v / _R13_CALIBRATION, 3) for k, v in _R13_RAW.items()}
+)
+
 # headline set: one representative per operator family; grows as
 # batteries land. Every name must exist in registry.queries().
 HEADLINE = [
