@@ -745,7 +745,7 @@ def replicate_iceberg_to_delta(
         # "delete_but", abs path, positions) — "at" takes exactly the
         # positions, "but" takes everything except them
         cdf_parts: list[tuple[str, str, list[int]]] = []
-        cdf_required = False  # a dataChange-false (DV) change exists
+        cdf_required = False  # a DV-masked change needs explicit cdc
         for rel in changed:
             old = replica.get(rel)
             s = sig[rel]
@@ -757,7 +757,11 @@ def replicate_iceberg_to_delta(
                 # descriptor recomputes from the FULL applicable set
                 # each time the signature changes, and when the copy
                 # already exists the update is the protocol's
-                # remove+re-add of the SAME path (dataChange false)
+                # remove+re-add of the SAME path — stamped
+                # dataChange TRUE per upstream DELETE-with-DV
+                # semantics (r13, the ADVICE r12 class: false made
+                # the deleting commit invisible to change consumers
+                # of the replica)
                 positions = victims_by_rel.get(e["rel"], [])
                 old_positions = dv_positions_seen.get(rel, set())
                 if positions:
@@ -773,7 +777,7 @@ def replicate_iceberg_to_delta(
                         rem = {
                             "path": drel,
                             "deletionTimestamp": ts,
-                            "dataChange": False,
+                            "dataChange": True,
                         }
                         if rel in dv_descriptors:
                             rem["deletionVector"] = dv_descriptors[rel]
@@ -795,10 +799,11 @@ def replicate_iceberg_to_delta(
                     desc = write_delta_dv_file(target_root, {drel: positions})[drel]
                     dv_descriptors[rel] = desc
                     if write_cdf:
-                        # the DV branch's actions are all dataChange-
-                        # false — CDF readers of the replica need the
-                        # newly-deleted rows as an explicit change
-                        # file (the commit_delta_dv writer obligation)
+                        # PROTOCOL.md writer obligation: a DV commit
+                        # with CDF enabled writes the newly-deleted
+                        # rows as an explicit change file (exact
+                        # deltas; without it readers reconstruct the
+                        # dataChange-true pair as net-correct churn)
                         cdf_required = True
                         newly = sorted(set(positions) - old_positions)
                         abs_p = os.path.join(target_root, drel)
@@ -818,7 +823,7 @@ def replicate_iceberg_to_delta(
                         "partitionValues": _pv(e),
                         "size": size,
                         "modificationTime": ts,
-                        "dataChange": old is None,
+                        "dataChange": True,
                         "deletionVector": desc,
                     }})
                     n_dvs += 1

@@ -304,3 +304,59 @@ def test_replica_log_is_byte_deterministic(spark, tmp_path):
 
     a, b = build("a"), build("b")
     assert a == b and a
+
+
+def test_replica_dv_update_commit_is_change_visible(spark, tmp_path):
+    """r13 (the ADVICE r12 class applied to the REPLICA writer): a
+    same-path DV update in the Iceberg→Delta replica is stamped
+    dataChange TRUE with the PRE-update descriptor on the remove —
+    so change consumers of the replica see the delete, and CDF
+    reconstruction of the un-cdc'd commit reports exact then-live
+    deletes."""
+    import json as _json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_tools_spark.iceberg.commit import (
+        append_snapshot,
+        commit_delete_snapshot,
+        create_table,
+    )
+    from iceberg_tools_spark.sources.delta_log import list_commits
+    from iceberg_tools_spark.sources.migrate import replicate_iceberg_to_delta
+
+    ice = str(tmp_path / "ice")
+    os.makedirs(ice)
+    mp = create_table(ice, [("id", "long")])
+    loc = _json.load(open(mp))["location"]
+    rel = "data/f.parquet"
+    pq.write_table(pa.table({"id": pa.array(range(10), pa.int64())}),
+                   os.path.join(ice, rel))
+    mp = append_snapshot(mp, [{"path": rel, "partition": {}}])["metadata_path"]
+    for i, pos in enumerate(([0], [1])):
+        drel = f"data/deletes/d{i}.parquet"
+        os.makedirs(os.path.join(ice, "data/deletes"), exist_ok=True)
+        pq.write_table(pa.table({
+            "file_path": pa.array([f"{loc}/{rel}"] * len(pos)),
+            "pos": pa.array(pos, pa.int64()),
+        }), os.path.join(ice, drel))
+        mp = commit_delete_snapshot(
+            mp, [{"path": drel, "partition": {}, "content": 1}]
+        )["metadata_path"]
+    tgt = str(tmp_path / "delta")
+    replicate_iceberg_to_delta(spark, mp, tgt, now_ms=1700000001000)
+    # the SECOND delete version (v2 of the replica) is the same-path
+    # DV update: its remove must be dataChange TRUE and carry the
+    # v1 descriptor
+    commits = dict(list_commits(tgt))
+    acts = [
+        _json.loads(ln) for ln in open(commits[2]) if ln.strip()
+    ]
+    rems = [a["remove"] for a in acts if a.get("remove")]
+    adds = [a["add"] for a in acts if a.get("add")]
+    assert rems and rems[0]["dataChange"] is True
+    assert rems[0].get("deletionVector", {}).get("storageType")
+    assert adds and adds[0]["dataChange"] is True
+    assert adds[0]["deletionVector"]["cardinality"] == 2
