@@ -234,8 +234,14 @@ def mor_frame(spark: SparkSession, data: list[dict[str, Any]]) -> DataFrame:
     (``_metadata.row_index`` — computed by the scan itself, free)
     and ``_seq`` (the file's data sequence number, attached by a
     broadcast of the one-row-per-FILE entry list)."""
+    # mergeSchema: the planned files may span a schema change (e.g. a
+    # Delta→Iceberg replica whose source ADDed a column mid-log) —
+    # sampling one file's footer would silently drop the newer
+    # columns from every file (r13). Field-id-evolved NATIVE tables
+    # read through the projection reader (`evolution.py`), not here.
     df = (
-        spark.read.parquet(*sorted(e["local_path"] for e in data))
+        spark.read.option("mergeSchema", "true")
+        .parquet(*sorted(e["local_path"] for e in data))
         .withColumn("_rel", F.regexp_extract(F.col("_metadata.file_path"), _REL_RE, 0))
         .withColumn("_pos", F.col("_metadata.row_index"))
     )

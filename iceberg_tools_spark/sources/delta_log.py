@@ -486,6 +486,64 @@ def _strip_mapping_metadata(dt):
     return dt
 
 
+def _physical_type(dt):
+    """A Spark DataType with every struct field renamed to its
+    ``delta.columnMapping.physicalName`` (identity when unmapped) —
+    what the PARQUET files actually carry."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return T.StructType([
+            T.StructField(
+                (f.metadata or {}).get(
+                    "delta.columnMapping.physicalName", f.name
+                ),
+                _physical_type(f.dataType),
+                True,
+            )
+            for f in dt.fields
+        ])
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_physical_type(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _physical_type(dt.keyType), _physical_type(dt.valueType), True
+        )
+    return dt
+
+
+def _physical_schema(meta: dict[str, Any], *, exclude=()):
+    """The read schema for the table's data files, derived from the
+    LOG's ``schemaString`` (the truth) instead of sampling parquet
+    footers — which is both the schema-EVOLUTION fix (a file written
+    before an ADD COLUMN simply reads that column as null; sampling
+    one old file silently dropped the new column from every file,
+    r13) and the 100 TB fix (zero footer reads for schema
+    inference). Physical names at every level under column mapping;
+    ``exclude`` drops columns served elsewhere (hive partition
+    dirs). Returns None when the log carries no usable schemaString
+    (degenerate fixtures; real writers always stamp one) — callers
+    fall back to footer-merged inference."""
+    from pyspark.sql import types as T
+
+    try:
+        parsed = json.loads(meta.get("schemaString") or "{}")
+        if not parsed.get("fields"):
+            return None
+        logical = T.StructType.fromJson(parsed)
+    except (ValueError, KeyError, TypeError):
+        return None
+    fields = []
+    for f in logical.fields:
+        if f.name in exclude:
+            continue
+        phys = (f.metadata or {}).get(
+            "delta.columnMapping.physicalName", f.name
+        )
+        fields.append(T.StructField(phys, _physical_type(f.dataType), True))
+    return T.StructType(fields)
+
+
 def _rename_physical(df: DataFrame, meta: dict[str, Any]) -> DataFrame:
     """physical → logical rename of the DATA columns, INCLUDING
     struct-internal fields at any depth (VERDICT r12 #6: top-level
@@ -599,26 +657,48 @@ def read_delta_log(
     hive = all(
         all(f"{phys_of.get(c, c)}=" in a["path"] for c in part_cols) for a in adds
     )
-    if part_cols and not hive:
+    # the read schema comes from the LOG, never from footer sampling
+    # (r13): a range spanning schema evolution reads pre-evolution
+    # files with the new columns as null, dropped columns vanish, and
+    # no footers are opened for inference at 100 TB. A degenerate log
+    # without a schemaString falls back to footer-MERGED inference
+    # (never single-file sampling).
+    if not part_cols:
+        s = _physical_schema(meta)
+        reader = (
+            spark.read.schema(s)
+            if s is not None
+            else spark.read.option("mergeSchema", "true")
+        )
+        df = reader.parquet(*paths)
+    elif hive:
+        # partition values come from the key=value dirs; the data
+        # schema excludes them (Delta keeps them log/dir-side)
+        s = _physical_schema(meta, exclude=part_cols)
+        reader = (
+            spark.read.schema(s)
+            if s is not None
+            else spark.read.option("mergeSchema", "true")
+        )
+        df = reader.option("basePath", table_root).parquet(*paths)
+    else:
         # Delta keeps partition values only in the log: attach them
         # as per-file constants via a broadcast equi-join on the
         # exact scan path — one parquet scan node however many
         # partitions (the `attach_identity_partition_columns` shape).
-        # Columns the files carry PHYSICALLY are excluded from the
-        # injection: a same-name join column would collide, and the
-        # physical values are the source of truth for such layouts.
+        # The full schema INCLUDES partition columns (an
+        # Iceberg-replicated layout carries them physically); per
+        # cell the physical value wins and the log's partitionValues
+        # fill the gap — the same coalesce rule read_delta_cdf uses.
         from pyspark.sql import types as T
 
-        df = spark.read.parquet(*paths)
-        inject = [
-            c for c in part_cols if phys_of.get(c, c) not in df.columns
-        ]
-    else:
-        inject = []
-    if not part_cols or hive:
-        reader = spark.read.option("basePath", table_root) if part_cols else spark.read
+        s = _physical_schema(meta)
+        reader = (
+            spark.read.schema(s)
+            if s is not None
+            else spark.read.option("mergeSchema", "true")
+        )
         df = reader.parquet(*paths)
-    elif inject:
         pv_rows = [
             tuple(
                 [_strip_scheme(os.path.join(table_root, a["path"]))]
@@ -626,20 +706,33 @@ def read_delta_log(
                     (a.get("partitionValues") or {}).get(
                         phys_of.get(c, c), (a.get("partitionValues") or {}).get(c)
                     )
-                    for c in inject
+                    for c in part_cols
                 ]
             )
             for a in adds
         ]
         pv_schema = T.StructType(
             [T.StructField("_pv_path", T.StringType())]
-            + [T.StructField(c, T.StringType()) for c in inject]
+            + [T.StructField(f"_pv_{c}", T.StringType()) for c in part_cols]
         )
         pv = spark.createDataFrame(pv_rows, pv_schema)
         df = df.withColumn("_pv_scan", _scan_path_col())
         df = df.join(
             F.broadcast(pv), df["_pv_scan"] == pv["_pv_path"], "left"
         ).drop("_pv_scan", "_pv_path")
+        for c in part_cols:
+            pc = phys_of.get(c, c)
+            if pc in df.columns:
+                df = df.withColumn(
+                    pc,
+                    F.coalesce(
+                        F.col(pc),
+                        F.col(f"_pv_{c}").cast(df.schema[pc].dataType),
+                    ),
+                )
+            else:
+                df = df.withColumn(pc, F.col(f"_pv_{c}"))
+        df = df.drop(*[f"_pv_{c}" for c in part_cols])
     if dv_adds:
         df = _apply_delta_dvs(spark, df, table_root, dv_adds)
     if mapping:
@@ -815,22 +908,40 @@ def delta_incremental_stream(
     os.makedirs(staging_dir)
     schema = None
     n = 0
+    phys_schema = _physical_schema(meta)
     for v in sorted(per_version):
         adds = per_version[v]
         if not adds:
             continue
         frames = []
         for a in adds:
-            df = spark.read.parquet(os.path.join(table_root, a["path"]))
+            # explicit LOG-derived schema (r13): a range spanning
+            # schema evolution stages uniformly — pre-evolution files
+            # read added columns as null instead of breaking the
+            # unionByName below
+            reader = (
+                spark.read.schema(phys_schema)
+                if phys_schema is not None
+                else spark.read
+            )
+            df = reader.parquet(os.path.join(table_root, a["path"]))
+            pv = a.get("partitionValues") or {}
+            for c in part_cols:
+                pc = phys_of.get(c, c)
+                val = F.lit(pv.get(pc, pv.get(c)))
+                if pc in df.columns:
+                    df = df.withColumn(
+                        pc,
+                        F.coalesce(
+                            F.col(pc), val.cast(df.schema[pc].dataType)
+                        ),
+                    )
+                else:
+                    df = df.withColumn(pc, val)
             if mapping:
                 # files carry PHYSICAL names under column mapping —
                 # struct-internal fields included (r13)
                 df = _rename_physical(df, meta)
-            pv = a.get("partitionValues") or {}
-            for c in part_cols:
-                df = df.withColumn(
-                    c, F.lit(pv.get(phys_of.get(c, c), pv.get(c)))
-                )
             frames.append(df)
         from functools import reduce
 

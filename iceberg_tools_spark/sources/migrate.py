@@ -1376,10 +1376,18 @@ def replicate_delta_cdf(
         delta_root, target_root, to_version, table_uuid
     )
     col_names = [f["name"] for f in ice_fields]
-    casts = [
-        F.col(f["name"]).cast(_ICEBERG_TO_SPARK_CAST[f["type"]]).alias(f["name"])
-        for f in ice_fields
-    ]
+
+    def _casts(present: set[str]):
+        # HEAD-schema projection per version (r13): a version before
+        # an ADD COLUMN serves the newer columns as null instead of
+        # failing the replica's uniform-schema write
+        return [
+            (
+                F.col(f["name"]) if f["name"] in present else F.lit(None)
+            ).cast(_ICEBERG_TO_SPARK_CAST[f["type"]]).alias(f["name"])
+            for f in ice_fields
+        ]
+
     if key_columns is not None:
         by_name = {f["name"]: f["id"] for f in ice_fields}
         missing = [c for c in key_columns if c not in by_name]
@@ -1408,7 +1416,7 @@ def replicate_delta_cdf(
             # delete; unknown change types raise per-row (ADVICE r12
             # — isin('insert','delete') silently dropped updates)
             cdf_v.withColumn("_change_type", cdf_change_expr())
-            .select(*casts, F.col("_change_type"))
+            .select(*_casts(set(cdf_v.columns)), F.col("_change_type"))
             .write.partitionBy("_change_type")
             .mode("errorifexists")
             .parquet(tmpdir)
