@@ -987,6 +987,17 @@ register(
     _w_delta.DELTA_V2_CHECKPOINT_SQL,
 )
 
+# r13 newcomer PAST the window (two-SF parity every pytest run):
+# Delta SOURCE schema evolution — the read schema comes from the
+# LOG, so pre-evolution files serve added columns as null and the
+# DV on a pre-evolution file still applies through a cdc file that
+# physically lacks the new column.
+register(
+    "delta_schema_evolution_rows",
+    _w_delta.delta_schema_evolution_rows,
+    _w_delta.DELTA_SCHEMA_EVOLUTION_SQL,
+)
+
 # ============================= ROUND-13 WINDOW (a dict REORDER, not
 # re-registration: every key keeps its single (fn, sql) declaration
 # above; this block only fixes which 50 the driver adjudicates).

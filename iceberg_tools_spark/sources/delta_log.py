@@ -2334,6 +2334,85 @@ ORDER BY cat
 """
 
 
+def delta_schema_evolution_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for Delta SOURCE schema evolution (``sf_dir``
+    unused): v0 adds ids 0..49 (id-only schema), v1 ADDs COLUMN cat
+    plus a file of ids 50..79 carrying it, v2 DV-deletes two
+    pre-evolution rows with a cdc file that physically LACKS cat.
+    The head read must serve pre-evolution rows with cat null (the
+    LOG schema is the read schema — no footer sampling) and the DV
+    must apply. Oracle: DuckDB re-derives the live set from the
+    generation rule (independent derivation)."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    root = tempfile.mkdtemp(prefix="delta_evo_")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    s1 = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}}]})
+    s2 = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "cat", "type": "string", "nullable": True, "metadata": {}}]})
+
+    def _meta(s):
+        return {"metaData": {
+            "id": "00000000-0000-0000-0000-0000000000ev",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": s, "partitionColumns": [],
+            "configuration": {}, "createdTime": 1700000000000,
+        }}
+
+    pq.write_table(pa.table({"id": pa.array(range(50), pa.int64())}),
+                   os.path.join(root, "a.parquet"))
+    append_delta_commit(root, [
+        _meta(s1),
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    pq.write_table(
+        pa.table({
+            "id": pa.array(range(50, 80), pa.int64()),
+            "cat": pa.array([str(v % 3) for v in range(50, 80)]),
+        }),
+        os.path.join(root, "b.parquet"),
+    )
+    append_delta_commit(root, [
+        _meta(s2),
+        {"add": {"path": "b.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    commit_delta_dv(root, {"a.parquet": [10, 20]}, checkpoint_interval=None,
+                    write_cdf=True)
+    return (
+        read_delta_log(spark, root)
+        .groupBy("cat")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("id").cast("long").alias("id_sum"),
+        )
+        .orderBy(F.col("cat").asc_nulls_first())
+    )
+
+
+DELTA_SCHEMA_EVOLUTION_SQL = """
+WITH live AS (
+  SELECT r.range AS id,
+         CASE WHEN r.range >= 50 THEN CAST(r.range % 3 AS VARCHAR) END AS cat
+  FROM range(80) r
+  WHERE r.range NOT IN (10, 20)
+)
+SELECT cat,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(id) AS BIGINT) AS id_sum
+FROM live
+GROUP BY cat
+ORDER BY cat NULLS FIRST
+"""
+
+
 def delta_vacuum_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver gate for VACUUM (``sf_dir`` unused): a scratch table
     where v1 drops a file with an EXPIRED tombstone (reapable), v2
@@ -2602,7 +2681,22 @@ def read_delta_cdf(
 
     frames: list[DataFrame] = []
     if cdc_files:
-        df = spark.read.parquet(*sorted({p for p, _ in cdc_files}))
+        # explicit LOG-derived schema + the _change_type carrier
+        # (r13): cdc files spanning schema evolution read uniformly —
+        # the former single-footer sampling dropped post-evolution
+        # columns from the whole range
+        s = _physical_schema(meta)
+        if s is not None:
+            from pyspark.sql import types as T
+
+            s = T.StructType(
+                list(s.fields)
+                + [T.StructField("_change_type", T.StringType())]
+            )
+            reader = spark.read.schema(s)
+        else:
+            reader = spark.read.option("mergeSchema", "true")
+        df = reader.parquet(*sorted({p for p, _ in cdc_files}))
         vmap = spark.createDataFrame(
             [(_strip_scheme(p), v) for p, v in cdc_files],
             "_cdc_path string, _commit_version long",

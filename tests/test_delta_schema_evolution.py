@@ -107,6 +107,7 @@ def test_incremental_stream_spans_evolution(spark, tmp_path):
 
 def test_cdf_and_replications_span_evolution(spark, tmp_path):
     from iceberg_tools_spark.iceberg.deletes import read_mor
+    from iceberg_tools_spark.sources.delta_log import commit_delta_dv
     from iceberg_tools_spark.sources.migrate import (
         replicate_delta_cdf,
         replicate_delta_versions,
@@ -114,12 +115,21 @@ def test_cdf_and_replications_span_evolution(spark, tmp_path):
 
     root = str(tmp_path / "t")
     _evolving_source(root)
-    cdf = read_delta_cdf(spark, root, 0, 1)
-    got = sorted((r["id"], r["cat"], r["_commit_version"])
-                 for r in cdf.collect())
-    assert got == [(1, None, 0), (2, None, 0), (3, "x", 1)]
+    # v2: a CDF-emitting DV delete of a PRE-evolution file — its cdc
+    # parquet physically lacks `cat` while the table schema has it
+    # (the mixed-schema explicit-cdc case)
+    commit_delta_dv(root, {"a.parquet": [0]}, checkpoint_interval=None,
+                    write_cdf=True)
+    cdf = read_delta_cdf(spark, root, 0, 2)
+    got = sorted((r["id"], r["cat"], r["_change_type"],
+                  r["_commit_version"]) for r in cdf.collect())
+    assert got == [
+        (1, None, "delete", 2), (1, None, "insert", 0),
+        (2, None, "insert", 0), (3, "x", "insert", 1),
+    ]
     want = sorted(map(tuple, read_delta_log(spark, root)
                       .select("id", "cat").collect()))
+    assert want == [(2, None), (3, "x")]
     for fn, name in ((replicate_delta_versions, "full"),
                      (replicate_delta_cdf, "cdf")):
         res = fn(spark, root, str(tmp_path / name))
