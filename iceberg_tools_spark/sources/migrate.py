@@ -1676,9 +1676,18 @@ def delta_grouped_ivm(
     commits = dict(list_commits(delta_root))
     head = max(commits)
     to_v = head if to_version is None else int(to_version)
-    state = grouped_agg(
-        read_delta_log(spark, delta_root, from_version), keys, sums, mins, maxs
-    )
+    seed = read_delta_log(spark, delta_root, from_version)
+    missing = [
+        c for c in [*keys, *sums, *mins, *maxs] if c not in seed.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"columns {missing} are not in the table schema at version "
+            f"{from_version} — seed the IVM at or after the schema "
+            f"evolution that added them (r13 guided error; the fold "
+            f"would otherwise fail with an unresolved-column crash)"
+        )
+    state = grouped_agg(seed, keys, sums, mins, maxs)
     for v in range(int(from_version) + 1, to_v + 1):
         try:
             cdf = read_delta_cdf(spark, delta_root, v, v)

@@ -140,3 +140,23 @@ def test_cdf_and_replications_span_evolution(spark, tmp_path):
             spark, res["metadata_path"], m.raw["current-snapshot-id"]
         ).select("id", "cat").collect()))
         assert rows == want, name
+
+
+def test_ivm_seed_before_evolution_is_guided(spark, tmp_path):
+    """Cross-format IVM seeded at a version that predates the column
+    it aggregates gets a guided error, not an unresolved-column
+    crash — and seeding AT the evolution works."""
+    import pytest
+
+    from iceberg_tools_spark.iceberg.ivm import grouped_agg
+    from iceberg_tools_spark.sources.migrate import delta_grouped_ivm
+
+    root = str(tmp_path / "t")
+    _evolving_source(root)
+    with pytest.raises(ValueError, match="at or after the schema evolution"):
+        delta_grouped_ivm(spark, root, ["cat"], ["id"], from_version=0)
+    got = {tuple(r) for r in delta_grouped_ivm(
+        spark, root, ["cat"], ["id"], from_version=1).collect()}
+    want = {tuple(r) for r in grouped_agg(
+        read_delta_log(spark, root), ["cat"], ["id"]).collect()}
+    assert got == want and len(want) == 2  # cat null group + 'x'
