@@ -271,6 +271,16 @@ BASELINE_CAL.update(
     {k: round(v / _R13_CALIBRATION, 3) for k, v in _R13_RAW.items()}
 )
 
+# Late-round-13 addendum: Delta source schema evolution joined the
+# headline set (pinned from the end-of-round full run, calibration
+# 0.769 — evolving-table build + a mixed-schema cdc DV delete + the
+# log-schema head read).
+_R13B_CALIBRATION = 0.769
+_R13B_RAW = {"delta_schema_evolution_rows": 0.434}
+BASELINE_CAL.update(
+    {k: round(v / _R13B_CALIBRATION, 3) for k, v in _R13B_RAW.items()}
+)
+
 # headline set: one representative per operator family; grows as
 # batteries land. Every name must exist in registry.queries().
 HEADLINE = [
@@ -393,8 +403,11 @@ HEADLINE = [
     "delta_ivm_rows",
     # round-13: V2 (UUID-named, sidecar) checkpoints — multi-sidecar
     # write, every covered commit deleted, read only through v2
-    # discovery + sidecar resolution
+    # discovery + sidecar resolution — and source schema evolution
+    # (the LOG schema is the read schema; DV through a mixed-schema
+    # cdc file)
     "delta_v2_checkpoint_rows",
+    "delta_schema_evolution_rows",
 ]
 
 
