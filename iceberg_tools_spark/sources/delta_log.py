@@ -2708,15 +2708,21 @@ def read_delta_cdf(
             ).drop("_cdc_scan", "_cdc_path")
         )
     if recon:
-        # mergeSchema: the range may span schema evolution, or SOME
-        # files may physically carry a partition column others take
-        # from the log — sampling one file's schema would silently
-        # null the rest (ADVICE r11). Each action still ships its
-        # partitionValues; a physical value wins per-cell, the log
-        # value fills the gap.
-        df = spark.read.option("mergeSchema", "true").parquet(
-            *sorted({r["path"] for r in recon})
+        # explicit LOG-derived schema (r13; supersedes the ADVICE r11
+        # mergeSchema fix): the range may span schema evolution, or
+        # SOME files may physically carry a partition column others
+        # take from the log — the log schema serves both without
+        # opening any footer for inference. Each action still ships
+        # its partitionValues; a physical value wins per-cell, the
+        # log value fills the gap. Degenerate logs keep the
+        # footer-MERGED fallback.
+        s = _physical_schema(meta)
+        reader = (
+            spark.read.schema(s)
+            if s is not None
+            else spark.read.option("mergeSchema", "true")
         )
+        df = reader.parquet(*sorted({r["path"] for r in recon}))
         act_schema = T.StructType(
             [
                 T.StructField("_act_path", T.StringType()),
