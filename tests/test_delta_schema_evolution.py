@@ -160,3 +160,33 @@ def test_ivm_seed_before_evolution_is_guided(spark, tmp_path):
     want = {tuple(r) for r in grouped_agg(
         read_delta_log(spark, root), ["cat"], ["id"]).collect()}
     assert got == want and len(want) == 2  # cat null group + 'x'
+
+
+def test_cdf_stream_spans_evolution(spark, tmp_path):
+    """The streaming CDF source across an ADD COLUMN: early
+    micro-batches null-fill the added column (the staged-file reader
+    takes the head schema) and the stream equals the batch feed."""
+    from iceberg_tools_spark.sources.delta_log import (
+        commit_delta_dv,
+        delta_cdf_stream,
+    )
+    from iceberg_tools_spark.streaming.jobs import run_to_memory
+
+    root = str(tmp_path / "t")
+    _evolving_source(root)
+    commit_delta_dv(root, {"a.parquet": [0]}, checkpoint_interval=None,
+                    write_cdf=True)
+    stream, n = delta_cdf_stream(spark, root, 0, 2, str(tmp_path / "stage"))
+    assert n == 3
+    got = sorted(
+        (r["id"], r["cat"], r["_change_type"], r["_commit_version"])
+        for r in run_to_memory(stream, "evo_cdf_stream").collect()
+    )
+    # the batch comparison uses the RANGE read (head schema); a
+    # per-version read at v0 correctly serves the v0 schema instead
+    want = sorted(
+        (r["id"], r["cat"], r["_change_type"], r["_commit_version"])
+        for r in read_delta_cdf(spark, root, 0, 2).collect()
+    )
+    assert got == want
+    assert (1, None, "delete", 2) in got
