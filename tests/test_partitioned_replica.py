@@ -125,3 +125,45 @@ def test_partition_by_rejects_non_identity(spark, tmp_path):
             spark, mp, os.path.join(work, "t"), now_ms=NOW,
             partition_by=("id",),
         )
+
+
+def test_partition_filter_under_column_mapping(spark, tmp_path):
+    """Log-level pruning composes with column mapping: the filter is
+    by LOGICAL name, the partitionValues keys are PHYSICAL."""
+    import json
+
+    from iceberg_tools_spark.sources.delta_log import append_delta_commit
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    fields = [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-aaa"}},
+        {"name": "cat", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-bbb"}},
+    ]
+    for i, cat in enumerate(("x", "y")):
+        pq.write_table(
+            pa.table({"col-aaa": pa.array([i * 10, i * 10 + 1], pa.int64())}),
+            os.path.join(root, f"f{i}.parquet"),
+        )
+    append_delta_commit(root, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "cmpf", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": fields}),
+            "partitionColumns": ["cat"],
+            "configuration": {"delta.columnMapping.mode": "name"},
+            "createdTime": 0,
+        }},
+        {"add": {"path": "f0.parquet", "partitionValues": {"col-bbb": "x"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "f1.parquet", "partitionValues": {"col-bbb": "y"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    df = read_delta_log(spark, root, partition_filter={"cat": "y"})
+    assert [os.path.basename(p) for p in df.inputFiles()] == ["f1.parquet"]
+    assert sorted((r["id"], r["cat"]) for r in df.collect()) == \
+        [(10, "y"), (11, "y")]
