@@ -1165,6 +1165,22 @@ def replicate_delta_versions(
 
     n_removed = 0
     versions = [(v, p) for v, p in list_commits(delta_root) if v <= head]
+    # same guard as replicate_delta_cdf (ADVICE r12 class): a cleaned
+    # log (checkpoint present, commits 0..k deleted) must not silently
+    # replay only the surviving tail — the checkpointed state would be
+    # missing from the replica with no error
+    if [v for v, _p in versions] != list(range(0, head + 1)):
+        missing = sorted(
+            set(range(0, head + 1)) - {v for v, _p in versions}
+        )
+        raise ValueError(
+            f"full-fidelity replication replays every commit from "
+            f"version 0, but commit(s) "
+            f"{missing[:10]}{'...' if len(missing) > 10 else ''} of "
+            f"{delta_root!r} were cleaned from the log; earliest "
+            f"readable version is "
+            f"{versions[0][0] if versions else head}"
+        )
     for v, path in versions:
         adds, removes = [], []
         with open(path) as f:

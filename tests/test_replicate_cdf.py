@@ -342,6 +342,9 @@ def test_cdf_replication_refuses_cleaned_log(spark, tmp_path):
     os.remove(os.path.join(src, "_delta_log", f"{0:020d}.json"))
     with pytest.raises(ValueError, match="earliest readable version"):
         replicate_delta_cdf(spark, src, str(tmp_path / "cdf"))
+    # the full-fidelity path owes the same refusal (same bug class)
+    with pytest.raises(ValueError, match="earliest readable version"):
+        replicate_delta_versions(spark, src, str(tmp_path / "full2"))
 
 
 def test_delta_grouped_ivm_equals_recompute_every_version(spark, tmp_path):
