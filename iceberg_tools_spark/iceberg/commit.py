@@ -37,8 +37,18 @@ from .snapshots import _local, read_manifest_list
 
 ADDED = 1
 
-# Iceberg type → (avro primitive for partition values)
-_AVRO_OF_TYPE = {"long": "long", "int": "int", "string": "string"}
+# Iceberg type → (avro primitive for partition values). Dates and
+# timestamps store as their spec physical forms: int days since
+# epoch, long micros since epoch (same representation the manifest
+# bound codec uses).
+_AVRO_OF_TYPE = {
+    "long": "long",
+    "int": "int",
+    "string": "string",
+    "date": "int",
+    "timestamp": "long",
+    "timestamptz": "long",
+}
 
 
 def _kv(n: str, vtype: str) -> dict:

@@ -161,7 +161,14 @@ def latest_checkpoint_parts(table_root: str) -> tuple[int, list[str]] | None:
         for top in sorted(tops):
             parts_v2 = [top]
             ok = True
-            for row in _checkpoint_part_rows(top, columns=["sidecar"]):
+            try:
+                top_rows = _checkpoint_part_rows(top, columns=["sidecar"])
+            except Exception:
+                # a torn/corrupt top (writer died mid-write) is an
+                # INCOMPLETE checkpoint, not a table-wide read error
+                # (ADVICE r13 medium): skip to the next candidate
+                continue
+            for row in top_rows:
                 sc = row.get("sidecar")
                 if sc:
                     sp = _resolve_sidecar(table_root, sc["path"])
@@ -648,9 +655,24 @@ def read_delta_log(
 
         adds = [a for a in adds if _matches(a)]
         if not adds:
-            raise ValueError(
-                f"no live files of {table_root!r} match "
-                f"partition_filter {partition_filter}"
+            # an empty partition is a legitimate query result, not a
+            # usage error (ADVICE r13 low — only UNKNOWN filter keys
+            # raise, above): return an empty frame with the table's
+            # LOGICAL schema so callers compose normally
+            from pyspark.sql import types as T
+
+            try:
+                logical = T.StructType.fromJson(
+                    json.loads(meta["schemaString"])
+                )
+            except (KeyError, ValueError, TypeError):
+                raise ValueError(
+                    f"no live files of {table_root!r} match "
+                    f"partition_filter {partition_filter} and the log "
+                    f"carries no schemaString to shape an empty result"
+                ) from None
+            return spark.createDataFrame(
+                [], _strip_mapping_metadata(logical)
             )
     paths = [os.path.join(table_root, a["path"]) for a in adds]
     dv_adds = [a for a in adds if a.get("deletionVector")]
@@ -1317,8 +1339,8 @@ def vacuum_delta(
         ts = rem.get("deletionTimestamp")
         if ts is None or ts >= cutoff:
             driver_rows.extend(_with_dv("tomb", rem))
-    ref_df = spark.createDataFrame(driver_rows, "kind string, file_path string")
 
+    cp_df = None
     if start_after >= 0:
         touched = set(post_adds) | set(post_tombs)
         json_parts = [p for p in cp[1] if p.endswith(".json")]
@@ -1340,7 +1362,6 @@ def vacuum_delta(
         # row protects its path (+ DV bin); each unexpired tombstone
         # row likewise. Paths touched by a post-checkpoint commit
         # defer to the driver-side state above (last action wins).
-        cp_df = None
         if pq_parts:
             # mergeSchema: a v2 top-level parquet carries sidecar/
             # checkpointMetadata columns while its sidecars carry
@@ -1401,13 +1422,20 @@ def vacuum_delta(
                 cp_df = spark.createDataFrame(
                     cp_rows, "kind string, owner string, file_path string"
                 )
-        if cp_df is not None:
-            if touched:
-                touched_df = spark.createDataFrame(
-                    [(p,) for p in sorted(touched)], "owner string"
-                )
-                cp_df = cp_df.join(touched_df, "owner", "left_anti")
-            ref_df = ref_df.unionByName(cp_df.drop("owner"))
+        if cp_df is not None and touched:
+            touched_df = spark.createDataFrame(
+                [(p,) for p in sorted(touched)], "owner string"
+            )
+            cp_df = cp_df.join(touched_df, "owner", "left_anti")
+
+    # driver_rows is COMPLETE only here: createDataFrame serializes
+    # the list eagerly, so building ref_df before the v2 JSON-top
+    # harvest above silently dropped inline file actions from the
+    # protected set (ADVICE r13 high — data loss on foreign v2
+    # checkpoints with a JSON top carrying inline add/remove).
+    ref_df = spark.createDataFrame(driver_rows, "kind string, file_path string")
+    if cp_df is not None:
+        ref_df = ref_df.unionByName(cp_df.drop("owner"))
 
     cached = False
     if start_after >= 0:
@@ -1788,7 +1816,13 @@ def write_delta_checkpoint_v2(
         if meta:
             rows.append({"metaData": _maps_to_pairs_meta(meta)})
         rows += [{"sidecar": sc} for sc in sidecar_actions]
-        pq.write_table(pa.Table.from_pylist(rows, schema=top_schema), top_path)
+        # tmp + atomic rename like the JSON branch (ADVICE r13
+        # medium): a writer dying mid-write must never leave a torn
+        # parquet top under the checkpoint name
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=top_schema), top_path + ".tmp"
+        )
+        os.replace(top_path + ".tmp", top_path)
     pointer = {"version": v, "size": len(file_rows) + 2 + (1 if meta else 0)}
     tmp = os.path.join(d, "_last_checkpoint.tmp")
     with open(tmp, "w") as f:
@@ -1898,22 +1932,38 @@ def write_delta_dv_file(
     DETERMINISTIC uuid (md5 of the content layout — no RNG, same
     fixture bytes every run). Returns per data-file descriptors
     ready to ride an ``add`` action."""
+    from ..iceberg.puffin import encode_dv_blob
+
+    return write_delta_dv_blobs(
+        table_root,
+        {
+            p: (encode_dv_blob(sorted(set(v))), len(set(v)))
+            for p, v in positions_by_path.items()
+        },
+    )
+
+
+def write_delta_dv_blobs(
+    table_root: str, blobs_by_path: dict[str, tuple[bytes, int]]
+) -> dict[str, dict[str, Any]]:
+    """Blob-level form of :func:`write_delta_dv_file` taking
+    PRE-ENCODED ``(framed blob, cardinality)`` per data file — the
+    entry point for executor-side DV encoding (VERDICT r13 #3: the
+    replication path ships each file's KB-scale compressed bitmap to
+    the driver, never a raw position list). Byte-identical output to
+    the position-level form for equal position sets."""
     import hashlib
     import uuid as _uuid
 
-    from ..iceberg.puffin import encode_dv_blob
-
-    blobs: dict[str, bytes] = {
-        p: encode_dv_blob(sorted(set(v))) for p, v in sorted(positions_by_path.items())
-    }
+    blobs = dict(sorted(blobs_by_path.items()))
     digest = hashlib.md5(
-        b"|".join(p.encode() + b":" + b for p, b in blobs.items())
+        b"|".join(p.encode() + b":" + b for p, (b, _c) in blobs.items())
     ).digest()
     u = _uuid.UUID(bytes=digest)
     rel = f"deletion_vector_{u}.bin"
     descriptors: dict[str, dict[str, Any]] = {}
     buf = bytearray(b"\x01")  # format version
-    for p, blob in blobs.items():
+    for p, (blob, card) in blobs.items():
         off = len(buf)
         buf.extend(blob)
         descriptors[p] = {
@@ -1923,7 +1973,7 @@ def write_delta_dv_file(
             # per the protocol, sizeInBytes counts the DV body (the
             # magic + bitmap the 4-byte length prefix declares)
             "sizeInBytes": len(blob) - 8,
-            "cardinality": len(set(positions_by_path[p])),
+            "cardinality": card,
         }
     with open(os.path.join(table_root, rel), "wb") as f:
         f.write(bytes(buf))

@@ -148,6 +148,47 @@ def test_incomplete_sidecar_set_never_selected(tmp_path):
     assert sorted(a["path"] for a in adds) == ["f0.parquet", "f1.parquet"]
 
 
+def test_torn_v2_top_treated_as_incomplete(spark, tmp_path):
+    """ADVICE r13 medium: a torn/corrupt v2 top (a writer died
+    mid-write) must read as an INCOMPLETE checkpoint — skipped by
+    discovery — not poison every read of the table with
+    ArrowInvalid/JSONDecodeError."""
+    root = str(tmp_path / "t")
+    _make_table(root)
+    _dml(root)
+    d = os.path.join(root, "_delta_log")
+    # torn parquet top at the head version
+    head = max(
+        int(n[:20]) for n in os.listdir(d)
+        if n.endswith(".json") and n[:20].isdigit()
+    )
+    torn = os.path.join(d, f"{head:020d}.checkpoint.torn00.parquet")
+    with open(torn, "wb") as f:
+        f.write(b"PAR1\x00\x03garbage-not-a-footer")
+    assert latest_checkpoint_parts(root) is None  # skipped, no raise
+    # the full JSON log is intact: reads keep working
+    assert sorted(r.id for r in read_delta_log(spark, root).collect()) == \
+        list(range(2, 20))
+    # a GOOD top at the same version is still found despite the torn
+    # sibling sorting first
+    res = write_delta_checkpoint_v2(root, top_format="json", now_ms=NOW)
+    assert res["version"] == head
+    cp = latest_checkpoint_parts(root)
+    assert cp is not None and cp[0] == head and cp[1][0] == res["path"]
+
+
+def test_v2_parquet_top_write_is_atomic(tmp_path):
+    """The parquet top lands via tmp + os.replace (like the JSON
+    branch): no .tmp residue, and the final file parses."""
+    root = str(tmp_path / "t")
+    _make_table(root)
+    _dml(root)
+    res = write_delta_checkpoint_v2(root, top_format="parquet", now_ms=NOW)
+    d = os.path.join(root, "_delta_log")
+    assert not [n for n in os.listdir(d) if n.endswith(".tmp")]
+    assert pq.read_table(res["path"]).num_rows >= 2
+
+
 def test_cleanup_reaps_superseded_v2_tops_and_orphan_sidecars(tmp_path):
     """Log cleanup: a v2 top superseded by a NEWER checkpoint goes
     (age-gated), its now-unreferenced sidecars go, and the newest

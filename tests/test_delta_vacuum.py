@@ -181,6 +181,55 @@ def test_vacuum_checkpointed_table_protects_via_spark_read(spark, tmp_path):
     assert os.path.exists(os.path.join(root, "f2.parquet"))
 
 
+def test_vacuum_protects_inline_actions_in_v2_json_top(spark, tmp_path):
+    """ADVICE r13 high: a spec-legal v2 JSON top-level checkpoint may
+    carry INLINE add/remove actions (no sidecars). Building the
+    protected frame before harvesting them dropped those files from
+    the protected set — vacuum listed LIVE data as delete candidates
+    (data loss on foreign v2 checkpoints)."""
+    root = str(tmp_path / "t")
+    _base_table(root)  # v0: f1 (1,2) + f2 (3,4), both live
+    d = os.path.join(root, "_delta_log")
+    # foreign writer: a v2 JSON top at v0 with INLINE file actions
+    # (spec-legal — sidecars are optional), plus a recent inline
+    # tombstone for a third file
+    _write(root, "f3.parquet", [5], mtime_ms=NOW - 30 * DAY)
+    with open(os.path.join(d, "00000000000000000000.checkpoint.abc0.json"),
+              "w") as f:
+        f.write(json.dumps({"checkpointMetadata": {"version": 0,
+                                                   "tags": {}}}) + "\n")
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["v2Checkpoint"],
+            "writerFeatures": ["v2Checkpoint"]}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": _schema(("id", "long")),
+            "partitionColumns": [], "configuration": {}, "createdTime": 0,
+        }}) + "\n")
+        for rel in ("f1.parquet", "f2.parquet"):
+            f.write(json.dumps({"add": {
+                "path": rel, "partitionValues": {}, "size": 1,
+                "modificationTime": 0, "dataChange": True}}) + "\n")
+        f.write(json.dumps({"remove": {
+            "path": "f3.parquet", "deletionTimestamp": NOW - 1000,
+            "dataChange": True}}) + "\n")
+    # age everything: only protection can save a file now
+    for dp, _dns, fns in os.walk(root):
+        if "_delta_log" in dp:
+            continue
+        for fn in fns:
+            p = os.path.join(dp, fn)
+            t = (NOW - 30 * DAY) / 1000
+            os.utime(p, (t, t))
+    plan = vacuum_delta(spark, root, now_ms=NOW, dry_run=True)
+    assert plan["candidates"] == []  # f1/f2 live, f3 recent tombstone
+    assert plan["n_live_protected"] == 2
+    assert plan["n_tombstone_protected"] == 1
+    for rel in ("f1.parquet", "f2.parquet", "f3.parquet"):
+        assert os.path.exists(os.path.join(root, rel))
+
+
 def test_vacuum_single_log_walk(spark, tmp_path, monkeypatch):
     """VERDICT r12 #8: vacuum makes ONE pass over the JSON log — no
     replay_log / replay_tombstones / separate cdc walk."""

@@ -84,11 +84,14 @@ def test_partition_filter_prunes_scan(spark, tmp_path):
     )
     rows = sorted((r["id"], r["cat"]) for r in df.collect())
     assert all(c == "x" for _i, c in rows) and len(rows) == 12
-    # guided errors: unknown column / empty match
+    # guided error for an UNKNOWN column; an empty PARTITION is a
+    # legitimate result, not an error (ADVICE r13 low): empty frame
+    # with the table's logical schema
     with pytest.raises(ValueError, match="not partition columns"):
         read_delta_log(spark, tgt, partition_filter={"ghost": "1"})
-    with pytest.raises(ValueError, match="match partition_filter"):
-        read_delta_log(spark, tgt, partition_filter={"cat": "zzz"})
+    empty = read_delta_log(spark, tgt, partition_filter={"cat": "zzz"})
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["id", "cat"]
 
 
 def test_partitioned_replica_dv_keeps_partition_values(spark, tmp_path):
@@ -115,6 +118,46 @@ def test_partitioned_replica_dv_keeps_partition_values(spark, tmp_path):
     assert sorted(r["id"] for r in df.collect()) == sorted(
         i for i in range(0, 24) if i % 8 < 4 and i not in (0, 1)
     )
+
+
+def test_date_partition_values_serialize_per_spec(spark, tmp_path):
+    """Iceberg stores identity date partitions as raw int days; the
+    replica's partitionValues must carry Delta's spec serialization
+    ('2022-01-08', not '19000') so FOREIGN Delta readers that take
+    column values from the log read real dates (ADVICE r13 low)."""
+    import datetime as dt
+
+    work = str(tmp_path)
+    ice_root = os.path.join(work, "ice")
+    os.makedirs(ice_root)
+    mp = create_table(
+        ice_root,
+        [("id", "long"), ("d", "date")],
+        partition_by=[("d", "identity", "d")],
+    )
+    days = 19000  # 1970-01-01 + 19000 days
+    iso = (dt.date(1970, 1, 1) + dt.timedelta(days=days)).isoformat()
+    rel = f"data/d={iso}/f0.parquet"
+    os.makedirs(os.path.dirname(os.path.join(ice_root, rel)), exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "id": pa.array([1, 2], pa.int64()),
+            "d": pa.array([dt.date(1970, 1, 1) + dt.timedelta(days=days)] * 2,
+                          pa.date32()),
+        }),
+        os.path.join(ice_root, rel),
+    )
+    mp = append_snapshot(mp, [{"path": rel, "partition": {"d": days}}])[
+        "metadata_path"
+    ]
+    tgt = os.path.join(work, "delta")
+    replicate_iceberg_to_delta(spark, mp, tgt, now_ms=NOW)
+    adds, meta, _ = replay_log(tgt)
+    assert meta["partitionColumns"] == ["d"]
+    assert [a["partitionValues"]["d"] for a in adds] == [iso]
+    # and the pruned read resolves the spec-serialized value
+    df = read_delta_log(spark, tgt, partition_filter={"d": iso})
+    assert sorted(r["id"] for r in df.collect()) == [1, 2]
 
 
 def test_partition_by_rejects_non_identity(spark, tmp_path):

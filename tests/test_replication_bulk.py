@@ -14,12 +14,24 @@ import pytest
 from pyspark.sql import DataFrame
 
 from iceberg_tools_spark.sources import migrate
+from iceberg_tools_spark.iceberg.puffin import decode_dv_blob
 from iceberg_tools_spark.sources.migrate import (
     _BULK_COPY_MIN,
     _bulk_copy,
-    _positional_victims_bulk,
+    _dv_blobs_bulk,
     _shared_fs,
 )
+
+
+def _positions(got):
+    """{rel: sorted positions} from _dv_blobs_bulk's blob map —
+    the tests' reference comparisons stay position-level."""
+    out = {}
+    for rel, (blob, card) in got.items():
+        pos = sorted(decode_dv_blob(blob))
+        assert card == len(pos)  # cardinality rides the blob
+        out[rel] = pos
+    return out
 
 
 # ------------------------- bulk victim computation ----------------
@@ -80,7 +92,7 @@ def _planted(tmp_path):
 
 def test_positional_victims_bulk_equals_per_file(spark, tmp_path):
     dels, cands = _planted(tmp_path)
-    got = _positional_victims_bulk(spark, dels, cands)
+    got = _positions(_dv_blobs_bulk(spark, dels, cands))
     # independent per-file reference: pyarrow read of each delete
     # file, rel filter + the v2 seq gate, driver-side
     want = {}
@@ -111,7 +123,7 @@ def test_positional_victims_bulk_seq_gate_blocks_cross_version_leak(spark, tmp_p
     # f3 row, but f3's seq floor (9) must gate it out — only d3's
     # row lands
     dels, cands = _planted(tmp_path)
-    got = _positional_victims_bulk(spark, dels, cands)
+    got = _positions(_dv_blobs_bulk(spark, dels, cands))
     assert got["data/f3.parquet"] == [7]
 
 
@@ -129,10 +141,10 @@ def test_positional_victims_bulk_is_one_action(spark, tmp_path, monkeypatch):
         return orig(self)
 
     monkeypatch.setattr(cls, "collect", counting)
-    _positional_victims_bulk(spark, dels, cands[:1])
+    _dv_blobs_bulk(spark, dels, cands[:1])
     assert len(calls) == 1
     calls.clear()
-    _positional_victims_bulk(spark, dels, cands)
+    _dv_blobs_bulk(spark, dels, cands)
     assert len(calls) == 1
 
 
@@ -249,13 +261,13 @@ def test_zero_victims_fall_through_masks_old_dv_positions(spark, tmp_path, monke
     # call 1 (the d1 snapshot) computes real victims → f gets DV {1};
     # call 2 (the d2 snapshot) is forced to ZERO victims, simulating
     # a signature change that is entirely bounds-gated
-    orig, ncall = migrate._positional_victims_bulk, [0]
+    orig, ncall = migrate._dv_blobs_bulk, [0]
 
     def forced(spark_, dels, cands):
         ncall[0] += 1
         return orig(spark_, dels, cands) if ncall[0] == 1 else {}
 
-    monkeypatch.setattr(migrate, "_positional_victims_bulk", forced)
+    monkeypatch.setattr(migrate, "_dv_blobs_bulk", forced)
     tgt = str(tmp_path / "delta")
     res = replicate_iceberg_to_delta(
         spark, mp, tgt, write_cdf=True, now_ms=1700000001000
@@ -273,6 +285,73 @@ def test_zero_victims_fall_through_masks_old_dv_positions(spark, tmp_path, monke
     # deletable; the fresh copy (zero victims) resurfaces all 5
     assert f_dels == [0, 2, 3, 4]
     assert f_ins == [0, 1, 2, 3, 4]
+
+
+def test_dv_replication_keeps_positions_off_the_driver(spark, tmp_path, monkeypatch):
+    """VERDICT r13 #3: the plain (write_cdf=False) replication path
+    never materializes a DV position list on the driver — blobs
+    encode in executor Arrow tasks and flow straight into the .bin
+    writer. decode_dv_blob is POISONED for the run; the replica must
+    still come out byte-identical to an unpoisoned run (including
+    the deterministic DV .bin name/bytes, pinning blob-level parity
+    with the old position-level writer)."""
+    import iceberg_tools_spark.iceberg.puffin as puffin
+    from iceberg_tools_spark.iceberg.commit import (
+        append_snapshot,
+        commit_delete_snapshot,
+        create_table,
+    )
+    from iceberg_tools_spark.sources.migrate import replicate_iceberg_to_delta
+
+    def build_source(tag):
+        root = str(tmp_path / f"ice{tag}")
+        os.makedirs(root)
+        mp = create_table(root, [("id", "long")])
+        loc = json.load(open(mp))["location"]
+        pq.write_table(
+            pa.table({"id": pa.array(range(100), pa.int64())}),
+            os.path.join(root, "data/f.parquet"),
+        )
+        mp = append_snapshot(mp, [{"path": "data/f.parquet", "partition": {}}])[
+            "metadata_path"
+        ]
+        rel = "data/deletes/d1.parquet"
+        os.makedirs(os.path.dirname(os.path.join(root, rel)), exist_ok=True)
+        victims = list(range(0, 100, 3))
+        pq.write_table(
+            pa.table({
+                "file_path": pa.array([f"{loc}/data/f.parquet"] * len(victims)),
+                "pos": pa.array(victims, pa.int64()),
+            }),
+            os.path.join(root, rel),
+        )
+        return commit_delete_snapshot(
+            mp, [{"path": rel, "partition": {}, "content": 1}]
+        )["metadata_path"]
+
+    def log_and_dv_bytes(tgt):
+        out = {}
+        for dp, _dns, fns in os.walk(tgt):
+            for fn in fns:
+                if fn.endswith(".json") or fn.endswith(".bin"):
+                    p = os.path.join(dp, fn)
+                    out[os.path.relpath(p, tgt)] = open(p, "rb").read()
+        return out
+
+    # reference run, decode allowed
+    tgt_ref = str(tmp_path / "delta_ref")
+    replicate_iceberg_to_delta(spark, build_source("a"), tgt_ref,
+                               now_ms=1700000001000)
+    # poisoned run: ANY driver-side decode of a DV blob fails the test
+    def boom(_blob):
+        raise AssertionError("driver decoded a DV position list")
+
+    monkeypatch.setattr(puffin, "decode_dv_blob", boom)
+    tgt = str(tmp_path / "delta_poisoned")
+    res = replicate_iceberg_to_delta(spark, build_source("b"), tgt,
+                                     now_ms=1700000001000)
+    assert res["n_dv_files"] == 1
+    assert log_and_dv_bytes(tgt) == log_and_dv_bytes(tgt_ref)
 
 
 def test_replica_log_is_byte_deterministic(spark, tmp_path):
