@@ -998,6 +998,16 @@ register(
     _w_delta.DELTA_SCHEMA_EVOLUTION_SQL,
 )
 
+# r14 newcomer: Delta TYPE WIDENING reads — narrow pre-widening
+# footers upcast through the log schema (int→long, float→double),
+# composing with DV merge-on-read; the r14 window gives it a
+# first-certification slot alongside delta_schema_evolution_rows.
+register(
+    "delta_type_widening_rows",
+    _w_delta.delta_type_widening_rows,
+    _w_delta.DELTA_TYPE_WIDENING_SQL,
+)
+
 # ============================= ROUND-13 WINDOW (a dict REORDER, not
 # re-registration: every key keeps its single (fn, sql) declaration
 # above; this block only fixes which 50 the driver adjudicates).
@@ -1082,7 +1092,79 @@ def _apply_window(names: list[str]) -> None:
     _REGISTRY.update(ordered)
 
 
-_apply_window(_R13_WINDOW)
+# ============================= ROUND-14 WINDOW (same mechanism:
+# a dict REORDER over the single declarations above).
+#
+# Budget (VERDICT r13 #1/#2): 1 canary; 2-3 FIRST CERTIFICATION —
+# delta_schema_evolution_rows (the only key in history with no
+# CORRECTNESS row, VERDICT r13 #1) and the r14 typeWidening
+# newcomer; 4-8 re-certification of keys whose implementation
+# changed this round (vacuum's v2-JSON-top inline-action harvest,
+# torn-top discovery tolerance + atomic parquet tops, the empty-
+# partition_filter contract, the executor-side DV-blob replication
+# rework + spec partition-value serialization, the
+# write_delta_dv_file→blobs refactor under commit_delta_dv);
+# 9-46 the FULL r9-evidence cohort (38 keys, five rounds stale —
+# VERDICT r13 #2); 47-50 the oldest r11 keys. After this round no
+# oracle-checked key's newest driver row predates r11.
+_R14_WINDOW = [
+    "probe_double",
+    # 2-3: first certification
+    "delta_schema_evolution_rows",
+    "delta_type_widening_rows",
+    # 4-8: changed-this-round re-certification
+    "delta_vacuum_rows",
+    "delta_v2_checkpoint_rows",
+    "delta_log_rows",
+    "delta_replicate_rows",
+    "delta_dv_rows",
+    # 9-46: the FULL r9-evidence cohort (alphabetical)
+    "ann_ivfpq_recall_check",
+    "ann_pq_recall_check",
+    "approx_percentiles_check",
+    "bpe_token_check",
+    "customer_running_total",
+    "dataset_split",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_check",
+    "dedup_substring_coverage",
+    "embedding_norm_stats",
+    "funnel_view_click_purchase",
+    "monthly_revenue_delta",
+    "pack_sequences_check",
+    "parquet_import_rows",
+    "percentiles_order_value",
+    "pivot_status_by_priority",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q1_pricing_summary",
+    "q20_promo_part_shippers",
+    "q21_sole_fault_supplier",
+    "q22_global_sales_opportunity",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_change",
+    "q7_volume_shipping",
+    "retention_day_n",
+    "session_window_agg",
+    "sessionize_events",
+    "text_quality",
+    "text_stats",
+    "token_count_histogram",
+    "view_roundtrip_rows",
+    # 47-50: oldest r11 keys, reference-distinguishing first
+    "meta_manifests",
+    "meta_metadata_log",
+    "changelog_rows",
+    "commit_append_files",
+]
+
+_apply_window(_R14_WINDOW)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -422,6 +422,15 @@ _SUPPORTED_READER_FEATURES = {
     "columnMapping",
     "timestampNtz",
     "v2Checkpoint",
+    # typeWidening (r14): the read schema comes from the LOG
+    # (`_physical_schema`), so a widened column's narrower footers
+    # upcast inside Spark's parquet reader (int→long, float→double,
+    # int→double, decimal precision growth — verified on 4.1); time
+    # travel reads each version with ITS schema, CDF reads the range
+    # with the end version's. Nothing to do beyond accepting the
+    # feature — pinned by tests/test_delta_type_widening.py.
+    "typeWidening",
+    "typeWidening-preview",
 }
 
 
@@ -2460,6 +2469,108 @@ SELECT cat,
 FROM live
 GROUP BY cat
 ORDER BY cat NULLS FIRST
+"""
+
+
+def delta_type_widening_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for Delta TYPE WIDENING reads (``sf_dir`` unused):
+    v0 writes ids 0..49 with an INT id and FLOAT score (int32/float32
+    footers) under the ``typeWidening`` reader feature; v1 widens the
+    schema to long/double (the ALTER COLUMN TYPE commit, stamping the
+    spec's ``delta.typeChanges`` field metadata); v2 adds ids 50..79
+    already written wide (int64/float64 footers); v3 DV-deletes two
+    PRE-widening rows. The head read must serve the narrow footers
+    upcast through the log schema — no footer inference, no rewrite —
+    with the DV applied. Oracle: DuckDB re-derives the live set from
+    the generation rule (independent derivation). Spec:
+    PROTOCOL.md "Type Widening"; reference has no Delta surface."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    root = tempfile.mkdtemp(prefix="delta_widen_")
+    os.makedirs(os.path.join(root, "_delta_log"))
+
+    def _schema_json(id_t, score_t, changes=None):
+        md = {"delta.typeChanges": changes} if changes else {}
+        return json.dumps({"type": "struct", "fields": [
+            {"name": "id", "type": id_t, "nullable": True,
+             "metadata": md},
+            {"name": "score", "type": score_t, "nullable": True,
+             "metadata": {}},
+        ]})
+
+    def _meta(s):
+        return {"metaData": {
+            "id": "00000000-0000-0000-0000-0000000000tw",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": s, "partitionColumns": [],
+            "configuration": {}, "createdTime": 1700000000000,
+        }}
+
+    pq.write_table(
+        pa.table({
+            "id": pa.array(range(50), pa.int32()),
+            "score": pa.array([v / 2 for v in range(50)], pa.float32()),
+        }),
+        os.path.join(root, "narrow.parquet"),
+    )
+    append_delta_commit(root, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["typeWidening"],
+                      "writerFeatures": ["typeWidening"]}},
+        _meta(_schema_json("integer", "float")),
+        {"add": {"path": "narrow.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    # v1: ALTER COLUMN TYPE — metaData only, files untouched
+    append_delta_commit(root, [
+        _meta(_schema_json(
+            "long", "double",
+            changes=[{"fromType": "integer", "toType": "long",
+                      "tableVersion": 1}],
+        )),
+    ], checkpoint_interval=None)
+    pq.write_table(
+        pa.table({
+            "id": pa.array(range(50, 80), pa.int64()),
+            "score": pa.array([v / 2 for v in range(50, 80)], pa.float64()),
+        }),
+        os.path.join(root, "wide.parquet"),
+    )
+    append_delta_commit(root, [
+        {"add": {"path": "wide.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    commit_delta_dv(root, {"narrow.parquet": [10, 20]},
+                    checkpoint_interval=None)
+    return (
+        read_delta_log(spark, root)
+        .groupBy((F.col("id") % 4).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("id").cast("long").alias("id_sum"),
+            F.sum("score").cast("double").alias("score_sum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+DELTA_TYPE_WIDENING_SQL = """
+WITH live AS (
+  SELECT r.range AS id, CAST(r.range AS DOUBLE) / 2 AS score
+  FROM range(80) r
+  WHERE r.range NOT IN (10, 20)
+)
+SELECT CAST(id % 4 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(id) AS BIGINT) AS id_sum,
+       CAST(SUM(score) AS DOUBLE) AS score_sum
+FROM live
+GROUP BY bucket
+ORDER BY bucket
 """
 
 
