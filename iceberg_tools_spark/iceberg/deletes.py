@@ -590,6 +590,14 @@ def read_mor(
     if not data:
         raise ValueError(f"snapshot {snapshot_id} has no live data files")
     df = mor_frame(spark, data)
+    if (meta.raw.get("properties") or {}).get("schema.name-mapping.default"):
+        # foreign physical column names (e.g. a column-mapped Delta
+        # source replicated verbatim) bind to logical names through
+        # the table's explicit name mapping — one projection, no-op
+        # for native tables (r14)
+        from .evolution import apply_table_name_mapping
+
+        df = apply_table_name_mapping(df, meta)
     df = attach_identity_partition_columns(spark, df, data, meta)
     out_cols = [c for c in df.columns if c not in ("_rel", "_pos", "_seq")]
     return apply_deletes(spark, meta, df, dels, mode="survivors").select(*out_cols)

@@ -427,6 +427,70 @@ ORDER BY schema_id, field_id
 # keep binding by id; the mapping never overrides physical ids.
 
 
+def table_name_mapping(
+    meta: TableMetadata | dict[str, Any],
+) -> list[dict[str, Any]] | None:
+    """The table's EXPLICIT name mapping, parsed from the
+    ``schema.name-mapping.default`` property — the spec's location
+    for it (`TableMetadata.parseNameMapping` reads exactly this key).
+    None when the property is absent; callers fall back to
+    :func:`default_name_mapping`'s historical-name derivation. The
+    property is how a migrated/replicated table binds foreign
+    physical column names (e.g. a column-mapped Delta source's
+    ``col-<uuid>`` names) to Iceberg field ids without rewriting a
+    single data file."""
+    raw = meta.raw if isinstance(meta, TableMetadata) else meta
+    s = (raw.get("properties") or {}).get("schema.name-mapping.default")
+    if not s:
+        return None
+    parsed = json.loads(s)
+    if not isinstance(parsed, list):
+        raise ValueError(
+            "schema.name-mapping.default must be a JSON list of "
+            "{field-id, names} entries"
+        )
+    return parsed
+
+
+def apply_table_name_mapping(df, meta: "TableMetadata | dict[str, Any]"):
+    """Rename a scanned frame's FOREIGN physical column names to the
+    table's logical field names per ``schema.name-mapping.default``
+    (top-level; one cheap projection, no data movement). A column
+    already carrying its logical name wins — the mapping only fills
+    fields the scan surfaced under an alias. No-op when the property
+    is absent. This is the post-scan half of the spec's name-mapping
+    rule for readers that scan whole file groups (``mor_frame``)
+    rather than per-signature projections."""
+    nm = table_name_mapping(meta)
+    if not nm:
+        return df
+    raw = meta.raw if isinstance(meta, TableMetadata) else meta
+    cur = next(
+        s for s in raw.get("schemas", [raw.get("schema", {})])
+        if s.get("schema-id", 0) == raw.get("current-schema-id", 0)
+    )
+    names_of = {m["field-id"]: m["names"] for m in nm}
+    cols = set(df.columns)
+    renames: dict[str, str] = {}
+    for f in cur.get("fields", []):
+        logical = f["name"]
+        if logical in cols:
+            continue
+        phys = next(
+            (n for n in names_of.get(int(f["id"]), []) if n in cols), None
+        )
+        if phys is not None and phys != logical:
+            renames[phys] = logical
+    if not renames:
+        return df
+    return df.select(
+        *[
+            F.col(c).alias(renames[c]) if c in renames else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
 def default_name_mapping(meta: TableMetadata | dict[str, Any]) -> list[dict[str, Any]]:
     """The mapping real `TableMetadata.parseNameMapping` defaults
     to, enriched with every historical name of each field id across
@@ -514,7 +578,9 @@ def projected_scan_parts(
     from .deletes import _REL_RE
 
     if name_mapping is None:
-        name_mapping = default_name_mapping(meta)
+        # the table's explicit mapping property wins (the spec rule);
+        # the historical-name derivation is the fallback
+        name_mapping = table_name_mapping(meta) or default_name_mapping(meta)
     names_of = {m["field-id"]: m["names"] for m in name_mapping}
     _enable_field_id_resolution(spark)
     cur_schema = spark_read_schema(meta)

@@ -1140,18 +1140,18 @@ def replicate_delta_versions(
     check_reader_support(
         delta_root, head, proto=meta.get("__protocol__") or {"minReaderVersion": 1}
     )
-    if _column_mapping(meta):
-        # the verbatim-copy path would pair PHYSICAL-named parquet
-        # with a LOGICAL-named Iceberg schema — every read of the
-        # replica would miss the columns. The CDF path rewrites rows
-        # under logical names, so it's the correct mapping here.
-        raise ValueError(
-            f"{delta_root!r} uses delta.columnMapping — verbatim file "
-            f"copies can't carry its physical column names into an "
-            f"Iceberg schema; use replicate_delta_cdf (row-level, "
-            f"logical names) instead"
-        )
+    mapping = _column_mapping(meta)  # physical → logical, top-level
     schema_fields = json.loads(meta["schemaString"])["fields"]
+    if mapping and any(not isinstance(f["type"], str) for f in schema_fields):
+        # NESTED physical names can't bind through the replica's
+        # top-level name mapping; the CDF path rewrites rows under
+        # logical names at every depth, so it's the mapping there
+        raise ValueError(
+            f"{delta_root!r} uses delta.columnMapping on a NESTED "
+            f"schema — verbatim copies can't carry struct-internal "
+            f"physical names into an Iceberg name mapping; use "
+            f"replicate_delta_cdf (row-level, logical names) instead"
+        )
     part_cols = meta.get("partitionColumns") or []
     ice_fields = []
     for i, f in enumerate(schema_fields, start=1):
@@ -1160,6 +1160,27 @@ def replicate_delta_versions(
             raise ValueError(f"unsupported Delta type {f['type']!r}")
         ice_fields.append({"id": i, "name": f["name"], "required": False, "type": t})
     by_name = {f["name"]: f["id"] for f in ice_fields}
+    # column-mapped sources (VERDICT r13 #5): the verbatim copies
+    # carry PHYSICAL column names, so the replica declares Iceberg's
+    # spec mechanism for foreign-named files — a
+    # `schema.name-mapping.default` property binding each field id to
+    # its physical name (+ the logical name, for files a re-fold
+    # writes later). Reads stay zero-rewrite: `read_mor` applies the
+    # mapping as one post-scan projection.
+    name_mapping_prop = None
+    phys_of = {v: k for k, v in (mapping or {}).items()}  # logical → physical
+    if mapping:
+        name_mapping_prop = json.dumps([
+            {
+                "field-id": fd["id"],
+                "names": (
+                    [phys_of[fd["name"]], fd["name"]]
+                    if phys_of.get(fd["name"], fd["name"]) != fd["name"]
+                    else [fd["name"]]
+                ),
+            }
+            for fd in ice_fields
+        ])
     spec_fields = [
         {"name": c, "transform": "identity", "source-id": by_name[c],
          "field-id": 1000 + i}
@@ -1183,6 +1204,8 @@ def replicate_delta_versions(
         "properties": {"replicated-from": "delta", "replication": "full-fidelity"},
         "snapshots": [], "snapshot-log": [], "metadata-log": [],
     }
+    if name_mapping_prop:
+        meta0["properties"]["schema.name-mapping.default"] = name_mapping_prop
     mp = os.path.join(target_root, "v1.metadata.json")
     with open(mp, "w") as f:
         json.dump(meta0, f, indent=2)
@@ -1230,7 +1253,9 @@ def replicate_delta_versions(
             dst = os.path.join(target_root, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             shutil.copyfile(os.path.join(delta_root, a["path"]), dst)
-        part = {c: (a.get("partitionValues") or {}).get(c) for c in part_cols}
+        pv = a.get("partitionValues") or {}
+        # under column mapping, partitionValues keys are PHYSICAL
+        part = {c: pv.get(phys_of.get(c, c), pv.get(c)) for c in part_cols}
         rel_of[a["path"]] = rel
         return {"path": rel, "partition": part}
 

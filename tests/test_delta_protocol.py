@@ -115,8 +115,8 @@ def test_reader_feature_gating(spark, tmp_path):
                    os.path.join(root, "a.parquet"))
     append_delta_commit(root, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["typeWidening"],
-                      "writerFeatures": ["typeWidening"]}},
+                      "readerFeatures": ["variantType"],
+                      "writerFeatures": ["variantType"]}},
         {"metaData": {
             "id": "x", "format": {"provider": "parquet", "options": {}},
             "schemaString": json.dumps({"type": "struct", "fields": [
@@ -128,12 +128,13 @@ def test_reader_feature_gating(spark, tmp_path):
                  "modificationTime": 0, "dataChange": True}},
     ], checkpoint_interval=None)
     # silently misreading a feature-gated table would be wrong —
-    # the gate names the missing capability instead (typeWidening is
+    # the gate names the missing capability instead (variantType is
     # a real future feature this reader does not implement;
-    # v2Checkpoint moved to the SUPPORTED set in r13)
-    with pytest.raises(ValueError, match="typeWidening"):
+    # v2Checkpoint joined the SUPPORTED set in r13, typeWidening in
+    # r14)
+    with pytest.raises(ValueError, match="variantType"):
         read_delta_log(spark, root)
-    with pytest.raises(ValueError, match="typeWidening"):
+    with pytest.raises(ValueError, match="variantType"):
         read_delta_cdf(spark, root, 0)
     with pytest.raises(ValueError, match="minReaderVersion 4"):
         check_reader_support_at(root, {"minReaderVersion": 4})
@@ -528,31 +529,77 @@ def test_replication_upgrades_protocol_on_first_dv(spark, tmp_path):
     assert got == [0, 2, 3, 4]
 
 
-def test_verbatim_replication_refuses_column_mapping(spark, tmp_path):
-    """The verbatim-copy replication can't carry physical column
-    names into an Iceberg schema — guided refusal pointing at the
-    CDF path, which rewrites rows under logical names and works."""
+def test_verbatim_replication_of_column_mapped_source(spark, tmp_path):
+    """VERDICT r13 #5: verbatim full-fidelity replication of a
+    COLUMN-MAPPED source works — the Iceberg replica declares
+    ``schema.name-mapping.default`` binding each field id to the
+    source's physical name, so zero files rewrite and every version
+    reads under logical names, composing with a DV fold mid-log."""
+    import json as _json
+
     from iceberg_tools_spark.iceberg.deletes import read_mor
-    from iceberg_tools_spark.sources.migrate import (
-        replicate_delta_cdf,
-        replicate_delta_versions,
-    )
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+    from iceberg_tools_spark.sources.delta_log import commit_delta_dv
+    from iceberg_tools_spark.sources.migrate import replicate_delta_versions
 
     root = str(tmp_path / "t")
     os.makedirs(os.path.join(root, "_delta_log"))
     _write_physical(root, "a.parquet", [1, 2])
+    _write_physical(root, "b.parquet", [3, 4, 5])
     append_delta_commit(root, [
         {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
         _mapped_meta(),
         {"add": {"path": "a.parquet", "partitionValues": {"col-bbb": "x"},
                  "size": 1, "modificationTime": 0, "dataChange": True}},
     ], checkpoint_interval=None)
-    with pytest.raises(ValueError, match="replicate_delta_cdf"):
+    append_delta_commit(root, [
+        {"add": {"path": "b.parquet", "partitionValues": {"col-bbb": "y"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    # v2: a DV delete on the mapped file — mapping × DV composition
+    commit_delta_dv(root, {"a.parquet": [0]}, checkpoint_interval=None)
+
+    res = replicate_delta_versions(spark, root, str(tmp_path / "full"))
+    mp = res["metadata_path"]
+    # the replica DECLARES the mapping (spec property, physical names)
+    props = parse_metadata(mp).raw["properties"]
+    nm = {m["field-id"]: m["names"]
+          for m in _json.loads(props["schema.name-mapping.default"])}
+    assert nm[1][0] == "col-aaa" and nm[2][0] == "col-bbb"
+    # per-version equality under LOGICAL names, zero rewrites of
+    # non-DV files (verbatim copies carry physical names)
+    for v in range(3):
+        delta = sorted(map(tuple, read_delta_log(spark, root, v)
+                           .select("id", "cat").collect()))
+        ice = sorted(map(tuple, read_mor(spark, mp, 8000 + v)
+                         .select("id", "cat").collect()))
+        assert ice == delta, f"version {v} diverged"
+    assert sorted(map(tuple, read_mor(spark, mp, 8002)
+                      .select("id", "cat").collect())) == [
+        (2, "x"), (3, "y"), (4, "y"), (5, "y")
+    ]
+    a_copy = os.path.join(str(tmp_path / "full"), "data", "a.parquet")
+    assert open(a_copy, "rb").read() == open(
+        os.path.join(root, "a.parquet"), "rb").read()
+
+
+def test_verbatim_replication_refuses_nested_column_mapping(spark, tmp_path):
+    """NESTED physical names can't bind through a top-level name
+    mapping — guided refusal pointing at the CDF path (which
+    rewrites rows under logical names at every depth)."""
+    from iceberg_tools_spark.sources.migrate import replicate_delta_versions
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    _write_nested_physical(root, "a.parquet", [1, 2])
+    append_delta_commit(root, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        _nested_mapped_meta(),
+        {"add": {"path": "a.parquet", "partitionValues": {"col-bbb": "x"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    with pytest.raises(ValueError, match="NESTED"):
         replicate_delta_versions(spark, root, str(tmp_path / "full"))
-    res = replicate_delta_cdf(spark, root, str(tmp_path / "cdf"))
-    got = sorted(map(tuple, read_mor(
-        spark, res["metadata_path"], 8000).select("id", "cat").collect()))
-    assert got == [(1, "x"), (2, "x")]
 
 
 def test_incremental_stream_renames_mapped_columns(spark, tmp_path):
@@ -591,8 +638,8 @@ def test_direct_file_consumers_gate_on_protocol(spark, tmp_path):
                    os.path.join(root, "a.parquet"))
     append_delta_commit(root, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["typeWidening"],
-                      "writerFeatures": ["typeWidening"]}},
+                      "readerFeatures": ["variantType"],
+                      "writerFeatures": ["variantType"]}},
         {"metaData": {
             "id": "x", "format": {"provider": "parquet", "options": {}},
             "schemaString": json.dumps({"type": "struct", "fields": [
@@ -605,9 +652,9 @@ def test_direct_file_consumers_gate_on_protocol(spark, tmp_path):
         {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
                  "modificationTime": 0, "dataChange": True}},
     ], checkpoint_interval=None)
-    with pytest.raises(ValueError, match="typeWidening"):
+    with pytest.raises(ValueError, match="variantType"):
         delta_incremental_stream(spark, root, 0, 1, str(tmp_path / "stage"))
-    with pytest.raises(ValueError, match="typeWidening"):
+    with pytest.raises(ValueError, match="variantType"):
         replicate_delta_versions(spark, root, str(tmp_path / "full"))
 
 def _nested_mapped_meta():
