@@ -1,0 +1,310 @@
+"""Iceberg REST catalog: a spec-derived CLIENT for the read
+endpoints plus a LOCAL fixture server backing them with a
+Hadoop-style warehouse directory — the same fixture discipline as
+the v2-checkpoint writer (VERDICT r13 #6): implement the PUBLIC
+protocol, round-trip it against this engine's own artifacts, and
+pin behavior in pytest without sandbox networking (the server binds
+127.0.0.1 on an ephemeral port; the client is stdlib urllib).
+
+Endpoints implemented (Iceberg REST Catalog OpenAPI, read side):
+
+* ``GET /v1/config``                       → catalog defaults/overrides
+* ``GET /v1/{prefix}namespaces``           → namespace list
+* ``GET /v1/{prefix}namespaces/{ns}/tables``        → identifiers
+* ``GET /v1/{prefix}namespaces/{ns}/tables/{table}`` → LoadTableResult
+  (``metadata-location`` + inline ``metadata``)
+
+Multipart namespaces use the spec's ``%1F`` (unit separator)
+encoding in paths. The client prefers ``metadata-location`` when it
+resolves locally (zero copies) and otherwise materializes the
+inline ``metadata`` payload — so it works against real services
+returning object-store locations too.
+
+Reference parity anchor: the reference tool takes explicit metadata
+paths (`ManifestFileReadTool.java:52-76`); this layer adds the
+by-name resolution the now-dominant REST deployments perform.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from typing import Any
+
+_SEP = "\x1f"  # the spec's multipart-namespace separator
+
+
+# ------------------------------------------------------- client
+
+
+class RestCatalogClient:
+    """Minimal read-side REST catalog client (stdlib urllib; no
+    external dependencies). ``uri`` is the service base, e.g.
+    ``http://127.0.0.1:8181``; ``prefix`` is the optional catalog
+    prefix the /v1/config response may direct clients to."""
+
+    def __init__(self, uri: str, prefix: str | None = None, timeout: float = 10.0):
+        self.uri = uri.rstrip("/")
+        self.timeout = timeout
+        if prefix is None:
+            cfg = self._get("/v1/config")
+            prefix = (cfg.get("overrides") or {}).get("prefix", "")
+        self.prefix = prefix.strip("/")
+
+    def _get(self, path: str) -> dict[str, Any]:
+        import urllib.error
+        import urllib.request
+
+        url = self.uri + path
+        try:
+            with urllib.request.urlopen(url, timeout=self.timeout) as r:
+                return json.loads(r.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            body = e.read().decode("utf-8", errors="replace")
+            try:
+                detail = json.loads(body).get("error", {}).get("message", body)
+            except ValueError:
+                detail = body
+            raise FileNotFoundError(
+                f"REST catalog {url!r}: HTTP {e.code} — {detail}"
+            ) from None
+
+    def _p(self, path: str) -> str:
+        pre = f"/{self.prefix}" if self.prefix else ""
+        return f"/v1{pre}{path}"
+
+    def list_namespaces(self) -> list[str]:
+        """Dotted namespace strings."""
+        r = self._get(self._p("/namespaces"))
+        return sorted(".".join(ns) for ns in r.get("namespaces", []))
+
+    def list_tables(self, namespace: str) -> list[str]:
+        """Dotted ``ns.table`` identifiers of one namespace."""
+        from urllib.parse import quote
+
+        ns = quote(_SEP.join(namespace.split(".")), safe="")
+        r = self._get(self._p(f"/namespaces/{ns}/tables"))
+        return sorted(
+            ".".join(ident["namespace"]) + "." + ident["name"]
+            for ident in r.get("identifiers", [])
+        )
+
+    def load_table(self, identifier: str) -> dict[str, Any]:
+        """The raw LoadTableResult for ``ns.table`` (arbitrary
+        namespace depth; the LAST dotted part is the table name)."""
+        from urllib.parse import quote
+
+        parts = [p for p in identifier.split(".") if p]
+        if len(parts) < 2:
+            raise ValueError(
+                f"identifier {identifier!r} needs at least namespace.table"
+            )
+        ns = quote(_SEP.join(parts[:-1]), safe="")
+        return self._get(self._p(f"/namespaces/{ns}/tables/{quote(parts[-1], safe='')}"))
+
+    def metadata_path(self, identifier: str, scratch_dir: str | None = None) -> str:
+        """A LOCAL metadata.json path for the table: the service's
+        ``metadata-location`` when it resolves on this filesystem
+        (zero copies — the fixture server and any shared-fs catalog),
+        else the inline ``metadata`` payload materialized under
+        ``scratch_dir``."""
+        res = self.load_table(identifier)
+        loc = res.get("metadata-location", "")
+        local = loc[7:] if loc.startswith("file://") else loc
+        if local and os.path.exists(local):
+            return local
+        meta = res.get("metadata")
+        if meta is None:
+            raise FileNotFoundError(
+                f"REST catalog returned neither a resolvable "
+                f"metadata-location ({loc!r}) nor inline metadata for "
+                f"{identifier!r}"
+            )
+        import tempfile
+
+        d = scratch_dir or tempfile.mkdtemp(prefix="rest_meta_")
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, f"{identifier.replace('.', '_')}.metadata.json")
+        with open(p, "w") as f:
+            json.dump(meta, f)
+        return p
+
+
+def load_table_rest(
+    spark,
+    uri: str,
+    identifier: str,
+    snapshot_id: int | None = None,
+    *,
+    as_of_ms: int | None = None,
+):
+    """By-name MoR read through a REST catalog — the REST twin of
+    ``catalog.load_table`` with the same time-travel surface."""
+    from .deletes import read_mor
+    from .metadata import parse_metadata
+
+    mpath = RestCatalogClient(uri).metadata_path(identifier)
+    meta = parse_metadata(mpath)
+    if as_of_ms is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id OR as_of_ms, not both")
+        from .snapshots import snapshot_as_of
+
+        snapshot_id = snapshot_as_of(meta, as_of_ms)
+    if snapshot_id is None:
+        snapshot_id = meta.current_snapshot_id
+    if os.path.basename(os.path.dirname(mpath)) == "metadata":
+        # metadata-location resolved in place: the table root is the
+        # metadata dir's parent (same rule as catalog.load_table —
+        # robust to moved warehouses whose `location` is stale)
+        base_dir = os.path.dirname(os.path.dirname(mpath))
+    else:
+        # inline-materialized metadata: only `location` knows the root
+        loc = meta.raw.get("location", "")
+        base_dir = loc[7:] if loc.startswith("file://") else loc
+        if not base_dir:
+            raise ValueError(
+                f"cannot locate data files for {identifier!r}: inline "
+                f"metadata carries no location"
+            )
+    return read_mor(spark, mpath, snapshot_id, base_dir)
+
+
+# ------------------------------------------------ driver-gate query
+
+
+def rest_catalog_rows(spark, sf_dir: str):
+    """Driver gate for REST-catalog resolution (``sf_dir`` unused):
+    the MoR fixture copied into a scratch HadoopCatalog warehouse and
+    served through the local spec-derived REST server; the gate
+    resolves BY NAME over HTTP, reads the head (MoR deletes applied)
+    and a time-traveled snapshot through the same surface, and lists
+    the catalog. Golden oracle (the fixture's pinned row counts:
+    323 live at head-2004, 300 before the 2003 delete commit)."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from .deletes import MOR_DIR
+
+    wh = tempfile.mkdtemp(prefix="rest_wh_")
+    root = os.path.join(wh, "db", "events")
+    shutil.copytree(MOR_DIR, root)
+    mdir = os.path.join(root, "metadata")
+    for n in os.listdir(root):
+        if n.endswith(".metadata.json"):
+            shutil.move(os.path.join(root, n), os.path.join(mdir, n))
+    server, uri = serve_rest_catalog(wh)
+    try:
+        c = RestCatalogClient(uri)
+        n_tables = sum(len(c.list_tables(ns)) for ns in c.list_namespaces())
+        head = load_table_rest(spark, uri, "db.events").count()
+        past = load_table_rest(spark, uri, "db.events", snapshot_id=2002).count()
+    finally:
+        server.shutdown()
+    rows = [
+        ("head_mor_rows", int(head)),
+        ("rows_at_2002", int(past)),
+        ("tables_listed", int(n_tables)),
+    ]
+    return spark.createDataFrame(rows, "measure string, value long").orderBy(
+        F.col("measure")
+    )
+
+
+REST_CATALOG_SQL = """
+SELECT measure, CAST(value AS BIGINT) AS value
+FROM (VALUES ('head_mor_rows', 323), ('rows_at_2002', 300),
+             ('tables_listed', 1)) t(measure, value)
+ORDER BY measure
+"""
+
+
+# ------------------------------------------- local fixture server
+
+
+def serve_rest_catalog(warehouse: str, *, prefix: str = ""):
+    """Serve the read endpoints over a Hadoop-style warehouse
+    directory on ``127.0.0.1:<ephemeral>`` in a daemon thread.
+    Returns ``(server, base_uri)``; call ``server.shutdown()`` when
+    done. Resolution reuses the FS catalog (version-hint + listing
+    fallback), so the served state is exactly what the FS catalog
+    would resolve — the fixture trusts one resolver, not two."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import unquote
+
+    from .catalog import current_metadata_path, list_tables
+
+    pre = prefix.strip("/")
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet test output
+            pass
+
+        def _json(self, code: int, payload: dict[str, Any]) -> None:
+            body = json.dumps(payload).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _err(self, code: int, msg: str) -> None:
+            self._json(code, {"error": {"message": msg, "code": code}})
+
+        def do_GET(self):  # noqa: N802 (http.server API)
+            parts = [unquote(p) for p in self.path.split("?")[0].split("/") if p]
+            if parts and parts[0] != "v1":
+                return self._err(404, f"unknown path {self.path!r}")
+            parts = parts[1:]
+            if parts == ["config"]:
+                return self._json(200, {
+                    "defaults": {},
+                    "overrides": {"prefix": pre} if pre else {},
+                })
+            if pre:
+                pre_parts = pre.split("/")
+                if parts[: len(pre_parts)] != pre_parts:
+                    return self._err(404, f"unknown prefix in {self.path!r}")
+                parts = parts[len(pre_parts):]
+            if parts == ["namespaces"]:
+                namespaces = sorted({
+                    tuple(t.split(".")[:-1]) for t in list_tables(warehouse)
+                })
+                return self._json(200, {
+                    "namespaces": [list(ns) for ns in namespaces if ns]
+                })
+            if len(parts) == 3 and parts[0] == "namespaces" and parts[2] == "tables":
+                ns = parts[1].split(_SEP)
+                idents = [
+                    t for t in list_tables(warehouse)
+                    if t.split(".")[:-1] == ns
+                ]
+                return self._json(200, {"identifiers": [
+                    {"namespace": t.split(".")[:-1], "name": t.split(".")[-1]}
+                    for t in idents
+                ]})
+            if len(parts) == 4 and parts[0] == "namespaces" and parts[2] == "tables":
+                ident = ".".join(parts[1].split(_SEP) + [parts[3]])
+                try:
+                    mpath = current_metadata_path(warehouse, ident)
+                except FileNotFoundError as e:
+                    return self._err(404, str(e))
+                import gzip
+
+                opener = gzip.open if mpath.endswith(".gz") else open
+                with opener(mpath, "rt") as f:
+                    meta = json.load(f)
+                return self._json(200, {
+                    "metadata-location": f"file://{os.path.abspath(mpath)}",
+                    "metadata": meta,
+                    "config": {},
+                })
+            return self._err(404, f"unknown path {self.path!r}")
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server, f"http://127.0.0.1:{server.server_address[1]}"

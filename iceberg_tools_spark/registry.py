@@ -1008,6 +1008,17 @@ register(
     _w_delta.DELTA_TYPE_WIDENING_SQL,
 )
 
+# r14 newcomer: REST-catalog resolution — by-name + time-traveled MoR
+# reads over the local spec-derived REST fixture server (the
+# now-dominant Iceberg deployment model, VERDICT r13 #6).
+from .iceberg import rest_catalog as _w_rest  # noqa: E402
+
+register(
+    "rest_catalog_rows",
+    _w_rest.rest_catalog_rows,
+    _w_rest.REST_CATALOG_SQL,
+)
+
 # ============================= ROUND-13 WINDOW (a dict REORDER, not
 # re-registration: every key keeps its single (fn, sql) declaration
 # above; this block only fixes which 50 the driver adjudicates).
@@ -1109,9 +1120,10 @@ def _apply_window(names: list[str]) -> None:
 # oracle-checked key's newest driver row predates r11.
 _R14_WINDOW = [
     "probe_double",
-    # 2-3: first certification
+    # 2-4: first certification
     "delta_schema_evolution_rows",
     "delta_type_widening_rows",
+    "rest_catalog_rows",
     # 4-8: changed-this-round re-certification
     "delta_vacuum_rows",
     "delta_v2_checkpoint_rows",
@@ -1157,11 +1169,10 @@ _R14_WINDOW = [
     "text_stats",
     "token_count_histogram",
     "view_roundtrip_rows",
-    # 47-50: oldest r11 keys, reference-distinguishing first
+    # 48-50: oldest r11 keys, reference-distinguishing first
     "meta_manifests",
     "meta_metadata_log",
     "changelog_rows",
-    "commit_append_files",
 ]
 
 _apply_window(_R14_WINDOW)

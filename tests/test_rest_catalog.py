@@ -1,0 +1,113 @@
+"""Iceberg REST catalog (VERDICT r13 #6): spec-derived read-side
+client against a LOCAL fixture server backed by a Hadoop-style
+warehouse — namespaces/tables listing, LoadTableResult resolution,
+by-name + time-traveled MoR reads, prefix handling, multipart
+namespace encoding, and the inline-metadata fallback path."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from iceberg_tools_spark.iceberg.deletes import MOR_DIR
+from iceberg_tools_spark.iceberg.rest_catalog import (
+    RestCatalogClient,
+    load_table_rest,
+    serve_rest_catalog,
+)
+
+
+def _mk_warehouse(tmp_path, identifier="db.events"):
+    root = tmp_path / "wh" / os.path.join(*identifier.split("."))
+    shutil.copytree(MOR_DIR, root)
+    mdir = root / "metadata"
+    mdir.mkdir(exist_ok=True)
+    for n in os.listdir(root):
+        if n.endswith(".metadata.json"):
+            shutil.move(str(root / n), str(mdir / n))
+    return str(tmp_path / "wh")
+
+
+@pytest.fixture()
+def served(tmp_path):
+    wh = _mk_warehouse(tmp_path)
+    _mk_warehouse(tmp_path, "db.raw.docs")
+    server, uri = serve_rest_catalog(wh)
+    yield wh, uri
+    server.shutdown()
+
+
+def test_listing_endpoints(served):
+    _wh, uri = served
+    c = RestCatalogClient(uri)
+    assert c.list_namespaces() == ["db", "db.raw"]
+    assert c.list_tables("db") == ["db.events"]
+    # multipart namespace goes through the %1F path encoding
+    assert c.list_tables("db.raw") == ["db.raw.docs"]
+
+
+def test_load_table_result_and_read(spark, served):
+    _wh, uri = served
+    c = RestCatalogClient(uri)
+    res = c.load_table("db.events")
+    assert res["metadata-location"].startswith("file://")
+    assert res["metadata"]["table-uuid"]
+    # metadata-location resolves in place: zero copies
+    mpath = c.metadata_path("db.events")
+    assert mpath.endswith("v2.metadata.json") and os.path.exists(mpath)
+    # by-name MoR read + time travel, equal to the FS catalog's
+    assert load_table_rest(spark, uri, "db.events").count() == 323
+    assert load_table_rest(
+        spark, uri, "db.events", snapshot_id=2002
+    ).count() == 300
+
+
+def test_missing_table_is_guided_404(served):
+    _wh, uri = served
+    with pytest.raises(FileNotFoundError, match="404"):
+        RestCatalogClient(uri).load_table("db.ghost")
+    with pytest.raises(ValueError, match="namespace.table"):
+        RestCatalogClient(uri).load_table("noname")
+
+
+def test_prefix_routing(tmp_path):
+    wh = _mk_warehouse(tmp_path)
+    server, uri = serve_rest_catalog(wh, prefix="warehouses/main")
+    try:
+        # the client discovers the prefix from /v1/config
+        c = RestCatalogClient(uri)
+        assert c.prefix == "warehouses/main"
+        assert c.list_tables("db") == ["db.events"]
+        # a client pinned to the wrong prefix gets the guided 404
+        with pytest.raises(FileNotFoundError, match="404"):
+            RestCatalogClient(uri, prefix="wrong").list_tables("db")
+    finally:
+        server.shutdown()
+
+
+def test_inline_metadata_fallback(spark, served, tmp_path):
+    """A service whose metadata-location does NOT resolve locally
+    (object stores) still loads: the inline metadata materializes and
+    data files resolve through the table's `location`."""
+    wh, uri = served
+
+    class RemoteLocClient(RestCatalogClient):
+        def load_table(self, identifier):
+            res = super().load_table(identifier)
+            # simulate an object-store metadata-location that does
+            # NOT resolve on this filesystem (the real-service shape)
+            res["metadata-location"] = "s3://nope/metadata/v2.metadata.json"
+            return res
+
+    mpath = RemoteLocClient(uri).metadata_path(
+        "db.events", scratch_dir=str(tmp_path / "scratch")
+    )
+    assert mpath.endswith("db_events.metadata.json")
+    from iceberg_tools_spark.iceberg.deletes import read_mor
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+
+    meta = parse_metadata(mpath)
+    base = os.path.join(wh, "db", "events")
+    assert read_mor(spark, mpath, meta.current_snapshot_id, base).count() == 323
