@@ -408,6 +408,15 @@ HEADLINE = [
     # cdc file)
     "delta_v2_checkpoint_rows",
     "delta_schema_evolution_rows",
+    # round-14: Delta type-widening reads (narrow footers upcast
+    # through the log schema, DV on a pre-widening file) and
+    # REST-catalog resolution (by-name + time-traveled MoR reads over
+    # the local spec-derived fixture server)
+    "delta_type_widening_rows",
+    "rest_catalog_rows",
+    # round-14 (cont.): Delta VARIANT reads (Spark-native VariantType,
+    # variant_get extraction, DV composition)
+    "delta_variant_rows",
 ]
 
 

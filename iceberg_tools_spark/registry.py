@@ -1019,6 +1019,16 @@ register(
     _w_rest.REST_CATALOG_SQL,
 )
 
+# r14 newcomer: Delta VARIANT reads — Spark-native VariantType over
+# the layout Delta writers land, variant_get extraction, DV
+# composition (the remaining common reader-feature refusal after
+# typeWidening, VERDICT r13 "What's missing" #1).
+register(
+    "delta_variant_rows",
+    _w_delta.delta_variant_rows,
+    _w_delta.DELTA_VARIANT_SQL,
+)
+
 # ============================= ROUND-13 WINDOW (a dict REORDER, not
 # re-registration: every key keeps its single (fn, sql) declaration
 # above; this block only fixes which 50 the driver adjudicates).
@@ -1120,10 +1130,11 @@ def _apply_window(names: list[str]) -> None:
 # oracle-checked key's newest driver row predates r11.
 _R14_WINDOW = [
     "probe_double",
-    # 2-4: first certification
+    # 2-5: first certification
     "delta_schema_evolution_rows",
     "delta_type_widening_rows",
     "rest_catalog_rows",
+    "delta_variant_rows",
     # 4-8: changed-this-round re-certification
     "delta_vacuum_rows",
     "delta_v2_checkpoint_rows",
@@ -1169,10 +1180,9 @@ _R14_WINDOW = [
     "text_stats",
     "token_count_histogram",
     "view_roundtrip_rows",
-    # 48-50: oldest r11 keys, reference-distinguishing first
+    # 49-50: oldest r11 keys, reference-distinguishing first
     "meta_manifests",
     "meta_metadata_log",
-    "changelog_rows",
 ]
 
 _apply_window(_R14_WINDOW)

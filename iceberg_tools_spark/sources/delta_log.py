@@ -431,6 +431,20 @@ _SUPPORTED_READER_FEATURES = {
     # feature — pinned by tests/test_delta_type_widening.py.
     "typeWidening",
     "typeWidening-preview",
+    # variantType (r14): schemaString's "variant" parses to Spark's
+    # native VariantType (4.x) and the parquet layout Delta writers
+    # land (struct<metadata binary, value binary> under the VARIANT
+    # logical annotation) is Spark's own — reads, variant_get
+    # extraction, DVs and CDF compose with zero extra code; pinned
+    # by tests/test_delta_variant.py.
+    "variantType",
+    "variantType-preview",
+    # vacuumProtocolCheck: per PROTOCOL.md, readers "don't need to
+    # understand or change anything new; they just need to
+    # acknowledge the feature exists" — the feature forces VACUUM
+    # implementations through the protocol gate, which vacuum_delta
+    # already honors via the shared replay.
+    "vacuumProtocolCheck",
 }
 
 
@@ -2571,6 +2585,116 @@ SELECT CAST(id % 4 AS BIGINT) AS bucket,
 FROM live
 GROUP BY bucket
 ORDER BY bucket
+"""
+
+
+def _write_variant_file(spark, root: str, rel: str, ids) -> None:
+    """One parquet file with Spark's native VARIANT layout (the
+    struct<metadata,value> binary pair under the VARIANT logical
+    annotation — what Delta-on-Spark variant writers land), moved to
+    a stable name."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    lo, hi = min(ids), max(ids) + 1
+    df = (
+        spark.range(lo, hi)
+        .select(
+            F.col("id"),
+            F.parse_json(
+                F.concat(
+                    F.lit('{"a": '), F.col("id").cast("string"),
+                    F.lit(', "tag": "t'), (F.col("id") % 3).cast("string"),
+                    F.lit('"}'),
+                )
+            ).alias("payload"),
+        )
+        .coalesce(1)
+    )
+    tmpdir = tempfile.mkdtemp(prefix="variant_part_")
+    df.write.mode("overwrite").parquet(tmpdir)
+    part = glob.glob(os.path.join(tmpdir, "*.parquet"))[0]
+    os.makedirs(os.path.dirname(os.path.join(root, rel)) or root, exist_ok=True)
+    shutil.move(part, os.path.join(root, rel))
+    shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def delta_variant_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for Delta VARIANT reads (``sf_dir`` unused): a
+    table declaring the ``variantType`` reader feature with a
+    ``variant`` column written by Spark's own VARIANT parquet writer
+    (the physical layout Delta-on-Spark writers land); v1 adds a
+    second file, v2 DV-deletes two rows. The head read must surface
+    the column as VariantType with merge-on-read applied, and
+    ``variant_get`` extraction must recover the shredded fields.
+    Oracle: DuckDB re-derives the live set from the generation rule
+    (independent derivation). Spec: PROTOCOL.md "Variant Data Type";
+    reference has no Delta surface."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    root = tempfile.mkdtemp(prefix="delta_variant_")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "payload", "type": "variant", "nullable": True,
+         "metadata": {}},
+    ]})
+    _write_variant_file(spark, root, "a.parquet", range(40))
+    append_delta_commit(root, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["variantType"],
+                      "writerFeatures": ["variantType"]}},
+        {"metaData": {
+            "id": "00000000-0000-0000-0000-0000000000va",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema, "partitionColumns": [],
+            "configuration": {}, "createdTime": 1700000000000,
+        }},
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    _write_variant_file(spark, root, "b.parquet", range(40, 60))
+    append_delta_commit(root, [
+        {"add": {"path": "b.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    commit_delta_dv(root, {"a.parquet": [5, 7]}, checkpoint_interval=None)
+    df = read_delta_log(spark, root)
+    return (
+        df.select(
+            "id",
+            F.try_variant_get("payload", "$.tag", "string").alias("tag"),
+            F.try_variant_get("payload", "$.a", "long").alias("a"),
+        )
+        .groupBy("tag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("a").cast("long").alias("a_sum"),
+            F.sum(F.when(F.col("a") == F.col("id"), 1).otherwise(0))
+            .cast("long").alias("a_eq_id"),
+        )
+        .orderBy("tag")
+    )
+
+
+DELTA_VARIANT_SQL = """
+WITH live AS (
+  SELECT r.range AS id, 't' || CAST(r.range % 3 AS VARCHAR) AS tag
+  FROM range(60) r
+  WHERE r.range NOT IN (5, 7)
+)
+SELECT tag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(id) AS BIGINT) AS a_sum,
+       CAST(COUNT(*) AS BIGINT) AS a_eq_id
+FROM live
+GROUP BY tag
+ORDER BY tag
 """
 
 

@@ -115,8 +115,8 @@ def test_reader_feature_gating(spark, tmp_path):
                    os.path.join(root, "a.parquet"))
     append_delta_commit(root, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["variantType"],
-                      "writerFeatures": ["variantType"]}},
+                      "readerFeatures": ["unknownFutureFeature"],
+                      "writerFeatures": ["unknownFutureFeature"]}},
         {"metaData": {
             "id": "x", "format": {"provider": "parquet", "options": {}},
             "schemaString": json.dumps({"type": "struct", "fields": [
@@ -128,13 +128,13 @@ def test_reader_feature_gating(spark, tmp_path):
                  "modificationTime": 0, "dataChange": True}},
     ], checkpoint_interval=None)
     # silently misreading a feature-gated table would be wrong —
-    # the gate names the missing capability instead (variantType is
-    # a real future feature this reader does not implement;
+    # the gate names the missing capability instead (a genuinely
+    # unknown future feature;
     # v2Checkpoint joined the SUPPORTED set in r13, typeWidening in
     # r14)
-    with pytest.raises(ValueError, match="variantType"):
+    with pytest.raises(ValueError, match="unknownFutureFeature"):
         read_delta_log(spark, root)
-    with pytest.raises(ValueError, match="variantType"):
+    with pytest.raises(ValueError, match="unknownFutureFeature"):
         read_delta_cdf(spark, root, 0)
     with pytest.raises(ValueError, match="minReaderVersion 4"):
         check_reader_support_at(root, {"minReaderVersion": 4})
@@ -638,8 +638,8 @@ def test_direct_file_consumers_gate_on_protocol(spark, tmp_path):
                    os.path.join(root, "a.parquet"))
     append_delta_commit(root, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["variantType"],
-                      "writerFeatures": ["variantType"]}},
+                      "readerFeatures": ["unknownFutureFeature"],
+                      "writerFeatures": ["unknownFutureFeature"]}},
         {"metaData": {
             "id": "x", "format": {"provider": "parquet", "options": {}},
             "schemaString": json.dumps({"type": "struct", "fields": [
@@ -652,9 +652,9 @@ def test_direct_file_consumers_gate_on_protocol(spark, tmp_path):
         {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
                  "modificationTime": 0, "dataChange": True}},
     ], checkpoint_interval=None)
-    with pytest.raises(ValueError, match="variantType"):
+    with pytest.raises(ValueError, match="unknownFutureFeature"):
         delta_incremental_stream(spark, root, 0, 1, str(tmp_path / "stage"))
-    with pytest.raises(ValueError, match="variantType"):
+    with pytest.raises(ValueError, match="unknownFutureFeature"):
         replicate_delta_versions(spark, root, str(tmp_path / "full"))
 
 def _nested_mapped_meta():

@@ -129,7 +129,7 @@ def test_feature_gate_accepts_widening_rejects_unknown(tmp_path):
     # the preview name is accepted too; a genuinely unknown feature
     # still fails loudly
     for feats, ok in ((["typeWidening-preview"], True),
-                      (["variantType-preview"], False)):
+                      (["unknownFutureFeature"], False)):
         proto = {"minReaderVersion": 3, "minWriterVersion": 7,
                  "readerFeatures": feats}
         if ok:

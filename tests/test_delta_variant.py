@@ -1,0 +1,169 @@
+"""Delta VARIANT reads (PROTOCOL.md "Variant Data Type", r14): the
+schemaString's ``variant`` type parses to Spark's native VariantType
+and the parquet layout Delta-on-Spark writers land (the
+struct<metadata,value> binary pair under the VARIANT logical
+annotation) is Spark's own — so reads, ``variant_get`` extraction,
+deletion vectors and CDF compose through the existing log-schema
+read path."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from iceberg_tools_spark.sources.delta_log import (
+    _write_variant_file,
+    append_delta_commit,
+    commit_delta_dv,
+    read_delta_cdf,
+    read_delta_log,
+)
+
+
+def _variant_table(spark, root: str) -> None:
+    os.makedirs(os.path.join(root, "_delta_log"))
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "payload", "type": "variant", "nullable": True,
+         "metadata": {}},
+    ]})
+    _write_variant_file(spark, root, "a.parquet", range(10))
+    append_delta_commit(root, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["variantType"],
+                      "writerFeatures": ["variantType"]}},
+        {"metaData": {
+            "id": "var", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema, "partitionColumns": [],
+            "configuration": {}, "createdTime": 0,
+        }},
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+
+
+def test_variant_read_and_extraction(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "t")
+    _variant_table(spark, root)
+    df = read_delta_log(spark, root)
+    assert dict(df.dtypes)["payload"] == "variant"
+    got = sorted(
+        (r["id"], r["a"], r["tag"])
+        for r in df.select(
+            "id",
+            F.try_variant_get("payload", "$.a", "long").alias("a"),
+            F.try_variant_get("payload", "$.tag", "string").alias("tag"),
+        ).collect()
+    )
+    assert got == [(i, i, f"t{i % 3}") for i in range(10)]
+
+
+def test_variant_with_dv_and_cdf_reconstruction(spark, tmp_path):
+    """DV merge-on-read composes with variant, and CDF
+    RECONSTRUCTION of the DV commit (no explicit cdc file — our toy
+    DV writer's pyarrow cdc materialization can't read VARIANT
+    footers, so exact-delta cdc stays a real-writer concern) reports
+    the net-correct churn with the variant column intact."""
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "t")
+    _variant_table(spark, root)
+    commit_delta_dv(root, {"a.parquet": [1, 2]}, checkpoint_interval=None)
+    df = read_delta_log(spark, root)
+    assert sorted(r["id"] for r in df.collect()) == [
+        i for i in range(10) if i not in (1, 2)
+    ]
+    cdf = read_delta_cdf(spark, root, 1, 1)
+    dels = cdf.filter("_change_type = 'delete'").select(
+        "id", F.try_variant_get("payload", "$.a", "long").alias("a")
+    )
+    ins = cdf.filter("_change_type = 'insert'")
+    # reconstruction: then-live rows (no prior DV) delete, survivors
+    # re-insert — net-correct churn, variant extraction working
+    assert sorted((r["id"], r["a"]) for r in dels.collect()) == [
+        (i, i) for i in range(10)
+    ]
+    assert sorted(r["id"] for r in ins.collect()) == [
+        i for i in range(10) if i not in (1, 2)
+    ]
+
+
+def test_variant_explicit_cdc_file_reads(spark, tmp_path):
+    """An explicit ``_change_data`` cdc file carrying a variant
+    column — what a REAL variant-writing engine lands — reads
+    through the CDF path's log-schema reader."""
+    import glob
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "t")
+    _variant_table(spark, root)
+    # hand-land a Spark-written cdc file for a delete of ids 3,4
+    cdc_rel = "_change_data/cdc-0001.parquet"
+    tmpdir = str(tmp_path / "cdcpart")
+    (
+        spark.range(3, 5)
+        .select(
+            F.col("id"),
+            F.parse_json(
+                F.concat(F.lit('{"a": '), F.col("id").cast("string"),
+                         F.lit(', "tag": "t'), (F.col("id") % 3).cast("string"),
+                         F.lit('"}'))
+            ).alias("payload"),
+            F.lit("delete").alias("_change_type"),
+        )
+        .coalesce(1)
+        .write.parquet(tmpdir)
+    )
+    os.makedirs(os.path.join(root, "_change_data"))
+    shutil.move(glob.glob(os.path.join(tmpdir, "*.parquet"))[0],
+                os.path.join(root, cdc_rel))
+    append_delta_commit(root, [
+        {"cdc": {"path": cdc_rel, "partitionValues": {}, "size": 1,
+                 "dataChange": False}},
+        {"remove": {"path": "a.parquet", "deletionTimestamp": 1,
+                    "dataChange": True}},
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    cdf = read_delta_cdf(spark, root, 1, 1)
+    got = sorted(
+        (r["id"], r["a"], r["_change_type"])
+        for r in cdf.select(
+            "id", F.try_variant_get("payload", "$.a", "long").alias("a"),
+            "_change_type",
+        ).collect()
+    )
+    assert got == [(3, 3, "delete"), (4, 4, "delete")]
+
+
+def test_vacuum_protocol_check_acknowledged(spark, tmp_path):
+    """vacuumProtocolCheck: readers only acknowledge the feature —
+    a table stamping it must open normally."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    pq.write_table(pa.table({"id": pa.array([1, 2], "int64")}),
+                   os.path.join(root, "a.parquet"))
+    append_delta_commit(root, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["vacuumProtocolCheck"],
+                      "writerFeatures": ["vacuumProtocolCheck"]}},
+        {"metaData": {
+            "id": "vpc", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}}]}),
+            "partitionColumns": [], "configuration": {}, "createdTime": 0,
+        }},
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    assert sorted(r["id"] for r in read_delta_log(spark, root).collect()) == [1, 2]
