@@ -281,6 +281,23 @@ BASELINE_CAL.update(
     {k: round(v / _R13B_CALIBRATION, 3) for k, v in _R13B_RAW.items()}
 )
 
+# Round-14 pins (BASELINE.md v8): the two mid-round headline
+# newcomers, first-run raws from the mid-round full-evidence run at
+# calibration 1.567 (slow-host end of the swing; that run read 88
+# queries at first-run median 0.667 / best-of-2 0.513, zero ≥2×).
+# delta_type_widening_rows: widen-mid-log scratch build + DV +
+# log-schema head read. rest_catalog_rows: warehouse copy + HTTP
+# server spin-up + 2 by-name MoR reads over REST + listings — the
+# raw is fixture+HTTP machinery, not resolution cost.
+_R14_CALIBRATION = 1.567
+_R14_RAW = {
+    "delta_type_widening_rows": 0.51,
+    "rest_catalog_rows": 1.665,
+}
+BASELINE_CAL.update(
+    {k: round(v / _R14_CALIBRATION, 3) for k, v in _R14_RAW.items()}
+)
+
 # headline set: one representative per operator family; grows as
 # batteries land. Every name must exist in registry.queries().
 HEADLINE = [
