@@ -103,6 +103,60 @@ class RestCatalogClient:
         ns = quote(_SEP.join(parts[:-1]), safe="")
         return self._get(self._p(f"/namespaces/{ns}/tables/{quote(parts[-1], safe='')}"))
 
+    def commit_table(
+        self,
+        identifier: str,
+        *,
+        requirements: list[dict[str, Any]] = (),
+        updates: list[dict[str, Any]] = (),
+    ) -> dict[str, Any]:
+        """POST a CommitTableRequest (the spec's updates/requirements
+        shape). A failed requirement surfaces as
+        :class:`~..iceberg.concurrency.CommitConflictError` — the
+        same exception the local optimistic-concurrency path raises,
+        so retry loops are transport-agnostic."""
+        import urllib.error
+        import urllib.request
+        from urllib.parse import quote
+
+        from .concurrency import CommitConflictError
+
+        parts = [p for p in identifier.split(".") if p]
+        if len(parts) < 2:
+            raise ValueError(
+                f"identifier {identifier!r} needs at least namespace.table"
+            )
+        ns = quote(_SEP.join(parts[:-1]), safe="")
+        url = self.uri + self._p(
+            f"/namespaces/{ns}/tables/{quote(parts[-1], safe='')}"
+        )
+        body = json.dumps({
+            "requirements": list(requirements),
+            "updates": list(updates),
+        }).encode("utf-8")
+        req = urllib.request.Request(
+            url, data=body, headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                return json.loads(r.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            detail = e.read().decode("utf-8", errors="replace")
+            try:
+                detail = json.loads(detail).get("error", {}).get("message", detail)
+            except ValueError:
+                pass
+            if e.code == 409:
+                raise CommitConflictError(detail) from None
+            if e.code == 404:
+                raise FileNotFoundError(
+                    f"REST catalog {url!r}: HTTP 404 — {detail}"
+                ) from None
+            raise ValueError(
+                f"REST catalog {url!r}: HTTP {e.code} — {detail}"
+            ) from None
+
     def metadata_path(self, identifier: str, scratch_dir: str | None = None) -> str:
         """A LOCAL metadata.json path for the table: the service's
         ``metadata-location`` when it resolves on this filesystem
@@ -225,19 +279,133 @@ ORDER BY measure
 # ------------------------------------------- local fixture server
 
 
+def _apply_commit(
+    warehouse: str,
+    identifier: str,
+    body: dict[str, Any],
+) -> tuple[int, dict[str, Any]]:
+    """Validate a CommitTableRequest against the table's CURRENT
+    state and apply its updates as a new ``v(N+1).metadata.json``
+    (tmp + atomic rename + version-hint, the HadoopCatalog commit
+    protocol). Returns ``(http_status, payload)``; requirement
+    failures are 409 (the spec's CommitFailedException), unsupported
+    requirement/update kinds are 400 — never silently ignored."""
+    import gzip
+    import re as _re
+
+    from .catalog import current_metadata_path, write_version_hint
+
+    mpath = current_metadata_path(warehouse, identifier)
+    opener = gzip.open if mpath.endswith(".gz") else open
+    with opener(mpath, "rt") as f:
+        raw = json.load(f)
+
+    refs = raw.setdefault("refs", {})
+
+    def _ref_head(name: str):
+        if name in refs:
+            return refs[name].get("snapshot-id")
+        if name == "main":
+            return raw.get("current-snapshot-id")
+        return None
+
+    for req in body.get("requirements", []):
+        t = req.get("type")
+        if t == "assert-table-uuid":
+            if raw.get("table-uuid") != req.get("uuid"):
+                return 409, {"error": {"message": (
+                    f"table uuid changed: {raw.get('table-uuid')} != "
+                    f"{req.get('uuid')}"), "type": "CommitFailedException",
+                    "code": 409}}
+        elif t == "assert-ref-snapshot-id":
+            cur = _ref_head(req.get("ref"))
+            want = req.get("snapshot-id")
+            if cur != want:
+                return 409, {"error": {"message": (
+                    f"ref {req.get('ref')!r} moved: expected "
+                    f"{want}, found {cur}"),
+                    "type": "CommitFailedException", "code": 409}}
+        else:
+            return 400, {"error": {"message": (
+                f"unsupported requirement type {t!r}"), "code": 400}}
+
+    snapshots = raw.setdefault("snapshots", [])
+    by_id = {s["snapshot-id"]: s for s in snapshots}
+    for up in body.get("updates", []):
+        a = up.get("action")
+        if a == "add-snapshot":
+            snap = up["snapshot"]
+            snapshots.append(snap)
+            by_id[snap["snapshot-id"]] = snap
+            seq = snap.get("sequence-number")
+            if seq is not None:
+                raw["last-sequence-number"] = max(
+                    raw.get("last-sequence-number", 0), seq
+                )
+            raw["last-updated-ms"] = max(
+                raw.get("last-updated-ms", 0), snap.get("timestamp-ms", 0)
+            )
+        elif a == "set-snapshot-ref":
+            name = up["ref-name"]
+            sid = up["snapshot-id"]
+            if sid not in by_id:
+                return 400, {"error": {"message": (
+                    f"set-snapshot-ref {name!r}: unknown snapshot {sid}"),
+                    "code": 400}}
+            entry = {"snapshot-id": sid, "type": up.get("type", "branch")}
+            refs[name] = entry
+            if name == "main":
+                raw["current-snapshot-id"] = sid
+                raw.setdefault("snapshot-log", []).append({
+                    "timestamp-ms": by_id[sid].get(
+                        "timestamp-ms", raw.get("last-updated-ms", 0)
+                    ),
+                    "snapshot-id": sid,
+                })
+        elif a == "set-properties":
+            raw.setdefault("properties", {}).update(up.get("updates", {}))
+        elif a == "remove-properties":
+            for k in up.get("removals", []):
+                raw.get("properties", {}).pop(k, None)
+        else:
+            return 400, {"error": {"message": (
+                f"unsupported update action {a!r}"), "code": 400}}
+
+    m = _re.search(r"v(\d+)\.metadata\.json", os.path.basename(mpath))
+    nxt = os.path.join(
+        os.path.dirname(mpath), f"v{int(m.group(1)) + 1}.metadata.json"
+    )
+    tmp = nxt + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(raw, f, indent=2)
+    os.replace(tmp, nxt)
+    write_version_hint(nxt)
+    return 200, {
+        "metadata-location": f"file://{os.path.abspath(nxt)}",
+        "metadata": raw,
+        "config": {},
+    }
+
+
 def serve_rest_catalog(warehouse: str, *, prefix: str = ""):
-    """Serve the read endpoints over a Hadoop-style warehouse
-    directory on ``127.0.0.1:<ephemeral>`` in a daemon thread.
-    Returns ``(server, base_uri)``; call ``server.shutdown()`` when
-    done. Resolution reuses the FS catalog (version-hint + listing
-    fallback), so the served state is exactly what the FS catalog
-    would resolve — the fixture trusts one resolver, not two."""
+    """Serve the read endpoints — plus the COMMIT endpoint (POST
+    CommitTableRequest with assert-ref-snapshot-id /
+    assert-table-uuid requirements and add-snapshot /
+    set-snapshot-ref / set-/remove-properties updates, applied
+    atomically under a server-side lock) — over a Hadoop-style
+    warehouse directory on ``127.0.0.1:<ephemeral>`` in a daemon
+    thread. Returns ``(server, base_uri)``; call
+    ``server.shutdown()`` when done. Resolution reuses the FS
+    catalog (version-hint + listing fallback), so the served state
+    is exactly what the FS catalog would resolve — the fixture
+    trusts one resolver, not two."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
     from urllib.parse import unquote
 
     from .catalog import current_metadata_path, list_tables
 
     pre = prefix.strip("/")
+    commit_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet test output
@@ -303,6 +471,34 @@ def serve_rest_catalog(warehouse: str, *, prefix: str = ""):
                     "config": {},
                 })
             return self._err(404, f"unknown path {self.path!r}")
+
+        def do_POST(self):  # noqa: N802 (http.server API)
+            parts = [unquote(p) for p in self.path.split("?")[0].split("/") if p]
+            if parts and parts[0] == "v1":
+                parts = parts[1:]
+            if pre:
+                pre_parts = pre.split("/")
+                if parts[: len(pre_parts)] != pre_parts:
+                    return self._err(404, f"unknown prefix in {self.path!r}")
+                parts = parts[len(pre_parts):]
+            if not (
+                len(parts) == 4
+                and parts[0] == "namespaces"
+                and parts[2] == "tables"
+            ):
+                return self._err(404, f"unknown path {self.path!r}")
+            ident = ".".join(parts[1].split(_SEP) + [parts[3]])
+            length = int(self.headers.get("Content-Length") or 0)
+            try:
+                body = json.loads(self.rfile.read(length)) if length else {}
+            except ValueError:
+                return self._err(400, "request body is not JSON")
+            with commit_lock:
+                try:
+                    code, payload = _apply_commit(warehouse, ident, body)
+                except FileNotFoundError as e:
+                    return self._err(404, str(e))
+            return self._json(code, payload)
 
     server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
     t = threading.Thread(target=server.serve_forever, daemon=True)

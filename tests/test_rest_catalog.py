@@ -87,6 +87,102 @@ def test_prefix_routing(tmp_path):
         server.shutdown()
 
 
+def test_commit_properties_roundtrip(served):
+    """REST commit: set-/remove-properties with assert-table-uuid."""
+    from iceberg_tools_spark.iceberg.concurrency import CommitConflictError
+
+    _wh, uri = served
+    c = RestCatalogClient(uri)
+    uuid = c.load_table("db.events")["metadata"]["table-uuid"]
+    res = c.commit_table(
+        "db.events",
+        requirements=[{"type": "assert-table-uuid", "uuid": uuid}],
+        updates=[{"action": "set-properties",
+                  "updates": {"owner": "pipeline", "tier": "gold"}}],
+    )
+    assert res["metadata"]["properties"]["owner"] == "pipeline"
+    assert res["metadata-location"].endswith("v3.metadata.json")
+    # visible through a fresh GET (the commit moved the hint)
+    props = c.load_table("db.events")["metadata"]["properties"]
+    assert props["tier"] == "gold"
+    c.commit_table("db.events", updates=[
+        {"action": "remove-properties", "removals": ["tier"]}])
+    assert "tier" not in c.load_table("db.events")["metadata"]["properties"]
+    # a wrong uuid is the spec's CommitFailedException → conflict
+    with pytest.raises(CommitConflictError, match="uuid"):
+        c.commit_table(
+            "db.events",
+            requirements=[{"type": "assert-table-uuid", "uuid": "nope"}],
+            updates=[{"action": "set-properties", "updates": {"x": "1"}}],
+        )
+
+
+def test_commit_ref_move_and_optimistic_conflict(spark, served):
+    """set-snapshot-ref with assert-ref-snapshot-id: a rollback
+    commits over REST; a SECOND writer holding the stale head gets
+    the 409 → CommitConflictError (optimistic concurrency over the
+    wire, same exception as the local path)."""
+    from iceberg_tools_spark.iceberg.concurrency import CommitConflictError
+
+    _wh, uri = served
+    c = RestCatalogClient(uri)
+    head = c.load_table("db.events")["metadata"]["current-snapshot-id"]
+    assert head == 2004
+    # writer A rolls main back to 2002, gated on the head it read
+    c.commit_table(
+        "db.events",
+        requirements=[{"type": "assert-ref-snapshot-id", "ref": "main",
+                       "snapshot-id": head}],
+        updates=[{"action": "set-snapshot-ref", "ref-name": "main",
+                  "snapshot-id": 2002, "type": "branch"}],
+    )
+    assert load_table_rest(spark, uri, "db.events").count() == 300
+    # writer B still believes main == 2004 → conflict, nothing moves
+    with pytest.raises(CommitConflictError, match="moved"):
+        c.commit_table(
+            "db.events",
+            requirements=[{"type": "assert-ref-snapshot-id", "ref": "main",
+                           "snapshot-id": head}],
+            updates=[{"action": "set-snapshot-ref", "ref-name": "main",
+                      "snapshot-id": 2003, "type": "branch"}],
+        )
+    assert c.load_table("db.events")["metadata"]["current-snapshot-id"] == 2002
+
+
+def test_commit_add_snapshot_and_publish(spark, served):
+    """add-snapshot + set-snapshot-ref in ONE commit — the commit
+    shape a staging writer publishes with. The snapshot references
+    an existing manifest list (the storage plane the client owns);
+    the REST server only moves metadata."""
+    _wh, uri = served
+    c = RestCatalogClient(uri)
+    meta = c.load_table("db.events")["metadata"]
+    base = next(s for s in meta["snapshots"] if s["snapshot-id"] == 2002)
+    snap = dict(base)
+    snap["snapshot-id"] = 9001
+    snap["timestamp-ms"] = base["timestamp-ms"] + 1000
+    snap["parent-snapshot-id"] = meta["current-snapshot-id"]
+    res = c.commit_table(
+        "db.events",
+        requirements=[{"type": "assert-ref-snapshot-id", "ref": "main",
+                       "snapshot-id": meta["current-snapshot-id"]}],
+        updates=[
+            {"action": "add-snapshot", "snapshot": snap},
+            {"action": "set-snapshot-ref", "ref-name": "main",
+             "snapshot-id": 9001, "type": "branch"},
+        ],
+    )
+    assert res["metadata"]["current-snapshot-id"] == 9001
+    assert res["metadata"]["snapshot-log"][-1]["snapshot-id"] == 9001
+    # readable by name at the new head (2002's state under id 9001)
+    assert load_table_rest(spark, uri, "db.events").count() == 300
+    # unknown snapshot in set-snapshot-ref is a 400, not silence
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        c.commit_table("db.events", updates=[
+            {"action": "set-snapshot-ref", "ref-name": "main",
+             "snapshot-id": 777, "type": "branch"}])
+
+
 def test_inline_metadata_fallback(spark, served, tmp_path):
     """A service whose metadata-location does NOT resolve locally
     (object stores) still loads: the inline metadata materializes and
