@@ -86,6 +86,8 @@ def _legal_promotion(old: str, new: str) -> bool:
 _ADDABLE_TYPES = {
     "long", "int", "string", "double", "float", "boolean", "date",
     "timestamp", "timestamptz",
+    # Iceberg v3 semi-structured type (Spark-native VariantType)
+    "variant",
 }
 
 
@@ -228,6 +230,10 @@ _SPARK_OF_TYPE: dict[str, T.DataType] = {
     "timestamp": T.TimestampNTZType(),
     "timestamptz": T.TimestampType(),
     "binary": T.BinaryType(),
+    # Iceberg v3 semi-structured type → Spark 4.x's native VariantType
+    # (same physical parquet layout both sides: the metadata/value
+    # binary pair under the VARIANT logical annotation)
+    "variant": T.VariantType(),
 }
 
 
