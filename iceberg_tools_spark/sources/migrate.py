@@ -37,6 +37,9 @@ _DELTA_TO_ICEBERG_TYPE = {
     "long": "long", "integer": "int", "string": "string",
     "double": "double", "float": "float", "boolean": "boolean",
     "date": "date", "timestamp": "timestamptz", "binary": "binary",
+    # both specs' semi-structured type; the physical parquet layout
+    # is Spark's VARIANT annotation on both sides (r14)
+    "variant": "variant",
 }
 
 
@@ -112,6 +115,27 @@ def migrate_delta_to_iceberg(
         w = w.partitionBy(*aliases)
     w.parquet(tmp)
 
+    # variant columns: pyarrow can't parse the VARIANT footer type,
+    # so append_snapshot's footer-derived record counts are
+    # unavailable — ONE Spark job collects per-file counts instead
+    # (a row per FILE, metadata-scale; gated so non-variant
+    # migrations keep their job count)
+    counts: dict[str, int] | None = None
+    if any(f["type"] == "variant" for f in schema_fields):
+        counts = {
+            os.path.basename(r["f"]): r["n"]
+            for r in spark.read.parquet(tmp)
+            .groupBy(F.col("_metadata.file_path").alias("f"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    def _entry(part_path: str, rel: str, parts: dict) -> dict[str, Any]:
+        e: dict[str, Any] = {"path": rel, "partition": parts}
+        if counts is not None:
+            e["record_count"] = int(counts[os.path.basename(part_path)])
+        return e
+
     files = []
     if part_cols:
         for pdir in sorted(glob.glob(os.path.join(tmp, "*=*"))):
@@ -125,13 +149,15 @@ def migrate_delta_to_iceberg(
             for i, part in enumerate(sorted(glob.glob(os.path.join(pdir, "part-*.parquet")))):
                 rel = f"data/{'/'.join(segs)}/m{i:05d}.parquet"
                 os.makedirs(os.path.dirname(os.path.join(target_root, rel)), exist_ok=True)
+                entry = _entry(part, rel, dict(parts))
                 os.replace(part, os.path.join(target_root, rel))
-                files.append({"path": rel, "partition": dict(parts)})
+                files.append(entry)
     else:
         for i, part in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))):
             rel = f"data/m{i:05d}.parquet"
+            entry = _entry(part, rel, {})
             os.replace(part, os.path.join(target_root, rel))
-            files.append({"path": rel, "partition": {}})
+            files.append(entry)
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)

@@ -167,3 +167,47 @@ def test_vacuum_protocol_check_acknowledged(spark, tmp_path):
                  "modificationTime": 0, "dataChange": True}},
     ], checkpoint_interval=None)
     assert sorted(r["id"] for r in read_delta_log(spark, root).collect()) == [1, 2]
+
+
+def test_variant_migrates_delta_to_iceberg_and_back(spark, tmp_path):
+    """The migration bridge carries variant columns: Delta source →
+    Iceberg v2 materialization (per-file record counts from ONE
+    Spark job — pyarrow can't parse VARIANT footers) → export back
+    to Delta, extraction equal at every hop."""
+    import pyspark.sql.functions as F
+
+    from iceberg_tools_spark.iceberg.deletes import read_mor
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+    from iceberg_tools_spark.sources.migrate import (
+        export_iceberg_to_delta,
+        migrate_delta_to_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    _variant_table(spark, root)
+
+    def extraction(df):
+        return sorted(
+            (r["id"], r["a"], r["tag"])
+            for r in df.select(
+                "id",
+                F.try_variant_get("payload", "$.a", "long").alias("a"),
+                F.try_variant_get("payload", "$.tag", "string").alias("tag"),
+            ).collect()
+        )
+
+    want = extraction(read_delta_log(spark, root))
+    assert len(want) == 10
+
+    ice = str(tmp_path / "ice")
+    res = migrate_delta_to_iceberg(spark, root, ice)
+    ice_df = read_mor(spark, res["metadata_path"], res["snapshot_id"])
+    assert dict(ice_df.dtypes)["payload"] == "variant"
+    assert extraction(ice_df) == want
+
+    back = str(tmp_path / "back")
+    meta = parse_metadata(res["metadata_path"])
+    export_iceberg_to_delta(
+        spark, res["metadata_path"], meta.current_snapshot_id, back
+    )
+    assert extraction(read_delta_log(spark, back)) == want
