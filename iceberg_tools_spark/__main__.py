@@ -36,6 +36,14 @@ TOOLS = {
         cli_tools.delta_log_cleanup_main,
         "Plans (default) or executes checkpoint-gated log retention cleanup.",
     ),
+    "rest-serve": (
+        cli_tools.rest_serve_main,
+        "Serves a Hadoop-style warehouse through the REST catalog protocol.",
+    ),
+    "rest-resolve": (
+        cli_tools.rest_resolve_main,
+        "Prints a table's current metadata location via a REST catalog.",
+    ),
 }
 
 

@@ -208,3 +208,53 @@ def delta_log_cleanup_main(argv: list[str]) -> int:
     for p in res["removed_commits"] + res["removed_checkpoints"]:
         sys.stdout.write(p + "\n")
     return 0
+
+
+def rest_serve_main(argv: list[str]) -> int:
+    """``rest-serve <warehouse> [--port=N] [--prefix=P]`` — serve a
+    Hadoop-style warehouse through the spec-derived REST catalog
+    server (read endpoints + the commit endpoint) until Ctrl-C.
+    Prints the base URI once the socket is bound."""
+    from .rest_catalog import serve_rest_catalog
+
+    try:
+        flags, args = _parse_flags(argv, {"port": int, "prefix": str})
+    except ValueError as exc:
+        sys.stderr.write(f"{exc}\n")
+        return 1
+    if len(args) != 1:
+        sys.stderr.write(
+            "usage: rest-serve <warehouse> [--port=N] [--prefix=P]\n"
+        )
+        return 1
+    server, uri = serve_rest_catalog(
+        args[0], prefix=flags.get("prefix", ""), port=flags.get("port", 0)
+    )
+    sys.stdout.write(uri + "\n")
+    sys.stdout.flush()
+    try:
+        import time
+
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        server.shutdown()
+    return 0
+
+
+def rest_resolve_main(argv: list[str]) -> int:
+    """``rest-resolve <uri> <db.table>`` — the table's CURRENT
+    metadata location through a REST catalog (the REST twin of
+    ``catalog-resolve``)."""
+    from .rest_catalog import RestCatalogClient
+
+    if len(argv) != 2:
+        sys.stderr.write("usage: rest-resolve <uri> <db.table>\n")
+        return 1
+    try:
+        res = RestCatalogClient(argv[0]).load_table(argv[1])
+    except (FileNotFoundError, ValueError) as exc:
+        sys.stderr.write(f"{exc}\n")
+        return 1
+    sys.stdout.write(res["metadata-location"] + "\n")
+    return 0

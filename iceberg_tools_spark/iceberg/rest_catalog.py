@@ -387,7 +387,7 @@ def _apply_commit(
     }
 
 
-def serve_rest_catalog(warehouse: str, *, prefix: str = ""):
+def serve_rest_catalog(warehouse: str, *, prefix: str = "", port: int = 0):
     """Serve the read endpoints — plus the COMMIT endpoint (POST
     CommitTableRequest with assert-ref-snapshot-id /
     assert-table-uuid requirements and add-snapshot /
@@ -500,7 +500,7 @@ def serve_rest_catalog(warehouse: str, *, prefix: str = ""):
                     return self._err(404, str(e))
             return self._json(code, payload)
 
-    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return server, f"http://127.0.0.1:{server.server_address[1]}"
