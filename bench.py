@@ -281,18 +281,23 @@ BASELINE_CAL.update(
     {k: round(v / _R13B_CALIBRATION, 3) for k, v in _R13B_RAW.items()}
 )
 
-# Round-14 pins (BASELINE.md v8): the two mid-round headline
-# newcomers, first-run raws from the mid-round full-evidence run at
-# calibration 1.567 (slow-host end of the swing; that run read 88
-# queries at first-run median 0.667 / best-of-2 0.513, zero ≥2×).
+# Round-14 pins (BASELINE.md v8): the three r14 headline newcomers,
+# first-run raws from the END-of-round full run at calibration 0.855
+# (the mid-round pins were taken on a 1.567-calibration host, which
+# UNDER-set the unit level of these fixed-overhead gates — the
+# documented slow-host artifact; re-pinned same-code from the faster
+# host so future runs read honestly).
 # delta_type_widening_rows: widen-mid-log scratch build + DV +
 # log-schema head read. rest_catalog_rows: warehouse copy + HTTP
 # server spin-up + 2 by-name MoR reads over REST + listings — the
 # raw is fixture+HTTP machinery, not resolution cost.
-_R14_CALIBRATION = 1.567
+# delta_variant_rows: two Spark variant-parquet writes + DV commit +
+# variant_get extraction rollup.
+_R14_CALIBRATION = 0.855
 _R14_RAW = {
-    "delta_type_widening_rows": 0.51,
-    "rest_catalog_rows": 1.665,
+    "delta_type_widening_rows": 0.688,
+    "rest_catalog_rows": 2.486,
+    "delta_variant_rows": 1.241,
 }
 BASELINE_CAL.update(
     {k: round(v / _R14_CALIBRATION, 3) for k, v in _R14_RAW.items()}
@@ -625,7 +630,10 @@ def _dv_transfer_scale_evidence(spark) -> dict:
     Roaring blob, measured as the replica's ``deletion_vector_*.bin``
     size — stays ~FLAT (run-compressed ranges) instead of growing
     8 B/row like the raw position list the old ``collect_set`` path
-    shipped. Spark job count stays flat too (one encode job per
+    shipped. The SCATTERED leg is the honest worst case: stride-2
+    positions defeat run compression (Roaring bitmap mode, ~0.13
+    B/row) yet the blob still beats raw positions ~60× AND encodes
+    executor-side. Spark job count stays flat (one encode job per
     version regardless of victim count)."""
     import tempfile
 
@@ -642,8 +650,8 @@ def _dv_transfer_scale_evidence(spark) -> dict:
     sc = spark.sparkContext
     out = {"legs": []}
     n_rows = 400_000
-    for n_deleted in (2_000, 200_000):
-        work = tempfile.mkdtemp(prefix=f"dv_transfer_{n_deleted}_")
+    for n_deleted, stride in ((2_000, 1), (200_000, 1), (200_000, 2)):
+        work = tempfile.mkdtemp(prefix=f"dv_transfer_{n_deleted}_{stride}_")
         root = os.path.join(work, "ice")
         os.makedirs(root)
         mp = create_table(root, [("id", "long")])
@@ -662,14 +670,15 @@ def _dv_transfer_scale_evidence(spark) -> dict:
         pq.write_table(
             pa.table({
                 "file_path": pa.array([f"{loc}/{rel}"] * n_deleted),
-                "pos": pa.array(range(n_deleted), pa.int64()),
+                "pos": pa.array(range(0, n_deleted * stride, stride),
+                                pa.int64()),
             }),
             os.path.join(root, drel),
         )
         mp = commit_delete_snapshot(
             mp, [{"path": drel, "partition": {}, "content": 1}]
         )["metadata_path"]
-        group = f"dv_transfer_{n_deleted}"
+        group = f"dv_transfer_{n_deleted}_{stride}"
         sc.setJobGroup(group, "dv transfer scale")
         t0 = time.perf_counter()
         res = replicate_iceberg_to_delta(
@@ -685,6 +694,7 @@ def _dv_transfer_scale_evidence(spark) -> dict:
         )
         out["legs"].append({
             "n_deleted": n_deleted,
+            "stride": stride,  # 2 = scattered, defeats run compression
             "dv_bin_bytes": dv_bytes,  # driver transfer ~ this, not 8B/row
             "raw_positions_bytes": n_deleted * 8,  # what the old path shipped
             "spark_jobs": jobs,
