@@ -439,6 +439,14 @@ _SUPPORTED_READER_FEATURES = {
     # by tests/test_delta_variant.py.
     "variantType",
     "variantType-preview",
+    # variantShredding (r14): Spark 4.1 both WRITES shredded
+    # variants by default (inferShreddingSchema=true — the engine's
+    # own variant fixtures physically carry typed_value columns,
+    # footer-pinned in tests) and reassembles them on read
+    # (allowReadingShredded=true), so shredded tables read through
+    # the same VariantType schema path.
+    "variantShredding",
+    "variantShredding-preview",
     # vacuumProtocolCheck: per PROTOCOL.md, readers "don't need to
     # understand or change anything new; they just need to
     # acknowledge the feature exists" — the feature forces VACUUM

@@ -211,3 +211,46 @@ def test_variant_migrates_delta_to_iceberg_and_back(spark, tmp_path):
         spark, res["metadata_path"], meta.current_snapshot_id, back
     )
     assert extraction(read_delta_log(spark, back)) == want
+
+
+def test_variant_fixture_is_physically_shredded_and_gated(spark, tmp_path):
+    """Spark 4.1 writes variant SHREDDED by default
+    (inferShreddingSchema — typed_value columns in the footer) and
+    reassembles shredded values on read, so the variantShredding
+    feature reads through the same path: the fixture file is
+    footer-pinned shredded, and a table stamping
+    variantShredding-preview opens and extracts correctly."""
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    _write_variant_file(spark, root, "a.parquet", range(6))
+    raw = open(os.path.join(root, "a.parquet"), "rb").read()
+    assert b"typed_value" in raw  # physically shredded layout
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "payload", "type": "variant", "nullable": True,
+         "metadata": {}},
+    ]})
+    append_delta_commit(root, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["variantType",
+                                         "variantShredding-preview"],
+                      "writerFeatures": ["variantType",
+                                         "variantShredding-preview"]}},
+        {"metaData": {
+            "id": "vs", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema, "partitionColumns": [],
+            "configuration": {}, "createdTime": 0,
+        }},
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    df = read_delta_log(spark, root)
+    got = sorted(
+        (r["id"], r["a"])
+        for r in df.select(
+            "id", F.try_variant_get("payload", "$.a", "long").alias("a")
+        ).collect()
+    )
+    assert got == [(i, i) for i in range(6)]
