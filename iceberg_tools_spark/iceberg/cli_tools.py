@@ -251,9 +251,12 @@ def rest_resolve_main(argv: list[str]) -> int:
     if len(argv) != 2:
         sys.stderr.write("usage: rest-resolve <uri> <db.table>\n")
         return 1
+    import urllib.error
+
     try:
         res = RestCatalogClient(argv[0]).load_table(argv[1])
-    except (FileNotFoundError, ValueError) as exc:
+    except (FileNotFoundError, ValueError, RuntimeError,
+            urllib.error.URLError) as exc:
         sys.stderr.write(f"{exc}\n")
         return 1
     sys.stdout.write(res["metadata-location"] + "\n")

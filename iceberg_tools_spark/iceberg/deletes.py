@@ -518,6 +518,8 @@ def attach_identity_partition_columns(
     df: DataFrame,
     data: list[dict[str, Any]],
     meta: TableMetadata,
+    *,
+    coalesce_present: bool = False,
 ) -> DataFrame:
     """Re-attach identity-partition source columns that are absent
     from the physical parquet (hive-imported tables keep them ONLY
@@ -526,7 +528,17 @@ def attach_identity_partition_columns(
     file, so it joins in from the one-row-per-FILE entry list via
     the same broadcast ``_rel`` key ``mor_frame`` uses for sequence
     numbers — Iceberg's identity-partition constant folding. No-op
-    (zero extra plan nodes) when every source column is physical."""
+    (zero extra plan nodes) when every source column is physical.
+
+    ``coalesce_present``: also attach columns that ARE in the scan
+    schema, per-row coalescing the physical value with the entry
+    constant. A MIXED table — some files carry the column
+    physically, some keep it log/manifest-only, which mergeSchema
+    surfaces as one nullable column — needs the per-file fallback or
+    the log-only files' rows read NULL (r14: a column-mapped Delta
+    replica's verbatim files after a logical-named rewrite joins).
+    Callers whose tables are uniformly physical keep the default:
+    zero extra plan nodes."""
     raw = meta.raw
     schema = next(
         s for s in raw.get("schemas", [raw.get("schema", {})])
@@ -536,12 +548,20 @@ def attach_identity_partition_columns(
     col_type = {f["id"]: f["type"] for f in schema.get("fields", [])}
     have = set(df.columns)
     missing: list[tuple[str, str, str]] = []  # (field name, col, spark type)
+    partial: list[tuple[str, str, str]] = []  # present → coalesce per row
     for spec in raw.get("partition-specs", []):
         for f in spec.get("fields", []):
             if f.get("transform", "identity") != "identity":
                 continue
             src = col_name.get(f["source-id"])
-            if src is None or src in have:
+            if src is None:
+                continue
+            bucket = None
+            if src not in have:
+                bucket = missing
+            elif coalesce_present:
+                bucket = partial
+            if bucket is None:
                 continue
             spark_t = _ICE_TO_SPARK.get(col_type[f["source-id"]])
             if spark_t is None:
@@ -549,23 +569,29 @@ def attach_identity_partition_columns(
                     f"cannot attach partition column {src!r} of type "
                     f"{col_type[f['source-id']]!r}"
                 )
-            if not any(m[1] == src for m in missing):
-                missing.append((f["name"], src, spark_t))
-    if not missing:
+            if not any(m[1] == src for m in missing + partial):
+                bucket.append((f["name"], src, spark_t))
+    if not missing and not partial:
         return df
+    allcols = missing + partial
     rows = [
-        tuple([e["rel"]] + [e["partition"].get(fname) for fname, _, _ in missing])
+        tuple([e["rel"]] + [e["partition"].get(fname) for fname, _, _ in allcols])
         for e in data
     ]
     part_df = spark.createDataFrame(
-        rows, ["_part_rel"] + [src for _, src, _ in missing]
+        rows, ["_part_rel"] + [f"_pc_{src}" for _, src, _ in allcols]
     ).select(
         "_part_rel",
-        *[F.col(src).cast(t).alias(src) for _, src, t in missing],
+        *[F.col(f"_pc_{src}").cast(t).alias(f"_pc_{src}") for _, src, t in allcols],
     )
-    return df.join(
+    df = df.join(
         F.broadcast(part_df), df["_rel"] == part_df["_part_rel"], "left"
     ).drop("_part_rel")
+    for _, src, _t in missing:
+        df = df.withColumn(src, F.col(f"_pc_{src}"))
+    for _, src, _t in partial:
+        df = df.withColumn(src, F.coalesce(F.col(src), F.col(f"_pc_{src}")))
+    return df.drop(*[f"_pc_{src}" for _, src, _ in allcols])
 
 
 def read_mor(
@@ -590,7 +616,10 @@ def read_mor(
     if not data:
         raise ValueError(f"snapshot {snapshot_id} has no live data files")
     df = mor_frame(spark, data)
-    if (meta.raw.get("properties") or {}).get("schema.name-mapping.default"):
+    mapped = bool(
+        (meta.raw.get("properties") or {}).get("schema.name-mapping.default")
+    )
+    if mapped:
         # foreign physical column names (e.g. a column-mapped Delta
         # source replicated verbatim) bind to logical names through
         # the table's explicit name mapping — one projection, no-op
@@ -598,7 +627,13 @@ def read_mor(
         from .evolution import apply_table_name_mapping
 
         df = apply_table_name_mapping(df, meta)
-    df = attach_identity_partition_columns(spark, df, data, meta)
+    # name-mapped tables may MIX log-only and physical partition
+    # columns across files (a logical-named rewrite joins the
+    # verbatim copies) → per-row coalesce with the entry constants;
+    # uniform tables keep the zero-extra-nodes fast path
+    df = attach_identity_partition_columns(
+        spark, df, data, meta, coalesce_present=mapped
+    )
     out_cols = [c for c in df.columns if c not in ("_rel", "_pos", "_seq")]
     return apply_deletes(spark, meta, df, dels, mode="survivors").select(*out_cols)
 

@@ -459,14 +459,23 @@ def table_name_mapping(
 
 
 def apply_table_name_mapping(df, meta: "TableMetadata | dict[str, Any]"):
-    """Rename a scanned frame's FOREIGN physical column names to the
+    """Bind a scanned frame's FOREIGN physical column names to the
     table's logical field names per ``schema.name-mapping.default``
-    (top-level; one cheap projection, no data movement). A column
-    already carrying its logical name wins — the mapping only fills
-    fields the scan surfaced under an alias. No-op when the property
-    is absent. This is the post-scan half of the spec's name-mapping
-    rule for readers that scan whole file groups (``mor_frame``)
-    rather than per-signature projections."""
+    (top-level; one cheap projection, no data movement). No-op when
+    the property is absent. This is the post-scan half of the spec's
+    name-mapping rule for readers that scan whole file groups
+    (``mor_frame``) rather than per-signature projections:
+
+    * only the PHYSICAL alias present → rename it;
+    * BOTH names present (a MIXED table — verbatim physical-named
+      files plus logical-named files a later rewrite/compaction
+      wrote; mergeSchema surfaces both columns) → per-row COALESCE:
+      each file physically carries exactly one of the two, so its
+      rows are non-null under exactly one name. A global
+      rename-or-skip here silently nulled the mapped columns of
+      every verbatim file the moment one logical-named file joined
+      the table (review r14).
+    """
     nm = table_name_mapping(meta)
     if not nm:
         return df
@@ -477,24 +486,36 @@ def apply_table_name_mapping(df, meta: "TableMetadata | dict[str, Any]"):
     )
     names_of = {m["field-id"]: m["names"] for m in nm}
     cols = set(df.columns)
-    renames: dict[str, str] = {}
+    renames: dict[str, str] = {}  # physical → logical (logical absent)
+    merges: dict[str, str] = {}  # physical → logical (both present)
     for f in cur.get("fields", []):
         logical = f["name"]
-        if logical in cols:
-            continue
         phys = next(
-            (n for n in names_of.get(int(f["id"]), []) if n in cols), None
+            (n for n in names_of.get(int(f["id"]), [])
+             if n in cols and n != logical),
+            None,
         )
-        if phys is not None and phys != logical:
+        if phys is None:
+            continue
+        if logical in cols:
+            merges[phys] = logical
+        else:
             renames[phys] = logical
-    if not renames:
+    if not renames and not merges:
         return df
-    return df.select(
-        *[
-            F.col(c).alias(renames[c]) if c in renames else F.col(c)
-            for c in df.columns
-        ]
-    )
+    out = []
+    drop_phys = set(merges)
+    for c in df.columns:
+        if c in renames:
+            out.append(F.col(c).alias(renames[c]))
+        elif c in drop_phys:
+            continue  # folded into its logical twin below
+        elif c in merges.values():
+            phys = next(p for p, lg in merges.items() if lg == c)
+            out.append(F.coalesce(F.col(c), F.col(phys)).alias(c))
+        else:
+            out.append(F.col(c))
+    return df.select(out)
 
 
 def default_name_mapping(meta: TableMetadata | dict[str, Any]) -> list[dict[str, Any]]:

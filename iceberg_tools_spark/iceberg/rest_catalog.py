@@ -66,7 +66,14 @@ class RestCatalogClient:
                 detail = json.loads(body).get("error", {}).get("message", body)
             except ValueError:
                 detail = body
-            raise FileNotFoundError(
+            if e.code == 404:
+                raise FileNotFoundError(
+                    f"REST catalog {url!r}: HTTP 404 — {detail}"
+                ) from None
+            # 5xx/auth/4xx faults are SERVICE errors, not missing
+            # tables — callers must be able to retry/re-auth rather
+            # than treat them as not-found (review r14)
+            raise RuntimeError(
                 f"REST catalog {url!r}: HTTP {e.code} — {detail}"
             ) from None
 
@@ -498,6 +505,12 @@ def serve_rest_catalog(warehouse: str, *, prefix: str = "", port: int = 0):
                     code, payload = _apply_commit(warehouse, ident, body)
                 except FileNotFoundError as e:
                     return self._err(404, str(e))
+                except (KeyError, TypeError, ValueError) as e:
+                    # malformed CommitTableRequest → the spec's 400
+                    # payload, never a dropped connection (review r14)
+                    return self._err(
+                        400, f"malformed commit request: {type(e).__name__}: {e}"
+                    )
             return self._json(code, payload)
 
     server = ThreadingHTTPServer(("127.0.0.1", port), Handler)

@@ -1116,18 +1116,19 @@ def _apply_window(names: list[str]) -> None:
 # ============================= ROUND-14 WINDOW (same mechanism:
 # a dict REORDER over the single declarations above).
 #
-# Budget (VERDICT r13 #1/#2): 1 canary; 2-3 FIRST CERTIFICATION —
-# delta_schema_evolution_rows (the only key in history with no
-# CORRECTNESS row, VERDICT r13 #1) and the r14 typeWidening
-# newcomer; 4-8 re-certification of keys whose implementation
-# changed this round (vacuum's v2-JSON-top inline-action harvest,
-# torn-top discovery tolerance + atomic parquet tops, the empty-
-# partition_filter contract, the executor-side DV-blob replication
-# rework + spec partition-value serialization, the
-# write_delta_dv_file→blobs refactor under commit_delta_dv);
-# 9-46 the FULL r9-evidence cohort (38 keys, five rounds stale —
-# VERDICT r13 #2); 47-50 the oldest r11 keys. After this round no
-# oracle-checked key's newest driver row predates r11.
+# Budget (VERDICT r13 #1/#2): slot 1 canary; 2-5 FIRST
+# CERTIFICATION — delta_schema_evolution_rows (the only key in
+# history with no CORRECTNESS row, VERDICT r13 #1) and the three
+# r14 newcomers (typeWidening, REST catalog, variant); 6-10
+# re-certification of keys whose implementation changed this round
+# (vacuum's v2-JSON-top inline-action harvest, torn-top discovery
+# tolerance + atomic parquet tops, the empty-partition_filter
+# contract, the executor-side DV-blob replication rework + spec
+# partition-value serialization, the write_delta_dv_file→blobs
+# refactor under commit_delta_dv); 11-48 the FULL r9-evidence
+# cohort (38 keys, five rounds stale — VERDICT r13 #2); 49-50 the
+# oldest r11 keys. After this round no oracle-checked key's newest
+# driver row predates r11.
 _R14_WINDOW = [
     "probe_double",
     # 2-5: first certification
@@ -1135,13 +1136,13 @@ _R14_WINDOW = [
     "delta_type_widening_rows",
     "rest_catalog_rows",
     "delta_variant_rows",
-    # 4-8: changed-this-round re-certification
+    # 6-10: changed-this-round re-certification
     "delta_vacuum_rows",
     "delta_v2_checkpoint_rows",
     "delta_log_rows",
     "delta_replicate_rows",
     "delta_dv_rows",
-    # 9-46: the FULL r9-evidence cohort (alphabetical)
+    # 11-48: the FULL r9-evidence cohort (alphabetical)
     "ann_ivfpq_recall_check",
     "ann_pq_recall_check",
     "approx_percentiles_check",

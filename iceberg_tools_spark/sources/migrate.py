@@ -43,6 +43,40 @@ _DELTA_TO_ICEBERG_TYPE = {
 }
 
 
+def _iceberg_pv(value, ice_type: str):
+    """Delta partitionValues (and hive path segments) are
+    spec-serialized STRINGS; Iceberg manifests store RAW values —
+    int days, long micros, native numerics. The inverse of the
+    replication writer's ``_pv_serialize`` (r14: passing the string
+    through crashed the Avro partition encoder for every non-string
+    identity partition — date/long columns raised deep in the
+    writer instead of converting)."""
+    if value is None or not isinstance(value, str):
+        return value
+    if ice_type in ("int", "long"):
+        return int(value)
+    if ice_type == "date":
+        import datetime as dt
+
+        return (dt.date.fromisoformat(value) - dt.date(1970, 1, 1)).days
+    if ice_type in ("timestamp", "timestamptz"):
+        import datetime as dt
+
+        s = value.replace("T", " ").rstrip("Z")
+        base, _, frac = s.partition(".")
+        d = dt.datetime.strptime(base, "%Y-%m-%d %H:%M:%S")
+        micros = int((frac + "000000")[:6]) if frac else 0
+        return (
+            int((d - dt.datetime(1970, 1, 1)).total_seconds()) * 1_000_000
+            + micros
+        )
+    if ice_type == "boolean":
+        return value.lower() == "true"
+    if ice_type in ("float", "double"):
+        return float(value)
+    return value
+
+
 def migrate_delta_to_iceberg(
     spark: SparkSession,
     delta_root: str,
@@ -75,7 +109,11 @@ def migrate_delta_to_iceberg(
     os.makedirs(os.path.join(target_root, "metadata"))
     os.makedirs(os.path.join(target_root, "data"))
     meta0 = {
-        "format-version": 2,
+        # variant is a v3-only Iceberg type: a v2 table declaring it
+        # is spec-invalid and foreign readers reject it (review r14)
+        "format-version": (
+            3 if any(f["type"] == "variant" for f in ice_fields) else 2
+        ),
         "table-uuid": table_uuid,
         "location": f"file://{os.path.abspath(target_root)}",
         "last-sequence-number": 0,
@@ -137,6 +175,7 @@ def migrate_delta_to_iceberg(
         return e
 
     files = []
+    type_of = {f["name"]: f["type"] for f in ice_fields}
     if part_cols:
         for pdir in sorted(glob.glob(os.path.join(tmp, "*=*"))):
             parts = {}
@@ -144,7 +183,9 @@ def migrate_delta_to_iceberg(
             for seg in os.path.relpath(pdir, tmp).split(os.sep):
                 k, v = seg.split("=", 1)
                 k = k.removeprefix("_p_")
-                parts[k] = v
+                # manifests store RAW values (int days/micros), hive
+                # segments carry the string serialization
+                parts[k] = _iceberg_pv(v, type_of.get(k, "string"))
                 segs.append(f"{k}={v}")
             for i, part in enumerate(sorted(glob.glob(os.path.join(pdir, "part-*.parquet")))):
                 rel = f"data/{'/'.join(segs)}/m{i:05d}.parquet"
@@ -285,8 +326,17 @@ def export_iceberg_to_delta(
 
     shutil.rmtree(tmp, ignore_errors=True)
 
+    # a variant column obliges the replica to DECLARE the feature —
+    # a legacy-protocol reader would misparse the type (review r14)
+    proto0 = (
+        {"minReaderVersion": 3, "minWriterVersion": 7,
+         "readerFeatures": ["variantType"],
+         "writerFeatures": ["variantType"]}
+        if any(f["type"] == "variant" for f in delta_fields)
+        else {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
     actions = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"protocol": proto0},
         {"metaData": {
             "id": "00000000-0000-0000-0000-00000000f002",
             "format": {"provider": "parquet", "options": {}},
@@ -386,7 +436,11 @@ def replicate_delta_stream(
     os.makedirs(os.path.join(target_root, "metadata"))
     os.makedirs(os.path.join(target_root, "data"))
     meta0 = {
-        "format-version": 2,
+        # variant is a v3-only Iceberg type: a v2 table declaring it
+        # is spec-invalid and foreign readers reject it (review r14)
+        "format-version": (
+            3 if any(f["type"] == "variant" for f in ice_fields) else 2
+        ),
         "table-uuid": "00000000-0000-0000-0000-00000000f003",
         "location": f"file://{os.path.abspath(target_root)}",
         "last-sequence-number": 0,
@@ -736,7 +790,13 @@ def replicate_iceberg_to_delta(
     dv_blobs_seen: dict[str, bytes] = {}
     dv_descriptors: dict[str, dict] = {}  # iceberg rel → DV descriptor
     n_checkpoints = n_removed = n_folded = n_dvs = n_cdf = 0
-    cur_proto = {"minReaderVersion": 1, "minWriterVersion": 2}  # the seed's
+    cur_proto = (
+        {"minReaderVersion": 3, "minWriterVersion": 7,
+         "readerFeatures": ["variantType"],
+         "writerFeatures": ["variantType"]}
+        if any(f["type"] == "variant" for f in delta_fields)
+        else {"minReaderVersion": 1, "minWriterVersion": 2}
+    )  # the seed's (variant columns oblige the feature, review r14)
     last: dict[str, Any] = {"version": -1}
     for vi, sid in enumerate(rng):
         data_s, dels_s = mor_entries_at(meta, sid, base_dir)
@@ -755,7 +815,7 @@ def replicate_iceberg_to_delta(
         acts: list[dict[str, Any]] = []
         if vi == 0:
             acts += [
-                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                {"protocol": dict(cur_proto)},
                 {"metaData": {
                     "id": "00000000-0000-0000-0000-00000000f004",
                     "format": {"provider": "parquet", "options": {}},
@@ -1215,7 +1275,11 @@ def replicate_delta_versions(
     os.makedirs(os.path.join(target_root, "metadata"))
     os.makedirs(os.path.join(target_root, "data"))
     meta0 = {
-        "format-version": 2,
+        # variant is a v3-only Iceberg type: a v2 table declaring it
+        # is spec-invalid and foreign readers reject it (review r14)
+        "format-version": (
+            3 if any(f["type"] == "variant" for f in ice_fields) else 2
+        ),
         "table-uuid": table_uuid,
         "location": f"file://{os.path.abspath(target_root)}",
         "last-sequence-number": 0,
@@ -1243,6 +1307,7 @@ def replicate_delta_versions(
     # the long-tombstoned original (r12: stacked DV commits on one
     # file broke here)
     rel_of: dict[str, str] = {}
+    type_of = {f["name"]: f["type"] for f in ice_fields}
 
     def _copy_add(a: dict[str, Any], v: int = 0) -> dict[str, Any]:
         dv = a.get("deletionVector")
@@ -1280,8 +1345,14 @@ def replicate_delta_versions(
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             shutil.copyfile(os.path.join(delta_root, a["path"]), dst)
         pv = a.get("partitionValues") or {}
-        # under column mapping, partitionValues keys are PHYSICAL
-        part = {c: pv.get(phys_of.get(c, c), pv.get(c)) for c in part_cols}
+        # under column mapping, partitionValues keys are PHYSICAL;
+        # values are the spec's STRING serialization → raw per type
+        part = {
+            c: _iceberg_pv(
+                pv.get(phys_of.get(c, c), pv.get(c)), type_of.get(c, "string")
+            )
+            for c in part_cols
+        }
         rel_of[a["path"]] = rel
         return {"path": rel, "partition": part}
 
@@ -1440,7 +1511,11 @@ def _init_cdf_replica(
     os.makedirs(os.path.join(target_root, "metadata"))
     os.makedirs(os.path.join(target_root, "data"))
     meta0 = {
-        "format-version": 2,
+        # variant is a v3-only Iceberg type: a v2 table declaring it
+        # is spec-invalid and foreign readers reject it (review r14)
+        "format-version": (
+            3 if any(f["type"] == "variant" for f in ice_fields) else 2
+        ),
         "table-uuid": table_uuid,
         "location": f"file://{os.path.abspath(target_root)}",
         "last-sequence-number": 0,

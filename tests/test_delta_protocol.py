@@ -581,6 +581,28 @@ def test_verbatim_replication_of_column_mapped_source(spark, tmp_path):
     a_copy = os.path.join(str(tmp_path / "full"), "data", "a.parquet")
     assert open(a_copy, "rb").read() == open(
         os.path.join(root, "a.parquet"), "rb").read()
+    # MIXED table: a LOGICAL-named file joins the replica (what a
+    # later rewrite/compaction writes) — the name-mapping bind must
+    # be per-file (coalesce), not a global rename: verbatim files'
+    # rows keep their values, the new file's rows read too
+    from iceberg_tools_spark.iceberg.commit import append_snapshot
+
+    tgt = str(tmp_path / "full")
+    pq.write_table(
+        pa.table({
+            "id": pa.array([100, 101], pa.int64()),
+            "cat": pa.array(["z", "z"]),
+        }),
+        os.path.join(tgt, "data", "logical.parquet"),
+    )
+    res2 = append_snapshot(mp, [{"path": "data/logical.parquet",
+                                 "partition": {"cat": "z"}}])
+    mixed = sorted(map(tuple, read_mor(
+        spark, res2["metadata_path"], res2["snapshot_id"]
+    ).select("id", "cat").collect()))
+    assert mixed == [
+        (2, "x"), (3, "y"), (4, "y"), (5, "y"), (100, "z"), (101, "z")
+    ]
 
 
 def test_verbatim_replication_refuses_nested_column_mapping(spark, tmp_path):

@@ -210,3 +210,78 @@ def test_partition_filter_under_column_mapping(spark, tmp_path):
     assert [os.path.basename(p) for p in df.inputFiles()] == ["f1.parquet"]
     assert sorted((r["id"], r["cat"]) for r in df.collect()) == \
         [(10, "y"), (11, "y")]
+
+
+def test_date_partitioned_delta_replicates_to_iceberg(spark, tmp_path):
+    """The OTHER direction (review r14): a Delta source with
+    date+long identity partitions replicates full-fidelity into
+    Iceberg — partitionValues strings convert to the manifests' raw
+    forms (int days / long), the Avro partition encoder accepts
+    them, and the round trip back to Delta re-serializes per spec."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from iceberg_tools_spark.iceberg.deletes import read_mor
+    from iceberg_tools_spark.sources.delta_log import append_delta_commit
+    from iceberg_tools_spark.sources.migrate import (
+        replicate_delta_versions,
+        replicate_iceberg_to_delta,
+    )
+
+    root = str(tmp_path / "delta_src")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    iso = "2022-01-08"
+    days = (dt.date.fromisoformat(iso) - dt.date(1970, 1, 1)).days
+    import json as _json
+
+    schema = _json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "d", "type": "date", "nullable": True, "metadata": {}},
+        {"name": "bucket", "type": "long", "nullable": True, "metadata": {}},
+    ]})
+    pq.write_table(
+        pa.table({
+            "id": pa.array([1, 2], pa.int64()),
+            "d": pa.array([dt.date.fromisoformat(iso)] * 2, pa.date32()),
+            "bucket": pa.array([7, 7], pa.int64()),
+        }),
+        os.path.join(root, "f0.parquet"),
+    )
+    append_delta_commit(root, [
+        {"metaData": {
+            "id": "dp", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema, "partitionColumns": ["d", "bucket"],
+            "configuration": {}, "createdTime": 0,
+        }},
+        {"add": {"path": "f0.parquet",
+                 "partitionValues": {"d": iso, "bucket": "7"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+
+    ice = str(tmp_path / "ice")
+    res = replicate_delta_versions(spark, root, ice)
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+
+    meta = parse_metadata(res["metadata_path"])
+    from iceberg_tools_spark.iceberg.deletes import mor_entries_at
+
+    data, _dels = mor_entries_at(
+        meta, meta.raw["current-snapshot-id"], os.path.dirname(ice + "/x")
+    )
+    # manifests carry the RAW forms
+    assert data[0]["partition"] == {"d": days, "bucket": 7}
+    got = sorted(map(tuple, read_mor(
+        spark, res["metadata_path"], meta.raw["current-snapshot-id"]
+    ).select("id", "d", "bucket").collect()))
+    assert got == [(1, dt.date.fromisoformat(iso), 7),
+                   (2, dt.date.fromisoformat(iso), 7)]
+
+    # ...and back: the Iceberg→Delta writer re-serializes per spec
+    back = str(tmp_path / "back")
+    replicate_iceberg_to_delta(spark, res["metadata_path"], back,
+                               now_ms=1700000001000)
+    from iceberg_tools_spark.sources.delta_log import replay_log
+
+    adds, meta_b, _ = replay_log(back)
+    assert [a["partitionValues"] for a in adds] == [{"d": iso, "bucket": "7"}]

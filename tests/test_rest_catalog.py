@@ -207,3 +207,38 @@ def test_inline_metadata_fallback(spark, served, tmp_path):
     meta = parse_metadata(mpath)
     base = os.path.join(wh, "db", "events")
     assert read_mor(spark, mpath, meta.current_snapshot_id, base).count() == 323
+
+
+def test_malformed_commit_is_400_not_connection_drop(served):
+    """A CommitTableRequest missing required keys gets the spec's
+    400 error payload, never a dropped connection (review r14)."""
+    _wh, uri = served
+    c = RestCatalogClient(uri)
+    for updates in (
+        [{"action": "add-snapshot"}],  # no snapshot
+        [{"action": "set-snapshot-ref", "type": "branch"}],  # no ref/id
+    ):
+        with pytest.raises(ValueError, match="HTTP 400"):
+            c.commit_table("db.events", updates=updates)
+    # the table is untouched and still serves
+    assert c.load_table("db.events")["metadata"]["current-snapshot-id"] == 2004
+
+
+def test_service_faults_are_not_filenotfound(served, monkeypatch):
+    """5xx/auth faults surface as RuntimeError (retryable service
+    error), ONLY 404 maps to FileNotFoundError (review r14)."""
+    import io
+    import urllib.error
+    import urllib.request
+
+    _wh, uri = served
+    c = RestCatalogClient(uri)
+
+    def fake_500(*a, **k):
+        raise urllib.error.HTTPError(
+            uri, 500, "boom", {}, io.BytesIO(b'{"error":{"message":"backend"}}')
+        )
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_500)
+    with pytest.raises(RuntimeError, match="HTTP 500"):
+        c.load_table("db.events")
