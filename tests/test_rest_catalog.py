@@ -242,3 +242,55 @@ def test_service_faults_are_not_filenotfound(served, monkeypatch):
     monkeypatch.setattr(urllib.request, "urlopen", fake_500)
     with pytest.raises(RuntimeError, match="HTTP 500"):
         c.load_table("db.events")
+
+
+def test_commit_on_gzip_metadata_table(tmp_path):
+    """A table whose current metadata is spec-legal gzip commits
+    through REST: the server reads the gz, writes the next version
+    plain, and resolution prefers it."""
+    import gzip
+    import json as _json
+
+    wh = _mk_warehouse(tmp_path)
+    mdir = os.path.join(wh, "db", "events", "metadata")
+    src = _json.load(open(os.path.join(mdir, "v2.metadata.json")))
+    os.remove(os.path.join(mdir, "v2.metadata.json"))
+    with gzip.open(os.path.join(mdir, "v2.metadata.json.gz"), "wt") as f:
+        _json.dump(src, f)
+    server, uri = serve_rest_catalog(wh)
+    try:
+        c = RestCatalogClient(uri)
+        res = c.commit_table("db.events", updates=[
+            {"action": "set-properties", "updates": {"owner": "gz"}}])
+        assert res["metadata-location"].endswith("v3.metadata.json")
+        assert c.load_table("db.events")["metadata"]["properties"]["owner"] == "gz"
+    finally:
+        server.shutdown()
+
+
+def test_assert_ref_must_not_exist_semantics(served):
+    """assert-ref-snapshot-id with snapshot-id null means 'the ref
+    must NOT exist yet' — passes for a fresh ref, conflicts for
+    main (which exists), per the spec."""
+    from iceberg_tools_spark.iceberg.concurrency import CommitConflictError
+
+    _wh, uri = served
+    c = RestCatalogClient(uri)
+    # fresh ref: requirement passes, ref created
+    res = c.commit_table(
+        "db.events",
+        requirements=[{"type": "assert-ref-snapshot-id", "ref": "audit",
+                       "snapshot-id": None}],
+        updates=[{"action": "set-snapshot-ref", "ref-name": "audit",
+                  "snapshot-id": 2002, "type": "tag"}],
+    )
+    assert res["metadata"]["refs"]["audit"] == {"snapshot-id": 2002,
+                                                "type": "tag"}
+    # main exists → the must-not-exist requirement conflicts
+    with pytest.raises(CommitConflictError, match="moved"):
+        c.commit_table(
+            "db.events",
+            requirements=[{"type": "assert-ref-snapshot-id", "ref": "main",
+                           "snapshot-id": None}],
+            updates=[{"action": "set-properties", "updates": {"x": "1"}}],
+        )
