@@ -183,9 +183,17 @@ def migrate_delta_to_iceberg(
             for seg in os.path.relpath(pdir, tmp).split(os.sep):
                 k, v = seg.split("=", 1)
                 k = k.removeprefix("_p_")
-                # manifests store RAW values (int days/micros), hive
-                # segments carry the string serialization
-                parts[k] = _iceberg_pv(v, type_of.get(k, "string"))
+                # hive segments are URL-escaped (timestamps carry
+                # %3A) with the Hive null sentinel; manifests store
+                # RAW values (int days/micros)
+                from urllib.parse import unquote
+
+                raw_v = unquote(v)
+                parts[k] = (
+                    None
+                    if raw_v == "__HIVE_DEFAULT_PARTITION__"
+                    else _iceberg_pv(raw_v, type_of.get(k, "string"))
+                )
                 segs.append(f"{k}={v}")
             for i, part in enumerate(sorted(glob.glob(os.path.join(pdir, "part-*.parquet")))):
                 rel = f"data/{'/'.join(segs)}/m{i:05d}.parquet"
