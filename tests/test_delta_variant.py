@@ -254,3 +254,36 @@ def test_variant_fixture_is_physically_shredded_and_gated(spark, tmp_path):
         ).collect()
     )
     assert got == [(i, i) for i in range(6)]
+
+
+def test_variant_incremental_stream(spark, tmp_path):
+    """Variant columns flow through the incremental STREAMING source
+    (staged-file reader takes the log schema; VariantType rides
+    Structured Streaming micro-batches)."""
+    import pyspark.sql.functions as F
+
+    from iceberg_tools_spark.sources.delta_log import delta_incremental_stream
+    from iceberg_tools_spark.streaming.jobs import run_to_memory
+
+    root = str(tmp_path / "t")
+    _variant_table(spark, root)  # v0: a.parquet ids 0..9
+    _write_variant_file(spark, root, "b.parquet", range(10, 13))
+    append_delta_commit(root, [
+        {"add": {"path": "b.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    stream, n = delta_incremental_stream(
+        spark, root, 0, 1, str(tmp_path / "stage")
+    )
+    assert n == 1
+    rows = run_to_memory(
+        stream.select(
+            "id",
+            F.try_variant_get("payload", "$.a", "long").alias("a"),
+            "_delta_version",
+        ),
+        "variant_inc",
+    ).collect()
+    assert sorted((r["id"], r["a"], r["_delta_version"]) for r in rows) == [
+        (10, 10, 1), (11, 11, 1), (12, 12, 1)
+    ]
