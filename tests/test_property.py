@@ -228,3 +228,28 @@ def test_theta_merge_is_set_union_in_exact_mode(a, b):
     m = merge_compact_theta([sa, sb])
     u = build_compact_theta(theta_hash(v) for v in a | b)
     assert m == u
+
+
+@given(days=st.integers(min_value=-100_000, max_value=100_000))
+def test_partition_date_serialization_roundtrip(days):
+    """The Iceberg→Delta writer's spec serialization and the
+    Delta→Iceberg reader's raw conversion are exact inverses for
+    DATE identity partitions (r14: both directions ship this pair,
+    so a table replicated out and back must keep its raw values)."""
+    from iceberg_tools_spark.sources.migrate import _iceberg_pv
+
+    iso = (dt.date(1970, 1, 1) + dt.timedelta(days=days)).isoformat()
+    assert _iceberg_pv(iso, "date") == days
+
+
+@given(micros=st.integers(min_value=0, max_value=4_102_444_800_000_000))
+def test_partition_timestamp_serialization_roundtrip(micros):
+    """Same inverse law for TIMESTAMP partitions (micros since
+    epoch ↔ the spec's '%Y-%m-%d %H:%M:%S[.ffffff]' string)."""
+    from iceberg_tools_spark.sources.migrate import _iceberg_pv
+
+    d = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=micros)
+    base = d.strftime("%Y-%m-%d %H:%M:%S")
+    s = f"{base}.{d.microsecond:06d}" if d.microsecond else base
+    assert _iceberg_pv(s, "timestamptz") == micros
+    assert _iceberg_pv(s, "timestamp") == micros
