@@ -97,6 +97,14 @@ class RestCatalogClient:
             for ident in r.get("identifiers", [])
         )
 
+    def load_namespace(self, namespace: str) -> dict[str, Any]:
+        """GetNamespaceResponse for one namespace — existence check
+        plus its properties (404 for an unknown namespace)."""
+        from urllib.parse import quote
+
+        ns = quote(_SEP.join(namespace.split(".")), safe="")
+        return self._get(self._p(f"/namespaces/{ns}"))
+
     def load_table(self, identifier: str) -> dict[str, Any]:
         """The raw LoadTableResult for ``ns.table`` (arbitrary
         namespace depth; the LAST dotted part is the table name)."""
@@ -451,6 +459,16 @@ def serve_rest_catalog(warehouse: str, *, prefix: str = "", port: int = 0):
                 return self._json(200, {
                     "namespaces": [list(ns) for ns in namespaces if ns]
                 })
+            if len(parts) == 2 and parts[0] == "namespaces":
+                ns = parts[1].split(_SEP)
+                known = {
+                    tuple(t.split(".")[:-1]) for t in list_tables(warehouse)
+                }
+                if not any(k[: len(ns)] == tuple(ns) for k in known):
+                    return self._err(
+                        404, f"namespace {'.'.join(ns)!r} does not exist"
+                    )
+                return self._json(200, {"namespace": ns, "properties": {}})
             if len(parts) == 3 and parts[0] == "namespaces" and parts[2] == "tables":
                 ns = parts[1].split(_SEP)
                 idents = [

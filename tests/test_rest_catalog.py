@@ -294,3 +294,14 @@ def test_assert_ref_must_not_exist_semantics(served):
                            "snapshot-id": None}],
             updates=[{"action": "set-properties", "updates": {"x": "1"}}],
         )
+
+
+def test_load_namespace(served):
+    """GET /namespaces/{ns}: existence + properties; 404 for ghosts,
+    parent namespaces of nested tables exist too."""
+    _wh, uri = served
+    c = RestCatalogClient(uri)
+    assert c.load_namespace("db") == {"namespace": ["db"], "properties": {}}
+    assert c.load_namespace("db.raw")["namespace"] == ["db", "raw"]
+    with pytest.raises(FileNotFoundError, match="404"):
+        c.load_namespace("ghost")
