@@ -781,3 +781,42 @@ def test_nested_column_mapping_composes_with_dv_and_cdf(spark, tmp_path):
     got = sorted((r["id"], r["info"]["score"], r["_change_type"])
                  for r in cdf.collect())
     assert got == [(1, 10, "insert"), (4, 40, "insert")]
+
+
+def test_domain_metadata_and_writer_features_pass_through(spark, tmp_path):
+    """Clustered tables (real current writers) stamp domainMetadata
+    actions and clustering/domainMetadata WRITER features — readers
+    must pass both through: writer features never gate reads, and
+    unknown action kinds are ignored by replay AND by checkpoint
+    state (the spec's forward-compat rule for actions)."""
+    from iceberg_tools_spark.sources.delta_log import write_delta_checkpoint
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    pq.write_table(pa.table({"id": pa.array([1, 2], "int64")}),
+                   os.path.join(root, "a.parquet"))
+    append_delta_commit(root, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                      "writerFeatures": ["clustering", "domainMetadata",
+                                         "appendOnly"]}},
+        {"metaData": {
+            "id": "dm", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}}]}),
+            "partitionColumns": [], "configuration": {}, "createdTime": 0,
+        }},
+        {"domainMetadata": {"domain": "delta.clustering",
+                            "configuration": "{\"clusteringColumns\":[]}",
+                            "removed": False}},
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    assert sorted(r["id"] for r in read_delta_log(spark, root).collect()) == [1, 2]
+    # ...and through a checkpoint with every covered commit gone
+    write_delta_checkpoint(root, now_ms=NOW)
+    os.remove(os.path.join(root, "_delta_log", f"{0:020d}.json"))
+    append_delta_commit(root, [
+        {"commitInfo": {"operation": "x", "timestamp": NOW}},
+    ], checkpoint_interval=None)
+    assert sorted(r["id"] for r in read_delta_log(spark, root).collect()) == [1, 2]
