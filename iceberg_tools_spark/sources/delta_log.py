@@ -226,6 +226,20 @@ def _apply_action(state: dict[str, dict], meta: dict, action: dict[str, Any]) ->
         meta["__protocol__"] = {
             k: v for k, v in action["protocol"].items() if v is not None
         }
+    dm = action.get("domainMetadata")
+    if dm:
+        # tracked in the same pass (like __protocol__): checkpoint
+        # WRITERS must preserve each domain's latest metadata per
+        # PROTOCOL.md — removed=true tombstones clear the domain
+        doms = meta.setdefault("__domains__", {})
+        if dm.get("removed"):
+            doms.pop(dm["domain"], None)
+        else:
+            doms[dm["domain"]] = {
+                "domain": dm["domain"],
+                "configuration": dm.get("configuration"),
+                "removed": False,
+            }
     add = action.get("add")
     if add:
         state[add["path"]] = add
@@ -1145,12 +1159,20 @@ def _checkpoint_schema():
             ("deletionVector", dv_t),
         ]
     )
+    domain_t = pa.struct(
+        [
+            ("domain", pa.string()),
+            ("configuration", pa.string()),
+            ("removed", pa.bool_()),
+        ]
+    )
     import pyarrow as pa2
 
     return pa2.schema(
         [
             ("protocol", protocol_t),
             ("metaData", meta_t),
+            ("domainMetadata", domain_t),
             ("add", add_t),
             ("remove", remove_t),
         ]
@@ -1160,6 +1182,7 @@ def _checkpoint_schema():
 def _maps_to_pairs_meta(m: dict[str, Any]) -> dict[str, Any]:
     out = dict(m)
     out.pop("__protocol__", None)  # replay-tracked, not metaData
+    out.pop("__domains__", None)
     fmt = dict(out.get("format") or {"provider": "parquet", "options": {}})
     opts = fmt.get("options") or {}
     fmt["options"] = sorted(opts.items()) if isinstance(opts, dict) else opts
@@ -1641,6 +1664,10 @@ def write_delta_checkpoint(
                 "remove": None,
             }
         )
+    for dom in sorted(meta.get("__domains__", {})):
+        # PROTOCOL.md writer obligation: checkpoints preserve each
+        # domain's latest metadata (removed tombstones may drop)
+        rows.append({"domainMetadata": meta["__domains__"][dom]})
     for a in sorted(adds, key=lambda x: x["path"]):
         rows.append(
             {
@@ -1816,8 +1843,12 @@ def write_delta_checkpoint_v2(
                 "version": v, "tags": {}}}) + "\n")
             f.write(json.dumps({"protocol": proto}) + "\n")
             if meta:
-                clean = {k: x for k, x in meta.items() if k != "__protocol__"}
+                clean = {k: x for k, x in meta.items()
+                         if k not in ("__protocol__", "__domains__")}
                 f.write(json.dumps({"metaData": clean}) + "\n")
+            for dom in sorted(meta.get("__domains__", {})):
+                f.write(json.dumps(
+                    {"domainMetadata": meta["__domains__"][dom]}) + "\n")
             for sc in sidecar_actions:
                 f.write(json.dumps({"sidecar": sc}) + "\n")
         os.replace(top_path + ".tmp", top_path)
@@ -1837,6 +1868,7 @@ def write_delta_checkpoint_v2(
                 ("checkpointMetadata", cpm_t),
                 full.field("protocol"),
                 full.field("metaData"),
+                full.field("domainMetadata"),
                 ("sidecar", sidecar_t),
             ]
         )
@@ -1846,6 +1878,10 @@ def write_delta_checkpoint_v2(
         ]
         if meta:
             rows.append({"metaData": _maps_to_pairs_meta(meta)})
+        rows += [
+            {"domainMetadata": meta["__domains__"][dom]}
+            for dom in sorted(meta.get("__domains__", {}))
+        ]
         rows += [{"sidecar": sc} for sc in sidecar_actions]
         # tmp + atomic rename like the JSON branch (ADVICE r13
         # medium): a writer dying mid-write must never leave a torn

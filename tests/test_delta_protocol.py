@@ -813,10 +813,72 @@ def test_domain_metadata_and_writer_features_pass_through(spark, tmp_path):
                  "modificationTime": 0, "dataChange": True}},
     ], checkpoint_interval=None)
     assert sorted(r["id"] for r in read_delta_log(spark, root).collect()) == [1, 2]
-    # ...and through a checkpoint with every covered commit gone
+    # ...and through a checkpoint with every covered commit gone —
+    # PRESERVING the domain (PROTOCOL.md writer obligation): a
+    # clustering-aware foreign reader of our checkpoint still sees it
+    from iceberg_tools_spark.sources.delta_log import replay_log
+
     write_delta_checkpoint(root, now_ms=NOW)
     os.remove(os.path.join(root, "_delta_log", f"{0:020d}.json"))
     append_delta_commit(root, [
         {"commitInfo": {"operation": "x", "timestamp": NOW}},
     ], checkpoint_interval=None)
     assert sorted(r["id"] for r in read_delta_log(spark, root).collect()) == [1, 2]
+    _, meta, _ = replay_log(root)
+    assert meta["__domains__"]["delta.clustering"]["configuration"] == (
+        "{\"clusteringColumns\":[]}"
+    )
+    # a removed=true tombstone CLEARS the domain; the next checkpoint
+    # may drop it entirely
+    append_delta_commit(root, [
+        {"domainMetadata": {"domain": "delta.clustering",
+                            "configuration": "", "removed": True}},
+    ], checkpoint_interval=None)
+    write_delta_checkpoint(root, now_ms=NOW)
+    _, meta2, _ = replay_log(root)
+    assert "delta.clustering" not in meta2.get("__domains__", {})
+
+
+def test_domain_metadata_survives_v2_checkpoint(spark, tmp_path):
+    """Domains survive V2 (sidecar) checkpoints too, via BOTH
+    top-level formats."""
+    from iceberg_tools_spark.sources.delta_log import (
+        enable_v2_checkpoints,
+        replay_log,
+        write_delta_checkpoint_v2,
+    )
+
+    for fmt in ("json", "parquet"):
+        root = str(tmp_path / f"t_{fmt}")
+        os.makedirs(os.path.join(root, "_delta_log"))
+        pq.write_table(pa.table({"id": pa.array([1], "int64")}),
+                       os.path.join(root, "a.parquet"))
+        append_delta_commit(root, [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["v2Checkpoint"],
+                          "writerFeatures": ["v2Checkpoint",
+                                             "domainMetadata"]}},
+            {"metaData": {
+                "id": "dm2", "format": {"provider": "parquet",
+                                        "options": {}},
+                "schemaString": json.dumps({"type": "struct", "fields": [
+                    {"name": "id", "type": "long", "nullable": True,
+                     "metadata": {}}]}),
+                "partitionColumns": [], "configuration": {},
+                "createdTime": 0,
+            }},
+            {"domainMetadata": {"domain": "app.x", "configuration": "c1",
+                                "removed": False}},
+            {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ], checkpoint_interval=None)
+        write_delta_checkpoint_v2(root, top_format=fmt, now_ms=NOW)
+        os.remove(os.path.join(root, "_delta_log", f"{0:020d}.json"))
+        append_delta_commit(root, [
+            {"commitInfo": {"operation": "x", "timestamp": NOW}},
+        ], checkpoint_interval=None)
+        _, meta, _ = replay_log(root)
+        assert meta["__domains__"]["app.x"]["configuration"] == "c1", fmt
+        assert sorted(
+            r["id"] for r in read_delta_log(spark, root).collect()
+        ) == [1], fmt
