@@ -510,7 +510,37 @@ def apply_deletes(
 _ICE_TO_SPARK = {
     "int": "int", "long": "bigint", "float": "float", "double": "double",
     "boolean": "boolean", "string": "string", "date": "date",
+    # Iceberg timestamp is zone-less; timestamptz is UTC-adjusted
+    "timestamp": "timestamp_ntz", "timestamptz": "timestamp",
+    "timestamp_ns": "timestamp_ntz",
 }
+
+
+def _pv_python(value, ice_type: str):
+    """Manifest partition values arrive in the spec's RAW physical
+    forms — int days since epoch for dates, long micros for
+    timestamps (``_AVRO_OF_TYPE`` in ``commit.py``). Convert to the
+    Python objects ``createDataFrame`` needs for the explicit typed
+    schema (ADVICE r14: letting Spark infer BIGINT and then
+    ``.cast('date')`` is an AnalysisException — BIGINT→DATE is not a
+    legal cast)."""
+    import datetime as dt
+
+    if value is None:
+        return None
+    if ice_type == "date" and isinstance(value, int):
+        return dt.date(1970, 1, 1) + dt.timedelta(days=value)
+    if ice_type in ("timestamp", "timestamp_ns") and isinstance(value, int):
+        if ice_type == "timestamp_ns":
+            value //= 1000  # nanos → micros (Spark timestamp precision)
+        return dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=value)
+    if ice_type == "timestamptz" and isinstance(value, int):
+        # Spark interprets NAIVE datetimes in the session tz; a
+        # tz-aware UTC datetime pins the instant regardless of it
+        return dt.datetime(
+            1970, 1, 1, tzinfo=dt.timezone.utc
+        ) + dt.timedelta(microseconds=value)
+    return value
 
 
 def attach_identity_partition_columns(
@@ -574,16 +604,21 @@ def attach_identity_partition_columns(
     if not missing and not partial:
         return df
     allcols = missing + partial
+    ice_t = {name: col_type[fid] for fid, name in col_name.items()}
     rows = [
-        tuple([e["rel"]] + [e["partition"].get(fname) for fname, _, _ in allcols])
+        tuple(
+            [e["rel"]]
+            + [
+                _pv_python(e["partition"].get(fname), ice_t[src])
+                for fname, src, _ in allcols
+            ]
+        )
         for e in data
     ]
-    part_df = spark.createDataFrame(
-        rows, ["_part_rel"] + [f"_pc_{src}" for _, src, _ in allcols]
-    ).select(
-        "_part_rel",
-        *[F.col(f"_pc_{src}").cast(t).alias(f"_pc_{src}") for _, src, t in allcols],
+    schema_ddl = ", ".join(
+        ["_part_rel string"] + [f"_pc_{src} {t}" for _, src, t in allcols]
     )
+    part_df = spark.createDataFrame(rows, schema_ddl)
     df = df.join(
         F.broadcast(part_df), df["_rel"] == part_df["_part_rel"], "left"
     ).drop("_part_rel")

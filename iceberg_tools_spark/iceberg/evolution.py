@@ -246,6 +246,27 @@ def _spark_type(typ: str) -> T.DataType:
     raise ValueError(f"unsupported Iceberg type for Spark projection: {typ!r}")
 
 
+def _spark_type_any(typ) -> T.DataType:
+    """Iceberg type (scalar string OR nested struct/list/map dict)
+    → Spark DataType; the CAST target nested name-mapping binding
+    uses (struct casts rename positionally)."""
+    if isinstance(typ, str):
+        return _spark_type(typ)
+    kind = typ.get("type")
+    if kind == "struct":
+        return T.StructType([
+            T.StructField(f["name"], _spark_type_any(f["type"]), True)
+            for f in typ["fields"]
+        ])
+    if kind == "list":
+        return T.ArrayType(_spark_type_any(typ["element"]), True)
+    if kind == "map":
+        return T.MapType(
+            _spark_type_any(typ["key"]), _spark_type_any(typ["value"]), True
+        )
+    raise ValueError(f"unsupported Iceberg type for Spark projection: {typ!r}")
+
+
 def spark_read_schema(
     meta: TableMetadata | dict[str, Any], schema_id: int | None = None
 ) -> T.StructType:
@@ -488,8 +509,16 @@ def apply_table_name_mapping(df, meta: "TableMetadata | dict[str, Any]"):
     cols = set(df.columns)
     renames: dict[str, str] = {}  # physical → logical (logical absent)
     merges: dict[str, str] = {}  # physical → logical (both present)
+    complex_t: dict[str, Any] = {}  # logical → nested iceberg type
     for f in cur.get("fields", []):
         logical = f["name"]
+        if not isinstance(f["type"], str):
+            # struct internals rename through ONE positional CAST to
+            # the logical Spark type (nested physical names, r15) —
+            # same trick as the Delta reader's _rename_physical;
+            # applied to the physical column AND, for merges, to the
+            # physical twin before the coalesce
+            complex_t[logical] = f["type"]
         phys = next(
             (n for n in names_of.get(int(f["id"]), [])
              if n in cols and n != logical),
@@ -503,16 +532,23 @@ def apply_table_name_mapping(df, meta: "TableMetadata | dict[str, Any]"):
             renames[phys] = logical
     if not renames and not merges:
         return df
+
+    def _bind(col: str, logical: str):
+        c = F.col(col)
+        if logical in complex_t:
+            c = c.cast(_spark_type_any(complex_t[logical]))
+        return c
+
     out = []
     drop_phys = set(merges)
     for c in df.columns:
         if c in renames:
-            out.append(F.col(c).alias(renames[c]))
+            out.append(_bind(c, renames[c]).alias(renames[c]))
         elif c in drop_phys:
             continue  # folded into its logical twin below
         elif c in merges.values():
             phys = next(p for p, lg in merges.items() if lg == c)
-            out.append(F.coalesce(F.col(c), F.col(phys)).alias(c))
+            out.append(F.coalesce(_bind(c, c), _bind(phys, c)).alias(c))
         else:
             out.append(F.col(c))
     return df.select(out)

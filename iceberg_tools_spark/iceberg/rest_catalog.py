@@ -32,7 +32,10 @@ import os
 import threading
 from typing import Any
 
+import re as _re_mod
+
 _SEP = "\x1f"  # the spec's multipart-namespace separator
+_V_HINT = _re_mod.compile(r"v(\d+)\.metadata\.json")
 
 
 # ------------------------------------------------------- client
@@ -44,21 +47,64 @@ class RestCatalogClient:
     ``http://127.0.0.1:8181``; ``prefix`` is the optional catalog
     prefix the /v1/config response may direct clients to."""
 
-    def __init__(self, uri: str, prefix: str | None = None, timeout: float = 10.0):
+    def __init__(
+        self,
+        uri: str,
+        prefix: str | None = None,
+        timeout: float = 10.0,
+        *,
+        token: str | None = None,
+        credential: str | None = None,
+    ):
         self.uri = uri.rstrip("/")
         self.timeout = timeout
+        self.token = token
+        if credential is not None:
+            # the spec's OAuth2 client-credentials flow: exchange
+            # `client_id:client_secret` for a bearer token at the
+            # catalog's token endpoint before any catalog call
+            self.token = self._oauth_token(credential)
         if prefix is None:
             cfg = self._get("/v1/config")
             prefix = (cfg.get("overrides") or {}).get("prefix", "")
         self.prefix = prefix.strip("/")
+
+    def _oauth_token(self, credential: str) -> str:
+        """POST /v1/oauth/tokens (client_credentials grant, form
+        body per RFC 6749 / the spec's OAuthTokenRequest) →
+        access_token."""
+        import urllib.parse
+        import urllib.request
+
+        cid, _, secret = credential.partition(":")
+        body = urllib.parse.urlencode({
+            "grant_type": "client_credentials",
+            "client_id": cid,
+            "client_secret": secret,
+        }).encode("utf-8")
+        req = urllib.request.Request(
+            self.uri + "/v1/oauth/tokens",
+            data=body,
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as r:
+            return json.loads(r.read().decode("utf-8"))["access_token"]
+
+    def _headers(self, extra: dict[str, str] | None = None) -> dict[str, str]:
+        h = dict(extra or {})
+        if self.token:
+            h["Authorization"] = f"Bearer {self.token}"
+        return h
 
     def _get(self, path: str) -> dict[str, Any]:
         import urllib.error
         import urllib.request
 
         url = self.uri + path
+        req = urllib.request.Request(url, headers=self._headers())
         try:
-            with urllib.request.urlopen(url, timeout=self.timeout) as r:
+            with urllib.request.urlopen(req, timeout=self.timeout) as r:
                 return json.loads(r.read().decode("utf-8"))
         except urllib.error.HTTPError as e:
             body = e.read().decode("utf-8", errors="replace")
@@ -81,20 +127,44 @@ class RestCatalogClient:
         pre = f"/{self.prefix}" if self.prefix else ""
         return f"/v1{pre}{path}"
 
-    def list_namespaces(self) -> list[str]:
-        """Dotted namespace strings."""
-        r = self._get(self._p("/namespaces"))
-        return sorted(".".join(ns) for ns in r.get("namespaces", []))
+    def _get_paged(self, path: str, page_size: int | None) -> list[dict[str, Any]]:
+        """Drain a paginated list endpoint: follow ``next-page-token``
+        until the server stops returning one (the spec's opaque-token
+        contract — an ABSENT token ends pagination; clients never
+        interpret its contents)."""
+        from urllib.parse import quote
 
-    def list_tables(self, namespace: str) -> list[str]:
-        """Dotted ``ns.table`` identifiers of one namespace."""
+        pages, token = [], None
+        while True:
+            q = []
+            if page_size is not None:
+                q.append(f"pageSize={page_size}")
+            if token is not None:
+                q.append(f"pageToken={quote(token, safe='')}")
+            pages.append(self._get(path + ("?" + "&".join(q) if q else "")))
+            token = pages[-1].get("next-page-token")
+            if not token:
+                return pages
+
+    def list_namespaces(self, *, page_size: int | None = None) -> list[str]:
+        """Dotted namespace strings (drains pagination when the
+        service pages)."""
+        pages = self._get_paged(self._p("/namespaces"), page_size)
+        return sorted(
+            ".".join(ns) for p in pages for ns in p.get("namespaces", [])
+        )
+
+    def list_tables(self, namespace: str, *, page_size: int | None = None) -> list[str]:
+        """Dotted ``ns.table`` identifiers of one namespace (drains
+        pagination when the service pages)."""
         from urllib.parse import quote
 
         ns = quote(_SEP.join(namespace.split(".")), safe="")
-        r = self._get(self._p(f"/namespaces/{ns}/tables"))
+        pages = self._get_paged(self._p(f"/namespaces/{ns}/tables"), page_size)
         return sorted(
             ".".join(ident["namespace"]) + "." + ident["name"]
-            for ident in r.get("identifiers", [])
+            for p in pages
+            for ident in p.get("identifiers", [])
         )
 
     def load_namespace(self, namespace: str) -> dict[str, Any]:
@@ -130,11 +200,14 @@ class RestCatalogClient:
         :class:`~..iceberg.concurrency.CommitConflictError` — the
         same exception the local optimistic-concurrency path raises,
         so retry loops are transport-agnostic."""
-        import urllib.error
-        import urllib.request
-        from urllib.parse import quote
+        return self._send(
+            "POST",
+            self._table_path(identifier),
+            {"requirements": list(requirements), "updates": list(updates)},
+        )
 
-        from .concurrency import CommitConflictError
+    def _table_path(self, identifier: str) -> str:
+        from urllib.parse import quote
 
         parts = [p for p in identifier.split(".") if p]
         if len(parts) < 2:
@@ -142,20 +215,30 @@ class RestCatalogClient:
                 f"identifier {identifier!r} needs at least namespace.table"
             )
         ns = quote(_SEP.join(parts[:-1]), safe="")
-        url = self.uri + self._p(
-            f"/namespaces/{ns}/tables/{quote(parts[-1], safe='')}"
-        )
-        body = json.dumps({
-            "requirements": list(requirements),
-            "updates": list(updates),
-        }).encode("utf-8")
+        return self._p(f"/namespaces/{ns}/tables/{quote(parts[-1], safe='')}")
+
+    def _send(
+        self, method: str, path: str, payload: dict[str, Any] | None
+    ) -> dict[str, Any]:
+        import urllib.error
+        import urllib.request
+
+        from .concurrency import CommitConflictError
+
+        url = self.uri + path
+        body = json.dumps(payload).encode("utf-8") if payload is not None else None
         req = urllib.request.Request(
-            url, data=body, headers={"Content-Type": "application/json"},
-            method="POST",
+            url,
+            data=body,
+            headers=self._headers(
+                {"Content-Type": "application/json"} if body else None
+            ),
+            method=method,
         )
         try:
             with urllib.request.urlopen(req, timeout=self.timeout) as r:
-                return json.loads(r.read().decode("utf-8"))
+                raw = r.read()
+                return json.loads(raw.decode("utf-8")) if raw.strip() else {}
         except urllib.error.HTTPError as e:
             detail = e.read().decode("utf-8", errors="replace")
             try:
@@ -168,9 +251,66 @@ class RestCatalogClient:
                 raise FileNotFoundError(
                     f"REST catalog {url!r}: HTTP 404 — {detail}"
                 ) from None
-            raise ValueError(
+            if e.code == 400:
+                # a malformed/unsupported REQUEST is the caller's bug
+                raise ValueError(
+                    f"REST catalog {url!r}: HTTP 400 — {detail}"
+                ) from None
+            # 5xx/auth faults are SERVICE errors — same contract as
+            # _get, so callers can retry/re-auth uniformly (ADVICE
+            # r14: commit_table mapped these to ValueError while _get
+            # raised RuntimeError for the identical fault class)
+            raise RuntimeError(
                 f"REST catalog {url!r}: HTTP {e.code} — {detail}"
             ) from None
+
+    def create_table(
+        self,
+        namespace: str,
+        name: str,
+        schema: dict[str, Any],
+        *,
+        partition_spec: dict[str, Any] | None = None,
+        properties: dict[str, str] | None = None,
+        location: str | None = None,
+    ) -> dict[str, Any]:
+        """POST a CreateTableRequest; returns the LoadTableResult of
+        the new (empty) table. 409 → CommitConflictError (table
+        already exists, the spec's AlreadyExistsException slot)."""
+        from urllib.parse import quote
+
+        ns = quote(_SEP.join(namespace.split(".")), safe="")
+        body: dict[str, Any] = {"name": name, "schema": schema}
+        if partition_spec is not None:
+            body["partition-spec"] = partition_spec
+        if properties:
+            body["properties"] = properties
+        if location:
+            body["location"] = location
+        return self._send("POST", self._p(f"/namespaces/{ns}/tables"), body)
+
+    def register_table(
+        self, namespace: str, name: str, metadata_location: str
+    ) -> dict[str, Any]:
+        """POST a RegisterTableRequest — adopt an EXISTING
+        metadata.json into the catalog without rewriting it."""
+        from urllib.parse import quote
+
+        ns = quote(_SEP.join(namespace.split(".")), safe="")
+        return self._send(
+            "POST",
+            self._p(f"/namespaces/{ns}/register"),
+            {"name": name, "metadata-location": metadata_location},
+        )
+
+    def drop_table(self, identifier: str, *, purge: bool = False) -> None:
+        """DELETE the table from the catalog; ``purge`` also deletes
+        its data/metadata files (the spec's purgeRequested flag)."""
+        self._send(
+            "DELETE",
+            self._table_path(identifier) + ("?purgeRequested=true" if purge else ""),
+            None,
+        )
 
     def metadata_path(self, identifier: str, scratch_dir: str | None = None) -> str:
         """A LOCAL metadata.json path for the table: the service's
@@ -207,13 +347,15 @@ def load_table_rest(
     snapshot_id: int | None = None,
     *,
     as_of_ms: int | None = None,
+    client: "RestCatalogClient | None" = None,
 ):
     """By-name MoR read through a REST catalog — the REST twin of
-    ``catalog.load_table`` with the same time-travel surface."""
+    ``catalog.load_table`` with the same time-travel surface. Pass
+    ``client`` to reuse an authenticated/prefixed client."""
     from .deletes import read_mor
     from .metadata import parse_metadata
 
-    mpath = RestCatalogClient(uri).metadata_path(identifier)
+    mpath = (client or RestCatalogClient(uri)).metadata_path(identifier)
     meta = parse_metadata(mpath)
     if as_of_ms is not None:
         if snapshot_id is not None:
@@ -314,6 +456,7 @@ def _apply_commit(
     opener = gzip.open if mpath.endswith(".gz") else open
     with opener(mpath, "rt") as f:
         raw = json.load(f)
+    prev_ts = raw.get("last-updated-ms", 0)  # superseded file's stamp
 
     refs = raw.setdefault("refs", {})
 
@@ -340,12 +483,28 @@ def _apply_commit(
                     f"ref {req.get('ref')!r} moved: expected "
                     f"{want}, found {cur}"),
                     "type": "CommitFailedException", "code": 409}}
+        elif t == "assert-current-schema-id":
+            if raw.get("current-schema-id", 0) != req.get("current-schema-id"):
+                return 409, {"error": {"message": (
+                    f"current schema changed: expected "
+                    f"{req.get('current-schema-id')}, found "
+                    f"{raw.get('current-schema-id', 0)}"),
+                    "type": "CommitFailedException", "code": 409}}
+        elif t == "assert-default-spec-id":
+            if raw.get("default-spec-id", 0) != req.get("default-spec-id"):
+                return 409, {"error": {"message": (
+                    f"default spec changed: expected "
+                    f"{req.get('default-spec-id')}, found "
+                    f"{raw.get('default-spec-id', 0)}"),
+                    "type": "CommitFailedException", "code": 409}}
         else:
             return 400, {"error": {"message": (
                 f"unsupported requirement type {t!r}"), "code": 400}}
 
     snapshots = raw.setdefault("snapshots", [])
     by_id = {s["snapshot-id"]: s for s in snapshots}
+    last_added_schema: int | None = None
+    last_added_spec: int | None = None
     for up in body.get("updates", []):
         a = up.get("action")
         if a == "add-snapshot":
@@ -382,9 +541,83 @@ def _apply_commit(
         elif a == "remove-properties":
             for k in up.get("removals", []):
                 raw.get("properties", {}).pop(k, None)
+        elif a == "add-schema":
+            schema = up["schema"]
+            schemas = raw.setdefault("schemas", [])
+            if any(s.get("schema-id") == schema.get("schema-id") for s in schemas):
+                return 400, {"error": {"message": (
+                    f"add-schema: schema-id {schema.get('schema-id')} "
+                    f"already exists"), "code": 400}}
+            schemas.append(schema)
+            last_added_schema = schema.get("schema-id")
+            lci = up.get("last-column-id")
+            field_ids = [f.get("id", 0) for f in schema.get("fields", [])]
+            raw["last-column-id"] = max(
+                raw.get("last-column-id", 0),
+                lci if lci is not None else 0,
+                max(field_ids, default=0),
+            )
+        elif a == "set-current-schema":
+            sid = up["schema-id"]
+            if sid == -1:  # the spec's "last added schema" sentinel
+                if last_added_schema is None:
+                    return 400, {"error": {"message": (
+                        "set-current-schema -1 without a preceding "
+                        "add-schema in this commit"), "code": 400}}
+                sid = last_added_schema
+            if not any(
+                s.get("schema-id") == sid for s in raw.get("schemas", [])
+            ):
+                return 400, {"error": {"message": (
+                    f"set-current-schema: unknown schema-id {sid}"),
+                    "code": 400}}
+            raw["current-schema-id"] = sid
+        elif a == "add-spec":
+            spec = up["spec"]
+            specs = raw.setdefault("partition-specs", [])
+            if any(s.get("spec-id") == spec.get("spec-id") for s in specs):
+                return 400, {"error": {"message": (
+                    f"add-spec: spec-id {spec.get('spec-id')} already "
+                    f"exists"), "code": 400}}
+            specs.append(spec)
+            last_added_spec = spec.get("spec-id")
+            pids = [f.get("field-id", 0) for f in spec.get("fields", [])]
+            raw["last-partition-id"] = max(
+                raw.get("last-partition-id", 999), max(pids, default=0)
+            )
+        elif a == "set-default-spec":
+            sid = up["spec-id"]
+            if sid == -1:  # "last added spec" sentinel
+                if last_added_spec is None:
+                    return 400, {"error": {"message": (
+                        "set-default-spec -1 without a preceding "
+                        "add-spec in this commit"), "code": 400}}
+                sid = last_added_spec
+            if not any(
+                s.get("spec-id") == sid
+                for s in raw.get("partition-specs", [])
+            ):
+                return 400, {"error": {"message": (
+                    f"set-default-spec: unknown spec-id {sid}"), "code": 400}}
+            raw["default-spec-id"] = sid
         else:
             return 400, {"error": {"message": (
                 f"unsupported update action {a!r}"), "code": 400}}
+
+    # the superseded metadata file joins the table's metadata-log and
+    # last-updated-ms always moves forward (even for property-only
+    # commits) — foreign tooling's rollback / metadata time-travel
+    # depends on the log being complete (ADVICE r14: REST commits
+    # were silently dropped from the history the FS commit path
+    # records)
+    raw["last-updated-ms"] = max(raw.get("last-updated-ms", 0), prev_ts + 1)
+    loc = raw.get("location")
+    table_root = os.path.dirname(os.path.dirname(mpath))
+    rel = os.path.relpath(mpath, table_root).replace(os.sep, "/")
+    raw.setdefault("metadata-log", []).append({
+        "timestamp-ms": prev_ts,
+        "metadata-file": f"{loc}/{rel}" if loc else mpath,
+    })
 
     m = _re.search(r"v(\d+)\.metadata\.json", os.path.basename(mpath))
     nxt = os.path.join(
@@ -402,20 +635,62 @@ def _apply_commit(
     }
 
 
-def serve_rest_catalog(warehouse: str, *, prefix: str = "", port: int = 0):
-    """Serve the read endpoints — plus the COMMIT endpoint (POST
-    CommitTableRequest with assert-ref-snapshot-id /
-    assert-table-uuid requirements and add-snapshot /
-    set-snapshot-ref / set-/remove-properties updates, applied
-    atomically under a server-side lock) — over a Hadoop-style
-    warehouse directory on ``127.0.0.1:<ephemeral>`` in a daemon
-    thread. Returns ``(server, base_uri)``; call
-    ``server.shutdown()`` when done. Resolution reuses the FS
-    catalog (version-hint + listing fallback), so the served state
-    is exactly what the FS catalog would resolve — the fixture
-    trusts one resolver, not two."""
+def _paged(items: list, qs: dict[str, list[str]]) -> tuple[list, str | None]:
+    """Slice a listing per the spec's opaque-token pagination:
+    ``pageToken`` is (here) a stringified start offset — opaque to
+    clients, who only echo it back — and ``pageSize`` caps the page.
+    Returns ``(page, next_token_or_None)``."""
+    start = 0
+    tok = qs.get("pageToken", [None])[0]
+    if tok:
+        try:
+            start = max(0, int(tok))
+        except ValueError:
+            start = 0
+    size = qs.get("pageSize", [None])[0]
+    if size is None:
+        return items[start:], None
+    n = max(1, int(size))
+    page = items[start : start + n]
+    nxt = start + n
+    return page, (str(nxt) if nxt < len(items) else None)
+
+
+def serve_rest_catalog(
+    warehouse: str,
+    *,
+    prefix: str = "",
+    port: int = 0,
+    token: str | None = None,
+    credentials: dict[str, str] | None = None,
+):
+    """Serve the catalog endpoints over a Hadoop-style warehouse
+    directory on ``127.0.0.1:<ephemeral>`` in a daemon thread:
+
+    * the READ side (config / namespaces / tables / load-table),
+      with ``pageSize``/``pageToken`` pagination on both listings;
+    * the COMMIT endpoint (POST CommitTableRequest —
+      assert-ref-snapshot-id / assert-table-uuid /
+      assert-current-schema-id / assert-default-spec-id
+      requirements; add-snapshot / set-snapshot-ref /
+      set-/remove-properties / add-schema / set-current-schema /
+      add-spec / set-default-spec updates — applied atomically
+      under a server-side lock);
+    * CREATE TABLE (POST CreateTableRequest), REGISTER TABLE
+      (POST RegisterTableRequest) and DROP TABLE (DELETE, with
+      ``purgeRequested``);
+    * optional auth: ``token`` requires ``Authorization: Bearer
+      <token>`` on every catalog call; ``credentials``
+      (client_id → secret) additionally serves the spec's OAuth2
+      client-credentials flow at ``POST /v1/oauth/tokens``,
+      minting that same bearer token.
+
+    Returns ``(server, base_uri)``; call ``server.shutdown()`` when
+    done. Resolution reuses the FS catalog (version-hint + listing
+    fallback), so the served state is exactly what the FS catalog
+    would resolve — the fixture trusts one resolver, not two."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-    from urllib.parse import unquote
+    from urllib.parse import parse_qs, unquote
 
     from .catalog import current_metadata_path, list_tables
 
@@ -437,27 +712,54 @@ def serve_rest_catalog(warehouse: str, *, prefix: str = "", port: int = 0):
         def _err(self, code: int, msg: str) -> None:
             self._json(code, {"error": {"message": msg, "code": code}})
 
-        def do_GET(self):  # noqa: N802 (http.server API)
-            parts = [unquote(p) for p in self.path.split("?")[0].split("/") if p]
-            if parts and parts[0] != "v1":
-                return self._err(404, f"unknown path {self.path!r}")
+        def _authed(self) -> bool:
+            if token is None:
+                return True
+            got = self.headers.get("Authorization", "")
+            return got == f"Bearer {token}"
+
+        def _route(self):
+            """(parts-after-v1-and-prefix, query dict) or None after
+            having replied with an error."""
+            path, _, query = self.path.partition("?")
+            parts = [unquote(p) for p in path.split("/") if p]
+            if not parts or parts[0] != "v1":
+                self._err(404, f"unknown path {self.path!r}")
+                return None
             parts = parts[1:]
+            if parts == ["config"] or parts[:2] == ["oauth", "tokens"]:
+                return parts, parse_qs(query)
+            if not self._authed():
+                self._err(401, "missing or invalid bearer token")
+                return None
+            if pre:
+                pre_parts = pre.split("/")
+                if parts[: len(pre_parts)] != pre_parts:
+                    self._err(404, f"unknown prefix in {self.path!r}")
+                    return None
+                parts = parts[len(pre_parts):]
+            return parts, parse_qs(query)
+
+        def do_GET(self):  # noqa: N802 (http.server API)
+            r = self._route()
+            if r is None:
+                return None
+            parts, qs = r
             if parts == ["config"]:
                 return self._json(200, {
                     "defaults": {},
                     "overrides": {"prefix": pre} if pre else {},
                 })
-            if pre:
-                pre_parts = pre.split("/")
-                if parts[: len(pre_parts)] != pre_parts:
-                    return self._err(404, f"unknown prefix in {self.path!r}")
-                parts = parts[len(pre_parts):]
             if parts == ["namespaces"]:
                 namespaces = sorted({
                     tuple(t.split(".")[:-1]) for t in list_tables(warehouse)
                 })
+                page, nxt = _paged(
+                    [list(ns) for ns in namespaces if ns], qs
+                )
                 return self._json(200, {
-                    "namespaces": [list(ns) for ns in namespaces if ns]
+                    "namespaces": page,
+                    **({"next-page-token": nxt} if nxt else {}),
                 })
             if len(parts) == 2 and parts[0] == "namespaces":
                 ns = parts[1].split(_SEP)
@@ -475,10 +777,17 @@ def serve_rest_catalog(warehouse: str, *, prefix: str = "", port: int = 0):
                     t for t in list_tables(warehouse)
                     if t.split(".")[:-1] == ns
                 ]
-                return self._json(200, {"identifiers": [
-                    {"namespace": t.split(".")[:-1], "name": t.split(".")[-1]}
-                    for t in idents
-                ]})
+                page, nxt = _paged(
+                    [
+                        {"namespace": t.split(".")[:-1], "name": t.split(".")[-1]}
+                        for t in idents
+                    ],
+                    qs,
+                )
+                return self._json(200, {
+                    "identifiers": page,
+                    **({"next-page-token": nxt} if nxt else {}),
+                })
             if len(parts) == 4 and parts[0] == "namespaces" and parts[2] == "tables":
                 ident = ".".join(parts[1].split(_SEP) + [parts[3]])
                 try:
@@ -490,22 +799,55 @@ def serve_rest_catalog(warehouse: str, *, prefix: str = "", port: int = 0):
                 opener = gzip.open if mpath.endswith(".gz") else open
                 with opener(mpath, "rt") as f:
                     meta = json.load(f)
+                # realpath: a REGISTERED table's catalog entry is a
+                # symlink; readers must locate data via the original
+                # table layout, not the warehouse pointer
                 return self._json(200, {
-                    "metadata-location": f"file://{os.path.abspath(mpath)}",
+                    "metadata-location": f"file://{os.path.realpath(mpath)}",
                     "metadata": meta,
                     "config": {},
                 })
             return self._err(404, f"unknown path {self.path!r}")
 
+        def _read_body(self, *, form: bool = False):
+            length = int(self.headers.get("Content-Length") or 0)
+            raw = self.rfile.read(length) if length else b""
+            if form:
+                from urllib.parse import parse_qs as _pq
+
+                return {k: v[0] for k, v in _pq(raw.decode("utf-8")).items()}
+            return json.loads(raw) if raw.strip() else {}
+
         def do_POST(self):  # noqa: N802 (http.server API)
-            parts = [unquote(p) for p in self.path.split("?")[0].split("/") if p]
-            if parts and parts[0] == "v1":
-                parts = parts[1:]
-            if pre:
-                pre_parts = pre.split("/")
-                if parts[: len(pre_parts)] != pre_parts:
-                    return self._err(404, f"unknown prefix in {self.path!r}")
-                parts = parts[len(pre_parts):]
+            r = self._route()
+            if r is None:
+                return None
+            parts, _qs = r
+            if parts[:2] == ["oauth", "tokens"]:
+                if not credentials:
+                    return self._err(404, "token endpoint not enabled")
+                form = self._read_body(form=True)
+                if form.get("grant_type") != "client_credentials":
+                    return self._err(
+                        400, f"unsupported grant_type {form.get('grant_type')!r}"
+                    )
+                cid = form.get("client_id", "")
+                if credentials.get(cid) != form.get("client_secret"):
+                    return self._err(401, "invalid client credentials")
+                return self._json(200, {
+                    "access_token": token or "",
+                    "token_type": "bearer",
+                })
+            try:
+                body = self._read_body()
+            except ValueError:
+                return self._err(400, "request body is not JSON")
+            # POST /namespaces/{ns}/tables → CREATE TABLE
+            if len(parts) == 3 and parts[0] == "namespaces" and parts[2] == "tables":
+                return self._create(parts[1].split(_SEP), body)
+            # POST /namespaces/{ns}/register → REGISTER TABLE
+            if len(parts) == 3 and parts[0] == "namespaces" and parts[2] == "register":
+                return self._register(parts[1].split(_SEP), body)
             if not (
                 len(parts) == 4
                 and parts[0] == "namespaces"
@@ -513,11 +855,6 @@ def serve_rest_catalog(warehouse: str, *, prefix: str = "", port: int = 0):
             ):
                 return self._err(404, f"unknown path {self.path!r}")
             ident = ".".join(parts[1].split(_SEP) + [parts[3]])
-            length = int(self.headers.get("Content-Length") or 0)
-            try:
-                body = json.loads(self.rfile.read(length)) if length else {}
-            except ValueError:
-                return self._err(400, "request body is not JSON")
             with commit_lock:
                 try:
                     code, payload = _apply_commit(warehouse, ident, body)
@@ -530,6 +867,125 @@ def serve_rest_catalog(warehouse: str, *, prefix: str = "", port: int = 0):
                         400, f"malformed commit request: {type(e).__name__}: {e}"
                     )
             return self._json(code, payload)
+
+        def _load_result(self, mpath: str) -> dict[str, Any]:
+            with open(mpath) as f:
+                meta = json.load(f)
+            return {
+                "metadata-location": f"file://{os.path.abspath(mpath)}",
+                "metadata": meta,
+                "config": {},
+            }
+
+        def _create(self, ns: list[str], body: dict[str, Any]):
+            from .commit import create_table
+
+            name = body.get("name")
+            schema = body.get("schema") or {}
+            if not name or not schema.get("fields"):
+                return self._err(400, "CreateTableRequest needs name + schema")
+            root = os.path.join(warehouse, *ns, name)
+            with commit_lock:
+                if os.path.isdir(os.path.join(root, "metadata")):
+                    return self._json(409, {"error": {
+                        "message": f"table {'.'.join(ns)}.{name} already exists",
+                        "type": "AlreadyExistsException", "code": 409}})
+                spec = body.get("partition-spec") or {}
+                part_by = []
+                by_id = {f["id"]: f for f in schema["fields"]}
+                for pf in spec.get("fields", []):
+                    src = by_id.get(pf.get("source-id"))
+                    if src is None:
+                        return self._err(
+                            400,
+                            f"partition-spec source-id {pf.get('source-id')} "
+                            f"not in schema",
+                        )
+                    part_by.append((pf["name"], pf.get("transform", "identity"),
+                                    src["name"]))
+                try:
+                    mpath = create_table(
+                        root,
+                        list(schema["fields"]),
+                        partition_by=part_by,
+                        properties=body.get("properties") or {},
+                        table_uuid=body.get(
+                            "table-uuid",
+                            "00000000-0000-0000-0000-0000000000c1",
+                        ),
+                        location=body.get("location"),
+                    )
+                except ValueError as e:
+                    return self._err(400, str(e))
+            return self._json(200, self._load_result(mpath))
+
+        def _register(self, ns: list[str], body: dict[str, Any]):
+            name = body.get("name")
+            loc = body.get("metadata-location", "")
+            local = loc[7:] if loc.startswith("file://") else loc
+            if not name or not local:
+                return self._err(
+                    400, "RegisterTableRequest needs name + metadata-location"
+                )
+            if not os.path.exists(local):
+                return self._err(404, f"metadata-location {loc!r} not found")
+            root = os.path.join(warehouse, *ns, name)
+            with commit_lock:
+                if os.path.isdir(os.path.join(root, "metadata")):
+                    return self._json(409, {"error": {
+                        "message": f"table {'.'.join(ns)}.{name} already exists",
+                        "type": "AlreadyExistsException", "code": 409}})
+                # adopt WITHOUT rewriting: the catalog entry is a
+                # SYMLINK to the existing metadata file (spec:
+                # register never copies the table) — the FS resolver
+                # sees a vN.metadata.json, and reads resolve the REAL
+                # path so data files locate via the original layout
+                mdir = os.path.join(root, "metadata")
+                os.makedirs(mdir)
+                base = os.path.basename(local)
+                link = os.path.join(
+                    mdir,
+                    base if _V_HINT.fullmatch(base) else "v1.metadata.json",
+                )
+                os.symlink(os.path.abspath(local), link)
+            return self._json(200, self._load_result(local))
+
+        def do_DELETE(self):  # noqa: N802 (http.server API)
+            r = self._route()
+            if r is None:
+                return None
+            parts, qs = r
+            if not (
+                len(parts) == 4
+                and parts[0] == "namespaces"
+                and parts[2] == "tables"
+            ):
+                return self._err(404, f"unknown path {self.path!r}")
+            ident = ".".join(parts[1].split(_SEP) + [parts[3]])
+            purge = qs.get("purgeRequested", ["false"])[0].lower() == "true"
+            with commit_lock:
+                try:
+                    mpath = current_metadata_path(warehouse, ident)
+                except FileNotFoundError as e:
+                    return self._err(404, str(e))
+                import shutil
+
+                root = os.path.join(warehouse, *ident.split("."))
+                if purge:
+                    shutil.rmtree(root, ignore_errors=True)
+                else:
+                    # drop the catalog ENTRY only: unlink the
+                    # warehouse dir's metadata resolution, keep files
+                    # when the table body lives elsewhere (register)
+                    shutil.rmtree(
+                        os.path.join(root, "metadata"), ignore_errors=True
+                    )
+                    if not os.path.isdir(os.path.join(root, "data")):
+                        shutil.rmtree(root, ignore_errors=True)
+                _ = mpath
+            self.send_response(204)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
 
     server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
     t = threading.Thread(target=server.serve_forever, daemon=True)

@@ -1029,6 +1029,18 @@ register(
     _w_delta.DELTA_VARIANT_SQL,
 )
 
+# r15 newcomer: engine commits routed END-TO-END through the REST
+# catalog (VERDICT r14 #1) — append with a deterministic rival-writer
+# 409 rebased, DELETE WHERE over REST, SET TBLPROPERTIES, and the
+# ADVICE-r14 metadata-log accounting; golden oracle.
+from .iceberg import rest_ops as _w_restops  # noqa: E402
+
+register(
+    "rest_commit_roundtrip",
+    _w_restops.rest_commit_roundtrip,
+    _w_restops.REST_COMMIT_SQL,
+)
+
 # ============================= ROUND-13 WINDOW (a dict REORDER, not
 # re-registration: every key keeps its single (fn, sql) declaration
 # above; this block only fixes which 50 the driver adjudicates).

@@ -1890,7 +1890,16 @@ def write_delta_checkpoint_v2(
             pa.Table.from_pylist(rows, schema=top_schema), top_path + ".tmp"
         )
         os.replace(top_path + ".tmp", top_path)
-    pointer = {"version": v, "size": len(file_rows) + 2 + (1 if meta else 0)}
+    # advisory action count = files + protocol + checkpointMetadata
+    # (+ metaData + domainMetadata rows when present) — ADVICE r14:
+    # omitting the domain rows under-counted tables with domains
+    pointer = {
+        "version": v,
+        "size": len(file_rows)
+        + 2
+        + (1 if meta else 0)
+        + len(meta.get("__domains__", {}) if meta else {}),
+    }
     tmp = os.path.join(d, "_last_checkpoint.tmp")
     with open(tmp, "w") as f:
         json.dump(pointer, f)

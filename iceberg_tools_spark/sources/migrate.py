@@ -43,6 +43,128 @@ _DELTA_TO_ICEBERG_TYPE = {
 }
 
 
+def _delta_type_to_iceberg(t, counter: list[int]):
+    """Recursive Delta→Iceberg type conversion. ``t`` is a Delta
+    schemaString type (string scalar or struct/array/map dict);
+    ``counter`` is the one-cell NEXT-field-id allocator (Iceberg
+    assigns ids to struct fields, list elements and map keys/values
+    at every depth — ``assignFreshIds`` in the public source)."""
+    if isinstance(t, str):
+        ice = _DELTA_TO_ICEBERG_TYPE.get(t)
+        if ice is None:
+            import re as _re
+
+            m = _re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", t)
+            if m:
+                return f"decimal({m.group(1)}, {m.group(2)})"
+            raise ValueError(f"unsupported Delta type {t!r}")
+        return ice
+    kind = t.get("type")
+    if kind == "struct":
+        fields = []
+        for f in t["fields"]:
+            fid = counter[0]
+            counter[0] += 1
+            fields.append({
+                "id": fid,
+                "name": f["name"],
+                "required": not f.get("nullable", True),
+                "type": None,  # filled below (children allocate after)
+                "_delta": f,
+            })
+        for fd in fields:
+            fd["type"] = _delta_type_to_iceberg(fd.pop("_delta")["type"], counter)
+        return {"type": "struct", "fields": fields}
+    if kind == "array":
+        eid = counter[0]
+        counter[0] += 1
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _delta_type_to_iceberg(t["elementType"], counter),
+            "element-required": not t.get("containsNull", True),
+        }
+    if kind == "map":
+        kid, vid = counter[0], counter[0] + 1
+        counter[0] += 2
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": _delta_type_to_iceberg(t["keyType"], counter),
+            "value-id": vid,
+            "value": _delta_type_to_iceberg(t["valueType"], counter),
+            "value-required": not t.get("valueContainsNull", True),
+        }
+    raise ValueError(f"unsupported Delta type {t!r}")
+
+
+def _delta_fields_to_iceberg(
+    schema_fields: list[dict[str, Any]],
+) -> tuple[list[dict[str, Any]], int]:
+    """Delta schemaString fields → Iceberg schema fields with fresh
+    ids at every depth (top-level fields take 1..N first, like
+    Iceberg's fresh-id assignment, so flat schemas keep the exact
+    ids the historical flat converter assigned). Returns
+    ``(fields, last_column_id)``."""
+    counter = [1]
+    tops = []
+    for f in schema_fields:
+        fid = counter[0]
+        counter[0] += 1
+        tops.append({"id": fid, "name": f["name"], "required": False,
+                     "_delta": f})
+    for fd in tops:
+        fd["type"] = _delta_type_to_iceberg(fd.pop("_delta")["type"], counter)
+    return tops, counter[0] - 1
+
+
+def _nm_type_entries(delta_t, ice_t) -> list[dict[str, Any]]:
+    """Nested name-mapping entries for one (delta type, iceberg
+    type) pair — struct members carry their physicalName aliases;
+    list/map structural slots use the spec's fixed names
+    ``element``/``key``/``value``."""
+    if isinstance(delta_t, str) or isinstance(ice_t, str):
+        return []
+    kind = delta_t.get("type")
+    if kind == "struct":
+        return _nested_name_mapping(delta_t["fields"], ice_t["fields"])
+    if kind == "array":
+        e = {"field-id": ice_t["element-id"], "names": ["element"]}
+        sub = _nm_type_entries(delta_t["elementType"], ice_t["element"])
+        if sub:
+            e["fields"] = sub
+        return [e]
+    if kind == "map":
+        k = {"field-id": ice_t["key-id"], "names": ["key"]}
+        v = {"field-id": ice_t["value-id"], "names": ["value"]}
+        vsub = _nm_type_entries(delta_t["valueType"], ice_t["value"])
+        if vsub:
+            v["fields"] = vsub
+        return [k, v]
+    return []
+
+
+def _nested_name_mapping(
+    delta_fields: list[dict[str, Any]], ice_fields: list[dict[str, Any]]
+) -> list[dict[str, Any]]:
+    """Iceberg name-mapping entries (spec: ``field-id`` + ``names``
+    + nested ``fields``) for a column-mapped Delta schema, binding
+    ``delta.columnMapping.physicalName`` aliases at EVERY depth —
+    the read path for verbatim physical-named parquet."""
+    out: list[dict[str, Any]] = []
+    for df_f, ice_f in zip(delta_fields, ice_fields):
+        phys = (df_f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", df_f["name"]
+        )
+        names = [phys, df_f["name"]] if phys != df_f["name"] else [df_f["name"]]
+        entry: dict[str, Any] = {"field-id": ice_f["id"], "names": names}
+        sub = _nm_type_entries(df_f["type"], ice_f["type"])
+        if sub:
+            entry["fields"] = sub
+        out.append(entry)
+    return out
+
+
 def _iceberg_pv(value, ice_type: str):
     """Delta partitionValues (and hive path segments) are
     spec-serialized STRINGS; Iceberg manifests store RAW values —
@@ -93,12 +215,7 @@ def migrate_delta_to_iceberg(
     adds, meta, eff_version = replay_log(delta_root, version)
     schema_fields = json.loads(meta["schemaString"])["fields"]
     part_cols = meta.get("partitionColumns") or []
-    ice_fields = []
-    for i, f in enumerate(schema_fields, start=1):
-        t = _DELTA_TO_ICEBERG_TYPE.get(f["type"])
-        if t is None:
-            raise ValueError(f"unsupported Delta type {f['type']!r} for {f['name']!r}")
-        ice_fields.append({"id": i, "name": f["name"], "required": False, "type": t})
+    ice_fields, last_col_id = _delta_fields_to_iceberg(schema_fields)
     by_name = {f["name"]: f["id"] for f in ice_fields}
     spec_fields = [
         {"name": c, "transform": "identity", "source-id": by_name[c],
@@ -118,7 +235,7 @@ def migrate_delta_to_iceberg(
         "location": f"file://{os.path.abspath(target_root)}",
         "last-sequence-number": 0,
         "last-updated-ms": 1700000000000,
-        "last-column-id": len(ice_fields),
+        "last-column-id": last_col_id,
         "current-schema-id": 0,
         "schemas": [{"schema-id": 0, "type": "struct", "fields": ice_fields}],
         "default-spec-id": 0,
@@ -430,14 +547,10 @@ def replicate_delta_stream(
     _, meta, _ = replay_log(delta_root, to_version)
     schema_fields = _json.loads(meta["schemaString"])["fields"]
     part_cols = meta.get("partitionColumns") or []
-    ice_fields = []
-    for i, f in enumerate(schema_fields, start=1):
-        t = _DELTA_TO_ICEBERG_TYPE.get(f["type"])
-        if t is None:
-            raise ValueError(f"unsupported Delta type {f['type']!r}")
-        ice_fields.append({"id": i, "name": f["name"], "required": False, "type": t})
+    ice_fields, last_col_id = _delta_fields_to_iceberg(schema_fields)
+    last_col_id += 1
     ice_fields.append({
-        "id": len(ice_fields) + 1, "name": "_delta_version",
+        "id": last_col_id, "name": "_delta_version",
         "required": False, "type": "long",
     })
     by_name = {f["name"]: f["id"] for f in ice_fields}
@@ -453,7 +566,7 @@ def replicate_delta_stream(
         "location": f"file://{os.path.abspath(target_root)}",
         "last-sequence-number": 0,
         "last-updated-ms": 1700000000000,
-        "last-column-id": len(ice_fields),
+        "last-column-id": last_col_id,
         "current-schema-id": 0,
         "schemas": [{"schema-id": 0, "type": "struct", "fields": ice_fields}],
         "default-spec-id": 0,
@@ -1236,45 +1349,24 @@ def replicate_delta_versions(
     )
     mapping = _column_mapping(meta)  # physical → logical, top-level
     schema_fields = json.loads(meta["schemaString"])["fields"]
-    if mapping and any(not isinstance(f["type"], str) for f in schema_fields):
-        # NESTED physical names can't bind through the replica's
-        # top-level name mapping; the CDF path rewrites rows under
-        # logical names at every depth, so it's the mapping there
-        raise ValueError(
-            f"{delta_root!r} uses delta.columnMapping on a NESTED "
-            f"schema — verbatim copies can't carry struct-internal "
-            f"physical names into an Iceberg name mapping; use "
-            f"replicate_delta_cdf (row-level, logical names) instead"
-        )
     part_cols = meta.get("partitionColumns") or []
-    ice_fields = []
-    for i, f in enumerate(schema_fields, start=1):
-        t = _DELTA_TO_ICEBERG_TYPE.get(f["type"])
-        if t is None:
-            raise ValueError(f"unsupported Delta type {f['type']!r}")
-        ice_fields.append({"id": i, "name": f["name"], "required": False, "type": t})
+    ice_fields, last_col_id = _delta_fields_to_iceberg(schema_fields)
     by_name = {f["name"]: f["id"] for f in ice_fields}
-    # column-mapped sources (VERDICT r13 #5): the verbatim copies
-    # carry PHYSICAL column names, so the replica declares Iceberg's
-    # spec mechanism for foreign-named files — a
-    # `schema.name-mapping.default` property binding each field id to
-    # its physical name (+ the logical name, for files a re-fold
-    # writes later). Reads stay zero-rewrite: `read_mor` applies the
-    # mapping as one post-scan projection.
+    # column-mapped sources (VERDICT r13 #5, NESTED r15): the
+    # verbatim copies carry PHYSICAL column names at every depth, so
+    # the replica declares Iceberg's spec mechanism for foreign-named
+    # files — a `schema.name-mapping.default` property binding each
+    # field id to its physical name (+ the logical name, for files a
+    # re-fold writes later), with the spec's nested `fields` entries
+    # mirroring struct internals. Reads stay zero-rewrite: `read_mor`
+    # applies the mapping as one post-scan projection (struct-typed
+    # columns rename through one positional CAST).
     name_mapping_prop = None
     phys_of = {v: k for k, v in (mapping or {}).items()}  # logical → physical
     if mapping:
-        name_mapping_prop = json.dumps([
-            {
-                "field-id": fd["id"],
-                "names": (
-                    [phys_of[fd["name"]], fd["name"]]
-                    if phys_of.get(fd["name"], fd["name"]) != fd["name"]
-                    else [fd["name"]]
-                ),
-            }
-            for fd in ice_fields
-        ])
+        name_mapping_prop = json.dumps(
+            _nested_name_mapping(schema_fields, ice_fields)
+        )
     spec_fields = [
         {"name": c, "transform": "identity", "source-id": by_name[c],
          "field-id": 1000 + i}
@@ -1292,7 +1384,7 @@ def replicate_delta_versions(
         "location": f"file://{os.path.abspath(target_root)}",
         "last-sequence-number": 0,
         "last-updated-ms": 1700000000000,
-        "last-column-id": len(ice_fields),
+        "last-column-id": last_col_id,
         "current-schema-id": 0,
         "schemas": [{"schema-id": 0, "type": "struct", "fields": ice_fields}],
         "default-spec-id": 0,
@@ -1510,12 +1602,7 @@ def _init_cdf_replica(
     Delta version). Shared by the batch and streaming appliers."""
     _, meta, head = replay_log(delta_root, to_version)
     schema_fields = json.loads(meta["schemaString"])["fields"]
-    ice_fields = []
-    for i, f in enumerate(schema_fields, start=1):
-        t = _DELTA_TO_ICEBERG_TYPE.get(f["type"])
-        if t is None:
-            raise ValueError(f"unsupported Delta type {f['type']!r}")
-        ice_fields.append({"id": i, "name": f["name"], "required": False, "type": t})
+    ice_fields, last_col_id = _delta_fields_to_iceberg(schema_fields)
     os.makedirs(os.path.join(target_root, "metadata"))
     os.makedirs(os.path.join(target_root, "data"))
     meta0 = {
@@ -1528,7 +1615,7 @@ def _init_cdf_replica(
         "location": f"file://{os.path.abspath(target_root)}",
         "last-sequence-number": 0,
         "last-updated-ms": 1700000000000,
-        "last-column-id": len(ice_fields),
+        "last-column-id": last_col_id,
         "current-schema-id": 0,
         "schemas": [{"schema-id": 0, "type": "struct", "fields": ice_fields}],
         "default-spec-id": 0,

@@ -125,12 +125,20 @@ def _discover(src_dir: str) -> tuple[list[tuple[str, dict[str, str]]], list[str]
 
 def _partition_type(values: list[str]) -> str:
     """Hive dir values are strings; type the partition column long
-    when every value parses as an integer, else string (the two
-    types hive layouts actually encode losslessly)."""
+    when every value parses as an integer, date when every value is
+    an ISO ``YYYY-MM-DD`` (the layout Spark's ``partitionBy`` on a
+    DateType column produces), else string — the three types hive
+    layouts actually encode losslessly."""
     try:
         for v in values:
             int(v)
         return "long"
+    except ValueError:
+        pass
+    try:
+        for v in values:
+            date.fromisoformat(v)
+        return "date"
     except ValueError:
         return "string"
 
@@ -270,7 +278,13 @@ def import_parquet_table(
                  "value": to_bytes(ice_t, _stat_to_iceberg_value(hi, ice_t))}
             )
         part_vals = {
-            c: (int(raw_part[c]) if part_types[c] == "long" else raw_part[c])
+            c: (
+                int(raw_part[c])
+                if part_types[c] == "long"
+                else (date.fromisoformat(raw_part[c]) - _EPOCH_DATE).days
+                if part_types[c] == "date"
+                else raw_part[c]
+            )
             for c in part_cols
         }
         data_files.append(

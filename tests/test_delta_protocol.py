@@ -605,23 +605,77 @@ def test_verbatim_replication_of_column_mapped_source(spark, tmp_path):
     ]
 
 
-def test_verbatim_replication_refuses_nested_column_mapping(spark, tmp_path):
-    """NESTED physical names can't bind through a top-level name
-    mapping — guided refusal pointing at the CDF path (which
-    rewrites rows under logical names at every depth)."""
+def test_verbatim_replication_of_nested_column_mapped_source(spark, tmp_path):
+    """r15 (VERDICT r14 missing #3, the last mapping refusal): a
+    NESTED column-mapped source replicates VERBATIM — the Iceberg
+    replica's name mapping carries the spec's nested ``fields``
+    entries binding struct-internal physical names, the schema
+    tree gets fresh ids at every depth, and reads bind struct
+    internals through one positional CAST. Composes with a DV fold
+    on the nested file and per-version equality."""
+    import json as _json
+
+    from iceberg_tools_spark.iceberg.deletes import read_mor
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+    from iceberg_tools_spark.sources.delta_log import commit_delta_dv
     from iceberg_tools_spark.sources.migrate import replicate_delta_versions
 
     root = str(tmp_path / "t")
     os.makedirs(os.path.join(root, "_delta_log"))
     _write_nested_physical(root, "a.parquet", [1, 2])
+    _write_nested_physical(root, "b.parquet", [3, 4, 5])
     append_delta_commit(root, [
         {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
         _nested_mapped_meta(),
         {"add": {"path": "a.parquet", "partitionValues": {"col-bbb": "x"},
                  "size": 1, "modificationTime": 0, "dataChange": True}},
     ], checkpoint_interval=None)
-    with pytest.raises(ValueError, match="NESTED"):
-        replicate_delta_versions(spark, root, str(tmp_path / "full"))
+    append_delta_commit(root, [
+        {"add": {"path": "b.parquet", "partitionValues": {"col-bbb": "y"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    # v2: DV delete of id=1 (row 0 of a.parquet) — mapping x DV
+    commit_delta_dv(root, {"a.parquet": [0]}, checkpoint_interval=None)
+
+    res = replicate_delta_versions(spark, root, str(tmp_path / "full"))
+    mp = res["metadata_path"]
+    raw = parse_metadata(mp).raw
+    # fresh ids at every depth; last-column-id covers nested slots
+    schema = raw["schemas"][0]
+    info = next(f for f in schema["fields"] if f["name"] == "info")
+    inner_ids = {f["name"]: f["id"] for f in info["type"]["fields"]}
+    tags_t = next(f for f in info["type"]["fields"]
+                  if f["name"] == "tags")["type"]
+    all_ids = {f["id"] for f in schema["fields"]} | set(inner_ids.values()) \
+        | {tags_t["element-id"]}
+    assert len(all_ids) == 6 and raw["last-column-id"] == max(all_ids)
+    # the mapping carries NESTED fields entries with physical names
+    nm = _json.loads(raw["properties"]["schema.name-mapping.default"])
+    by_id = {m["field-id"]: m for m in nm}
+    assert by_id[info["id"]]["names"][0] == "col-sss"
+    nested = {e["names"][0]: e for e in by_id[info["id"]]["fields"]}
+    assert nested["col-xxx"]["field-id"] == inner_ids["score"]
+    assert nested["col-yyy"]["field-id"] == inner_ids["tags"]
+    assert nested["col-yyy"]["fields"][0] == {
+        "field-id": tags_t["element-id"], "names": ["element"],
+    }
+    # per-version equality under LOGICAL names at every depth
+    for v in range(3):
+        delta = sorted(
+            (r["id"], r["info"]["score"], tuple(r["info"]["tags"]), r["cat"])
+            for r in read_delta_log(spark, root, v).collect()
+        )
+        ice = sorted(
+            (r["id"], r["info"]["score"], tuple(r["info"]["tags"]), r["cat"])
+            for r in read_mor(spark, mp, 8000 + v).collect()
+        )
+        assert ice == delta, f"version {v} diverged"
+    assert sorted(r["info"]["score"] for r in
+                  read_mor(spark, mp, 8002).collect()) == [20, 30, 40, 50]
+    # non-DV files are byte-identical verbatim copies
+    b_copy = os.path.join(str(tmp_path / "full"), "data", "b.parquet")
+    assert open(b_copy, "rb").read() == open(
+        os.path.join(root, "b.parquet"), "rb").read()
 
 
 def test_incremental_stream_renames_mapped_columns(spark, tmp_path):
@@ -882,3 +936,41 @@ def test_domain_metadata_survives_v2_checkpoint(spark, tmp_path):
         assert sorted(
             r["id"] for r in read_delta_log(spark, root).collect()
         ) == [1], fmt
+
+
+def test_v2_checkpoint_pointer_size_counts_domains(tmp_path):
+    """ADVICE r14 (low): the `_last_checkpoint` advisory size must
+    count the domainMetadata rows the v2 top carries — files +
+    protocol + checkpointMetadata + metaData + domains."""
+    from iceberg_tools_spark.sources.delta_log import (
+        write_delta_checkpoint_v2,
+    )
+
+    root = str(tmp_path / "t_sz")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    pq.write_table(pa.table({"id": pa.array([1], "int64")}),
+                   os.path.join(root, "a.parquet"))
+    append_delta_commit(root, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["v2Checkpoint"],
+                      "writerFeatures": ["v2Checkpoint",
+                                         "domainMetadata"]}},
+        {"metaData": {
+            "id": "dm3", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}}]}),
+            "partitionColumns": [], "configuration": {}, "createdTime": 0,
+        }},
+        {"domainMetadata": {"domain": "app.x", "configuration": "c1",
+                            "removed": False}},
+        {"domainMetadata": {"domain": "app.y", "configuration": "c2",
+                            "removed": False}},
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    write_delta_checkpoint_v2(root, now_ms=NOW)
+    with open(os.path.join(root, "_delta_log", "_last_checkpoint")) as f:
+        ptr = json.load(f)
+    # 1 add + protocol + checkpointMetadata + metaData + 2 domains
+    assert ptr["size"] == 6

@@ -168,3 +168,83 @@ def test_timestamp_stat_exact_microseconds():
     aware = datetime(2026, 8, 15, 12, 0, 0, 5, tzinfo=timezone.utc)
     assert _stat_to_iceberg_value(aware, "timestamptz") == \
         _stat_to_iceberg_value(aware.replace(tzinfo=None), "timestamp")
+
+
+def test_import_date_typed_hive_partition(spark, tmp_path):
+    """ADVICE r14 (medium): a hive lake partitioned by a DATE column
+    — the partition column exists ONLY in directory names — imports
+    with the column typed `date`, stores manifest partition values
+    as raw int days, and read_mor re-attaches it as DateType (the
+    former path inferred BIGINT and crashed on cast to date)."""
+    import datetime as dt
+
+    lake = str(tmp_path / "datelake")
+    (
+        spark.read.parquet(os.path.join(SF_SMOKE, "orders.parquet"))
+        .select(
+            "o_orderkey",
+            F.date_add(F.lit("1995-01-01"), (F.col("o_orderkey") % 4)
+                       .cast("int")).alias("day"),
+        )
+        .repartition("day")
+        .write.partitionBy("day")
+        .parquet(lake)
+    )
+    res = import_parquet_table(spark, lake, str(tmp_path / "t3"))
+    assert res["partition_columns"] == ["day"]
+    imported = read_mor(spark, res["metadata_path"], res["snapshot_id"])
+    assert dict(imported.dtypes)["day"] == "date"
+    src = spark.read.parquet(lake)
+    a = sorted(map(tuple, src.select("o_orderkey", "day").collect()))
+    b = sorted(map(tuple, imported.select("o_orderkey", "day").collect()))
+    assert a == b
+    assert all(isinstance(r[1], dt.date) for r in b[:5])
+
+
+def test_attach_timestamp_partition_column(spark, tmp_path):
+    """Log-only TIMESTAMP/TIMESTAMPTZ identity partitions attach
+    from manifest micros (ADVICE r14: timestamp had no _ICE_TO_SPARK
+    entry at all; date crashed on BIGINT→DATE cast)."""
+    import datetime as dt
+
+    from iceberg_tools_spark.iceberg.deletes import (
+        attach_identity_partition_columns,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id long, _rel string"
+    ).selectExpr("id", "concat('f_', _rel, '.parquet') as _rel")
+
+    class FakeMeta:
+        raw = {
+            "schemas": [{
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "id", "type": "long"},
+                    {"id": 2, "name": "ts", "type": "timestamptz"},
+                    {"id": 3, "name": "d", "type": "date"},
+                ],
+            }],
+            "current-schema-id": 0,
+            "partition-specs": [{
+                "spec-id": 0,
+                "fields": [
+                    {"name": "ts", "transform": "identity", "source-id": 2},
+                    {"name": "d", "transform": "identity", "source-id": 3},
+                ],
+            }],
+        }
+
+    micros = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z
+    data = [
+        {"rel": "f_a.parquet", "partition": {"ts": micros, "d": 19000}},
+        {"rel": "f_b.parquet", "partition": {"ts": None, "d": None}},
+    ]
+    out = attach_identity_partition_columns(spark, df, data, FakeMeta())
+    types = dict(out.dtypes)
+    assert types["ts"] == "timestamp" and types["d"] == "date"
+    rows = {r.id: (r.ts, r.d) for r in out.collect()}
+    assert rows[1][1] == dt.date(1970, 1, 1) + dt.timedelta(days=19000)
+    # the timestamptz instant is tz-pinned regardless of session tz
+    assert rows[1][0] is not None
+    assert rows[3] == (None, None)
