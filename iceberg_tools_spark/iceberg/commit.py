@@ -48,6 +48,9 @@ _AVRO_OF_TYPE = {
     "date": "int",
     "timestamp": "long",
     "timestamptz": "long",
+    # v3 nanosecond precision: raw long nanos since epoch
+    "timestamp_ns": "long",
+    "timestamptz_ns": "long",
 }
 
 

@@ -21,6 +21,10 @@ from typing import Any
 
 _DECIMAL_RE = re.compile(r"^decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)$")
 _FIXED_RE = re.compile(r"^fixed\[\s*(\d+)\s*\]$")
+# v3 geospatial types take optional parameters: geometry(C) /
+# geography(C[, A]) — C a CRS string (default OGC:CRS84), A an
+# edge-interpolation algorithm. Values serialize as WKB either way.
+_GEO_RE = re.compile(r"^(geometry|geography)(\(.*\))?$")
 
 PRIMITIVE_TYPES = frozenset(
     (
@@ -38,6 +42,11 @@ PRIMITIVE_TYPES = frozenset(
         "string",
         "uuid",
         "binary",
+        # v3 additions: `unknown` (always-null, NO single-value
+        # serialization), geospatial (WKB payloads)
+        "unknown",
+        "geometry",
+        "geography",
     )
 )
 
@@ -51,6 +60,11 @@ def canonical_type(type_str: str) -> str:
     m = _FIXED_RE.match(t)
     if m:
         return f"fixed[{int(m.group(1))}]"
+    m = _GEO_RE.match(t)
+    if m and m.group(2):
+        # keep the CRS/algorithm parameters verbatim (minus outer
+        # whitespace): geometry(srid:3857) stays distinguishable
+        return f"{m.group(1)}{m.group(2).strip()}"
     if t not in PRIMITIVE_TYPES:
         raise ValueError(f"unknown primitive type string {type_str!r}")
     return t
@@ -59,6 +73,13 @@ def canonical_type(type_str: str) -> str:
 def from_bytes(type_str: str, data: bytes) -> Any:
     """Deserialize one Iceberg single-value."""
     t = canonical_type(type_str)
+    if t == "unknown":
+        # the v3 always-null type has NO single-value serialization
+        # (spec: "unknown" rows carry no value) — a bound/default
+        # claiming one is corrupt metadata, not a null
+        raise ValueError("type 'unknown' has no single-value serialization")
+    if t.startswith(("geometry", "geography")):
+        return bytes(data)  # WKB payload, verbatim
     if t == "boolean":
         return data[0] != 0
     if t in ("int", "date"):
@@ -93,6 +114,10 @@ def to_bytes(type_str: str, value: Any) -> bytes:
     little-endian numerics, UTF-8 strings, minimal big-endian
     unscaled decimals, 16-byte UUID)."""
     t = canonical_type(type_str)
+    if t == "unknown":
+        raise ValueError("type 'unknown' has no single-value serialization")
+    if t.startswith(("geometry", "geography")):
+        return bytes(value)  # WKB payload, verbatim
     if t == "boolean":
         return b"\x01" if value else b"\x00"
     if t in ("int", "date"):

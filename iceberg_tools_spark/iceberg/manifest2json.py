@@ -35,7 +35,14 @@ from .conversions import decode_bound
 from .metadata import field_id_types, parse_metadata
 
 BOUND_KEYS = frozenset(("lower_bounds", "upper_bounds"))
-DATA_FILE_RECORD = "r2"
+# the data_file record is named "r2" (field-id-derived) in manifests
+# real Iceberg writes and "r2_<suffix>" in this engine's own
+# manifests — bounds decode under either (r15: engine-written
+# manifests' bounds passed through raw before)
+
+
+def _is_data_file_record(rec_name: str | None) -> bool:
+    return rec_name == "r2" or (rec_name or "").startswith("r2_")
 
 
 def _emit(
@@ -73,7 +80,7 @@ def _emit(
         key_val = value.get("key") if isinstance(value, dict) else None
         for f in schema["fields"]:
             f_bounds = in_bounds
-            if rec_name == DATA_FILE_RECORD:
+            if _is_data_file_record(rec_name):
                 f_bounds = f["name"].lower() in BOUND_KEYS
             out[f["name"]] = _emit(
                 f["type"],

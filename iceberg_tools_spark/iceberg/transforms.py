@@ -100,6 +100,16 @@ def _micros(v: Any) -> int:
     return int(v)
 
 
+def _micros_of(v: Any, typ: str) -> int:
+    """Epoch micros from a timestamp value of EITHER precision:
+    raw ints are nanos for the v3 ``*_ns`` types (floor-divided to
+    micros, the spec's rule so bucket/temporal transforms agree
+    across a precision evolution) and micros otherwise."""
+    if isinstance(v, _dt.datetime):
+        return _micros(v)
+    return int(v) // 1000 if typ in ("timestamp_ns", "timestamptz_ns") else int(v)
+
+
 def _days(v: Any) -> int:
     if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
         return (v - _EPOCH_DATE).days
@@ -118,8 +128,10 @@ def bucket_hash(value: Any, typ: str) -> int:
         enc = _days(value).to_bytes(8, "little", signed=True)
     elif typ == "time":
         enc = int(value).to_bytes(8, "little", signed=True)
-    elif typ in ("timestamp", "timestamptz"):
-        enc = _micros(value).to_bytes(8, "little", signed=True)
+    elif typ in ("timestamp", "timestamptz", "timestamp_ns", "timestamptz_ns"):
+        # ns values floor to micros before hashing (spec Appendix B:
+        # precision evolution must not re-bucket rows)
+        enc = _micros_of(value, typ).to_bytes(8, "little", signed=True)
     elif typ == "string":
         enc = value.encode("utf-8")
     elif typ in ("binary",) or typ.startswith("fixed"):
@@ -155,9 +167,10 @@ def apply_transform(transform: str, value: Any, typ: str) -> Any:
     if transform in ("year", "month"):
         if typ == "date":
             d = value if isinstance(value, _dt.date) else _dt.date.fromisoformat(value)
-        elif typ in ("timestamp", "timestamptz"):
+        elif typ in ("timestamp", "timestamptz", "timestamp_ns", "timestamptz_ns"):
             d = (
-                _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=_micros(value))
+                _dt.datetime(1970, 1, 1)
+                + _dt.timedelta(microseconds=_micros_of(value, typ))
             ).date()
         else:
             raise ValueError(f"{transform} unsupported over {typ!r}")
@@ -165,12 +178,12 @@ def apply_transform(transform: str, value: Any, typ: str) -> Any:
     if transform == "day":
         if typ == "date":
             return _days(value)
-        if typ in ("timestamp", "timestamptz"):
-            return _micros(value) // 86_400_000_000
+        if typ in ("timestamp", "timestamptz", "timestamp_ns", "timestamptz_ns"):
+            return _micros_of(value, typ) // 86_400_000_000
         raise ValueError(f"day unsupported over {typ!r}")
     if transform == "hour":
-        if typ in ("timestamp", "timestamptz"):
-            return _micros(value) // 3_600_000_000
+        if typ in ("timestamp", "timestamptz", "timestamp_ns", "timestamptz_ns"):
+            return _micros_of(value, typ) // 3_600_000_000
         raise ValueError(f"hour unsupported over {typ!r}")
     if transform == "void":
         return None
@@ -210,11 +223,16 @@ def transform_column(transform: str, col: Column, typ: str) -> Column:
         n = int(m.group(1))
         from ..functions.bucket_kernel import bucket_long_col, bucket_string_col
 
-        if typ in ("int", "long", "date", "time", "timestamp", "timestamptz"):
+        if typ in ("int", "long", "date", "time", "timestamp", "timestamptz",
+                   "timestamp_ns", "timestamptz_ns"):
             if typ == "date":
                 col = F.datediff(col, F.lit("1970-01-01")).cast("long")
-            elif typ in ("timestamp", "timestamptz"):
-                col = _epoch_micros(col, typ)
+            elif typ in ("timestamp", "timestamptz",
+                         "timestamp_ns", "timestamptz_ns"):
+                # Spark columns are micro-precision either way; a ns
+                # SOURCE type only changes the metadata declaration
+                tz = typ in ("timestamptz", "timestamptz_ns")
+                col = _epoch_micros(col, "timestamptz" if tz else "timestamp")
             else:
                 col = col.cast("long")
             return bucket_long_col(col, n)

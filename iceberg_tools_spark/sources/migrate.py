@@ -181,17 +181,19 @@ def _iceberg_pv(value, ice_type: str):
         import datetime as dt
 
         return (dt.date.fromisoformat(value) - dt.date(1970, 1, 1)).days
-    if ice_type in ("timestamp", "timestamptz"):
+    if ice_type in ("timestamp", "timestamptz", "timestamp_ns", "timestamptz_ns"):
         import datetime as dt
 
         s = value.replace("T", " ").rstrip("Z")
         base, _, frac = s.partition(".")
         d = dt.datetime.strptime(base, "%Y-%m-%d %H:%M:%S")
+        secs = int((d - dt.datetime(1970, 1, 1)).total_seconds())
+        if ice_type.endswith("_ns"):
+            # v3 nanosecond precision: raw long nanos since epoch
+            nanos = int((frac + "000000000")[:9]) if frac else 0
+            return secs * 1_000_000_000 + nanos
         micros = int((frac + "000000")[:6]) if frac else 0
-        return (
-            int((d - dt.datetime(1970, 1, 1)).total_seconds()) * 1_000_000
-            + micros
-        )
+        return secs * 1_000_000 + micros
     if ice_type == "boolean":
         return value.lower() == "true"
     if ice_type in ("float", "double"):

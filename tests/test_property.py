@@ -253,3 +253,17 @@ def test_partition_timestamp_serialization_roundtrip(micros):
     s = f"{base}.{d.microsecond:06d}" if d.microsecond else base
     assert _iceberg_pv(s, "timestamptz") == micros
     assert _iceberg_pv(s, "timestamp") == micros
+
+
+@given(nanos=st.integers(min_value=0, max_value=4_102_444_800_000_000_000))
+def test_partition_timestamp_ns_serialization_roundtrip(nanos):
+    """v3 nanosecond inverse law: raw long nanos ↔ the spec string
+    with up to 9 fractional digits."""
+    from iceberg_tools_spark.sources.migrate import _iceberg_pv
+
+    secs, frac = divmod(nanos, 1_000_000_000)
+    d = dt.datetime(1970, 1, 1) + dt.timedelta(seconds=secs)
+    base = d.strftime("%Y-%m-%d %H:%M:%S")
+    s = f"{base}.{frac:09d}" if frac else base
+    assert _iceberg_pv(s, "timestamp_ns") == nanos
+    assert _iceberg_pv(s, "timestamptz_ns") == nanos

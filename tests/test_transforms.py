@@ -255,3 +255,37 @@ def test_micros_pre_epoch_subsecond():
     v_tz = dt.datetime(1970, 1, 1, 0, 59, 59, 500000,
                        tzinfo=dt.timezone(dt.timedelta(hours=1)))
     assert _micros(v_tz) == -500_000
+
+
+def test_timestamp_ns_transforms_agree_with_micros():
+    """v3 nanosecond timestamps floor to micros before bucketing and
+    temporal derivation (spec Appendix B: a precision evolution must
+    not re-bucket or re-partition rows)."""
+    from iceberg_tools_spark.iceberg.transforms import (
+        apply_transform,
+        bucket_value,
+    )
+
+    micros = 1_700_000_123_456_789
+    nanos = micros * 1000 + 999  # sub-micro tail must floor away
+    for n in (4, 16, 128):
+        assert bucket_value(nanos, "timestamp_ns", n) == \
+            bucket_value(micros, "timestamp", n)
+        assert bucket_value(nanos, "timestamptz_ns", n) == \
+            bucket_value(micros, "timestamptz", n)
+    for tr in ("year", "month", "day", "hour"):
+        assert apply_transform(tr, nanos, "timestamp_ns") == \
+            apply_transform(tr, micros, "timestamp"), tr
+    # pre-epoch nanos floor toward -inf, exactly like micros//
+    neg_ns = -1_500  # -1.5µs → floors to -2µs
+    assert apply_transform("day", neg_ns, "timestamp_ns") == \
+        apply_transform("day", -2, "timestamp")
+
+
+def test_timestamp_ns_result_types_and_column():
+    from iceberg_tools_spark.iceberg.transforms import (
+        transform_result_type,
+    )
+
+    assert transform_result_type("hour", "timestamp_ns") == "int"
+    assert transform_result_type("bucket[8]", "timestamptz_ns") == "int"
