@@ -3219,3 +3219,111 @@ FROM changes
 GROUP BY _commit_version, _change_type
 ORDER BY _commit_version, _change_type
 """
+
+
+def domain_checkpoint_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for domainMetadata survival accounting across the
+    THREE checkpoint forms (``sf_dir`` unused): classic single-part
+    parquet, V2 with a JSON top, V2 with a parquet top. Each scratch
+    table commits two live domains plus one later REMOVED
+    (tombstoned) domain, checkpoints in one form, loses every
+    covered JSON commit, and appends one more commit; replay must
+    keep both live domains' configurations, drop the tombstoned one,
+    and the data must read. Golden oracle. Spec: PROTOCOL.md
+    "Domain Metadata" (checkpoint writers MUST preserve the latest
+    metadata per live domain)."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []
+    for form in ("classic", "v2_json", "v2_parquet"):
+        root = tempfile.mkdtemp(prefix=f"domain_ckpt_{form}_")
+        os.makedirs(os.path.join(root, "_delta_log"))
+        pq.write_table(
+            pa.table({"id": pa.array(range(7), "int64")}),
+            os.path.join(root, "a.parquet"),
+        )
+        proto_features = ["domainMetadata"] + (
+            ["v2Checkpoint"] if form != "classic" else []
+        )
+        append_delta_commit(root, [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": (
+                              ["v2Checkpoint"] if form != "classic" else []
+                          ),
+                          "writerFeatures": proto_features}},
+            {"metaData": {
+                "id": f"dmg-{form}",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps({"type": "struct", "fields": [
+                    {"name": "id", "type": "long", "nullable": True,
+                     "metadata": {}}]}),
+                "partitionColumns": [], "configuration": {},
+                "createdTime": 1700000000000,
+            }},
+            {"domainMetadata": {"domain": "app.alpha",
+                                "configuration": "cfg-a", "removed": False}},
+            {"domainMetadata": {"domain": "app.beta",
+                                "configuration": "cfg-b", "removed": False}},
+            {"domainMetadata": {"domain": "app.gone",
+                                "configuration": "cfg-x", "removed": False}},
+            {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ], checkpoint_interval=None)
+        # v1: tombstone one domain + refresh another's configuration
+        append_delta_commit(root, [
+            {"domainMetadata": {"domain": "app.gone", "configuration": "",
+                                "removed": True}},
+            {"domainMetadata": {"domain": "app.beta",
+                                "configuration": "cfg-b2",
+                                "removed": False}},
+        ], checkpoint_interval=None)
+        if form == "classic":
+            write_delta_checkpoint(root, now_ms=1700000001000)
+        else:
+            write_delta_checkpoint_v2(
+                root,
+                top_format=("json" if form == "v2_json" else "parquet"),
+                now_ms=1700000001000,
+            )
+        append_delta_commit(root, [
+            {"commitInfo": {"operation": "touch",
+                            "timestamp": 1700000002000}},
+        ], checkpoint_interval=None)
+        # every covered JSON commit disappears (checkpoint is the
+        # only source of the domain state now)
+        for v in (0, 1):
+            os.remove(os.path.join(root, "_delta_log", f"{v:020d}.json"))
+
+        _, meta, _ = replay_log(root)
+        doms = meta.get("__domains__", {})
+        n_live = len(doms)
+        configs_ok = int(
+            doms.get("app.alpha", {}).get("configuration") == "cfg-a"
+            and doms.get("app.beta", {}).get("configuration") == "cfg-b2"
+        )
+        removed_gone = int("app.gone" not in doms)
+        n_data = read_delta_log(spark, root).count()
+        rows.append((form, n_live, configs_ok, removed_gone, int(n_data)))
+
+    return spark.createDataFrame(
+        rows,
+        "form string, domains_live long, configs_ok long, "
+        "removed_gone long, data_rows long",
+    ).orderBy("form")
+
+
+DOMAIN_CHECKPOINT_SQL = """
+SELECT form, CAST(domains_live AS BIGINT) AS domains_live,
+       CAST(configs_ok AS BIGINT) AS configs_ok,
+       CAST(removed_gone AS BIGINT) AS removed_gone,
+       CAST(data_rows AS BIGINT) AS data_rows
+FROM (VALUES
+  ('classic', 2, 1, 1, 7),
+  ('v2_json', 2, 1, 1, 7),
+  ('v2_parquet', 2, 1, 1, 7)
+) t(form, domains_live, configs_ok, removed_gone, data_rows)
+ORDER BY form
+"""

@@ -2069,3 +2069,91 @@ def delta_cdf_replicate_rows(spark: SparkSession, sf_dir: str):
         )
         .orderBy("cat")
     )
+
+
+def variant_bridge_rows(spark: SparkSession, sf_dir: str):
+    """Driver gate for Iceberg v3 VARIANT through the migration
+    bridge BOTH WAYS (``sf_dir`` unused): a Delta source with a
+    variant column (Spark's native VARIANT parquet layout) migrates
+    to an Iceberg v3 table, reads back through ``read_mor`` with
+    ``variant_get`` extraction, exports back to Delta, and both hops
+    must agree with the generation rule. Golden oracle (30 ids, tag
+    = ``t{id % 3}``, ``a = id``). Spec: Iceberg v3 "variant",
+    Delta PROTOCOL.md "Variant Data Type"."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from ..iceberg.deletes import read_mor
+    from ..iceberg.metadata import parse_metadata
+    from .delta_log import (
+        _write_variant_file,
+        append_delta_commit,
+        read_delta_log,
+    )
+
+    work = tempfile.mkdtemp(prefix="variant_bridge_")
+    root = os.path.join(work, "src")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "payload", "type": "variant", "nullable": True,
+         "metadata": {}},
+    ]})
+    _write_variant_file(spark, root, "a.parquet", range(30))
+    append_delta_commit(root, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["variantType"],
+                      "writerFeatures": ["variantType"]}},
+        {"metaData": {
+            "id": "00000000-0000-0000-0000-0000000000vb",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema, "partitionColumns": [],
+            "configuration": {}, "createdTime": 1700000000000,
+        }},
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+
+    ice = os.path.join(work, "ice")
+    res = migrate_delta_to_iceberg(spark, root, ice)
+    back = os.path.join(work, "back")
+    export_iceberg_to_delta(
+        spark,
+        res["metadata_path"],
+        parse_metadata(res["metadata_path"]).current_snapshot_id,
+        back,
+    )
+
+    def _agg(df, hop: str):
+        return (
+            df.select(
+                F.lit(hop).alias("hop"),
+                F.try_variant_get("payload", "$.tag", "string").alias("tag"),
+                F.try_variant_get("payload", "$.a", "long").alias("a"),
+            )
+            .groupBy("hop", "tag")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("a").cast("long").alias("a_sum"),
+            )
+        )
+
+    ice_df = read_mor(spark, res["metadata_path"], res["snapshot_id"])
+    out = _agg(ice_df, "iceberg").unionByName(
+        _agg(read_delta_log(spark, back), "delta_back")
+    )
+    return out.orderBy("hop", "tag")
+
+
+VARIANT_BRIDGE_SQL = """
+SELECT hop, tag, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(a_sum AS BIGINT) AS a_sum
+FROM (VALUES
+  ('delta_back', 't0', 10, 135), ('delta_back', 't1', 10, 145),
+  ('delta_back', 't2', 10, 155),
+  ('iceberg', 't0', 10, 135), ('iceberg', 't1', 10, 145),
+  ('iceberg', 't2', 10, 155)
+) t(hop, tag, n_rows, a_sum)
+ORDER BY hop, tag
+"""
