@@ -262,6 +262,50 @@ class RestTableOps:
 
         return self._commit_snapshot(_build, validate=_validate)
 
+    def _table_base_dir(self) -> str | None:
+        """Table root for staging when the catalog layout keeps
+        metadata inside ``metadata/`` (scratch copies land there, so
+        staged rel paths must root one level up)."""
+        head_mpath, _ = self._head()
+        mdir = os.path.dirname(head_mpath)
+        return os.path.dirname(mdir) if os.path.basename(mdir) == "metadata" else None
+
+    def update_where(
+        self, spark, predicate: str, set_exprs: dict[str, Any], **kw: Any
+    ) -> dict[str, Any]:
+        """UPDATE ... SET ... WHERE through the catalog — a row
+        delta (position deletes + rewritten rows in one snapshot)
+        staged by the FS builder, committed over REST; on conflict
+        the builder re-plans from the new head (divergence aborts)."""
+        from .dml import update_where as fs_update_where
+
+        sid = kw.pop("snapshot_id", None) or _rand_snapshot_id()
+        if "base_dir" not in kw and (bd := self._table_base_dir()):
+            kw["base_dir"] = bd
+        return self._commit_snapshot(
+            lambda mp: fs_update_where(
+                spark, mp, predicate, set_exprs, snapshot_id=sid, **kw
+            ),
+            validate=lambda b, h: validate_concurrent_commits(b, h),
+        )
+
+    def merge_into(
+        self, spark, source, on: str, **kw: Any
+    ) -> dict[str, Any]:
+        """MERGE INTO through the catalog (same staging/retry shape
+        as :meth:`update_where`)."""
+        from .dml import merge_into as fs_merge_into
+
+        sid = kw.pop("snapshot_id", None) or _rand_snapshot_id()
+        if "base_dir" not in kw and (bd := self._table_base_dir()):
+            kw["base_dir"] = bd
+        return self._commit_snapshot(
+            lambda mp: fs_merge_into(
+                spark, mp, source, on, snapshot_id=sid, **kw
+            ),
+            validate=lambda b, h: validate_concurrent_commits(b, h),
+        )
+
     def set_properties(
         self, props: dict[str, str] | None = None, remove: list[str] = ()
     ) -> dict[str, Any]:

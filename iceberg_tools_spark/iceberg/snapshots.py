@@ -645,6 +645,39 @@ def _tagged_live_entries_worker(ctx: dict[str, Any], blob: bytes) -> list[tuple]
     return [(*tag, *r) for r in _entries_worker(ctx, blob) if r[0] != 2]
 
 
+def _normalize_partition_pred(
+    pred: dict[str, Any], specs: dict[int, list[tuple[str, str]]]
+) -> dict[str, Any]:
+    """Convert temporal predicate values to the manifests' RAW
+    stored forms (int days / long micros) so users can pass ISO
+    strings or date/datetime objects — a date-typed partition pred
+    compared as a string would silently select nothing (r15, the
+    date-typed hive import made these partitions reachable)."""
+    import datetime as _dt
+
+    typ_of: dict[str, str] = {}
+    for spec in specs.values():
+        for fn, ft in spec:
+            typ_of.setdefault(fn, ft)
+    out: dict[str, Any] = {}
+    for k, v in pred.items():
+        t = typ_of.get(k)
+        if v is None or t is None:
+            out[k] = v
+        elif t == "date" and isinstance(v, str):
+            out[k] = (_dt.date.fromisoformat(v) - _dt.date(1970, 1, 1)).days
+        elif t == "date" and isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+            out[k] = (v - _dt.date(1970, 1, 1)).days
+        elif t in ("timestamp", "timestamptz") and isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            d = v - _dt.datetime(1970, 1, 1)
+            out[k] = (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+        else:
+            out[k] = v
+    return out
+
+
 def _manifest_partition_pruned(
     mrow: dict[str, Any],
     spec: list[tuple[str, str]],
@@ -779,7 +812,7 @@ def plan_scan(
     base_dir = base_dir or os.path.dirname(metadata_path)
     meta = parse_metadata(metadata_path)
     specs = partition_specs_by_id(meta) or {0: partition_spec_fields(meta)}
-    pred = partition_pred or {}
+    pred = _normalize_partition_pred(partition_pred or {}, specs)
     all_fields = {fname for spec in specs.values() for fname, _ in spec}
     unknown = set(pred) - all_fields
     if unknown:

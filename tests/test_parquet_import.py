@@ -248,3 +248,35 @@ def test_attach_timestamp_partition_column(spark, tmp_path):
     # the timestamptz instant is tz-pinned regardless of session tz
     assert rows[1][0] is not None
     assert rows[3] == (None, None)
+
+
+def test_date_partition_pred_accepts_iso_and_objects(spark, tmp_path):
+    """plan_scan partition predicates on DATE partitions take ISO
+    strings or datetime.date objects — normalized to the manifests'
+    raw int days (a string compare would silently select nothing)."""
+    import datetime as dt
+
+    lake = str(tmp_path / "dl2")
+    (
+        spark.read.parquet(os.path.join(SF_SMOKE, "orders.parquet"))
+        .select(
+            "o_orderkey",
+            F.date_add(F.lit("1995-01-01"), (F.col("o_orderkey") % 3)
+                       .cast("int")).alias("day"),
+        )
+        .repartition("day")
+        .write.partitionBy("day")
+        .parquet(lake)
+    )
+    res = import_parquet_table(spark, lake, str(tmp_path / "t4"))
+    for pred in ("1995-01-02", dt.date(1995, 1, 2)):
+        plan = plan_scan(
+            spark, res["metadata_path"], res["snapshot_id"],
+            partition_pred={"day": pred},
+        )
+        rows = plan.collect()
+        sel = [r for r in rows if r.selected]
+        assert 0 < len(sel) < len(rows), pred
+        live = read_mor(spark, res["metadata_path"], res["snapshot_id"])
+        n = live.filter(F.col("day") == "1995-01-02").count()
+        assert sum(r.record_count for r in sel) == n

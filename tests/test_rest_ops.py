@@ -242,3 +242,31 @@ def test_gate_pinned_values(spark):
         "metadata_log_delta": 4,
         "props_ok": 1,
     }
+
+
+def test_update_and_merge_through_rest(spark, served):
+    """The full DML surface routes through the catalog: UPDATE WHERE
+    rewrites rows as a REST-committed row delta; MERGE INTO upserts;
+    both visible through the by-name read."""
+    root, uri = served
+    ops = RestTableOps(RestCatalogClient(uri), "db.events")
+    p = _write(root, "seed2.parquet", [9001, 9002], "x")
+    ops.append([{"path": p, "partition": {"category": "x"}}], spec_id=0)
+
+    res_u = ops.update_where(
+        spark, "id = 9001", {"id": "id + 100"}
+    )
+    assert res_u["retried"] is False
+    got = {r.id for r in ops.read(spark).filter("id > 9000").collect()}
+    assert got == {9101, 9002}
+
+    src = spark.createDataFrame(
+        [(9002, "x"), (9500, "z")], "id long, category string"
+    )
+    ops.merge_into(
+        spark, src, "t.id = s.id",
+        when_matched=("update", {"id": "t.id + 1000"}),
+        when_not_matched_insert=True,
+    )
+    got = {r.id for r in ops.read(spark).filter("id > 9000").collect()}
+    assert got == {9101, 10002, 9500}
