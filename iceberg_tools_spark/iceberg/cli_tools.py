@@ -211,24 +211,32 @@ def delta_log_cleanup_main(argv: list[str]) -> int:
 
 
 def rest_serve_main(argv: list[str]) -> int:
-    """``rest-serve <warehouse> [--port=N] [--prefix=P]`` — serve a
-    Hadoop-style warehouse through the spec-derived REST catalog
-    server (read endpoints + the commit endpoint) until Ctrl-C.
-    Prints the base URI once the socket is bound."""
+    """``rest-serve <warehouse> [--port=N] [--prefix=P] [--token=T]``
+    — serve a Hadoop-style warehouse through the spec-derived REST
+    catalog server (read + commit + create/register/drop endpoints;
+    ``--token`` requires ``Authorization: Bearer T`` on every
+    catalog call) until Ctrl-C. Prints the base URI once the socket
+    is bound."""
     from .rest_catalog import serve_rest_catalog
 
     try:
-        flags, args = _parse_flags(argv, {"port": int, "prefix": str})
+        flags, args = _parse_flags(
+            argv, {"port": int, "prefix": str, "token": str}
+        )
     except ValueError as exc:
         sys.stderr.write(f"{exc}\n")
         return 1
     if len(args) != 1:
         sys.stderr.write(
-            "usage: rest-serve <warehouse> [--port=N] [--prefix=P]\n"
+            "usage: rest-serve <warehouse> [--port=N] [--prefix=P] "
+            "[--token=T]\n"
         )
         return 1
     server, uri = serve_rest_catalog(
-        args[0], prefix=flags.get("prefix", ""), port=flags.get("port", 0)
+        args[0],
+        prefix=flags.get("prefix", ""),
+        port=flags.get("port", 0),
+        token=flags.get("token"),
     )
     sys.stdout.write(uri + "\n")
     sys.stdout.flush()

@@ -234,6 +234,11 @@ _SPARK_OF_TYPE: dict[str, T.DataType] = {
     # (same physical parquet layout both sides: the metadata/value
     # binary pair under the VARIANT logical annotation)
     "variant": T.VariantType(),
+    # v3 geospatial: engines without native geo read the WKB payload
+    # as binary (the spec's storage form); `unknown` is handled by
+    # the projection callers (always-null, never stored in files)
+    "geometry": T.BinaryType(),
+    "geography": T.BinaryType(),
 }
 
 
@@ -243,6 +248,8 @@ def _spark_type(typ: str) -> T.DataType:
     m = _DECIMAL_RE.fullmatch(typ)
     if m:
         return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    if typ.startswith(("geometry(", "geography(")):
+        return T.BinaryType()  # parameterized CRS forms, WKB payload
     raise ValueError(f"unsupported Iceberg type for Spark projection: {typ!r}")
 
 
@@ -290,7 +297,10 @@ def spark_read_schema(
                 {"parquet.field.id": int(f["id"])},
             )
             for f in schema["fields"]
-            if isinstance(f["type"], str)  # top-level primitives only
+            # top-level primitives only; `unknown` columns are never
+            # stored in data files (v3 spec) — callers surface them
+            # as null, not as a scan column
+            if isinstance(f["type"], str) and f["type"] != "unknown"
         ]
     )
 

@@ -536,6 +536,31 @@ def _apply_commit(
                     ),
                     "snapshot-id": sid,
                 })
+        elif a == "remove-snapshots":
+            ids = set(up.get("snapshot-ids") or [])
+            pinned = {
+                r.get("snapshot-id") for r in refs.values()
+            } | {raw.get("current-snapshot-id")}
+            stuck = sorted(ids & pinned)
+            if stuck:
+                return 400, {"error": {"message": (
+                    f"remove-snapshots: {stuck} still referenced by a "
+                    f"ref or current"), "code": 400}}
+            raw["snapshots"] = [
+                s for s in snapshots if s["snapshot-id"] not in ids
+            ]
+            snapshots = raw["snapshots"]
+            by_id = {s["snapshot-id"]: s for s in snapshots}
+            raw["snapshot-log"] = [
+                e for e in raw.get("snapshot-log", [])
+                if e["snapshot-id"] not in ids
+            ]
+        elif a == "remove-snapshot-ref":
+            name = up.get("ref-name")
+            if name == "main":
+                return 400, {"error": {"message": (
+                    "remove-snapshot-ref cannot drop main"), "code": 400}}
+            refs.pop(name, None)
         elif a == "set-properties":
             raw.setdefault("properties", {}).update(up.get("updates", {}))
         elif a == "remove-properties":

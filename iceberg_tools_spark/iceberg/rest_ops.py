@@ -306,6 +306,91 @@ class RestTableOps:
             validate=lambda b, h: validate_concurrent_commits(b, h),
         )
 
+    def expire_snapshots(
+        self,
+        *,
+        keep_last: int = 1,
+        older_than_ms: int | None = None,
+        now_ms: int | None = None,
+        delete_files: bool = False,
+    ) -> dict[str, Any]:
+        """Snapshot expiry through the catalog: plan with the FS
+        maintenance planner against the head, POST remove-snapshots
+        (+ remove-snapshot-ref for aged-out refs) under
+        assert-ref-snapshot-id, then — the same split as the FS
+        executor — optionally delete the manifest lists / manifests
+        no surviving snapshot references (data files remain orphan
+        collection's job)."""
+        from .commit import _local, read_manifest_list
+        from .maintenance import plan_expire_snapshots, plan_ref_retention
+        from .metadata import parse_metadata
+
+        mpath, head = self._head()
+        meta = parse_metadata(mpath)
+        plan = plan_expire_snapshots(
+            meta, keep_last=keep_last, older_than_ms=older_than_ms,
+            now_ms=now_ms,
+        )
+        expired = sorted(
+            p["snapshot_id"] for p in plan if p["action"] == "expire"
+        )
+        removed_refs = (
+            plan_ref_retention(meta, now_ms)["removed_refs"]
+            if now_ms is not None
+            else []
+        )
+        if not expired and not removed_refs:
+            return {"expired": [], "removable": [], "removed_refs": []}
+        base_dir = os.path.dirname(mpath)
+        loc = meta.raw.get("location")
+        raw_snaps = meta.raw.get("snapshots", [])
+        kept = [s for s in raw_snaps if s["snapshot-id"] not in set(expired)]
+        kept_manifests: set[str] = set()
+        for s in kept:
+            kept_manifests |= {
+                m["manifest_path"]
+                for m in read_manifest_list(
+                    _local(s["manifest-list"], base_dir, loc)
+                )
+            }
+        removable: list[str] = []
+        for s in raw_snaps:
+            if s["snapshot-id"] not in set(expired):
+                continue
+            removable.append(_local(s["manifest-list"], base_dir, loc))
+            for m in {
+                m["manifest_path"]
+                for m in read_manifest_list(
+                    _local(s["manifest-list"], base_dir, loc)
+                )
+            } - kept_manifests:
+                p = _local(m, base_dir, loc)
+                if p not in removable:
+                    removable.append(p)
+        ups: list[dict[str, Any]] = []
+        if expired:
+            ups.append({"action": "remove-snapshots", "snapshot-ids": expired})
+        for name in removed_refs:
+            ups.append({"action": "remove-snapshot-ref", "ref-name": name})
+        self.client.commit_table(
+            self.identifier,
+            requirements=[{
+                "type": "assert-ref-snapshot-id",
+                "ref": "main",
+                "snapshot-id": head,
+            }],
+            updates=ups,
+        )
+        if delete_files:
+            for p in removable:
+                if os.path.exists(p):
+                    os.remove(p)
+        return {
+            "expired": expired,
+            "removable": removable,
+            "removed_refs": removed_refs,
+        }
+
     def set_properties(
         self, props: dict[str, str] | None = None, remove: list[str] = ()
     ) -> dict[str, Any]:

@@ -80,12 +80,13 @@ def committed_batch_ids(metadata_path: str, query_name: str) -> set[int]:
 
 
 def make_batch_committer(
-    metadata_path: str,
+    metadata_path: str | None = None,
     *,
     query_name: str,
     partition_cols: tuple[str, ...] = (),
     spec_id: int | None = None,
     base_dir: str | None = None,
+    table_ops=None,
 ):
     """The ``foreachBatch`` function: stage the batch as parquet
     under ``data/streaming/<query>/batch-<id>/`` (partitionBy the
@@ -93,7 +94,20 @@ def make_batch_committer(
     table's current head. Exposed separately from
     :func:`ingest_stream_to_table` so tests (and backfills) can
     drive it with plain DataFrames — including replaying a batch id
-    to exercise the exactly-once skip."""
+    to exercise the exactly-once skip.
+
+    ``table_ops`` (a ``RestTableOps``) switches the COMMIT transport:
+    the head resolves through the catalog, the exactly-once batch
+    markers read from the catalog's current metadata, and the append
+    goes over POST CommitTableRequest with the built-in 409-rebase
+    loop — the staging (parquet under the table location) is
+    byte-identical either way (r15: streaming ingest against a
+    catalog-managed table, the deployment shape where writers never
+    touch vN.metadata.json)."""
+    if (metadata_path is None) == (table_ops is None):
+        raise ValueError("pass exactly one of metadata_path / table_ops")
+    if table_ops is not None:
+        metadata_path = table_ops.client.metadata_path(table_ops.identifier)
     base_dir = base_dir or os.path.dirname(metadata_path)
     table_root = (
         base_dir
@@ -102,7 +116,11 @@ def make_batch_committer(
     )
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> dict[str, Any] | None:
-        head = latest_metadata_path(metadata_path)
+        head = (
+            table_ops.client.metadata_path(table_ops.identifier)
+            if table_ops is not None
+            else latest_metadata_path(metadata_path)
+        )
         if int(batch_id) in committed_batch_ids(head, query_name):
             return None  # checkpoint replay: already committed
         rel_dir = os.path.join("data", "streaming", query_name, f"batch-{batch_id}")
@@ -142,6 +160,11 @@ def make_batch_committer(
             STREAM_QUERY_PROP: query_name,
             STREAM_BATCH_PROP: str(int(batch_id)),
         }
+        if table_ops is not None:
+            return table_ops.append(
+                files, base_dir=base_dir, spec_id=spec_id,
+                extra_summary=extra,
+            )
         if parse_metadata(head).raw.get("current-snapshot-id") is None:
             # first commit into an EMPTY table: nothing to rebase
             # against — plain append (a fresh replication target)
@@ -159,13 +182,14 @@ def make_batch_committer(
 
 def ingest_stream_to_table(
     stream_df: DataFrame,
-    metadata_path: str,
+    metadata_path: str | None = None,
     *,
     query_name: str,
     checkpoint_dir: str,
     partition_cols: tuple[str, ...] = (),
     spec_id: int | None = None,
     base_dir: str | None = None,
+    table_ops=None,
 ) -> dict[str, Any]:
     """Run a streaming query that ingests ``stream_df`` into the
     table with ``Trigger.AvailableNow`` (drain everything currently
@@ -177,6 +201,7 @@ def ingest_stream_to_table(
         partition_cols=partition_cols,
         spec_id=spec_id,
         base_dir=base_dir,
+        table_ops=table_ops,
     )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -189,7 +214,11 @@ def ingest_stream_to_table(
         .start()
     )
     q.awaitTermination()
-    head = latest_metadata_path(metadata_path)
+    head = (
+        table_ops.client.metadata_path(table_ops.identifier)
+        if table_ops is not None
+        else latest_metadata_path(metadata_path)
+    )
     return {
         "batches_committed": sorted(committed_batch_ids(head, query_name)),
         "head": head,

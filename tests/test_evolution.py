@@ -531,3 +531,29 @@ def test_iceberg_v3_variant_column_roundtrip(spark, tmp_path):
         ).collect()
     )
     assert got == [(i, i) for i in range(6)]
+
+
+def test_v3_geo_and_unknown_in_projection_schema():
+    """geometry/geography project as binary (WKB storage form);
+    `unknown` columns never become scan columns (v3: not stored in
+    data files)."""
+    from pyspark.sql import types as T
+
+    from iceberg_tools_spark.iceberg.evolution import spark_read_schema
+
+    meta = {
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "shape", "required": False,
+             "type": "geometry"},
+            {"id": 3, "name": "region", "required": False,
+             "type": "geography(ogc:crs84)"},
+            {"id": 4, "name": "legacy", "required": False,
+             "type": "unknown"},
+        ]}],
+    }
+    sch = spark_read_schema(meta)
+    assert [f.name for f in sch.fields] == ["id", "shape", "region"]
+    assert isinstance(sch["shape"].dataType, T.BinaryType)
+    assert isinstance(sch["region"].dataType, T.BinaryType)

@@ -561,3 +561,42 @@ def test_commit_appends_metadata_log(served):
     )
     assert entry["timestamp-ms"] == ts0
     assert m["last-updated-ms"] > ts0
+
+
+def test_rest_cli_resolve_and_serve_flags(served, capsys, monkeypatch):
+    """CLI surface: rest-resolve prints the metadata location;
+    rest-serve parses --token (wired through to the server) and
+    rejects bad usage."""
+    from iceberg_tools_spark.iceberg import cli_tools
+
+    _wh, uri = served
+    rc = cli_tools.rest_resolve_main([uri, "db.events"])
+    out = capsys.readouterr().out.strip()
+    assert rc == 0 and out.endswith("v2.metadata.json")
+
+    assert cli_tools.rest_serve_main([]) == 1
+    assert cli_tools.rest_serve_main(["wh", "--port=notanint"]) == 1
+
+    seen = {}
+
+    def fake_serve(warehouse, *, prefix="", port=0, token=None,
+                   credentials=None):
+        seen.update(warehouse=warehouse, token=token, prefix=prefix)
+
+        class _S:
+            server_address = ("127.0.0.1", 1)
+
+            def shutdown(self):
+                pass
+
+        raise KeyboardInterrupt  # skip the serve loop
+
+    monkeypatch.setattr(
+        "iceberg_tools_spark.iceberg.rest_catalog.serve_rest_catalog",
+        fake_serve,
+    )
+    try:
+        cli_tools.rest_serve_main(["/tmp/wh", "--token=sek", "--prefix=p"])
+    except KeyboardInterrupt:
+        pass
+    assert seen == {"warehouse": "/tmp/wh", "token": "sek", "prefix": "p"}

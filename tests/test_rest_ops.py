@@ -270,3 +270,58 @@ def test_update_and_merge_through_rest(spark, served):
     )
     got = {r.id for r in ops.read(spark).filter("id > 9000").collect()}
     assert got == {9101, 10002, 9500}
+
+
+def test_expire_snapshots_through_rest(served):
+    """Snapshot expiry over REST: remove-snapshots drops history
+    (pinned/current snapshots refuse with 400), snapshot-log trims,
+    unreferenced manifest lists become removable, and time travel to
+    an expired snapshot is gone."""
+    root, uri = served
+    c = RestCatalogClient(uri)
+    ops = RestTableOps(c, "db.events")
+    res = ops.expire_snapshots(keep_last=2, delete_files=True)
+    assert res["expired"] == [2001, 2002]
+    m = ops.load_metadata()
+    assert sorted(s["snapshot-id"] for s in m["snapshots"]) == [2003, 2004]
+    assert all(e["snapshot-id"] not in (2001, 2002)
+               for e in m["snapshot-log"])
+    for p in res["removable"]:
+        assert not os.path.exists(p)
+    # pinned removal refuses: main's head can never expire
+    with pytest.raises(ValueError, match="still referenced"):
+        c.commit_table("db.events", updates=[
+            {"action": "remove-snapshots", "snapshot-ids": [2004]}])
+    with pytest.raises(ValueError, match="cannot drop main"):
+        c.commit_table("db.events", updates=[
+            {"action": "remove-snapshot-ref", "ref-name": "main"}])
+
+
+def test_streaming_ingest_through_rest(spark, served, tmp_path):
+    """The streaming Iceberg sink commits micro-batches over REST:
+    exactly-once batch markers read from catalog metadata (a replay
+    of a committed batch id is a no-op), the head moves per batch,
+    and the table reads back by name."""
+    from iceberg_tools_spark.streaming.ingest import (
+        committed_batch_ids,
+        make_batch_committer,
+    )
+
+    root, uri = served
+    ops = RestTableOps(RestCatalogClient(uri), "db.events")
+    commit = make_batch_committer(
+        table_ops=ops, query_name="rest_stream",
+        partition_cols=("category",), spec_id=0,
+    )
+    b0 = spark.createDataFrame(
+        [(9001, "x"), (9002, "y")], "id long, category string"
+    )
+    b1 = spark.createDataFrame([(9003, "z")], "id long, category string")
+    r0 = commit(b0, 0)
+    assert r0 is not None and r0["retried"] is False
+    assert commit(b0, 0) is None  # checkpoint replay skips
+    commit(b1, 1)
+    head = ops.client.metadata_path("db.events")
+    assert committed_batch_ids(head, "rest_stream") == {0, 1}
+    got = {r.id for r in ops.read(spark).filter("id > 9000").collect()}
+    assert got == {9001, 9002, 9003}
