@@ -264,6 +264,106 @@ class RestCatalogClient:
                 f"REST catalog {url!r}: HTTP {e.code} — {detail}"
             ) from None
 
+    # ------------------------------------------------------- views
+
+    def list_views(self, namespace: str, *, page_size: int | None = None) -> list[str]:
+        """Dotted ``ns.view`` identifiers (drains pagination)."""
+        from urllib.parse import quote
+
+        ns = quote(_SEP.join(namespace.split(".")), safe="")
+        pages = self._get_paged(self._p(f"/namespaces/{ns}/views"), page_size)
+        return sorted(
+            ".".join(ident["namespace"]) + "." + ident["name"]
+            for p in pages
+            for ident in p.get("identifiers", [])
+        )
+
+    def load_view(self, identifier: str) -> dict[str, Any]:
+        """The raw LoadViewResult for ``ns.view``."""
+        from urllib.parse import quote
+
+        parts = [p for p in identifier.split(".") if p]
+        if len(parts) < 2:
+            raise ValueError(
+                f"identifier {identifier!r} needs at least namespace.view"
+            )
+        ns = quote(_SEP.join(parts[:-1]), safe="")
+        return self._get(
+            self._p(f"/namespaces/{ns}/views/{quote(parts[-1], safe='')}")
+        )
+
+    def create_view(
+        self,
+        namespace: str,
+        name: str,
+        sql: str,
+        *,
+        dialect: str = "spark",
+        properties: dict[str, str] | None = None,
+    ) -> dict[str, Any]:
+        """POST a CreateViewRequest (view spec v1 shape: the initial
+        view-version carries one SQL representation)."""
+        from urllib.parse import quote
+
+        ns = quote(_SEP.join(namespace.split(".")), safe="")
+        body = {
+            "name": name,
+            "schema": {"schema-id": 0, "type": "struct", "fields": []},
+            "view-version": {
+                "version-id": 1,
+                "schema-id": 0,
+                "summary": {"operation": "create"},
+                "default-namespace": namespace.split("."),
+                "representations": [
+                    {"type": "sql", "sql": sql, "dialect": dialect}
+                ],
+            },
+            "properties": dict(properties or {}),
+        }
+        return self._send("POST", self._p(f"/namespaces/{ns}/views"), body)
+
+    def replace_view(
+        self, identifier: str, sql: str, *, dialect: str = "spark"
+    ) -> dict[str, Any]:
+        """CREATE OR REPLACE over REST: add-view-version +
+        set-current-view-version(-1) in one commit."""
+        from urllib.parse import quote
+
+        parts = [p for p in identifier.split(".") if p]
+        ns = quote(_SEP.join(parts[:-1]), safe="")
+        body = {
+            "updates": [
+                {
+                    "action": "add-view-version",
+                    "view-version": {
+                        "schema-id": 0,
+                        "summary": {"operation": "replace"},
+                        "default-namespace": parts[:-1],
+                        "representations": [
+                            {"type": "sql", "sql": sql, "dialect": dialect}
+                        ],
+                    },
+                },
+                {"action": "set-current-view-version", "view-version-id": -1},
+            ],
+        }
+        return self._send(
+            "POST",
+            self._p(f"/namespaces/{ns}/views/{quote(parts[-1], safe='')}"),
+            body,
+        )
+
+    def drop_view(self, identifier: str) -> None:
+        from urllib.parse import quote
+
+        parts = [p for p in identifier.split(".") if p]
+        ns = quote(_SEP.join(parts[:-1]), safe="")
+        self._send(
+            "DELETE",
+            self._p(f"/namespaces/{ns}/views/{quote(parts[-1], safe='')}"),
+            None,
+        )
+
     def create_table(
         self,
         namespace: str,
@@ -385,22 +485,26 @@ def load_table_rest(
 # ------------------------------------------------ driver-gate query
 
 
-def rest_catalog_rows(spark, sf_dir: str):
-    """Driver gate for REST-catalog resolution (``sf_dir`` unused):
-    the MoR fixture copied into a scratch HadoopCatalog warehouse and
-    served through the local spec-derived REST server; the gate
-    resolves BY NAME over HTTP, reads the head (MoR deletes applied)
-    and a time-traveled snapshot through the same surface, and lists
-    the catalog. Golden oracle (the fixture's pinned row counts:
-    323 live at head-2004, 300 before the 2003 delete commit)."""
+_GATE_SERVER: list[tuple[Any, str]] = []  # process-lifetime memo
+
+
+def _gate_served_fixture() -> str:
+    """Base URI of a process-lifetime fixture server over a
+    READ-ONLY scratch warehouse (the same keep-until-exit discipline
+    as the commit gates' ``_scratch_table``): the gate measures
+    RESOLUTION, so per-call warehouse copies + server spin-up would
+    only re-measure machinery. Write-path gates
+    (``rest_commit_roundtrip``) build fresh mutable fixtures."""
+    if _GATE_SERVER:
+        return _GATE_SERVER[0][1]
+    import atexit
     import shutil
     import tempfile
-
-    import pyspark.sql.functions as F
 
     from .deletes import MOR_DIR
 
     wh = tempfile.mkdtemp(prefix="rest_wh_")
+    atexit.register(shutil.rmtree, wh, ignore_errors=True)
     root = os.path.join(wh, "db", "events")
     shutil.copytree(MOR_DIR, root)
     mdir = os.path.join(root, "metadata")
@@ -408,13 +512,27 @@ def rest_catalog_rows(spark, sf_dir: str):
         if n.endswith(".metadata.json"):
             shutil.move(os.path.join(root, n), os.path.join(mdir, n))
     server, uri = serve_rest_catalog(wh)
-    try:
-        c = RestCatalogClient(uri)
-        n_tables = sum(len(c.list_tables(ns)) for ns in c.list_namespaces())
-        head = load_table_rest(spark, uri, "db.events").count()
-        past = load_table_rest(spark, uri, "db.events", snapshot_id=2002).count()
-    finally:
-        server.shutdown()
+    atexit.register(server.shutdown)
+    _GATE_SERVER.append((server, uri))
+    return uri
+
+
+def rest_catalog_rows(spark, sf_dir: str):
+    """Driver gate for REST-catalog resolution (``sf_dir`` unused):
+    the MoR fixture copied into a scratch HadoopCatalog warehouse and
+    served through the local spec-derived REST server (process-
+    lifetime, read-only); the gate resolves BY NAME over HTTP, reads
+    the head (MoR deletes applied) and a time-traveled snapshot
+    through the same surface, and lists the catalog. Golden oracle
+    (the fixture's pinned row counts: 323 live at head-2004, 300
+    before the 2003 delete commit)."""
+    import pyspark.sql.functions as F
+
+    uri = _gate_served_fixture()
+    c = RestCatalogClient(uri)
+    n_tables = sum(len(c.list_tables(ns)) for ns in c.list_namespaces())
+    head = load_table_rest(spark, uri, "db.events").count()
+    past = load_table_rest(spark, uri, "db.events", snapshot_id=2002).count()
     rows = [
         ("head_mor_rows", int(head)),
         ("rows_at_2002", int(past)),
@@ -660,6 +778,103 @@ def _apply_commit(
     }
 
 
+def _resolve_kind(warehouse: str, ident: str) -> str:
+    """'view' | 'table' for a warehouse entry (both share the
+    HadoopCatalog layout; the metadata JSON's identity key
+    discriminates — view-uuid vs table-uuid)."""
+    import gzip
+
+    from .catalog import current_metadata_path
+
+    mpath = current_metadata_path(warehouse, ident)
+    opener = gzip.open if mpath.endswith(".gz") else open
+    with opener(mpath, "rt") as f:
+        head = f.read(4096)
+    return "view" if '"view-uuid"' in head else "table"
+
+
+def _apply_view_commit(
+    warehouse: str, identifier: str, body: dict[str, Any]
+) -> tuple[int, dict[str, Any]]:
+    """UpdateViewRequest: add-view-version /
+    set-current-view-version(-1) applied as a new metadata version
+    (the view spec's replace shape)."""
+    from .catalog import current_metadata_path
+
+    mpath = current_metadata_path(warehouse, identifier)
+    with open(mpath) as f:
+        raw = json.load(f)
+    for req in body.get("requirements", []):
+        if req.get("type") == "assert-view-uuid":
+            if raw.get("view-uuid") != req.get("uuid"):
+                return 409, {"error": {"message": "view uuid changed",
+                             "type": "CommitFailedException", "code": 409}}
+        else:
+            return 400, {"error": {"message": (
+                f"unsupported view requirement {req.get('type')!r}"),
+                "code": 400}}
+    last_added = None
+    for up in body.get("updates", []):
+        a = up.get("action")
+        if a == "add-view-version":
+            ver = dict(up["view-version"])
+            vid = ver.get("version-id")
+            existing = {v["version-id"] for v in raw["versions"]}
+            if vid is None or vid in existing:
+                vid = max(existing) + 1
+                ver["version-id"] = vid
+            ver.setdefault(
+                "timestamp-ms",
+                raw["versions"][-1]["timestamp-ms"] + 1000,
+            )
+            raw["versions"].append(ver)
+            last_added = vid
+        elif a == "set-current-view-version":
+            vid = up["view-version-id"]
+            if vid == -1:
+                if last_added is None:
+                    return 400, {"error": {"message": (
+                        "set-current-view-version -1 without a "
+                        "preceding add-view-version"), "code": 400}}
+                vid = last_added
+            if vid not in {v["version-id"] for v in raw["versions"]}:
+                return 400, {"error": {"message": (
+                    f"unknown view version {vid}"), "code": 400}}
+            raw["current-version-id"] = vid
+            raw.setdefault("version-log", []).append({
+                "timestamp-ms": next(
+                    v["timestamp-ms"] for v in raw["versions"]
+                    if v["version-id"] == vid
+                ),
+                "version-id": vid,
+            })
+        elif a == "set-properties":
+            raw.setdefault("properties", {}).update(up.get("updates", {}))
+        elif a == "remove-properties":
+            for k in up.get("removals", []):
+                raw.get("properties", {}).pop(k, None)
+        else:
+            return 400, {"error": {"message": (
+                f"unsupported view update action {a!r}"), "code": 400}}
+    import re as _re
+
+    m = _re.search(r"v(\d+)\.metadata\.json", os.path.basename(mpath))
+    nxt = os.path.join(
+        os.path.dirname(mpath), f"v{int(m.group(1)) + 1}.metadata.json"
+    )
+    tmp = nxt + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(raw, f, indent=2)
+    os.replace(tmp, nxt)
+    from .catalog import write_version_hint
+
+    write_version_hint(nxt)
+    return 200, {
+        "metadata-location": f"file://{os.path.abspath(nxt)}",
+        "metadata": raw,
+    }
+
+
 def _paged(items: list, qs: dict[str, list[str]]) -> tuple[list, str | None]:
     """Slice a listing per the spec's opaque-token pagination:
     ``pageToken`` is (here) a stringified start offset — opaque to
@@ -796,11 +1011,17 @@ def serve_rest_catalog(
                         404, f"namespace {'.'.join(ns)!r} does not exist"
                     )
                 return self._json(200, {"namespace": ns, "properties": {}})
-            if len(parts) == 3 and parts[0] == "namespaces" and parts[2] == "tables":
+            if (
+                len(parts) == 3
+                and parts[0] == "namespaces"
+                and parts[2] in ("tables", "views")
+            ):
                 ns = parts[1].split(_SEP)
+                want = "view" if parts[2] == "views" else "table"
                 idents = [
                     t for t in list_tables(warehouse)
                     if t.split(".")[:-1] == ns
+                    and _resolve_kind(warehouse, t) == want
                 ]
                 page, nxt = _paged(
                     [
@@ -813,10 +1034,19 @@ def serve_rest_catalog(
                     "identifiers": page,
                     **({"next-page-token": nxt} if nxt else {}),
                 })
-            if len(parts) == 4 and parts[0] == "namespaces" and parts[2] == "tables":
+            if (
+                len(parts) == 4
+                and parts[0] == "namespaces"
+                and parts[2] in ("tables", "views")
+            ):
                 ident = ".".join(parts[1].split(_SEP) + [parts[3]])
+                want = "view" if parts[2] == "views" else "table"
                 try:
                     mpath = current_metadata_path(warehouse, ident)
+                    if _resolve_kind(warehouse, ident) != want:
+                        return self._err(
+                            404, f"{ident!r} is not a {want}"
+                        )
                 except FileNotFoundError as e:
                     return self._err(404, str(e))
                 import gzip
@@ -870,19 +1100,23 @@ def serve_rest_catalog(
             # POST /namespaces/{ns}/tables → CREATE TABLE
             if len(parts) == 3 and parts[0] == "namespaces" and parts[2] == "tables":
                 return self._create(parts[1].split(_SEP), body)
+            # POST /namespaces/{ns}/views → CREATE VIEW
+            if len(parts) == 3 and parts[0] == "namespaces" and parts[2] == "views":
+                return self._create_view(parts[1].split(_SEP), body)
             # POST /namespaces/{ns}/register → REGISTER TABLE
             if len(parts) == 3 and parts[0] == "namespaces" and parts[2] == "register":
                 return self._register(parts[1].split(_SEP), body)
             if not (
                 len(parts) == 4
                 and parts[0] == "namespaces"
-                and parts[2] == "tables"
+                and parts[2] in ("tables", "views")
             ):
                 return self._err(404, f"unknown path {self.path!r}")
             ident = ".".join(parts[1].split(_SEP) + [parts[3]])
+            apply = _apply_view_commit if parts[2] == "views" else _apply_commit
             with commit_lock:
                 try:
-                    code, payload = _apply_commit(warehouse, ident, body)
+                    code, payload = apply(warehouse, ident, body)
                 except FileNotFoundError as e:
                     return self._err(404, str(e))
                 except (KeyError, TypeError, ValueError) as e:
@@ -892,6 +1126,39 @@ def serve_rest_catalog(
                         400, f"malformed commit request: {type(e).__name__}: {e}"
                     )
             return self._json(code, payload)
+
+        def _create_view(self, ns: list[str], body: dict[str, Any]):
+            from .views import create_view as fs_create_view
+
+            name = body.get("name")
+            ver = body.get("view-version") or {}
+            reps = [r for r in ver.get("representations", [])
+                    if r.get("type") == "sql"]
+            if not name or not reps:
+                return self._err(
+                    400,
+                    "CreateViewRequest needs name + a view-version with "
+                    "an sql representation",
+                )
+            root = os.path.join(warehouse, *ns, name)
+            with commit_lock:
+                if os.path.isdir(os.path.join(root, "metadata")):
+                    return self._json(409, {"error": {
+                        "message": f"view {'.'.join(ns)}.{name} already exists",
+                        "type": "AlreadyExistsException", "code": 409}})
+                mpath = fs_create_view(
+                    root,
+                    reps[0]["sql"],
+                    dialect=reps[0].get("dialect", "spark"),
+                    default_namespace=ver.get("default-namespace") or ns,
+                    properties=body.get("properties") or {},
+                )
+            with open(mpath) as f:
+                meta = json.load(f)
+            return self._json(200, {
+                "metadata-location": f"file://{os.path.abspath(mpath)}",
+                "metadata": meta,
+            })
 
         def _load_result(self, mpath: str) -> dict[str, Any]:
             with open(mpath) as f:
@@ -983,11 +1250,13 @@ def serve_rest_catalog(
             if not (
                 len(parts) == 4
                 and parts[0] == "namespaces"
-                and parts[2] == "tables"
+                and parts[2] in ("tables", "views")
             ):
                 return self._err(404, f"unknown path {self.path!r}")
             ident = ".".join(parts[1].split(_SEP) + [parts[3]])
             purge = qs.get("purgeRequested", ["false"])[0].lower() == "true"
+            if parts[2] == "views":
+                purge = True  # a view IS its metadata; nothing else to keep
             with commit_lock:
                 try:
                     mpath = current_metadata_path(warehouse, ident)

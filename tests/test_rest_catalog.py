@@ -600,3 +600,74 @@ def test_rest_cli_resolve_and_serve_flags(served, capsys, monkeypatch):
     except KeyboardInterrupt:
         pass
     assert seen == {"warehouse": "/tmp/wh", "token": "sek", "prefix": "p"}
+
+
+def test_view_endpoints_roundtrip(spark, served):
+    """Views over REST: create (initial version from the request's
+    sql representation), list (views and tables never cross-list),
+    load, replace (add-view-version + set-current-view-version(-1)),
+    execute the current SQL, drop."""
+    from iceberg_tools_spark.iceberg.views import read_view
+
+    _wh, uri = served
+    c = RestCatalogClient(uri)
+    res = c.create_view(
+        "db", "cat_counts",
+        "SELECT category, COUNT(*) AS n FROM events GROUP BY category",
+    )
+    assert res["metadata"]["current-version-id"] == 1
+    assert c.list_views("db") == ["db.cat_counts"]
+    assert c.list_tables("db") == ["db.events"]  # no cross-listing
+    with pytest.raises(FileNotFoundError, match="not a table"):
+        c.load_table("db.cat_counts")
+    with pytest.raises(FileNotFoundError, match="not a view"):
+        c.load_view("db.events")
+    # duplicate create → 409
+    from iceberg_tools_spark.iceberg.concurrency import CommitConflictError
+
+    with pytest.raises(CommitConflictError, match="already exists"):
+        c.create_view("db", "cat_counts", "SELECT 1")
+    # replace appends a version and moves current
+    res2 = c.replace_view(
+        "db.cat_counts", "SELECT COUNT(*) AS n FROM events"
+    )
+    m = res2["metadata"]
+    assert m["current-version-id"] == 2 and len(m["versions"]) == 2
+    assert m["version-log"][-1]["version-id"] == 2
+    # execute the CURRENT version through the view machinery
+    loc = c.load_view("db.cat_counts")["metadata-location"]
+    mpath = loc.removeprefix("file://")
+    events = load_table_rest(spark, uri, "db.events")
+    assert read_view(spark, mpath, {"events": events}).collect()[0]["n"] == 323
+    # and version 1 still reads (view time travel)
+    v1 = read_view(spark, mpath, {"events": events}, version_id=1)
+    assert v1.count() == 4  # four categories
+    # drop removes it from the catalog
+    c.drop_view("db.cat_counts")
+    assert c.list_views("db") == []
+    with pytest.raises(FileNotFoundError):
+        c.load_view("db.cat_counts")
+
+
+def test_view_commit_error_paths(served):
+    _wh, uri = served
+    c = RestCatalogClient(uri)
+    c.create_view("db", "v1", "SELECT 1 AS one")
+    # orphan -1 sentinel and unknown version are 400s
+    for ups in (
+        [{"action": "set-current-view-version", "view-version-id": -1}],
+        [{"action": "set-current-view-version", "view-version-id": 42}],
+        [{"action": "rename-view"}],
+    ):
+        with pytest.raises(ValueError, match="400"):
+            c._send("POST", c._p("/namespaces/db/views/v1"),
+                    {"updates": ups})
+    # stale uuid asserts 409
+    from iceberg_tools_spark.iceberg.concurrency import CommitConflictError
+
+    with pytest.raises(CommitConflictError, match="uuid"):
+        c._send("POST", c._p("/namespaces/db/views/v1"), {
+            "requirements": [{"type": "assert-view-uuid", "uuid": "nope"}],
+            "updates": [{"action": "set-properties",
+                         "updates": {"x": "1"}}],
+        })
