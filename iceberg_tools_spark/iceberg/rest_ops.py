@@ -74,8 +74,11 @@ class RestTableOps:
     def _head(self) -> tuple[str, int | None]:
         """(local metadata path, current main snapshot id) for the
         table's CURRENT catalog state."""
+        import gzip
+
         mpath = self.client.metadata_path(self.identifier)
-        with open(mpath) as f:
+        opener = gzip.open if mpath.endswith(".gz") else open
+        with opener(mpath, "rt") as f:
             raw = json.load(f)
         if int(raw.get("format-version", 2)) >= 3:
             raise ValueError(
@@ -103,7 +106,15 @@ class RestTableOps:
         scratch = os.path.join(
             mdir, f"staged-{uuid.uuid4().hex[:12]}.metadata.json"
         )
-        shutil.copyfile(head_mpath, scratch)
+        if head_mpath.endswith(".gz"):
+            # spec-legal gzip head: the scratch copy is named .json,
+            # so it must hold PLAIN bytes for the builder to parse
+            import gzip
+
+            with gzip.open(head_mpath, "rb") as src, open(scratch, "wb") as dst:
+                shutil.copyfileobj(src, dst)
+        else:
+            shutil.copyfile(head_mpath, scratch)
         out_mpath = None
         try:
             res = build(scratch)

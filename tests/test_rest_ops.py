@@ -325,3 +325,31 @@ def test_streaming_ingest_through_rest(spark, served, tmp_path):
     assert committed_batch_ids(head, "rest_stream") == {0, 1}
     got = {r.id for r in ops.read(spark).filter("id > 9000").collect()}
     assert got == {9001, 9002, 9003}
+
+
+def test_rest_commit_on_gzip_metadata_table(spark, tmp_path):
+    """A table whose head is spec-legal gzip metadata takes engine
+    commits through REST (the scratch staging copy decompresses to
+    plain JSON for the builders)."""
+    import gzip
+
+    root = tmp_path / "wh" / "db" / "events"
+    shutil.copytree(MOR_DIR, root)
+    mdir = root / "metadata"
+    for n in os.listdir(root):
+        if n.endswith(".metadata.json"):
+            shutil.move(str(root / n), str(mdir / n))
+    src = json.load(open(mdir / "v2.metadata.json"))
+    os.remove(mdir / "v2.metadata.json")
+    with gzip.open(mdir / "v2.metadata.json.gz", "wt") as f:
+        json.dump(src, f)
+    server, uri = serve_rest_catalog(str(tmp_path / "wh"))
+    try:
+        ops = RestTableOps(RestCatalogClient(uri), "db.events")
+        p = _write(str(root), "gz.parquet", [9001], "x")
+        res = ops.append([{"path": p, "partition": {"category": "x"}}],
+                         spec_id=0)
+        assert res["retried"] is False
+        assert ops.read(spark).count() == 324
+    finally:
+        server.shutdown()
