@@ -623,6 +623,7 @@ def _apply_commit(
     by_id = {s["snapshot-id"]: s for s in snapshots}
     last_added_schema: int | None = None
     last_added_spec: int | None = None
+    last_added_order: int | None = None
     for up in body.get("updates", []):
         a = up.get("action")
         if a == "add-snapshot":
@@ -743,6 +744,64 @@ def _apply_commit(
                 return 400, {"error": {"message": (
                     f"set-default-spec: unknown spec-id {sid}"), "code": 400}}
             raw["default-spec-id"] = sid
+        elif a == "add-sort-order":
+            order = up["sort-order"]
+            orders = raw.setdefault("sort-orders", [])
+            if any(o.get("order-id") == order.get("order-id") for o in orders):
+                return 400, {"error": {"message": (
+                    f"add-sort-order: order-id {order.get('order-id')} "
+                    f"already exists"), "code": 400}}
+            orders.append(order)
+            last_added_order = order.get("order-id")
+        elif a == "set-default-sort-order":
+            oid = up["sort-order-id"]
+            if oid == -1:
+                if last_added_order is None:
+                    return 400, {"error": {"message": (
+                        "set-default-sort-order -1 without a preceding "
+                        "add-sort-order in this commit"), "code": 400}}
+                oid = last_added_order
+            if not any(
+                o.get("order-id") == oid for o in raw.get("sort-orders", [])
+            ):
+                return 400, {"error": {"message": (
+                    f"set-default-sort-order: unknown order-id {oid}"),
+                    "code": 400}}
+            raw["default-sort-order-id"] = oid
+        elif a == "set-statistics":
+            stats = up["statistics"]
+            kept = [s for s in raw.get("statistics", [])
+                    if s.get("snapshot-id") != stats.get("snapshot-id")]
+            raw["statistics"] = kept + [stats]
+        elif a == "remove-statistics":
+            raw["statistics"] = [
+                s for s in raw.get("statistics", [])
+                if s.get("snapshot-id") != up.get("snapshot-id")
+            ]
+        elif a == "set-partition-statistics":
+            stats = up["partition-statistics"]
+            kept = [s for s in raw.get("partition-statistics", [])
+                    if s.get("snapshot-id") != stats.get("snapshot-id")]
+            raw["partition-statistics"] = kept + [stats]
+        elif a == "remove-partition-statistics":
+            raw["partition-statistics"] = [
+                s for s in raw.get("partition-statistics", [])
+                if s.get("snapshot-id") != up.get("snapshot-id")
+            ]
+        elif a == "assign-uuid":
+            raw["table-uuid"] = up["uuid"]
+        elif a == "set-location":
+            raw["location"] = up["location"]
+        elif a == "upgrade-format-version":
+            want = int(up["format-version"])
+            have = int(raw.get("format-version", 2))
+            if want < have:
+                return 400, {"error": {"message": (
+                    f"cannot downgrade format-version {have} → {want}"),
+                    "code": 400}}
+            raw["format-version"] = want
+            if want >= 3:
+                raw.setdefault("next-row-id", 0)
         else:
             return 400, {"error": {"message": (
                 f"unsupported update action {a!r}"), "code": 400}}

