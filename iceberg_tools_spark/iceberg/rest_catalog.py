@@ -264,6 +264,61 @@ class RestCatalogClient:
                 f"REST catalog {url!r}: HTTP {e.code} — {detail}"
             ) from None
 
+    def create_namespace(
+        self, namespace: str, properties: dict[str, str] | None = None
+    ) -> dict[str, Any]:
+        """POST a CreateNamespaceRequest (explicit namespaces list
+        even while empty; 409 when it already exists)."""
+        return self._send("POST", self._p("/namespaces"), {
+            "namespace": namespace.split("."),
+            "properties": dict(properties or {}),
+        })
+
+    def drop_namespace(self, namespace: str) -> None:
+        """DELETE the namespace (409 while it still holds tables)."""
+        from urllib.parse import quote
+
+        ns = quote(_SEP.join(namespace.split(".")), safe="")
+        self._send("DELETE", self._p(f"/namespaces/{ns}"), None)
+
+    def update_namespace_properties(
+        self,
+        namespace: str,
+        *,
+        updates: dict[str, str] | None = None,
+        removals: list[str] = (),
+    ) -> dict[str, Any]:
+        """POST an UpdateNamespacePropertiesRequest; returns the
+        spec's {updated, removed, missing} report."""
+        from urllib.parse import quote
+
+        ns = quote(_SEP.join(namespace.split(".")), safe="")
+        return self._send("POST", self._p(f"/namespaces/{ns}/properties"), {
+            "updates": dict(updates or {}),
+            "removals": list(removals),
+        })
+
+    def commit_transaction(
+        self, table_changes: list[dict[str, Any]]
+    ) -> dict[str, Any]:
+        """POST a CommitTransactionRequest — N per-table change sets
+        applied atomically (ALL commit or NONE). Each entry:
+        ``{"identifier": "ns.table", "requirements": [...],
+        "updates": [...]}`` (dotted identifiers accepted; converted
+        to the spec's {namespace, name} object)."""
+        changes = []
+        for ch in table_changes:
+            ident = ch.get("identifier")
+            if isinstance(ident, str):
+                parts = [p for p in ident.split(".") if p]
+                ident = {"namespace": parts[:-1], "name": parts[-1]}
+            changes.append({**ch, "identifier": ident})
+        return self._send(
+            "POST",
+            self._p("/transactions/commit"),
+            {"table-changes": changes},
+        )
+
     # ------------------------------------------------------- views
 
     def list_views(self, namespace: str, *, page_size: int | None = None) -> list[str]:
@@ -934,6 +989,92 @@ def _apply_view_commit(
     }
 
 
+def _apply_transaction(
+    warehouse: str, body: dict[str, Any]
+) -> tuple[int, dict[str, Any]]:
+    """CommitTransactionRequest: N per-table change sets applied
+    ATOMICALLY — all requirements validate against current state
+    first; updates apply only if every table's commit succeeds, and
+    a failure rolls back the tables already written (tmp files +
+    version-hint restore), so a reader never observes a partial
+    transaction."""
+    changes = body.get("table-changes") or []
+    if not changes:
+        return 400, {"error": {"message": (
+            "transaction with no table-changes"), "code": 400}}
+    applied: list[tuple[str, str]] = []  # (new metadata path, identifier)
+    try:
+        for ch in changes:
+            ident_obj = ch.get("identifier") or {}
+            ns = ident_obj.get("namespace") or []
+            name = ident_obj.get("name")
+            if not ns or not name:
+                # raise (not return): a malformed entry mid-list must
+                # still roll back the tables already applied
+                raise _TxnAbort(400, {"error": {"message": (
+                    "table-changes entries need identifier "
+                    "{namespace, name}"), "code": 400}})
+            ident = ".".join(list(ns) + [name])
+            code, payload = _apply_commit(warehouse, ident, ch)
+            if code != 200:
+                raise _TxnAbort(code, payload)
+            new_path = payload["metadata-location"].removeprefix("file://")
+            applied.append((new_path, ident))
+        return 200, {"results": [
+            {"identifier": i, "metadata-location": f"file://{p}"}
+            for p, i in applied
+        ]}
+    except _TxnAbort as ab:
+        # roll back every table already moved: drop the new version
+        # file and restore the hint to the surviving newest version
+        from .catalog import write_version_hint
+
+        for p, _ident in applied:
+            if os.path.exists(p):
+                os.remove(p)
+            mdir = os.path.dirname(p)
+            versions = sorted(
+                (int(_V_HINT.fullmatch(n).group(1)), n)
+                for n in os.listdir(mdir)
+                if _V_HINT.fullmatch(n)
+            )
+            if versions:
+                write_version_hint(os.path.join(mdir, versions[-1][1]))
+        return ab.code, ab.payload
+
+
+class _TxnAbort(Exception):
+    def __init__(self, code: int, payload: dict[str, Any]):
+        self.code, self.payload = code, payload
+
+
+_NS_MARKER = ".namespace.json"
+
+
+def _ns_marker_path(warehouse: str, ns: list[str]) -> str:
+    return os.path.join(warehouse, *ns, _NS_MARKER)
+
+
+def _explicit_namespaces(warehouse: str) -> set[tuple[str, ...]]:
+    """Namespaces created explicitly (marker files) — listed even
+    while empty, unlike the implicit ones derived from tables."""
+    out: set[tuple[str, ...]] = set()
+    for root, _dirs, names in os.walk(warehouse):
+        if _NS_MARKER in names:
+            rel = os.path.relpath(root, warehouse)
+            if rel != ".":
+                out.add(tuple(rel.split(os.sep)))
+    return out
+
+
+def _ns_properties(warehouse: str, ns: list[str]) -> dict[str, str]:
+    p = _ns_marker_path(warehouse, ns)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f).get("properties", {})
+    return {}
+
+
 def _paged(items: list, qs: dict[str, list[str]]) -> tuple[list, str | None]:
     """Slice a listing per the spec's opaque-token pagination:
     ``pageToken`` is (here) a stringified start offset — opaque to
@@ -1050,9 +1191,13 @@ def serve_rest_catalog(
                     "overrides": {"prefix": pre} if pre else {},
                 })
             if parts == ["namespaces"]:
-                namespaces = sorted({
-                    tuple(t.split(".")[:-1]) for t in list_tables(warehouse)
-                })
+                namespaces = sorted(
+                    {
+                        tuple(t.split(".")[:-1])
+                        for t in list_tables(warehouse)
+                    }
+                    | _explicit_namespaces(warehouse)
+                )
                 page, nxt = _paged(
                     [list(ns) for ns in namespaces if ns], qs
                 )
@@ -1064,12 +1209,15 @@ def serve_rest_catalog(
                 ns = parts[1].split(_SEP)
                 known = {
                     tuple(t.split(".")[:-1]) for t in list_tables(warehouse)
-                }
+                } | _explicit_namespaces(warehouse)
                 if not any(k[: len(ns)] == tuple(ns) for k in known):
                     return self._err(
                         404, f"namespace {'.'.join(ns)!r} does not exist"
                     )
-                return self._json(200, {"namespace": ns, "properties": {}})
+                return self._json(200, {
+                    "namespace": ns,
+                    "properties": _ns_properties(warehouse, ns),
+                })
             if (
                 len(parts) == 3
                 and parts[0] == "namespaces"
@@ -1156,6 +1304,76 @@ def serve_rest_catalog(
                 body = self._read_body()
             except ValueError:
                 return self._err(400, "request body is not JSON")
+            # POST /namespaces → CREATE NAMESPACE
+            if parts == ["namespaces"]:
+                ns = body.get("namespace") or []
+                if not ns:
+                    return self._err(400, "CreateNamespaceRequest needs namespace")
+                marker = _ns_marker_path(warehouse, ns)
+                with commit_lock:
+                    if os.path.exists(marker):
+                        return self._json(409, {"error": {
+                            "message": f"namespace {'.'.join(ns)} already exists",
+                            "type": "AlreadyExistsException", "code": 409}})
+                    os.makedirs(os.path.dirname(marker), exist_ok=True)
+                    with open(marker, "w") as f:
+                        json.dump(
+                            {"properties": body.get("properties") or {}}, f
+                        )
+                return self._json(200, {
+                    "namespace": list(ns),
+                    "properties": body.get("properties") or {},
+                })
+            # POST /namespaces/{ns}/properties → UPDATE PROPERTIES
+            if (
+                len(parts) == 3
+                and parts[0] == "namespaces"
+                and parts[2] == "properties"
+            ):
+                ns = parts[1].split(_SEP)
+                marker = _ns_marker_path(warehouse, ns)
+                known = {
+                    tuple(t.split(".")[:-1]) for t in list_tables(warehouse)
+                } | _explicit_namespaces(warehouse)
+                if not any(k[: len(ns)] == tuple(ns) for k in known):
+                    return self._err(
+                        404, f"namespace {'.'.join(ns)!r} does not exist"
+                    )
+                removals = body.get("removals") or []
+                updates = body.get("updates") or {}
+                overlap = sorted(set(removals) & set(updates))
+                if overlap:
+                    return self._err(
+                        400, f"keys in both removals and updates: {overlap}"
+                    )
+                with commit_lock:
+                    props = _ns_properties(warehouse, ns)
+                    removed = [k for k in removals if k in props]
+                    missing = [k for k in removals if k not in props]
+                    for k in removed:
+                        props.pop(k, None)
+                    props.update(updates)
+                    os.makedirs(os.path.dirname(marker), exist_ok=True)
+                    with open(marker, "w") as f:
+                        json.dump({"properties": props}, f)
+                return self._json(200, {
+                    "updated": sorted(updates),
+                    "removed": removed,
+                    "missing": missing,
+                })
+            # POST /transactions/commit → atomic multi-table commit
+            if parts == ["transactions", "commit"]:
+                with commit_lock:
+                    try:
+                        code, payload = _apply_transaction(warehouse, body)
+                    except FileNotFoundError as e:
+                        return self._err(404, str(e))
+                    except (KeyError, TypeError, ValueError) as e:
+                        return self._err(
+                            400,
+                            f"malformed transaction: {type(e).__name__}: {e}",
+                        )
+                return self._json(code, payload)
             # POST /namespaces/{ns}/tables → CREATE TABLE
             if len(parts) == 3 and parts[0] == "namespaces" and parts[2] == "tables":
                 return self._create(parts[1].split(_SEP), body)
@@ -1306,6 +1524,32 @@ def serve_rest_catalog(
             if r is None:
                 return None
             parts, qs = r
+            # DELETE /namespaces/{ns} → DROP NAMESPACE (must be empty)
+            if len(parts) == 2 and parts[0] == "namespaces":
+                ns = parts[1].split(_SEP)
+                marker = _ns_marker_path(warehouse, ns)
+                with commit_lock:
+                    holds = [
+                        t for t in list_tables(warehouse)
+                        if t.split(".")[: len(ns)] == ns
+                    ]
+                    if holds:
+                        return self._err(409, (
+                            f"namespace {'.'.join(ns)!r} is not empty: "
+                            f"{holds[:3]}"
+                        ))
+                    if not os.path.exists(marker):
+                        return self._err(
+                            404, f"namespace {'.'.join(ns)!r} does not exist"
+                        )
+                    os.remove(marker)
+                    d = os.path.dirname(marker)
+                    if not os.listdir(d):
+                        os.rmdir(d)
+                self.send_response(204)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return None
             if not (
                 len(parts) == 4
                 and parts[0] == "namespaces"

@@ -716,3 +716,98 @@ def test_remaining_commit_update_kinds(served):
     ):
         with pytest.raises(ValueError, match="400"):
             c.commit_table("db.events", updates=ups)
+
+
+def test_multi_table_transaction_atomic(tmp_path):
+    """POST /transactions/commit: two tables move in ONE atomic
+    commit; a failing requirement on the SECOND table rolls back the
+    first — a reader never keeps a partial transaction."""
+    from iceberg_tools_spark.iceberg.concurrency import CommitConflictError
+
+    wh = _mk_warehouse(tmp_path, "db.a")
+    _mk_warehouse(tmp_path, "db.b")
+    server, uri = serve_rest_catalog(wh)
+    try:
+        c = RestCatalogClient(uri)
+        res = c.commit_transaction([
+            {"identifier": "db.a", "updates": [
+                {"action": "set-properties", "updates": {"stage": "t1"}}]},
+            {"identifier": "db.b", "updates": [
+                {"action": "set-properties", "updates": {"stage": "t1"}}]},
+        ])
+        assert len(res["results"]) == 2
+        for t in ("db.a", "db.b"):
+            assert c.load_table(t)["metadata"]["properties"]["stage"] == "t1"
+        # second change set carries a STALE requirement → everything
+        # rolls back, including db.a's already-applied change
+        with pytest.raises(CommitConflictError):
+            c.commit_transaction([
+                {"identifier": "db.a", "updates": [
+                    {"action": "set-properties", "updates": {"stage": "t2"}}]},
+                {"identifier": "db.b",
+                 "requirements": [{"type": "assert-ref-snapshot-id",
+                                   "ref": "main", "snapshot-id": 1}],
+                 "updates": [
+                    {"action": "set-properties", "updates": {"stage": "t2"}}]},
+            ])
+        for t in ("db.a", "db.b"):
+            assert c.load_table(t)["metadata"]["properties"]["stage"] == "t1"
+        # malformed: missing identifier
+        with pytest.raises(ValueError, match="400"):
+            c.commit_transaction([{"updates": []}])
+    finally:
+        server.shutdown()
+
+
+def test_transaction_rolls_back_on_malformed_mid_list(tmp_path):
+    """A malformed entry AFTER a valid one still rolls the valid
+    one back (the 400 path must not leak a partial transaction)."""
+    wh = _mk_warehouse(tmp_path, "db.a")
+    server, uri = serve_rest_catalog(wh)
+    try:
+        c = RestCatalogClient(uri)
+        before = c.load_table("db.a")["metadata-location"]
+        with pytest.raises(ValueError, match="400"):
+            c.commit_transaction([
+                {"identifier": "db.a", "updates": [
+                    {"action": "set-properties", "updates": {"x": "1"}}]},
+                {"identifier": {"namespace": [], "name": ""}, "updates": []},
+            ])
+        after = c.load_table("db.a")["metadata"]
+        assert "x" not in (after.get("properties") or {})
+        assert c.load_table("db.a")["metadata-location"] == before
+    finally:
+        server.shutdown()
+
+
+def test_namespace_lifecycle(served):
+    """CREATE namespace (listed while empty, 409 on duplicate),
+    UPDATE properties ({updated, removed, missing} report), DROP
+    (409 while non-empty, 404 after)."""
+    from iceberg_tools_spark.iceberg.concurrency import CommitConflictError
+
+    _wh, uri = served
+    c = RestCatalogClient(uri)
+    res = c.create_namespace("staging", {"owner": "etl"})
+    assert res["namespace"] == ["staging"]
+    assert "staging" in c.list_namespaces()  # listed while EMPTY
+    assert c.load_namespace("staging")["properties"] == {"owner": "etl"}
+    with pytest.raises(CommitConflictError, match="already exists"):
+        c.create_namespace("staging")
+    rep = c.update_namespace_properties(
+        "staging", updates={"tier": "bronze"}, removals=["owner", "ghost"]
+    )
+    assert rep == {"updated": ["tier"], "removed": ["owner"],
+                   "missing": ["ghost"]}
+    assert c.load_namespace("staging")["properties"] == {"tier": "bronze"}
+    with pytest.raises(ValueError, match="both removals and updates"):
+        c.update_namespace_properties(
+            "staging", updates={"k": "1"}, removals=["k"]
+        )
+    # a namespace holding tables refuses the drop
+    with pytest.raises(RuntimeError, match="not empty"):
+        c.drop_namespace("db")
+    c.drop_namespace("staging")
+    assert "staging" not in c.list_namespaces()
+    with pytest.raises(FileNotFoundError):
+        c.load_namespace("staging")
