@@ -319,10 +319,16 @@ def delta_live_files(table_root: str, version: int | None = None) -> list[str]:
 
 
 def commit_timestamps(table_root: str) -> list[tuple[int, int]]:
-    """(version, timestamp_ms) per JSON commit, ascending — the
-    ``commitInfo.timestamp`` when the commit wrote one, the log
-    file's mtime otherwise (the same fallback real readers use for
-    logs from writers that skipped commitInfo)."""
+    """(version, timestamp_ms) per JSON commit, ascending.
+    Preference order per PROTOCOL.md "In-Commit Timestamps":
+    ``commitInfo.inCommitTimestamp`` (the ICT writer feature's
+    monotonic clock — file timestamps are unreliable after log
+    copies/restores, which is the feature's whole point) →
+    ``commitInfo.timestamp`` → the log file's mtime (the fallback
+    real readers use for writers that skipped commitInfo). Mixed
+    logs resolve per COMMIT, which is exactly the spec's enablement
+    boundary: commits before ``delta.enableInCommitTimestamps`` lack
+    the field and keep file-time semantics."""
     out: list[tuple[int, int]] = []
     for v, path in list_commits(table_root):
         ts = None
@@ -332,7 +338,12 @@ def commit_timestamps(table_root: str) -> list[tuple[int, int]]:
                 if not line:
                     continue
                 ci = json.loads(line).get("commitInfo")
-                if ci and ci.get("timestamp") is not None:
+                if ci is None:
+                    continue
+                if ci.get("inCommitTimestamp") is not None:
+                    ts = int(ci["inCommitTimestamp"])
+                    break
+                if ci.get("timestamp") is not None:
                     ts = int(ci["timestamp"])
                     break
         if ts is None:
@@ -1929,6 +1940,41 @@ def append_delta_commit(
     commits = list_commits(table_root)
     v = commits[-1][0] + 1 if commits else 0
     d = _log_dir(table_root)
+    # In-commit timestamps (PROTOCOL.md "In-Commit Timestamps"):
+    # once enabled — by a metaData action in THIS commit setting
+    # delta.enableInCommitTimestamps, or by the PREVIOUS commit
+    # already carrying one (every post-enablement commit must) —
+    # stamp a MONOTONIC commitInfo.inCommitTimestamp and keep
+    # commitInfo as the commit's first action, per spec.
+    prev_ict = None
+    if commits:
+        with open(commits[-1][1]) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                ci = json.loads(line).get("commitInfo")
+                if ci is not None:
+                    prev_ict = ci.get("inCommitTimestamp")
+                break  # commitInfo is first when ICT is active
+    enables_now = any(
+        (a.get("metaData") or {}).get("configuration", {}).get(
+            "delta.enableInCommitTimestamps"
+        ) == "true"
+        for a in actions
+    )
+    if enables_now or prev_ict is not None:
+        ict = max(int(now_ms or 0), int(prev_ict or 0) + 1)
+        actions = list(actions)
+        ci_idx = next(
+            (i for i, a in enumerate(actions) if "commitInfo" in a), None
+        )
+        if ci_idx is None:
+            actions.insert(0, {"commitInfo": {"inCommitTimestamp": ict}})
+        else:
+            ci_action = actions.pop(ci_idx)
+            ci_action["commitInfo"]["inCommitTimestamp"] = ict
+            actions.insert(0, ci_action)
     tmp = os.path.join(d, f".{v:020d}.json.tmp")
     with open(tmp, "w") as f:
         for a in actions:

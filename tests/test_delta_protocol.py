@@ -974,3 +974,62 @@ def test_v2_checkpoint_pointer_size_counts_domains(tmp_path):
         ptr = json.load(f)
     # 1 add + protocol + checkpointMetadata + metaData + 2 domains
     assert ptr["size"] == 6
+
+
+def test_in_commit_timestamps(spark, tmp_path):
+    """PROTOCOL.md "In-Commit Timestamps": once enabled, every
+    commit carries a MONOTONIC commitInfo.inCommitTimestamp as the
+    FIRST action, and timestamp time travel uses it instead of file
+    mtimes — the whole point: a copied/restored log (fresh mtimes)
+    must keep its history semantics."""
+    from iceberg_tools_spark.sources.delta_log import (
+        commit_timestamps,
+        version_at_timestamp,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    pq.write_table(pa.table({"id": pa.array([1], "int64")}),
+                   os.path.join(root, "a.parquet"))
+    pq.write_table(pa.table({"id": pa.array([2], "int64")}),
+                   os.path.join(root, "b.parquet"))
+    t0 = 1700000000000
+    append_delta_commit(root, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": [],
+                      "writerFeatures": ["inCommitTimestamp"]}},
+        {"metaData": {
+            "id": "ict", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}}]}),
+            "partitionColumns": [],
+            "configuration": {"delta.enableInCommitTimestamps": "true"},
+            "createdTime": 0,
+        }},
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None, now_ms=t0)
+    # a LATER commit with an EARLIER wall clock still stamps
+    # monotonically (spec: ict(v) > ict(v-1)), and continuation works
+    # without re-sending metaData
+    append_delta_commit(root, [
+        {"add": {"path": "b.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None, now_ms=t0 - 5000)
+    stamps = dict(commit_timestamps(root))
+    assert stamps[0] == t0
+    assert stamps[1] == t0 + 1  # clamped monotonic, not the stale clock
+    # commitInfo is the FIRST action of both commits
+    for v in (0, 1):
+        with open(os.path.join(root, "_delta_log", f"{v:020d}.json")) as f:
+            first = json.loads(f.readline())
+        assert "commitInfo" in first, v
+    # time travel by ICT — mtimes are NOW (way past t0) and must not
+    # matter
+    assert version_at_timestamp(root, t0) == 0
+    assert version_at_timestamp(root, t0 + 1) == 1
+    with pytest.raises(ValueError, match="precedes"):
+        version_at_timestamp(root, t0 - 10_000)
+    df = read_delta_log(spark, root, timestamp_ms=t0)
+    assert [r["id"] for r in df.collect()] == [1]
