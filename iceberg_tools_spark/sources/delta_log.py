@@ -650,6 +650,7 @@ def read_delta_log(
     *,
     timestamp_ms: int | None = None,
     partition_filter: dict[str, Any] | None = None,
+    with_row_tracking: bool = False,
 ) -> DataFrame:
     """Distributed read of the live file set (time travel via
     ``version``, or via ``timestamp_ms`` — the ``timestampAsOf``
@@ -743,6 +744,8 @@ def read_delta_log(
     # (never single-file sampling).
     if not part_cols:
         s = _physical_schema(meta)
+        if with_row_tracking:
+            s = _with_rt_columns(s, meta)
         reader = (
             spark.read.schema(s)
             if s is not None
@@ -753,6 +756,8 @@ def read_delta_log(
         # partition values come from the key=value dirs; the data
         # schema excludes them (Delta keeps them log/dir-side)
         s = _physical_schema(meta, exclude=part_cols)
+        if with_row_tracking:
+            s = _with_rt_columns(s, meta)
         reader = (
             spark.read.schema(s)
             if s is not None
@@ -771,6 +776,8 @@ def read_delta_log(
         from pyspark.sql import types as T
 
         s = _physical_schema(meta)
+        if with_row_tracking:
+            s = _with_rt_columns(s, meta)
         reader = (
             spark.read.schema(s)
             if s is not None
@@ -811,6 +818,8 @@ def read_delta_log(
             else:
                 df = df.withColumn(pc, F.col(f"_pv_{c}"))
         df = df.drop(*[f"_pv_{c}" for c in part_cols])
+    if with_row_tracking:
+        df = _attach_row_tracking(spark, df, table_root, adds, meta)
     if dv_adds:
         df = _apply_delta_dvs(spark, df, table_root, dv_adds)
     if mapping:
@@ -820,6 +829,105 @@ def read_delta_log(
         # Nested struct fields rename too (r13).
         df = _rename_physical(df, meta)
     return df
+
+
+def _rt_materialized_cols(meta: dict[str, Any]) -> list[str]:
+    cfg = meta.get("configuration") or {}
+    return [
+        c for c in (
+            cfg.get("delta.rowTracking.materializedRowIdColumnName"),
+            cfg.get("delta.rowTracking.materializedRowCommitVersionColumnName"),
+        ) if c
+    ]
+
+
+def _with_rt_columns(schema, meta: dict[str, Any]):
+    """Extend an explicit physical read schema with the table's
+    materialized row-tracking columns (physical-ONLY per spec — the
+    logical schemaString never lists them, so the explicit-schema
+    scan would drop them; files lacking the column read null, which
+    the coalesce in ``_attach_row_tracking`` wants)."""
+    from pyspark.sql import types as T
+
+    if schema is None:
+        return None
+    have = {f.name for f in schema.fields}
+    extra = [c for c in _rt_materialized_cols(meta) if c not in have]
+    if not extra:
+        return schema
+    return T.StructType(
+        list(schema.fields)
+        + [T.StructField(c, T.LongType(), True) for c in extra]
+    )
+
+
+def _attach_row_tracking(spark, df, table_root: str, adds, meta):
+    """PROTOCOL.md "Row Tracking": surface ``_row_id`` (the add's
+    ``baseRowId`` + the row's position — the FRESH row-id rule) and
+    ``_row_commit_version`` (``defaultRowCommitVersion``) as
+    columns, via ONE broadcast per-file constant join on the exact
+    scan path (the partitionValues shape). Files UPDATE rewrote
+    carry materialized row-id/commit-version columns that OVERRIDE
+    the fresh derivation per spec; when the table config names them
+    (``delta.rowTracking.materializedRowId/CommitVersionColumnName``)
+    and the physical column exists, it wins per row. Rows deleted by
+    a DV never surface (the anti-join applies after this, on the
+    same scan). Raises when any live file predates rowTracking
+    (``baseRowId`` absent) — per spec row ids are only well-defined
+    once backfill completed."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    missing = sorted(a["path"] for a in adds if a.get("baseRowId") is None)
+    if missing:
+        raise ValueError(
+            f"rowTracking read: {len(missing)} live file(s) carry no "
+            f"baseRowId (backfill incomplete or feature inactive): "
+            f"{missing[:3]}"
+        )
+    rows = [
+        (
+            _strip_scheme(os.path.join(table_root, a["path"])),
+            int(a["baseRowId"]),
+            a.get("defaultRowCommitVersion"),
+        )
+        for a in adds
+    ]
+    rt = spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("_rt_path", T.StringType()),
+            T.StructField("_rt_base", T.LongType()),
+            T.StructField("_rt_dcv", T.LongType()),
+        ]),
+    )
+    df = df.withColumn("_rt_scan", _scan_path_col())
+    df = df.join(
+        F.broadcast(rt), df["_rt_scan"] == rt["_rt_path"], "left"
+    ).drop("_rt_scan", "_rt_path")
+    cfg = meta.get("configuration") or {}
+    mat_id = cfg.get("delta.rowTracking.materializedRowIdColumnName")
+    mat_cv = cfg.get(
+        "delta.rowTracking.materializedRowCommitVersionColumnName"
+    )
+    fresh_id = F.col("_rt_base") + F.col("_metadata.row_index")
+    fresh_cv = F.col("_rt_dcv")
+    row_id = (
+        F.coalesce(F.col(mat_id), fresh_id)
+        if mat_id and mat_id in df.columns
+        else fresh_id
+    )
+    row_cv = (
+        F.coalesce(F.col(mat_cv), fresh_cv)
+        if mat_cv and mat_cv in df.columns
+        else fresh_cv
+    )
+    df = df.withColumn("_row_id", row_id.cast("long")).withColumn(
+        "_row_commit_version", row_cv.cast("long")
+    )
+    return df.drop("_rt_base", "_rt_dcv", *(
+        c for c in (mat_id, mat_cv) if c and c in df.columns
+    ))
 
 
 # ------------------------------------------------ driver-gate query
@@ -1156,6 +1264,11 @@ def _checkpoint_schema():
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
             ("deletionVector", dv_t),
+            # rowTracking metadata rides checkpoints (PROTOCOL.md
+            # "Row Tracking": readers reconstruct row ids from
+            # baseRowId + position)
+            ("baseRowId", pa.int64()),
+            ("defaultRowCommitVersion", pa.int64()),
         ]
     )
     remove_t = pa.struct(
@@ -1211,6 +1324,8 @@ def _maps_to_pairs_add(a: dict[str, Any]) -> dict[str, Any]:
         "modificationTime": a.get("modificationTime"),
         "dataChange": a.get("dataChange", True),
         "deletionVector": a.get("deletionVector"),
+        "baseRowId": a.get("baseRowId"),
+        "defaultRowCommitVersion": a.get("defaultRowCommitVersion"),
     }
     pv = out["partitionValues"]
     if isinstance(pv, dict):

@@ -1033,3 +1033,132 @@ def test_in_commit_timestamps(spark, tmp_path):
         version_at_timestamp(root, t0 - 10_000)
     df = read_delta_log(spark, root, timestamp_ms=t0)
     assert [r["id"] for r in df.collect()] == [1]
+
+
+def _row_tracking_table(root, *, config=None):
+    os.makedirs(os.path.join(root, "_delta_log"))
+    pq.write_table(pa.table({"id": pa.array([10, 11, 12], "int64")}),
+                   os.path.join(root, "a.parquet"))
+    pq.write_table(pa.table({"id": pa.array([20, 21], "int64")}),
+                   os.path.join(root, "b.parquet"))
+    append_delta_commit(root, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": [],
+                      "writerFeatures": ["rowTracking", "domainMetadata"]}},
+        {"metaData": {
+            "id": "rt", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}}]}),
+            "partitionColumns": [],
+            "configuration": {"delta.enableRowTracking": "true",
+                              **(config or {})},
+            "createdTime": 0,
+        }},
+        {"domainMetadata": {"domain": "delta.rowTracking",
+                            "configuration": json.dumps(
+                                {"rowIdHighWaterMark": 4}),
+                            "removed": False}},
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "baseRowId": 0, "defaultRowCommitVersion": 0}},
+        {"add": {"path": "b.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "baseRowId": 3, "defaultRowCommitVersion": 0}},
+    ], checkpoint_interval=None)
+
+
+def test_row_tracking_read(spark, tmp_path):
+    """PROTOCOL.md "Row Tracking": _row_id = baseRowId + position,
+    _row_commit_version = defaultRowCommitVersion; DV-deleted rows
+    keep their neighbors' ids stable; fields survive checkpoints."""
+    from iceberg_tools_spark.sources.delta_log import (
+        commit_delta_dv,
+        replay_log,
+        write_delta_checkpoint,
+    )
+
+    root = str(tmp_path / "t")
+    _row_tracking_table(root)
+    df = read_delta_log(spark, root, with_row_tracking=True)
+    got = sorted((r["id"], r["_row_id"], r["_row_commit_version"])
+                 for r in df.collect())
+    assert got == [(10, 0, 0), (11, 1, 0), (12, 2, 0),
+                   (20, 3, 0), (21, 4, 0)]
+    # DV delete of position 1 in a.parquet: row ids 0 and 2 persist
+    commit_delta_dv(root, {"a.parquet": [1]}, checkpoint_interval=None)
+    got2 = sorted((r["id"], r["_row_id"]) for r in read_delta_log(
+        spark, root, with_row_tracking=True).collect())
+    assert got2 == [(10, 0), (12, 2), (20, 3), (21, 4)]
+    # the metadata survives a checkpoint with every covered commit
+    # deleted
+    write_delta_checkpoint(root, now_ms=NOW)
+    append_delta_commit(root, [
+        {"commitInfo": {"operation": "touch", "timestamp": NOW}},
+    ], checkpoint_interval=None)
+    for v, p in [(v, os.path.join(root, "_delta_log", f"{v:020d}.json"))
+                 for v in (0, 1)]:
+        os.remove(p)
+    adds, _, _ = replay_log(root)
+    assert {a["path"]: a.get("baseRowId") for a in adds} == {
+        "a.parquet": 0, "b.parquet": 3}
+    got3 = sorted((r["id"], r["_row_id"]) for r in read_delta_log(
+        spark, root, with_row_tracking=True).collect())
+    assert got3 == got2
+
+
+def test_row_tracking_materialized_columns_win(spark, tmp_path):
+    """Files rewritten by UPDATE carry materialized row-id columns
+    that override the fresh derivation (the spec's preserved-row-id
+    rule); the config names the physical columns."""
+    root = str(tmp_path / "t")
+    _row_tracking_table(root, config={
+        "delta.rowTracking.materializedRowIdColumnName": "_mat_rid",
+        "delta.rowTracking.materializedRowCommitVersionColumnName":
+            "_mat_cv",
+    })
+    # c.parquet: a rewrite of a.parquet's rows — preserved ids 0-2,
+    # written at commit version 1
+    pq.write_table(
+        pa.table({
+            "id": pa.array([110, 111, 112], "int64"),
+            "_mat_rid": pa.array([0, 1, 2], "int64"),
+            "_mat_cv": pa.array([1, 1, 1], "int64"),
+        }),
+        os.path.join(root, "c.parquet"),
+    )
+    append_delta_commit(root, [
+        {"remove": {"path": "a.parquet", "deletionTimestamp": NOW,
+                    "dataChange": False}},
+        {"add": {"path": "c.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": False,
+                 "baseRowId": 5, "defaultRowCommitVersion": 1}},
+    ], checkpoint_interval=None)
+    df = read_delta_log(spark, root, with_row_tracking=True)
+    got = sorted((r["id"], r["_row_id"], r["_row_commit_version"])
+                 for r in df.collect())
+    # rewritten rows KEEP ids 0-2 (not fresh 5-7); b.parquet fresh
+    assert got == [(20, 3, 0), (21, 4, 0),
+                   (110, 0, 1), (111, 1, 1), (112, 2, 1)]
+    # the materialized carrier columns never leak into the result
+    assert "_mat_rid" not in df.columns and "_mat_cv" not in df.columns
+
+
+def test_row_tracking_requires_backfill(spark, tmp_path):
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    pq.write_table(pa.table({"id": pa.array([1], "int64")}),
+                   os.path.join(root, "a.parquet"))
+    append_delta_commit(root, [
+        {"metaData": {
+            "id": "nort", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}}]}),
+            "partitionColumns": [], "configuration": {}, "createdTime": 0,
+        }},
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    with pytest.raises(ValueError, match="baseRowId"):
+        read_delta_log(spark, root, with_row_tracking=True)
