@@ -1050,6 +1050,16 @@ register(
     _w_mig.VARIANT_BRIDGE_SQL,
 )
 
+# r15 newcomer PAST the window (two-SF parity every pytest run;
+# first-cert slot next round): Delta Row Tracking reads — fresh ids
+# from baseRowId + position, DV-stable, materialized-column override
+# at a rewrite's commit version.
+register(
+    "delta_row_tracking_rows",
+    _w_delta.delta_row_tracking_rows,
+    _w_delta.DELTA_ROW_TRACKING_SQL,
+)
+
 # r15 newcomer (VERDICT r14 #7): domainMetadata survival accounting
 # across the THREE checkpoint forms (classic parquet, v2 JSON top,
 # v2 parquet top) — live domains preserved with their latest

@@ -3488,3 +3488,90 @@ FROM (VALUES
 ) t(form, domains_live, configs_ok, removed_gone, data_rows)
 ORDER BY form
 """
+
+
+def delta_row_tracking_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for Delta Row Tracking reads (``sf_dir`` unused):
+    a two-file table with fresh row ids, a DV delete (surviving ids
+    stable), and an UPDATE-style rewrite whose materialized columns
+    preserve the original ids at a new commit version. Golden
+    oracle. Spec: PROTOCOL.md "Row Tracking"."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    root = tempfile.mkdtemp(prefix="delta_rt_")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    pq.write_table(pa.table({"id": pa.array(range(10, 16), "int64")}),
+                   os.path.join(root, "a.parquet"))
+    pq.write_table(pa.table({"id": pa.array(range(20, 24), "int64")}),
+                   os.path.join(root, "b.parquet"))
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}}]})
+    append_delta_commit(root, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": [],
+                      "writerFeatures": ["rowTracking", "domainMetadata"]}},
+        {"metaData": {
+            "id": "00000000-0000-0000-0000-0000000000rt",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema, "partitionColumns": [],
+            "configuration": {
+                "delta.enableRowTracking": "true",
+                "delta.rowTracking.materializedRowIdColumnName": "_mrid",
+                "delta.rowTracking.materializedRowCommitVersionColumnName":
+                    "_mcv",
+            },
+            "createdTime": 1700000000000,
+        }},
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "baseRowId": 0, "defaultRowCommitVersion": 0}},
+        {"add": {"path": "b.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "baseRowId": 6, "defaultRowCommitVersion": 0}},
+    ], checkpoint_interval=None)
+    # v1: DV-delete positions 1,3 of a.parquet (ids 11, 13)
+    commit_delta_dv(root, {"a.parquet": [1, 3]}, checkpoint_interval=None)
+    # v2: rewrite b.parquet (ids +100) preserving row ids 6-9
+    pq.write_table(
+        pa.table({
+            "id": pa.array(range(120, 124), "int64"),
+            "_mrid": pa.array(range(6, 10), "int64"),
+            "_mcv": pa.array([2] * 4, "int64"),
+        }),
+        os.path.join(root, "c.parquet"),
+    )
+    append_delta_commit(root, [
+        {"remove": {"path": "b.parquet",
+                    "deletionTimestamp": 1700000002000,
+                    "dataChange": False}},
+        {"add": {"path": "c.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": False,
+                 "baseRowId": 10, "defaultRowCommitVersion": 2}},
+    ], checkpoint_interval=None)
+    df = read_delta_log(spark, root, with_row_tracking=True)
+    return (
+        df.groupBy("_row_commit_version")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("_row_id").cast("long").alias("row_id_sum"),
+            F.sum("id").cast("long").alias("id_sum"),
+        )
+        .withColumnRenamed("_row_commit_version", "commit_version")
+        .orderBy("commit_version")
+    )
+
+
+DELTA_ROW_TRACKING_SQL = """
+SELECT commit_version, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(row_id_sum AS BIGINT) AS row_id_sum,
+       CAST(id_sum AS BIGINT) AS id_sum
+FROM (VALUES
+  (0, 4, 11, 51),  -- a.parquet survivors: ids 10,12,14,15 / rids 0,2,4,5
+  (2, 4, 30, 486)  -- rewrite keeps rids 6..9 at version 2
+) t(commit_version, n_rows, row_id_sum, id_sum)
+ORDER BY commit_version
+"""
