@@ -738,6 +738,7 @@ def replicate_iceberg_to_delta(
     write_cdf: bool = False,
     now_ms: int | None = None,
     partition_by: str | tuple = "auto",
+    row_tracking: "str | bool" = "auto",
 ) -> dict[str, Any]:
     """Replicate an Iceberg snapshot range into a Delta table, ONE
     Delta commit per Iceberg snapshot: the seed snapshot exports
@@ -885,14 +886,66 @@ def replicate_iceberg_to_delta(
             for c in part_cols
         }
 
+    # v3 row lineage → Delta Row Tracking (r15): with a v3 source
+    # ("auto"), every replica add carries baseRowId — the SOURCE
+    # file's first_row_id for verbatim copies (positions identical,
+    # so replica row ids == source row ids exactly), fresh ids past
+    # the source's next-row-id high-water mark otherwise — and folds
+    # MATERIALIZE the surviving rows' original ids (the spec's
+    # preserved-row-id columns), so lineage survives the one mapping
+    # that rewrites rows. The replica stamps the rowTracking domain's
+    # high-water mark like a real writer.
+    lineage = (
+        int(raw.get("format-version", 2)) >= 3
+        if row_tracking == "auto"
+        else bool(row_tracking)
+    )
+    rt_state = {"hwm": int(raw.get("next-row-id", 0)) - 1}
+    dcv_of: dict[str, int] = {}  # replica rel → defaultRowCommitVersion
+
+    def _rt_of(entry: dict[str, Any], vi: int, *, fresh: bool) -> dict[str, Any]:
+        if not lineage:
+            return {}
+        fid = None if fresh else entry.get("first_row_id")
+        n = int(entry.get("record_count") or 0)
+        if fid is None:
+            fid = rt_state["hwm"] + 1
+            rt_state["hwm"] += max(n, 1)
+        else:
+            rt_state["hwm"] = max(rt_state["hwm"], int(fid) + max(n, 1) - 1)
+        return {"baseRowId": int(fid), "defaultRowCommitVersion": vi}
+
+    def _rt_domain_action() -> dict[str, Any]:
+        return {"domainMetadata": {
+            "domain": "delta.rowTracking",
+            "configuration": json.dumps(
+                {"rowIdHighWaterMark": rt_state["hwm"]}
+            ),
+            "removed": False,
+        }}
+
     os.makedirs(os.path.join(target_root, "_delta_log"))
 
-    def _write_folded(entry, applicable, out_abs):
+    def _write_folded(entry, applicable, out_abs, mcv: int | None = None):
         # survivors of ONE data file under its applicable deletes —
         # the same mor_frame + apply_deletes plan the MoR reader runs,
         # scoped to the file being folded
+        import pyspark.sql.functions as F
+
         df = mor_frame(spark, [entry])
-        surv = apply_deletes(spark, meta, df, applicable).drop("_rel", "_pos", "_seq")
+        surv = apply_deletes(spark, meta, df, applicable)
+        if lineage:
+            # preserved-row-id columns: survivors keep their source
+            # ids (first_row_id + original position) and the commit
+            # version their content last changed
+            fid = entry.get("first_row_id")
+            surv = surv.withColumn(
+                "_mrid",
+                (F.lit(fid) + F.col("_pos")).cast("long")
+                if fid is not None
+                else F.lit(None).cast("long"),
+            ).withColumn("_mcv", F.lit(mcv).cast("long"))
+        surv = surv.drop("_rel", "_pos", "_seq")
         tmpdir = out_abs + ".tmp"
         surv.coalesce(1).write.mode("errorifexists").parquet(tmpdir)
         part = next(
@@ -920,6 +973,24 @@ def replicate_iceberg_to_delta(
         if any(f["type"] == "variant" for f in delta_fields)
         else {"minReaderVersion": 1, "minWriterVersion": 2}
     )  # the seed's (variant columns oblige the feature, review r14)
+    if lineage:
+        # rowTracking + its high-water-mark domain need v7 WRITERS;
+        # both are writer-only features, so minReaderVersion stays
+        # whatever the schema requires (spec: readerFeatures exist
+        # only at minReaderVersion 3)
+        cur_proto = {
+            "minReaderVersion": cur_proto["minReaderVersion"],
+            "minWriterVersion": 7,
+            **(
+                {"readerFeatures": cur_proto["readerFeatures"]}
+                if "readerFeatures" in cur_proto
+                else {}
+            ),
+            "writerFeatures": sorted(
+                set(cur_proto.get("writerFeatures", []))
+                | {"rowTracking", "domainMetadata"}
+            ),
+        }
     last: dict[str, Any] = {"version": -1}
     for vi, sid in enumerate(rng):
         data_s, dels_s = mor_entries_at(meta, sid, base_dir)
@@ -949,6 +1020,13 @@ def replicate_iceberg_to_delta(
                     "configuration": {
                         "replicated-from": "iceberg",
                         "replicated-table-uuid": raw.get("table-uuid", ""),
+                        **({
+                            "delta.enableRowTracking": "true",
+                            "delta.rowTracking."
+                            "materializedRowIdColumnName": "_mrid",
+                            "delta.rowTracking."
+                            "materializedRowCommitVersionColumnName": "_mcv",
+                        } if lineage else {}),
                     },
                     "createdTime": 1700000000000,
                 }},
@@ -1097,6 +1175,7 @@ def replicate_iceberg_to_delta(
                         elif newly:
                             cdf_parts.append(("delete_at", abs_p, newly))
                     replica[rel] = (drel, s, "copy")
+                    dcv_of.setdefault(rel, vi)
                     adds.append({"add": {
                         "path": drel,
                         "partitionValues": _pv(e),
@@ -1104,6 +1183,8 @@ def replicate_iceberg_to_delta(
                         "modificationTime": ts,
                         "dataChange": True,
                         "deletionVector": desc,
+                        # verbatim data: source row ids carry over 1:1
+                        **_rt_of(e, dcv_of[rel], fresh=False),
                     }})
                     n_dvs += 1
                     continue
@@ -1138,13 +1219,19 @@ def replicate_iceberg_to_delta(
                 applicable = [
                     d for d in dels_s if d["file_path"] in applicable_paths
                 ]
-                _write_folded(e, applicable, out_abs)
+                # survivors keep the commit version of their last
+                # CONTENT change — the version the file first entered
+                # the replica (the fold removes rows, never edits)
+                _write_folded(e, applicable, out_abs,
+                              mcv=dcv_of.get(rel, vi))
                 size = os.path.getsize(out_abs)
                 n_folded += 1
             else:
                 pending.append((e["local_path"], out_abs))
                 size = os.path.getsize(e["local_path"])
+            was_fold = bool(s)
             replica[rel] = (out_rel, sig[rel], "fold" if s else "copy")
+            dcv_of.setdefault(rel, vi)
             if write_cdf:
                 cdf_parts.append(("insert_but", out_abs, []))
             adds.append({"add": {
@@ -1153,11 +1240,20 @@ def replicate_iceberg_to_delta(
                 "size": size,
                 "modificationTime": ts,
                 "dataChange": True,
+                # folds rewrite positions → FRESH base ids past the
+                # high-water mark; the materialized _mrid/_mcv
+                # columns override per row (preserved ids)
+                **_rt_of(e, vi if was_fold else dcv_of[rel],
+                         fresh=was_fold),
             }})
         # materialize this commit's verbatim copies before anything
         # (the CDF builder below) reads them
         _bulk_copy(spark, pending)
         acts.extend(adds)
+        if lineage and (adds or vi == 0):
+            # real rowTracking writers maintain the high-water-mark
+            # domain on every id-allocating commit
+            acts.append(_rt_domain_action())
         if write_cdf and any(pos for (_k, _p, pos) in cdf_parts + dropped_parts):
             # a removed / re-folded / DV-updated copy carried masking
             # positions that exist only in the log — the commit MUST
@@ -1178,6 +1274,11 @@ def replicate_iceberg_to_delta(
             chunks = []
             for kind, path_abs, positions in cdf_parts + dropped_parts:
                 t = _papq.read_table(path_abs)
+                # materialized row-tracking carrier columns are
+                # physical-only; cdc files carry the LOGICAL schema
+                for rt_c in ("_mrid", "_mcv"):
+                    if rt_c in t.column_names:
+                        t = t.drop_columns([rt_c])
                 if kind == "delete_at":
                     t, change = t.take(positions), "delete"
                 else:

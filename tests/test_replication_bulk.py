@@ -439,3 +439,76 @@ def test_replica_dv_update_commit_is_change_visible(spark, tmp_path):
     assert rems[0].get("deletionVector", {}).get("storageType")
     assert adds and adds[0]["dataChange"] is True
     assert adds[0]["deletionVector"]["cardinality"] == 2
+
+
+def test_lineage_preserving_replication(spark, tmp_path):
+    """r15: a v3 Iceberg source's ROW LINEAGE maps onto Delta ROW
+    TRACKING in the replica — verbatim copies carry
+    baseRowId = first_row_id (positions identical → ids exact),
+    DV updates keep the original base, and equality-delete FOLDS
+    materialize the survivors' original ids; the replica's
+    `_row_id`s equal the source's at head. Protocol stamps the
+    writer features + the high-water-mark domain."""
+    import json
+
+    from iceberg_tools_spark.iceberg.commit import append_snapshot
+    from iceberg_tools_spark.iceberg.deletes import read_mor_lineage
+    from iceberg_tools_spark.iceberg.dml import delete_where_dv
+    from iceberg_tools_spark.iceberg.commit import (
+        write_equality_deletes,
+        commit_delete_snapshot,
+    )
+    from iceberg_tools_spark.sources.delta_log import (
+        read_delta_log,
+        replay_log,
+    )
+    from iceberg_tools_spark.sources.migrate import (
+        replicate_iceberg_to_delta,
+    )
+    from tests.test_dv import _fresh_v3_table, _pq_write
+
+    root, mp = _fresh_v3_table(tmp_path)
+    _pq_write(root, "data/X.parquet", [1, 2, 3, 4], "a")
+    s1 = append_snapshot(mp, [{"path": "data/X.parquet", "partition": {}}])
+    _pq_write(root, "data/Y.parquet", [10, 11, 12], "b")
+    s2 = append_snapshot(
+        s1["metadata_path"], [{"path": "data/Y.parquet", "partition": {}}]
+    )
+    # DV-delete id=2 (X stays verbatim, masked)
+    s3 = delete_where_dv(spark, s2["metadata_path"], "id = 2")
+    # equality-delete id=11 → Y FOLDS in the replica
+    write_equality_deletes(root, "data/eq1.parquet", [{"id": 11}])
+    s4 = commit_delete_snapshot(
+        s3["metadata_path"],
+        [{"path": "data/eq1.parquet", "partition": {},
+          "content": 2, "equality_ids": [1]}],
+    )
+
+    tgt = str(tmp_path / "delta")
+    replicate_iceberg_to_delta(
+        spark, s4["metadata_path"], tgt, now_ms=1700000001000,
+        checkpoint_interval=None,
+    )
+    # source truth
+    src = {
+        r["id"]: r["_row_id"]
+        for r in read_mor_lineage(
+            spark, s4["metadata_path"], s4["snapshot_id"], root
+        ).collect()
+    }
+    got = {
+        r["id"]: r["_row_id"]
+        for r in read_delta_log(spark, tgt, with_row_tracking=True).collect()
+    }
+    assert got == src == {1: 0, 3: 2, 4: 3, 10: 4, 12: 6}
+    # protocol + HWM domain stamped like a real rowTracking writer
+    _, meta, _ = replay_log(tgt)
+    proto = meta["__protocol__"]
+    assert "rowTracking" in proto["writerFeatures"]
+    assert proto["minWriterVersion"] == 7
+    cfg = meta["configuration"]
+    assert dict(cfg).get("delta.enableRowTracking") == "true" if isinstance(cfg, dict) else True
+    hwm = json.loads(
+        meta["__domains__"]["delta.rowTracking"]["configuration"]
+    )["rowIdHighWaterMark"]
+    assert hwm >= 6
