@@ -581,6 +581,13 @@ def _commit_files(
             if lineage and int(df.get("content", 0)) == 0 and first_row_id is None:
                 first_row_id = row_counter[0]
                 row_counter[0] += record_count
+            elif lineage and first_row_id is not None:
+                # caller-assigned ids (e.g. a lineage-preserving
+                # replication carrying a foreign table's row ids):
+                # next-row-id must still end past every assigned id
+                row_counter[0] = max(
+                    row_counter[0], int(first_row_id) + record_count
+                )
             entries.append(
                 {
                     "status": ADDED,

@@ -669,7 +669,14 @@ def read_mor(
     df = attach_identity_partition_columns(
         spark, df, data, meta, coalesce_present=mapped
     )
-    out_cols = [c for c in df.columns if c not in ("_rel", "_pos", "_seq")]
+    out_cols = [
+        c for c in df.columns
+        if c not in ("_rel", "_pos", "_seq",
+                     # v3 reserved lineage columns MATERIALIZED by
+                     # rewrites (r15) are metadata, not data — the
+                     # lineage read surfaces them deliberately
+                     "_row_id", "_last_updated_sequence_number")
+    ]
     return apply_deletes(spark, meta, df, dels, mode="survivors").select(*out_cols)
 
 
@@ -1459,13 +1466,33 @@ def read_mor_lineage(
         [(e["rel"], e.get("first_row_id")) for e in data],
         "_rel string, _first_row_id long",
     )
-    out_cols = [c for c in df.columns if c not in ("_rel", "_pos", "_seq")]
+    out_cols = [
+        c for c in df.columns
+        if c not in ("_rel", "_pos", "_seq",
+                     "_row_id", "_last_updated_sequence_number")
+    ]
+    # files a REWRITE produced carry the spec's reserved columns
+    # MATERIALIZED (rows moved; positions no longer derive ids) —
+    # the physical value wins per row, fresh derivation fills the
+    # rest (v3 "Row Lineage": first_row_id + position)
+    fresh_id = F.col("_first_row_id") + F.col("_pos")
+    fresh_seq = F.col("_seq").cast("long")
+    phys_id = (
+        F.coalesce(F.col("_row_id"), fresh_id)
+        if "_row_id" in df.columns
+        else fresh_id
+    )
+    phys_seq = (
+        F.coalesce(F.col("_last_updated_sequence_number"), fresh_seq)
+        if "_last_updated_sequence_number" in df.columns
+        else fresh_seq
+    )
     return (
         surv.join(F.broadcast(lineage_map), "_rel")
         .select(
             *out_cols,
-            (F.col("_first_row_id") + F.col("_pos")).alias("_row_id"),
-            F.col("_seq").cast("long").alias("_last_updated_sequence_number"),
+            phys_id.cast("long").alias("_row_id"),
+            phys_seq.alias("_last_updated_sequence_number"),
         )
     )
 

@@ -165,6 +165,8 @@ def _fold_and_write(
     dels: list[dict[str, Any]],
     table_root: str,
     snapshot_id: int,
+    *,
+    lineage: bool = False,
 ) -> dict[str, str]:
     """Fold applicable deletes into ALL target files and write every
     replacement parquet in ONE Spark job: the targets go through the
@@ -204,6 +206,32 @@ def _fold_and_write(
     ).drop("seq_rel")
     surv = apply_deletes(spark, meta, df, dels, mode="survivors")
     out_cols = [c for c in df.columns if c not in ("_rel", "_pos", "_seq")]
+    if lineage:
+        # v3 row lineage survives the rewrite by MATERIALIZING the
+        # spec's reserved columns in the replacement files (rows
+        # move, so first_row_id + position can no longer derive
+        # them); the lineage read prefers the physical column
+        fr = spark.createDataFrame(
+            [(e["rel"], e.get("first_row_id")) for e in entries],
+            "fr_rel string, _fr bigint",
+        )
+        surv = (
+            surv.join(F.broadcast(fr), surv["_rel"] == fr["fr_rel"], "left")
+            .drop("fr_rel")
+            .withColumn(
+                "_row_id", (F.col("_fr") + F.col("_pos")).cast("long")
+            )
+            .withColumn(
+                "_last_updated_sequence_number", F.col("_seq").cast("long")
+            )
+            .drop("_fr")
+        )
+        out_cols = [
+            *[c for c in out_cols
+              if c not in ("_row_id", "_last_updated_sequence_number")],
+            "_row_id",
+            "_last_updated_sequence_number",
+        ]
     tok = {e["rel"]: f"t{i:05d}" for i, e in enumerate(entries)}
     tok_df = spark.createDataFrame(
         [(rel, t) for rel, t in tok.items()], "tok_rel string, _tok string"
@@ -299,6 +327,7 @@ def rewrite_data_files(
     new_paths = _fold_and_write(
         spark, meta, sorted(targets.values(), key=lambda e: e["rel"]),
         dels, table_root, snapshot_id,
+        lineage=int(raw.get("format-version", 2)) >= 3,
     )
     new_entries = []
     for rel, e in sorted(targets.items()):
@@ -357,6 +386,13 @@ def _replace_commit(
     table_root = base_dir if os.path.isdir(os.path.join(base_dir, "metadata")) else os.path.dirname(base_dir)
     meta_dir = os.path.join(table_root, "metadata")
     parent_id = raw.get("current-snapshot-id")
+    # v3 row lineage (r15 — found by the row-tracking bridge): a
+    # rebuilt manifest's EXISTING survivors must keep their
+    # first_row_id (dropping it silently nulls _row_id after any
+    # compaction), and new ADDED entries get fresh ids from
+    # next-row-id unless the caller assigned them
+    lineage = int(raw.get("format-version", 2)) >= 3
+    row_counter = int(raw.get("next-row-id", 0))
 
     # ---- parent manifests: carry untouched ones forward VERBATIM
     # (their list rows re-used as-is — zero Avro churn, stable
@@ -408,7 +444,10 @@ def _replace_commit(
         name = os.path.basename(mrow["local_path"]).rsplit(".", 1)[0]
         new_name = f"{name}-rw{snapshot_id}.avro"
         blob = write_container(
-            manifest_entry_schema(spec_fields, f"rw{snapshot_id}_{name}"), kept
+            manifest_entry_schema(
+                spec_fields, f"rw{snapshot_id}_{name}", lineage=lineage
+            ),
+            kept,
         )
         with open(os.path.join(meta_dir, new_name), "wb") as f:
             f.write(blob)
@@ -437,8 +476,24 @@ def _replace_commit(
         by_spec.setdefault(ne["spec_id"], []).append(ne)
     for spec_id, group in sorted(by_spec.items()):
         name = f"manifest-rw{snapshot_id}-s{spec_id}.avro"
+        if lineage:
+            for g in group:
+                df_ = g["entry"]["data_file"]
+                if df_.get("first_row_id") is None:
+                    df_["first_row_id"] = row_counter
+                    row_counter += int(df_.get("record_count") or 0)
+                else:
+                    row_counter = max(
+                        row_counter,
+                        int(df_["first_row_id"])
+                        + int(df_.get("record_count") or 0),
+                    )
         blob = write_container(
-            manifest_entry_schema(group[0]["spec_fields"], f"rwnew{snapshot_id}_{spec_id}"),
+            manifest_entry_schema(
+                group[0]["spec_fields"],
+                f"rwnew{snapshot_id}_{spec_id}",
+                lineage=lineage,
+            ),
             [g["entry"] for g in group],
         )
         with open(os.path.join(meta_dir, name), "wb") as f:
@@ -471,6 +526,8 @@ def _replace_commit(
     # ---- metadata.json
     raw["last-sequence-number"] = seq
     raw["last-updated-ms"] = timestamp_ms
+    if lineage and row_counter != int(raw.get("next-row-id", 0)):
+        raw["next-row-id"] = row_counter
     raw["current-snapshot-id"] = snapshot_id
     raw["snapshots"].append(
         {

@@ -1454,6 +1454,32 @@ def replicate_delta_versions(
     schema_fields = json.loads(meta["schemaString"])["fields"]
     part_cols = meta.get("partitionColumns") or []
     ice_fields, last_col_id = _delta_fields_to_iceberg(schema_fields)
+    # Delta Row Tracking → Iceberg v3 row lineage (r15, the reverse
+    # of the lineage-preserving Iceberg→Delta direction): verbatim
+    # copies carry first_row_id = baseRowId (positions identical →
+    # row ids exact); DV folds rewrite positions, so their entries
+    # take FRESH ids from the replica's next-row-id counter, which
+    # seeds from the source's high-water-mark domain. Sources whose
+    # config names MATERIALIZED row-id columns are not mapped —
+    # Iceberg lineage is positional and can't represent per-row
+    # overrides.
+    cfg_src = meta.get("configuration") or {}
+    rt_map = cfg_src.get("delta.enableRowTracking") == "true" and not (
+        cfg_src.get("delta.rowTracking.materializedRowIdColumnName")
+        or cfg_src.get("delta.rowTracking.materializedRowCommitVersionColumnName")
+    )
+    rt_next = 0
+    if rt_map:
+        dom = (meta.get("__domains__") or {}).get("delta.rowTracking")
+        if dom and dom.get("configuration"):
+            try:
+                rt_next = int(
+                    json.loads(dom["configuration"]).get(
+                        "rowIdHighWaterMark", -1
+                    )
+                ) + 1
+            except (ValueError, TypeError):
+                rt_next = 0
     by_name = {f["name"]: f["id"] for f in ice_fields}
     # column-mapped sources (VERDICT r13 #5, NESTED r15): the
     # verbatim copies carry PHYSICAL column names at every depth, so
@@ -1477,12 +1503,11 @@ def replicate_delta_versions(
     ]
     os.makedirs(os.path.join(target_root, "metadata"))
     os.makedirs(os.path.join(target_root, "data"))
+    v3_out = rt_map or any(f["type"] == "variant" for f in ice_fields)
     meta0 = {
-        # variant is a v3-only Iceberg type: a v2 table declaring it
-        # is spec-invalid and foreign readers reject it (review r14)
-        "format-version": (
-            3 if any(f["type"] == "variant" for f in ice_fields) else 2
-        ),
+        # variant and row lineage are v3-only Iceberg features: a v2
+        # table declaring them is spec-invalid (review r14)
+        "format-version": 3 if v3_out else 2,
         "table-uuid": table_uuid,
         "location": f"file://{os.path.abspath(target_root)}",
         "last-sequence-number": 0,
@@ -1497,6 +1522,8 @@ def replicate_delta_versions(
         "properties": {"replicated-from": "delta", "replication": "full-fidelity"},
         "snapshots": [], "snapshot-log": [], "metadata-log": [],
     }
+    if v3_out:
+        meta0["next-row-id"] = rt_next
     if name_mapping_prop:
         meta0["properties"]["schema.name-mapping.default"] = name_mapping_prop
     mp = os.path.join(target_root, "v1.metadata.json")
@@ -1557,7 +1584,13 @@ def replicate_delta_versions(
             for c in part_cols
         }
         rel_of[a["path"]] = rel
-        return {"path": rel, "partition": part}
+        out = {"path": rel, "partition": part}
+        if rt_map and not dv and a.get("baseRowId") is not None:
+            # verbatim copy: source row ids carry over 1:1 (DV folds
+            # fall through with no id — the commit assigns fresh ones
+            # from the counter seeded at the source's high-water mark)
+            out["first_row_id"] = int(a["baseRowId"])
+        return out
 
     n_removed = 0
     versions = [(v, p) for v, p in list_commits(delta_root) if v <= head]

@@ -512,3 +512,74 @@ def test_lineage_preserving_replication(spark, tmp_path):
         meta["__domains__"]["delta.rowTracking"]["configuration"]
     )["rowIdHighWaterMark"]
     assert hwm >= 6
+
+
+def test_row_tracking_maps_to_iceberg_lineage(spark, tmp_path):
+    """The REVERSE bridge: a Delta rowTracking source replicates
+    full-fidelity into an Iceberg v3 replica whose lineage read
+    shows the SOURCE row ids (verbatim copies), DV folds take fresh
+    ids past the source high-water mark, and next-row-id lands past
+    every assigned id."""
+    import json
+
+    from iceberg_tools_spark.iceberg.deletes import read_mor_lineage
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+    from iceberg_tools_spark.sources.delta_log import (
+        append_delta_commit,
+        commit_delta_dv,
+        read_delta_log,
+    )
+    from iceberg_tools_spark.sources.migrate import replicate_delta_versions
+
+    root = str(tmp_path / "src")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    pq.write_table(pa.table({"id": pa.array([1, 2, 3], "int64")}),
+                   os.path.join(root, "a.parquet"))
+    pq.write_table(pa.table({"id": pa.array([10, 11], "int64")}),
+                   os.path.join(root, "b.parquet"))
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}}]})
+    append_delta_commit(root, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": [],
+                      "writerFeatures": ["rowTracking", "domainMetadata",
+                                         "deletionVectors"]}},
+        {"metaData": {
+            "id": "rtsrc", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema, "partitionColumns": [],
+            "configuration": {"delta.enableRowTracking": "true"},
+            "createdTime": 0,
+        }},
+        {"domainMetadata": {"domain": "delta.rowTracking",
+                            "configuration": json.dumps(
+                                {"rowIdHighWaterMark": 4}),
+                            "removed": False}},
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "baseRowId": 0, "defaultRowCommitVersion": 0}},
+        {"add": {"path": "b.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "baseRowId": 3, "defaultRowCommitVersion": 0}},
+    ], checkpoint_interval=None)
+    # v1: DV-delete id=2 (a.parquet folds in the Iceberg replica)
+    commit_delta_dv(root, {"a.parquet": [1]}, checkpoint_interval=None)
+
+    ice = str(tmp_path / "ice")
+    res = replicate_delta_versions(spark, root, ice)
+    raw = parse_metadata(res["metadata_path"]).raw
+    assert raw["format-version"] == 3
+    head = raw["current-snapshot-id"]
+    got = {r["id"]: r["_row_id"] for r in read_mor_lineage(
+        spark, res["metadata_path"], head).collect()}
+    # b.parquet verbatim: source ids 3,4. a.parquet folded: fresh
+    # ids from the HWM (5, 6) for survivors 1 and 3
+    assert got[10] == 3 and got[11] == 4
+    assert sorted(got[i] for i in (1, 3)) == [5, 6]
+    assert raw["next-row-id"] >= 7
+    # per-version equality unaffected by the lineage mapping
+    for v in (0, 1):
+        d = sorted(r["id"] for r in read_delta_log(spark, root, v).collect())
+        i = sorted(r["id"] for r in __import__(
+            "iceberg_tools_spark.iceberg.deletes", fromlist=["read_mor"]
+        ).read_mor(spark, res["metadata_path"], 8000 + v).collect())
+        assert d == i, v

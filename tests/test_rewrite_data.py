@@ -357,3 +357,56 @@ def test_binpack_after_rename_preserves_column_values(spark, tmp_path):
     t = pq.read_table(os.path.join(root, new_rel))
     name = "ident" if "ident" in t.schema.names else "cat"
     assert t.column(name).null_count == 0
+
+
+def test_rewrite_preserves_row_lineage(spark, tmp_path):
+    """r15 (found by the row-tracking bridge): compaction on a v3
+    table must PRESERVE row lineage — the replacement files
+    materialize the spec's reserved ``_row_id`` /
+    ``_last_updated_sequence_number`` columns, the rebuilt manifests
+    keep carried-forward entries' first_row_id, and the lineage read
+    shows the ORIGINAL ids after the fold (plain reads never leak
+    the reserved columns)."""
+    from iceberg_tools_spark.iceberg.commit import append_snapshot
+    from iceberg_tools_spark.iceberg.deletes import (
+        read_mor,
+        read_mor_lineage,
+    )
+    from iceberg_tools_spark.iceberg.dml import delete_where
+    from iceberg_tools_spark.iceberg.rewrite_data import rewrite_data_files
+    from tests.test_dv import _fresh_v3_table, _pq_write
+
+    root, mp = _fresh_v3_table(tmp_path)
+    _pq_write(root, "data/X.parquet", [1, 2, 3, 4], "a")
+    s1 = append_snapshot(mp, [{"path": "data/X.parquet", "partition": {}}])
+    _pq_write(root, "data/Y.parquet", [10, 11], "b")
+    s2 = append_snapshot(
+        s1["metadata_path"], [{"path": "data/Y.parquet", "partition": {}}]
+    )
+    before = {
+        r["id"]: r["_row_id"]
+        for r in read_mor_lineage(
+            spark, s2["metadata_path"], s2["snapshot_id"], root
+        ).collect()
+    }
+    assert before == {1: 0, 2: 1, 3: 2, 4: 3, 10: 4, 11: 5}
+    # position-delete id=2, then FOLD X (Y's manifest entry is
+    # carried forward through the rebuilt manifest)
+    s3 = delete_where(spark, s2["metadata_path"], "id = 2", base_dir=root)
+    res = rewrite_data_files(spark, s3["metadata_path"], base_dir=root)
+    after = {
+        r["id"]: (r["_row_id"], r["_last_updated_sequence_number"])
+        for r in read_mor_lineage(
+            spark, res["metadata_path"], res["snapshot_id"], root
+        ).collect()
+    }
+    # survivors keep their ORIGINAL row ids through the rewrite
+    assert {i: rid for i, (rid, _s) in after.items()} == {
+        1: 0, 3: 2, 4: 3, 10: 4, 11: 5}
+    # ...and their original data sequence numbers (the rewrite is
+    # not a content change)
+    assert after[1][1] == 1 and after[10][1] == 2
+    # the plain read neither leaks the reserved columns nor the rows
+    plain = read_mor(spark, res["metadata_path"], res["snapshot_id"], root)
+    assert "_row_id" not in plain.columns
+    assert sorted(r["id"] for r in plain.collect()) == [1, 3, 4, 10, 11]
