@@ -1318,3 +1318,16 @@ def oracle_sql() -> dict[str, str]:
         for k, (_, sql, raw) in _REGISTRY.items()
         if sql is not None
     }
+
+# r15 newcomer PAST the window (two-SF parity every pytest run;
+# first-cert slot next round): trained quality classifier — hashed
+# bag-of-token logistic regression, distributed gradients +
+# driver-side Adam; the check pins convergence (≥85% train/test on a
+# deterministic linear-rule label) and monotone loss.
+from .operators import quality_model as _w_qm  # noqa: E402
+
+register(
+    "quality_model_check",
+    _w_qm.quality_model_check,
+    _w_qm.QUALITY_MODEL_CHECK_SQL,
+)
