@@ -261,37 +261,34 @@ def test_orphan_age_gate_uses_walk_mtime(spark, tmp_path):
     assert os.path.exists(young) and not os.path.exists(old)
 
 
-def test_round14_window_order_pinned():
+def test_round15_window_order_pinned():
     """The driver adjudicates the FIRST 50 registry entries; pin the
-    round-14 window so an import reshuffle can't silently spend the
-    slots elsewhere (VERDICT r11 #2: the round-11 window was never
-    reshuffled and the two broken keys sat outside it). The window is
-    declared once in ``registry._R14_WINDOW`` and applied by a dict
-    reorder; this test pins its SHAPE, not a second copy of the list."""
+    round-15 window so an import reshuffle can't silently spend the
+    slots elsewhere. The window is declared once in
+    ``registry._R15_WINDOW`` and applied by a dict reorder; this test
+    pins its SHAPE, not a second copy of the list."""
     from iceberg_tools_spark import registry
 
     keys = list(registry._REGISTRY)
-    assert keys[:50] == registry._R14_WINDOW
+    assert keys[:50] == registry._R15_WINDOW
     assert keys[0] == "probe_double"
-    # 2-5: first certification — the one key in history without a
-    # CORRECTNESS row (VERDICT r13 #1) plus the three r14 newcomers
-    assert keys[1:5] == [
-        "delta_schema_evolution_rows", "delta_type_widening_rows",
-        "rest_catalog_rows", "delta_variant_rows",
+    # 2-4: first certification — REST-routed engine commits, variant
+    # through the migration bridge, domain checkpoint survival
+    assert keys[1:4] == [
+        "rest_commit_roundtrip", "variant_bridge_rows",
+        "domain_checkpoint_rows",
     ]
-    # 6-10: changed-this-round re-certification (vacuum inline-top
-    # harvest, torn-top tolerance + atomic parquet tops, the empty
-    # partition_filter contract, DV-blob replication + pv
-    # serialization, the write_delta_dv_file→blobs refactor)
-    assert keys[5:10] == [
-        "delta_vacuum_rows", "delta_v2_checkpoint_rows",
-        "delta_log_rows", "delta_replicate_rows", "delta_dv_rows",
+    # 5-7: changed-this-round re-certification (REST catalog growth +
+    # metadata-log accounting, date-typed hive imports + the
+    # identity-partition attach rework, the v2 checkpoint pointer)
+    assert keys[4:7] == [
+        "rest_catalog_rows", "parquet_import_rows",
+        "delta_v2_checkpoint_rows",
     ]
-    # 11-48: the full r9-evidence cohort; 49-50 the oldest r11 keys
-    assert len(set(keys[10:48])) == 38
-    assert keys[48:50] == ["meta_manifests", "meta_metadata_log"]
+    # 8-50: the full 43-key r11-evidence cohort
+    assert len(set(keys[7:50])) == 43
     # every key past the window is still alive (reorder, not removal)
-    assert len(keys) >= 192
+    assert len(keys) >= 195
 
 
 def test_map_manifests_empty_tasks(spark):
