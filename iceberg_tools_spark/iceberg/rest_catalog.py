@@ -264,6 +264,43 @@ class RestCatalogClient:
                 f"REST catalog {url!r}: HTTP {e.code} — {detail}"
             ) from None
 
+    def _exists(self, path: str) -> bool:
+        """HEAD probe: 2xx → True, 404 → False, other faults raise
+        (same contract as the GETs)."""
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.uri + path, headers=self._headers(), method="HEAD"
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout):
+                return True
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return False
+            raise RuntimeError(
+                f"REST catalog {self.uri + path!r}: HTTP {e.code}"
+            ) from None
+
+    def table_exists(self, identifier: str) -> bool:
+        return self._exists(self._table_path(identifier))
+
+    def view_exists(self, identifier: str) -> bool:
+        from urllib.parse import quote
+
+        parts = [p for p in identifier.split(".") if p]
+        ns = quote(_SEP.join(parts[:-1]), safe="")
+        return self._exists(
+            self._p(f"/namespaces/{ns}/views/{quote(parts[-1], safe='')}")
+        )
+
+    def namespace_exists(self, namespace: str) -> bool:
+        from urllib.parse import quote
+
+        ns = quote(_SEP.join(namespace.split(".")), safe="")
+        return self._exists(self._p(f"/namespaces/{ns}"))
+
     def create_namespace(
         self, namespace: str, properties: dict[str, str] | None = None
     ) -> dict[str, Any]:
@@ -1270,6 +1307,39 @@ def serve_rest_catalog(
                     "config": {},
                 })
             return self._err(404, f"unknown path {self.path!r}")
+
+        def do_HEAD(self):  # noqa: N802 (http.server API)
+            """Existence probes (the spec's HEAD endpoints): 204 when
+            the namespace/table/view exists, 404 otherwise — no
+            body, so clients can poll cheaply."""
+            r = self._route()
+            if r is None:
+                return None
+            parts, _qs = r
+            exists = False
+            if len(parts) == 2 and parts[0] == "namespaces":
+                ns = tuple(parts[1].split(_SEP))
+                known = {
+                    tuple(t.split(".")[:-1]) for t in list_tables(warehouse)
+                } | _explicit_namespaces(warehouse)
+                exists = any(k[: len(ns)] == ns for k in known)
+            elif (
+                len(parts) == 4
+                and parts[0] == "namespaces"
+                and parts[2] in ("tables", "views")
+            ):
+                ident = ".".join(parts[1].split(_SEP) + [parts[3]])
+                want = "view" if parts[2] == "views" else "table"
+                try:
+                    current_metadata_path(warehouse, ident)
+                    exists = _resolve_kind(warehouse, ident) == want
+                except FileNotFoundError:
+                    exists = False
+            else:
+                return self._err(404, f"unknown path {self.path!r}")
+            self.send_response(204 if exists else 404)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
 
         def _read_body(self, *, form: bool = False):
             length = int(self.headers.get("Content-Length") or 0)

@@ -811,3 +811,19 @@ def test_namespace_lifecycle(served):
     assert "staging" not in c.list_namespaces()
     with pytest.raises(FileNotFoundError):
         c.load_namespace("staging")
+
+
+def test_head_existence_probes(served):
+    """The spec's HEAD endpoints: 204/404 with no body; tables and
+    views never answer for each other; auth applies (the existing
+    route gate)."""
+    _wh, uri = served
+    c = RestCatalogClient(uri)
+    assert c.table_exists("db.events") is True
+    assert c.table_exists("db.ghost") is False
+    assert c.namespace_exists("db") is True
+    assert c.namespace_exists("nope") is False
+    assert c.view_exists("db.events") is False  # a table, not a view
+    c.create_view("db", "v_head", "SELECT 1 AS one")
+    assert c.view_exists("db.v_head") is True
+    assert c.table_exists("db.v_head") is False
