@@ -2081,6 +2081,24 @@ def append_delta_commit(
     if enables_now or prev_ict is not None:
         ict = max(int(now_ms or 0), int(prev_ict or 0) + 1)
         actions = list(actions)
+        if enables_now and v > 0:
+            # enabling AFTER creation: stamp the spec's provenance
+            # properties in the SAME commit so readers know where
+            # file-time semantics end and ICT begins
+            for a in actions:
+                md = a.get("metaData")
+                if md and (md.get("configuration") or {}).get(
+                    "delta.enableInCommitTimestamps"
+                ) == "true":
+                    cfg = dict(md.get("configuration") or {})
+                    cfg.setdefault(
+                        "delta.inCommitTimestampEnablementVersion", str(v)
+                    )
+                    cfg.setdefault(
+                        "delta.inCommitTimestampEnablementTimestamp",
+                        str(ict),
+                    )
+                    md["configuration"] = cfg
         ci_idx = next(
             (i for i, a in enumerate(actions) if "commitInfo" in a), None
         )

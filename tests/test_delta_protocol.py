@@ -1162,3 +1162,37 @@ def test_row_tracking_requires_backfill(spark, tmp_path):
     ], checkpoint_interval=None)
     with pytest.raises(ValueError, match="baseRowId"):
         read_delta_log(spark, root, with_row_tracking=True)
+
+
+def test_ict_enablement_provenance_properties(tmp_path):
+    """Enabling ICT AFTER table creation stamps the spec's
+    provenance properties (enablement version + timestamp) in the
+    SAME commit; enabling AT creation (v0) does not need them."""
+    from iceberg_tools_spark.sources.delta_log import replay_log
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    base_meta = {
+        "id": "ictp", "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({"type": "struct", "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {}}]}),
+        "partitionColumns": [], "configuration": {}, "createdTime": 0,
+    }
+    append_delta_commit(root, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                      "writerFeatures": ["inCommitTimestamp"]}},
+        {"metaData": base_meta},
+    ], checkpoint_interval=None)
+    # v1 ENABLES: provenance lands in the same commit's metaData
+    enabling = dict(base_meta)
+    enabling["configuration"] = {"delta.enableInCommitTimestamps": "true"}
+    append_delta_commit(root, [{"metaData": enabling}],
+                        checkpoint_interval=None, now_ms=NOW)
+    _, meta, _ = replay_log(root)
+    cfg = meta["configuration"]
+    assert cfg["delta.inCommitTimestampEnablementVersion"] == "1"
+    assert cfg["delta.inCommitTimestampEnablementTimestamp"] == str(NOW)
+    with open(os.path.join(root, "_delta_log", f"{1:020d}.json")) as f:
+        first = json.loads(f.readline())
+    assert first["commitInfo"]["inCommitTimestamp"] == NOW
