@@ -264,6 +264,25 @@ class RestCatalogClient:
                 f"REST catalog {url!r}: HTTP {e.code} — {detail}"
             ) from None
 
+    def _rename(self, kind: str, source: str, destination: str) -> None:
+        def _obj(ident: str) -> dict[str, Any]:
+            parts = [p for p in ident.split(".") if p]
+            return {"namespace": parts[:-1], "name": parts[-1]}
+
+        self._send(
+            "POST",
+            self._p(f"/{kind}/rename"),
+            {"source": _obj(source), "destination": _obj(destination)},
+        )
+
+    def rename_table(self, source: str, destination: str) -> None:
+        """POST /tables/rename — the catalog entry moves; the
+        table's files stay where its metadata says they are."""
+        self._rename("tables", source, destination)
+
+    def rename_view(self, source: str, destination: str) -> None:
+        self._rename("views", source, destination)
+
     def _exists(self, path: str) -> bool:
         """HEAD probe: 2xx → True, 404 → False, other faults raise
         (same contract as the GETs)."""
@@ -1431,6 +1450,11 @@ def serve_rest_catalog(
                     "removed": removed,
                     "missing": missing,
                 })
+            # POST /tables/rename | /views/rename
+            if len(parts) == 2 and parts[1] == "rename" and parts[0] in (
+                "tables", "views"
+            ):
+                return self._rename(parts[0], body)
             # POST /transactions/commit → atomic multi-table commit
             if parts == ["transactions", "commit"]:
                 with commit_lock:
@@ -1473,6 +1497,45 @@ def serve_rest_catalog(
                         400, f"malformed commit request: {type(e).__name__}: {e}"
                     )
             return self._json(code, payload)
+
+        def _rename(self, kind: str, body: dict[str, Any]):
+            """RenameTableRequest shape: {source: {namespace, name},
+            destination: {namespace, name}} — the catalog entry
+            moves; data files never do (the table location is
+            recorded in its metadata)."""
+            want = "view" if kind == "views" else "table"
+
+            def _ident(o):
+                o = o or {}
+                ns, name = o.get("namespace") or [], o.get("name")
+                return (list(ns), name) if ns and name else (None, None)
+
+            src_ns, src_name = _ident(body.get("source"))
+            dst_ns, dst_name = _ident(body.get("destination"))
+            if not src_name or not dst_name:
+                return self._err(
+                    400, "rename needs source + destination identifiers"
+                )
+            src_id = ".".join(src_ns + [src_name])
+            with commit_lock:
+                try:
+                    current_metadata_path(warehouse, src_id)
+                    if _resolve_kind(warehouse, src_id) != want:
+                        return self._err(404, f"{src_id!r} is not a {want}")
+                except FileNotFoundError as e:
+                    return self._err(404, str(e))
+                src_dir = os.path.join(warehouse, *src_ns, src_name)
+                dst_dir = os.path.join(warehouse, *dst_ns, dst_name)
+                if os.path.isdir(os.path.join(dst_dir, "metadata")):
+                    return self._json(409, {"error": {
+                        "message": f"{'.'.join(dst_ns + [dst_name])} "
+                                   f"already exists",
+                        "type": "AlreadyExistsException", "code": 409}})
+                os.makedirs(os.path.dirname(dst_dir), exist_ok=True)
+                os.rename(src_dir, dst_dir)
+            self.send_response(204)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
 
         def _create_view(self, ns: list[str], body: dict[str, Any]):
             from .views import create_view as fs_create_view

@@ -827,3 +827,30 @@ def test_head_existence_probes(served):
     c.create_view("db", "v_head", "SELECT 1 AS one")
     assert c.view_exists("db.v_head") is True
     assert c.table_exists("db.v_head") is False
+
+
+def test_rename_table_and_view(spark, served):
+    """POST /tables/rename and /views/rename: the catalog entry
+    moves (across namespaces too), reads resolve at the new name,
+    the old 404s, kinds never rename each other, and an occupied
+    destination is 409."""
+    from iceberg_tools_spark.iceberg.concurrency import CommitConflictError
+
+    _wh, uri = served
+    c = RestCatalogClient(uri)
+    c.rename_table("db.events", "db.raw.events2")
+    assert c.table_exists("db.events") is False
+    assert load_table_rest(spark, uri, "db.raw.events2").count() == 323
+    with pytest.raises(FileNotFoundError):
+        c.rename_table("db.events", "db.x")
+    # destination occupied → 409
+    with pytest.raises(CommitConflictError, match="already exists"):
+        c.rename_table("db.raw.events2", "db.raw.docs")
+    # views rename through their own endpoint; a table is not a view
+    with pytest.raises(FileNotFoundError, match="not a view"):
+        c.rename_view("db.raw.events2", "db.v2")
+    c.create_view("db", "v_old", "SELECT 1 AS one")
+    c.rename_view("db.v_old", "db.v_new")
+    assert c.view_exists("db.v_new") and not c.view_exists("db.v_old")
+    with pytest.raises(ValueError, match="400"):
+        c._send("POST", c._p("/tables/rename"), {"source": {}})
