@@ -220,3 +220,35 @@ def decode_bound(type_str: str, data: bytes) -> str:
     (`IcebergDatumWriter.java:200`)."""
     t = canonical_type(type_str)
     return f"value:{value_to_string(t, from_bytes(t, data))};type:{t}"
+
+
+def wkb_point(x: float, y: float, z: float | None = None) -> bytes:
+    """Little-endian WKB POINT (XY, or XYZ when ``z`` given) — the
+    encoding v3 geometry/geography BOUNDS use: per spec the lower
+    bound is the (min x, min y) corner and the upper bound the
+    (max x, max y) corner of the file's bounding box."""
+    if z is None:
+        return b"\x01" + struct.pack("<I", 1) + struct.pack("<dd", x, y)
+    return b"\x01" + struct.pack("<I", 1001) + struct.pack("<ddd", x, y, z)
+
+
+def parse_wkb_point(data: bytes) -> tuple[float, float] | None:
+    """(x, y) of a WKB POINT (either byte order, XY/XYZ/XYZM type
+    codes incl. the EWKB Z flag); None for anything else — callers
+    treat unparseable bounds as absent (conservative pruning)."""
+    if not data or len(data) < 21:
+        return None
+    bo = "<" if data[0] == 1 else ">" if data[0] == 0 else None
+    if bo is None:
+        return None
+    (code,) = struct.unpack(f"{bo}I", data[1:5])
+    # POINT type codes: 1 (XY), 1001 (XYZ), 2001 (XYM), 3001 (XYZM),
+    # or EWKB's 1 with the Z/M/SRID high-bit flags — x/y always lead
+    if (code & 0x0FFFFFFF) % 1000 != 1:
+        return None
+    off = 5
+    if code & 0x20000000:  # EWKB SRID flag: 4-byte srid before coords
+        off += 4
+    if len(data) < off + 16:
+        return None
+    return struct.unpack(f"{bo}dd", data[off:off + 16])

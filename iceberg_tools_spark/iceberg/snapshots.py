@@ -775,6 +775,7 @@ def plan_scan(
     lo: Any = None,
     hi: Any = None,
     cast_to: str = "bigint",
+    geo_bbox: dict[int, tuple] | None = None,
     base_dir: str | None = None,
     debug: bool = False,
 ) -> DataFrame:
@@ -910,6 +911,51 @@ def plan_scan(
             bounds_overlap = bounds_overlap & (lower.isNull() | (lower <= F.lit(hi)))
         if lo is not None:
             bounds_overlap = bounds_overlap & (upper.isNull() | (upper >= F.lit(lo)))
+    if geo_bbox:
+        # v3 geospatial pruning: a geometry/geography column's bounds
+        # are WKB POINTS — lower = (min x, min y), upper =
+        # (max x, max y) of the file's bounding box (spec "Bound
+        # serialization"). A file survives iff its box INTERSECTS the
+        # query box; absent/unparseable bounds keep the file
+        # (conservative). The WKB decode is an Arrow-batched UDF over
+        # the PLANNING frame (one row per file — metadata scale).
+        from .conversions import parse_wkb_point
+        from .pruning import bound_value
+
+        def _mk_wkb_xy():
+            import pandas as pd
+
+            def _xy(col):
+                # the entries frame renders bounds as the reference's
+                # 'value:0x<hex>;type:geometry' strings — recover the
+                # WKB from the hex payload
+                out = []
+                for v in col:
+                    if v is None or not v.startswith("0x"):
+                        out.append(None)
+                        continue
+                    try:
+                        out.append(parse_wkb_point(bytes.fromhex(v[2:])))
+                    except ValueError:
+                        out.append(None)
+                return pd.Series([list(p) if p else None for p in out])
+
+            return F.pandas_udf(_xy, "array<double>")
+
+        def _wkb_xy(col):
+            return _mk_wkb_xy()(bound_value(col, "string"))
+        for gfid, (xmin, ymin, xmax, ymax) in sorted(geo_bbox.items()):
+            glo = _wkb_xy(F.element_at("lower_bounds", F.lit(gfid)))
+            ghi = _wkb_xy(F.element_at("upper_bounds", F.lit(gfid)))
+            disjoint = (
+                (F.element_at(ghi, 1) < F.lit(float(xmin)))
+                | (F.element_at(glo, 1) > F.lit(float(xmax)))
+                | (F.element_at(ghi, 2) < F.lit(float(ymin)))
+                | (F.element_at(glo, 2) > F.lit(float(ymax)))
+            )
+            bounds_overlap = bounds_overlap & ~F.coalesce(
+                disjoint, F.lit(False)
+            )
     file_pruned = ~(part_match & bounds_overlap)
     return (
         entries.select(

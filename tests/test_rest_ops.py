@@ -353,3 +353,52 @@ def test_rest_commit_on_gzip_metadata_table(spark, tmp_path):
         assert ops.read(spark).count() == 324
     finally:
         server.shutdown()
+
+
+def test_streaming_query_end_to_end_over_rest(spark, served, tmp_path):
+    """A REAL readStream → foreachBatch → REST-committed ingest
+    (availableNow drain): the head moves per micro-batch through the
+    catalog, a restart over the same inbox + checkpoint commits
+    NOTHING (exactly-once markers read from catalog metadata), and
+    a new file commits exactly the delta."""
+    from iceberg_tools_spark.streaming.ingest import ingest_stream_to_table
+
+    root, uri = served
+    ops = RestTableOps(RestCatalogClient(uri), "db.events")
+    inbox = os.path.join(root, "_inbox")
+    os.makedirs(inbox)
+
+    def drop(name, ids):
+        pq.write_table(
+            pa.table({"id": pa.array(ids, pa.int64()),
+                      "category": pa.array(["s"] * len(ids))}),
+            os.path.join(inbox, name),
+        )
+
+    def run():
+        stream = (
+            spark.readStream.schema("id long, category string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inbox)
+        )
+        return ingest_stream_to_table(
+            stream, query_name="rest_restart",
+            checkpoint_dir=os.path.join(root, "_ckpt"),
+            partition_cols=("category",), spec_id=0,
+            table_ops=ops,
+        )
+
+    drop("a.parquet", [9001, 9002])
+    drop("b.parquet", [9003])
+    r1 = run()
+    assert r1["batches_committed"] == [0, 1]
+    assert ops.read(spark).filter("id > 9000").count() == 3
+    n_versions = len(ops.load_metadata()["snapshots"])
+    r2 = run()  # replay: nothing commits
+    assert r2["batches_committed"] == [0, 1]
+    assert len(ops.load_metadata()["snapshots"]) == n_versions
+    drop("c.parquet", [9004])
+    r3 = run()
+    assert r3["batches_committed"] == [0, 1, 2]
+    got = {r.id for r in ops.read(spark).filter("id > 9000").collect()}
+    assert got == {9001, 9002, 9003, 9004}

@@ -327,3 +327,72 @@ def test_rewrite_rejects_inherited_snapshot_id(tmp_path):
     src.write_bytes(write_container(schema, [entry]))
     with _pytest.raises(ValueError, match="inherited"):
         rewrite_manifest_group([str(src)], str(tmp_path / "out.avro"))
+
+
+def test_geo_bbox_pruning(spark, tmp_path):
+    """v3 geospatial planning: geometry bounds are WKB points
+    (lower = min-corner, upper = max-corner of the file's bbox);
+    `plan_scan(geo_bbox=...)` keeps exactly the files whose box
+    INTERSECTS the query box, keeps files without bounds
+    (conservative), and composes with partition predicates."""
+    import json
+
+    from iceberg_tools_spark.iceberg.commit import (
+        append_snapshot,
+        create_table,
+    )
+    from iceberg_tools_spark.iceberg.conversions import wkb_point
+    from iceberg_tools_spark.iceberg.snapshots import plan_scan
+
+    root = str(tmp_path / "geo")
+    mp = create_table(
+        root,
+        [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "shape", "required": False,
+             "type": "geometry"},
+        ],
+        format_version=3,
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = []
+    # three files with disjoint bboxes + one with NO bounds
+    boxes = {"west.parquet": (0, 0, 10, 10),
+             "east.parquet": (100, 0, 110, 10),
+             "north.parquet": (0, 100, 10, 110)}
+    for name in [*boxes, "unbounded.parquet"]:
+        pq.write_table(
+            pa.table({"id": pa.array([1], "int64"),
+                      "shape": pa.array([b"\x00"], pa.binary())}),
+            os.path.join(root, "data", name),
+        )
+        entry = {"path": f"data/{name}", "partition": {}}
+        if name in boxes:
+            xmin, ymin, xmax, ymax = boxes[name]
+            entry["lower_bounds"] = [
+                {"key": 2, "value": wkb_point(xmin, ymin)}]
+            entry["upper_bounds"] = [
+                {"key": 2, "value": wkb_point(xmax, ymax)}]
+        files.append(entry)
+    res = append_snapshot(mp, files)
+
+    def plan(bbox):
+        rows = plan_scan(
+            spark, res["metadata_path"], res["snapshot_id"],
+            geo_bbox={2: bbox}, base_dir=root,
+        ).collect()
+        return sorted(
+            os.path.basename(r.file_path) for r in rows if r.selected
+        )
+
+    # a box overlapping only the west file (+ the unbounded one)
+    assert plan((5, 5, 20, 20)) == ["unbounded.parquet", "west.parquet"]
+    # a box straddling west and east in x but matching only east's y
+    assert plan((9, -5, 105, 5)) == [
+        "east.parquet", "unbounded.parquet", "west.parquet"]
+    # a box in empty space selects only the unbounded file
+    assert plan((50, 50, 60, 60)) == ["unbounded.parquet"]
+    # touching edges count as intersecting (closed boxes)
+    assert plan((10, 10, 11, 11)) == ["unbounded.parquet", "west.parquet"]
