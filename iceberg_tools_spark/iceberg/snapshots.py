@@ -1284,3 +1284,81 @@ FROM (VALUES
     manifest_pruned, file_pruned, selected)
 ORDER BY manifest_name, file_path
 """
+
+
+def geo_scan_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for v3 GEOSPATIAL planning (``sf_dir`` unused): a
+    scratch geometry-bounded table (three disjoint bboxes + one
+    unbounded file) planned under three query boxes — overlap-one,
+    straddle-two, empty-space — plus the closed-box edge case.
+    Golden oracle (selection counts per box follow from the fixture
+    geometry). Spec: Iceberg v3 "Bound serialization" for
+    geometry/geography (point-encoded min/max corners)."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .commit import append_snapshot, create_table
+    from .conversions import wkb_point
+
+    root = tempfile.mkdtemp(prefix="geo_scan_")
+    mp = create_table(
+        os.path.join(root, "t"),
+        [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "shape", "required": False,
+             "type": "geometry"},
+        ],
+        format_version=3,
+    )
+    troot = os.path.join(root, "t")
+    boxes = {"west.parquet": (0, 0, 10, 10),
+             "east.parquet": (100, 0, 110, 10),
+             "north.parquet": (0, 100, 10, 110)}
+    files = []
+    for name in [*boxes, "unbounded.parquet"]:
+        pq.write_table(
+            pa.table({"id": pa.array([1], "int64"),
+                      "shape": pa.array([b"\x00"], pa.binary())}),
+            os.path.join(troot, "data", name),
+        )
+        entry = {"path": f"data/{name}", "partition": {}}
+        if name in boxes:
+            xmin, ymin, xmax, ymax = boxes[name]
+            entry["lower_bounds"] = [{"key": 2, "value": wkb_point(xmin, ymin)}]
+            entry["upper_bounds"] = [{"key": 2, "value": wkb_point(xmax, ymax)}]
+        files.append(entry)
+    res = append_snapshot(mp, files)
+    queries = [
+        ("edge_touch", (10, 10, 11, 11)),
+        ("empty_space", (50, 50, 60, 60)),
+        ("overlap_west", (5, 5, 20, 20)),
+        ("straddle_we", (9, -5, 105, 5)),
+    ]
+    rows = []
+    for qname, bbox in queries:
+        plan = plan_scan(
+            spark, res["metadata_path"], res["snapshot_id"],
+            geo_bbox={2: bbox}, base_dir=troot,
+        ).collect()
+        sel = sorted(
+            os.path.basename(r.file_path).split(".")[0]
+            for r in plan if r.selected
+        )
+        rows.append((qname, len(sel), ",".join(sel)))
+    return spark.createDataFrame(
+        rows, "query string, n_selected long, selected string"
+    ).orderBy("query")
+
+
+GEO_SCAN_SQL = """
+SELECT query, CAST(n_selected AS BIGINT) AS n_selected, selected
+FROM (VALUES
+  ('edge_touch', 2, 'unbounded,west'),
+  ('empty_space', 1, 'unbounded'),
+  ('overlap_west', 2, 'unbounded,west'),
+  ('straddle_we', 3, 'east,unbounded,west')
+) t(query, n_selected, selected)
+ORDER BY query
+"""

@@ -1331,3 +1331,12 @@ register(
     _w_qm.quality_model_check,
     _w_qm.QUALITY_MODEL_CHECK_SQL,
 )
+
+# r15 newcomer PAST the window (two-SF parity every pytest run;
+# first-cert slot next round): v3 geospatial scan planning — bbox
+# pruning over point-encoded geometry bounds.
+register(
+    "geo_scan_rows",
+    meta_snap.geo_scan_rows,
+    meta_snap.GEO_SCAN_SQL,
+)
