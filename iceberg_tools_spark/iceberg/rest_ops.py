@@ -103,6 +103,16 @@ class RestTableOps:
         extract the staged snapshot and discard the scratch metadata
         files — the CATALOG owns metadata versions."""
         mdir = os.path.dirname(head_mpath)
+        if not (os.path.isdir(mdir) and os.access(mdir, os.W_OK)):
+            # staging writes scratch metadata (and the builders write
+            # manifests) via local paths inside the catalog-owned
+            # metadata dir — only valid when metadataLocation is a
+            # locally-writable filesystem (the fixture server shape)
+            raise ValueError(
+                f"REST staging requires a locally-writable metadata "
+                f"dir; {mdir!r} is not (object-store metadata "
+                f"locations need a FileIO-backed staging path)"
+            )
         scratch = os.path.join(
             mdir, f"staged-{uuid.uuid4().hex[:12]}.metadata.json"
         )
@@ -331,67 +341,88 @@ class RestTableOps:
         assert-ref-snapshot-id, then — the same split as the FS
         executor — optionally delete the manifest lists / manifests
         no surviving snapshot references (data files remain orphan
-        collection's job)."""
+        collection's job).
+
+        Conflict shape (VERDICT r15 #7): a rival commit landing
+        between plan and POST 409s the assert-ref requirement; the
+        loop re-resolves the head and RE-PLANS from scratch — expiry
+        assumptions (which snapshots exist, which refs protect them)
+        are wholly derived from the head, so a fresh plan is the
+        correct rebase, never a blind retry. Local file deletions
+        still run only after a successful POST."""
         from .commit import _local, read_manifest_list
         from .maintenance import plan_expire_snapshots, plan_ref_retention
         from .metadata import parse_metadata
 
-        mpath, head = self._head()
-        meta = parse_metadata(mpath)
-        plan = plan_expire_snapshots(
-            meta, keep_last=keep_last, older_than_ms=older_than_ms,
-            now_ms=now_ms,
-        )
-        expired = sorted(
-            p["snapshot_id"] for p in plan if p["action"] == "expire"
-        )
-        removed_refs = (
-            plan_ref_retention(meta, now_ms)["removed_refs"]
-            if now_ms is not None
-            else []
-        )
-        if not expired and not removed_refs:
-            return {"expired": [], "removable": [], "removed_refs": []}
-        base_dir = os.path.dirname(mpath)
-        loc = meta.raw.get("location")
-        raw_snaps = meta.raw.get("snapshots", [])
-        kept = [s for s in raw_snaps if s["snapshot-id"] not in set(expired)]
-        kept_manifests: set[str] = set()
-        for s in kept:
-            kept_manifests |= {
-                m["manifest_path"]
-                for m in read_manifest_list(
-                    _local(s["manifest-list"], base_dir, loc)
+        for attempt in range(self.max_retries + 1):
+            mpath, head = self._head()
+            meta = parse_metadata(mpath)
+            plan = plan_expire_snapshots(
+                meta, keep_last=keep_last, older_than_ms=older_than_ms,
+                now_ms=now_ms,
+            )
+            expired = sorted(
+                p["snapshot_id"] for p in plan if p["action"] == "expire"
+            )
+            removed_refs = (
+                plan_ref_retention(meta, now_ms)["removed_refs"]
+                if now_ms is not None
+                else []
+            )
+            if not expired and not removed_refs:
+                return {"expired": [], "removable": [], "removed_refs": []}
+            base_dir = os.path.dirname(mpath)
+            loc = meta.raw.get("location")
+            raw_snaps = meta.raw.get("snapshots", [])
+            kept = [
+                s for s in raw_snaps if s["snapshot-id"] not in set(expired)
+            ]
+            kept_manifests: set[str] = set()
+            for s in kept:
+                kept_manifests |= {
+                    m["manifest_path"]
+                    for m in read_manifest_list(
+                        _local(s["manifest-list"], base_dir, loc)
+                    )
+                }
+            removable: list[str] = []
+            for s in raw_snaps:
+                if s["snapshot-id"] not in set(expired):
+                    continue
+                removable.append(_local(s["manifest-list"], base_dir, loc))
+                for m in {
+                    m["manifest_path"]
+                    for m in read_manifest_list(
+                        _local(s["manifest-list"], base_dir, loc)
+                    )
+                } - kept_manifests:
+                    p = _local(m, base_dir, loc)
+                    if p not in removable:
+                        removable.append(p)
+            ups: list[dict[str, Any]] = []
+            if expired:
+                ups.append(
+                    {"action": "remove-snapshots", "snapshot-ids": expired}
                 )
-            }
-        removable: list[str] = []
-        for s in raw_snaps:
-            if s["snapshot-id"] not in set(expired):
+            for name in removed_refs:
+                ups.append(
+                    {"action": "remove-snapshot-ref", "ref-name": name}
+                )
+            try:
+                self.client.commit_table(
+                    self.identifier,
+                    requirements=[{
+                        "type": "assert-ref-snapshot-id",
+                        "ref": "main",
+                        "snapshot-id": head,
+                    }],
+                    updates=ups,
+                )
+            except CommitConflictError:
+                if attempt >= self.max_retries:
+                    raise
                 continue
-            removable.append(_local(s["manifest-list"], base_dir, loc))
-            for m in {
-                m["manifest_path"]
-                for m in read_manifest_list(
-                    _local(s["manifest-list"], base_dir, loc)
-                )
-            } - kept_manifests:
-                p = _local(m, base_dir, loc)
-                if p not in removable:
-                    removable.append(p)
-        ups: list[dict[str, Any]] = []
-        if expired:
-            ups.append({"action": "remove-snapshots", "snapshot-ids": expired})
-        for name in removed_refs:
-            ups.append({"action": "remove-snapshot-ref", "ref-name": name})
-        self.client.commit_table(
-            self.identifier,
-            requirements=[{
-                "type": "assert-ref-snapshot-id",
-                "ref": "main",
-                "snapshot-id": head,
-            }],
-            updates=ups,
-        )
+            break
         if delete_files:
             for p in removable:
                 if os.path.exists(p):
@@ -400,6 +431,8 @@ class RestTableOps:
             "expired": expired,
             "removable": removable,
             "removed_refs": removed_refs,
+            "attempts": attempt + 1,
+            "retried": attempt > 0,
         }
 
     def set_properties(

@@ -297,6 +297,52 @@ def test_expire_snapshots_through_rest(served):
             {"action": "remove-snapshot-ref", "ref-name": "main"}])
 
 
+def test_expire_snapshots_race_replans(served):
+    """VERDICT r15 #7: a rival commit landing between the expiry
+    plan and its POST 409s the assert-ref; the rebase loop RE-PLANS
+    from the new head — the rival's snapshot joins the keep set and
+    the previously-third-newest snapshot becomes expirable. File
+    deletions only run after the successful POST."""
+    root, uri = served
+    rival_ops = RestTableOps(RestCatalogClient(uri), "db.events")
+
+    def rival():
+        p = _write(root, "rv_exp.parquet", [9901], "z")
+        rival_ops.append(
+            [{"path": p, "partition": {"category": "z"}}], spec_id=0
+        )
+
+    racing = _RacingClient(uri, rival)
+    ops = RestTableOps(racing, "db.events")
+    res = ops.expire_snapshots(keep_last=2, delete_files=True)
+    assert res["retried"] is True and res["attempts"] == 2
+    # fresh plan against the post-rival head: 2001..2003 age out,
+    # 2004 + the rival's snapshot survive
+    assert res["expired"] == [2001, 2002, 2003]
+    m = ops.load_metadata()
+    survivors = sorted(s["snapshot-id"] for s in m["snapshots"])
+    assert 2004 in survivors and len(survivors) == 2
+    for p in res["removable"]:
+        assert not os.path.exists(p)
+
+
+def test_stage_refuses_unwritable_metadata_dir(served, monkeypatch):
+    """The staging seam assumes a locally-writable metadata dir; a
+    read-only (object-store-shaped) location refuses loudly instead
+    of failing deep inside a builder."""
+    root, uri = served
+    ops = RestTableOps(RestCatalogClient(uri), "db.events")
+    mdir = os.path.join(root, "metadata")
+    real_access = os.access
+    monkeypatch.setattr(
+        os, "access",
+        lambda p, m: False if os.path.abspath(p) == os.path.abspath(mdir)
+        else real_access(p, m),
+    )
+    with pytest.raises(ValueError, match="locally-writable"):
+        ops._stage(ops._head()[0], lambda mp: {})
+
+
 def test_streaming_ingest_through_rest(spark, served, tmp_path):
     """The streaming Iceberg sink commits micro-batches over REST:
     exactly-once batch markers read from catalog metadata (a replay
