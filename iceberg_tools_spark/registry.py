@@ -1340,3 +1340,13 @@ register(
     meta_snap.geo_scan_rows,
     meta_snap.GEO_SCAN_SQL,
 )
+
+# r16 gate (VERDICT r15 #4): Delta In-Commit Timestamps — mixed log
+# with pre-enablement file-time semantics, mid-table enablement
+# provenance, monotonic clamp under a stale clock, and timestampAsOf
+# resolving by ICT while file mtimes point decades away.
+register(
+    "delta_ict_rows",
+    _w_delta.delta_ict_rows,
+    _w_delta.DELTA_ICT_SQL,
+)

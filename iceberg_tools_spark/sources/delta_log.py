@@ -3593,3 +3593,104 @@ FROM (VALUES
 ) t(commit_version, n_rows, row_id_sum, id_sum)
 ORDER BY commit_version
 """
+
+
+def delta_ict_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for Delta In-Commit Timestamps (``sf_dir``
+    unused; VERDICT r15 #4): a mixed log — v0 pre-enablement (no
+    commitInfo at all, so its commit time IS the log file's mtime,
+    pinned via utime), v1 enabling ICT mid-table (provenance
+    properties stamped in the same commit), v2 written under a
+    STALE wall clock (clamped monotonic, ict(v) > ict(v-1)). The
+    v1/v2 log files' mtimes are forced FAR into the future — if the
+    reader ever fell back to file time post-enablement, every
+    ``timestampAsOf`` measure below would shift. Golden oracle;
+    spec: PROTOCOL.md "In-Commit Timestamps"."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = 1700000000000  # v0 mtime (pre-enablement file-time semantics)
+    t1 = t0 + 100000    # v1 enablement wall clock
+    far = 4100000000    # seconds, year ~2099: decoy mtime for v1/v2
+    root = tempfile.mkdtemp(prefix="delta_ict_")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    for name, ids in (("a.parquet", [1, 2, 3]),
+                      ("b.parquet", [4, 5]),
+                      ("c.parquet", [6])):
+        pq.write_table(pa.table({"id": pa.array(ids, "int64")}),
+                       os.path.join(root, name))
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}}]})
+    meta_base = {
+        "id": "00000000-0000-0000-0000-000000000ict",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema, "partitionColumns": [],
+        "createdTime": t0,
+    }
+    append_delta_commit(root, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": [],
+                      "writerFeatures": ["inCommitTimestamp"]}},
+        {"metaData": {**meta_base, "configuration": {}}},
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None)
+    log = os.path.join(root, "_delta_log")
+    os.utime(os.path.join(log, f"{0:020d}.json"), (t0 / 1000, t0 / 1000))
+    # v1: enable ICT mid-table (metaData re-send); provenance stamps
+    append_delta_commit(root, [
+        {"metaData": {**meta_base, "configuration": {
+            "delta.enableInCommitTimestamps": "true"}}},
+        {"add": {"path": "b.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None, now_ms=t1)
+    # v2: stale wall clock → monotonic clamp to ict(v1) + 1
+    append_delta_commit(root, [
+        {"add": {"path": "c.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], checkpoint_interval=None, now_ms=t1 - 5000)
+    for v in (1, 2):
+        os.utime(os.path.join(log, f"{v:020d}.json"), (far, far))
+
+    stamps = dict(commit_timestamps(root))
+    _, meta, _ = replay_log(root)
+    cfg = meta.get("configuration") or {}
+    prov_ok = int(
+        cfg.get("delta.inCommitTimestampEnablementVersion") == "1"
+        and cfg.get("delta.inCommitTimestampEnablementTimestamp") == str(t1)
+    )
+    rows = [
+        ("enable_provenance_ok", prov_ok),
+        ("rows_at_enable",
+         int(read_delta_log(spark, root, timestamp_ms=t1).count())),
+        ("rows_at_head_ts",
+         int(read_delta_log(spark, root, timestamp_ms=t1 + 1).count())),
+        ("ts_offset_v0", int(stamps[0] - t0)),
+        ("ts_offset_v1", int(stamps[1] - t0)),
+        ("ts_offset_v2", int(stamps[2] - t0)),
+        ("v_at_enable", int(version_at_timestamp(root, t1))),
+        ("v_at_head", int(version_at_timestamp(root, t1 + 1))),
+        ("v_at_pre_enable", int(version_at_timestamp(root, t1 - 1))),
+    ]
+    return spark.createDataFrame(
+        rows, "measure string, value long"
+    ).orderBy("measure")
+
+
+DELTA_ICT_SQL = """
+SELECT measure, CAST(value AS BIGINT) AS value
+FROM (VALUES
+  ('enable_provenance_ok', 1),
+  ('rows_at_enable', 5),
+  ('rows_at_head_ts', 6),
+  ('ts_offset_v0', 0),
+  ('ts_offset_v1', 100000),
+  ('ts_offset_v2', 100001),
+  ('v_at_enable', 1),
+  ('v_at_head', 2),
+  ('v_at_pre_enable', 0)
+) t(measure, value)
+ORDER BY measure
+"""
