@@ -926,6 +926,76 @@ def replicate_iceberg_to_delta(
 
     os.makedirs(os.path.join(target_root, "_delta_log"))
 
+    # source sequence number → replica commit version, grown as the
+    # snapshot chain replays. Drives the mapping of a source file's
+    # materialized ``_last_updated_sequence_number`` onto the
+    # replica's ``_mcv``: files a source-side COMPACTION rewrote
+    # carry Iceberg's reserved lineage columns, and a verbatim copy
+    # would leave them invisible to the replica's _mrid/_mcv config
+    # while fresh baseRowId+position derivation re-keys moved rows
+    # (r16, found building the lineage-bridge gate).
+    vi_of_seq: dict[int, int] = {}
+    seq_of_sid = {
+        s["snapshot-id"]: int(s.get("sequence-number", 0))
+        for s in raw.get("snapshots", [])
+    }
+
+    def _mat_lineage_file(entry) -> bool:
+        if not lineage:
+            return False
+        import pyarrow.parquet as _pq
+
+        names = set(_pq.read_metadata(entry["local_path"]).schema.names)
+        return bool(
+            {"_row_id", "_last_updated_sequence_number"} & names
+        )
+
+    def _mcv_map_expr(F, dcv_lit):
+        if not vi_of_seq:
+            return dcv_lit
+        m = F.create_map(
+            *[F.lit(x) for kv in vi_of_seq.items() for x in kv]
+        )
+        return F.coalesce(
+            m[F.col("_last_updated_sequence_number").cast("long")]
+            .cast("long"),
+            dcv_lit,
+        )
+
+    def _write_rekeyed(entry, out_abs: str, dcv: int) -> None:
+        """Position-preserving single-file rewrite renaming Iceberg's
+        reserved lineage columns to the replica's materialized
+        row-tracking columns (one read task, one write task — row
+        order preserved, so DV descriptors stay valid)."""
+        import pyspark.sql.functions as F
+
+        df = spark.read.parquet(entry["local_path"])
+        cols = [
+            c for c in df.columns
+            if c not in ("_row_id", "_last_updated_sequence_number")
+        ]
+        dcv_lit = F.lit(int(dcv)).cast("long")
+        mrid = (
+            F.col("_row_id").cast("long")
+            if "_row_id" in df.columns
+            else F.lit(None).cast("long")
+        )
+        mcv = (
+            _mcv_map_expr(F, dcv_lit)
+            if "_last_updated_sequence_number" in df.columns
+            else dcv_lit
+        )
+        out = df.select(
+            *cols, mrid.alias("_mrid"), mcv.alias("_mcv")
+        )
+        tmpdir = out_abs + ".tmp"
+        out.coalesce(1).write.mode("errorifexists").parquet(tmpdir)
+        part = next(
+            p for p in sorted(os.listdir(tmpdir)) if p.endswith(".parquet")
+        )
+        shutil.move(os.path.join(tmpdir, part), out_abs)
+        shutil.rmtree(tmpdir)
+
     def _write_folded(entry, applicable, out_abs, mcv: int | None = None):
         # survivors of ONE data file under its applicable deletes —
         # the same mor_frame + apply_deletes plan the MoR reader runs,
@@ -936,15 +1006,30 @@ def replicate_iceberg_to_delta(
         surv = apply_deletes(spark, meta, df, applicable)
         if lineage:
             # preserved-row-id columns: survivors keep their source
-            # ids (first_row_id + original position) and the commit
-            # version their content last changed
+            # ids — the file's materialized ``_row_id`` when a prior
+            # compaction wrote one, first_row_id + original position
+            # otherwise — and the commit version their content last
+            # changed
             fid = entry.get("first_row_id")
-            surv = surv.withColumn(
-                "_mrid",
+            derived = (
                 (F.lit(fid) + F.col("_pos")).cast("long")
                 if fid is not None
-                else F.lit(None).cast("long"),
-            ).withColumn("_mcv", F.lit(mcv).cast("long"))
+                else F.lit(None).cast("long")
+            )
+            mrid = (
+                F.coalesce(F.col("_row_id").cast("long"), derived)
+                if "_row_id" in surv.columns
+                else derived
+            )
+            mcv_lit = F.lit(mcv).cast("long")
+            mcv_col = (
+                _mcv_map_expr(F, mcv_lit)
+                if "_last_updated_sequence_number" in surv.columns
+                else mcv_lit
+            )
+            surv = surv.withColumn("_mrid", mrid).withColumn(
+                "_mcv", mcv_col
+            ).drop("_row_id", "_last_updated_sequence_number")
         surv = surv.drop("_rel", "_pos", "_seq")
         tmpdir = out_abs + ".tmp"
         surv.coalesce(1).write.mode("errorifexists").parquet(tmpdir)
@@ -993,6 +1078,8 @@ def replicate_iceberg_to_delta(
         }
     last: dict[str, Any] = {"version": -1}
     for vi, sid in enumerate(rng):
+        if sid in seq_of_sid:
+            vi_of_seq[seq_of_sid[sid]] = vi
         data_s, dels_s = mor_entries_at(meta, sid, base_dir)
         by_rel = {e["rel"]: e for e in data_s}
         sig: dict[str, tuple] = {r: () for r in by_rel}
@@ -1147,10 +1234,24 @@ def replicate_iceberg_to_delta(
                             }})
                             n_removed += 1
                         drel = f"r{sid}-{i:05d}.parquet"
-                        pending.append(
-                            (e["local_path"], os.path.join(target_root, drel))
-                        )
-                        size = os.path.getsize(e["local_path"])
+                        if _mat_lineage_file(e):
+                            # a compacted source file: re-key its
+                            # reserved lineage columns to _mrid/_mcv
+                            # (position-preserving — the DV stays
+                            # valid)
+                            _write_rekeyed(
+                                e, os.path.join(target_root, drel),
+                                dcv_of.get(rel, vi),
+                            )
+                            size = os.path.getsize(
+                                os.path.join(target_root, drel)
+                            )
+                        else:
+                            pending.append(
+                                (e["local_path"],
+                                 os.path.join(target_root, drel))
+                            )
+                            size = os.path.getsize(e["local_path"])
                     desc = write_delta_dv_blobs(
                         target_root, {drel: (blob, card)}
                     )[drel]
@@ -1226,6 +1327,11 @@ def replicate_iceberg_to_delta(
                               mcv=dcv_of.get(rel, vi))
                 size = os.path.getsize(out_abs)
                 n_folded += 1
+            elif _mat_lineage_file(e):
+                # compacted source file (carries reserved lineage
+                # columns): re-key instead of verbatim copy
+                _write_rekeyed(e, out_abs, dcv_of.get(rel, vi))
+                size = os.path.getsize(out_abs)
             else:
                 pending.append((e["local_path"], out_abs))
                 size = os.path.getsize(e["local_path"])
@@ -1454,19 +1560,29 @@ def replicate_delta_versions(
     schema_fields = json.loads(meta["schemaString"])["fields"]
     part_cols = meta.get("partitionColumns") or []
     ice_fields, last_col_id = _delta_fields_to_iceberg(schema_fields)
-    # Delta Row Tracking → Iceberg v3 row lineage (r15, the reverse
-    # of the lineage-preserving Iceberg→Delta direction): verbatim
+    # Delta Row Tracking → Iceberg v3 row lineage (r15; r16 closes
+    # the materialized-column refusal, VERDICT r15 #5): verbatim
     # copies carry first_row_id = baseRowId (positions identical →
-    # row ids exact); DV folds rewrite positions, so their entries
-    # take FRESH ids from the replica's next-row-id counter, which
-    # seeds from the source's high-water-mark domain. Sources whose
-    # config names MATERIALIZED row-id columns are not mapped —
-    # Iceberg lineage is positional and can't represent per-row
-    # overrides.
+    # row ids exact). Sources whose config names MATERIALIZED
+    # row-id columns (the common case after any Delta rewrite) map
+    # onto Iceberg v3's reserved-column materialization — exactly
+    # the form the engine's own compaction writes
+    # (iceberg/rewrite_data.py): such files are re-written once at
+    # migration with the per-row override renamed to ``_row_id``
+    # (NULLs kept: the lineage read's coalesce falls back to
+    # first_row_id + position) and the row's last-change commit
+    # version mapped to the replica's sequence numbers as
+    # ``_last_updated_sequence_number``. DV folds materialize the
+    # SURVIVORS' original ids (baseRowId + original position,
+    # overridden per-row by the materialized column when present) —
+    # row ids are stable across deletes in both formats, so the
+    # fold must not re-key them; fresh ids from the counter remain
+    # the fallback for adds with no baseRowId at all.
     cfg_src = meta.get("configuration") or {}
-    rt_map = cfg_src.get("delta.enableRowTracking") == "true" and not (
-        cfg_src.get("delta.rowTracking.materializedRowIdColumnName")
-        or cfg_src.get("delta.rowTracking.materializedRowCommitVersionColumnName")
+    rt_map = cfg_src.get("delta.enableRowTracking") == "true"
+    rt_rid_col = cfg_src.get("delta.rowTracking.materializedRowIdColumnName")
+    rt_rcv_col = cfg_src.get(
+        "delta.rowTracking.materializedRowCommitVersionColumnName"
     )
     rt_next = 0
     if rt_map:
@@ -1538,42 +1654,118 @@ def replicate_delta_versions(
     # file broke here)
     rel_of: dict[str, str] = {}
     type_of = {f["name"]: f["type"] for f in ice_fields}
+    # Delta commit version → replica sequence number (KB-scale;
+    # drives the _mcv → _last_updated_sequence_number mapping)
+    seq_of_version: dict[int, int] = {}
+
+    def _lineage_cols(surv, a: dict[str, Any]):
+        """Materialize Iceberg's reserved lineage columns onto a
+        frame that still carries ``_pos`` (the source row index):
+        per-row override from the source's materialized columns when
+        configured, fresh derivation baseRowId + position otherwise;
+        commit versions map to replica sequence numbers through one
+        in-expression literal map (KB, never a shuffle)."""
+        import pyspark.sql.functions as F
+
+        base = a.get("baseRowId")
+        fresh = (
+            (F.lit(int(base)) + F.col("_pos")).cast("long")
+            if base is not None
+            else F.lit(None).cast("long")
+        )
+        rid = (
+            F.coalesce(F.col(rt_rid_col).cast("long"), fresh)
+            if rt_rid_col and rt_rid_col in surv.columns
+            else fresh
+        )
+        dcv = a.get("defaultRowCommitVersion")
+        seq_default = (
+            seq_of_version.get(int(dcv)) if dcv is not None else None
+        )
+        seq_default_col = (
+            F.lit(int(seq_default)).cast("long")
+            if seq_default is not None
+            else F.lit(None).cast("long")
+        )
+        if rt_rcv_col and rt_rcv_col in surv.columns and seq_of_version:
+            vmap = F.create_map(
+                *[
+                    F.lit(x)
+                    for kv in seq_of_version.items()
+                    for x in kv
+                ]
+            )
+            lus = F.coalesce(
+                vmap[F.col(rt_rcv_col).cast("long")].cast("long"),
+                seq_default_col,
+            )
+        else:
+            lus = seq_default_col
+        return (
+            surv.withColumn("_row_id", rid)
+            .withColumn("_last_updated_sequence_number", lus)
+            .drop(*[c for c in (rt_rid_col, rt_rcv_col) if c])
+        )
+
+    def _write_one(surv, dst: str) -> None:
+        tmpdir = dst + ".tmp"
+        surv.coalesce(1).write.mode("errorifexists").parquet(tmpdir)
+        part_file = next(
+            p for p in sorted(os.listdir(tmpdir)) if p.endswith(".parquet")
+        )
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.move(os.path.join(tmpdir, part_file), dst)
+        shutil.rmtree(tmpdir)
 
     def _copy_add(a: dict[str, Any], v: int = 0) -> dict[str, Any]:
+        import pyspark.sql.functions as F
+
         dv = a.get("deletionVector")
+        src = os.path.join(delta_root, a["path"])
         if dv:
             # a DV-bearing add is Delta merge-on-read: copying the
             # file verbatim would resurrect its deleted rows in the
             # replica, so FOLD — materialize the survivors under a
             # VERSIONED name (the original copy stays untouched for
-            # the replica's own time travel) (r10)
+            # the replica's own time travel) (r10). With row
+            # tracking, survivors KEEP their source ids (r16:
+            # materialized — ids are stable across deletes in both
+            # formats, the fold must not re-key them).
             from .delta_log import dv_positions
 
-            import pyspark.sql.functions as F
-
             rel = f"data/dv{v}-{a['path'].replace('/', '_')}"
-            dst = os.path.join(target_root, rel)
             pos = set(dv_positions(delta_root, dv))
-            src = os.path.join(delta_root, a["path"])
             surv = (
                 spark.read.parquet(src)
                 .withColumn("_pos", F.col("_metadata.row_index"))
                 .filter(~F.col("_pos").isin(sorted(pos)) if pos else F.lit(True))
-                .drop("_pos")
             )
-            tmpdir = dst + ".tmp"
-            surv.coalesce(1).write.mode("errorifexists").parquet(tmpdir)
-            part_file = next(
-                p for p in sorted(os.listdir(tmpdir)) if p.endswith(".parquet")
-            )
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            shutil.move(os.path.join(tmpdir, part_file), dst)
-            shutil.rmtree(tmpdir)
+            if rt_map:
+                surv = _lineage_cols(surv, a)
+            _write_one(surv.drop("_pos"), os.path.join(target_root, rel))
         else:
             rel = f"data/{a['path']}"
             dst = os.path.join(target_root, rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            shutil.copyfile(os.path.join(delta_root, a["path"]), dst)
+            has_mat = False
+            if rt_map and (rt_rid_col or rt_rcv_col):
+                names = set(_pq.read_metadata(src).schema.names)
+                has_mat = bool(
+                    {c for c in (rt_rid_col, rt_rcv_col) if c} & names
+                )
+            if has_mat:
+                # materialized-row-id source file (VERDICT r15 #5):
+                # one re-write at migration renames the per-row
+                # override to the reserved ``_row_id`` (NULLs kept —
+                # the lineage read's coalesce falls back to
+                # first_row_id + position) and maps commit versions
+                # to replica sequence numbers
+                df = spark.read.parquet(src).withColumn(
+                    "_pos", F.col("_metadata.row_index")
+                )
+                _write_one(_lineage_cols(df, a).drop("_pos"), dst)
+            else:
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.copyfile(src, dst)
         pv = a.get("partitionValues") or {}
         # under column mapping, partitionValues keys are PHYSICAL;
         # values are the spec's STRING serialization → raw per type
@@ -1586,9 +1778,9 @@ def replicate_delta_versions(
         rel_of[a["path"]] = rel
         out = {"path": rel, "partition": part}
         if rt_map and not dv and a.get("baseRowId") is not None:
-            # verbatim copy: source row ids carry over 1:1 (DV folds
-            # fall through with no id — the commit assigns fresh ones
-            # from the counter seeded at the source's high-water mark)
+            # source row ids carry over 1:1 — verbatim copies by
+            # position, re-written copies by the same first_row_id
+            # plus the materialized override
             out["first_row_id"] = int(a["baseRowId"])
         return out
 
@@ -1624,6 +1816,10 @@ def replicate_delta_versions(
                     removes.append(action["remove"])
         sid, ts = 8000 + v, 1700000000000 + (v + 1) * 1000
         summary = {"delta-version": str(v)}
+        if adds or removes:
+            # each replicated Delta version lands as ONE replica
+            # commit, bumping last-sequence-number by exactly 1
+            seq_of_version[v] = len(seq_of_version) + 1
         if removes:
             imeta = parse_metadata(mp)
             raw = json.loads(json.dumps(imeta.raw))
@@ -2290,4 +2486,131 @@ FROM (VALUES
   ('iceberg', 't2', 10, 155)
 ) t(hop, tag, n_rows, a_sum)
 ORDER BY hop, tag
+"""
+
+
+def lineage_bridge_rows(spark: SparkSession, sf_dir: str):
+    """Driver gate for ROW LINEAGE through the migration bridge BOTH
+    WAYS, including a source-side COMPACTION (``sf_dir`` unused;
+    VERDICT r15 #3). A v3 Iceberg source — X ids 100-104 (row ids
+    0-4), Y ids 200-202 (row ids 5-7), DV delete of id 102, then
+    ``rewrite_data_files`` folds X (the r15 fix: rebuilt manifests
+    keep first_row_id; replacement files materialize the reserved
+    columns) — replicates FORWARD into a Delta rowTracking table
+    (compacted files re-key reserved columns onto the replica's
+    materialized ``_mrid``/``_mcv``) and that replica replicates
+    BACK into a second Iceberg v3 table (materialized columns map
+    onto ``_row_id`` again). Every hop must show the SOURCE row
+    ids for the 7 survivors — stable identity is the whole point of
+    lineage. Golden oracle: 21 (hop, id, row_id) rows."""
+    import json as _json
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..iceberg.commit import append_snapshot
+    from ..iceberg.deletes import read_mor_lineage
+    from ..iceberg.dml import delete_where
+    from ..iceberg.metadata import parse_metadata
+    from ..iceberg.rewrite_data import rewrite_data_files
+    from .delta_log import read_delta_log
+
+    work = tempfile.mkdtemp(prefix="lineage_bridge_")
+    root = os.path.join(work, "src")
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+    meta0 = {
+        "format-version": 3,
+        "table-uuid": "00000000-0000-0000-0000-00000000e0b1",
+        "location": "file:///tmp/lineage_bridge_table",
+        "last-sequence-number": 0,
+        "last-updated-ms": 1700000000000,
+        "last-column-id": 2,
+        "current-schema-id": 0,
+        "schemas": [{
+            "schema-id": 0, "type": "struct",
+            "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"},
+                {"id": 2, "name": "category", "required": False,
+                 "type": "string"},
+            ],
+        }],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {}, "snapshots": [], "snapshot-log": [],
+        "metadata-log": [],
+    }
+    mp = os.path.join(root, "v1.metadata.json")
+    with open(mp, "w") as f:
+        _json.dump(meta0, f, indent=2)
+
+    def _write(rel, ids, cat):
+        pq.write_table(
+            pa.table({
+                "id": pa.array(ids, pa.int64()),
+                "category": pa.array([cat] * len(ids), pa.string()),
+            }),
+            os.path.join(root, rel),
+        )
+
+    _write("data/X.parquet", list(range(100, 105)), "a")
+    _write("data/Y.parquet", list(range(200, 203)), "b")
+    s1 = append_snapshot(mp, [{"path": "data/X.parquet", "partition": {}}])
+    s2 = append_snapshot(
+        s1["metadata_path"], [{"path": "data/Y.parquet", "partition": {}}]
+    )
+    s3 = delete_where(spark, s2["metadata_path"], "id = 102", base_dir=root)
+    res = rewrite_data_files(spark, s3["metadata_path"], base_dir=root)
+
+    fwd = os.path.join(work, "delta")
+    replicate_iceberg_to_delta(
+        spark, res["metadata_path"], fwd, now_ms=1700000002000,
+        checkpoint_interval=None,
+    )
+    back = os.path.join(work, "ice2")
+    res2 = replicate_delta_versions(spark, fwd, back)
+    raw2 = parse_metadata(res2["metadata_path"]).raw
+
+    import pyspark.sql.functions as F
+
+    src_df = read_mor_lineage(
+        spark, res["metadata_path"], res["snapshot_id"]
+    ).select(F.lit("src_compacted").alias("hop"), "id", "_row_id")
+    fwd_df = read_delta_log(spark, fwd, with_row_tracking=True).select(
+        F.lit("delta_fwd").alias("hop"), "id", "_row_id"
+    )
+    back_df = read_mor_lineage(
+        spark, res2["metadata_path"], raw2["current-snapshot-id"]
+    ).select(F.lit("ice_roundtrip").alias("hop"), "id", "_row_id")
+    return (
+        src_df.unionByName(fwd_df)
+        .unionByName(back_df)
+        .select(
+            "hop",
+            F.col("id").cast("long").alias("id"),
+            F.col("_row_id").cast("long").alias("row_id"),
+        )
+        .orderBy("hop", "id")
+    )
+
+
+LINEAGE_BRIDGE_SQL = """
+SELECT hop, CAST(id AS BIGINT) AS id, CAST(row_id AS BIGINT) AS row_id
+FROM (VALUES
+  ('delta_fwd', 100, 0), ('delta_fwd', 101, 1), ('delta_fwd', 103, 3),
+  ('delta_fwd', 104, 4), ('delta_fwd', 200, 5), ('delta_fwd', 201, 6),
+  ('delta_fwd', 202, 7),
+  ('ice_roundtrip', 100, 0), ('ice_roundtrip', 101, 1),
+  ('ice_roundtrip', 103, 3), ('ice_roundtrip', 104, 4),
+  ('ice_roundtrip', 200, 5), ('ice_roundtrip', 201, 6),
+  ('ice_roundtrip', 202, 7),
+  ('src_compacted', 100, 0), ('src_compacted', 101, 1),
+  ('src_compacted', 103, 3), ('src_compacted', 104, 4),
+  ('src_compacted', 200, 5), ('src_compacted', 201, 6),
+  ('src_compacted', 202, 7)
+) t(hop, id, row_id)
+ORDER BY hop, id
 """

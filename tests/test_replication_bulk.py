@@ -514,12 +514,79 @@ def test_lineage_preserving_replication(spark, tmp_path):
     assert hwm >= 6
 
 
+def test_lineage_survives_source_compaction_into_delta(spark, tmp_path):
+    """r16: a source-side COMPACTION before forward replication —
+    the rewritten Iceberg file carries the reserved ``_row_id`` /
+    ``_last_updated_sequence_number`` columns and its rows moved, so
+    a verbatim copy + fresh derivation would silently re-key them.
+    The replication re-keys the reserved columns onto the replica's
+    ``_mrid``/``_mcv`` instead; replica ids == source ids exactly,
+    and ``_mcv`` maps sequence numbers back to replica versions."""
+    import json
+
+    from iceberg_tools_spark.iceberg.commit import append_snapshot
+    from iceberg_tools_spark.iceberg.deletes import read_mor_lineage
+    from iceberg_tools_spark.iceberg.dml import delete_where
+    from iceberg_tools_spark.iceberg.rewrite_data import rewrite_data_files
+    from iceberg_tools_spark.sources.delta_log import (
+        read_delta_log,
+        replay_log,
+    )
+    from iceberg_tools_spark.sources.migrate import replicate_iceberg_to_delta
+    from tests.test_dv import _fresh_v3_table, _pq_write
+
+    root, mp = _fresh_v3_table(tmp_path)
+    _pq_write(root, "data/X.parquet", [1, 2, 3, 4], "a")
+    s1 = append_snapshot(mp, [{"path": "data/X.parquet", "partition": {}}])
+    _pq_write(root, "data/Y.parquet", [10, 11], "b")
+    s2 = append_snapshot(
+        s1["metadata_path"], [{"path": "data/Y.parquet", "partition": {}}]
+    )
+    s3 = delete_where(spark, s2["metadata_path"], "id = 2", base_dir=root)
+    res = rewrite_data_files(spark, s3["metadata_path"], base_dir=root)
+
+    tgt = str(tmp_path / "delta")
+    replicate_iceberg_to_delta(
+        spark, res["metadata_path"], tgt, now_ms=1700000001000,
+        checkpoint_interval=None,
+    )
+    src = {
+        r["id"]: r["_row_id"]
+        for r in read_mor_lineage(
+            spark, res["metadata_path"], res["snapshot_id"], root
+        ).collect()
+    }
+    got = {
+        r["id"]: r["_row_id"]
+        for r in read_delta_log(spark, tgt, with_row_tracking=True).collect()
+    }
+    assert got == src == {1: 0, 3: 2, 4: 3, 10: 4, 11: 5}
+    # the re-keyed copy's _mcv maps the rows' original sequence
+    # numbers to replica versions — X's survivors last changed at
+    # seq 1 (replica v0), Y's at seq 2 (replica v1); neither takes
+    # the compaction's version
+    cv = {
+        r["id"]: r["_row_commit_version"]
+        for r in read_delta_log(spark, tgt, with_row_tracking=True).collect()
+    }
+    assert cv[1] == 0 and cv[10] == 1
+    # no reserved Iceberg column names leak into the replica's files
+    _, meta, _ = replay_log(tgt)
+    cfg = meta["configuration"]
+    cfg = dict(cfg) if not isinstance(cfg, dict) else cfg
+    assert cfg["delta.rowTracking.materializedRowIdColumnName"] == "_mrid"
+    plain = read_delta_log(spark, tgt)
+    assert "_row_id" not in plain.columns
+    assert sorted(r["id"] for r in plain.collect()) == [1, 3, 4, 10, 11]
+
+
 def test_row_tracking_maps_to_iceberg_lineage(spark, tmp_path):
     """The REVERSE bridge: a Delta rowTracking source replicates
     full-fidelity into an Iceberg v3 replica whose lineage read
-    shows the SOURCE row ids (verbatim copies), DV folds take fresh
-    ids past the source high-water mark, and next-row-id lands past
-    every assigned id."""
+    shows the SOURCE row ids — verbatim copies by position, DV
+    folds by MATERIALIZED original ids (r16: ids are stable across
+    deletes in both formats, so the fold must not re-key them) —
+    and next-row-id lands past every assigned id."""
     import json
 
     from iceberg_tools_spark.iceberg.deletes import read_mor_lineage
@@ -571,11 +638,11 @@ def test_row_tracking_maps_to_iceberg_lineage(spark, tmp_path):
     head = raw["current-snapshot-id"]
     got = {r["id"]: r["_row_id"] for r in read_mor_lineage(
         spark, res["metadata_path"], head).collect()}
-    # b.parquet verbatim: source ids 3,4. a.parquet folded: fresh
-    # ids from the HWM (5, 6) for survivors 1 and 3
-    assert got[10] == 3 and got[11] == 4
-    assert sorted(got[i] for i in (1, 3)) == [5, 6]
-    assert raw["next-row-id"] >= 7
+    # b.parquet verbatim: source ids 3,4. a.parquet folded:
+    # survivors 1 and 3 KEEP their original ids 0 and 2
+    # (materialized through the fold)
+    assert got == {10: 3, 11: 4, 1: 0, 3: 2}
+    assert raw["next-row-id"] >= 5
     # per-version equality unaffected by the lineage mapping
     for v in (0, 1):
         d = sorted(r["id"] for r in read_delta_log(spark, root, v).collect())
@@ -583,3 +650,108 @@ def test_row_tracking_maps_to_iceberg_lineage(spark, tmp_path):
             "iceberg_tools_spark.iceberg.deletes", fromlist=["read_mor"]
         ).read_mor(spark, res["metadata_path"], 8000 + v).collect())
         assert d == i, v
+
+
+def test_materialized_row_ids_map_to_iceberg_lineage(spark, tmp_path):
+    """VERDICT r15 #5: a Delta source whose config names
+    MATERIALIZED row-id columns (the common shape after any UPDATE
+    rewrite) no longer refuses lineage mapping — such files are
+    re-written once at migration with the override renamed to the
+    reserved ``_row_id`` (exactly the form the engine's own
+    compaction writes), so per-row identity survives the format
+    bridge. Verified: per-version row-id equality source vs
+    replica, including the UPDATE-rewritten file."""
+    import json
+
+    from iceberg_tools_spark.iceberg.deletes import read_mor_lineage
+    from iceberg_tools_spark.iceberg.metadata import parse_metadata
+    from iceberg_tools_spark.sources.delta_log import (
+        append_delta_commit,
+        read_delta_log,
+    )
+    from iceberg_tools_spark.sources.migrate import replicate_delta_versions
+
+    root = str(tmp_path / "src")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    pq.write_table(pa.table({"id": pa.array([10, 11, 12], "int64")}),
+                   os.path.join(root, "a.parquet"))
+    pq.write_table(pa.table({"id": pa.array([20, 21], "int64")}),
+                   os.path.join(root, "b.parquet"))
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}}]})
+    append_delta_commit(root, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": [],
+                      "writerFeatures": ["rowTracking", "domainMetadata"]}},
+        {"metaData": {
+            "id": "rtmat", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema, "partitionColumns": [],
+            "configuration": {
+                "delta.enableRowTracking": "true",
+                "delta.rowTracking.materializedRowIdColumnName": "_mrid",
+                "delta.rowTracking.materializedRowCommitVersionColumnName":
+                    "_mcv",
+            },
+            "createdTime": 0,
+        }},
+        {"domainMetadata": {"domain": "delta.rowTracking",
+                            "configuration": json.dumps(
+                                {"rowIdHighWaterMark": 4}),
+                            "removed": False}},
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "baseRowId": 0, "defaultRowCommitVersion": 0}},
+        {"add": {"path": "b.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "baseRowId": 3, "defaultRowCommitVersion": 0}},
+    ], checkpoint_interval=None)
+    # v1: UPDATE-style rewrite of b.parquet (+100) preserving ids
+    # 3,4 through the MATERIALIZED columns; id 21→121 "updated" at
+    # v1 (its _mcv says so), id 20→120 untouched content carried
+    # with its original commit version
+    pq.write_table(
+        pa.table({
+            "id": pa.array([120, 121], "int64"),
+            "_mrid": pa.array([3, 4], "int64"),
+            "_mcv": pa.array([0, 1], "int64"),
+        }),
+        os.path.join(root, "c.parquet"),
+    )
+    append_delta_commit(root, [
+        {"remove": {"path": "b.parquet", "deletionTimestamp": 1,
+                    "dataChange": True}},
+        {"add": {"path": "c.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "baseRowId": 3, "defaultRowCommitVersion": 1}},
+    ], checkpoint_interval=None)
+
+    ice = str(tmp_path / "ice")
+    res = replicate_delta_versions(spark, root, ice)
+    raw = parse_metadata(res["metadata_path"]).raw
+    assert raw["format-version"] == 3
+    # per-version (id → row id) equality across the bridge
+    for v in (0, 1):
+        src_ids = {
+            r["id"]: r["_row_id"]
+            for r in read_delta_log(
+                spark, root, v, with_row_tracking=True
+            ).collect()
+        }
+        rep_ids = {
+            r["id"]: r["_row_id"]
+            for r in read_mor_lineage(
+                spark, res["metadata_path"], 8000 + v
+            ).collect()
+        }
+        assert rep_ids == src_ids, v
+    assert rep_ids == {10: 0, 11: 1, 12: 2, 120: 3, 121: 4}
+    # the rewritten file's rows carry their LAST-CHANGE sequence
+    # numbers: id 120 last changed at delta v0 (replica seq 1),
+    # id 121 at v1 (seq 2)
+    lus = {
+        r["id"]: r["_last_updated_sequence_number"]
+        for r in read_mor_lineage(
+            spark, res["metadata_path"], 8001
+        ).collect()
+    }
+    assert lus[120] == 1 and lus[121] == 2
