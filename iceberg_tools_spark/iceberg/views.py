@@ -234,3 +234,83 @@ def view_roundtrip_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 VIEW_ROUNDTRIP_SQL = VIEW_SQL_V2
+
+
+def rest_view_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for the view LIFECYCLE over REST (VERDICT r15
+    #10): CREATE VIEW → REPLACE (version 2) → RENAME — then load
+    the renamed view, execute its CURRENT version against
+    ``sf_dir``'s lineitem, and time-travel to version 1 (replace
+    appends, never rewrites). Lifecycle flags are golden; row/item
+    counts bind both executed versions to the data, so the oracle
+    recomputes them from the same parquet."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from .rest_catalog import RestCatalogClient, serve_rest_catalog
+
+    wh = tempfile.mkdtemp(prefix="rest_view_wh_")
+    server, uri = serve_rest_catalog(wh)
+    try:
+        c = RestCatalogClient(uri)
+        c.create_namespace("db")
+        c.create_view("db", "rev", VIEW_SQL_V1)
+        created_exists = int(c.view_exists("db.rev"))
+        c.replace_view("db.rev", VIEW_SQL_V2)
+        c.rename_view("db.rev", "db.rev2")
+        old_gone = int(not c.view_exists("db.rev"))
+        new_exists = int(c.view_exists("db.rev2"))
+        lv = c.load_view("db.rev2")
+        meta = lv["metadata"]
+        loc = lv.get("metadata-location", "")
+        mpath = loc[7:] if loc.startswith("file://") else loc
+        lineitem = spark.read.parquet(
+            os.path.join(sf_dir, "lineitem.parquet")
+        )
+        v2 = read_view(spark, mpath, {"lineitem": lineitem})
+        v1 = read_view(spark, mpath, {"lineitem": lineitem}, version_id=1)
+        v1_rows, v1_items = v1.agg(
+            F.count(F.lit(1)), F.sum("n_items")
+        ).first()
+        v2_rows, v2_items = v2.agg(
+            F.count(F.lit(1)), F.sum("n_items")
+        ).first()
+    finally:
+        server.shutdown()
+    rows = [
+        ("created_exists", created_exists),
+        ("current_version", int(meta["current-version-id"])),
+        ("n_versions", len(meta["versions"])),
+        ("renamed_new_exists", new_exists),
+        ("renamed_old_gone", old_gone),
+        ("v1_items_total", int(v1_items)),
+        ("v1_rows", int(v1_rows)),
+        ("v2_items_total", int(v2_items)),
+        ("v2_rows", int(v2_rows)),
+    ]
+    return spark.createDataFrame(
+        rows, "measure string, value long"
+    ).orderBy("measure")
+
+
+REST_VIEW_SQL = """
+SELECT measure, CAST(value AS BIGINT) AS value FROM (
+  SELECT 'created_exists' AS measure, 1 AS value
+  UNION ALL SELECT 'current_version', 2
+  UNION ALL SELECT 'n_versions', 2
+  UNION ALL SELECT 'renamed_new_exists', 1
+  UNION ALL SELECT 'renamed_old_gone', 1
+  UNION ALL SELECT 'v1_items_total',
+    (SELECT COUNT(*) FROM lineitem WHERE l_shipdate <= DATE '1998-09-02')
+  UNION ALL SELECT 'v1_rows',
+    (SELECT COUNT(DISTINCT l_returnflag) FROM lineitem
+     WHERE l_shipdate <= DATE '1998-09-02')
+  UNION ALL SELECT 'v2_items_total',
+    (SELECT COUNT(*) FROM lineitem WHERE l_shipdate <= DATE '1998-09-02')
+  UNION ALL SELECT 'v2_rows',
+    (SELECT COUNT(*) FROM (SELECT DISTINCT l_returnflag, l_linestatus
+     FROM lineitem WHERE l_shipdate <= DATE '1998-09-02') g)
+) t
+ORDER BY measure
+"""

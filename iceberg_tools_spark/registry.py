@@ -694,13 +694,23 @@ register(
     "meta_all_manifests", meta_snap.meta_all_manifests, meta_snap.META_ALL_MANIFESTS_SQL
 )
 register("bpe_roundtrip_check", _bpe_ops.bpe_roundtrip_check, _bpe_ops.BPE_ROUNDTRIP_SQL)
-register("bpe_token_stats", _bpe_ops.bpe_token_stats, None)
+# r16 (VERDICT r15 #9): golden-VALUES oracle — trained-vocab
+# token totals pinned per (source, corpus), the rest recomputed
+register(
+    "bpe_token_stats", _bpe_ops.bpe_token_stats,
+    _bpe_ops.BPE_TOKEN_STATS_SQL,
+)
 register(
     "dedup_semantic_pairs",
     _semdedup_ops.dedup_semantic_pairs,
     _semdedup_ops.DEDUP_SEMANTIC_PAIRS_SQL,
 )
-register("dedup_semantic_stats", _semdedup_ops.dedup_semantic_stats, None)
+# r16 (VERDICT r15 #9): golden-VALUES oracle — zero-drop outcome
+# pinned, corpus size recomputed
+register(
+    "dedup_semantic_stats", _semdedup_ops.dedup_semantic_stats,
+    _semdedup_ops.DEDUP_SEMANTIC_STATS_SQL,
+)
 register(
     "stream_join_rows", _stream_jobs.stream_join_rows, _stream_jobs.STREAM_JOIN_SQL
 )
@@ -1349,4 +1359,24 @@ register(
     "delta_ict_rows",
     _w_delta.delta_ict_rows,
     _w_delta.DELTA_ICT_SQL,
+)
+
+# r16 gate (VERDICT r15 #3): row lineage through the migration
+# bridge BOTH ways including a source-side compaction — replica
+# _row_id == source lineage ids at every hop (forward into Delta
+# rowTracking, roundtrip back into Iceberg v3).
+register(
+    "lineage_bridge_rows",
+    _w_mig.lineage_bridge_rows,
+    _w_mig.LINEAGE_BRIDGE_SQL,
+)
+
+# r16 gate (VERDICT r15 #10): the view LIFECYCLE over REST —
+# create / replace / rename endpoints, then execution of the
+# renamed view's current version AND version-1 time travel against
+# real data (counts recomputed by the oracle from the same parquet).
+register(
+    "rest_view_rows",
+    _w_views.rest_view_rows,
+    _w_views.REST_VIEW_SQL,
 )
