@@ -1361,6 +1361,77 @@ register(
     _w_delta.DELTA_ICT_SQL,
 )
 
+# ============================= ROUND-16 WINDOW (same mechanism:
+# a dict REORDER over the single declarations above/below; applied
+# at the END of this module, after every r16 registration).
+#
+# Budget (VERDICT r15 #1/#2): slot 1 canary; 2-4 FIRST
+# CERTIFICATION of the only keys with zero driver history —
+# delta_row_tracking_rows, quality_model_check, geo_scan_rows
+# (VERDICT r15 #1); 5-7 the r16 gates — lineage_bridge_rows (the
+# r15 capstone finally pinned, #3), delta_ict_rows (#4),
+# rest_view_rows (#10); 8-50 the FULL r12-evidence cohort (43 keys,
+# four rounds stale — VERDICT r15 #2). After this round no
+# oracle-checked key's newest cert predates r13. The newly-oracled
+# bpe_token_stats / dedup_semantic_stats (#9) and the additive
+# v3-arbitration change under rest_commit_roundtrip ride two-SF
+# pytest parity this round and take first-cert/re-cert slots next.
+_R16_WINDOW = [
+    "probe_double",
+    # 2-4: first certification (zero driver history)
+    "delta_row_tracking_rows",
+    "quality_model_check",
+    "geo_scan_rows",
+    # 5-7: r16 gates
+    "lineage_bridge_rows",
+    "delta_ict_rows",
+    "rest_view_rows",
+    # 8-50: the FULL r12-evidence cohort (alphabetical)
+    "cdc_replicate_roundtrip",
+    "changelog_stream_rows",
+    "column_stats_orders",
+    "commit_delete_roundtrip",
+    "commit_eq_delete_roundtrip",
+    "dedup_survivors",
+    "delete_compaction_plan",
+    "delete_where_dv_roundtrip",
+    "delete_where_roundtrip",
+    "delta_migrate_rows",
+    "delta_replicate_full_rows",
+    "embedding_near_dup",
+    "expire_execute_roundtrip",
+    "files_at_snapshot_mor",
+    "files_at_tag",
+    "incremental_stream_rows",
+    "merge_into_roundtrip",
+    "merge_transform_partitions",
+    "meta_all_files",
+    "meta_delete_files",
+    "meta_dv_blobs",
+    "meta_partition_stats",
+    "meta_position_deletes",
+    "meta_refs",
+    "meta_schemas",
+    "meta_typed_bounds",
+    "mor_live_rows_dv",
+    "mor_read_evolved",
+    "near_dup_rate_by_source",
+    "quality_score_linear",
+    "rewrite_datafiles_roundtrip",
+    "rewrite_pos_deletes_roundtrip",
+    "rollback_roundtrip",
+    "row_lineage_rows",
+    "scan_plan_evolved",
+    "scan_plan_mor",
+    "scan_plan_tasks_dv",
+    "scan_plan_transforms",
+    "schema_evolution_name_mapping",
+    "schema_evolution_read",
+    "sorted_rewrite_prunes",
+    "update_where_roundtrip",
+    "wap_publish_roundtrip",
+]
+
 # r16 gate (VERDICT r15 #3): row lineage through the migration
 # bridge BOTH ways including a source-side compaction — replica
 # _row_id == source lineage ids at every hop (forward into Delta
@@ -1380,3 +1451,5 @@ register(
     _w_views.rest_view_rows,
     _w_views.REST_VIEW_SQL,
 )
+
+_apply_window(_R16_WINDOW)
