@@ -471,6 +471,18 @@ HEADLINE = [
     "rest_commit_roundtrip",
     "variant_bridge_rows",
     "domain_checkpoint_rows",
+    # round-16: the lineage bridge capstone (v3 source → DV delete →
+    # compaction → Delta → roundtrip, ids equal at every hop), Delta
+    # in-commit timestamps, the REST view lifecycle, and two of the
+    # r15 past-window newcomers now in the certification window
+    # (quality_model_check is deliberately NOT here: a 20-epoch
+    # training loop is job-latency-bound by design — its scale story
+    # is O(dim) driver state, measured by pytest, not wall clock)
+    "lineage_bridge_rows",
+    "delta_ict_rows",
+    "rest_view_rows",
+    "delta_row_tracking_rows",
+    "geo_scan_rows",
 ]
 
 
