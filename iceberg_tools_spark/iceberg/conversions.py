@@ -232,6 +232,25 @@ def wkb_point(x: float, y: float, z: float | None = None) -> bytes:
     return b"\x01" + struct.pack("<I", 1001) + struct.pack("<ddd", x, y, z)
 
 
+def double_sort_key(v: float) -> int:
+    """Monotonic int64 key of a double under IEEE-754 total order
+    (−0.0 canonicalized to +0.0, so the order over KEYS is exactly
+    the numeric ``<``/``>`` over finite values and ±inf): the
+    classic radix-sort transform — positive doubles keep their
+    signed bit pattern, negative ones flip the non-sign bits. Used
+    by the geo scan-planning filter: bbox comparisons run over
+    these keys entirely in JVM integer arithmetic — no float
+    reconstruction, no Python eval in the plan — and stay bit-exact
+    with the ``struct.unpack`` reference decode
+    (:func:`parse_wkb_point`; pinned in tests/test_snapshots.py)."""
+    (s,) = struct.unpack(">q", struct.pack(">d", v))
+    if s == -(1 << 63):  # -0.0 → +0.0
+        return 0
+    if s >= 0:
+        return s
+    return s ^ 0x7FFFFFFFFFFFFFFF  # magnitude ascends ⇒ value descends
+
+
 def parse_wkb_point(data: bytes) -> tuple[float, float] | None:
     """(x, y) of a WKB POINT (either byte order, XY/XYZ/XYZM type
     codes incl. the EWKB Z flag); None for anything else — callers

@@ -339,14 +339,27 @@ def _pos_delete_frame(
         e for e in dels if e["content"] == POSITION_DELETES and not _is_dv(e)
     ]
     dv_dels = [e for e in dels if _is_dv(e)]
-    frames = [
-        spark.read.parquet(e["local_path"]).select(
-            F.regexp_extract("file_path", _REL_RE, 0).alias("pd_rel"),
-            F.col("pos").alias("pd_pos"),
-            F.lit(e["sequence_number"]).alias("pd_seq"),
+    frames = []
+    # ONE multi-path scan per distinct SEQUENCE NUMBER (files of one
+    # delete commit share it), the sequence attached as a literal —
+    # r16: the former one-read-per-file union cost a schema-inference
+    # round trip and a scan node PER delete file; N files now cost
+    # #commits scan nodes, the same plan-node argument as the
+    # equality-delete group join. (Matching per-file metadata via
+    # `_metadata.file_path` instead is NOT robust: staged-delete
+    # directories carry URL-encoded partition names that the scan
+    # re-encodes differently than the raw local path.)
+    by_seq: dict[int, list[str]] = {}
+    for e in pos_dels:
+        by_seq.setdefault(e["sequence_number"], []).append(e["local_path"])
+    for seq, paths in sorted(by_seq.items()):
+        frames.append(
+            spark.read.parquet(*sorted(paths)).select(
+                F.regexp_extract("file_path", _REL_RE, 0).alias("pd_rel"),
+                F.col("pos").alias("pd_pos"),
+                F.lit(seq).alias("pd_seq"),
+            )
         )
-        for e in pos_dels
-    ]
     if dv_dels:
         frames.append(_dv_positions_frame(spark, dv_dels))
     if not frames:

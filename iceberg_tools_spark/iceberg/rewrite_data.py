@@ -91,14 +91,19 @@ def _plan_rewrite_targets(
     if plain:
         from functools import reduce
 
+        # one multi-path scan per distinct sequence number (r16: was
+        # one scan node per delete file — see _pos_delete_frame)
+        by_seq: dict[int, list[str]] = {}
+        for d in plain:
+            by_seq.setdefault(d["sequence_number"], []).append(d["local_path"])
         pd_all = reduce(
             DataFrame.unionByName,
             [
-                spark.read.parquet(d["local_path"]).select(
+                spark.read.parquet(*sorted(paths)).select(
                     F.regexp_extract("file_path", r"data/.*$", 0).alias("pd_rel"),
-                    F.lit(d["sequence_number"]).alias("pd_seq"),
+                    F.lit(seq).alias("pd_seq"),
                 )
-                for d in plain
+                for seq, paths in sorted(by_seq.items())
             ],
         )
         info = spark.createDataFrame(

@@ -634,15 +634,60 @@ def partition_specs_by_id(meta: TableMetadata) -> dict[int, list[tuple[str, str]
     }
 
 
+def _geo_bound_keys(bmap: dict[int, str] | None, fid: int) -> tuple[int | None, int | None]:
+    """(x_key, y_key) of one rendered geometry/geography bound —
+    ``double_sort_key`` over the reference WKB decode, or NULLs for
+    absent/unparseable bounds/NaN coords (conservative keep). Runs
+    inside the manifest parse pass (driver- or executor-side plain
+    Python), so the geo planning FILTER is two bigint comparisons
+    per corner — no Python eval node, no heavyweight codegen in the
+    planning query (r16: the former per-plan Arrow-UDF decode cost a
+    Python worker round-trip; a pure-expression hex decode cost even
+    more in analysis+Janino time — the right place for the 21-byte
+    struct unpack is where the row is born)."""
+    import math
+
+    from .conversions import double_sort_key, parse_wkb_point
+
+    v = (bmap or {}).get(fid)
+    if not v or not v.startswith("value:0x"):
+        return (None, None)
+    try:
+        pt = parse_wkb_point(bytes.fromhex(v[8:].split(";", 1)[0]))
+    except ValueError:
+        return (None, None)
+    if pt is None:
+        return (None, None)
+    x, y = pt
+    return (
+        None if math.isnan(x) else double_sort_key(x),
+        None if math.isnan(y) else double_sort_key(y),
+    )
+
+
 def _tagged_live_entries_worker(ctx: dict[str, Any], blob: bytes) -> list[tuple]:
     """plan_scan's per-manifest parse: ENTRIES_SCHEMA tuples with the
     manifest tag (name, spec id, level-1 decision) prepended, dead
     entries dropped (runs driver- or executor-side via
-    :func:`manifest_io.map_manifests`)."""
+    :func:`manifest_io.map_manifests`). With ``ctx["geo_fids"]``,
+    each row additionally carries the decoded bbox-corner sort keys
+    (lo_x, lo_y, hi_x, hi_y per field id) for the geo filter."""
     from .tables import _entries_worker
 
     tag = ctx["tag"]
-    return [(*tag, *r) for r in _entries_worker(ctx, blob) if r[0] != 2]
+    geo_fids = ctx.get("geo_fids") or ()
+    if not geo_fids:
+        return [(*tag, *r) for r in _entries_worker(ctx, blob) if r[0] != 2]
+    out = []
+    for r in _entries_worker(ctx, blob):
+        if r[0] == 2:
+            continue
+        keys: list[int | None] = []
+        for fid in geo_fids:
+            keys.extend(_geo_bound_keys(r[12], fid))  # lower_bounds
+            keys.extend(_geo_bound_keys(r[13], fid))  # upper_bounds
+        out.append((*tag, *r, *keys))
+    return out
 
 
 def _normalize_partition_pred(
@@ -828,18 +873,28 @@ def plan_scan(
     # its spec id + level-1 decision prepended to each entry) — no
     # per-manifest frame, no N-deep union chain; at thousands of
     # manifests the plan stays a single scan
+    geo_fids = sorted(geo_bbox) if geo_bbox else []
     tagged_schema = T.StructType(
         [
             T.StructField("manifest_name", T.StringType()),
             T.StructField("spec_id", T.IntegerType()),
             T.StructField("manifest_pruned", T.BooleanType()),
             *ENTRIES_SCHEMA.fields,
+            # per geo field: decoded bbox-corner sort keys (see
+            # _geo_bound_keys — decoded where the row is born)
+            *[
+                T.StructField(f"_geo{fid}_{corner}", T.LongType())
+                for fid in geo_fids
+                for corner in ("lox", "loy", "hix", "hiy")
+            ],
         ]
     )
     from .manifest_io import PARALLEL_THRESHOLD, map_manifests
     from .tables import field_id_types
 
     fid_ctx = {"fid_types": field_id_types(meta.raw)}
+    if geo_fids:
+        fid_ctx["geo_fids"] = tuple(geo_fids)
     tasks: list[tuple[dict, str]] = []
     for mrow in manifest_files_at(meta, snapshot_id, base_dir):
         if mrow.get("content", 0) != 0:
@@ -917,41 +972,22 @@ def plan_scan(
         # (max x, max y) of the file's bounding box (spec "Bound
         # serialization"). A file survives iff its box INTERSECTS the
         # query box; absent/unparseable bounds keep the file
-        # (conservative). The WKB decode is an Arrow-batched UDF over
-        # the PLANNING frame (one row per file — metadata scale).
-        from .conversions import parse_wkb_point
-        from .pruning import bound_value
+        # (conservative). The WKB decode happened in the manifest
+        # parse pass (_geo_bound_keys: IEEE-754 total-order bigint
+        # keys), so this filter is plain integer comparisons — no
+        # Python eval node and no heavyweight codegen in the
+        # planning query (guide §4.1; r16 optimization).
+        from .conversions import double_sort_key
 
-        def _mk_wkb_xy():
-            import pandas as pd
+        def _k(v):
+            return F.lit(double_sort_key(float(v)))
 
-            def _xy(col):
-                # the entries frame renders bounds as the reference's
-                # 'value:0x<hex>;type:geometry' strings — recover the
-                # WKB from the hex payload
-                out = []
-                for v in col:
-                    if v is None or not v.startswith("0x"):
-                        out.append(None)
-                        continue
-                    try:
-                        out.append(parse_wkb_point(bytes.fromhex(v[2:])))
-                    except ValueError:
-                        out.append(None)
-                return pd.Series([list(p) if p else None for p in out])
-
-            return F.pandas_udf(_xy, "array<double>")
-
-        def _wkb_xy(col):
-            return _mk_wkb_xy()(bound_value(col, "string"))
         for gfid, (xmin, ymin, xmax, ymax) in sorted(geo_bbox.items()):
-            glo = _wkb_xy(F.element_at("lower_bounds", F.lit(gfid)))
-            ghi = _wkb_xy(F.element_at("upper_bounds", F.lit(gfid)))
             disjoint = (
-                (F.element_at(ghi, 1) < F.lit(float(xmin)))
-                | (F.element_at(glo, 1) > F.lit(float(xmax)))
-                | (F.element_at(ghi, 2) < F.lit(float(ymin)))
-                | (F.element_at(glo, 2) > F.lit(float(ymax)))
+                (F.col(f"_geo{gfid}_hix") < _k(xmin))
+                | (F.col(f"_geo{gfid}_lox") > _k(xmax))
+                | (F.col(f"_geo{gfid}_hiy") < _k(ymin))
+                | (F.col(f"_geo{gfid}_loy") > _k(ymax))
             )
             bounds_overlap = bounds_overlap & ~F.coalesce(
                 disjoint, F.lit(False)
@@ -1336,17 +1372,28 @@ def geo_scan_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("overlap_west", (5, 5, 20, 20)),
         ("straddle_we", (9, -5, 105, 5)),
     ]
-    rows = []
-    for qname, bbox in queries:
-        plan = plan_scan(
+    # ONE Spark job for all four probe boxes: each box's plan frame
+    # is tagged with its query name and the four union — four
+    # separate collects paid 4× the per-query analysis/codegen/job
+    # latency for the same 16 decision rows (r16 optimization)
+    from functools import reduce
+
+    tagged = [
+        plan_scan(
             spark, res["metadata_path"], res["snapshot_id"],
             geo_bbox={2: bbox}, base_dir=troot,
-        ).collect()
-        sel = sorted(
-            os.path.basename(r.file_path).split(".")[0]
-            for r in plan if r.selected
-        )
-        rows.append((qname, len(sel), ",".join(sel)))
+        ).select(F.lit(qname).alias("query"), "file_path", "selected")
+        for qname, bbox in queries
+    ]
+    plan = reduce(DataFrame.unionByName, tagged).collect()
+    by_q: dict[str, list[str]] = {qname: [] for qname, _ in queries}
+    for r in plan:
+        if r.selected:
+            by_q[r.query].append(os.path.basename(r.file_path).split(".")[0])
+    rows = [
+        (qname, len(sorted(sel)), ",".join(sorted(sel)))
+        for qname, sel in by_q.items()
+    ]
     return spark.createDataFrame(
         rows, "query string, n_selected long, selected string"
     ).orderBy("query")

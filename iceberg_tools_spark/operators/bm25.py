@@ -76,16 +76,26 @@ def bm25_topk(spark: SparkSession, sf_dir: str, *, k: int = TOP_K) -> DataFrame:
         [(qid, t) for qid, q in sorted(QUERIES.items()) for t in q.split()],
         "query_id int, term string",
     )
-    # corpus constants: one tiny agg (N docs, total tokens → avgdl)
-    stats = post.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
+    # corpus constants (N docs, total tokens → avgdl) straight off
+    # the docs scan — a map-side agg; the former form re-built and
+    # re-aggregated the FULL postings frame just to recover per-doc
+    # lengths (r16: one of three corpus tokenization passes removed)
+    stats = docs.select(
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("dl")
+    ).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_dl"),
     )
+    # postings restricted to the PROBE vocabulary, materialized once
+    # (probe terms × matching docs — KB/MB at any corpus size): both
+    # the df aggregate and the scoring join read it, so the corpus
+    # tokenizes ONCE instead of once per consumer (r16)
+    post_probe = post.join(
+        F.broadcast(terms.select("term").distinct()), "term"
+    ).localCheckpoint()
     # df per probe term only — KB-scale, broadcast everywhere below
-    df_t = (
-        post.join(F.broadcast(terms.select("term").distinct()), "term")
-        .groupBy("term")
-        .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    df_t = post_probe.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
     )
     scored_terms = (
         terms.join(df_t, "term", "left")
@@ -104,7 +114,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str, *, k: int = TOP_K) -> DataFrame:
     tf_part = (F.col("tf") * F.expr(K1P1)) / (
         F.col("tf") + F.expr(repr(K1)) * (F.expr(ONE_MINUS_B) + F.expr(repr(B)) * F.col("dl") / avgdl)
     )
-    per_term = post.join(F.broadcast(scored_terms), "term").select(
+    per_term = post_probe.join(F.broadcast(scored_terms), "term").select(
         "query_id", "doc_id", "dl", "tf", (F.col("idf") * tf_part).alias("s")
     )
     per_doc = per_term.groupBy("query_id", "doc_id").agg(

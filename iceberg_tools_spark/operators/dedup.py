@@ -939,23 +939,29 @@ def dedup_substring_coverage(
 
     d = load_table(spark, sf_dir, "documents", ["doc_id", "source", "text"])
     d = d.withColumn("nt", norm_text("text"))
-    # the exploded grams feed TWO consumers (the document-frequency
-    # aggregate and the join back); localCheckpoint materializes the
-    # explode once instead of evaluating the normalize+hash subtree
-    # twice (VERDICT r8 #9 — the dedup_clusters edge-DAG lesson)
     grams = d.select(
         "doc_id", "source",
         F.explode(char_ngram_hashes("nt", n, cap, stride)).alias("h"),
-    ).localCheckpoint()
-    df_per_hash = grams.groupBy("h").agg(
-        F.countDistinct("doc_id").alias("docs_with")
+    )
+    # aggregate to (h, doc) BEFORE anything crosses the wire (guide
+    # §2.3 — map-side partial agg reduces the raw gram instances),
+    # then the per-hash document frequency is a window COUNT over
+    # the already-reduced frame: rows per h ARE distinct docs, so no
+    # countDistinct, no join back of the raw explode, and the grams
+    # subtree evaluates ONCE (the former two-consumer shape needed a
+    # localCheckpoint + re-shuffle of raw gram instances; r16, same
+    # trick dedup_paragraph_stats uses)
+    g2 = grams.groupBy("h", "doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tagged = g2.withColumn(
+        "docs_with", F.count(F.lit(1)).over(Window.partitionBy("h"))
     )
     per_doc = (
-        grams.join(df_per_hash, "h")
-        .groupBy("doc_id", "source")
+        tagged.groupBy("doc_id", "source")
         .agg(
-            F.count(F.lit(1)).alias("total"),
-            F.sum((F.col("docs_with") >= 2).cast("long")).alias("dup"),
+            F.sum("n").alias("total"),
+            F.sum(F.when(F.col("docs_with") >= 2, F.col("n")).otherwise(0)).alias("dup"),
         )
     )
     return (

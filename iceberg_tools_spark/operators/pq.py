@@ -330,26 +330,27 @@ def _recall_check(spark: SparkSession, sf_dir: str, approx: DataFrame) -> DataFr
 
     exact = ann_topk_bruteforce(spark, sf_dir).select("qid", "neighbor_id")
     pairs = approx.select("qid", "neighbor_id")
-    shape = (
-        pairs.groupBy("qid")
-        .agg(F.count(F.lit(1)).alias("m"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_queries"),
-            F.every(F.col("m") == TOP_K).alias("per_query_rows_ok"),
-        )
+    # ONE traversal of the approx-ANN pipeline: hit-tag each pair by
+    # a left join against the exact baseline (distinct by
+    # construction), then fold shape + recall out of one per-query
+    # rollup — the former separate shape/hits branches re-expanded
+    # the entire IVF(-PQ) train/encode/scan subtree twice (r16)
+    tagged = pairs.join(
+        exact.withColumn("_hit", F.lit(1)), ["qid", "neighbor_id"], "left"
     )
-    hits = pairs.join(exact, ["qid", "neighbor_id"], "left_semi").agg(
-        F.count(F.lit(1)).cast("long").alias("n_hits")
+    per_q = tagged.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("hits"),
     )
-    return shape.crossJoin(hits).select(
-        "n_queries",
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
         F.lit(TOP_K).cast("long").alias("k"),
-        "per_query_rows_ok",
+        F.every(F.col("m") == TOP_K).alias("per_query_rows_ok"),
         (
-            F.col("n_hits")
-            >= F.ceil(F.lit(RECALL_FLOOR) * F.col("n_queries") * TOP_K)
+            F.sum("hits")
+            >= F.ceil(F.lit(RECALL_FLOOR) * F.count(F.lit(1)) * TOP_K)
         ).alias("recall_at_k_ok"),
-    )
+    ).select("n_queries", "k", "per_query_rows_ok", "recall_at_k_ok")
 
 
 def ann_pq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:

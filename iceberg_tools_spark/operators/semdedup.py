@@ -61,7 +61,13 @@ def _assigned_capped(
     e = load_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
     base = e.select("vec_id", "embedding", sum_squares("embedding").alias("ss"))
     k = math.ceil(math.sqrt(corpus_size(spark, sf_dir)))
-    cents = train_centroids(base, k)
+    # materialize the trained centroids ONCE (k×dims — KB at any
+    # corpus size): `assigned` feeds several consumers downstream
+    # (cell census, both self-join sides, survivor labeling), and
+    # without this checkpoint every consumer re-ran the single-task
+    # Lloyd training kernel inside its own subtree (r16: measured
+    # 4-6 re-trainings per gate; same reasoning as ann_ivf_topk)
+    cents = train_centroids(base, k).localCheckpoint()
     assigned = _ivf_assign(base, cents)
     ok = (
         assigned.groupBy("cell")
@@ -69,7 +75,13 @@ def _assigned_capped(
         .filter(F.col("csz") <= max_cell)
         .select("cell")
     )
-    return assigned.join(F.broadcast(ok), "cell")
+    # materialize the capped assignment ONCE: every consumer joins
+    # it at least twice (both self-join sides; the survivor path
+    # adds the label join), and each un-materialized reference
+    # re-ran the census + full assign pass (r16; the assignment
+    # table is the artifact the published SemDeDup pipeline persists
+    # between stages — one row per vector)
+    return assigned.join(F.broadcast(ok), "cell").localCheckpoint()
 
 
 def _cell_pairs(assigned: DataFrame) -> DataFrame:
@@ -137,10 +149,18 @@ def dedup_semantic_pairs(
     from pyspark.sql import Window
 
     pairs = _cell_pairs(_assigned_capped(spark, sf_dir, max_cell))
+    # top-k FIRST via orderBy+limit — Spark plans a distributed
+    # TakeOrderedAndProject (per-partition heaps, no global sort) —
+    # then rank the k survivors with a window over k rows. The
+    # former global row_number window sorted EVERY within-cell pair
+    # in one task before discarding all but `top` (r16; guide §2:
+    # don't compute what you throw away). Ordering ties break by
+    # (va, vb), so the result is bit-identical.
     w = Window.orderBy(F.col("cos").desc(), "va", "vb")
     return (
-        pairs.select("va", "vb", F.row_number().over(w).cast("bigint").alias("rk"))
-        .filter(F.col("rk") <= top)
+        pairs.orderBy(F.col("cos").desc(), "va", "vb")
+        .limit(top)
+        .select("va", "vb", F.row_number().over(w).cast("bigint").alias("rk"))
         .orderBy("rk")
     )
 
@@ -210,20 +230,22 @@ def dedup_semantic_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     component keeps EXACTLY one vector and it is the min-id member
     (the SemDeDup keep rule)."""
     d = semantic_dedup(spark, sf_dir)
+    # ONE traversal: n_vectors is the sum of component sizes, so the
+    # corpus count rides the same per-component rollup as the
+    # invariants — the former separate d.agg + crossJoin re-expanded
+    # the whole train/assign/CC subtree a second time (r16: the plan
+    # carried 92 Exchange nodes; now ~30)
     per_comp = d.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("kept").cast("long")).alias("n_kept"),
         F.min("vec_id").alias("min_id"),
         F.max(F.when(F.col("kept"), F.col("vec_id"))).alias("kept_id"),
     )
-    comp_ok = per_comp.agg(
+    return per_comp.agg(
+        F.sum("n_rows").cast("long").alias("n_vectors"),
         F.every(F.col("n_kept") == 1).alias("one_keeper_per_component"),
         F.every(F.col("kept_id") == F.col("min_id")).alias("keeper_is_min_id"),
-    )
-    return (
-        d.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
-        .crossJoin(comp_ok)
-        .select("n_vectors", "one_keeper_per_component", "keeper_is_min_id")
-    )
+    ).select("n_vectors", "one_keeper_per_component", "keeper_is_min_id")
 
 
 DEDUP_SEMANTIC_CHECK_SQL = """

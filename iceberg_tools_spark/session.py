@@ -38,6 +38,26 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # joins (r16, guide §3.1/§9): let the planner pick a
+        # shuffled-HASH join when a build side fits per partition
+        # (no sort pass), and let AQE rewrite a planned sort-merge
+        # to shuffled-hash at runtime when every post-shuffle
+        # partition is under the threshold. 64m matches the AQE
+        # advisory partition size; sort-merge remains the fallback
+        # whenever the conditions don't hold, so the OOM posture at
+        # cluster scale is unchanged.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP_MAX", "64m"),
+        )
+        # parquet writes (r16, guide §6): zstd — smaller than snappy
+        # at similar read speed; applies to every engine/gate write
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # scalar Python UDFs (none on data paths, but any stragglers
+        # cross the boundary as Arrow batches, not pickled rows —
+        # guide §4.3/§9)
+        .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
         # deterministic oracle comparisons
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for any pandas interchange (multimodal mapInPandas)

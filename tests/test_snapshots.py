@@ -396,3 +396,74 @@ def test_geo_bbox_pruning(spark, tmp_path):
     assert plan((50, 50, 60, 60)) == ["unbounded.parquet"]
     # touching edges count as intersecting (closed boxes)
     assert plan((10, 10, 11, 11)) == ["unbounded.parquet", "west.parquet"]
+
+
+def test_geo_bound_keys_match_struct_decode():
+    """The parse-pass WKB decode feeding geo scan planning (r16
+    optimization: keys are decoded where the manifest row is born,
+    so the planning filter is plain bigint comparisons): for every
+    byte-order / type-code / degenerate-payload variant,
+    `_geo_bound_keys` must agree with the reference decode —
+    `parse_wkb_point` mapped through `double_sort_key` — including
+    the conservative NULL on unparseable input, NaN coordinates, and
+    the −0.0 == +0.0 canonicalization; and the keys must sort
+    exactly like the doubles they encode."""
+    import math
+    import struct
+
+    from iceberg_tools_spark.iceberg.conversions import (
+        double_sort_key,
+        parse_wkb_point,
+        wkb_point,
+    )
+    from iceberg_tools_spark.iceberg.snapshots import _geo_bound_keys
+
+    def le(code, *coords):
+        return b"\x01" + struct.pack("<I", code) + struct.pack(f"<{len(coords)}d", *coords)
+
+    def be(code, *coords):
+        return b"\x00" + struct.pack(">I", code) + struct.pack(f">{len(coords)}d", *coords)
+
+    cases: list[bytes | None] = [
+        wkb_point(0.0, 0.0),
+        wkb_point(-0.0, 0.0),
+        wkb_point(10.0, 10.0),
+        wkb_point(-5.25, 1e-300),
+        wkb_point(5e-324, -5e-324),          # subnormals
+        wkb_point(1.7976931348623157e308, -1.7976931348623157e308),
+        wkb_point(math.inf, -math.inf),
+        wkb_point(math.nan, 3.0),            # NaN x → NULL x key
+        wkb_point(1.5, 2.5, z=7.0),          # XYZ (code 1001)
+        le(3001, 1.0, 2.0, 3.0, 4.0),        # XYZM
+        be(1, 42.0, -42.0),                  # big-endian XY
+        be(1001, 0.125, -0.125, 9.0),        # big-endian XYZ
+        # EWKB: Z flag + SRID flag (srid bytes precede coords)
+        b"\x01" + struct.pack("<I", 0xA0000001) + struct.pack("<I", 4326)
+        + struct.pack("<dd", 7.5, -7.5),
+        le(2, 1.0, 2.0),                     # LINESTRING → None
+        b"\x05" + b"\x00" * 20,              # bad byte-order marker
+        b"\x01\x01\x00\x00\x00\x00",         # truncated
+        b"",                                  # empty
+        None,                                 # absent bound
+    ]
+    for c in cases:
+        bmap = {2: f"value:0x{c.hex()};type:geometry"} if c is not None else None
+        got = _geo_bound_keys(bmap, 2)
+        ref = parse_wkb_point(c) if c is not None else None
+        if ref is None:
+            assert got == (None, None), (c, got)
+        else:
+            x, y = ref
+            assert got == (
+                None if math.isnan(x) else double_sort_key(x),
+                None if math.isnan(y) else double_sort_key(y),
+            ), (c, ref, got)
+    # non-hex garbage inside a plausible rendering must NULL out
+    assert _geo_bound_keys({2: "value:0xzz;type:geometry"}, 2) == (None, None)
+    # a non-binary bound rendering (wrong type) must NULL out
+    assert _geo_bound_keys({2: "value:42;type:long"}, 2) == (None, None)
+
+    # order-isomorphism: keys sort exactly like the doubles they encode
+    vals = [-math.inf, -1e300, -2.5, -5e-324, 0.0, 5e-324, 1.0, 64.0, 1e300, math.inf]
+    keys = [double_sort_key(v) for v in vals]
+    assert keys == sorted(keys)
