@@ -234,7 +234,7 @@ def dedup_semantic_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus count rides the same per-component rollup as the
     # invariants — the former separate d.agg + crossJoin re-expanded
     # the whole train/assign/CC subtree a second time (r16: the plan
-    # carried 92 Exchange nodes; now ~30)
+    # carried 92 Exchange nodes; 12 after this + the checkpoints)
     per_comp = d.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("kept").cast("long")).alias("n_kept"),

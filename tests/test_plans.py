@@ -186,17 +186,38 @@ def test_substring_coverage_no_cartesian_scan_pruned(spark):
 
 
 def test_semdedup_pairs_broadcasts_centroids_equi_cell_join(spark):
-    from iceberg_tools_spark.operators import semdedup
-
-    df = semdedup.dedup_semantic_pairs(spark, SF_ORACLE)
-    plan = checks.plan_string(df)
-    # centroid assignment is the ONE deliberate broadcast nested
-    # loop (corpus x k-centroids, k bounded); the pair join itself
-    # must be an equi join on the cell id, never all-pairs
-    assert "BroadcastNestedLoopJoin" in plan
-    assert plan.count("CartesianProduct") == 0
+    import math
     import re
 
+    from pyspark.sql import functions as F
+
+    from iceberg_tools_spark.operators import semdedup
+    from iceberg_tools_spark.operators.similarity import (
+        _ivf_assign,
+        corpus_size,
+        sum_squares,
+        train_centroids,
+    )
+    from iceberg_tools_spark.sources.readers import load_table
+
+    # since r16 the capped assignment is localCheckpoint'ed (it
+    # feeds several consumers), so the two plan contracts pin on
+    # the two halves: (1) the ASSIGNMENT plan carries the one
+    # deliberate broadcast nested loop (corpus × k centroids, k
+    # bounded) and nothing cartesian
+    e = load_table(spark, SF_ORACLE, "embeddings", ["vec_id", "embedding"])
+    base = e.select("vec_id", "embedding", sum_squares("embedding").alias("ss"))
+    k = math.ceil(math.sqrt(corpus_size(spark, SF_ORACLE)))
+    assign_plan = checks.plan_string(_ivf_assign(base, train_centroids(base, k)))
+    assert "BroadcastNestedLoopJoin" in assign_plan
+    assert assign_plan.count("CartesianProduct") == 0
+
+    # (2) the PAIR join itself must be an equi join on the cell id
+    # — never all-pairs, never nested-loop
+    df = semdedup.dedup_semantic_pairs(spark, SF_ORACLE)
+    plan = checks.plan_string(df)
+    assert plan.count("CartesianProduct") == 0
+    assert "BroadcastNestedLoopJoin" not in plan
     joins = re.findall(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan)
     assert joins, "within-cell pair generation must be an equi join"
 
