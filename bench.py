@@ -483,6 +483,16 @@ HEADLINE = [
     "rest_view_rows",
     "delta_row_tracking_rows",
     "geo_scan_rows",
+    # round-17 (optimization round 2) ADDITIONS-ONLY: the operators
+    # this round restructured that had no bench coverage — the two
+    # global-window analytics rewrites (distributed ntile /
+    # percent_rank), the top-5 TakeOrdered form, and the two
+    # table-level theta-sketch gates now batched into one job
+    "decile_value_customers",
+    "orders_cume_dist",
+    "customer_running_total",
+    "meta_table_stats",
+    "meta_stats_incremental",
 ]
 
 

@@ -127,13 +127,23 @@ def audit_staged(
     )
 
     # ---- one shared aggregate over the ADDED rows for every
-    # added-scan check
+    # added-scan check; the unique_key full-state count(s) are
+    # INDEPENDENT read-only actions, so they submit from a small
+    # driver pool and overlap the added-rows job (guide §2.6: the
+    # later job's tasks back-fill the earlier job's tail instead of
+    # serializing two scheduling latencies; r17)
     added_checks = [
         (i, c) for i, c in enumerate(checks)
         if c["type"] in ("not_null", "accepted_values", "min_max")
     ]
-    added_obs: dict[int, tuple[bool, str]] = {}
-    if added_checks:
+    unique_checks = [
+        (i, c) for i, c in enumerate(checks) if c["type"] == "unique_key"
+    ]
+
+    def _added_obs() -> dict[int, tuple[bool, str]]:
+        obs: dict[int, tuple[bool, str]] = {}
+        if not added_checks:
+            return obs
         df = _added_frame(spark, meta, snap, base_dir)
         aggs, metas = [], []
         for i, c in added_checks:
@@ -158,17 +168,39 @@ def audit_staged(
             metas.append((i, c))
         if df is None:
             for i, c in metas:
-                added_obs[i] = (True, "no files added")
+                obs[i] = (True, "no files added")
         else:
             row = df.agg(*aggs).collect()[0]
             for i, c in metas:
                 v = row[f"a{i}"]
                 if c["type"] == "not_null":
                     ok = (v or 0.0) <= c["max_null_ratio"]
-                    added_obs[i] = (bool(ok), f"null_ratio={v or 0.0:.6f}")
+                    obs[i] = (bool(ok), f"null_ratio={v or 0.0:.6f}")
                 else:
                     bad = int(v or 0)
-                    added_obs[i] = (bad == 0, f"violations={bad}")
+                    obs[i] = (bad == 0, f"violations={bad}")
+        return obs
+
+    def _unique_dupes(cols: list[str]) -> int:
+        state = read_mor(spark, metadata_path, sid, base_dir)
+        return (
+            state.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .count()
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    unique_obs: dict[int, int] = {}
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_added = pool.submit(_added_obs)
+        fut_unique = {
+            i: pool.submit(_unique_dupes, list(c["columns"]))
+            for i, c in unique_checks
+        }
+        added_obs = fut_added.result()
+        unique_obs = {i: f.result() for i, f in fut_unique.items()}
 
     results = []
     for i, c in enumerate(checks):
@@ -180,16 +212,9 @@ def audit_staged(
             ok, obs = added_obs[i]
             results.append((i, t, c["column"], ok, obs))
         elif t == "unique_key":
-            cols = list(c["columns"])
-            state = read_mor(spark, metadata_path, sid, base_dir)
-            dupes = (
-                state.groupBy(*cols)
-                .agg(F.count(F.lit(1)).alias("n"))
-                .filter(F.col("n") > 1)
-                .count()
-            )
+            dupes = unique_obs[i]
             results.append(
-                (i, t, ",".join(cols), dupes == 0, f"duplicate_keys={dupes}")
+                (i, t, ",".join(c["columns"]), dupes == 0, f"duplicate_keys={dupes}")
             )
         else:
             raise ValueError(f"unknown audit check type {t!r}")

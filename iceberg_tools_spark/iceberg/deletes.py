@@ -352,9 +352,15 @@ def _pos_delete_frame(
     by_seq: dict[int, list[str]] = {}
     for e in pos_dels:
         by_seq.setdefault(e["sequence_number"], []).append(e["local_path"])
+    # explicit schema (the spec's required pos-delete columns): no
+    # driver schema-inference pass at all, and files of one commit
+    # that carry the OPTIONAL `row` payload inconsistently can never
+    # fail the merged-inference path (ADVICE r16)
     for seq, paths in sorted(by_seq.items()):
         frames.append(
-            spark.read.parquet(*sorted(paths)).select(
+            spark.read.schema("file_path string, pos bigint")
+            .parquet(*sorted(paths))
+            .select(
                 F.regexp_extract("file_path", _REL_RE, 0).alias("pd_rel"),
                 F.col("pos").alias("pd_pos"),
                 F.lit(seq).alias("pd_seq"),

@@ -119,6 +119,16 @@ def maintain_grouped_agg(
             for c in maxs
         ],
     )
+    if mins or maxs:
+        # the affected-keys probe below COLLECTS from the joined
+        # frame, and the returned plan evaluates it again — without
+        # this the whole changelog_between subtree (multi-commit MoR
+        # visibility resolution) executes TWICE per refresh.
+        # Checkpoint the delta rollup: one row per TOUCHED group —
+        # KB at any scale by IVM's premise (r17; guide §5, the same
+        # materialize-once argument as semdedup r16). The COUNT/SUM
+        # path has a single consumer and stays lazy.
+        delta = delta.localCheckpoint()
     joined = base_agg.join(delta, keys, "full_outer")
     zero = F.lit(0).cast("long")
     folded_cols = [

@@ -92,14 +92,18 @@ def _plan_rewrite_targets(
         from functools import reduce
 
         # one multi-path scan per distinct sequence number (r16: was
-        # one scan node per delete file — see _pos_delete_frame)
+        # one scan node per delete file — see _pos_delete_frame);
+        # explicit schema: no inference pass, heterogeneous optional
+        # `row` payloads can't break the merge (ADVICE r16)
         by_seq: dict[int, list[str]] = {}
         for d in plain:
             by_seq.setdefault(d["sequence_number"], []).append(d["local_path"])
         pd_all = reduce(
             DataFrame.unionByName,
             [
-                spark.read.parquet(*sorted(paths)).select(
+                spark.read.schema("file_path string, pos bigint")
+                .parquet(*sorted(paths))
+                .select(
                     F.regexp_extract("file_path", r"data/.*$", 0).alias("pd_rel"),
                     F.lit(seq).alias("pd_seq"),
                 )

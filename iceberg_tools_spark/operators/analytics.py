@@ -186,14 +186,55 @@ ORDER BY o_orderpriority
 
 def decile_value_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer-lifetime-value deciles: ntile(10) over total spend
-    (unique-key tiebreak), then per-decile aggregates."""
+    (unique-key tiebreak), then per-decile aggregates.
+
+    The decile assignment is a TWO-PHASE distributed ntile (guide
+    §2): range-partition by the window order, rank within each
+    partition, add per-partition row-count offsets (a tiny
+    #partitions-row frame) to get the global rank, and map it
+    through NTILE's fill rule (n÷10 rows per tile, the first n%10
+    tiles one extra). (ltv desc, o_custkey) is a total order, so
+    this is bit-identical to ``ntile(10)`` over one global window —
+    without the single task holding every customer at scale. The
+    range-partitioned frame materializes once (``localCheckpoint``):
+    the range exchange samples its child and the offsets pass
+    re-reads it, three traversals of the aggregation otherwise."""
     o = load_table(spark, sf_dir, "orders", ["o_custkey", "o_totalprice"])
     ltv = o.groupBy("o_custkey").agg(
         F.sum(_dec("o_totalprice")).cast("decimal(38,2)").alias("ltv")
     )
-    w = Window.orderBy(F.col("ltv").desc(), F.col("o_custkey"))
-    tiled = ltv.select(
-        "o_custkey", "ltv", F.ntile(10).over(w).cast("bigint").alias("decile")
+    ranked = (
+        ltv.repartitionByRange(F.col("ltv").desc(), F.col("o_custkey"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(w_all).alias("_n"),
+    )
+    w_in = Window.partitionBy("_pid").orderBy(
+        F.col("ltv").desc(), F.col("o_custkey")
+    )
+    tiled = (
+        ranked.join(F.broadcast(offs), "_pid")
+        .withColumn("_rk", F.col("_off") + F.row_number().over(w_in))
+        # NTILE fill rule, integer-exact: ceil(a/b) = (a + b - 1) div b
+        .withColumn(
+            "decile",
+            F.expr(
+                "CAST(IF(_rk <= (_n % 10) * (_n div 10 + 1),"
+                " (_rk + _n div 10) div (_n div 10 + 1),"
+                " _n % 10 + (_rk - (_n % 10) * (_n div 10 + 1)"
+                "            + greatest(_n div 10, 1) - 1)"
+                "           div greatest(_n div 10, 1)) AS BIGINT)"
+            ),
+        )
     )
     return (
         tiled.groupBy("decile")
@@ -227,16 +268,72 @@ def orders_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both functions are pure integer-ratio doubles (identical IEEE
     ops in every engine) cast to DECIMAL(38,6).
+
+    Computed distributedly (guide §2): (priority, price) tie groups
+    aggregate first (one row per group, so ties can never straddle a
+    partition boundary), a range-partitioned running count plus
+    per-(partition, priority) offsets (a tiny frame) yields each
+    group's min rank and rows-≤ count, and the per-order rows join
+    back on the group key. Replaces the per-priority window — five
+    single tasks each holding ~20% of all orders at scale. The
+    ratios divide the same integers Spark's PERCENT_RANK/CUME_DIST
+    divide ((rank−1)/(n−1), rows≤/n, both as doubles), so the
+    DECIMAL(38,6) casts are bit-identical.
     """
     o = load_table(spark, sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
-    w = Window.partitionBy("o_orderpriority").orderBy(_dec("o_totalprice"))
-    return o.select(
-        "o_orderkey",
+    op = o.select(
+        "o_orderkey", "o_orderpriority", _dec("o_totalprice").alias("o_totalprice")
+    )
+    g = op.groupBy("o_orderpriority", "o_totalprice").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    ranked = (
+        g.repartitionByRange("o_orderpriority", "o_totalprice")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()  # consumed by the offsets pass AND the rank pass
+    )
+    part = ranked.groupBy("_pid", "o_orderpriority").agg(F.sum("_cnt").alias("_s"))
+    w_off = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_n = Window.partitionBy("o_orderpriority").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = part.select(
+        "_pid",
         "o_orderpriority",
-        _dec("o_totalprice").alias("o_totalprice"),
-        F.percent_rank().over(w).cast(D38_6).alias("pct_rank"),
-        F.cume_dist().over(w).cast(D38_6).alias("cume"),
-    ).orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+        F.coalesce(F.sum("_s").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_s").over(w_n).alias("_n"),
+    )
+    w_run = (
+        Window.partitionBy("_pid", "o_orderpriority")
+        .orderBy("o_totalprice")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    le = F.col("_off") + F.sum("_cnt").over(w_run)  # rows with value <= this
+    ranked2 = (
+        ranked.join(F.broadcast(offs), ["_pid", "o_orderpriority"])
+        .withColumn("_le", le)
+        .withColumn("_rank", F.col("_le") - F.col("_cnt") + 1)  # min rank of ties
+    )
+    pct = F.when(
+        F.col("_n") > 1,
+        (F.col("_rank") - 1).cast("double") / (F.col("_n") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    cume = F.col("_le").cast("double") / F.col("_n").cast("double")
+    dist = ranked2.select(
+        "o_orderpriority",
+        "o_totalprice",
+        pct.cast(D38_6).alias("pct_rank"),
+        cume.cast(D38_6).alias("cume"),
+    )
+    return (
+        op.join(dist, ["o_orderpriority", "o_totalprice"])
+        .select("o_orderkey", "o_orderpriority", "o_totalprice", "pct_rank", "cume")
+        .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+    )
 
 
 CUME_DIST_SQL = """
@@ -389,8 +486,15 @@ def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
     v = _dec("o_totalprice")
     ltv = o.groupBy("o_custkey").agg(F.sum(v).cast("decimal(38,2)").alias("ltv"))
-    wtop = Window.orderBy(F.col("ltv").desc(), F.col("o_custkey"))
-    top5 = ltv.withColumn("rk", F.row_number().over(wtop)).filter(F.col("rk") <= 5).select("o_custkey")
+    # top-5 selection as orderBy().limit() — a distributed
+    # TakeOrderedAndProject (per-partition heaps), not a single-task
+    # global row_number window; (ltv desc, custkey) is a total order
+    # so the 5 survivors are identical
+    top5 = (
+        ltv.orderBy(F.col("ltv").desc(), F.col("o_custkey"))
+        .limit(5)
+        .select("o_custkey")
+    )
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

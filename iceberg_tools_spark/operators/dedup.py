@@ -951,8 +951,15 @@ def dedup_substring_coverage(
     # subtree evaluates ONCE (the former two-consumer shape needed a
     # localCheckpoint + re-shuffle of raw gram instances; r16, same
     # trick dedup_paragraph_stats uses)
-    g2 = grams.groupBy("h", "doc_id", "source").agg(
-        F.count(F.lit(1)).alias("n")
+    # grouped by (h, doc_id) — NOT (h, doc_id, source) — so the
+    # window count below provably equals the oracle's
+    # COUNT(DISTINCT doc_id) even if a doc_id ever appeared under
+    # two sources; `source` is functionally dependent on doc_id
+    # (gen_scale_corpus keeps ids disjoint) and rides via first()
+    # (ADVICE r16)
+    g2 = grams.groupBy("h", "doc_id").agg(
+        F.first("source").alias("source"),
+        F.count(F.lit(1)).alias("n"),
     )
     tagged = g2.withColumn(
         "docs_with", F.count(F.lit(1)).over(Window.partitionBy("h"))

@@ -10,12 +10,13 @@ Quantization for Nearest Neighbor Search" is the canonical paper):
 1. **train** — per-subspace k-means codebooks over a bounded
    md5-ranked sample in ONE Arrow task (``functions/pq_kernel.py``;
    no RNG, bit-deterministic);
-2. **encode** — every corpus vector → its argmin code per subspace.
-   Expressed engine-side (explode over subspaces + broadcast
-   codebook join + min-of-struct aggregate — the same map-side
-   argmin shape as IVF assignment) so it stays lazy and
-   collect-free; a production deployment would fold this into an
-   Arrow kernel closure over the trained codebooks;
+2. **encode** — every corpus vector → its argmin code per subspace,
+   in ONE Arrow kernel pass: a ``mapInPandas`` closure over the
+   collected codebooks (KB at any scale), zero shuffles between the
+   corpus scan and the codes. The kernel replicates the JVM
+   left-fold summation order bit-exactly (r17; the r16 engine-side
+   explode + broadcast join + two min-of-struct aggregates paid two
+   N×M-row shuffles for the same codes);
 3. **ADC scan** — per query, a flattened dot-product lookup table
    over (subspace, code); the scan scores each vector with a pure
    JVM ``aggregate(zip_with(codes, ...))`` expression — whole-stage
@@ -75,40 +76,37 @@ def encode(
     base: DataFrame, books: DataFrame, dim: int, extra: tuple[str, ...] = ()
 ) -> DataFrame:
     """vec_id → ``codes`` (array<int>, one per subspace): argmin
-    squared distance to the subspace's codebook, computed as a
-    map-side min-of-struct aggregate against the broadcast codebook
-    (same shape as IVF cell assignment). ``extra`` columns (e.g. the
-    IVF ``cell``) ride through the group keys — functionally
-    dependent on vec_id, so no extra shuffle width is paid versus a
-    re-join."""
+    squared distance to the subspace's codebook, computed in ONE
+    Arrow kernel pass over the corpus — a ``mapInPandas`` closure
+    over the collected codebooks (M·KSUB·dsub doubles, KB at any
+    scale; guide §4.2). Replaces the engine-side explode →
+    broadcast-join → two min-of-struct aggregates, whose two
+    N×M-row shuffles were the dominant cost of the encode subtree;
+    there is now ZERO Exchange between the corpus scan and the
+    codes. The kernel replicates the JVM left-fold summation order
+    and the min-of-struct tie-break exactly, so the codes are
+    bit-identical (pinned by
+    tests/test_similarity.py::test_pq_encode_kernel_matches_engine).
+    ``extra`` columns (e.g. the IVF ``cell``) ride through the
+    kernel untouched."""
+    import numpy as np
+
+    from ..functions.pq_kernel import make_pq_encode_kernel
+
     dsub = dim // PQ_M
-    sub = _sub_slice("embedding", dsub)
-    exploded = base.select(
-        "vec_id",
-        *extra,
-        F.posexplode(
-            F.array(*[sub(mi) for mi in range(PQ_M)])
-        ).alias("sub", "svec"),
+    # one O(model-size) driver collect per query build — the same
+    # class as broadcasting trained centroids; runs inside the timed
+    # query (books derive from the corpus on every invocation)
+    cbooks = np.zeros((PQ_M, PQ_KSUB, dsub), dtype=np.float64)
+    for r in books.collect():
+        cbooks[r["sub"], r["code"], :] = r["cemb"]
+    kernel = make_pq_encode_kernel(
+        PQ_M, PQ_KSUB, dsub, cbooks, ("vec_id", *extra)
     )
-    d2 = F.expr(
-        "aggregate(zip_with(svec, cemb, (a, b) -> (a - b) * (a - b)),"
-        " 0D, (acc, x) -> acc + x)"
+    schema = ", ".join(
+        ["vec_id bigint", *[f"{c} bigint" for c in extra], "codes array<int>"]
     )
-    best = (
-        exploded.join(F.broadcast(books), "sub")
-        .select("vec_id", *extra, "sub", "code", d2.alias("d2"))
-        .groupBy("vec_id", *extra, "sub")
-        .agg(F.min(F.struct("d2", "code")).alias("m"))
-        .select("vec_id", *extra, "sub", F.col("m.code").alias("code"))
-    )
-    return (
-        best.groupBy("vec_id", *extra)
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(sub, code))), x -> x.code)"
-            ).alias("codes")
-        )
-    )
+    return base.select("vec_id", *extra, "embedding").mapInPandas(kernel, schema)
 
 
 def _query_tables(
@@ -328,7 +326,11 @@ RECALL_FLOOR = 0.9  # same floor the pytest recall gates pin
 def _recall_check(spark: SparkSession, sf_dir: str, approx: DataFrame) -> DataFrame:
     from .similarity import ann_topk_bruteforce
 
-    exact = ann_topk_bruteforce(spark, sf_dir).select("qid", "neighbor_id")
+    # .distinct() enforces the distinct-by-construction assumption
+    # the hit-tagging left join relies on (a duplicate (qid,
+    # neighbor_id) row would fan the join out and inflate m/hits);
+    # q×k rows, negligible (ADVICE r16)
+    exact = ann_topk_bruteforce(spark, sf_dir).select("qid", "neighbor_id").distinct()
     pairs = approx.select("qid", "neighbor_id")
     # ONE traversal of the approx-ANN pipeline: hit-tag each pair by
     # a left join against the exact baseline (distinct by

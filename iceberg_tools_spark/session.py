@@ -38,15 +38,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # joins (r16, guide §3.1/§9): let the planner pick a
-        # shuffled-HASH join when a build side fits per partition
-        # (no sort pass), and let AQE rewrite a planned sort-merge
-        # to shuffled-hash at runtime when every post-shuffle
-        # partition is under the threshold. 64m matches the AQE
-        # advisory partition size; sort-merge remains the fallback
-        # whenever the conditions don't hold, so the OOM posture at
-        # cluster scale is unchanged.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # joins (r17, guide §3.1, ADVICE r16): AQE rewrites a
+        # planned sort-merge to shuffled-hash at runtime when every
+        # MEASURED post-shuffle partition is under the threshold
+        # (64m = the AQE advisory partition size). The r16 static
+        # knob (preferSortMergeJoin=false) is dropped: it flipped
+        # joins on size ESTIMATES, which a post-explode/filter
+        # misestimate can turn into an unspillable build side; the
+        # AQE path checks actual sizes, so sort-merge stays the
+        # fallback and the OOM posture is genuinely unchanged.
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP_MAX", "64m"),

@@ -1,4 +1,4 @@
-"""Write plans/r16/<name>_<tag>.txt for the named queries (and the
+"""Write plans/r17/<name>_<tag>.txt for the named queries (and the
 geo planning frame), without timing — evidence capture for the
 optimization round. Usage:
     python scripts/capture_plans.py <tag> <query> [...]
@@ -25,7 +25,7 @@ def main() -> None:
     from iceberg_tools_spark.session import get_spark
 
     spark = get_spark("plancap", cpus=cpus)
-    plans_dir = os.path.join(repo, "plans", "r16")
+    plans_dir = os.path.join(repo, "plans", "r17")
     os.makedirs(plans_dir, exist_ok=True)
     available = registry.queries()
 
@@ -98,6 +98,71 @@ def main() -> None:
 
             snap = json.load(open(mp))["current-snapshot-id"]
             emit("mor_read", read_mor(spark, mp, snap))
+        elif name == "mor_read_multi":
+            # ONE delete commit carrying THREE positional-delete
+            # files (the shape the r16 consolidation targets): the
+            # by-sequence multi-path read plans ONE delete scan node
+            # per COMMIT, not one per file (VERDICT r16 #5 evidence)
+            from iceberg_tools_spark.iceberg.commit import (
+                _scratch_table,
+                commit_delete_snapshot,
+                write_position_deletes,
+            )
+            from iceberg_tools_spark.iceberg.deletes import MOR_DIR, read_mor
+
+            root = _scratch_table("planmulti_", MOR_DIR)
+            mp = os.path.join(root, "v2.metadata.json")
+            entries = []
+            for i, (tgt, part, ps) in enumerate([
+                ("data/category=x/A.parquet", {"category": "x"}, [0, 1]),
+                ("data/category=x/C.parquet", {"category": "x"}, [2]),
+                ("data/category=z/D.parquet", {"category": "z"}, [3, 4]),
+            ]):
+                rel = write_position_deletes(
+                    root, f"data/deletes/multi{i}.parquet",
+                    [(tgt, p) for p in ps],
+                )
+                entries.append({"path": rel, "partition": part, "content": 1})
+            r1 = commit_delete_snapshot(mp, entries, spec_id=0)
+            emit(
+                "mor_read_multi",
+                read_mor(spark, r1["metadata_path"], r1["snapshot_id"], root),
+            )
+        elif name == "mor_read_multi_perfile":
+            # the PRE-r16 per-file shape, reconstructed for contrast:
+            # same three delete files read one-scan-per-file + union
+            from functools import reduce
+
+            from pyspark.sql import DataFrame
+            from pyspark.sql import functions as F
+
+            from iceberg_tools_spark.iceberg.commit import (
+                _scratch_table,
+                write_position_deletes,
+            )
+            from iceberg_tools_spark.iceberg.deletes import MOR_DIR
+
+            root = _scratch_table("planmultiref_", MOR_DIR)
+            paths = []
+            for i, (tgt, ps) in enumerate([
+                ("data/category=x/A.parquet", [0, 1]),
+                ("data/category=x/C.parquet", [2]),
+                ("data/category=z/D.parquet", [3, 4]),
+            ]):
+                rel = write_position_deletes(
+                    root, f"data/deletes/multi{i}.parquet",
+                    [(tgt, p) for p in ps],
+                )
+                paths.append(os.path.join(root, rel))
+            frames = [
+                spark.read.parquet(p).select(
+                    "file_path", "pos", F.lit(10).alias("pd_seq")
+                )
+                for p in paths
+            ]
+            emit(
+                "mor_read_multi_perfile", reduce(DataFrame.unionByName, frames)
+            )
         else:
             emit(name, available[name](spark, sf_dir))
 

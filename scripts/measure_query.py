@@ -2,7 +2,7 @@
 
 Times one or more declared queries through the noop sink (guide
 §1.4) in a warm session and writes their ``explain("formatted")``
-output to ``plans/r16/<name>_<tag>.txt`` (guide §1: capture the plan
+output to ``plans/r17/<name>_<tag>.txt`` (guide §1: capture the plan
 shape — Exchange count, join strategy, PushedFilters/ReadSchema,
 BatchEvalPython nodes — before and after every change).
 
@@ -65,7 +65,7 @@ def main() -> None:
     calibration = round(time.perf_counter() - t0, 3)
     print(json.dumps({"calibration_sec": calibration}))
 
-    plans_dir = os.path.join(repo, "plans", "r16")
+    plans_dir = os.path.join(repo, "plans", "r17")
     os.makedirs(plans_dir, exist_ok=True)
     available = registry.queries()
     import gc

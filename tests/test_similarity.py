@@ -164,6 +164,63 @@ def test_pq_codes_shape_and_determinism(spark):
     assert all(0 <= c < PQ_KSUB for r in codes for c in r["codes"])
 
 
+def test_pq_encode_kernel_matches_engine(spark):
+    """The r17 Arrow encode kernel must reproduce the pre-r17
+    engine-side explode → broadcast join → min-of-struct codes
+    BIT-FOR-BIT: same left-fold summation order, same first-min
+    tie-break (the reference shape is inlined here as the spec)."""
+    from iceberg_tools_spark.functions.vectors import sum_squares
+    from iceberg_tools_spark.operators.pq import (
+        PQ_DIM,
+        PQ_M,
+        encode,
+        train_codebooks,
+    )
+    from iceberg_tools_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    sfd = "/root/testdata/sf0.001"
+    e = load_table(spark, sfd, "embeddings", ["vec_id", "embedding"])
+    base = e.select("vec_id", "embedding", sum_squares("embedding").alias("ss"))
+    books = train_codebooks(base).localCheckpoint()
+
+    dsub = PQ_DIM // PQ_M
+    exploded = base.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("embedding"), mi * dsub + 1, dsub)
+                    for mi in range(PQ_M)
+                ]
+            )
+        ).alias("sub", "svec"),
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(svec, cemb, (a, b) -> (a - b) * (a - b)),"
+        " 0D, (acc, x) -> acc + x)"
+    )
+    ref = (
+        exploded.join(F.broadcast(books), "sub")
+        .select("vec_id", "sub", "code", d2.alias("d2"))
+        .groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("d2", "code")).alias("m"))
+        .select("vec_id", "sub", F.col("m.code").alias("code"))
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(sub, code))), x -> x.code)"
+            ).alias("codes")
+        )
+    )
+    want = {r["vec_id"]: list(r["codes"]) for r in ref.collect()}
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in encode(base, books, PQ_DIM).collect()
+    }
+    assert got == want
+
+
 def test_pq_adc_scan_is_jvm_only(spark):
     # Python appears ONLY in the single-task training kernel; the
     # corpus-wide ADC scan plan of the candidate stage is pure JVM
@@ -180,7 +237,8 @@ def test_pq_adc_scan_is_jvm_only(spark):
     # rows) — the corpus-wide ADC scoring itself is JVM expressions
     assert "BatchEvalPython" not in plan
     assert plan.count("ArrowEvalPython") <= 1
-    assert plan.count("MapInPandas") <= 2  # single-task training only
+    # single-task training + the r17 one-pass encode kernel only
+    assert plan.count("MapInPandas") <= 2
 
 
 def test_ivfpq_recall_and_scan_pruning(spark):
